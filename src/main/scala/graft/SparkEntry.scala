@@ -1,13 +1,318 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.streaming.EventsPipeline
+
+/** Driver contract — see SURVEY.md §2 for the capability each query
+  * realizes and the reference anchor it derives from.
+  *
+  * Column-name + value parity with the DuckDB oracles is part of the
+  * contract: every computed column is aliased identically on both
+  * sides, money math is DECIMAL-exact, and single IEEE-double
+  * divisions are the only float ops that reach the output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ReferenceOps.nationRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference core (Land-Registry services & analysis) —
+    "q_ingest_clean"     -> ReferenceOps.ingestClean _,
+    "q_subset_period"    -> ReferenceOps.subsetPeriod _,
+    "q1_pricing_summary" -> ReferenceOps.pricingSummary _,
+    "q_delay_histogram"  -> ReferenceOps.delayHistogram _,
+    "q_delay_weeks"      -> ReferenceOps.delayWeeks _,
+    "q_delay_normalized" -> ReferenceOps.delayNormalized _,
+    "q_file_decision"    -> ReferenceOps.fileDecision _,
+    "q_gc_candidates"    -> ReferenceOps.gcCandidates _,
+    "q_upload_stats"     -> ReferenceOps.uploadStats _,
+    "q_reconcile"        -> ReferenceOps.reconcile _,
+    "q_cdc_merge"        -> Cdc.mergeResult _,
+    "q_cdc_stats"        -> Cdc.mergeStats _,
+    "q_window_rank"      -> ReferenceOps.windowRank _,
+    "q3_top_revenue"     -> ReferenceOps.topRevenue _,
+    "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
+    "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
+    // — LLM-data-pipeline surface —
+    "d_dedup_exact"      -> TextOps.dedupExact _,
+    "d_dedup_hash"       -> TextOps.dedupHash _,
+    "d_dedup_minhash"    -> ((s: SparkSession, dir: String) => NearDedup.minHashDedup(s, dir)),
+    "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
+    "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
+    "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
+    "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
+    "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
+    "t_tokens"           -> TextOps.tokenCounts _,
+    "t_quality"          -> TextOps.qualityScore _,
+    "t_langid"           -> TextOps.langId _
+  )
+
+  // ——— DuckDB oracles ————————————————————————————————————————————
+  private val delayCte =
+    """WITH d AS (
+      |  SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+      |         CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |""".stripMargin
+
+  private val fileDecisionCte =
+    """WITH e AS (SELECT user_id, event_id, ts, sha256(props) AS sha256sum FROM events),
+      |w AS (SELECT user_id, event_id, sha256sum,
+      |        lag(sha256sum) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sha
+      |      FROM e),
+      |dec AS (SELECT user_id, event_id, sha256sum,
+      |          CASE WHEN prev_sha IS NULL OR prev_sha <> sha256sum
+      |               THEN 'archive' ELSE 'garbage_collect' END AS data_decision
+      |        FROM w)
+      |""".stripMargin
+
+  private val p2 = "CAST(o_totalprice AS DECIMAL(18,2))"
+
+  private val cdcCte =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, $p2 AS base_price,
+       |         CASE WHEN o_orderkey % 29 = 0 THEN 'T' ELSE 'F' END AS is_deleted
+       |  FROM orders WHERE o_orderkey % 7 <> 0),
+       |chg AS (
+       |  SELECT o_orderkey, record_op, CAST(new_price AS DECIMAL(18,2)) AS new_price FROM (
+       |    SELECT o_orderkey,
+       |      CASE WHEN o_orderkey % 7 = 0 THEN
+       |             CASE WHEN o_orderkey % 2 = 0 THEN 'C' WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'A' END
+       |           WHEN o_orderkey % 29 = 0 THEN
+       |             CASE WHEN o_orderkey % 2 = 0 THEN 'A' WHEN o_orderkey % 3 = 0 THEN 'C'
+       |                  WHEN o_orderkey % 5 = 0 THEN 'D' ELSE NULL END
+       |           ELSE
+       |             CASE WHEN o_orderkey % 5 = 0 THEN 'A' WHEN o_orderkey % 11 = 0 THEN 'A'
+       |                  WHEN o_orderkey % 13 = 0 THEN 'C' WHEN o_orderkey % 17 = 0 THEN 'C'
+       |                  WHEN o_orderkey % 19 = 0 THEN 'D' WHEN o_orderkey % 23 = 0 THEN 'D'
+       |                  ELSE NULL END END AS record_op,
+       |      CASE WHEN o_orderkey % 7 = 0 THEN
+       |             CASE WHEN o_orderkey % 2 = 0 THEN $p2 + 1000.50 ELSE $p2 END
+       |           WHEN o_orderkey % 29 = 0 THEN
+       |             CASE WHEN o_orderkey % 2 = 0 THEN $p2 + 2000.25 ELSE $p2 END
+       |           WHEN o_orderkey % 11 = 0 AND o_orderkey % 5 <> 0 THEN $p2 + 10
+       |           WHEN o_orderkey % 17 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 13 <> 0 THEN $p2 + 20
+       |           WHEN o_orderkey % 23 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 13 <> 0
+       |                AND o_orderkey % 11 <> 0 AND o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0 THEN $p2 + 30
+       |           ELSE $p2 END AS new_price
+       |    FROM orders) t WHERE record_op IS NOT NULL),
+       |m AS (
+       |  SELECT COALESCE(base.o_orderkey, chg.o_orderkey) AS o_orderkey,
+       |         base.base_price, base.is_deleted, chg.record_op, chg.new_price
+       |  FROM base FULL OUTER JOIN chg ON base.o_orderkey = chg.o_orderkey),
+       |dec AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN base_price IS NULL AND record_op = 'A' THEN 'add_and_added'
+       |      WHEN base_price IS NULL AND record_op = 'C' THEN 'change_but_missing_and_added'
+       |      WHEN base_price IS NULL AND record_op = 'D' THEN 'delete_but_missing_and_ignored'
+       |      WHEN record_op IS NULL AND is_deleted = 'T' THEN 'unchanged_deleted'
+       |      WHEN record_op IS NULL THEN 'unchanged'
+       |      WHEN is_deleted = 'T' AND record_op = 'A' THEN 'add_but_deleted_and_changed'
+       |      WHEN is_deleted = 'T' AND record_op = 'C' THEN 'change_but_deleted_and_ignored'
+       |      WHEN is_deleted = 'T' AND record_op = 'D' THEN 'delete_but_deleted_and_ignored'
+       |      WHEN record_op = 'A' AND new_price = base_price THEN 'add_but_already_identical_and_ignored'
+       |      WHEN record_op = 'A' THEN 'add_but_changed'
+       |      WHEN record_op = 'C' AND new_price = base_price THEN 'change_but_already_identical_and_ignored'
+       |      WHEN record_op = 'C' THEN 'change_and_changed'
+       |      WHEN record_op = 'D' AND new_price = base_price THEN 'delete_and_deleted'
+       |      ELSE 'delete_but_not_identical_and_changed_and_deleted'
+       |    END AS outcome
+       |  FROM m)
+       |""".stripMargin
+
+  private val wsTok =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+
+  private val revenueExpr =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ingest_clean" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS quantity,
+        | CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        | upper(trim(l_returnflag)) AS return_flag, upper(trim(l_linestatus)) AS line_status,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND CAST(l_quantity AS INTEGER) > 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_subset_period" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+        | CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_delay_histogram" -> (delayCte +
+      "SELECT delay_days, COUNT(*) AS n_transactions FROM d GROUP BY delay_days ORDER BY delay_days"),
+
+    "q_delay_weeks" -> (delayCte +
+      """SELECT CAST(floor(delay_days / 7.0) AS BIGINT) AS delay_weeks, COUNT(*) AS n_transactions
+        |FROM d WHERE delay_days < 360 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_delay_normalized" -> (delayCte +
+      """, v AS (SELECT order_date, COUNT(*) AS day_volume FROM d GROUP BY order_date)
+        |SELECT d.delay_days,
+        | CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / v.day_volume AS DECIMAL(18,12))) AS DECIMAL(18,12)) AS weight
+        |FROM d JOIN v USING (order_date) GROUP BY d.delay_days ORDER BY d.delay_days""".stripMargin),
+
+    "q_file_decision" -> (fileDecisionCte +
+      "SELECT user_id, event_id, sha256sum, data_decision FROM dec ORDER BY user_id, event_id"),
+
+    "q_gc_candidates" -> (fileDecisionCte +
+      """SELECT user_id, COUNT(*) AS n_files FROM dec
+        |WHERE data_decision = 'garbage_collect' GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_upload_stats" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_transactions,
+        | MIN(CAST(l_shipdate AS DATE)) AS min_ship_date, MAX(CAST(l_shipdate AS DATE)) AS max_ship_date,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM lineitem""".stripMargin,
+
+    "q_reconcile" ->
+      """WITH db AS (
+        |  SELECT o_orderkey AS k,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CASE WHEN o_orderkey % 37 = 0 THEN 5 ELSE 0 END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 31 <> 0),
+        |f AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |      FROM orders WHERE o_orderkey % 41 <> 0),
+        |m AS (SELECT db.k AS dk, f.k AS fk FROM db FULL OUTER JOIN f ON db.k = f.k AND db.p = f.p)
+        |SELECT COUNT(CASE WHEN dk IS NOT NULL AND fk IS NOT NULL THEN 1 END) AS n_both,
+        |       COUNT(CASE WHEN fk IS NULL THEN 1 END) AS n_database_only,
+        |       COUNT(CASE WHEN dk IS NULL THEN 1 END) AS n_file_only
+        |FROM m""".stripMargin,
+
+    "q_cdc_merge" -> (cdcCte +
+      """SELECT o_orderkey,
+        | CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
+        |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
+        |      THEN new_price ELSE base_price END AS price,
+        | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
+        |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
+        |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted,
+        | outcome
+        |FROM dec WHERE outcome <> 'delete_but_missing_and_ignored' ORDER BY o_orderkey""".stripMargin),
+
+    "q_cdc_stats" -> (cdcCte +
+      "SELECT outcome, COUNT(*) AS n_rows FROM dec GROUP BY outcome ORDER BY outcome"),
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, price_rank, running_total FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS price_rank,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE price_rank <= 3 ORDER BY o_custkey, price_rank""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT c_custkey, c_name, revenue FROM (
+         | SELECT o.o_custkey, $revenueExpr AS revenue
+         | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey) r
+         |JOIN customer ON c_custkey = r.o_custkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueExpr AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
+
+    "d_dedup_hash" ->
+      """SELECT doc_id, content_sha, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_first FROM (
+        | SELECT doc_id, sha256(text) AS content_sha,
+        |  row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        | FROM documents) t ORDER BY doc_id""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_embed_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "s_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, v.vec_id, list_cosine_similarity(v.embedding, q.q_emb) AS cos
+        |      FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "t_tokens" ->
+      s"""SELECT doc_id,
+         | CAST($wsTok AS BIGINT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+         | CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST($wsTok AS BIGINT) AS n_tokens,
+         | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+         | CASE WHEN ($wsTok) > 0
+         |      THEN CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) / ($wsTok)
+         |      ELSE 0.0 END AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_langid" ->
+      """SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+        | CASE WHEN score_zh > 0 THEN 'zh'
+        |      WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+        |      WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |      WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |      ELSE 'es' END AS detected_lang
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS BIGINT) AS score_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS BIGINT) AS score_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que|des)\b')) AS BIGINT) AS score_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|que|por|con|del)\b')) AS BIGINT) AS score_es,
+        |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+        | FROM documents) t ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** CDC A(dd)/C(hange)/D(elete) merge — the Spark realization of the
+  * reference's monthly-update database updater
+  * (land_registry_monthly_update_database_updater.py). The reference
+  * walks the change file row by row against Postgres; here the entire
+  * decision matrix (InputFileStatistics, updater lines 47-88) is one
+  * keyed full-outer join + CASE — a single shuffle at any scale, and
+  * the per-outcome statistics fall out of a groupBy on the same plan.
+  *
+  * Soft-delete semantics match the reference: rows are flagged
+  * `is_deleted` ('T'/'F' varchar, as in lib_db.py), an ADD on a
+  * deleted row undeletes+changes it, a DELETE on a changed row first
+  * applies the change.
+  *
+  * The synthetic change set is derived deterministically from the
+  * orders table (modular arithmetic on o_orderkey) so the DuckDB
+  * oracle can reproduce it exactly; every branch of the reference's
+  * matrix is exercised.
+  */
+object Cdc {
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val key = col("o_orderkey")
+
+  /** Base table ≈ price_paid_data before the monthly update: keys not
+    * divisible by 7; keys divisible by 29 are pre-marked deleted. */
+  def baseTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(key % 7 =!= 0)
+      .select(key, dec2(col("o_totalprice")).as("price"),
+        when(key % 29 === 0, "T").otherwise("F").as("is_deleted"))
+
+  /** Change file ≈ pp-monthly-update rows: (key, record_op, price).
+    * CASE priority (first match wins) picks op + payload per key so
+    * every decision-matrix branch occurs. */
+  def changeSet(spark: SparkSession, dir: String): DataFrame = {
+    // additive price changes only: decimal addition is exact, so no
+    // rounding-mode divergence between engines (HALF_UP vs half-even)
+    val bump = (d: String) =>
+      (col("price") + lit(new java.math.BigDecimal(d))).cast(DecimalType(18, 2))
+    Tables.orders(spark, dir)
+      .select(key, dec2(col("o_totalprice")).as("price"))
+      .withColumn("record_op",
+        when(key % 7 === 0,
+          when(key % 2 === 0, "C").when(key % 3 === 0, "D").otherwise("A"))
+        .when(key % 29 === 0,
+          when(key % 2 === 0, "A").when(key % 3 === 0, "C")
+            .when(key % 5 === 0, "D").otherwise(null))
+        .otherwise(
+          when(key % 5 === 0, "A")
+            .when(key % 11 === 0, "A")
+            .when(key % 13 === 0, "C")
+            .when(key % 17 === 0, "C")
+            .when(key % 19 === 0, "D")
+            .when(key % 23 === 0, "D")
+            .otherwise(null)))
+      .withColumn("new_price",
+        when(key % 7 === 0, when(key % 2 === 0, bump("1000.50")).otherwise(col("price")))
+        .when(key % 29 === 0, when(key % 2 === 0, bump("2000.25")).otherwise(col("price")))
+        .when(key % 11 === 0 && key % 5 =!= 0, col("price") + 10)
+        .when(key % 17 === 0 && key % 5 =!= 0 && key % 13 =!= 0, col("price") + 20)
+        .when(key % 23 === 0 && key % 5 =!= 0 && key % 13 =!= 0 &&
+              key % 11 =!= 0 && key % 17 =!= 0 && key % 19 =!= 0, col("price") + 30)
+        .otherwise(col("price")))
+      .filter(col("record_op").isNotNull)
+      .select(key, col("record_op"), col("new_price").cast(DecimalType(18, 2)).as("new_price"))
+  }
+
+  /** Full-outer merge with the reference's decision matrix; `outcome`
+    * names the InputFileStatistics counter each row lands in. */
+  def merged(spark: SparkSession, dir: String): DataFrame = {
+    val b = baseTable(spark, dir).withColumnRenamed("price", "base_price")
+    val c = changeSet(spark, dir)
+    val op = col("record_op")
+    val identical = col("new_price") === col("base_price")
+    val inBase = col("base_price").isNotNull
+    val wasDeleted = col("is_deleted") === "T"
+    b.join(c, Seq("o_orderkey"), "full_outer")
+      .withColumn("outcome",
+        when(!inBase && op === "A", "add_and_added")
+        .when(!inBase && op === "C", "change_but_missing_and_added")
+        .when(!inBase && op === "D", "delete_but_missing_and_ignored")
+        .when(inBase && op.isNull && wasDeleted, "unchanged_deleted")
+        .when(inBase && op.isNull, "unchanged")
+        .when(wasDeleted && op === "A", "add_but_deleted_and_changed")
+        .when(wasDeleted && op === "C", "change_but_deleted_and_ignored")
+        .when(wasDeleted && op === "D", "delete_but_deleted_and_ignored")
+        .when(op === "A" && identical, "add_but_already_identical_and_ignored")
+        .when(op === "A", "add_but_changed")
+        .when(op === "C" && identical, "change_but_already_identical_and_ignored")
+        .when(op === "C", "change_and_changed")
+        .when(op === "D" && identical, "delete_and_deleted")
+        .otherwise("delete_but_not_identical_and_changed_and_deleted"))
+      .withColumn("final_price",
+        when(col("outcome").isin("add_and_added", "change_but_missing_and_added",
+          "add_but_deleted_and_changed", "add_but_changed", "change_and_changed",
+          "delete_but_not_identical_and_changed_and_deleted"), col("new_price"))
+        .otherwise(col("base_price")))
+      .withColumn("final_deleted",
+        when(col("outcome").isin("delete_and_deleted",
+          "delete_but_not_identical_and_changed_and_deleted"), "T")
+        .when(col("outcome") === "add_but_deleted_and_changed", "F")
+        .when(wasDeleted, "T").otherwise("F"))
+  }
+
+  /** The post-update table (delete-but-missing rows never existed). */
+  def mergeResult(spark: SparkSession, dir: String): DataFrame =
+    merged(spark, dir)
+      .filter(col("outcome") =!= "delete_but_missing_and_ignored")
+      .select(col("o_orderkey"), col("final_price").as("price"),
+        col("final_deleted").as("is_deleted"), col("outcome"))
+      .orderBy("o_orderkey")
+
+  /** Operation statistics ≈ the updater's operation-log table. */
+  def mergeStats(spark: SparkSession, dir: String): DataFrame =
+    merged(spark, dir)
+      .groupBy("outcome").agg(count(lit(1)).as("n_rows"))
+      .orderBy("outcome")
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Near-duplicate detection (SURVEY.md §2 #20-22): MinHash+LSH,
+  * SimHash, and n-gram Jaccard. The scale design is the standard
+  * three-stage LSH pipeline: shingle → signature (one groupBy) →
+  * band-bucket self-join (only colliding docs are compared) →
+  * exact-similarity verification on the candidate pairs. No O(n²)
+  * cross join anywhere.
+  */
+object NearDedup {
+
+  /** Distinct word n-gram shingles per document, hashed to 64-bit. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: `numHashes` permutations approximated by
+    * seeded xxhash64; one groupBy computes all minima map-side. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from LSH banding (bands × rowsPerBand =
+    * signature length): docs agreeing on any full band collide. */
+  def minHashCandidates(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for a set of candidate pairs:
+    * inverted-index join (shingle-partitioned) → common-count, then
+    * |A∪B| = |A|+|B|−common. */
+  def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs verified by exact Jaccard. */
+  def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val cand = minHashCandidates(minHashSignatures(sh))
+    jaccard(sh, cand)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold via the inverted-index
+    * join (no LSH pre-filter — exact, still shingle-partitioned; the
+    * threshold prunes output, the join prunes comparisons to docs
+    * sharing ≥1 shingle). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash per document: majority vote of each bit over the
+    * document's word hashes — 64 conditional sums in one groupBy. */
+  def simHashes(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    words.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseXOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join (a pair within
+    * hamming distance 3 must agree on ≥1 band), verified by
+    * `bit_count(xor) <= maxHamming`. */
+  def simHashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simHashes(Tables.documents(spark, dir))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+}

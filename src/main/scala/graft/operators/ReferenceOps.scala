@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Batch operators derived from the reference's services and analysis
+  * workloads (see SURVEY.md §2 anchors). All money arithmetic goes
+  * through DECIMAL so aggregate results are exact and independent of
+  * partition/merge order — a requirement for bit-identical results on
+  * a 1000-executor cluster vs the single-node oracle.
+  */
+object ReferenceOps {
+  /** DECIMAL(18,2) cast: exact money arithmetic (ref stores price as
+    * integer pounds; lib_dataframe.py 'price' column). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Typed ingest/normalization of the transaction fact table — the
+    * Spark analog of the reference's CSV→typed-frame step
+    * (database_verify.py:20-66 format_dataframe_dtypes). */
+  def ingestClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("quantity"),
+        dec2(col("l_extendedprice")).as("price"),
+        upper(trim(col("l_returnflag"))).as("return_flag"),
+        upper(trim(col("l_linestatus"))).as("line_status"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .filter(col("ship_date") >= lit("1995-01-01") && col("quantity") > 0)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Subset query by category + date period — the README's motivating
+    * analyst workload ("focus on flat prices or a particular period"). */
+  def subsetPeriod(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" &&
+        to_date(col("o_orderdate")).between("1994-01-01", "1995-12-31") &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("total_price"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  /** Pricing summary aggregate (TPC-H Q1 shape): the canonical scan+agg
+    * an analyst runs over the price_paid table. One shuffle, map-side
+    * partial aggregation, decimal-exact sums. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** order_date ≈ transaction_date, ship_date ≈ publish/created date;
+    * delay = datediff — the reference's core analysis quantity
+    * (Analysis/main.py:51-60). Orders side is broadcast at small SF /
+    * shuffle-hash at scale (AQE decides). */
+  private def delays(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_date"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("order_date"), col("ship_date"),
+        datediff(col("ship_date"), col("order_date")).cast(LongType).as("delay_days"))
+  }
+
+  /** Histogram of delay in days (Analysis/main.py:64-75). */
+  def delayHistogram(spark: SparkSession, dir: String): DataFrame =
+    delays(spark, dir)
+      .groupBy("delay_days").agg(count(lit(1)).as("n_transactions"))
+      .orderBy("delay_days")
+
+  /** Weekly histogram, delay < 360 days (Analysis/main.py:88-106). */
+  def delayWeeks(spark: SparkSession, dir: String): DataFrame =
+    delays(spark, dir)
+      .filter(col("delay_days") < 360)
+      .select(floor(col("delay_days") / 7.0).cast(LongType).as("delay_weeks"))
+      .groupBy("delay_weeks").agg(count(lit(1)).as("n_transactions"))
+      .orderBy("delay_weeks")
+
+  /** Volume-normalized delay distribution (Analysis + README figures):
+    * weight = 1/count(transactions that day), summed per delay bin.
+    * Weight is cast to DECIMAL(18,12) so the distributed sum is exact. */
+  def delayNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val d = delays(spark, dir)
+    val dayVolume = d.groupBy("order_date").agg(count(lit(1)).as("day_volume"))
+    d.join(dayVolume, "order_date")
+      .select(col("delay_days"),
+        (lit(1.0) / col("day_volume")).cast(DecimalType(18, 12)).as("w"))
+      .groupBy("delay_days")
+      .agg(sum(col("w")).cast(DecimalType(18, 12)).as("weight"))
+      .orderBy("delay_days")
+  }
+
+  /** File-log content hash + archive/garbage_collect decision — the
+    * data-decision service (land_registry_pp_complete_data_decision.py:
+    * 139-175): a file is archived iff its sha256 differs from the
+    * previously archived one. events.user_id ≈ file series, props ≈
+    * file content. Window partitions by series key → scales. */
+  def fileDecision(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("sha256sum", sha2(col("props"), 256))
+      .withColumn("prev_sha", lag(col("sha256sum"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("sha256sum"),
+        when(col("prev_sha").isNull || col("prev_sha") =!= col("sha256sum"), "archive")
+          .otherwise("garbage_collect").as("data_decision"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** GC service view: files whose decision was garbage_collect
+    * (land_registry_pp_complete_garbage_collector.py). */
+  def gcCandidates(spark: SparkSession, dir: String): DataFrame =
+    fileDecision(spark, dir)
+      .filter(col("data_decision") === "garbage_collect")
+      .groupBy("user_id").agg(count(lit(1)).as("n_files"))
+      .orderBy("user_id")
+
+  /** Full-upload statistics row — pp_complete_db_upload.py's
+    * PricePaidDataLog (row counts + extent of the uploaded snapshot). */
+  def uploadStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_transactions"),
+        min(to_date(col("l_shipdate"))).as("min_ship_date"),
+        max(to_date(col("l_shipdate"))).as("max_ship_date"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("total_price"))
+
+  /** Reconciliation: count rows in-database-only / in-file-only /
+    * in-both, matching on the full row (database_verify.py:160-236).
+    * Realized as one full-outer join on (key, price) — a single
+    * shuffle, no driver-side merge. */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val db = o.filter(col("o_orderkey") % 31 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        (dec2(col("o_totalprice")) +
+          when(col("o_orderkey") % 37 === 0, 5).otherwise(0)).cast(DecimalType(18, 2)).as("p"))
+    val file = o.filter(col("o_orderkey") % 41 =!= 0)
+      .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("p"))
+    db.withColumn("in_db", lit(1))
+      .join(file.withColumn("in_file", lit(1)), Seq("k", "p"), "full_outer")
+      .agg(
+        count(when(col("in_db") === 1 && col("in_file") === 1, 1)).as("n_both"),
+        count(when(col("in_file").isNull, 1)).as("n_database_only"),
+        count(when(col("in_db").isNull, 1)).as("n_file_only"))
+  }
+
+  /** Ranking + running totals per customer — the windowed analyst
+    * workload over the queryable store. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("price_rank", row_number().over(order).cast(LongType))
+      .withColumn("running_total",
+        sum(dec2(col("o_totalprice")))
+          .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(18, 2)))
+      .filter(col("price_rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("price_rank"), col("running_total"))
+      .orderBy("o_custkey", "price_rank")
+  }
+
+  /** Top-revenue customers (TPC-H Q3 shape): fact-fact shuffle join +
+    * broadcast dimension, decimal-exact revenue. */
+  def topRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      (dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+        .as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey").agg(sum(col("rev")).cast(DecimalType(18, 4)).as("revenue"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Revenue by nation (TPC-H Q5 shape): multi-join with broadcast
+    * dimensions (region/nation/supplier/customer) and a single
+    * fact-fact shuffle. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_suppkey"),
+      (dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+        .as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === s("s_suppkey") && col("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name").agg(sum(col("rev")).cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+}

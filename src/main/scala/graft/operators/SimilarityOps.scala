@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Embedding similarity operators (SURVEY.md §2 #23-25): cosine
+  * near-dup pairs, brute-force top-k ANN, and the LSH-bucketed scale
+  * path. Vectors are `array<float>`; all math runs through
+  * `functions.aggregate`/`zip_with` in whole-stage codegen (double
+  * accumulation, sequential order → deterministic).
+  *
+  * Each operator takes a `(vec_id, embedding)` DataFrame; the
+  * `SparkSession, dir` overloads bind to the embeddings table for the
+  * driver contract.
+  */
+object SimilarityOps {
+
+  /** dot(a,b) accumulated left-to-right in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  /** Near-duplicate pairs above a cosine threshold.
+    *
+    * Scale note: with `useLsh` the all-pairs comparison is bounded by
+    * random-hyperplane buckets and only colliding vectors are
+    * compared — the 100 TB path (approximate: a pair split across
+    * buckets is missed, the price of sub-quadratic work). Without it
+    * the join is the exact quadratic baseline the oracle reproduces.
+    * Norms are computed ONCE per vector before the pair join, so the
+    * join itself does a single dot product per pair. Only ids are
+    * emitted → float-precision-robust output. */
+  def embedDupPairsOf(v0: DataFrame, threshold: Double, useLsh: Boolean): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val pairs =
+      if (useLsh) {
+        val bk = lshBucketsOf(v0, nPlanes = 8).select("vec_id", "bucket")
+        a.join(bk.withColumnRenamed("vec_id", "id_a"), "id_a")
+          .join(b.join(bk.withColumnRenamed("vec_id", "id_b"), "id_b"), "bucket")
+      } else a.crossJoin(b)
+    pairs
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) > threshold)
+      .select("id_a", "id_b").distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  def embedDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    useLsh: Boolean = false): DataFrame =
+    embedDupPairsOf(vecs(spark, dir), threshold, useLsh)
+
+  /** Brute-force cosine top-k: every query vector scored against the
+    * full corpus. The corpus side streams through codegen; queries are
+    * broadcast (small). This is the exact baseline the LSH path is
+    * validated against. */
+  def annBruteForceOf(v0: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annBruteForce(spark: SparkSession, dir: String, nQueries: Int = 5,
+                    k: Int = 10): DataFrame =
+    annBruteForceOf(vecs(spark, dir), nQueries, k)
+
+  /** Random-hyperplane LSH bucket assignment: sign bits of the dot
+    * product with `nPlanes` deterministic pseudo-random hyperplanes
+    * (hash-derived, seed-stable across the cluster). */
+  def lshBucketsOf(v0: DataFrame, nPlanes: Int): DataFrame = {
+    // plane p component i = hash(p, i) mapped to [-1, 1) — deterministic,
+    // computed inside the plan (no driver-side randomness to ship).
+    val planeComp = (p: Int, i: Column) =>
+      (pmod(xxhash64(lit(p), i), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
+    val dim = size(col("embedding"))
+    val bits = (0 until nPlanes).map { p =>
+      val d = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), dim - 1),
+          (x, i) => x.cast(DoubleType) * planeComp(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, 1L << p).otherwise(0L)
+    }
+    v0.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame =
+    lshBucketsOf(vecs(spark, dir), nPlanes)
+
+  /** ANN via LSH: score only candidates sharing the query's bucket
+    * (single-probe). Recall is partial by construction; the spec
+    * checks recall on planted clusters. */
+  def annLshOf(v0: DataFrame, nQueries: Int, k: Int, nPlanes: Int): DataFrame = {
+    val b = lshBucketsOf(v0, nPlanes)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    b.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame =
+    annLshOf(vecs(spark, dir), nQueries, k, nPlanes = 8)
+}

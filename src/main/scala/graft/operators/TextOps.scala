@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Text-analysis + exact-dedup operators for the LLM-data-pipeline
+  * surface (SURVEY.md §2 #18-19, #26-28). Everything is pure
+  * `functions._` column algebra — whole-stage-codegen friendly, no
+  * UDFs — so the same plan runs unchanged over 100 TB of documents.
+  */
+object TextOps {
+
+  /** Exact dedup by content hash: canonical doc per text + copy count.
+    * groupBy on sha256(text) — hash-partitioned, no skew (hashes are
+    * uniform), map-side combine. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_sha"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  /** Per-document fingerprint + first-occurrence flag — the file-level
+    * sha-dedup decision of the reference's data-decision service
+    * applied per record. */
+  def dedupHash(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("content_sha").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+      .withColumn("is_first", when(row_number().over(w) === 1, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace tokens of the trimmed text (empty → 0 tokens). */
+  private def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Token counting: whitespace tokens + BPE-ish subword pieces
+    * (letter runs / digits / single punctuation, the shape of a GPT-2
+    * pre-tokenizer). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("n_bpe_pieces"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, alpha/punct/whitespace ratios, stopword
+    * ratio — the standard cheap pre-filters of a training-data
+    * pipeline. All single IEEE divisions → deterministic. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast(DoubleType)
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
+    val nPunct = length(regexp_replace(t, "[^.,;:!?'\"]", "")).cast(DoubleType)
+    val nTok = wsTokenCount(t).cast(DoubleType)
+    val nStop = size(regexp_extract_all(lower(t),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast(DoubleType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(t).cast(LongType).as("n_chars"),
+        wsTokenCount(t).cast(LongType).as("n_tokens"),
+        when(nChars > 0, nAlpha / nChars).otherwise(0.0).as("alpha_ratio"),
+        when(nChars > 0, nPunct / nChars).otherwise(0.0).as("punct_ratio"),
+        when(nTok > 0, nStop / nTok).otherwise(0.0).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: stopword-hit scoring per candidate
+    * language, CJK-character presence for zh; argmax with a fixed
+    * tie order. A few regexp counts per doc — codegen'd, no UDF. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    def hits(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast(LongType)
+    val en = hits("\\b(the|and|of|to|in|is|that|for|with|was)\\b")
+    val de = hits("\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b")
+    val fr = hits("\\b(le|la|les|et|est|une|pour|dans|que|des)\\b")
+    val es = hits("\\b(el|los|las|es|una|para|que|por|con|del)\\b")
+    val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).cast(LongType)
+    val best = greatest(en, de, fr, es)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
+        es.as("score_es"), zh.as("score_zh"),
+        when(zh > 0, "zh")
+          .when(best === 0, "unknown")
+          .when(en === best, "en").when(de === best, "de")
+          .when(fr === best, "fr").otherwise("es").as("detected_lang"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** The reference's Kafka notification DAG re-expressed as Structured
+  * Streaming (SURVEY.md §2 #15-16): each service is a stage of one
+  * streaming query instead of a hand-rolled consumer loop
+  * (land_registry_pp_complete_data_decision.py kafka_event_loop).
+  *
+  * The SAME transformation function serves batch and stream — the
+  * batch path is what the DuckDB oracle checks, the streaming path is
+  * covered by a MemoryStream spec. That is the Spark guarantee the
+  * reference had to build by hand: one set of semantics for backfill
+  * and live data.
+  */
+object EventsPipeline {
+
+  /** Tumbling 1-hour windowed aggregate per event type: event volume +
+    * exact value sum (decimal-cast so stream/batch/cluster all agree
+    * bit-for-bit). On a stream, the 2-hour watermark bounds state. */
+  def windowedAgg(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val e = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Batch entry used by SparkEntry/Verify. */
+  def eventsWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(spark, dir))
+      .orderBy("hour_start", "event_type")
+
+  /** Streaming entry: read an events directory as a file stream and
+    * apply the same transform. Used by the streaming spec via
+    * MemoryStream; on a cluster this is `readStream.format("kafka")`. */
+  def eventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+    windowedAgg(Tables.eventsFromRaw(stream), withWatermark = true)
+  }
+
+  /** Stateful exactly-once dedup by content hash per key — the
+    * decision service's "have I seen this file content before"
+    * memory, as a streaming state operator. Batch equivalent:
+    * first-occurrence filter (TextOps.dedupHash). */
+  def streamingDedup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as("key"), sha2(col("props"), 256).as("sha"),
+        col("event_id"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Set[String], (Long, Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, String, Long)], state: GroupState[Set[String]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[String])
+          val (out, newSeen) = rows.foldLeft(
+            (Vector.empty[(Long, Long, String)], seen)) { case ((acc, s), (k, sha, id)) =>
+            if (s.contains(sha)) (acc, s) else (acc :+ ((k, id, sha)), s + sha)
+          }
+          state.update(newSeen)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "sha256sum")
+  }
+}
