@@ -45,9 +45,11 @@ object SparkEntry {
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
+    "t_fingerprint"      -> TextOps.fingerprints _,
     "t_tokens"           -> TextOps.tokenCounts _,
     "t_quality"          -> TextOps.qualityScore _,
-    "t_langid"           -> TextOps.langId _
+    "t_langid"           -> TextOps.langId _,
+    "m_media_meta"       -> graft.multimodal.Media.mediaMeta _
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————

@@ -1,0 +1,157 @@
+// Hosted under org.apache.spark.sql so the expressions can use the
+// private[sql] ExpectsInputTypes/AbstractDataType machinery and the
+// Column↔Expression bridge — the standard packaging for Catalyst
+// extension libraries.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where composed
+  * built-ins are wasteful (SURVEY.md §4). All are whole-stage-codegen
+  * capable except the winnowing fingerprint (CodegenFallback — O(n)
+  * per row, off the hot path).
+  */
+
+/** dot(a, b) over two float vectors, accumulated left-to-right in
+  * double — replaces zip_with+aggregate, which materializes an
+  * intermediate array per pair. Same accumulation order → bit-identical
+  * to the composed version. */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
+/** 64-bit polynomial rolling hash over the UTF-8 bytes of a string:
+  * h = h*31 + byte (mod 2^64). The per-document content fingerprint
+  * (SURVEY.md §2 #29); codegen'd, zero allocation. */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) { $h = $h * 31L + ($b[$i] & 0xff); }
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PolyHash64 = copy(child = c)
+}
+
+/** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003, the
+  * standard MOSS scheme): rolling k-gram hashes, then the minimum of
+  * each sliding window of `w` hashes; returns the sorted distinct
+  * selected hashes. Guarantees every substring match of length
+  * ≥ k+w−1 shares a fingerprint — the property plain sampling lacks. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 2 && w >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    // rolling k-gram hashes: h_i = sum b[i+j] * B^(k-1-j)
+    val B = 257L
+    var pow = 1L // B^(k-1)
+    var j = 1
+    while (j < k) { pow *= B; j += 1 }
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    grams(0) = h
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      grams(i - k + 1) = h
+      i += 1
+    }
+    // winnow: rightmost minimum of each window of w grams
+    val selected = scala.collection.mutable.TreeSet.empty[Long]
+    if (grams.length <= w) selected += grams.min
+    else {
+      var s = 0
+      while (s + w <= grams.length) {
+        var mi = s
+        var t = s + 1
+        while (t < s + w) { if (grams(t) <= grams(mi)) mi = t; t += 1 }
+        selected += grams(mi)
+        s += 1
+      }
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+}
+
+/** Column-level entry points. */
+object native {
+  def dot_f(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def poly_hash64(c: Column): Column =
+    ExpressionUtils.column(PolyHash64(ExpressionUtils.expression(c)))
+  def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
+    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
+}

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2 #30): image/audio/video
+  * payloads travel as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract run per-partition in batches.
+  *
+  * The actual codec call is STUBBED (`decodeStub`) — image/audio
+  * libraries are not in this container — but everything Spark-side is
+  * real and tested: the schema, the binary column, the partition-wise
+  * batch processing shape (the Scala analog of `mapInPandas`: one
+  * iterator of rows per partition, library handles amortized across
+  * the batch), and the deterministic metadata contract.
+  */
+object Media {
+
+  /** Typed decoded-media record. */
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                       width: Int, height: Int, n_frames: Int, sample_rate: Int)
+
+  /** Build a media table from the documents corpus: the text bytes
+    * stand in for an encoded payload (deterministic, so specs and
+    * rows-only verification are stable). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        // deterministic kind assignment: image/audio/video round-robin
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic
+    * pseudo-metadata derived from the payload bytes; replace the body
+    * with the real library call (e.g. javax.imageio / ffmpeg binding)
+    * when available. Runs once per row inside a per-partition batch,
+    * where a real codec would amortize its init across the batch. */
+  private def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    val b0 = if (n > 0) payload(0) & 0xff else 0
+    val b1 = if (n > 1) payload(1) & 0xff else 0
+    kind match {
+      case "image" => MediaMeta(id, kind, n, 16 + b0 % 4080, 16 + b1 % 2160, 1, 0)
+      case "audio" => MediaMeta(id, kind, n, 0, 0, 0, Seq(8000, 16000, 44100, 48000)(b0 % 4))
+      case _       => MediaMeta(id, kind, n, 16 + b0 % 1920, 16 + b1 % 1080, 1 + n % 300, 0)
+    }
+  }
+
+  /** Partition-wise batch decode: binary in, typed metadata out.
+    * `mapPartitions` (not a per-row UDF) so a real decoder initializes
+    * once per partition — the shape that matters at 100 TB. */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec: init decoder context here, once per partition
+        rows.map { case (id, kind, payload) => decodeStub(id, kind, payload) }
+      }
+  }
+
+  /** Metadata extraction query (rows-only oracle): decoded metadata of
+    * every media object plus a payload content hash for dedup. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+    decodeMeta(m).toDF()
+      .join(m.select(col("media_id"), sha2(col("payload"), 256).as("payload_sha")), "media_id")
+      .orderBy("media_id")
+  }
+
+  /** Frame-sampling plumbing for video payloads: explode a
+    * deterministic every-Nth-frame index list — the downstream shape
+    * of a real frame extractor. */
+  def sampleFrames(meta: DataFrame, everyN: Int = 30): DataFrame =
+    meta.filter(col("kind") === "video" && col("n_frames") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+}

@@ -18,10 +18,11 @@ import graft.sources.Tables
   */
 object SimilarityOps {
 
-  /** dot(a,b) accumulated left-to-right in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a,b) accumulated left-to-right in double — a native codegen
+    * Expression (no intermediate array, unlike zip_with+aggregate);
+    * identical accumulation order, so results are bit-equal to the
+    * composed form. */
+  def dot(a: Column, b: Column): Column = graft.functions.native.dot_f(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

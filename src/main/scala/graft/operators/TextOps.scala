@@ -71,6 +71,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Document fingerprinting (SURVEY.md §2 #29): 64-bit polynomial
+    * content hash (codegen'd native Expression) + winnowed k-gram
+    * fingerprint set (Schleimer et al. SIGMOD'03) for robust partial-
+    * overlap detection. Rows-only oracle; value semantics covered by
+    * ExpressionSpec. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        poly_hash64(col("text")).as("content_hash64"),
+        winnow_fingerprint(col("text")).as("winnow_fps"))
+      .withColumn("n_fps", size(col("winnow_fps")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: stopword-hit scoring per candidate
     * language, CJK-character presence for zh; argmax with a fixed
     * tie order. A few regexp counts per doc — codegen'd, no UDF. */

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.native._
+
+/** Value semantics of the native Catalyst expressions, checked against
+  * plain-Scala reference implementations. */
+class ExpressionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("dot_f matches a scala reference dot product and the composed zip_with form") {
+    val a = Array(1.0f, 2.0f, 3.0f, 0.5f)
+    val b = Array(4.0f, -1.0f, 0.25f, 8.0f)
+    val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val df = Seq((a, b)).toDF("a", "b")
+    val native = df.select(dot_f(col("a"), col("b"))).as[Double].head()
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    assert(native === expected)
+    assert(native === composed)
+  }
+
+  test("dot_f handles nulls and empty arrays") {
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]),
+                 (Some(Array.empty[Float]), Some(Array.empty[Float]))).toDF("a", "b")
+    val out = df.select(dot_f(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 0.0)
+  }
+
+  test("poly_hash64 matches the scala reference rolling hash") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    val inputs = Seq("", "a", "hello world", "ünïcødé 中文", "x" * 1000)
+    val got = inputs.toDF("s").select(poly_hash64(col("s"))).as[Long].collect()
+    assert(got.toSeq === inputs.map(ref))
+  }
+
+  test("poly_hash64 is injective on distinct sample docs and stable across runs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val h1 = docs.select(poly_hash64(col("text"))).as[Long].collect()
+    val h2 = docs.select(poly_hash64(col("text"))).as[Long].collect()
+    assert(h1.toSeq === h2.toSeq)
+  }
+
+  test("winnow fingerprints overlap heavily for a small edit, little for different docs") {
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    val edited = base.replaceFirst("lazy", "idle")
+    val other = "entirely unrelated content with different words " * 10
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "text")
+    val fps = df.select(col("id"), winnow_fingerprint(col("text")).as("fp"))
+      .as[(Long, Array[Long])].collect().toMap
+    def jac(a: Array[Long], b: Array[Long]) = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(jac(fps(1L), fps(2L)) > 0.7, "near-identical docs must share fingerprints")
+    assert(jac(fps(1L), fps(3L)) < 0.1, "unrelated docs must not")
+  }
+
+  test("winnow guarantee: shared substring of length >= k+w-1 yields a shared fingerprint") {
+    val shared = "ABCDEFGHIJKLMNOPQR" // length 18 >= 5+4-1
+    val d1 = s"xxxxxxxx${shared}yyyyyyyy"
+    val d2 = s"qqqqqqqqqq${shared}zzzz"
+    val fps = Seq((1L, d1), (2L, d2)).toDF("id", "text")
+      .select(col("id"), winnow_fingerprint(col("text")).as("fp"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+
+  test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {
+    val df = graft.sources.Tables.embeddings(spark, sf)
+      .select(dot_f(col("embedding"), col("embedding")).as("d")).filter(col("d") > 0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker in plan strings
+    assert(plan.contains("*(1)"), plan)
+    assert(plan.contains("dotproductf"), plan)
+    // and the ANN plan actually uses the native expression
+    val ann = operators.SimilarityOps.annBruteForce(spark, sf, 2, 3)
+    assert(ann.queryExecution.executedPlan.toString.contains("dotproductf"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PricePaidCsv
+import graft.multimodal.Media
+
+/** The reference's real input format (price-paid CSV) and the
+  * multimodal binary-column plumbing. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def writeSample(): String = {
+    val dir = Files.createTempDirectory("ppcsv").toFile
+    val f = new java.io.File(dir, "pp-monthly-update.txt")
+    // shape of a real pp-monthly-update row (all fields quoted, no header)
+    val rows = Seq(
+      """"{8C16F3A0-0001-4D45-E053-6B04A8C0F3A0}","250000","2024-01-15 00:00","SW1A 1AA","F","N","L","10","FLAT 2","DOWNING STREET","","LONDON","WESTMINSTER","GREATER LONDON","A","A"""",
+      """"{8C16F3A0-0002-4D45-E053-6B04A8C0F3A0}","185000","2024-02-01 00:00","M1 2AB","T","Y","F","22","","OXFORD ROAD","","MANCHESTER","MANCHESTER","GREATER MANCHESTER","B","C"""",
+      """"{8C16F3A0-0003-4D45-E053-6B04A8C0F3A0}","99950","2024-02-20 00:00","LS1 4HT","S","N","F","5","","BRIGGATE","","LEEDS","LEEDS","WEST YORKSHIRE","A","D"""")
+    Files.write(f.toPath, rows.mkString("\n").getBytes("UTF-8"))
+    f.getAbsolutePath
+  }
+
+  test("price-paid csv reads headerless quoted rows with the reference schema") {
+    val df = PricePaidCsv.read(spark, writeSample())
+    assert(df.columns.take(16).toSeq === PricePaidCsv.columns)
+    assert(df.count() === 3)
+    val r = df.orderBy("transaction_unique_id").head()
+    assert(r.getAs[Long]("price") === 250000L)
+    assert(r.getAs[String]("postcode") === "SW1A 1AA")
+    assert(r.getAs[String]("record_op") === "A")
+  }
+
+  test("normalized parses dates and uppercases categoricals; ops are A/C/D") {
+    val df = PricePaidCsv.normalized(spark, writeSample())
+    assert(df.filter(col("transaction_date").isNull).count() === 0)
+    val ops = df.select("record_op").as[String].collect().toSet
+    assert(ops === Set("A", "C", "D"))
+    assert(df.schema("transaction_date").dataType.typeName === "date")
+  }
+
+  test("media table carries binary payloads with kinds; decode emits typed metadata") {
+    val m = Media.mediaTable(spark, sf)
+    assert(m.schema("payload").dataType.typeName === "binary")
+    val meta = Media.decodeMeta(m)
+    val rows = meta.collect()
+    assert(rows.length === m.count())
+    assert(rows.forall(_.n_bytes > 0))
+    assert(rows.filter(_.kind == "image").forall(r => r.width >= 16 && r.height >= 16))
+    assert(rows.filter(_.kind == "audio").forall(_.sample_rate > 0))
+    assert(rows.filter(_.kind == "video").forall(_.n_frames >= 1))
+  }
+
+  test("decode is deterministic and frame sampling explodes every Nth frame") {
+    val meta1 = Media.mediaMeta(spark, sf).collect()
+    val meta2 = Media.mediaMeta(spark, sf).collect()
+    assert(meta1.map(_.toString).toSeq === meta2.map(_.toString).toSeq)
+    val frames = Media.sampleFrames(Media.decodeMeta(Media.mediaTable(spark, sf)).toDF())
+    val byId = frames.groupBy("media_id").agg(max("frame_idx").as("mx"), count(lit(1)).as("n"))
+      .join(Media.decodeMeta(Media.mediaTable(spark, sf)).toDF(), "media_id")
+    assert(byId.filter(col("mx") >= col("n_frames")).count() === 0)
+  }
+}
