@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{DotProductF, PolyHash64, WinnowFingerprint}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql("... dot_f(a,b) ...")`
+  * works cluster-wide. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - double dot product of two float vectors"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("poly_hash64"),
+      info("poly_hash64", "poly_hash64(str) - 64-bit polynomial rolling hash"),
+      (children: Seq[Expression]) => PolyHash64(children.head)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint", "winnow_fingerprint(str) - winnowed k-gram fingerprint set"),
+      (children: Seq[Expression]) => WinnowFingerprint(children.head, 5, 4)))
+  }
+}

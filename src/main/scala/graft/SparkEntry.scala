@@ -28,6 +28,8 @@ object SparkEntry {
     "q_delay_normalized" -> ReferenceOps.delayNormalized _,
     "q_file_decision"    -> ReferenceOps.fileDecision _,
     "q_gc_candidates"    -> ReferenceOps.gcCandidates _,
+    "q_archive_log"      -> ReferenceOps.archiveLog _,
+    "q_delay_binned"     -> ReferenceOps.delayBinned _,
     "q_upload_stats"     -> ReferenceOps.uploadStats _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
@@ -179,6 +181,18 @@ object SparkEntry {
     "q_gc_candidates" -> (fileDecisionCte +
       """SELECT user_id, COUNT(*) AS n_files FROM dec
         |WHERE data_decision = 'garbage_collect' GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_archive_log" -> (fileDecisionCte +
+      """SELECT user_id, COUNT(*) AS n_archived, MAX(event_id) AS latest_event_id,
+        | COUNT(DISTINCT sha256sum) AS n_distinct_contents
+        |FROM dec WHERE data_decision = 'archive' GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_delay_binned" ->
+      """SELECT delay_weeks, COUNT(*) AS n_transactions FROM (
+        | SELECT CAST(floor(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |   CAST(date_trunc('month', CAST(l.l_shipdate AS DATE)) + INTERVAL 1 MONTH AS DATE)) / 7.0) AS BIGINT) AS delay_weeks
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+        |WHERE delay_weeks < 156 GROUP BY delay_weeks ORDER BY delay_weeks""".stripMargin,
 
     "q_upload_stats" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_transactions,

@@ -71,54 +71,19 @@ object Cdc {
       .select(key, col("record_op"), col("new_price").cast(DecimalType(18, 2)).as("new_price"))
   }
 
-  /** Full-outer merge with the reference's decision matrix; `outcome`
-    * names the InputFileStatistics counter each row lands in. */
-  def merged(spark: SparkSession, dir: String): DataFrame = {
-    val b = baseTable(spark, dir).withColumnRenamed("price", "base_price")
-    val c = changeSet(spark, dir)
-    val op = col("record_op")
-    val identical = col("new_price") === col("base_price")
-    val inBase = col("base_price").isNotNull
-    val wasDeleted = col("is_deleted") === "T"
-    b.join(c, Seq("o_orderkey"), "full_outer")
-      .withColumn("outcome",
-        when(!inBase && op === "A", "add_and_added")
-        .when(!inBase && op === "C", "change_but_missing_and_added")
-        .when(!inBase && op === "D", "delete_but_missing_and_ignored")
-        .when(inBase && op.isNull && wasDeleted, "unchanged_deleted")
-        .when(inBase && op.isNull, "unchanged")
-        .when(wasDeleted && op === "A", "add_but_deleted_and_changed")
-        .when(wasDeleted && op === "C", "change_but_deleted_and_ignored")
-        .when(wasDeleted && op === "D", "delete_but_deleted_and_ignored")
-        .when(op === "A" && identical, "add_but_already_identical_and_ignored")
-        .when(op === "A", "add_but_changed")
-        .when(op === "C" && identical, "change_but_already_identical_and_ignored")
-        .when(op === "C", "change_and_changed")
-        .when(op === "D" && identical, "delete_and_deleted")
-        .otherwise("delete_but_not_identical_and_changed_and_deleted"))
-      .withColumn("final_price",
-        when(col("outcome").isin("add_and_added", "change_but_missing_and_added",
-          "add_but_deleted_and_changed", "add_but_changed", "change_and_changed",
-          "delete_but_not_identical_and_changed_and_deleted"), col("new_price"))
-        .otherwise(col("base_price")))
-      .withColumn("final_deleted",
-        when(col("outcome").isin("delete_and_deleted",
-          "delete_but_not_identical_and_changed_and_deleted"), "T")
-        .when(col("outcome") === "add_but_deleted_and_changed", "F")
-        .when(wasDeleted, "T").otherwise("F"))
-  }
+  /** The decision matrix itself lives in the generic CdcMerge API —
+    * this module just binds it to the synthetic base/change set. */
+  def merged(spark: SparkSession, dir: String): DataFrame =
+    CdcMerge.merge(
+      baseTable(spark, dir),
+      changeSet(spark, dir).withColumnRenamed("new_price", "price"),
+      key = "o_orderkey", compareCols = Seq("price"))
 
   /** The post-update table (delete-but-missing rows never existed). */
   def mergeResult(spark: SparkSession, dir: String): DataFrame =
-    merged(spark, dir)
-      .filter(col("outcome") =!= "delete_but_missing_and_ignored")
-      .select(col("o_orderkey"), col("final_price").as("price"),
-        col("final_deleted").as("is_deleted"), col("outcome"))
-      .orderBy("o_orderkey")
+    CdcMerge.applied(merged(spark, dir)).orderBy("o_orderkey")
 
   /** Operation statistics ≈ the updater's operation-log table. */
   def mergeStats(spark: SparkSession, dir: String): DataFrame =
-    merged(spark, dir)
-      .groupBy("outcome").agg(count(lit(1)).as("n_rows"))
-      .orderBy("outcome")
+    CdcMerge.stats(merged(spark, dir))
 }

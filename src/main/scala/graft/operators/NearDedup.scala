@@ -49,19 +49,19 @@ object NearDedup {
       .distinct()
   }
 
-  /** Exact Jaccard over shingle sets for a set of candidate pairs:
-    * inverted-index join (shingle-partitioned) → common-count, then
-    * |A∪B| = |A|+|B|−common. */
+  /** Exact Jaccard for a set of candidate pairs: join each side's
+    * collected shingle set onto the pair and intersect the arrays.
+    * Work is proportional to |candidates| (the LSH output), NOT to the
+    * inverted-index blowup of a shingle self-join — the property that
+    * keeps the verify stage cheap at 100 TB. Per-doc shingle sets are
+    * bounded by document length. */
   def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .join(pairs, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("s"), count(lit(1)).as("n"))
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"), col("n").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast(LongType))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))

@@ -124,6 +124,34 @@ object ReferenceOps {
       .groupBy("user_id").agg(count(lit(1)).as("n_files"))
       .orderBy("user_id")
 
+  /** Archive service view: per-series archive volume + latest archived
+    * file — what the archiver moves to the archive bucket and the
+    * populate-archive-log job records
+    * (land_registry_pp_complete_archiver.py,
+    * minio_populate_pp_monthly_update_archive_file_log_table.py). */
+  def archiveLog(spark: SparkSession, dir: String): DataFrame =
+    fileDecision(spark, dir)
+      .filter(col("data_decision") === "archive")
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_archived"),
+        max(col("event_id")).as("latest_event_id"),
+        countDistinct(col("sha256sum")).as("n_distinct_contents"))
+      .orderBy("user_id")
+
+  /** Binned delay distribution (Analysis/main2.py): transactions are
+    * bucketed by publication month (bin right edge = next month
+    * start), delay measured to the bin edge, reported weekly,
+    * < 156 weeks. */
+  def delayBinned(spark: SparkSession, dir: String): DataFrame =
+    delays(spark, dir)
+      .select(floor(
+        datediff(
+          to_date(add_months(date_trunc("MONTH", col("ship_date")), 1)),
+          col("order_date")) / 7.0).cast(LongType).as("delay_weeks"))
+      .filter(col("delay_weeks") < 156)
+      .groupBy("delay_weeks").agg(count(lit(1)).as("n_transactions"))
+      .orderBy("delay_weeks")
+
   /** Full-upload statistics row — pp_complete_db_upload.py's
     * PricePaidDataLog (row counts + extent of the uploaded snapshot). */
   def uploadStats(spark: SparkSession, dir: String): DataFrame =

@@ -71,6 +71,19 @@ class ExpressionSpec extends AnyFunSuite {
     assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
   }
 
+  test("native functions are callable from SQL via GraftExtensions") {
+    // TestSpark session is built by GraftSession, which registers the
+    // extensions — so plain SQL can use the engine's functions.
+    val d = spark.sql("SELECT dot_f(array(cast(1.0 as float), cast(2.0 as float)), " +
+      "array(cast(3.0 as float), cast(4.0 as float))) AS d").head().getDouble(0)
+    assert(d === 11.0)
+    val h = spark.sql("SELECT poly_hash64('abc') AS h").head().getLong(0)
+    val ref = "abc".getBytes("UTF-8").foldLeft(0L)((a, b) => a * 31L + (b & 0xff))
+    assert(h === ref)
+    assert(spark.sql("SELECT size(winnow_fingerprint('hello world hello world')) AS n")
+      .head().getInt(0) > 0)
+  }
+
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {
     val df = graft.sources.Tables.embeddings(spark, sf)
       .select(dot_f(col("embedding"), col("embedding")).as("d")).filter(col("d") > 0)

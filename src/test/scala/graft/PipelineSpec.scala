@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CdcMerge
+import graft.sources.PricePaidCsv
+
+/** The reference's end-to-end monthly flow, on its real file format:
+  * ingest pp-complete (base) + pp-monthly-update (changes) CSVs, apply
+  * the CDC merge through the generic API, check the resulting table
+  * and operation stats — what land_registry_monthly_update_database_
+  * updater.py does row-by-row against Postgres. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def row(tuid: String, price: Long, date: String, op: String) =
+    s""""{$tuid}","$price","$date 00:00","PC1 1AA","F","N","L","1","","ST","","TOWN","DIST","COUNTY","A","$op""""
+
+  private def writeFile(name: String, rows: Seq[String]): String = {
+    val dir = Files.createTempDirectory("pp").toFile
+    val f = new java.io.File(dir, name)
+    Files.write(f.toPath, rows.mkString("\n").getBytes("UTF-8"))
+    f.getAbsolutePath
+  }
+
+  test("pp-complete + pp-monthly-update through CdcMerge") {
+    // base: T1 (will change), T2 (will delete), T3 (untouched), T4 (A on identical)
+    val base = writeFile("pp-complete.txt", Seq(
+      row("T1", 100000, "2024-01-01", "A"),
+      row("T2", 200000, "2024-01-02", "A"),
+      row("T3", 300000, "2024-01-03", "A"),
+      row("T4", 400000, "2024-01-04", "A")))
+    // update: C on T1 (new price), D on T2 (identical), A on T4 (identical → ignore),
+    // A on T5 (new), D on T9 (missing → noop)
+    val update = writeFile("pp-monthly-update.txt", Seq(
+      row("T1", 150000, "2024-01-01", "C"),
+      row("T2", 200000, "2024-01-02", "D"),
+      row("T4", 400000, "2024-01-04", "A"),
+      row("T5", 500000, "2024-01-05", "A"),
+      row("T9", 900000, "2024-01-09", "D")))
+
+    val compareCols = Seq("price", "transaction_date", "postcode", "property_type")
+    val baseDf = PricePaidCsv.normalized(spark, base)
+      .select(col("transaction_unique_id") +: compareCols.map(col): _*)
+      .withColumn("is_deleted", lit("F"))
+    val chgDf = PricePaidCsv.normalized(spark, update)
+      .select(col("transaction_unique_id") +: col("record_op") +: compareCols.map(col): _*)
+
+    val merged = CdcMerge.merge(baseDf, chgDf, "transaction_unique_id", compareCols)
+    val byTuid = merged.collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("price"), r.getAs[String]("is_deleted"),
+        r.getAs[String]("outcome"))).toMap
+
+    assert(byTuid("{T1}") === ((150000L, "F", "change_and_changed")))
+    assert(byTuid("{T2}") === ((200000L, "T", "delete_and_deleted")))
+    assert(byTuid("{T3}") === ((300000L, "F", "unchanged")))
+    assert(byTuid("{T4}") === ((400000L, "F", "add_but_already_identical_and_ignored")))
+    assert(byTuid("{T5}") === ((500000L, "F", "add_and_added")))
+    assert(byTuid("{T9}")._3 === "delete_but_missing_and_ignored")
+
+    // applied table drops the never-existed key
+    val applied = CdcMerge.applied(merged)
+    assert(applied.count() === 5)
+    assert(applied.filter(col("transaction_unique_id") === "{T9}").count() === 0)
+
+    // stats mirror the operation log
+    val stats = CdcMerge.stats(merged).as[(String, Long)].collect().toMap
+    assert(stats("change_and_changed") === 1L)
+    assert(stats("delete_and_deleted") === 1L)
+    assert(stats("add_and_added") === 1L)
+    assert(stats("unchanged") === 1L)
+  }
+
+  test("second month: re-applying an identical update is idempotent") {
+    val base = writeFile("pp-complete.txt", Seq(row("T1", 100000, "2024-01-01", "A")))
+    val update = writeFile("pp-monthly-update.txt", Seq(row("T1", 150000, "2024-01-01", "C")))
+    val compareCols = Seq("price")
+    def load(p: String, withOp: Boolean) = {
+      val df = PricePaidCsv.normalized(spark, p)
+      if (withOp) df.select(col("transaction_unique_id"), col("record_op"), col("price"))
+      else df.select(col("transaction_unique_id"), col("price")).withColumn("is_deleted", lit("F"))
+    }
+    val once = CdcMerge.applied(CdcMerge.merge(load(base, false), load(update, true),
+      "transaction_unique_id", compareCols))
+      .select("transaction_unique_id", "price", "is_deleted")
+    val twice = CdcMerge.applied(CdcMerge.merge(once, load(update, true),
+      "transaction_unique_id", compareCols))
+    val r = twice.collect().head
+    assert(r.getAs[Long]("price") === 150000L)
+    assert(r.getAs[String]("outcome") === "change_but_already_identical_and_ignored")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import graft.sources.{Sinks, Tables}
+
+/** Scale utilities: salted joins must equal plain joins; partitioned
+  * sinks must produce prunable layouts. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("salted join returns exactly the rows of the plain join") {
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = l.join(o, "l_orderkey")
+    val salted = Skew.saltedJoin(l, o, "l_orderkey", saltFactor = 4)
+    assert(salted.count() === plain.count())
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    // checksum equality, order-independent
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("l_quantity")), sum(col("o_totalprice"))).head().toString
+    assert(sig(salted) === sig(plain))
+  }
+
+  test("monthly snapshot sink partitions by month and prunes on read") {
+    val out = Files.createTempDirectory("snap").toString
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    Sinks.writeMonthlySnapshot(df, "o_orderdate", out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("txn_month=")))
+    assert(dirs.length > 12, s"expected many month partitions, got ${dirs.length}")
+    val oneMonth = dirs.head.stripPrefix("txn_month=")
+    val read = spark.read.parquet(out).filter(col("txn_month") === oneMonth)
+    read.count()
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(df.count() === spark.read.parquet(out).count())
+  }
+
+  test("key-partitioned sink co-locates keys into the requested file count") {
+    val out = Files.createTempDirectory("keyed").toString
+    Sinks.writeKeyPartitioned(Tables.orders(spark, sf), "o_custkey", out, numFiles = 8)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 8)
+    assert(spark.read.parquet(out).count() === Tables.orders(spark, sf).count())
+  }
+}
