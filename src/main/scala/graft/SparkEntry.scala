@@ -38,6 +38,7 @@ object SparkEntry {
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
+    "q_sessions"         -> ReferenceOps.sessionize _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -257,6 +258,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events),
+        |s AS (SELECT user_id,
+        |        CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM x)
+        |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

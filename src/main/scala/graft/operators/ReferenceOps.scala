@@ -183,6 +183,24 @@ object ReferenceOps {
         count(when(col("in_db").isNull, 1)).as("n_file_only"))
   }
 
+  /** Sessionization of the event stream (gaps-and-islands): a new
+    * session starts after >30 min of inactivity per series. The
+    * analyst-side view of the notification DAG's activity; one window
+    * shuffle partitioned by the series key. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast(LongType) - col("prev_ts").cast(LongType)) > 1800, 1)
+        .otherwise(0))
+      .groupBy("user_id")
+      .agg(count(when(col("new_session") === 1, 1)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Ranking + running totals per customer — the windowed analyst
     * workload over the queryable store. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {

@@ -45,6 +45,37 @@ object EventsPipeline {
     windowedAgg(Tables.eventsFromRaw(stream), withWatermark = true)
   }
 
+  /** The data-decision service as a stateful stream: for each file
+    * series (key), compare the incoming content hash with the LAST
+    * hash seen — archive if different/new, garbage_collect if same —
+    * exactly the reference's kafka_event_loop decision
+    * (land_registry_pp_complete_data_decision.py:139-175), with the
+    * "last archived sha" in managed state instead of a Postgres read.
+    * Batch equivalent: ReferenceOps.fileDecision (lag window). */
+  def streamingFileDecision(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as("key"), col("event_id"), sha2(col("props"), 256).as("sha"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, Long, String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[String]) =>
+          // within a micro-batch, process in event order
+          var last = state.getOption.orNull
+          val out = rows.toSeq.sortBy(_._2).map { case (k, id, sha) =>
+            val decision = if (last == null || last != sha) "archive" else "garbage_collect"
+            last = sha
+            (k, id, sha, decision)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "sha256sum", "data_decision")
+  }
+
   /** Stateful exactly-once dedup by content hash per key — the
     * decision service's "have I seen this file content before"
     * memory, as a streaming state operator. Batch equivalent:

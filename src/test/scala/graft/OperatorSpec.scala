@@ -108,6 +108,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.distinct.length === lsh.length)
   }
 
+  test("minhash pairs are a subset of exact jaccard pairs (no false positives)") {
+    // minHashDedup verifies candidates with EXACT jaccard >= 0.5, so
+    // its output must be a subset of the exhaustive inverted-index
+    // jaccard at the same threshold; the difference is LSH misses.
+    val exact = NearDedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val mh = NearDedup.minHashDedup(spark, sf, threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exact), s"false positives: ${mh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = mh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall too low: $recall (${mh.size}/${exact.size})")
+    }
+  }
+
   test("langid marks documents with CJK characters as zh") {
     val docs = Seq((1L, "the cat and the dog"), (2L, "中文文档")).toDF("doc_id", "text")
       .withColumn("lang", lit("x")).withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))

@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((7L, 1L), (7L, 3L), (8L, 5L)))
   }
 
+  test("streaming file decision matches the batch lag-window semantics across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsPipeline.streamingFileDecision(df)
+      .writeStream.format("memory").queryName("dec_out").outputMode("append").start()
+    // batch 1: first file archives, identical repeat gc's, change archives
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "dl", 0.0, "hashA"),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "dl", 0.0, "hashA"),
+      (3L, ts("2024-01-03 00:00:00"), 1L, "dl", 0.0, "hashB"))
+    q.processAllAvailable()
+    // batch 2: state survives the batch boundary — same content → gc
+    mem.addData((4L, ts("2024-01-04 00:00:00"), 1L, "dl", 0.0, "hashB"),
+                (5L, ts("2024-01-05 00:00:00"), 2L, "dl", 0.0, "hashB"))
+    q.processAllAvailable()
+    val out = spark.table("dec_out")
+      .select("event_id", "data_decision").as[(Long, String)].collect().toMap
+    q.stop()
+    assert(out === Map(1L -> "archive", 2L -> "garbage_collect", 3L -> "archive",
+      4L -> "garbage_collect", 5L -> "archive"))
+  }
+
   test("file-stream pipeline starts and produces the batch-equivalent schema") {
     val stream = EventsPipeline.eventsWindowStream(spark, sf)
     val batch = EventsPipeline.eventsWindowBatch(spark, sf)
