@@ -48,6 +48,7 @@ object SparkEntry {
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
+    "s_ann_ivf"          -> ((s: SparkSession, dir: String) => SimilarityOps.annIvf(s, dir)),
     "t_fingerprint"      -> TextOps.fingerprints _,
     "t_tokens"           -> TextOps.tokenCounts _,
     "t_quality"          -> TextOps.qualityScore _,

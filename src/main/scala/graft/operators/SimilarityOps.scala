@@ -126,4 +126,51 @@ object SimilarityOps {
 
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame =
     annLshOf(vecs(spark, dir), nQueries, k, nPlanes = 8)
+
+  /** IVF cell assignment: `kCells` coarse centroids (deterministic
+    * seed vectors — the first kCells corpus vectors; a k-means refine
+    * would slot in here), every vector assigned to its nearest
+    * centroid by cosine. One broadcast join + one window — the
+    * 100 TB-side cost is a single corpus pass. */
+  def ivfAssignOf(v0: DataFrame, kCells: Int): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val cents = v.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
+  /** ANN via IVF: rank cells per query, search only the `nProbe`
+    * closest cells. Probed fraction ≈ nProbe/kCells of the corpus —
+    * the standard recall/cost dial. */
+  def annIvfOf(v0: DataFrame, nQueries: Int, k: Int, kCells: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssignOf(v0, kCells)
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val cents = v.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+             kCells: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvfOf(vecs(spark, dir), nQueries, k, kCells, nProbe)
 }

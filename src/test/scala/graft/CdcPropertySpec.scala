@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CdcMerge
+
+/** Randomized cross-check of CdcMerge against a plain-Scala reference
+  * implementation of the decision matrix (fixed seed → reproducible).
+  * Catches any divergence between the joined/CASE formulation and the
+  * row-at-a-time semantics of the reference system. */
+class CdcPropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Row-at-a-time reference semantics (what the Python updater does
+    * per row against the database). Returns (key -> (price, deleted,
+    * outcome)); delete-on-missing keys carry outcome but no row. */
+  private def reference(base: Map[Long, (Long, Boolean)],
+                        changes: Map[Long, (String, Long)]): Map[Long, (Option[(Long, Boolean)], String)] = {
+    val keys = base.keySet ++ changes.keySet
+    keys.map { k =>
+      val b = base.get(k)
+      val c = changes.get(k)
+      val r: (Option[(Long, Boolean)], String) = (b, c) match {
+        case (None, Some(("A", p))) => (Some((p, false)), "add_and_added")
+        case (None, Some(("C", p))) => (Some((p, false)), "change_but_missing_and_added")
+        case (None, Some(("D", _))) => (None, "delete_but_missing_and_ignored")
+        case (Some((p, true)), None) => (Some((p, true)), "unchanged_deleted")
+        case (Some((p, false)), None) => (Some((p, false)), "unchanged")
+        case (Some((_, true)), Some(("A", p))) => (Some((p, false)), "add_but_deleted_and_changed")
+        case (Some((p, true)), Some(("C", _))) => (Some((p, true)), "change_but_deleted_and_ignored")
+        case (Some((p, true)), Some(("D", _))) => (Some((p, true)), "delete_but_deleted_and_ignored")
+        case (Some((p, false)), Some(("A", np))) =>
+          if (np == p) (Some((p, false)), "add_but_already_identical_and_ignored")
+          else (Some((np, false)), "add_but_changed")
+        case (Some((p, false)), Some(("C", np))) =>
+          if (np == p) (Some((p, false)), "change_but_already_identical_and_ignored")
+          else (Some((np, false)), "change_and_changed")
+        case (Some((p, false)), Some(("D", np))) =>
+          if (np == p) (Some((p, true)), "delete_and_deleted")
+          else (Some((np, true)), "delete_but_not_identical_and_changed_and_deleted")
+        case other => fail(s"unreachable $other")
+      }
+      k -> r
+    }.toMap
+  }
+
+  test("CdcMerge matches the row-at-a-time reference on random scenarios") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val keys = (1L to 60L).toSeq
+      val base = keys.filter(_ => rnd.nextBoolean()).map { k =>
+        k -> (rnd.nextInt(5).toLong + 1, rnd.nextInt(4) == 0)
+      }.toMap
+      val changes = keys.filter(_ => rnd.nextBoolean()).map { k =>
+        k -> (Seq("A", "C", "D")(rnd.nextInt(3)), rnd.nextInt(5).toLong + 1)
+      }.toMap
+
+      val baseDf = base.toSeq.map { case (k, (p, d)) => (k, p, if (d) "T" else "F") }
+        .toDF("key", "price", "is_deleted")
+      val chgDf = changes.toSeq.map { case (k, (op, p)) => (k, op, p) }
+        .toDF("key", "record_op", "price")
+      val got = CdcMerge.merge(baseDf, chgDf, "key", Seq("price"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getString(2), r.getString(3)))).toMap
+
+      val want = reference(base, changes)
+      assert(got.keySet === want.keySet, s"round $round key sets differ")
+      want.foreach { case (k, (expRow, expOutcome)) =>
+        val (gotPrice, gotDel, gotOutcome) = got(k)
+        assert(gotOutcome === expOutcome, s"round $round key $k outcome")
+        expRow match {
+          case Some((p, d)) =>
+            assert(gotPrice.contains(p), s"round $round key $k price")
+            assert(gotDel === (if (d) "T" else "F"), s"round $round key $k deleted")
+          case None => // delete-on-missing: row only exists pre-applied()
+        }
+      }
+      // applied() drops exactly the never-existed keys
+      val appliedKeys = CdcMerge.applied(
+        CdcMerge.merge(baseDf, chgDf, "key", Seq("price")))
+        .select("key").as[Long].collect().toSet
+      val expApplied = want.collect { case (k, (Some(_), _)) => k }.toSet
+      assert(appliedKeys === expApplied, s"round $round applied keys")
+    }
+  }
+}

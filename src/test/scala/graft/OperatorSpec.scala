@@ -123,6 +123,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ann IVF finds planted cluster neighbors and probes fewer candidates") {
+    // clusters around axes e0..e3; centroids are the first 4 vectors
+    // (one per cluster); query 0 must recover its cluster-mates.
+    def v(axis: Int, jitter: Float) =
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 7) jitter else 0f))
+    val rows = (0 until 4).map(i => (i.toLong, v(i, 0f))) ++
+      (0 until 4).flatMap(a => (0 until 4).map(j => ((10 + a * 10 + j).toLong, v(a, (j + 1) * 0.01f))))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.annIvfOf(df, nQueries = 1, k = 4, kCells = 4, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(10L, 11L, 12L, 13L), s"expected cluster 0 mates, got $out")
+  }
+
+  test("ann IVF on real embeddings returns full top-k per query") {
+    val out = SimilarityOps.annIvf(spark, sf, nQueries = 3, k = 5).collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+
   test("langid marks documents with CJK characters as zh") {
     val docs = Seq((1L, "the cat and the dog"), (2L, "中文文档")).toDF("doc_id", "text")
       .withColumn("lang", lit("x")).withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))

@@ -42,6 +42,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.schema("transaction_date").dataType.typeName === "date")
   }
 
+  test("corrupt csv rows are quarantined, not fatal") {
+    val dir = Files.createTempDirectory("ppbad").toFile
+    val f = new java.io.File(dir, "pp.txt")
+    Files.write(f.toPath, Seq(
+      """"{T1}","100000","2024-01-01 00:00","PC1","F","N","L","1","","S","","T","D","C","A","A"""",
+      """"{T2}","NOT_A_NUMBER","2024-01-01 00:00","PC1","F","N","L","1","","S","","T","D","C","A","A""""
+    ).mkString("\n").getBytes("UTF-8"))
+    // cache before filtering on the corrupt column alone — Spark
+    // disallows corrupt-column-only queries on raw CSV scans
+    val raw = PricePaidCsv.read(spark, f.getAbsolutePath).cache()
+    assert(raw.count() === 2)
+    assert(raw.filter(col("_corrupt").isNotNull).count() === 1)
+    val clean = PricePaidCsv.normalized(spark, f.getAbsolutePath)
+    assert(clean.count() === 1)
+    assert(clean.head().getAs[String]("transaction_unique_id") === "{T1}")
+  }
+
   test("media table carries binary payloads with kinds; decode emits typed metadata") {
     val m = Media.mediaTable(spark, sf)
     assert(m.schema("payload").dataType.typeName === "binary")
