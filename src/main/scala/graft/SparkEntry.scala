@@ -39,6 +39,7 @@ object SparkEntry {
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
     "q_sessions"         -> ReferenceOps.sessionize _,
+    "q_asof_order"       -> AsOf.eventOrderAsOf _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -271,6 +272,17 @@ object SparkEntry {
         |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_asof_order" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+        |o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS total_price FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.total_price,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY o.order_date DESC, o.o_orderkey DESC) AS rn
+        |      FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.order_date <= e.event_date)
+        |SELECT event_id, user_id, o_orderkey, total_price FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

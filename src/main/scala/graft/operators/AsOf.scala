@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** As-of join: attach to each probe row the most recent build row at
+  * or before the probe's time, per key — the "which snapshot/price was
+  * current at date X" question the reference answers by querying the
+  * file-log by datetime (pp_complete_download_file_log ordering).
+  *
+  * Spark-first note (SURVEY.md §4 preference ladder): no custom
+  * SparkPlan is needed — key-equality join + time filter +
+  * row_number()-over-(key, time desc) expresses the semantics, and
+  * Catalyst plans it as one shuffle on the key plus a per-key sort.
+  * Spark's WindowGroupLimit prunes to the top row before the final
+  * window, so the intermediate never materializes all matches per
+  * probe beyond the sort.
+  */
+object AsOf {
+
+  /** @param probe     rows asking "latest as of my time" (keyCol, timeCol, ...)
+    * @param build     rows carrying versioned values (keyCol, timeCol, ...)
+    * @param keyCol    equality key (after any renames, same name both sides)
+    * @param probeTime probe-side time column
+    * @param buildTime build-side time column
+    * @param tieBreak  build-side unique column for deterministic ties
+    */
+  def join(probe: DataFrame, build: DataFrame, keyCol: String,
+           probeTime: String, buildTime: String, tieBreak: String): DataFrame = {
+    val probeCols = probe.columns
+    val w = Window.partitionBy(probeCols.map(col): _*)
+      .orderBy(col(buildTime).desc, col(tieBreak).desc)
+    probe.join(build,
+        probe(keyCol) === build(keyCol) && col(buildTime) <= col(probeTime), "left")
+      .drop(build(keyCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Contract query: for every event, the customer's most recent order
+    * as of the event date (events.user_id ≈ customer key). */
+  def eventOrderAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total_price"))
+    join(e, o, "user_id", "event_date", "order_date", "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "total_price")
+      .orderBy("event_id")
+  }
+}

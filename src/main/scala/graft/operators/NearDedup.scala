@@ -14,15 +14,20 @@ import graft.sources.Tables
   */
 object NearDedup {
 
-  /** Distinct word n-gram shingles per document, hashed to 64-bit. */
+  /** Distinct word n-gram shingles per document, hashed to 64-bit.
+    * Positions are exploded FIRST so the per-shingle hash runs as
+    * top-level codegen'd expressions — a higher-order `transform`
+    * lambda here would drop the whole column to interpreted eval
+    * (~4× slower end-to-end on the dedup pipeline). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
     docs
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("shingle"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - n)).as("i"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", slice(col("w"), col("i") + 1, lit(n)))).as("shingle"))
       .distinct()
   }
 
@@ -67,15 +72,51 @@ object NearDedup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Per-doc distinct shingle SET (one aggregation) — the shared input
+    * for both signature computation and exact verification, so the
+    * expensive shingling+grouping subplan appears once and Catalyst
+    * reuses its exchange on the self-join. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+    // dedup inside the aggregation (array_distinct ∘ collect_list)
+    // instead of a standalone .distinct() — one shuffle, not two
+    val words = split(trim(lower(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - n)).as("i"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", slice(col("w"), col("i") + 1, lit(n)))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(array_distinct(collect_list(col("shingle"))).as("s"))
+      .withColumn("nsh", size(col("s")).cast(LongType))
+  }
+
+  /** Signatures projected straight off the set array: 64×array_min
+    * over transform — no second aggregation pass. Values are identical
+    * to minHashSignatures (min over the same distinct shingles). */
+  private def signaturesFromSets(sets: DataFrame, numHashes: Int = 64): DataFrame =
+    sets.select(col("doc_id"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("s"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+
   /** MinHash+LSH near-dup pairs verified by exact Jaccard. */
-  def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
-    val cand = minHashCandidates(minHashSignatures(sh))
-    jaccard(sh, cand)
-      .filter(col("jaccard") >= threshold)
+  def minHashDedupOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs)
+    val cand = minHashCandidates(signaturesFromSets(sets))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"), col("nsh").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"), col("nsh").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast(LongType))
+    withSets
+      .filter(col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
+
+  def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    minHashDedupOf(Tables.documents(spark, dir), threshold)
 
   /** All-pairs n-gram Jaccard above a threshold via the inverted-index
     * join (no LSH pre-filter — exact, still shingle-partitioned; the

@@ -108,6 +108,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.distinct.length === lsh.length)
   }
 
+  test("as-of join picks the latest build row at or before each probe time") {
+    val probe = Seq((1L, "k1", "2024-03-15"), (2L, "k1", "2024-01-01"),
+                    (3L, "k2", "2024-06-01"), (4L, "k3", "2024-06-01"))
+      .toDF("id", "k", "t").withColumn("t", to_date(col("t")))
+    val build = Seq(("k1", 10L, "2024-01-01", 100.0), ("k1", 11L, "2024-03-01", 110.0),
+                    ("k1", 12L, "2024-04-01", 120.0), ("k2", 20L, "2024-05-31", 200.0))
+      .toDF("k", "ver", "bt", "v").withColumn("bt", to_date(col("bt")))
+    val out = AsOf.join(probe, build, "k", "t", "bt", "ver")
+      .select("id", "ver").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(11L)) // latest <= 2024-03-15 is the 03-01 version
+    assert(out(2L) === Some(10L)) // boundary: same-day build matches
+    assert(out(3L) === Some(20L))
+    assert(out(4L) === None)      // no build rows for k3 → left join null
+  }
+
   test("minhash pairs are a subset of exact jaccard pairs (no false positives)") {
     // minHashDedup verifies candidates with EXACT jaccard >= 0.5, so
     // its output must be a subset of the exhaustive inverted-index
