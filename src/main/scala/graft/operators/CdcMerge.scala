@@ -78,4 +78,16 @@ object CdcMerge {
   /** The reference's operation-log statistics. */
   def stats(merged: DataFrame): DataFrame =
     merged.groupBy("outcome").agg(count(lit(1)).as("n_rows")).orderBy("outcome")
+
+  /** Fold a sequence of monthly update files over a base snapshot in
+    * order — the reference's month-after-month database maintenance
+    * loop (and its rewind/replay notebook), as one composed plan. Each
+    * step's outcome column is dropped; soft-delete state carries
+    * through, so a key deleted in month N and re-added in month N+1
+    * follows the undelete path. */
+  def applyAll(base: DataFrame, updates: Seq[DataFrame], key: String,
+               compareCols: Seq[String]): DataFrame =
+    updates.foldLeft(base) { (current, changes) =>
+      applied(merge(current, changes, key, compareCols)).drop("outcome")
+    }
 }

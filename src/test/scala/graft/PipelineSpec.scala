@@ -73,6 +73,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats("unchanged") === 1L)
   }
 
+  test("applyAll folds months in order: delete then re-add follows the undelete path") {
+    val base = Seq(("T1", 100L, "F"), ("T2", 200L, "F"))
+      .toDF("k", "price", "is_deleted")
+    val month1 = Seq(("T1", "D", 100L), ("T3", "A", 300L)).toDF("k", "record_op", "price")
+    val month2 = Seq(("T1", "A", 150L), ("T2", "C", 250L)).toDF("k", "record_op", "price")
+    val fin = CdcMerge.applyAll(base, Seq(month1, month2), "k", Seq("price"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(fin("T1") === ((150L, "F"))) // deleted in m1, re-added (undelete+change) in m2
+    assert(fin("T2") === ((250L, "F")))
+    assert(fin("T3") === ((300L, "F")))
+    assert(fin.size === 3)
+  }
+
   test("second month: re-applying an identical update is idempotent") {
     val base = writeFile("pp-complete.txt", Seq(row("T1", 100000, "2024-01-01", "A")))
     val update = writeFile("pp-monthly-update.txt", Seq(row("T1", 150000, "2024-01-01", "C")))
