@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.CdcMerge
+import graft.sources.{PricePaidCsv, Sinks}
+
+/** End-to-end orchestration of the reference's service DAG as library
+  * calls — what a user of the original system invokes instead of the
+  * Kafka-connected download/decision/update/upload processes. Each
+  * step is a DataFrame transformation; the "database" is a partitioned
+  * parquet snapshot.
+  *
+  * Reference mapping:
+  *   initialize   ≈ land_registry_pp_monthly_data_initialize.py
+  *   shouldIngest ≈ *_data_decision.py (sha vs last ingested)
+  *   applyMonthly ≈ land_registry_monthly_update_database_updater.py
+  *   snapshot     ≈ pp_complete_db_upload / archive services
+  */
+object Pipeline {
+  /** Columns whose values define row identity for the CDC merge
+    * (everything except the key and the op marker). */
+  val compareCols: Seq[String] =
+    PricePaidCsv.columns.filterNot(c => c == "transaction_unique_id" || c == "record_op")
+
+  /** Initialize the table from a pp-complete file: normalized rows,
+    * soft-delete flag added, written as a month-partitioned snapshot. */
+  def initialize(spark: SparkSession, completeCsv: String, tablePath: String): Long = {
+    val df = PricePaidCsv.normalized(spark, completeCsv)
+      .drop("record_op")
+      .withColumn("is_deleted", lit("F"))
+    Sinks.writeMonthlySnapshot(df, "transaction_date", tablePath)
+    spark.read.parquet(tablePath).count()
+  }
+
+  /** The data-decision step: ingest only if this file's content hash
+    * differs from the previously ingested one (returns the new hash to
+    * log either way). A distributed sha over sorted row-hashes stands
+    * in for the byte-level file sha — same dedup power, no single-node
+    * byte scan. */
+  def contentHash(df: DataFrame): String = {
+    import org.apache.spark.sql.types.LongType
+    // order-insensitive: xor+sum of per-row 64-bit hashes
+    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(sum(col("h")).cast(LongType).as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    s"${java.lang.Long.toHexString(h.getLong(0))}-${h.getLong(1)}"
+  }
+
+  def shouldIngest(newHash: String, lastIngestedHash: Option[String]): Boolean =
+    !lastIngestedHash.contains(newHash)
+
+  /** Apply one monthly update file to the snapshot at tablePath;
+    * returns the operation statistics (the reference's operation-log
+    * row) after rewriting the snapshot. */
+  def applyMonthly(spark: SparkSession, updateCsv: String, tablePath: String): Map[String, Long] = {
+    val base = spark.read.parquet(tablePath).drop("txn_month")
+    val changes = PricePaidCsv.normalized(spark, updateCsv)
+    val merged = CdcMerge.merge(base, changes, "transaction_unique_id", compareCols)
+      .cache() // two consumers: stats + snapshot rewrite
+    val stats = CdcMerge.stats(merged).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val next = CdcMerge.applied(merged).drop("outcome")
+    // rewrite via temp path: the snapshot can't be overwritten while
+    // it is still the read source of the plan
+    val tmp = tablePath + ".next"
+    Sinks.writeMonthlySnapshot(next, "transaction_date", tmp)
+    merged.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    stats
+  }
+
+  /** Analyst read path: the live (non-deleted) rows, partition-pruned
+    * when filtered by month. */
+  def current(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).filter(col("is_deleted") === "F")
+}

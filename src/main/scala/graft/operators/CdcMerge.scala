@@ -36,12 +36,17 @@ object CdcMerge {
   def merge(base: DataFrame, changes: DataFrame, key: String,
             compareCols: Seq[String]): DataFrame = {
     val b = compareCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__base_$c"))
+      .withColumn("__in_base", lit(1))
     val c = compareCols.foldLeft(changes)((df, x) => df.withColumnRenamed(x, s"__new_$x"))
     val op = col("record_op")
-    val inBase = col(s"__base_${compareCols.head}").isNotNull
+    // explicit presence marker — compare columns may legitimately be
+    // null (empty CSV cells), so their nullness can't signal absence
+    val inBase = col("__in_base").isNotNull
     val wasDeleted = col("is_deleted") === "T"
+    // null-safe equality: two null fields (empty CSV cells) count as
+    // identical, as in the reference's row comparison
     val identical = compareCols
-      .map(x => col(s"__new_$x") === col(s"__base_$x"))
+      .map(x => col(s"__new_$x") <=> col(s"__base_$x"))
       .reduce(_ && _)
     val merged = b.join(c, Seq(key), "full_outer")
       .withColumn("outcome",

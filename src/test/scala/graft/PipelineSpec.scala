@@ -86,6 +86,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(fin.size === 3)
   }
 
+  test("Pipeline: initialize, decide, apply monthly, read current") {
+    val complete = writeFile("pp-complete.txt", Seq(
+      row("P1", 100000, "2024-01-15", "A"),
+      row("P2", 200000, "2024-02-15", "A"),
+      row("P3", 300000, "2024-03-15", "A")))
+    val update = writeFile("pp-monthly-update.txt", Seq(
+      row("P1", 120000, "2024-01-15", "C"),
+      row("P2", 200000, "2024-02-15", "D"),
+      row("P4", 400000, "2024-04-15", "A")))
+    val table = Files.createTempDirectory("pp_table").toString + "/price_paid"
+
+    assert(Pipeline.initialize(spark, complete, table) === 3L)
+
+    // data decision: same file content → skip; changed → ingest
+    val h1 = Pipeline.contentHash(PricePaidCsv.normalized(spark, complete))
+    assert(!Pipeline.shouldIngest(h1, Some(h1)))
+    val h2 = Pipeline.contentHash(PricePaidCsv.normalized(spark, update))
+    assert(Pipeline.shouldIngest(h2, Some(h1)))
+
+    val stats = Pipeline.applyMonthly(spark, update, table)
+    assert(stats("change_and_changed") === 1L)
+    assert(stats("delete_and_deleted") === 1L)
+    assert(stats("add_and_added") === 1L)
+    assert(stats("unchanged") === 1L)
+
+    val cur = Pipeline.current(spark, table)
+    val prices = cur.select("transaction_unique_id", "price")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prices === Map("{P1}" -> 120000L, "{P3}" -> 300000L, "{P4}" -> 400000L))
+    // deleted row still exists in the snapshot, flagged
+    assert(spark.read.parquet(table)
+      .filter(col("transaction_unique_id") === "{P2}" && col("is_deleted") === "T")
+      .count() === 1)
+    // month partitioning present → analyst period queries prune
+    val parts = new java.io.File(table).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.count(_.startsWith("txn_month=")) === 4)
+  }
+
   test("second month: re-applying an identical update is idempotent") {
     val base = writeFile("pp-complete.txt", Seq(row("T1", 100000, "2024-01-01", "A")))
     val update = writeFile("pp-monthly-update.txt", Seq(row("T1", 150000, "2024-01-01", "C")))
