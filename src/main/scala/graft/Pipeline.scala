@@ -39,13 +39,14 @@ object Pipeline {
     * in for the byte-level file sha — same dedup power, no single-node
     * byte scan. */
   def contentHash(df: DataFrame): String = {
-    import org.apache.spark.sql.types.LongType
-    // order-insensitive: xor+sum of per-row 64-bit hashes
+    // order-insensitive fold of per-row 64-bit hashes via bit_xor —
+    // sum() would hit ANSI long-overflow on any realistically sized
+    // file (Spark 4 defaults to ansi on)
     val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-      .agg(sum(col("h")).cast(LongType).as("s"),
-        count(lit(1)).as("n"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"))
       .head()
-    s"${java.lang.Long.toHexString(h.getLong(0))}-${h.getLong(1)}"
+    val x = if (h.isNullAt(0)) 0L else h.getLong(0)
+    s"${java.lang.Long.toHexString(x)}-${h.getLong(1)}"
   }
 
   def shouldIngest(newHash: String, lastIngestedHash: Option[String]): Boolean =
@@ -63,15 +64,25 @@ object Pipeline {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val next = CdcMerge.applied(merged).drop("outcome")
     // rewrite via temp path: the snapshot can't be overwritten while
-    // it is still the read source of the plan
+    // it is still the read source of the plan. Swap order keeps a
+    // recovery copy at every step: write .next, move live → .old,
+    // move .next → live, then drop .old — and every rename result is
+    // checked so a failure never reports success with a missing table.
     val tmp = tablePath + ".next"
     Sinks.writeMonthlySnapshot(next, "transaction_date", tmp)
     merged.unpersist()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"snapshot swap: could not move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // restore
+      throw new java.io.IOException(s"snapshot swap: could not install $tmp")
+    }
+    fs.delete(old, true)
     stats
   }
 

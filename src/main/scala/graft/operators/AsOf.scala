@@ -30,15 +30,18 @@ object AsOf {
     */
   def join(probe: DataFrame, build: DataFrame, keyCol: String,
            probeTime: String, buildTime: String, tieBreak: String): DataFrame = {
-    val probeCols = probe.columns
-    val w = Window.partitionBy(probeCols.map(col): _*)
+    // synthetic probe-row id: duplicate probe rows are distinct probes
+    // and must each keep their own match — windowing on the probe's
+    // data columns alone would collapse them
+    val p = probe.withColumn("__probe_id", monotonically_increasing_id())
+    val w = Window.partitionBy(col("__probe_id"))
       .orderBy(col(buildTime).desc, col(tieBreak).desc)
-    probe.join(build,
-        probe(keyCol) === build(keyCol) && col(buildTime) <= col(probeTime), "left")
+    p.join(build,
+        p(keyCol) === build(keyCol) && col(buildTime) <= col(probeTime), "left")
       .drop(build(keyCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__probe_id")
   }
 
   /** Contract query: for every event, the customer's most recent order

@@ -53,6 +53,7 @@ object CdcMerge {
         when(!inBase && op === "A", "add_and_added")
         .when(!inBase && op === "C", "change_but_missing_and_added")
         .when(!inBase && op === "D", "delete_but_missing_and_ignored")
+        .when(!inBase, "invalid_op_missing_and_ignored")
         .when(inBase && op.isNull && wasDeleted, "unchanged_deleted")
         .when(inBase && op.isNull, "unchanged")
         .when(wasDeleted && op === "A", "add_but_deleted_and_changed")
@@ -63,7 +64,11 @@ object CdcMerge {
         .when(op === "C" && identical, "change_but_already_identical_and_ignored")
         .when(op === "C", "change_and_changed")
         .when(op === "D" && identical, "delete_and_deleted")
-        .otherwise("delete_but_not_identical_and_changed_and_deleted"))
+        .when(op === "D", "delete_but_not_identical_and_changed_and_deleted")
+        // any other op marker is malformed input: keep the base row
+        // untouched and surface the row in stats instead of silently
+        // soft-deleting it via the catch-all
+        .otherwise("invalid_op_ignored"))
     val takes = col("outcome").isin(takesNew: _*)
     val withFinal = compareCols.foldLeft(merged)((df, x) =>
       df.withColumn(x, when(takes, col(s"__new_$x")).otherwise(col(s"__base_$x"))))
@@ -76,9 +81,11 @@ object CdcMerge {
       .withColumnRenamed("final_deleted", "is_deleted")
   }
 
-  /** Post-update table: drop the never-existed keys (D on missing). */
+  /** Post-update table: drop the never-existed keys (D or malformed
+    * op on a missing key). */
   def applied(merged: DataFrame): DataFrame =
-    merged.filter(col("outcome") =!= "delete_but_missing_and_ignored")
+    merged.filter(!col("outcome").isin(
+      "delete_but_missing_and_ignored", "invalid_op_missing_and_ignored"))
 
   /** The reference's operation-log statistics. */
   def stats(merged: DataFrame): DataFrame =

@@ -14,12 +14,12 @@ import graft.sources.Tables
   */
 object NearDedup {
 
-  /** Distinct word n-gram shingles per document, hashed to 64-bit.
-    * Positions are exploded FIRST so the per-shingle hash runs as
-    * top-level codegen'd expressions — a higher-order `transform`
+  /** Word n-gram shingles per document (with duplicates), hashed to
+    * 64-bit. Positions are exploded FIRST so the per-shingle hash runs
+    * as top-level codegen'd expressions — a higher-order `transform`
     * lambda here would drop the whole column to interpreted eval
     * (~4× slower end-to-end on the dedup pipeline). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
     docs
       .select(col("doc_id"), words.as("w"))
@@ -28,8 +28,11 @@ object NearDedup {
         explode(sequence(lit(0), size(col("w")) - n)).as("i"))
       .select(col("doc_id"),
         xxhash64(concat_ws(" ", slice(col("w"), col("i") + 1, lit(n)))).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct shingles, one row per (doc, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    rawShingles(docs, n).distinct()
 
   /** MinHash signatures: `numHashes` permutations approximated by
     * seeded xxhash64; one groupBy computes all minima map-side. */
@@ -76,21 +79,13 @@ object NearDedup {
     * for both signature computation and exact verification, so the
     * expensive shingling+grouping subplan appears once and Catalyst
     * reuses its exchange on the self-join. */
-  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
     // dedup inside the aggregation (array_distinct ∘ collect_list)
     // instead of a standalone .distinct() — one shuffle, not two
-    val words = split(trim(lower(col("text"))), "\\s+")
-    docs
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - n)).as("i"))
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", slice(col("w"), col("i") + 1, lit(n)))).as("shingle"))
+    rawShingles(docs, n)
       .groupBy("doc_id")
       .agg(array_distinct(collect_list(col("shingle"))).as("s"))
       .withColumn("nsh", size(col("s")).cast(LongType))
-  }
 
   /** Signatures projected straight off the set array: 64×array_min
     * over transform — no second aggregation pass. Values are identical

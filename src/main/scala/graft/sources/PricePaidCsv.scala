@@ -50,7 +50,7 @@ object PricePaidCsv {
       .filter(col("_corrupt").isNull)
       .drop("_corrupt")
       .withColumn("transaction_date",
-        to_date(to_timestamp(col("transaction_date"), "yyyy-MM-dd HH:mm")))
+        to_date(try_to_timestamp(col("transaction_date"), lit("yyyy-MM-dd HH:mm"))))
       .withColumn("postcode", upper(trim(col("postcode"))))
       .withColumn("property_type", upper(trim(col("property_type"))))
       .withColumn("record_op", upper(trim(col("record_op"))))

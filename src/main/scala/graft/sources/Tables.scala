@@ -28,7 +28,9 @@ object Tables {
   }
 
   def eventsFromRaw(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+    // integral division: `/` would promote to double and lose ulps at
+    // epoch-nanos magnitude, shifting some timestamps by 1µs
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsFromRaw(eventsRaw(spark, dir))

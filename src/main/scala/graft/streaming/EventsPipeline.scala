@@ -18,6 +18,9 @@ import graft.sources.Tables
   */
 object EventsPipeline {
 
+  /** Per-key dedup-state retention (newest content hashes kept). */
+  val maxDedupState = 10000
+
   /** Tumbling 1-hour windowed aggregate per event type: event volume +
     * exact value sum (decimal-cast so stream/batch/cluster all agree
     * bit-for-bit). On a stream, the 2-hour watermark bounds state. */
@@ -57,15 +60,16 @@ object EventsPipeline {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").as("key"), col("event_id"), sha2(col("props"), 256).as("sha"))
-      .as[(Long, Long, String)]
+      .select(col("user_id").as("key"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), sha2(col("props"), 256).as("sha"))
+      .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[String, (Long, Long, String, String)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[String]) =>
-          // within a micro-batch, process in event order
+        (key: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[String]) =>
+          // same order as the batch lag window: (ts, event_id)
           var last = state.getOption.orNull
-          val out = rows.toSeq.sortBy(_._2).map { case (k, id, sha) =>
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (k, id, _, sha) =>
             val decision = if (last == null || last != sha) "archive" else "garbage_collect"
             last = sha
             (k, id, sha, decision)
@@ -90,14 +94,20 @@ object EventsPipeline {
         col("event_id"))
       .as[(Long, String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Set[String], (Long, Long, String)](
+      .flatMapGroupsWithState[Vector[String], (Long, Long, String)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, String, Long)], state: GroupState[Set[String]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[String])
+        (key: Long, rows: Iterator[(Long, String, Long)], state: GroupState[Vector[String]]) =>
+          // state is BOUNDED: the newest maxDedupState hashes per key,
+          // FIFO-evicted — exact dedup within the retention horizon,
+          // which is what keeps state-store size flat on an unbounded
+          // stream. (An unbounded Set would grow for the life of the
+          // query.)
+          val seen = state.getOption.getOrElse(Vector.empty[String])
           val (out, newSeen) = rows.foldLeft(
             (Vector.empty[(Long, Long, String)], seen)) { case ((acc, s), (k, sha, id)) =>
-            if (s.contains(sha)) (acc, s) else (acc :+ ((k, id, sha)), s + sha)
+            if (s.contains(sha)) (acc, s)
+            else (acc :+ ((k, id, sha)), (s :+ sha).takeRight(maxDedupState))
           }
           state.update(newSeen)
           out.iterator

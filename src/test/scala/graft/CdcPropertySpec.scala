@@ -45,6 +45,26 @@ class CdcPropertySpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("malformed record_op keeps the base row untouched and is surfaced in stats") {
+    val base = Seq((1L, 100L, "F"), (2L, 200L, "F")).toDF("key", "price", "is_deleted")
+    val chg = Seq((1L, "X", 999L), (3L, "", 300L)).toDF("key", "record_op", "price")
+    val merged = CdcMerge.merge(base, chg, "key", Seq("price"))
+    val byKey = merged.collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getString(2), r.getString(3)))).toMap
+    assert(byKey(1L) === ((Some(100L), "F", "invalid_op_ignored")))  // NOT deleted, NOT changed
+    assert(byKey(3L)._3 === "invalid_op_missing_and_ignored")
+    val applied = CdcMerge.applied(merged).select("key").as[Long].collect().toSet
+    assert(applied === Set(1L, 2L))
+  }
+
+  test("as-of join preserves duplicate probe rows") {
+    val probe = Seq(("k1", "2024-03-01"), ("k1", "2024-03-01"))
+      .toDF("k", "t").withColumn("t", to_date(col("t")))
+    val build = Seq(("k1", 1L, "2024-01-01")).toDF("k", "ver", "bt")
+      .withColumn("bt", to_date(col("bt")))
+    assert(graft.operators.AsOf.join(probe, build, "k", "t", "bt", "ver").count() === 2)
+  }
+
   test("CdcMerge matches the row-at-a-time reference on random scenarios") {
     val rnd = new scala.util.Random(42)
     for (round <- 1 to 5) {
