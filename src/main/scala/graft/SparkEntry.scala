@@ -36,6 +36,9 @@ object SparkEntry {
     "q_cdc_stats"        -> Cdc.mergeStats _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
+    "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
+    "q_event_pivot"      -> ReferenceOps.eventPivot _,
+    "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
     "q_sessions"         -> ReferenceOps.sessionize _,
@@ -255,6 +258,32 @@ object SparkEntry {
          |JOIN nation n ON s.s_nationkey = n.n_nationkey
          |JOIN region r ON n.n_regionkey = r.r_regionkey
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_rollup_revenue" ->
+      s"""SELECT n_name, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+         |  $revenueExpr AS revenue, COUNT(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY ROLLUP (n_name, strftime(o.o_orderdate, '%Y-%m'))
+         |ORDER BY n_name ASC NULLS FIRST, order_month ASC NULLS FIRST""".stripMargin,
+
+    "q_event_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_price_percentiles" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | MIN(o_totalprice) AS p_min, MAX(o_totalprice) AS p_max
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events,

@@ -183,6 +183,51 @@ object ReferenceOps {
         count(when(col("in_db").isNull, 1)).as("n_file_only"))
   }
 
+  /** Rollup revenue by nation × order-month with subtotal rows — the
+    * report shape analysts build over the price-paid store. Decimal
+    * sums keep every (sub)total exact. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      (dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+        .as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("order_month"))
+      .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name").asc_nulls_first, col("order_month").asc_nulls_first)
+  }
+
+  /** Event-type pivot per series: one row per user, one count column
+    * per event type — the wide operational dashboard shape. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Exact interpolated percentiles of order value per priority —
+    * the distribution summaries behind the reference's delay
+    * histograms, on the price axis. */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min(col("o_totalprice")).as("p_min"),
+        max(col("o_totalprice")).as("p_max"))
+      .orderBy("o_orderpriority")
+
   /** Sessionization of the event stream (gaps-and-islands): a new
     * session starts after >30 min of inactivity per series. The
     * analyst-side view of the notification DAG's activity; one window
