@@ -134,8 +134,11 @@ object SparkEntry {
        |  FROM m)
        |""".stripMargin
 
+  // regex-trimmed (tabs/newlines too, unlike SQL trim) — must mirror
+  // TextOps.wsTrim exactly
+  private val wsTrimSql = """regexp_replace(text, '^\s+|\s+$', '', 'g')"""
   private val wsTok =
-    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    s"CASE WHEN length($wsTrimSql) = 0 THEN 0 ELSE len(regexp_split_to_array($wsTrimSql, '\\s+')) END"
 
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4))"

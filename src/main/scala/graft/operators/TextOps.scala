@@ -16,33 +16,44 @@ object TextOps {
   /** Exact dedup by content hash: canonical doc per text + copy count.
     * groupBy on sha256(text) — hash-partitioned, no skew (hashes are
     * uniform), map-side combine. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def dedupExactOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(sha2(col("text"), 256).as("content_sha"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("canonical_id")
 
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExactOf(Tables.documents(spark, dir))
+
   /** Per-document fingerprint + first-occurrence flag — the file-level
     * sha-dedup decision of the reference's data-decision service
     * applied per record. */
-  def dedupHash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupHashOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("content_sha").orderBy("doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
       .withColumn("is_first", when(row_number().over(w) === 1, 1).otherwise(0))
       .orderBy("doc_id")
   }
 
-  /** Whitespace tokens of the trimmed text (empty → 0 tokens). */
+  def dedupHash(spark: SparkSession, dir: String): DataFrame =
+    dedupHashOf(Tables.documents(spark, dir))
+
+  /** Whitespace tokens of the trimmed text (empty → 0 tokens).
+    * Regex trim, not `trim()`: SQL trim strips only 0x20, so a
+    * tab-only document would otherwise count phantom tokens. */
+  private def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   private def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+    when(length(wsTrim(text)) === 0, 0)
+      .otherwise(size(split(wsTrim(text), "\\s+")))
 
   /** Token counting: whitespace tokens + BPE-ish subword pieces
     * (letter runs / digits / single punctuation, the shape of a GPT-2
     * pre-tokenizer). */
-  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         wsTokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
@@ -50,10 +61,13 @@ object TextOps {
         length(col("text")).cast(LongType).as("n_chars"))
       .orderBy("doc_id")
 
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCountsOf(Tables.documents(spark, dir))
+
   /** Quality scoring: length, alpha/punct/whitespace ratios, stopword
     * ratio — the standard cheap pre-filters of a training-data
     * pipeline. All single IEEE divisions → deterministic. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nChars = length(t).cast(DoubleType)
     val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
@@ -61,7 +75,7 @@ object TextOps {
     val nTok = wsTokenCount(t).cast(DoubleType)
     val nStop = size(regexp_extract_all(lower(t),
       lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast(DoubleType)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         length(t).cast(LongType).as("n_chars"),
         wsTokenCount(t).cast(LongType).as("n_tokens"),
@@ -71,14 +85,17 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir))
+
   /** Document fingerprinting (SURVEY.md §2 #29): 64-bit polynomial
     * content hash (codegen'd native Expression) + winnowed k-gram
     * fingerprint set (Schleimer et al. SIGMOD'03) for robust partial-
     * overlap detection. Rows-only oracle; value semantics covered by
     * ExpressionSpec. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def fingerprintsOf(docs: DataFrame): DataFrame = {
     import graft.functions.native._
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         poly_hash64(col("text")).as("content_hash64"),
         winnow_fingerprint(col("text")).as("winnow_fps"))
@@ -86,10 +103,13 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    fingerprintsOf(Tables.documents(spark, dir))
+
   /** Language-ID heuristic: stopword-hit scoring per candidate
     * language, CJK-character presence for zh; argmax with a fixed
     * tie order. A few regexp counts per doc — codegen'd, no UDF. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langIdOf(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
     def hits(pat: String): Column =
       size(regexp_extract_all(t, lit(pat), lit(0))).cast(LongType)
@@ -99,7 +119,7 @@ object TextOps {
     val es = hits("\\b(el|los|las|es|una|para|que|por|con|del)\\b")
     val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).cast(LongType)
     val best = greatest(en, de, fr, es)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
         es.as("score_es"), zh.as("score_zh"),
@@ -109,4 +129,7 @@ object TextOps {
           .when(fr === best, "fr").otherwise("es").as("detected_lang"))
       .orderBy("doc_id")
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir))
 }

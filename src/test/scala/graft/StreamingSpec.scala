@@ -85,6 +85,28 @@ class StreamingSpec extends AnyFunSuite {
       4L -> "garbage_collect", 5L -> "archive"))
   }
 
+  test("stream persists to a parquet sink with checkpointing and is readable") {
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventsPipeline.windowedAgg(df, withWatermark = true)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+                (ts("2024-01-01 10:15:00"), "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "late", 0.0)) // close the 10:00 window
+    q.processAllAvailable()
+    q.stop()
+    val persisted = spark.read.parquet(out)
+      .filter(col("event_type") === "click").collect()
+    assert(persisted.length === 1)
+    assert(persisted.head.getAs[Long]("n_events") === 2L)
+  }
+
   test("file-stream pipeline starts and produces the batch-equivalent schema") {
     val stream = EventsPipeline.eventsWindowStream(spark, sf)
     val batch = EventsPipeline.eventsWindowBatch(spark, sf)
