@@ -113,25 +113,37 @@ object NearDedup {
   def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     minHashDedupOf(Tables.documents(spark, dir), threshold)
 
-  /** All-pairs n-gram Jaccard above a threshold via the inverted-index
-    * join (no LSH pre-filter — exact, still shingle-partitioned; the
-    * threshold prunes output, the join prunes comparisons to docs
-    * sharing ≥1 shingle). */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
+  /** All-pairs n-gram Jaccard above a threshold — EXACT result via
+    * prefix filtering (PPJoin family, Xiao et al.): only the first
+    * ⌊(1−t)·n⌋+1 shingles of each doc (in a global canonical order —
+    * here the 64-bit hash order) are indexed. Two sets with
+    * jaccard ≥ t must overlap within those prefixes, so the candidate
+    * join touches a (1−t)-fraction of each posting list instead of
+    * all of it — the difference between quadratic and tractable at
+    * 100 TB — and exact verification on the full sets restores
+    * precision. */
+  def ngramJaccardOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs)
+      .withColumn("sorted", array_sort(col("s")))
+      .withColumn("prefix", slice(col("sorted"),
+        lit(1), (floor(size(col("sorted")) * (1 - threshold)) + 1).cast(IntegerType)))
+    val indexed = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    val cand = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"), col("nsh").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"), col("nsh").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast(LongType))
       .filter(col("n_common").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
+
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, dir), threshold)
 
   /** 64-bit SimHash per document: majority vote of each bit over the
     * document's word hashes — 64 conditional sums in one groupBy. */

@@ -123,6 +123,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) === None)      // no build rows for k3 → left join null
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index result") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    for (t <- Seq(0.5, 0.8)) {
+      // unfiltered reference: full inverted index + exact verify
+      val sh = NearDedup.shingles(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val full = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .filter(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")) >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val prefix = NearDedup.ngramJaccardOf(docs, t)
+        .as[(Long, Long)].collect().toSet
+      assert(prefix === full, s"threshold $t: prefix filter changed the result")
+    }
+  }
+
   test("minhash pairs are a subset of exact jaccard pairs (no false positives)") {
     // minHashDedup verifies candidates with EXACT jaccard >= 0.5, so
     // its output must be a subset of the exhaustive inverted-index
