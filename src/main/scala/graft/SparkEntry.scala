@@ -339,15 +339,20 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
+    // like the Spark side — float32 accumulation can flip
+    // near-threshold pairs and near-tied ranks
     "d_embed_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) > 0.5
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-        |s AS (SELECT q.query_id, v.vec_id, list_cosine_similarity(v.embedding, q.q_emb) AS cos
+        |s AS (SELECT q.query_id, v.vec_id,
+        |        list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])) AS cos
         |      FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.query_id),
         |r AS (SELECT query_id, vec_id,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank

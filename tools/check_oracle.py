@@ -35,13 +35,20 @@ def main(sfdir, outdir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    manifest = []
+    mpath = os.path.join(outdir, "queries.json")
+    if os.path.exists(mpath):
+        manifest = json.load(open(mpath))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_df = load_spark(outdir, name)
         if spark_df is None:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            duck_df = con.execute(sql).fetchdf()
+            # arrow path keeps DECIMAL as Decimal objects; fetchdf()
+            # would round-trip through float64 and produce false
+            # mismatches for unscaled values beyond 2^53
+            duck_df = con.execute(sql).arrow().to_pandas(types_mapper=None)
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}"); n_fail += 1; continue
         s, d = norm(spark_df), norm(duck_df)
@@ -66,12 +73,17 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: " + "; ".join(f"{c}: {m}" for c, m in bad)); n_fail += 1
         else:
             print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
-    # rows-only queries
-    for name in sorted(os.listdir(outdir)):
-        p = os.path.join(outdir, name)
-        if os.path.isdir(p) and name not in oracle:
-            df = load_spark(outdir, name)
-            print(f"INFO {name}: rows-only, {0 if df is None else len(df)} rows")
+    # rows-only queries: every manifest entry must have produced output
+    rows_only = [n for n in (manifest or sorted(os.listdir(outdir)))
+                 if n not in oracle and n not in ("oracle_sql.json", "queries.json")]
+    for name in rows_only:
+        df = load_spark(outdir, name)
+        if df is None:
+            print(f"FAIL {name}: rows-only query produced no output"); n_fail += 1
+        elif len(df) == 0:
+            print(f"WARN {name}: rows-only, 0 rows")
+        else:
+            print(f"INFO {name}: rows-only, {len(df)} rows")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
