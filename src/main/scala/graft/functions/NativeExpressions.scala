@@ -146,6 +146,65 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
 }
 
+/** SimHash as a single typed-imperative aggregate: the per-bit ±1
+  * vote tally lives in one int[64] buffer updated in tight JVM code —
+  * one aggregation pass instead of 64 separate conditional-sum
+  * aggregate expressions (which widen every aggregation row to 64
+  * columns and dominate the simhash pipeline's cost). */
+case class SimHashAgg(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Int]]
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) { buf(i) += ((((h >>> i) & 1L) << 1) - 1).toInt; i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (buf(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(256)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimHashAgg =
+    copy(child = c.head)
+}
+
 /** Column-level entry points. */
 object native {
   def dot_f(a: Column, b: Column): Column =
@@ -154,4 +213,7 @@ object native {
     ExpressionUtils.column(PolyHash64(ExpressionUtils.expression(c)))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
+  def simhash_agg(c: Column): Column =
+    ExpressionUtils.column(
+      SimHashAgg(ExpressionUtils.expression(c)).toAggregateExpression())
 }

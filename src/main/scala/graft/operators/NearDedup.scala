@@ -146,22 +146,16 @@ object NearDedup {
     ngramJaccardOf(Tables.documents(spark, dir), threshold)
 
   /** 64-bit SimHash per document: majority vote of each bit over the
-    * document's word hashes — 64 conditional sums in one groupBy. */
-  def simHashes(docs: DataFrame): DataFrame = {
-    val words = docs
+    * document's word hashes — ONE custom typed-imperative aggregate
+    * (`SimHashAgg`) holding the 64 vote counters in a single buffer,
+    * instead of 64 separate conditional-sum aggregate columns. */
+  def simHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-      .withColumn("h", xxhash64(col("word")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    words.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseXOR(b)).as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.native.simhash_agg(xxhash64(col("word"))).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit band join (a pair within
     * hamming distance 3 must agree on ≥1 band), verified by

@@ -71,6 +71,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
   }
 
+  test("SimHashAgg equals the 64-column conditional-sum formulation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val words = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val reference = words.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseXOR(b)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val agg = graft.operators.NearDedup.simHashes(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(agg === reference)
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     // TestSpark session is built by GraftSession, which registers the
     // extensions — so plain SQL can use the engine's functions.
