@@ -50,6 +50,8 @@ object SparkEntry {
     "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
+    "d_clean_corpus"     -> ((s: SparkSession, dir: String) =>
+      NearDedup.cleanCorpus(graft.sources.Tables.documents(s, dir))),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
     "s_ann_ivf"          -> ((s: SparkSession, dir: String) => SimilarityOps.annIvf(s, dir)),

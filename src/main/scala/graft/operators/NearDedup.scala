@@ -145,6 +145,50 @@ object NearDedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     ngramJaccardOf(Tables.documents(spark, dir), threshold)
 
+  /** Connected components over a duplicate-pair list → cluster label
+    * (the minimum doc_id of the component). Iterative min-label
+    * propagation: each round is one distributed join+aggregate, the
+    * driver only checks the converged-count; rounds ≤ component
+    * diameter (tiny for dup clusters). `localCheckpoint` truncates
+    * the growing lineage each round. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("new_label"))
+      val joined = labels.join(prop, "id").localCheckpoint(true)
+      changed = joined.filter(col("new_label") < col("label")).count()
+      labels = joined.select(col("id"), col("new_label").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Training-corpus cleaning: quality-filter documents, then drop
+    * every near-duplicate except its cluster's canonical (minimum
+    * doc_id) — the composition a data pipeline runs before
+    * tokenization. */
+  def cleanCorpus(docs: DataFrame, jaccardThreshold: Double = 0.5,
+                  minTokens: Long = 5, minAlphaRatio: Double = 0.5): DataFrame = {
+    val quality = TextOps.qualityScoreOf(docs)
+      .filter(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
+      .select("doc_id")
+    val qualified = docs.join(quality, "doc_id")
+    val clusters = duplicateClusters(minHashDedupOf(qualified, jaccardThreshold))
+    qualified
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(docs.columns.map(col): _*)
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash per document: majority vote of each bit over the
     * document's word hashes — ONE custom typed-imperative aggregate
     * (`SimHashAgg`) holding the 64 vote counters in a single buffer,

@@ -123,6 +123,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) === None)      // no build rows for k3 → left join null
   }
 
+  test("duplicate clusters: transitive pairs collapse to min-id components") {
+    // components: {1,2,3,9} via 1-2, 2-3, 3-9; {5,6}; singletons absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = NearDedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("clean corpus drops low-quality docs and keeps one canonical per dup cluster") {
+    val good = "the quick brown fox jumps over the lazy dog and keeps running onward " * 3
+    val docs = Seq(
+      (1L, good),                                   // canonical
+      (2L, good + "slightly changed tail here now"),// near-dup of 1 → dropped
+      (3L, "x"),                                    // too short → dropped
+      (4L, "!!! ??? ... ;;; ::: ,,, !!! ??? ... ;;;"), // low alpha → dropped
+      (5L, "completely different well formed text about spark catalyst plans and shuffles everywhere")
+    ).toDF("doc_id", "text")
+    val kept = NearDedup.cleanCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L))
+  }
+
   test("prefix-filtered jaccard equals the full inverted-index result") {
     val docs = graft.sources.Tables.documents(spark, sf)
     for (t <- Seq(0.5, 0.8)) {
