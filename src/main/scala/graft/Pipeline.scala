@@ -39,14 +39,16 @@ object Pipeline {
     * in for the byte-level file sha — same dedup power, no single-node
     * byte scan. */
   def contentHash(df: DataFrame): String = {
-    // order-insensitive fold of per-row 64-bit hashes via bit_xor —
-    // sum() would hit ANSI long-overflow on any realistically sized
-    // file (Spark 4 defaults to ansi on)
-    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"))
+    // order-insensitive fold of per-row 64-bit hashes as an exact
+    // DECIMAL sum: no ANSI long-overflow (Spark 4 defaults ansi on),
+    // and unlike bit_xor no cancellation — a repeated row pair xors
+    // to zero, which would make distinct files collide
+    val h = df.select(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
       .head()
-    val x = if (h.isNullAt(0)) 0L else h.getLong(0)
-    s"${java.lang.Long.toHexString(x)}-${h.getLong(1)}"
+    val s = if (h.isNullAt(0)) "0" else h.getDecimal(0).toBigInteger.toString(16)
+    s"$s-${h.getLong(1)}"
   }
 
   def shouldIngest(newHash: String, lastIngestedHash: Option[String]): Boolean =
@@ -71,9 +73,11 @@ object Pipeline {
     val tmp = tablePath + ".next"
     Sinks.writeMonthlySnapshot(next, "transaction_date", tmp)
     merged.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the table path — FileSystem.get
+    // would return the default FS and operate on the wrong store when
+    // the table lives elsewhere (file: vs hdfs:// vs s3a://)
     val dst = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
     fs.delete(old, true)
     if (!fs.rename(dst, old))

@@ -262,6 +262,7 @@ object SparkEntry {
          |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
          |JOIN nation n ON s.s_nationkey = n.n_nationkey
          |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'EUROPE'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_rollup_revenue" ->
@@ -329,7 +330,7 @@ object SparkEntry {
         | FROM documents) t ORDER BY doc_id""".stripMargin,
 
     "d_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM documents),
         |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -65,11 +65,20 @@ object Media {
   }
 
   /** Metadata extraction query (rows-only oracle): decoded metadata of
-    * every media object plus a payload content hash for dedup. */
+    * every media object plus a payload content hash for dedup — sha
+    * computed in the SAME pass as the decode (one corpus scan, no
+    * join; the payload is never read twice). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     val m = mediaTable(spark, dir)
-    decodeMeta(m).toDF()
-      .join(m.select(col("media_id"), sha2(col("payload"), 256).as("payload_sha")), "media_id")
+    val sparkSession = m.sparkSession
+    import sparkSession.implicits._
+    m.withColumn("payload_sha", sha2(col("payload"), 256))
+      .select("media_id", "kind", "payload", "payload_sha")
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload, sha) => (decodeStub(id, kind, payload), sha) }
+      }
+      .select(col("_1.*"), col("_2").as("payload_sha"))
       .orderBy("media_id")
   }
 

@@ -20,7 +20,10 @@ object NearDedup {
     * lambda here would drop the whole column to interpreted eval
     * (~4× slower end-to-end on the dedup pipeline). */
   private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
-    val words = split(trim(lower(col("text"))), "\\s+")
+    // regex trim (NOT sql trim, which strips only 0x20): a leading tab
+    // would otherwise produce a phantom empty first token and shift
+    // every shingle of the document
+    val words = split(regexp_replace(lower(col("text")), "^\\s+|\\s+$", ""), "\\s+")
     docs
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
@@ -43,9 +46,16 @@ object NearDedup {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** Candidate pairs from LSH banding (bands × rowsPerBand =
-    * signature length): docs agreeing on any full band collide. */
-  def minHashCandidates(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  /** Candidate pairs from LSH banding (bands × rowsPerBand must not
+    * exceed the signature length): docs agreeing on any full band
+    * collide. */
+  def minHashCandidates(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+                        numHashes: Int = 64): DataFrame = {
+    // out-of-range slices would hash identical EMPTY arrays — every
+    // doc colliding with every other, the O(n²) blowup LSH exists to
+    // avoid — so fail fast instead
+    require(bands * rowsPerBand <= numHashes,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds signature length $numHashes")
     val banded = sig.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -123,10 +133,15 @@ object NearDedup {
     * 100 TB — and exact verification on the full sets restores
     * precision. */
   def ngramJaccardOf(docs: DataFrame, threshold: Double): DataFrame = {
+    // prefix length n − ⌈t·n⌉ + 1, with an epsilon inside the ceil:
+    // naive floor(n·(1−t))+1 evaluates 1−t in floating point and can
+    // come out one SHORT (e.g. 1−0.8 → 0.1999…96), which would turn
+    // the lossless filter into one with false negatives
+    val prefixLen = (size(col("sorted")) -
+      ceil(size(col("sorted")) * lit(threshold) - lit(1e-9)) + 1).cast(IntegerType)
     val sets = shingleSets(docs)
       .withColumn("sorted", array_sort(col("s")))
-      .withColumn("prefix", slice(col("sorted"),
-        lit(1), (floor(size(col("sorted")) * (1 - threshold)) + 1).cast(IntegerType)))
+      .withColumn("prefix", slice(col("sorted"), lit(1), prefixLen))
     val indexed = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))
     val cand = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -283,7 +283,7 @@ object ReferenceOps {
     * dimensions (region/nation/supplier/customer) and a single
     * fact-fact shuffle. */
   def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.region(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
     val n = Tables.nation(spark, dir)
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")

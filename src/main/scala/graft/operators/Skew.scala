@@ -22,11 +22,14 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 1)
-    // deterministic salt: hash of the whole left row spreads a hot key
-    // evenly without RNG (reproducible across retries — important for
-    // speculative execution).
+    // deterministic salt: whole-row hash MIXED with the row's position
+    // (monotonically_increasing_id is stable for deterministic input
+    // splits, so retries/speculation agree) — row content alone would
+    // leave byte-identical duplicate rows of a hot key all on one
+    // reducer, defeating the salting entirely.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id() +: left.columns.map(col): _*),
+        lit(saltFactor)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

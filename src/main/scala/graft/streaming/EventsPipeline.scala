@@ -104,13 +104,24 @@ object EventsPipeline {
           // stream. (An unbounded Set would grow for the life of the
           // query.)
           val seen = state.getOption.getOrElse(Vector.empty[String])
-          val (out, newSeen) = rows.foldLeft(
-            (Vector.empty[(Long, Long, String)], seen)) { case ((acc, s), (k, sha, id)) =>
-            if (s.contains(sha)) (acc, s)
-            else (acc :+ ((k, id, sha)), (s :+ sha).takeRight(maxDedupState))
+          // HashSet mirror for O(1) membership — Vector.contains over
+          // 10k 64-char shas per event would be the hot-path cost
+          val seenSet = scala.collection.mutable.HashSet.from(seen)
+          var fifo = seen
+          val out = Vector.newBuilder[(Long, Long, String)]
+          rows.foreach { case (k, sha, id) =>
+            if (!seenSet.contains(sha)) {
+              out += ((k, id, sha))
+              seenSet += sha
+              fifo = fifo :+ sha
+              if (fifo.length > maxDedupState) {
+                seenSet -= fifo.head
+                fifo = fifo.tail
+              }
+            }
           }
-          state.update(newSeen)
-          out.iterator
+          state.update(fifo)
+          out.result().iterator
       }
       .toDF("user_id", "event_id", "sha256sum")
   }

@@ -165,6 +165,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix filter catches a pair at exactly the threshold (FP-length regression)") {
+    // Y's shingle set is a subset of X's with jaccard exactly 8/10 =
+    // 0.8; a prefix length computed via floor(n*(1-t))+1 in floating
+    // point comes out one short and would miss this pair.
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val shared = (1 to 10).map(i => s"common$i")   // 8 shared 3-gram shingles
+    val x = doc(Seq("uniqa", "uniqb") ++ shared)   // 12 words → 10 shingles
+    val y = doc(shared)                            // 10 words → 8 shingles
+    val docs = Seq((1L, x), (2L, y)).toDF("doc_id", "text")
+    val sets = NearDedup.shingleSets(docs).as[(Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> r._2.toSet).toMap
+    val inter = sets(1L).intersect(sets(2L)).size.toDouble
+    val jac = inter / sets(1L).union(sets(2L)).size
+    assert(jac >= 0.8, s"test setup: jaccard $jac")
+    val pairs = NearDedup.ngramJaccardOf(docs, 0.8).as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
   test("minhash pairs are a subset of exact jaccard pairs (no false positives)") {
     // minHashDedup verifies candidates with EXACT jaccard >= 0.5, so
     // its output must be a subset of the exhaustive inverted-index
