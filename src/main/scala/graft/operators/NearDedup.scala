@@ -139,9 +139,21 @@ object NearDedup {
     // the lossless filter into one with false negatives
     val prefixLen = (size(col("sorted")) -
       ceil(size(col("sorted")) * lit(threshold) - lit(1e-9)) + 1).cast(IntegerType)
-    val sets = shingleSets(docs)
-      .withColumn("sorted", array_sort(col("s")))
-      .withColumn("prefix", slice(col("sorted"), lit(1), prefixLen))
+    // canonical order = ascending GLOBAL FREQUENCY (rarest first,
+    // hash as tiebreak): any consistent total order keeps the filter
+    // lossless, but frequency order puts the rarest shingles in the
+    // prefixes, collapsing the candidate count on corpora whose common
+    // shingles appear in most documents
+    val sh = shingles(docs)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sets = sh.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("fs"))
+      .withColumn("s", transform(col("fs"), x => x.getField("shingle")))
+      .withColumn("nsh", size(col("s")).cast(LongType))
+      .withColumn("sorted", col("fs"))
+      .withColumn("prefix",
+        transform(slice(col("fs"), lit(1), prefixLen), x => x.getField("shingle")))
     val indexed = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))
     val cand = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
