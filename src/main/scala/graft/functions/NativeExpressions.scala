@@ -155,6 +155,54 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
 }
 
+/** Count, per dictionary, how many tokens of the input belong to the
+  * dictionary — ONE tokenization pass replacing one
+  * `regexp_extract_all('\b(w1|w2|…)\b')` scan per dictionary.
+  * Tokens are maximal ASCII word-char runs ([A-Za-z0-9_]), exactly
+  * the `\b`-delimited alternation semantics of the Java/RE2 regexes
+  * it replaces (both treat \w as ASCII by default), so counts are
+  * identical to the regex formulation for pure-letter dictionary
+  * words. CodegenFallback: the per-row work is a single char scan. */
+case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    dicts.map { d =>
+      val s = new java.util.HashSet[String]()
+      d.foreach(w => s.add(w))
+      s
+    }.toArray
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+    (c >= '0' && c <= '9') || c == '_'
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (isWordChar(s.charAt(i))) {
+        val start = i
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        var d = 0
+        while (d < sets.length) {
+          if (sets(d).contains(tok)) counts(d) += 1
+          d += 1
+        }
+      } else i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordSetScores = copy(child = c)
+}
+
 /** SimHash as a single typed-imperative aggregate: the per-bit ±1
   * vote tally lives in one int[64] buffer updated in tight JVM code —
   * one aggregation pass instead of 64 separate conditional-sum
@@ -225,4 +273,6 @@ object native {
   def simhash_agg(c: Column): Column =
     ExpressionUtils.column(
       SimHashAgg(ExpressionUtils.expression(c)).toAggregateExpression())
+  def word_set_scores(c: Column, dicts: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(WordSetScores(ExpressionUtils.expression(c), dicts))
 }

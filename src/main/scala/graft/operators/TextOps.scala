@@ -106,20 +106,32 @@ object TextOps {
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprintsOf(Tables.documents(spark, dir))
 
+  /** The stopword dictionaries used for language scoring — one regex
+    * alternation each in the DuckDB oracle, one shared tokenization
+    * pass (`WordSetScores`) here. */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "que", "por", "con", "del"))
+
   /** Language-ID heuristic: stopword-hit scoring per candidate
     * language, CJK-character presence for zh; argmax with a fixed
-    * tie order. A few regexp counts per doc — codegen'd, no UDF. */
+    * tie order. All four dictionaries are scored in a single
+    * tokenization pass (native WordSetScores expression — count
+    * semantics identical to the \b-regex formulation, pinned by
+    * spec). */
   def langIdOf(docs: DataFrame): DataFrame = {
-    val t = lower(col("text"))
-    def hits(pat: String): Column =
-      size(regexp_extract_all(t, lit(pat), lit(0))).cast(LongType)
-    val en = hits("\\b(the|and|of|to|in|is|that|for|with|was)\\b")
-    val de = hits("\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b")
-    val fr = hits("\\b(le|la|les|et|est|une|pour|dans|que|des)\\b")
-    val es = hits("\\b(el|los|las|es|una|para|que|por|con|del)\\b")
+    val scores = graft.functions.native.word_set_scores(
+      lower(col("text")), langDicts.map(_._2))
     val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).cast(LongType)
+    val scored = docs.withColumn("__sc", scores)
+    val en = col("__sc").getItem(0)
+    val de = col("__sc").getItem(1)
+    val fr = col("__sc").getItem(2)
+    val es = col("__sc").getItem(3)
     val best = greatest(en, de, fr, es)
-    docs
+    scored
       .select(col("doc_id"),
         en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
         es.as("score_es"), zh.as("score_zh"),

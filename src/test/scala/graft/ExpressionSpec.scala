@@ -71,6 +71,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
   }
 
+  test("WordSetScores equals the \\b-regex counts, including boundary edge cases") {
+    import graft.operators.TextOps
+    val texts = Seq(
+      "the cat and the dog",           // plain hits
+      "it's the1 lala the_x the",      // boundaries: apostrophe splits, digits/underscore join
+      "THE THE the",                   // caller lowercases
+      "", "   ", "中文 the 中文",        // empty / whitespace / CJK-delimited
+      "a-the-b the,und;von"            // punctuation boundaries
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dicts = TextOps.langDicts.map(_._2)
+    val native = df.select(col("doc_id"),
+      graft.functions.native.word_set_scores(lower(col("text")), dicts).as("sc"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val regex = df.select(col("doc_id"),
+      array(dicts.map(d => size(regexp_extract_all(lower(col("text")),
+        lit("\\b(" + d.mkString("|") + ")\\b"), lit(0))).cast("long")): _*).as("sc"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === regex)
+  }
+
   test("SimHashAgg equals the 64-column conditional-sum formulation") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val words = docs
