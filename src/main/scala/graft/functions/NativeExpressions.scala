@@ -165,6 +165,13 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * words. CodegenFallback: the per-row work is a single char scan. */
 case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  // a dictionary word with a non-ASCII-word character ("für",
+  // "l'eau") can never equal an ASCII token, silently diverging from
+  // the regex formulation — reject at construction instead
+  require(dicts.flatten.forall(_.forall(c =>
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+    (c >= '0' && c <= '9') || c == '_')),
+    "dictionary words must consist of ASCII word characters [A-Za-z0-9_]")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -50,37 +50,35 @@ object Media {
     }
   }
 
-  /** Partition-wise batch decode: binary in, typed metadata out.
-    * `mapPartitions` (not a per-row UDF) so a real decoder initializes
-    * once per partition — the shape that matters at 100 TB. */
+  /** Partition-wise batch decode with an optional pass-through column:
+    * binary in, (typed metadata, extra) out. `mapPartitions` (not a
+    * per-row UDF) so a real decoder initializes once per partition —
+    * the ONE decode loop both public entry points share. */
+  private def decodeWith(media: DataFrame, extra: org.apache.spark.sql.Column): Dataset[(MediaMeta, String)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), extra.as("extra"))
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // real codec: init decoder context here, once per partition
+        rows.map { case (id, kind, payload, x) => (decodeStub(id, kind, payload), x) }
+      }
+  }
+
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "kind", "payload")
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        // real codec: init decoder context here, once per partition
-        rows.map { case (id, kind, payload) => decodeStub(id, kind, payload) }
-      }
+    decodeWith(media, lit("")).map(_._1)
   }
 
   /** Metadata extraction query (rows-only oracle): decoded metadata of
     * every media object plus a payload content hash for dedup — sha
     * computed in the SAME pass as the decode (one corpus scan, no
     * join; the payload is never read twice). */
-  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
-    val m = mediaTable(spark, dir)
-    val sparkSession = m.sparkSession
-    import sparkSession.implicits._
-    m.withColumn("payload_sha", sha2(col("payload"), 256))
-      .select("media_id", "kind", "payload", "payload_sha")
-      .as[(Long, String, Array[Byte], String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, kind, payload, sha) => (decodeStub(id, kind, payload), sha) }
-      }
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    decodeWith(mediaTable(spark, dir), sha2(col("payload"), 256))
       .select(col("_1.*"), col("_2").as("payload_sha"))
       .orderBy("media_id")
-  }
 
   /** Frame-sampling plumbing for video payloads: explode a
     * deterministic every-Nth-frame index list — the downstream shape

@@ -20,10 +20,9 @@ object NearDedup {
     * lambda here would drop the whole column to interpreted eval
     * (~4× slower end-to-end on the dedup pipeline). */
   private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
-    // regex trim (NOT sql trim, which strips only 0x20): a leading tab
-    // would otherwise produce a phantom empty first token and shift
-    // every shingle of the document
-    val words = split(regexp_replace(lower(col("text")), "^\\s+|\\s+$", ""), "\\s+")
+    // regex trim (TextOps.wsTrim): a leading tab would otherwise
+    // produce a phantom empty first token and shift every shingle
+    val words = split(TextOps.wsTrim(lower(col("text"))), "\\s+")
     docs
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
@@ -53,12 +52,21 @@ object NearDedup {
                         numHashes: Int = 64): DataFrame = {
     // out-of-range slices would hash identical EMPTY arrays — every
     // doc colliding with every other, the O(n²) blowup LSH exists to
-    // avoid — so fail fast instead
+    // avoid — so fail fast: on the declared length here, and on the
+    // ACTUAL array length per row (assert_true throws at runtime if a
+    // caller passed signatures shorter than declared)
     require(bands * rowsPerBand <= numHashes,
       s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds signature length $numHashes")
+    // the runtime check feeds the slice length (coalesce of a passing
+    // assert_true is null), so Catalyst cannot prune it away
+    val checkedLen = coalesce(
+      assert_true(size(col("sig")) >= bands * rowsPerBand,
+        lit(s"minhash signature shorter than bands*rowsPerBand (${bands * rowsPerBand})"))
+        .cast(IntegerType),
+      lit(rowsPerBand))
     val banded = sig.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, checkedLen)))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -133,12 +141,17 @@ object NearDedup {
     * 100 TB — and exact verification on the full sets restores
     * precision. */
   def ngramJaccardOf(docs: DataFrame, threshold: Double): DataFrame = {
-    // prefix length n − ⌈t·n⌉ + 1, with an epsilon inside the ceil:
-    // naive floor(n·(1−t))+1 evaluates 1−t in floating point and can
-    // come out one SHORT (e.g. 1−0.8 → 0.1999…96), which would turn
-    // the lossless filter into one with false negatives
-    val prefixLen = (size(col("sorted")) -
-      ceil(size(col("sorted")) * lit(threshold) - lit(1e-9)) + 1).cast(IntegerType)
+    // prefix length n − ⌈t·n⌉ + 1 in EXACT integer arithmetic: the
+    // threshold becomes the rational p/1e6 and ⌈n·p/q⌉ = (n·p+q−1) div q.
+    // Floating point here is how false negatives sneak in — 1−0.8
+    // evaluates to 0.1999…96, and an absolute epsilon fix stops
+    // working once n·t's representation error exceeds it.
+    val p = math.round(threshold * 1000000L)
+    require(math.abs(p / 1e6 - threshold) < 1e-9,
+      s"threshold $threshold must be representable with 6 decimals")
+    // SQL `div` is integral long division — no doubles anywhere
+    val prefixLen = expr(
+      s"cast(__n - ((__n * ${p}L + 999999L) div 1000000L) + 1 as int)")
     // canonical order = ascending GLOBAL FREQUENCY (rarest first,
     // hash as tiebreak): any consistent total order keeps the filter
     // lossless, but frequency order puts the rarest shingles in the
@@ -151,7 +164,7 @@ object NearDedup {
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("fs"))
       .withColumn("s", transform(col("fs"), x => x.getField("shingle")))
       .withColumn("nsh", size(col("s")).cast(LongType))
-      .withColumn("sorted", col("fs"))
+      .withColumn("__n", size(col("fs")).cast(LongType))
       .withColumn("prefix",
         transform(slice(col("fs"), lit(1), prefixLen), x => x.getField("shingle")))
     val indexed = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))

@@ -19,17 +19,25 @@ object Skew {
     * the right side is too big to broadcast but far smaller than the
     * skewed left (the dimension-ish middle ground).
     */
+  /** @param uniqueCol optional left-side column whose values are
+    *                   unique per row: mixed into the salt so even
+    *                   byte-identical duplicate rows of a hot key
+    *                   spread across reducers. Without it the salt is
+    *                   the row-content hash — retry-deterministic
+    *                   (positional ids like monotonically_increasing_id
+    *                   are NOT stable when a shuffled input partition
+    *                   is recomputed, which can duplicate/lose rows on
+    *                   task retry), at the cost of identical duplicate
+    *                   rows landing on one reducer. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 saltFactor: Int = 8): DataFrame = {
+                 saltFactor: Int = 8, uniqueCol: Option[String] = None): DataFrame = {
     require(saltFactor > 1)
-    // deterministic salt: whole-row hash MIXED with the row's position
-    // (monotonically_increasing_id is stable for deterministic input
-    // splits, so retries/speculation agree) — row content alone would
-    // leave byte-identical duplicate rows of a hot key all on one
-    // reducer, defeating the salting entirely.
+    val saltSource = uniqueCol match {
+      case Some(u) => Seq(col(u))
+      case None    => left.columns.map(col).toSeq
+    }
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id() +: left.columns.map(col): _*),
-        lit(saltFactor)).cast("int"))
+      pmod(xxhash64(saltSource: _*), lit(saltFactor)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

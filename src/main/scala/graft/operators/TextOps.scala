@@ -41,8 +41,9 @@ object TextOps {
 
   /** Whitespace tokens of the trimmed text (empty → 0 tokens).
     * Regex trim, not `trim()`: SQL trim strips only 0x20, so a
-    * tab-only document would otherwise count phantom tokens. */
-  private def wsTrim(text: Column): Column =
+    * tab-only document would otherwise count phantom tokens. Shared
+    * with the shingling path (NearDedup). */
+  private[operators] def wsTrim(text: Column): Column =
     regexp_replace(text, "^\\s+|\\s+$", "")
 
   private def wsTokenCount(text: Column): Column =
