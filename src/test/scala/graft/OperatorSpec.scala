@@ -165,6 +165,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash banding rejects signatures shorter than bands*rowsPerBand") {
+    // declared-length check
+    intercept[IllegalArgumentException] {
+      NearDedup.minHashCandidates(spark.emptyDataFrame, bands = 16, rowsPerBand = 8)
+    }
+    // actual-data check: 8-element sigs with the default 16x4 banding
+    // must throw at runtime, not silently collide everything
+    val shortSigs = Seq((1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+                        (2L, Seq(9L, 9L, 9L, 9L, 9L, 9L, 9L, 9L)))
+      .toDF("doc_id", "sig")
+    val ex = intercept[Exception] {
+      NearDedup.minHashCandidates(shortSigs, numHashes = 64).count()
+    }
+    assert(ex.getMessage.contains("signature") || ex.toString.contains("ASSERT"),
+      s"unexpected: $ex")
+  }
+
   test("prefix filter catches a pair at exactly the threshold (FP-length regression)") {
     // Y's shingle set is a subset of X's with jaccard exactly 8/10 =
     // 0.8; a prefix length computed via floor(n*(1-t))+1 in floating
