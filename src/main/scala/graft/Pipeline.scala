@@ -60,7 +60,9 @@ object Pipeline {
   def applyMonthly(spark: SparkSession, updateCsv: String, tablePath: String): Map[String, Long] = {
     val base = spark.read.parquet(tablePath).drop("txn_month")
     val changes = PricePaidCsv.normalized(spark, updateCsv)
-    val merged = CdcMerge.merge(base, changes, "transaction_unique_id", compareCols)
+    // broadcast path: the monthly update is tiny next to the snapshot,
+    // so the merge never shuffles the base (CdcMerge.mergeBroadcast)
+    val merged = CdcMerge.mergeBroadcast(base, changes, "transaction_unique_id", compareCols)
       .cache() // two consumers: stats + snapshot rewrite
     val stats = CdcMerge.stats(merged).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -91,6 +91,76 @@ object CdcMerge {
   def stats(merged: DataFrame): DataFrame =
     merged.groupBy("outcome").agg(count(lit(1)).as("n_rows")).orderBy("outcome")
 
+  /** The small-update merge path: when the change file is broadcastable
+    * (a monthly update vs a 100 TB base), the full-outer formulation
+    * is the wrong plan — it shuffles the ENTIRE base on the key. This
+    * variant never shuffles or re-partitions the base:
+    *
+    *   1. base ⟕ broadcast(changes)      — all in-base outcomes
+    *   2. base ⋉ broadcast(changes)      — matched change keys (small)
+    *   3. changes ⟲ broadcast(matched)   — the missing-key change rows
+    *   4. union of 1 and 3
+    *
+    * Every join builds on the small side; the base is read once,
+    * streamed through, and its partitioning/order is preserved.
+    * Outcome semantics are identical to merge() (spec-pinned). */
+  def mergeBroadcast(base: DataFrame, changes: DataFrame, key: String,
+                     compareCols: Seq[String]): DataFrame = {
+    val b = compareCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__base_$c"))
+    val c = compareCols.foldLeft(changes)((df, x) => df.withColumnRenamed(x, s"__new_$x"))
+    val op = col("record_op")
+    val wasDeleted = col("is_deleted") === "T"
+    val identical = compareCols
+      .map(x => col(s"__new_$x") <=> col(s"__base_$x"))
+      .reduce(_ && _)
+
+    // 1: in-base rows (change present or not) — base never shuffles
+    val inBaseMerged = b.join(broadcast(c), Seq(key), "left")
+      .withColumn("outcome",
+        when(op.isNull && wasDeleted, "unchanged_deleted")
+        .when(op.isNull, "unchanged")
+        .when(wasDeleted && op === "A", "add_but_deleted_and_changed")
+        .when(wasDeleted && op === "C", "change_but_deleted_and_ignored")
+        .when(wasDeleted && op === "D", "delete_but_deleted_and_ignored")
+        .when(op === "A" && identical, "add_but_already_identical_and_ignored")
+        .when(op === "A", "add_but_changed")
+        .when(op === "C" && identical, "change_but_already_identical_and_ignored")
+        .when(op === "C", "change_and_changed")
+        .when(op === "D" && identical, "delete_and_deleted")
+        .when(op === "D", "delete_but_not_identical_and_changed_and_deleted")
+        .otherwise("invalid_op_ignored"))
+    // 2: matched change keys — output bounded by |changes|
+    val matched = b.select(col(key))
+      .join(broadcast(c.select(col(key))), Seq(key), "left_semi")
+    // 3: change rows whose key is NOT in base
+    val missing = c.join(broadcast(matched), Seq(key), "left_anti")
+      .withColumn("outcome",
+        when(op === "A", "add_and_added")
+        .when(op === "C", "change_but_missing_and_added")
+        .when(op === "D", "delete_but_missing_and_ignored")
+        .otherwise("invalid_op_missing_and_ignored"))
+      .withColumn("is_deleted", lit(null).cast("string"))
+    val missingAligned = compareCols.foldLeft(missing)((df, x) =>
+      df.withColumn(s"__base_$x", lit(null).cast(df.schema(s"__new_$x").dataType)))
+
+    val takes = col("outcome").isin(takesNew: _*)
+    val all = inBaseMerged.select(
+      (col(key) +: col("outcome") +: col("is_deleted") +:
+        compareCols.flatMap(x => Seq(col(s"__base_$x"), col(s"__new_$x")))): _*)
+      .unionByName(missingAligned.select(
+        (col(key) +: col("outcome") +: col("is_deleted") +:
+          compareCols.flatMap(x => Seq(col(s"__base_$x"), col(s"__new_$x")))): _*))
+    val withFinal = compareCols.foldLeft(all)((df, x) =>
+      df.withColumn(x, when(takes, col(s"__new_$x")).otherwise(col(s"__base_$x"))))
+      .withColumn("final_deleted",
+        when(col("outcome").isin(endsDeleted: _*), "T")
+        .when(col("outcome") === "add_but_deleted_and_changed", "F")
+        .when(col("is_deleted") === "T", "T").otherwise("F"))
+    withFinal.select(col(key) +: compareCols.map(col) :+
+      col("final_deleted") :+ col("outcome"): _*)
+      .withColumnRenamed("final_deleted", "is_deleted")
+  }
+
   /** Fold a sequence of monthly update files over a base snapshot in
     * order — the reference's month-after-month database maintenance
     * loop (and its rewind/replay notebook), as one composed plan. Each

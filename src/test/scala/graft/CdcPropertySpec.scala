@@ -65,6 +65,34 @@ class CdcPropertySpec extends AnyFunSuite {
     assert(graft.operators.AsOf.join(probe, build, "k", "t", "bt", "ver").count() === 2)
   }
 
+  test("mergeBroadcast produces exactly the same rows as merge on random scenarios") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val keys = (1L to 50L).toSeq
+      val base = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, rnd.nextInt(4).toLong + 1, if (rnd.nextInt(4) == 0) "T" else "F"))
+      val chg = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, Seq("A", "C", "D", "X")(rnd.nextInt(4)), rnd.nextInt(4).toLong + 1))
+      val baseDf = base.toDF("key", "price", "is_deleted")
+      val chgDf = chg.toDF("key", "record_op", "price")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2), r.getString(3)))
+          .sortBy(_._1).toSeq
+      val a = rows(CdcMerge.merge(baseDf, chgDf, "key", Seq("price")))
+      val b = rows(CdcMerge.mergeBroadcast(baseDf, chgDf, "key", Seq("price")))
+      assert(a === b, s"round $round")
+    }
+  }
+
+  test("mergeBroadcast plan does not shuffle the base side") {
+    val base = (1L to 100L).map(k => (k, k * 10, "F")).toDF("key", "price", "is_deleted")
+    val chg = Seq((5L, "C", 999L), (200L, "A", 1L)).toDF("key", "record_op", "price")
+    val plan = CdcMerge.mergeBroadcast(base, chg, "key", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"base side was shuffled:\n$plan")
+  }
+
   test("CdcMerge matches the row-at-a-time reference on random scenarios") {
     val rnd = new scala.util.Random(42)
     for (round <- 1 to 5) {
