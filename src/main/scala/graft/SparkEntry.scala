@@ -37,6 +37,7 @@ object SparkEntry {
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
+    "q_monthly_growth"   -> ReferenceOps.monthlyGrowth _,
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
@@ -274,6 +275,21 @@ object SparkEntry {
          |JOIN nation n ON c.c_nationkey = n.n_nationkey
          |GROUP BY ROLLUP (n_name, strftime(o.o_orderdate, '%Y-%m'))
          |ORDER BY n_name ASC NULLS FIRST, order_month ASC NULLS FIRST""".stripMargin,
+
+    "q_monthly_growth" ->
+      """WITH m AS (
+        | SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  COUNT(*) AS n_orders
+        | FROM orders GROUP BY 1)
+        |SELECT order_month, revenue, n_orders,
+        | lag(revenue) OVER (ORDER BY order_month) AS prev_revenue,
+        | CASE WHEN lag(revenue) OVER (ORDER BY order_month) IS NOT NULL
+        |        AND lag(revenue) OVER (ORDER BY order_month) <> 0
+        |      THEN (CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER (ORDER BY order_month) AS DOUBLE))
+        |           / CAST(lag(revenue) OVER (ORDER BY order_month) AS DOUBLE)
+        | END AS growth_pct
+        |FROM m ORDER BY order_month""".stripMargin,
 
     "q_event_pivot" ->
       """SELECT user_id,

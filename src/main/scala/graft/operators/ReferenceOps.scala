@@ -228,6 +228,27 @@ object ReferenceOps {
         max(col("o_totalprice")).as("p_max"))
       .orderBy("o_orderpriority")
 
+  /** Month-over-month revenue growth — the trend view behind the
+    * reference's "is this month's data complete yet" question. The
+    * global-window lag runs on the PRE-AGGREGATED month series
+    * (bounded cardinality), so the single-partition window is safe at
+    * any input scale. */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("order_month")
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth_pct",
+        when(col("prev_revenue").isNotNull && col("prev_revenue") =!= 0,
+          (col("revenue").cast(DoubleType) - col("prev_revenue").cast(DoubleType)) /
+            col("prev_revenue").cast(DoubleType)))
+      .select("order_month", "revenue", "n_orders", "prev_revenue", "growth_pct")
+      .orderBy("order_month")
+  }
+
   /** Sessionization of the event stream (gaps-and-islands): a new
     * session starts after >30 min of inactivity per series. The
     * analyst-side view of the notification DAG's activity; one window
