@@ -210,6 +210,38 @@ case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): WordSetScores = copy(child = c)
 }
 
+/** Character-class census in one scan: returns
+  * [n_chars, n_alpha (A-Za-z), n_punct (.,;:!?'")] — replacing one
+  * regexp_replace+length pass per class in quality scoring. Counts are
+  * identical to the regex character-class formulation (n_chars counts
+  * code points like SQL length(); the classes themselves are pure
+  * ASCII, unaffected by surrogate pairs). */
+case class CharClassCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    var alpha = 0L
+    var punct = 0L
+    var i = 0
+    val str = s.toString
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+      else if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' ||
+               c == '?' || c == '\'' || c == '"') punct += 1
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, alpha, punct))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharClassCounts = copy(child = c)
+}
+
 /** SimHash as a single typed-imperative aggregate: the per-bit ±1
   * vote tally lives in one int[64] buffer updated in tight JVM code —
   * one aggregation pass instead of 64 separate conditional-sum
@@ -282,4 +314,6 @@ object native {
       SimHashAgg(ExpressionUtils.expression(c)).toAggregateExpression())
   def word_set_scores(c: Column, dicts: Seq[Seq[String]]): Column =
     ExpressionUtils.column(WordSetScores(ExpressionUtils.expression(c), dicts))
+  def char_class_counts(c: Column): Column =
+    ExpressionUtils.column(CharClassCounts(ExpressionUtils.expression(c)))
 }

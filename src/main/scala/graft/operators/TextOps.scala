@@ -68,21 +68,29 @@ object TextOps {
   /** Quality scoring: length, alpha/punct/whitespace ratios, stopword
     * ratio — the standard cheap pre-filters of a training-data
     * pipeline. All single IEEE divisions → deterministic. */
+  /** Quality stopword list, scored via the shared one-pass tokenizer. */
+  private val qualityStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
   def qualityScoreOf(docs: DataFrame): DataFrame = {
-    val t = col("text")
-    val nChars = length(t).cast(DoubleType)
-    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
-    val nPunct = length(regexp_replace(t, "[^.,;:!?'\"]", "")).cast(DoubleType)
-    val nTok = wsTokenCount(t).cast(DoubleType)
-    val nStop = size(regexp_extract_all(lower(t),
-      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast(DoubleType)
-    docs
+    // one char-class census + one tokenization pass per document,
+    // replacing two regexp_replace scans and a regexp_extract_all —
+    // counts identical to the regex formulation (spec + oracle pinned)
+    val cc = graft.functions.native.char_class_counts(col("text"))
+    val stop = graft.functions.native
+      .word_set_scores(lower(col("text")), Seq(qualityStopwords)).getItem(0)
+    val scored = docs.withColumn("__cc", cc)
+    val nChars = col("__cc").getItem(0).cast(DoubleType)
+    val nAlpha = col("__cc").getItem(1).cast(DoubleType)
+    val nPunct = col("__cc").getItem(2).cast(DoubleType)
+    val nTok = wsTokenCount(col("text")).cast(DoubleType)
+    scored
       .select(col("doc_id"),
-        length(t).cast(LongType).as("n_chars"),
-        wsTokenCount(t).cast(LongType).as("n_tokens"),
+        col("__cc").getItem(0).as("n_chars"),
+        wsTokenCount(col("text")).cast(LongType).as("n_tokens"),
         when(nChars > 0, nAlpha / nChars).otherwise(0.0).as("alpha_ratio"),
         when(nChars > 0, nPunct / nChars).otherwise(0.0).as("punct_ratio"),
-        when(nTok > 0, nStop / nTok).otherwise(0.0).as("stopword_ratio"))
+        when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(0.0).as("stopword_ratio"))
       .orderBy("doc_id")
   }
 

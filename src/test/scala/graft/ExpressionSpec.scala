@@ -92,6 +92,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(native === regex)
   }
 
+  test("CharClassCounts equals the regex character-class counts") {
+    val texts = Seq("", "abc DEF 123", "...!?'\"", "中文 mixed, text!", "  \t ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      graft.functions.native.char_class_counts(col("text")).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val regex = df.select(col("doc_id"), array(
+      length(col("text")).cast("long"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"),
+      length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("long")).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === regex)
+  }
+
   test("SimHashAgg equals the 64-column conditional-sum formulation") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val words = docs
