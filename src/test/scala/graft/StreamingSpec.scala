@@ -107,6 +107,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(persisted.head.getAs[Long]("n_events") === 2L)
   }
 
+  test("CDC stream applies micro-batches of change records to the snapshot") {
+    import graft.operators.CdcMerge
+    import graft.streaming.CdcStream
+    implicit val sc = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("cdc_stream").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    // initial snapshot: two live rows
+    val base = Seq(("K1", 100L, ts("2024-01-01 00:00:00"), "F"),
+                   ("K2", 200L, ts("2024-02-01 00:00:00"), "F"))
+      .toDF("k", "price", "transaction_date", "is_deleted")
+    graft.sources.Sinks.writeMonthlySnapshot(base, "transaction_date", table)
+
+    val mem = MemoryStream[(String, String, Long, Timestamp)]
+    val changes = mem.toDF().toDF("k", "record_op", "price", "transaction_date")
+    val q = CdcStream.applyUpdates(changes, table, "k",
+        Seq("price", "transaction_date"))
+      .option("checkpointLocation", ckpt).start()
+    // batch 1: change K1, add K3
+    mem.addData(("K1", "C", 150L, ts("2024-01-01 00:00:00")),
+                ("K3", "A", 300L, ts("2024-03-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 2: delete K2
+    mem.addData(("K2", "D", 200L, ts("2024-02-01 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val fin = spark.read.parquet(table)
+      .select("k", "price", "is_deleted")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(fin === Map("K1" -> ((150L, "F")), "K2" -> ((200L, "T")), "K3" -> ((300L, "F"))))
+  }
+
   test("file-stream pipeline starts and produces the batch-equivalent schema") {
     val stream = EventsPipeline.eventsWindowStream(spark, sf)
     val batch = EventsPipeline.eventsWindowBatch(spark, sf)
