@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the plan shapes §6/§8 of SURVEY.md
+  * claim are asserted here so a future edit can't silently trade a
+  * broadcast for a shuffle or introduce an unintended cross join. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // brute-force scorers intentionally cross-join against a broadcast
+  // query/centroid set
+  private val intentionalCross = Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_lsh")
+
+  test("no unintended cartesian products in any registered query") {
+    for (name <- SparkEntry.queries.keys if !intentionalCross(name)
+         if name != "d_clean_corpus") { // iterative driver loop, checked separately
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join:\n$p")
+    }
+  }
+
+  test("q5 broadcasts every dimension (single fact-fact shuffle)") {
+    val p = planOf("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"a dimension join fell back to shuffle:\n$p")
+  }
+
+  test("ingest pushes filters into the parquet scan") {
+    val p = planOf("q_ingest_clean")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("pricing summary is partial+final aggregation with one data shuffle") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // exchanges: one for the agg, one for the output sort — no more
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("as-of join prunes matches before the ranking window") {
+    assert(planOf("q_asof_order").contains("WindowGroupLimit"))
+  }
+
+  test("ANN queries use the native dot product expression") {
+    assert(planOf("s_ann_topk").contains("dotproductf"))
+    assert(planOf("d_embed_dup").contains("dotproductf"))
+  }
+}
