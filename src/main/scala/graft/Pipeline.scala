@@ -67,28 +67,10 @@ object Pipeline {
     val stats = CdcMerge.stats(merged).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val next = CdcMerge.applied(merged).drop("outcome")
-    // rewrite via temp path: the snapshot can't be overwritten while
-    // it is still the read source of the plan. Swap order keeps a
-    // recovery copy at every step: write .next, move live → .old,
-    // move .next → live, then drop .old — and every rename result is
-    // checked so a failure never reports success with a missing table.
-    val tmp = tablePath + ".next"
-    Sinks.writeMonthlySnapshot(next, "transaction_date", tmp)
+    // rewrite via temp path (the snapshot can't be overwritten while
+    // it is still the read source of the plan) + checked atomic swap
+    Sinks.replaceSnapshot(next, "transaction_date", tablePath)
     merged.unpersist()
-    // resolve the filesystem FROM the table path — FileSystem.get
-    // would return the default FS and operate on the wrong store when
-    // the table lives elsewhere (file: vs hdfs:// vs s3a://)
-    val dst = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
-    fs.delete(old, true)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"snapshot swap: could not move $dst aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.rename(old, dst) // restore
-      throw new java.io.IOException(s"snapshot swap: could not install $tmp")
-    }
-    fs.delete(old, true)
     stats
   }
 

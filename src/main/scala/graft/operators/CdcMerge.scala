@@ -101,9 +101,11 @@ object CdcMerge {
     *   3. changes ⟲ broadcast(matched)   — the missing-key change rows
     *   4. union of 1 and 3
     *
-    * Every join builds on the small side; the base is read once,
-    * streamed through, and its partitioning/order is preserved.
-    * Outcome semantics are identical to merge() (spec-pinned). */
+    * Every join builds on the small side; the base is NEVER shuffled
+    * or re-partitioned. Scan cost: one full-row pass (step 1) plus one
+    * column-pruned key-only pass (step 2) — vs the full shuffle of
+    * every base byte in the full-outer plan. Outcome semantics are
+    * identical to merge() (spec-pinned). */
   def mergeBroadcast(base: DataFrame, changes: DataFrame, key: String,
                      compareCols: Seq[String]): DataFrame = {
     val b = compareCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__base_$c"))

@@ -151,7 +151,7 @@ object NearDedup {
       s"threshold $threshold must be representable with 6 decimals")
     // SQL `div` is integral long division — no doubles anywhere
     val prefixLen = expr(
-      s"cast(__n - ((__n * ${p}L + 999999L) div 1000000L) + 1 as int)")
+      s"cast(nsh - ((nsh * ${p}L + 999999L) div 1000000L) + 1 as int)")
     // canonical order = ascending GLOBAL FREQUENCY (rarest first,
     // hash as tiebreak): any consistent total order keeps the filter
     // lossless, but frequency order puts the rarest shingles in the
@@ -164,7 +164,6 @@ object NearDedup {
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("fs"))
       .withColumn("s", transform(col("fs"), x => x.getField("shingle")))
       .withColumn("nsh", size(col("s")).cast(LongType))
-      .withColumn("__n", size(col("fs")).cast(LongType))
       .withColumn("prefix",
         transform(slice(col("fs"), lit(1), prefixLen), x => x.getField("shingle")))
     val indexed = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))

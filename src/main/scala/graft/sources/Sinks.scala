@@ -23,6 +23,29 @@ object Sinks {
       .partitionBy("txn_month")
       .parquet(path)
 
+  /** Atomically replace the snapshot at `tablePath` with `df`:
+    * write to `<table>.next`, move the live table aside, install, drop
+    * the recovery copy — every rename checked, restore on failure.
+    * The single swap protocol shared by the batch (Pipeline) and
+    * streaming (CdcStream) update paths. */
+  def replaceSnapshot(df: DataFrame, dateCol: String, tablePath: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = tablePath + ".next"
+    writeMonthlySnapshot(df, dateCol, tmp)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"snapshot swap: could not move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // restore
+      throw new java.io.IOException(s"snapshot swap: could not install $tmp")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
   /** Bucketed write for co-located joins: repeated joins on `keyCol`
     * (e.g. reconciliations) read both sides pre-partitioned, no
     * shuffle. Parquet `bucketBy` requires saveAsTable (metastore);

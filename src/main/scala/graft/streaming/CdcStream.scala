@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 import graft.operators.CdcMerge
@@ -10,41 +11,50 @@ import graft.sources.Sinks
 /** The reference's database-updater service as a stream: change
   * records arrive continuously (Kafka in production, any source in
   * tests), and each micro-batch is applied to the snapshot through
-  * the SAME CdcMerge.mergeBroadcast used by the batch path — one
-  * merge semantics for backfill and live data, with the update
-  * cadence controlled by the trigger (the reference's CRON becomes
+  * the SAME CdcMerge used by the batch path — one merge semantics
+  * for backfill and live data, with the update cadence controlled by
+  * the trigger (the reference's CRON becomes
   * `Trigger.ProcessingTime`).
   */
 object CdcStream {
 
   /** Apply each micro-batch of change records to the snapshot at
-    * `tablePath`. The batch is tiny vs the table → broadcast merge,
-    * snapshot swapped atomically per batch (same recovery-copy
-    * protocol as Pipeline.applyMonthly). Returns the writer,
-    * untriggered — caller picks trigger + checkpoint and starts. */
+    * `tablePath`. Returns the writer, untriggered — caller picks
+    * trigger + checkpoint and starts.
+    *
+    * @param seqCol        monotone event-order column (Kafka offset /
+    *                      event id): a continuous feed can carry
+    *                      SEVERAL ops for one key in a batch, and the
+    *                      merge needs exactly one — latest wins.
+    * @param partitionCol  snapshot partition date column.
+    * @param maxBroadcastRows batches above this (catch-up after
+    *                      downtime) fall back to the shuffle merge
+    *                      instead of broadcasting an unbounded batch.
+    */
   def applyUpdates(changes: DataFrame, tablePath: String, key: String,
-                   compareCols: Seq[String]): DataStreamWriter[Row] =
+                   compareCols: Seq[String], seqCol: String,
+                   partitionCol: String = "transaction_date",
+                   maxBroadcastRows: Long = 1000000L): DataStreamWriter[Row] =
     changes.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // latest op per key wins within the batch
+          val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", seqCol)
           val base = spark.read.parquet(tablePath).drop("txn_month")
-          val merged = CdcMerge.mergeBroadcast(base, batch, key, compareCols)
+          val nChanges = latest.count()
+          val merged =
+            if (nChanges <= maxBroadcastRows)
+              CdcMerge.mergeBroadcast(base, latest, key, compareCols)
+            else // catch-up backlog: too big to broadcast safely
+              CdcMerge.merge(base, latest, key, compareCols)
           val next = CdcMerge.applied(merged).drop("outcome")
-          val tmp = tablePath + ".next"
-          Sinks.writeMonthlySnapshot(next, "transaction_date", tmp)
-          val dst = new org.apache.hadoop.fs.Path(tablePath)
-          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
-          fs.delete(old, true)
-          if (!fs.rename(dst, old))
-            throw new java.io.IOException(s"cdc stream batch $batchId: could not move $dst aside")
-          if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-            fs.rename(old, dst)
-            throw new java.io.IOException(s"cdc stream batch $batchId: could not install $tmp")
-          }
-          fs.delete(old, true)
+          Sinks.replaceSnapshot(next, partitionCol, tablePath)
           ()
         }
       }

@@ -18,6 +18,12 @@ class ScaleSpec extends AnyFunSuite {
     val plain = l.join(o, "l_orderkey")
     val salted = Skew.saltedJoin(l, o, "l_orderkey", saltFactor = 4)
     assert(salted.count() === plain.count())
+    // the hot-key-safe variant: mix a unique column into the salt so
+    // even identical duplicate rows spread
+    val saltedU = Skew.saltedJoin(
+      l.withColumn("uid", monotonically_increasing_id()), o, "l_orderkey",
+      saltFactor = 4, uniqueCol = Some("uid"))
+    assert(saltedU.count() === plain.count())
     assert(salted.columns.sorted.sameElements(plain.columns.sorted))
     // checksum equality, order-independent
     def sig(df: org.apache.spark.sql.DataFrame) =

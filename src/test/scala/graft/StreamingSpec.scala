@@ -119,23 +119,26 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("k", "price", "transaction_date", "is_deleted")
     graft.sources.Sinks.writeMonthlySnapshot(base, "transaction_date", table)
 
-    val mem = MemoryStream[(String, String, Long, Timestamp)]
-    val changes = mem.toDF().toDF("k", "record_op", "price", "transaction_date")
+    val mem = MemoryStream[(Long, String, String, Long, Timestamp)]
+    val changes = mem.toDF().toDF("seq", "k", "record_op", "price", "transaction_date")
     val q = CdcStream.applyUpdates(changes, table, "k",
-        Seq("price", "transaction_date"))
+        Seq("price", "transaction_date"), seqCol = "seq")
       .option("checkpointLocation", ckpt).start()
-    // batch 1: change K1, add K3
-    mem.addData(("K1", "C", 150L, ts("2024-01-01 00:00:00")),
-                ("K3", "A", 300L, ts("2024-03-01 00:00:00")))
+    // batch 1: change K1 TWICE (latest wins), add K3
+    mem.addData((1L, "K1", "C", 140L, ts("2024-01-01 00:00:00")),
+                (2L, "K1", "C", 150L, ts("2024-01-01 00:00:00")),
+                (3L, "K3", "A", 300L, ts("2024-03-01 00:00:00")))
     q.processAllAvailable()
     // batch 2: delete K2
-    mem.addData(("K2", "D", 200L, ts("2024-02-01 00:00:00")))
+    mem.addData((4L, "K2", "D", 200L, ts("2024-02-01 00:00:00")))
     q.processAllAvailable()
     q.stop()
 
     val fin = spark.read.parquet(table)
       .select("k", "price", "is_deleted")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // exactly 3 rows — the duplicate K1 op in batch 1 must NOT fork the row
+    assert(spark.read.parquet(table).count() === 3)
     assert(fin === Map("K1" -> ((150L, "F")), "K2" -> ((200L, "T")), "K3" -> ((300L, "F"))))
   }
 
