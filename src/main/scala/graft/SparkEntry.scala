@@ -9,8 +9,13 @@ import graft.streaming.EventsPipeline
   *
   * Column-name + value parity with the DuckDB oracles is part of the
   * contract: every computed column is aliased identically on both
-  * sides, money math is DECIMAL-exact, and single IEEE-double
-  * divisions are the only float ops that reach the output.
+  * sides and money math is DECIMAL-exact internally. FINAL money/
+  * weight columns are cast to DOUBLE on BOTH sides: the value at cast
+  * time is an exact decimal computed identically by both engines, and
+  * decimal→nearest-double is deterministic, so the cast is pure
+  * representation — it aligns what parquet/pandas/DuckDB surface
+  * (fixed-scale Decimal vs float64 was the only r1/r2 hash-mismatch
+  * cause) without weakening the value comparison.
   */
 object SparkEntry {
 
@@ -144,12 +149,12 @@ object SparkEntry {
     s"CASE WHEN length($wsTrimSql) = 0 THEN 0 ELSE len(regexp_split_to_array($wsTrimSql, '\\s+')) END"
 
   private val revenueExpr =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4))"
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
     "q_ingest_clean" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS quantity,
-        | CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         | upper(trim(l_returnflag)) AS return_flag, upper(trim(l_linestatus)) AS line_status,
         | CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
@@ -157,7 +162,7 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_subset_period" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
         | CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
         |FROM orders
         |WHERE o_orderstatus = 'F'
@@ -167,9 +172,9 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -184,7 +189,7 @@ object SparkEntry {
     "q_delay_normalized" -> (delayCte +
       """, v AS (SELECT order_date, COUNT(*) AS day_volume FROM d GROUP BY order_date)
         |SELECT d.delay_days,
-        | CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / v.day_volume AS DECIMAL(18,12))) AS DECIMAL(18,12)) AS weight
+        | CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / v.day_volume AS DECIMAL(18,12))) AS DOUBLE) AS weight
         |FROM d JOIN v USING (order_date) GROUP BY d.delay_days ORDER BY d.delay_days""".stripMargin),
 
     "q_file_decision" -> (fileDecisionCte +
@@ -209,7 +214,7 @@ object SparkEntry {
     "q_upload_stats" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_transactions,
         | MIN(CAST(l_shipdate AS DATE)) AS min_ship_date, MAX(CAST(l_shipdate AS DATE)) AS max_ship_date,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem""".stripMargin,
 
     "q_reconcile" ->
@@ -227,9 +232,9 @@ object SparkEntry {
 
     "q_cdc_merge" -> (cdcCte +
       """SELECT o_orderkey,
-        | CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
+        | CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
         |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
-        |      THEN new_price ELSE base_price END AS price,
+        |      THEN new_price ELSE base_price END AS DOUBLE) AS price,
         | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
         |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
         |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted,
@@ -244,7 +249,7 @@ object SparkEntry {
         | SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS BIGINT) AS price_rank,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
         |WHERE price_rank <= 3 ORDER BY o_custkey, price_rank""".stripMargin,
 
@@ -279,7 +284,7 @@ object SparkEntry {
     "q_monthly_growth" ->
       """WITH m AS (
         | SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_orders
         | FROM orders GROUP BY 1)
         |SELECT order_month, revenue, n_orders,
@@ -309,7 +314,7 @@ object SparkEntry {
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessions" ->
@@ -332,7 +337,8 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY e.event_id
         |          ORDER BY o.order_date DESC, o.o_orderkey DESC) AS rn
         |      FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.order_date <= e.event_date)
-        |SELECT event_id, user_id, o_orderkey, total_price FROM j WHERE rn = 1
+        |SELECT event_id, user_id, o_orderkey, CAST(total_price AS DOUBLE) AS total_price
+        |FROM j WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 
     "d_dedup_exact" ->

@@ -54,7 +54,8 @@ object AsOf {
         to_date(col("o_orderdate")).as("order_date"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("total_price"))
     join(e, o, "user_id", "event_date", "order_date", "o_orderkey")
-      .select("event_id", "user_id", "o_orderkey", "total_price")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("total_price").cast(DoubleType).as("total_price"))
       .orderBy("event_id")
   }
 }

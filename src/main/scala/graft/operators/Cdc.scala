@@ -79,9 +79,13 @@ object Cdc {
       changeSet(spark, dir).withColumnRenamed("new_price", "price"),
       key = "o_orderkey", compareCols = Seq("price"))
 
-  /** The post-update table (delete-but-missing rows never existed). */
+  /** The post-update table (delete-but-missing rows never existed).
+    * Internal merge math is decimal-exact; the final price column is
+    * surfaced as DOUBLE (see ReferenceOps output-representation note). */
   def mergeResult(spark: SparkSession, dir: String): DataFrame =
-    CdcMerge.applied(merged(spark, dir)).orderBy("o_orderkey")
+    CdcMerge.applied(merged(spark, dir))
+      .withColumn("price", col("price").cast(DoubleType))
+      .orderBy("o_orderkey")
 
   /** Operation statistics ≈ the updater's operation-log table. */
   def mergeStats(spark: SparkSession, dir: String): DataFrame =

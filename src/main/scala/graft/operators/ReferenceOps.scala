@@ -11,11 +11,22 @@ import graft.sources.Tables
   * through DECIMAL so aggregate results are exact and independent of
   * partition/merge order — a requirement for bit-identical results on
   * a 1000-executor cluster vs the single-node oracle.
+  *
+  * Output representation: internal money math stays DECIMAL-exact, but
+  * FINAL money/weight columns are surfaced as DOUBLE. The values are
+  * exact decimals at cast time, and decimal→nearest-double is the same
+  * deterministic function in every engine, so the conversion loses no
+  * comparability — while parquet/pandas/DuckDB all agree on the dumped
+  * representation (fixed-scale Decimal vs float64 was the one source
+  * of oracle hash mismatches in rounds 1-2).
   */
 object ReferenceOps {
   /** DECIMAL(18,2) cast: exact money arithmetic (ref stores price as
     * integer pounds; lib_dataframe.py 'price' column). */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact-decimal money value surfaced as DOUBLE for output. */
+  private def money2(c: Column): Column = dec2(c).cast(DoubleType)
 
   /** Typed ingest/normalization of the transaction fact table — the
     * Spark analog of the reference's CSV→typed-frame step
@@ -25,7 +36,7 @@ object ReferenceOps {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("quantity"),
-        dec2(col("l_extendedprice")).as("price"),
+        money2(col("l_extendedprice")).as("price"),
         upper(trim(col("l_returnflag"))).as("return_flag"),
         upper(trim(col("l_linestatus"))).as("line_status"),
         to_date(col("l_shipdate")).as("ship_date"))
@@ -39,7 +50,7 @@ object ReferenceOps {
       .filter(col("o_orderstatus") === "F" &&
         to_date(col("o_orderdate")).between("1994-01-01", "1995-12-31") &&
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("total_price"),
+      .select(col("o_orderkey"), col("o_custkey"), money2(col("o_totalprice")).as("total_price"),
         to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
       .orderBy("o_orderkey")
 
@@ -50,10 +61,10 @@ object ReferenceOps {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
         sum(dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -96,7 +107,7 @@ object ReferenceOps {
       .select(col("delay_days"),
         (lit(1.0) / col("day_volume")).cast(DecimalType(18, 12)).as("w"))
       .groupBy("delay_days")
-      .agg(sum(col("w")).cast(DecimalType(18, 12)).as("weight"))
+      .agg(sum(col("w")).cast(DoubleType).as("weight"))
       .orderBy("delay_days")
   }
 
@@ -161,7 +172,7 @@ object ReferenceOps {
         countDistinct(col("l_orderkey")).as("n_transactions"),
         min(to_date(col("l_shipdate"))).as("min_ship_date"),
         max(to_date(col("l_shipdate"))).as("max_ship_date"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("total_price"))
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("total_price"))
 
   /** Reconciliation: count rows in-database-only / in-file-only /
     * in-both, matching on the full row (database_verify.py:160-236).
@@ -200,7 +211,7 @@ object ReferenceOps {
       .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .rollup(col("n_name"), col("order_month"))
-      .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("revenue"),
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name").asc_nulls_first, col("order_month").asc_nulls_first)
   }
@@ -236,7 +247,7 @@ object ReferenceOps {
   def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
-      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"),
+      .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_orders"))
     val w = Window.orderBy("order_month")
     monthly
@@ -277,7 +288,7 @@ object ReferenceOps {
       .withColumn("running_total",
         sum(dec2(col("o_totalprice")))
           .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(18, 2)))
+          .cast(DoubleType))
       .filter(col("price_rank") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("price_rank"), col("running_total"))
       .orderBy("o_custkey", "price_rank")
@@ -293,7 +304,7 @@ object ReferenceOps {
       (dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
         .as("rev"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .groupBy("o_custkey").agg(sum(col("rev")).cast(DecimalType(18, 4)).as("revenue"))
+      .groupBy("o_custkey").agg(sum(col("rev")).cast(DoubleType).as("revenue"))
       .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -319,7 +330,7 @@ object ReferenceOps {
         col("l_suppkey") === s("s_suppkey") && col("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .groupBy("n_name").agg(sum(col("rev")).cast(DecimalType(18, 4)).as("revenue"))
+      .groupBy("n_name").agg(sum(col("rev")).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 }

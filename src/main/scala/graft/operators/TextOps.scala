@@ -112,8 +112,15 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Driver-contract view of the fingerprints: scalar columns only —
+    * the winnow set is folded to one xxhash64 value so downstream
+    * tabular consumers (parquet→pandas compare) never see a raw array
+    * cell. Library users wanting the set itself use fingerprintsOf. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprintsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("content_hash64"), col("n_fps"),
+        xxhash64(col("winnow_fps")).as("fps_hash"))
+      .orderBy("doc_id")
 
   /** The stopword dictionaries used for language scoring — one regex
     * alternation each in the DuckDB oracle, one shared tokenization

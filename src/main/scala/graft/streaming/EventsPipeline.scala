@@ -28,7 +28,9 @@ object EventsPipeline {
     val e = if (withWatermark) events.withWatermark("ts", "2 hours") else events
     e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("total_value"))
+        // decimal-exact sum (stream/batch/cluster bit-agreement),
+        // surfaced as DOUBLE in the output representation
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
   }

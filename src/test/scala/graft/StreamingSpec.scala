@@ -36,7 +36,7 @@ class StreamingSpec extends AnyFunSuite {
     val click = rows.find(_.getString(1) == "click").get
     assert(click.getTimestamp(0) === ts("2024-01-01 10:00:00"))
     assert(click.getLong(2) === 2L)
-    assert(click.getDecimal(3).doubleValue() === 4.0)
+    assert(click.getDouble(3) === 4.0)
     assert(rows.find(_.getString(1) == "view").get.getLong(2) === 1L)
   }
 

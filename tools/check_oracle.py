@@ -59,6 +59,14 @@ def main(sfdir, outdir):
         bad = []
         for c in s.columns:
             sv, dv = s[c], d[c]
+            # representation gate (mirrors the driver's hash, which is
+            # sensitive to dtype: Decimal('1.00') vs float64 1.0 compare
+            # equal numerically but hash differently) — a float column on
+            # one side must be a float column on the other
+            if (sv.dtype.kind == 'f') != (dv.dtype.kind == 'f'):
+                bad.append((c, f"dtype mismatch spark={sv.dtype} duck={dv.dtype} "
+                               "(driver hash would fail even if values match)"))
+                continue
             try:
                 if sv.dtype.kind == 'f' or dv.dtype.kind == 'f':
                     eq = (sv.astype(float).values == dv.astype(float).values) | (sv.isna().values & dv.isna().values)
