@@ -55,7 +55,11 @@ object SparkEntry {
     "d_dedup_minhash"    -> ((s: SparkSession, dir: String) => NearDedup.minHashDedup(s, dir)),
     "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
+    // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
+    // … and the banded-LSH variant — the plan that survives 100×
+    "d_embed_dup_lsh"    -> ((s: SparkSession, dir: String) =>
+      SimilarityOps.embedDupPairs(s, dir, useLsh = true)),
     "d_clean_corpus"     -> ((s: SparkSession, dir: String) =>
       NearDedup.cleanCorpus(graft.sources.Tables.documents(s, dir))),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),

@@ -33,26 +33,35 @@ object SimilarityOps {
 
   /** Near-duplicate pairs above a cosine threshold.
     *
-    * Scale note: with `useLsh` the all-pairs comparison is bounded by
-    * random-hyperplane buckets and only colliding vectors are
-    * compared — the 100 TB path (approximate: a pair split across
-    * buckets is missed, the price of sub-quadratic work). Without it
-    * the join is the exact quadratic baseline the oracle reproduces.
+    * Scale note: with `useLsh` candidate generation goes through the
+    * banded hyperplane tables (`lshBandBucketsOf`) and only vectors
+    * colliding in SOME band are compared — the 100 TB path
+    * (approximate: a pair split across buckets in every band is
+    * missed; with B bands of P planes a pair at angle θ survives with
+    * probability 1−(1−(1−θ/π)^P)^B, ≈1 for near-duplicates). Without
+    * it the join is the exact quadratic baseline the oracle
+    * reproduces — correct at small SF, a cost cliff at 100×.
     * Norms are computed ONCE per vector before the pair join, so the
     * join itself does a single dot product per pair. Only ids are
     * emitted → float-precision-robust output. */
-  def embedDupPairsOf(v0: DataFrame, threshold: Double, useLsh: Boolean): DataFrame = {
+  def embedDupPairsOf(v0: DataFrame, threshold: Double, useLsh: Boolean,
+                      nBands: Int = 16, nPlanes: Int = 4): DataFrame = {
     val v = v0.withColumn("nrm", norm(col("embedding")))
     val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     val pairs =
       if (useLsh) {
-        val bk = lshBucketsOf(v0, nPlanes = 8).select("vec_id", "bucket")
-        a.join(bk.withColumnRenamed("vec_id", "id_a"), "id_a")
-          .join(b.join(bk.withColumnRenamed("vec_id", "id_b"), "id_b"), "bucket")
-      } else a.crossJoin(b)
+        // candidate ids first (distinct), embeddings attached after —
+        // the verify join touches each surviving pair once
+        val bk = lshBandBucketsOf(v0, nBands, nPlanes)
+        val x = bk.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+        val y = bk.select(col("vec_id").as("id_b"), col("band"), col("bucket"))
+        x.join(y, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .join(a, "id_a").join(b, "id_b")
+      } else a.crossJoin(b).filter(col("id_a") < col("id_b"))
     pairs
-      .filter(col("id_a") < col("id_b"))
       .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) > threshold)
       .select("id_a", "id_b").distinct()
       .orderBy("id_a", "id_b")
@@ -107,17 +116,55 @@ object SimilarityOps {
   def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame =
     lshBucketsOf(vecs(spark, dir), nPlanes)
 
-  /** ANN via LSH: score only candidates sharing the query's bucket
-    * (single-probe). Recall is partial by construction; the spec
-    * checks recall on planted clusters. */
-  def annLshOf(v0: DataFrame, nQueries: Int, k: Int, nPlanes: Int): DataFrame = {
-    val b = lshBucketsOf(v0, nPlanes)
-    val q = b.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    b.join(broadcast(q), "bucket")
+  /** Banded hyperplane signatures: `nBands` INDEPENDENT hash tables of
+    * `nPlanes` sign bits each, one output row per (vec, band). Two
+    * vectors are candidates if they share a bucket in ANY band —
+    * multi-probe recall without enumerating hamming-adjacent buckets:
+    * P(candidate | angle θ) = 1−(1−(1−θ/π)^nPlanes)^nBands. Fewer
+    * planes per band trades candidate volume for recall; more bands
+    * buy recall at linear cost. Same banding idiom as the MinHash and
+    * SimHash paths (NearDedup). All nBands·nPlanes dot products run in
+    * one corpus pass. */
+  def lshBandBucketsOf(v0: DataFrame, nBands: Int, nPlanes: Int): DataFrame = {
+    val planeComp = (p: Int, i: Column) =>
+      (pmod(xxhash64(lit(p), i), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
+    val dim = size(col("embedding"))
+    val bucketOf = (band: Int) =>
+      (0 until nPlanes).map { j =>
+        val plane = band * nPlanes + j
+        val d = aggregate(
+          zip_with(col("embedding"), sequence(lit(0), dim - 1),
+            (x, i) => x.cast(DoubleType) * planeComp(plane, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, 1L << j).otherwise(0L)
+      }.reduce(_ + _)
+    v0.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(bucketOf): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** ANN via banded LSH: candidates are vectors sharing a bucket with
+    * the query in any band; only candidates are scored. The
+    * (nBands, nPlanes) dial sets the probed corpus fraction — the
+    * defaults are sized for weakly-clustered corpora (recall@10 ≈ 0.9
+    * on the near-isotropic test embeddings at ~2/3 corpus probed);
+    * strongly-clustered real corpora reach the same recall with far
+    * fewer/narrower tables. Recall floor vs the brute-force oracle is
+    * asserted in OperatorSpec. */
+  def annLshOf(v0: DataFrame, nQueries: Int, k: Int,
+               nBands: Int = 16, nPlanes: Int = 4): DataFrame = {
+    val bk = lshBandBucketsOf(v0, nBands, nPlanes)
+    val qb = bk.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+    val cand = bk.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "vec_id").distinct()
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(v, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
@@ -125,7 +172,7 @@ object SimilarityOps {
   }
 
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame =
-    annLshOf(vecs(spark, dir), nQueries, k, nPlanes = 8)
+    annLshOf(vecs(spark, dir), nQueries, k)
 
   /** IVF cell assignment: `kCells` coarse centroids (deterministic
     * seed vectors — the first kCells corpus vectors; a k-means refine

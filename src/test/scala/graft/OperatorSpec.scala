@@ -85,27 +85,53 @@ class OperatorSpec extends AnyFunSuite {
 
   test("ann LSH finds planted near-identical neighbors") {
     // two tight clusters + noise: vectors 0-4 ≈ e1, vectors 10-14 ≈ e2.
-    // Near-identical vectors land in the same hyperplane bucket, so
-    // single-probe LSH must recover the planted cluster-mates.
+    // Near-identical vectors agree on every sign bit, so they collide
+    // in EVERY band and the cluster-mates must all be recovered.
     def v(base: Int, jitter: Float) =
       Array.tabulate(8)(i => (if (i == base) 1.0f else 0.0f) + (if (i == 7) jitter else 0f))
     val rows = (0 until 5).map(i => (i.toLong, v(0, i * 0.01f))) ++
                (10 until 15).map(i => (i.toLong, v(1, (i - 10) * 0.01f)))
     val df = rows.toDF("vec_id", "embedding")
-    val lsh = SimilarityOps.annLshOf(df, nQueries = 1, k = 4, nPlanes = 4)
+    val lsh = SimilarityOps.annLshOf(df, nQueries = 1, k = 4, nBands = 4, nPlanes = 4)
       .select("neighbor_id").as[Long].collect().toSet
     assert(lsh === Set(1L, 2L, 3L, 4L), s"expected cluster-mates of query 0, got $lsh")
   }
 
-  test("ann LSH subset property: LSH neighbors score no better than brute-force top-k") {
-    val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 3, k = 10)
+  test("ann banded-LSH meets the recall@10 floor vs brute-force top-k") {
+    // the real test embeddings are near-isotropic (top-10 cosines
+    // ~0.25-0.4) — the hardest case for hyperplane LSH — so clearing
+    // the 0.6 floor here means clustered production corpora clear it
+    // with far smaller tables
+    val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 5, k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = SimilarityOps.annLsh(spark, sf, nQueries = 3, k = 10)
+    val lsh = SimilarityOps.annLsh(spark, sf, nQueries = 5, k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
-    assert(lsh.nonEmpty)
-    // weak-cluster real data: just require the mechanism returns valid,
-    // deduplicated ranked candidates per query
     assert(lsh.distinct.length === lsh.length)
+    val recall = (lsh.toSet & brute).size.toDouble / brute.size
+    assert(recall >= 0.6,
+      s"banded-LSH recall@10 $recall below floor (${(lsh.toSet & brute).size}/${brute.size})")
+  }
+
+  test("banded-LSH embedding dedup recovers planted near-duplicate pairs") {
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    // ids 100-109 are near-identical copies of vectors 0-9
+    val dups = (0 until 10).map { i =>
+      val v = base(i)._2.clone(); v(0) = v(0) + 0.01f
+      ((100 + i).toLong, v)
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val found = SimilarityOps.embedDupPairsOf(df, threshold = 0.9, useLsh = true)
+      .as[(Long, Long)].collect().toSet
+    val recall = (found & planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"planted recall $recall, missing ${planted -- found}")
+    // LSH is a filter, never an inventor: every pair it reports must
+    // also pass the exact quadratic baseline
+    val exact = SimilarityOps.embedDupPairsOf(df, threshold = 0.9, useLsh = false)
+      .as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
   }
 
   test("as-of join picks the latest build row at or before each probe time") {

@@ -12,8 +12,9 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   // brute-force scorers intentionally cross-join against a broadcast
-  // query/centroid set
-  private val intentionalCross = Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_lsh")
+  // query/centroid set (s_ann_lsh and d_embed_dup_lsh are NOT here:
+  // their banded bucket joins must stay equi-joins)
+  private val intentionalCross = Set("d_embed_dup", "s_ann_topk", "s_ann_ivf")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
@@ -50,5 +51,6 @@ class PlanSpec extends AnyFunSuite {
   test("ANN queries use the native dot product expression") {
     assert(planOf("s_ann_topk").contains("dotproductf"))
     assert(planOf("d_embed_dup").contains("dotproductf"))
+    assert(planOf("d_embed_dup_lsh").contains("dotproductf"))
   }
 }

@@ -32,10 +32,11 @@ class QueriesSpec extends AnyFunSuite {
     test(s"$name runs and returns a schema with rows") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
-      // d_embed_dup legitimately returns 0 rows at sf0.001 (no pair
-      // above threshold in the tiny sample); everything else must
-      // produce data.
-      if (name != "d_embed_dup") assert(df.count() > 0, s"$name returned 0 rows")
+      // the embed-dup variants legitimately return 0 rows at sf0.001
+      // (no pair above threshold in the tiny sample); everything else
+      // must produce data.
+      if (!Set("d_embed_dup", "d_embed_dup_lsh")(name))
+        assert(df.count() > 0, s"$name returned 0 rows")
       else assert(df.count() >= 0)
     }
   }
