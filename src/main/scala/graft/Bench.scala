@@ -15,14 +15,21 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case _: Throwable => false }
     // steady-state: one untimed warmup pass (JIT, codegen, parquet
-    // footers), then the timed pass in stable sorted order.
+    // footers), then timed passes in stable sorted order. Single-pass
+    // numbers swing up to 4x run-to-run on a shared box, so each query
+    // reports the median of 3 timed passes — stable enough to police a
+    // 2x performance gate.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = run(fn)
-      // a failing query must not masquerade as a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = run(fn)
+        // a failing query must not masquerade as a fast success
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(passes / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

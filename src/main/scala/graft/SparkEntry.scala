@@ -37,6 +37,7 @@ object SparkEntry {
     "q_delay_binned"     -> ReferenceOps.delayBinned _,
     "q_upload_stats"     -> ReferenceOps.uploadStats _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
+    "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
     "q_cdc_stats"        -> Cdc.mergeStats _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
@@ -233,6 +234,23 @@ object SparkEntry {
         |       COUNT(CASE WHEN fk IS NULL THEN 1 END) AS n_database_only,
         |       COUNT(CASE WHEN dk IS NULL THEN 1 END) AS n_file_only
         |FROM m""".stripMargin,
+
+    "q_reconcile_fixup" ->
+      """WITH db AS (
+        |  SELECT o_orderkey AS k,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CASE WHEN o_orderkey % 37 = 0 THEN 5 ELSE 0 END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 31 <> 0),
+        |f AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |      FROM orders WHERE o_orderkey % 41 <> 0),
+        |fo AS (SELECT k, p AS p_new FROM f
+        |       WHERE NOT EXISTS (SELECT 1 FROM db WHERE db.k = f.k AND db.p = f.p)),
+        |m AS (SELECT COALESCE(db.k, fo.k) AS k, db.p AS p, fo.p_new AS p_new
+        |      FROM db FULL OUTER JOIN fo ON db.k = fo.k)
+        |SELECT k, CAST(COALESCE(p_new, p) AS DOUBLE) AS price,
+        |  CASE WHEN p IS NULL THEN 'inserted'
+        |       WHEN p_new IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS fix_action
+        |FROM m ORDER BY k""".stripMargin,
 
     "q_cdc_merge" -> (cdcCte +
       """SELECT o_orderkey,

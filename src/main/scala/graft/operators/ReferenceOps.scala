@@ -174,11 +174,11 @@ object ReferenceOps {
         max(to_date(col("l_shipdate"))).as("max_ship_date"),
         sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("total_price"))
 
-  /** Reconciliation: count rows in-database-only / in-file-only /
-    * in-both, matching on the full row (database_verify.py:160-236).
-    * Realized as one full-outer join on (key, price) — a single
-    * shuffle, no driver-side merge. */
-  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+  /** Synthesized database/file pair for the reconcile workloads: the
+    * "database" drops every 31st key and perturbs every 37th price;
+    * the "file" drops every 41st key — deterministic divergence in
+    * both directions, as in the reference's verify scenario. */
+  private def reconcileSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, dir)
     val db = o.filter(col("o_orderkey") % 31 =!= 0)
       .select(col("o_orderkey").as("k"),
@@ -186,12 +186,43 @@ object ReferenceOps {
           when(col("o_orderkey") % 37 === 0, 5).otherwise(0)).cast(DecimalType(18, 2)).as("p"))
     val file = o.filter(col("o_orderkey") % 41 =!= 0)
       .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("p"))
+    (db, file)
+  }
+
+  /** Reconciliation: count rows in-database-only / in-file-only /
+    * in-both, matching on the full row (database_verify.py:160-236).
+    * Realized as one full-outer join on (key, price) — a single
+    * shuffle, no driver-side merge. */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val (db, file) = reconcileSides(spark, dir)
     db.withColumn("in_db", lit(1))
       .join(file.withColumn("in_file", lit(1)), Seq("k", "p"), "full_outer")
       .agg(
         count(when(col("in_db") === 1 && col("in_file") === 1, 1)).as("n_both"),
         count(when(col("in_file").isNull, 1)).as("n_database_only"),
         count(when(col("in_db").isNull, 1)).as("n_file_only"))
+  }
+
+  /** Reconcile fix-up — the reference's `function_fix_database`
+    * (land_registry_database_verify.py:296+): every file-side row with
+    * no full-row match in the database is applied back per key —
+    * UPDATE where the key exists with different values, INSERT where
+    * it is missing; database rows the file doesn't contradict are
+    * kept. The reference loops per-row over Postgres; here it is two
+    * distributed joins — a full-row anti-join to isolate the
+    * fix list, then one keyed full-outer merge where the file side
+    * wins — so the same plan repairs a 100 TB store. */
+  def reconcileFixUp(spark: SparkSession, dir: String): DataFrame = {
+    val (db, file) = reconcileSides(spark, dir)
+    val fixList = file.join(db, Seq("k", "p"), "left_anti")
+      .withColumnRenamed("p", "p_new")
+    db.join(fixList, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("p_new"), col("p")).cast(DoubleType).as("price"),
+        when(col("p").isNull, "inserted")
+          .when(col("p_new").isNull, "kept")
+          .otherwise("updated").as("fix_action"))
+      .orderBy("k")
   }
 
   /** Rollup revenue by nation × order-month with subtotal rows — the

@@ -25,28 +25,45 @@ object PricePaidCsv {
     "street", "locality", "town_city", "district", "county",
     "ppd_cat", "record_op")
 
-  val schema: StructType = StructType(
-    columns.map {
+  /** Historical monthly files predate the ppd_cat column — 15 columns,
+    * same order otherwise (lib_dataframe.py:21
+    * df_pp_monthly_update_columns_no_ppd_cat). */
+  val columnsNoPpdCat: Seq[String] = columns.filterNot(_ == "ppd_cat")
+
+  private def schemaOf(cols: Seq[String]): StructType = StructType(
+    cols.map {
       case "price" => StructField("price", LongType, nullable = true)
       case c => StructField(c, StringType, nullable = true)
     } :+ StructField("_corrupt", StringType, nullable = true))
 
-  /** Raw typed read of a pp-complete / pp-monthly-update file. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(schema)
+  val schema: StructType = schemaOf(columns)
+  val schemaNoPpdCat: StructType = schemaOf(columnsNoPpdCat)
+
+  /** Raw typed read of a pp-complete / pp-monthly-update file.
+    * `hasPpdCat = false` selects the 15-column historical layout; the
+    * output schema is identical either way (ppd_cat null for
+    * historical files), so a mixed-era backfill unions cleanly. */
+  def read(spark: SparkSession, path: String, hasPpdCat: Boolean = true): DataFrame = {
+    val raw = spark.read
+      .schema(if (hasPpdCat) schema else schemaNoPpdCat)
       .option("header", "false")
       .option("quote", "\"")
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
+    if (hasPpdCat) raw
+    else raw.select(columns.map {
+      case "ppd_cat" => lit(null).cast(StringType).as("ppd_cat")
+      case c => col(c)
+    } :+ col("_corrupt"): _*)
+  }
 
   /** Normalized frame: parsed date, trimmed categorical columns —
     * the typed-ingest step the reference does per download
     * (database_verify.py format_dataframe). */
-  def normalized(spark: SparkSession, path: String): DataFrame =
-    read(spark, path)
+  def normalized(spark: SparkSession, path: String, hasPpdCat: Boolean = true): DataFrame =
+    read(spark, path, hasPpdCat)
       .filter(col("_corrupt").isNull)
       .drop("_corrupt")
       .withColumn("transaction_date",

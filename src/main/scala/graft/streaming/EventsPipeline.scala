@@ -50,6 +50,57 @@ object EventsPipeline {
     windowedAgg(Tables.eventsFromRaw(stream), withWatermark = true)
   }
 
+  /** JSON payload schema of an event on the wire — the producer
+    * contract of the reference's notification topics
+    * (lib_land_registry_data/lib_kafka.py create_producer/consumer:
+    * JSON-serialized dicts on a named topic). */
+  val eventJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  /** The Kafka source options the production binding uses — the Spark
+    * analog of the reference's consumer config (lib_kafka.py
+    * create_consumer: bootstrap servers, topic subscription, earliest
+    * auto-offset-reset; group-id/commit management is replaced by
+    * Spark's checkpointed offsets). `failOnDataLoss=false` matches the
+    * reference's tolerance of compacted/expired notification topics;
+    * maxOffsetsPerTrigger bounds each micro-batch so one huge backlog
+    * replay cannot OOM an executor. */
+  def kafkaOptions(bootstrap: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "failOnDataLoss" -> "false",
+    "maxOffsetsPerTrigger" -> "1000000")
+
+  /** Production streaming entry: the same windowed aggregate over a
+    * Kafka topic (`readStream.format("kafka")`) — value is the
+    * JSON-serialized event, as produced by the reference's
+    * lib_kafka.py producers. Malformed payloads parse to null and are
+    * dropped (corrupt-tolerant like the CSV ingest). No broker exists
+    * in the test sandbox, so the spec pins the options contract and
+    * the parse transform; the plan is otherwise identical to
+    * eventsWindowStream. */
+  def eventsWindowKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .options(kafkaOptions(bootstrap, topic))
+      .load()
+    windowedAgg(parseKafkaEvents(raw), withWatermark = true)
+  }
+
+  /** value-bytes → typed event rows; shared by the Kafka entry and its
+    * broker-less spec (which feeds the same binary-value shape from a
+    * MemoryStream). */
+  def parseKafkaEvents(kafkaRows: DataFrame): DataFrame =
+    kafkaRows
+      .select(from_json(col("value").cast(StringType), eventJsonSchema).as("e"))
+      .select("e.*")
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+
   /** The data-decision service as a stateful stream: for each file
     * series (key), compare the incoming content hash with the LAST
     * hash seen — archive if different/new, garbage_collect if same —

@@ -33,6 +33,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(resurrected.filter(col("is_deleted") =!= "F").count() === 0)
   }
 
+  test("reconcile fix-up: file side wins per key — update, insert, keep") {
+    val out = ReferenceOps.reconcileFixUp(spark, sf)
+    val actions = out.select("k", "fix_action").as[(Long, String)].collect().toMap
+    actions.foreach { case (k, a) =>
+      // db drops %31 keys + perturbs %37 prices; file drops %41 keys —
+      // so the file contradicts exactly the perturbed and missing keys
+      val expected =
+        if (k % 41 == 0) "kept" // not in file → nothing to apply
+        else if (k % 31 == 0) "inserted"
+        else if (k % 37 == 0) "updated"
+        else "kept"
+      assert(a === expected, s"k=$k")
+    }
+    // repaired rows carry the FILE's price (the unperturbed total)
+    val truth = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("double").as("file_price"))
+    val fixedWrong = out.filter(col("fix_action").isin("updated", "inserted"))
+      .join(truth, "k").filter(col("price") =!= col("file_price"))
+    assert(fixedWrong.count() === 0)
+  }
+
   test("file decision: first file of a series is always archived") {
     val first = ReferenceOps.fileDecision(spark, sf)
       .withColumn("rn", row_number().over(

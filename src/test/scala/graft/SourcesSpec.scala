@@ -42,6 +42,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.schema("transaction_date").dataType.typeName === "date")
   }
 
+  test("15-column historical layout (no ppd_cat) normalizes to the same schema") {
+    val dir = Files.createTempDirectory("ppold").toFile
+    val f = new java.io.File(dir, "pp-monthly-update-historical.txt")
+    // same rows as writeSample() minus the ppd_cat field
+    val rows = Seq(
+      """"{8C16F3A0-0001-4D45-E053-6B04A8C0F3A0}","250000","2024-01-15 00:00","SW1A 1AA","F","N","L","10","FLAT 2","DOWNING STREET","","LONDON","WESTMINSTER","GREATER LONDON","A"""",
+      """"{8C16F3A0-0002-4D45-E053-6B04A8C0F3A0}","185000","2024-02-01 00:00","M1 2AB","T","Y","F","22","","OXFORD ROAD","","MANCHESTER","MANCHESTER","GREATER MANCHESTER","C"""")
+    Files.write(f.toPath, rows.mkString("\n").getBytes("UTF-8"))
+    // cache: count() after the corrupt-filter would otherwise prune to
+    // a corrupt-column-only CSV query, which Spark disallows
+    val old = PricePaidCsv.normalized(spark, f.getAbsolutePath, hasPpdCat = false).cache()
+    val modern = PricePaidCsv.normalized(spark, writeSample()).cache()
+    // identical normalized schema → mixed-era backfills union cleanly
+    assert(old.schema === modern.schema)
+    assert(old.count() === 2)
+    val r = old.orderBy("transaction_unique_id").head()
+    assert(r.getAs[Long]("price") === 250000L)
+    assert(r.getAs[String]("record_op") === "A")
+    assert(r.getAs[String]("ppd_cat") === null)
+    assert(old.unionByName(modern).count() === 5)
+  }
+
   test("corrupt csv rows are quarantined, not fatal") {
     val dir = Files.createTempDirectory("ppbad").toFile
     val f = new java.io.File(dir, "pp.txt")

@@ -142,6 +142,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin === Map("K1" -> ((150L, "F")), "K2" -> ((200L, "T")), "K3" -> ((300L, "F"))))
   }
 
+  test("kafka binding: options contract and JSON value parsing (broker-less)") {
+    // the production entry's consumer config — pinned so a config
+    // regression is a test failure, not a silent prod change
+    val opts = EventsPipeline.kafkaOptions("broker-1:9092,broker-2:9092", "pp-notifications")
+    assert(opts("kafka.bootstrap.servers") === "broker-1:9092,broker-2:9092")
+    assert(opts("subscribe") === "pp-notifications")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("failOnDataLoss") === "false")
+    assert(opts("maxOffsetsPerTrigger").toLong > 0)
+    // the value-bytes → typed-event transform over the kafka row shape
+    // (binary `value` column), including the malformed-payload drop
+    val good =
+      """{"event_id":1,"ts":"2024-01-01 10:05:00","user_id":7,"event_type":"click","value":1.5,"props":"p"}"""
+    val df = Seq(good, "not json at all").toDF("s")
+      .select(col("s").cast("binary").as("value"))
+    val parsed = EventsPipeline.parseKafkaEvents(df)
+    assert(parsed.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = parsed.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("event_id") === 1L)
+    assert(rows.head.getAs[Timestamp]("ts") === ts("2024-01-01 10:05:00"))
+    // parsed events feed the same windowed aggregate as batch/file-stream
+    val agg = EventsPipeline.windowedAgg(parsed).collect()
+    assert(agg.length === 1 && agg.head.getAs[Double]("total_value") === 1.5)
+  }
+
   test("file-stream pipeline starts and produces the batch-equivalent schema") {
     val stream = EventsPipeline.eventsWindowStream(spark, sf)
     val batch = EventsPipeline.eventsWindowBatch(spark, sf)
