@@ -242,6 +242,88 @@ case class CharClassCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): CharClassCounts = copy(child = c)
 }
 
+/** Banded random-hyperplane LSH signature in one corpus pass: returns
+  * `nBands` bucket values, bit j of band b = sign of the dot product
+  * with pseudo-random plane b*nPlanes+j. Plane components are derived
+  * inline from a splitmix64-style mix of (plane, index) — seed-stable
+  * across executors with nothing to broadcast — mapped to [-1, 1).
+  * Replaces nBands*nPlanes zip_with+aggregate trees (each of which
+  * materialized an intermediate array and hashed every element),
+  * which dominated the LSH paths' cost. Codegen'd; eval and codegen
+  * use identical double arithmetic, so plans agree bit-for-bit. */
+case class HyperplaneBuckets(child: Expression, nBands: Int, nPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nBands >= 1 && nPlanes >= 1 && nPlanes <= 63)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val plane = b * nPlanes + j
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += emb.getFloat(i).toDouble * HyperplaneBuckets.coef(plane, i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = HyperplaneBuckets.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |long[] $out = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $nPlanes; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $a.numElements(); $i++) {
+         |      $acc += (double)$a.getFloat($i) * $cls.coef($b * $nPlanes + $j, $i);
+         |    }
+         |    if ($acc >= 0) $bucket |= (1L << $j);
+         |  }
+         |  $out[$b] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
+}
+
+object HyperplaneBuckets {
+  /** Deterministic plane component in [-1, 1): splitmix64 finalizer
+    * over a (plane, index) key. Shared by eval and generated code. */
+  def coef(plane: Int, i: Int): Double = {
+    var z = plane * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z.toDouble / 9.223372036854776E18 // 2^63 → [-1, 1)
+  }
+}
+
 /** SimHash as a single typed-imperative aggregate: the per-bit ±1
   * vote tally lives in one int[64] buffer updated in tight JVM code —
   * one aggregation pass instead of 64 separate conditional-sum
@@ -309,6 +391,9 @@ object native {
     ExpressionUtils.column(PolyHash64(ExpressionUtils.expression(c)))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
+  def hyperplane_buckets(c: Column, nBands: Int, nPlanes: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneBuckets(ExpressionUtils.expression(c), nBands, nPlanes))
   def simhash_agg(c: Column): Column =
     ExpressionUtils.column(
       SimHashAgg(ExpressionUtils.expression(c)).toAggregateExpression())

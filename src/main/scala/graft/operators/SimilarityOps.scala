@@ -97,21 +97,9 @@ object SimilarityOps {
   /** Random-hyperplane LSH bucket assignment: sign bits of the dot
     * product with `nPlanes` deterministic pseudo-random hyperplanes
     * (hash-derived, seed-stable across the cluster). */
-  def lshBucketsOf(v0: DataFrame, nPlanes: Int): DataFrame = {
-    // plane p component i = hash(p, i) mapped to [-1, 1) — deterministic,
-    // computed inside the plan (no driver-side randomness to ship).
-    val planeComp = (p: Int, i: Column) =>
-      (pmod(xxhash64(lit(p), i), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
-    val dim = size(col("embedding"))
-    val bits = (0 until nPlanes).map { p =>
-      val d = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), dim - 1),
-          (x, i) => x.cast(DoubleType) * planeComp(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, 1L << p).otherwise(0L)
-    }
-    v0.withColumn("bucket", bits.reduce(_ + _))
-  }
+  def lshBucketsOf(v0: DataFrame, nPlanes: Int): DataFrame =
+    v0.withColumn("bucket",
+      element_at(graft.functions.native.hyperplane_buckets(col("embedding"), 1, nPlanes), 1))
 
   def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame =
     lshBucketsOf(vecs(spark, dir), nPlanes)
@@ -125,23 +113,10 @@ object SimilarityOps {
     * buy recall at linear cost. Same banding idiom as the MinHash and
     * SimHash paths (NearDedup). All nBands·nPlanes dot products run in
     * one corpus pass. */
-  def lshBandBucketsOf(v0: DataFrame, nBands: Int, nPlanes: Int): DataFrame = {
-    val planeComp = (p: Int, i: Column) =>
-      (pmod(xxhash64(lit(p), i), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
-    val dim = size(col("embedding"))
-    val bucketOf = (band: Int) =>
-      (0 until nPlanes).map { j =>
-        val plane = band * nPlanes + j
-        val d = aggregate(
-          zip_with(col("embedding"), sequence(lit(0), dim - 1),
-            (x, i) => x.cast(DoubleType) * planeComp(plane, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(d >= 0, 1L << j).otherwise(0L)
-      }.reduce(_ + _)
+  def lshBandBucketsOf(v0: DataFrame, nBands: Int, nPlanes: Int): DataFrame =
     v0.select(col("vec_id"),
-        posexplode(array((0 until nBands).map(bucketOf): _*)))
+        posexplode(graft.functions.native.hyperplane_buckets(col("embedding"), nBands, nPlanes)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
-  }
 
   /** ANN via banded LSH: candidates are vectors sharing a bucket with
     * the query in any band; only candidates are scored. The

@@ -126,6 +126,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(agg === reference)
   }
 
+  test("hyperplane_buckets: deterministic, bounded, scale-invariant sign bits") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val nBands = 8; val nPlanes = 4
+    val out = df.select(col("vec_id"),
+      hyperplane_buckets(col("embedding"), nBands, nPlanes).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out.values.forall(_.length === nBands))
+    assert(out.values.flatten.forall(b => b >= 0 && b < (1L << nPlanes)))
+    // deterministic across plans
+    val again = df.select(col("vec_id"),
+      hyperplane_buckets(col("embedding"), nBands, nPlanes).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again === out)
+    // sign bits depend only on direction: a positively-scaled vector
+    // lands in exactly the same buckets
+    val scaled = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_ * 3.5f)) }
+      .toDF("vec_id", "embedding")
+    val outScaled = scaled.select(col("vec_id"),
+      hyperplane_buckets(col("embedding"), nBands, nPlanes).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(outScaled === out)
+    // eval path (no codegen) agrees bit-for-bit with the codegen path
+    val expr = org.apache.spark.sql.graft.HyperplaneBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      nBands, nPlanes)
+    val evaled = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(evaled === out(0L))
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     // TestSpark session is built by GraftSession, which registers the
     // extensions — so plain SQL can use the engine's functions.
