@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths where composed
-  * built-ins are wasteful (SURVEY.md §4). All are whole-stage-codegen
-  * capable except the winnowing fingerprint (CodegenFallback — O(n)
-  * per row, off the hot path).
+  * built-ins are wasteful (SURVEY.md §4). Scan-path expressions
+  * (dot product, poly hash, winnowing, hyperplane signatures) are
+  * whole-stage-codegen capable; the single-char-scan text censuses
+  * (WordSetScores, CharClassCounts) stay CodegenFallback — their
+  * per-row work is one tight JVM loop either way.
   */
 
 /** dot(a, b) over two float vectors, accumulated left-to-right in
@@ -110,14 +112,31 @@ case class PolyHash64(child: Expression)
   * selected hashes. Guarantees every substring match of length
   * ≥ k+w−1 shares a fingerprint — the property plain sampling lacks. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   require(k >= 2 && w >= 1)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowFingerprint.compute(v.asInstanceOf[UTF8String], k, w)
+
+  // codegen calls the same static kernel as eval — keeps the
+  // fingerprint inside the whole-stage-codegen span (a CodegenFallback
+  // here used to split the documents-scan pipeline in two)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = WinnowFingerprint.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($s, $k, $w);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+}
+
+object WinnowFingerprint {
+  /** The winnowing kernel, shared by eval and generated code. */
+  def compute(v: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = v.getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     // rolling k-gram hashes: h_i = sum b[i+j] * B^(k-1-j)
@@ -136,23 +155,32 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       grams(i - k + 1) = h
       i += 1
     }
-    // winnow: rightmost minimum of each window of w grams
-    val selected = scala.collection.mutable.TreeSet.empty[Long]
-    if (grams.length <= w) selected += grams.min
-    else {
-      var s = 0
-      while (s + w <= grams.length) {
-        var mi = s
-        var t = s + 1
-        while (t < s + w) { if (grams(t) <= grams(mi)) mi = t; t += 1 }
-        selected += grams(mi)
-        s += 1
+    // winnow: rightmost minimum of each window of w grams; selections
+    // are gathered into a flat array, sorted, deduped in place —
+    // no per-row tree allocation on the scan hot path
+    val sel =
+      if (grams.length <= w) Array(grams.min)
+      else {
+        val out = new Array[Long](grams.length - w + 1)
+        var s = 0
+        while (s + w <= grams.length) {
+          var mi = s
+          var t = s + 1
+          while (t < s + w) { if (grams(t) <= grams(mi)) mi = t; t += 1 }
+          out(s) = grams(mi)
+          s += 1
+        }
+        out
       }
+    java.util.Arrays.sort(sel)
+    var m = 0
+    i = 0
+    while (i < sel.length) {
+      if (m == 0 || sel(m - 1) != sel(i)) { sel(m) = sel(i); m += 1 }
+      i += 1
     }
-    new GenericArrayData(selected.toArray)
+    new GenericArrayData(java.util.Arrays.copyOf(sel, m))
   }
-
-  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
 }
 
 /** Count, per dictionary, how many tokens of the input belong to the
