@@ -208,19 +208,19 @@ object ReferenceOps {
     * no full-row match in the database is applied back per key —
     * UPDATE where the key exists with different values, INSERT where
     * it is missing; database rows the file doesn't contradict are
-    * kept. The reference loops per-row over Postgres; here it is two
-    * distributed joins — a full-row anti-join to isolate the
-    * fix list, then one keyed full-outer merge where the file side
-    * wins — so the same plan repairs a 100 TB store. */
+    * kept. The reference loops per-row over Postgres; here it is ONE
+    * keyed full-outer merge where the file side wins — keys are
+    * unique per side, so the full-row difference test rides the same
+    * join instead of a separate anti-join, and repairing a 100 TB
+    * store costs a single co-partitioned shuffle per side. */
   def reconcileFixUp(spark: SparkSession, dir: String): DataFrame = {
     val (db, file) = reconcileSides(spark, dir)
-    val fixList = file.join(db, Seq("k", "p"), "left_anti")
-      .withColumnRenamed("p", "p_new")
-    db.join(fixList, Seq("k"), "full_outer")
+    db.withColumnRenamed("p", "p_db")
+      .join(file.withColumnRenamed("p", "p_new"), Seq("k"), "full_outer")
       .select(col("k"),
-        coalesce(col("p_new"), col("p")).cast(DoubleType).as("price"),
-        when(col("p").isNull, "inserted")
-          .when(col("p_new").isNull, "kept")
+        coalesce(col("p_new"), col("p_db")).cast(DoubleType).as("price"),
+        when(col("p_db").isNull, "inserted")
+          .when(col("p_new").isNull || (col("p_new") <=> col("p_db")), "kept")
           .otherwise("updated").as("fix_action"))
       .orderBy("k")
   }

@@ -44,6 +44,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("reconcile fix-up is one keyed join (no separate anti-join pass)") {
+    val p = planOf("q_reconcile_fixup")
+    // exactly one join: the full-outer merge where the file side wins
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins === 1, s"expected 1 join, got $joins:\n$p")
+    // one shuffle per side + the output range sort — no more
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+  }
+
   test("as-of join prunes matches before the ranking window") {
     assert(planOf("q_asof_order").contains("WindowGroupLimit"))
   }
