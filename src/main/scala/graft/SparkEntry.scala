@@ -56,6 +56,7 @@ object SparkEntry {
     "d_dedup_minhash"    -> ((s: SparkSession, dir: String) => NearDedup.minHashDedup(s, dir)),
     "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
+    "d_dedup_winnow"     -> ((s: SparkSession, dir: String) => NearDedup.winnowDedup(s, dir)),
     // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     // … and the banded-LSH variant — the plan that survives 100×

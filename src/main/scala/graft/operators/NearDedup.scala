@@ -228,6 +228,48 @@ object NearDedup {
       .orderBy("doc_id")
   }
 
+  /** Winnowing-fingerprint near-dup (MOSS scheme, Schleimer et al.
+    * SIGMOD'03 — the same `WinnowFingerprint` expression as
+    * t_fingerprint): documents sharing a high fraction of winnowed
+    * k-gram fingerprints. Candidate generation is the inverted
+    * fingerprint index (docs sharing ANY fingerprint), so work is
+    * ∝ posting-list collisions, not corpus²; fingerprints appearing
+    * in more than `maxDf` documents are dropped from the index
+    * (boilerplate phrases — exactly the PPJoin stop-token idea),
+    * which only lowers the similarity estimate, never inflates it.
+    * Scored by CONTAINMENT (|common| / min(|fps|)), not Jaccard — the
+    * winnowing guarantee (every shared run of length ≥ k+w−1 shares a
+    * fingerprint) makes this catch a document embedded inside a much
+    * larger one, which symmetric shingle Jaccard structurally misses. */
+  def winnowDedupOf(docs: DataFrame, threshold: Double = 0.6,
+                    maxDf: Long = 1000): DataFrame = {
+    // winnow output is sorted-distinct per doc → explode is already
+    // one row per (doc, fingerprint)
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.native.winnow_fingerprint(col("text"))).as("fp"))
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val indexed = fps.join(rare, "fp")
+    val common = indexed.as("a").join(indexed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("nf").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nf").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("n_common").cast(DoubleType) / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
+  // registered default 0.8: the short boilerplate-heavy test docs make
+  // low-containment collisions common; 0.8 keeps the output dup-like
+  def winnowDedup(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    winnowDedupOf(Tables.documents(spark, dir), threshold)
+
   /** 64-bit SimHash per document: majority vote of each bit over the
     * document's word hashes — ONE custom typed-imperative aggregate
     * (`SimHashAgg`) holding the 64 vote counters in a single buffer,

@@ -157,6 +157,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
   }
 
+  test("winnow dedup catches both near-copies and CONTAINED documents") {
+    val rnd = new scala.util.Random(11)
+    def sentence() = Seq.fill(8)("w" + rnd.nextInt(5000)).mkString(" ")
+    val baseA = Seq.fill(30)(sentence()).mkString(". ")
+    val nearCopy = baseA.replace("w1", "w9999") // light edit
+    val container = Seq.fill(40)(sentence()).mkString(". ") + ". " + baseA
+    val unrelated = Seq.fill(30)(sentence()).mkString(". ")
+    val docs = Seq(
+      (0L, baseA), (1L, nearCopy), (2L, container), (3L, unrelated)
+    ).toDF("doc_id", "text")
+    val pairs = NearDedup.winnowDedupOf(docs, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missed the near-copy: $pairs")
+    // doc 0 embedded whole inside doc 2: containment finds it even
+    // though symmetric Jaccard over the union would be ~0.4
+    assert(pairs.contains((0L, 2L)), s"missed the contained doc: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"false positive on the unrelated doc: $pairs")
+  }
+
   test("as-of join picks the latest build row at or before each probe time") {
     val probe = Seq((1L, "k1", "2024-03-15"), (2L, "k1", "2024-01-01"),
                     (3L, "k2", "2024-06-01"), (4L, "k3", "2024-06-01"))

@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_asof_order").contains("WindowGroupLimit"))
   }
 
+  test("q_monthly_growth's global window runs on a pre-aggregated month series") {
+    // the unpartitioned lag window (WindowExec single-partition
+    // warning in bench logs) is INTENTIONAL: its input is the
+    // month-level aggregate — bounded cardinality at any input scale —
+    // never the raw orders scan
+    val p = planOf("q_monthly_growth")
+    assert(p.contains("Window"), p)
+    // top-down plan print: the aggregate must sit BELOW the window
+    // (appear after it), i.e. the window consumes aggregated months,
+    // never the raw orders scan
+    assert(p.indexOf("Window") >= 0 && p.indexOf("HashAggregate") > p.indexOf("Window"),
+      s"global window must consume the month aggregate:\n$p")
+  }
+
   test("ANN queries use the native dot product expression") {
     assert(planOf("s_ann_topk").contains("dotproductf"))
     assert(planOf("d_embed_dup").contains("dotproductf"))
