@@ -39,6 +39,7 @@ object SparkEntry {
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
+    "q_cdc_merge_bcast"  -> Cdc.mergeResultBroadcast _,
     "q_cdc_stats"        -> Cdc.mergeStats _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
@@ -154,6 +155,17 @@ object SparkEntry {
   private val wsTok =
     s"CASE WHEN length($wsTrimSql) = 0 THEN 0 ELSE len(regexp_split_to_array($wsTrimSql, '\\s+')) END"
 
+  private val cdcMergeSql = cdcCte +
+    """SELECT o_orderkey,
+      | CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
+      |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
+      |      THEN new_price ELSE base_price END AS DOUBLE) AS price,
+      | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
+      |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
+      |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted,
+      | outcome
+      |FROM dec WHERE outcome <> 'delete_but_missing_and_ignored' ORDER BY o_orderkey""".stripMargin
+
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
@@ -253,16 +265,10 @@ object SparkEntry {
         |       ELSE 'updated' END AS fix_action
         |FROM m ORDER BY k""".stripMargin,
 
-    "q_cdc_merge" -> (cdcCte +
-      """SELECT o_orderkey,
-        | CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
-        |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
-        |      THEN new_price ELSE base_price END AS DOUBLE) AS price,
-        | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
-        |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
-        |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted,
-        | outcome
-        |FROM dec WHERE outcome <> 'delete_but_missing_and_ignored' ORDER BY o_orderkey""".stripMargin),
+    "q_cdc_merge" -> cdcMergeSql,
+    // same truth for the broadcast plan — identical semantics, different
+    // physical strategy (the base never shuffles)
+    "q_cdc_merge_bcast" -> cdcMergeSql,
 
     "q_cdc_stats" -> (cdcCte +
       "SELECT outcome, COUNT(*) AS n_rows FROM dec GROUP BY outcome ORDER BY outcome"),

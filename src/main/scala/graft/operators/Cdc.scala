@@ -90,4 +90,17 @@ object Cdc {
   /** Operation statistics ≈ the updater's operation-log table. */
   def mergeStats(spark: SparkSession, dir: String): DataFrame =
     CdcMerge.stats(merged(spark, dir))
+
+  /** The broadcast-merge path bound to the same synthetic inputs — the
+    * never-shuffle-the-base plan for the real monthly regime (small
+    * change file vs huge base). Semantics are identical to
+    * mergeResult, so it registers against the SAME DuckDB oracle:
+    * the driver hash-compares both plans to one truth. */
+  def mergeResultBroadcast(spark: SparkSession, dir: String): DataFrame =
+    CdcMerge.applied(CdcMerge.mergeBroadcast(
+      baseTable(spark, dir),
+      changeSet(spark, dir).withColumnRenamed("new_price", "price"),
+      key = "o_orderkey", compareCols = Seq("price")))
+      .withColumn("price", col("price").cast(DoubleType))
+      .orderBy("o_orderkey")
 }

@@ -44,6 +44,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("broadcast CDC merge never shuffles the base table") {
+    val p = planOf("q_cdc_merge_bcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"the base side fell back to a shuffle join:\n$p")
+  }
+
   test("reconcile fix-up is one keyed join (no separate anti-join pass)") {
     val p = planOf("q_reconcile_fixup")
     // exactly one join: the full-outer merge where the file side wins
