@@ -41,6 +41,7 @@ object SparkEntry {
     "q_cdc_merge"        -> Cdc.mergeResult _,
     "q_cdc_merge_bcast"  -> Cdc.mergeResultBroadcast _,
     "q_cdc_stats"        -> Cdc.mergeStats _,
+    "q_cdc_replay"       -> Cdc.replayResult _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
@@ -154,6 +155,42 @@ object SparkEntry {
   private val wsTrimSql = """regexp_replace(text, '^\s+|\s+$', '', 'g')"""
   private val wsTok =
     s"CASE WHEN length($wsTrimSql) = 0 THEN 0 ELSE len(regexp_split_to_array($wsTrimSql, '\\s+')) END"
+
+  // one fold step of the CDC matrix as SQL: state s ⊕ change c.
+  // takes-new = added-on-missing, undelete-add, differing add/change on
+  // a live row, or delete-but-not-identical (change+delete); deleted
+  // rows resurrect only via A; missing-key deletes drop out entirely.
+  private def cdcStepSql(s: String, c: String): String =
+    s"""SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+       |  CASE WHEN (s.o_orderkey IS NULL AND c.record_op IN ('A','C'))
+       |         OR (s.o_orderkey IS NOT NULL AND s.is_deleted = 'T' AND c.record_op = 'A')
+       |         OR (s.o_orderkey IS NOT NULL AND s.is_deleted = 'F'
+       |             AND c.record_op IN ('A','C') AND c.new_price <> s.price)
+       |         OR (s.o_orderkey IS NOT NULL AND s.is_deleted = 'F'
+       |             AND c.record_op = 'D' AND c.new_price <> s.price)
+       |       THEN c.new_price ELSE s.price END AS price,
+       |  CASE WHEN s.o_orderkey IS NOT NULL AND s.is_deleted = 'F' AND c.record_op = 'D' THEN 'T'
+       |       WHEN s.o_orderkey IS NOT NULL AND s.is_deleted = 'T' AND c.record_op = 'A' THEN 'F'
+       |       WHEN s.o_orderkey IS NOT NULL AND s.is_deleted = 'T' THEN 'T'
+       |       ELSE 'F' END AS is_deleted
+       |FROM $s s FULL OUTER JOIN $c c ON s.o_orderkey = c.o_orderkey
+       |WHERE NOT (s.o_orderkey IS NULL AND c.record_op = 'D')""".stripMargin
+
+  private val cdcReplaySql = cdcCte +
+    s""", chg2 AS (
+       |  SELECT o_orderkey, record_op, CAST(new_price AS DECIMAL(18,2)) AS new_price FROM (
+       |    SELECT o_orderkey,
+       |      CASE WHEN o_orderkey % 4 = 0 THEN 'C'
+       |           WHEN o_orderkey % 9 = 0 THEN 'D'
+       |           WHEN o_orderkey % 25 = 0 THEN 'A' ELSE NULL END AS record_op,
+       |      CASE WHEN o_orderkey % 4 = 0 THEN $p2 + 7.25 ELSE $p2 END AS new_price
+       |    FROM orders) t WHERE record_op IS NOT NULL),
+       |base_s AS (SELECT o_orderkey, base_price AS price, is_deleted FROM base),
+       |chg1 AS (SELECT o_orderkey, record_op, new_price FROM chg),
+       |s1 AS (${cdcStepSql("base_s", "chg1")}),
+       |s2 AS (${cdcStepSql("s1", "chg2")})
+       |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, is_deleted
+       |FROM s2 ORDER BY o_orderkey""".stripMargin
 
   private val cdcMergeSql = cdcCte +
     """SELECT o_orderkey,
@@ -272,6 +309,8 @@ object SparkEntry {
 
     "q_cdc_stats" -> (cdcCte +
       "SELECT outcome, COUNT(*) AS n_rows FROM dec GROUP BY outcome ORDER BY outcome"),
+
+    "q_cdc_replay" -> cdcReplaySql,
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, price_rank, running_total FROM (

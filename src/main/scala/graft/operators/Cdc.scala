@@ -91,6 +91,38 @@ object Cdc {
   def mergeStats(spark: SparkSession, dir: String): DataFrame =
     CdcMerge.stats(merged(spark, dir))
 
+  /** A second month's change file (different modular constants):
+    * changes on live rows, changes on month-1-deleted rows (ignored),
+    * deletes on month-1-changed rows (change+delete), adds on deleted
+    * rows (undelete) and on keys dropped in month 1 (re-add). */
+  def changeSet2(spark: SparkSession, dir: String): DataFrame = {
+    val bump = (d: String) =>
+      (col("price") + lit(new java.math.BigDecimal(d))).cast(DecimalType(18, 2))
+    Tables.orders(spark, dir)
+      .select(key, dec2(col("o_totalprice")).as("price"))
+      .withColumn("record_op",
+        when(key % 4 === 0, "C")
+        .when(key % 9 === 0, "D")
+        .when(key % 25 === 0, "A")
+        .otherwise(null))
+      .withColumn("new_price", when(key % 4 === 0, bump("7.25")).otherwise(col("price")))
+      .filter(col("record_op").isNotNull)
+      .select(key, col("record_op"), col("new_price").cast(DecimalType(18, 2)).as("new_price"))
+  }
+
+  /** Month-after-month replay: fold both change files over the base
+    * snapshot (`CdcMerge.applyAll`) — the reference's maintenance loop
+    * / rewind notebook as one composed plan, oracle-checked against a
+    * DuckDB reformulation of the two chained merges. */
+  def replayResult(spark: SparkSession, dir: String): DataFrame =
+    CdcMerge.applyAll(
+      baseTable(spark, dir),
+      Seq(changeSet(spark, dir).withColumnRenamed("new_price", "price"),
+          changeSet2(spark, dir).withColumnRenamed("new_price", "price")),
+      key = "o_orderkey", compareCols = Seq("price"))
+      .withColumn("price", col("price").cast(DoubleType))
+      .orderBy("o_orderkey")
+
   /** The broadcast-merge path bound to the same synthetic inputs — the
     * never-shuffle-the-base plan for the real monthly regime (small
     * change file vs huge base). Semantics are identical to
