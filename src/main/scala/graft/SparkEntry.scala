@@ -52,6 +52,7 @@ object SparkEntry {
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
     "q_sessions"         -> ReferenceOps.sessionize _,
     "q_asof_order"       -> AsOf.eventOrderAsOf _,
+    "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -408,6 +409,14 @@ object SparkEntry {
         |SELECT event_id, user_id, o_orderkey, CAST(total_price AS DOUBLE) AS total_price
         |FROM j WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        | o.o_orderpriority
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

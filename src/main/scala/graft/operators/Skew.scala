@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.sources.Tables
 
 /** Skew-handling utilities for fact-fact joins at scale. AQE's skew
   * join covers most cases; explicit salting is for known-hot keys
@@ -41,5 +43,19 @@ object Skew {
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The salted strategy on real tables — lineitem (large, skewed
+    * side) against the urgent-orders middle table — registered so the
+    * driver hash-compares the salted plan against a plain DuckDB join:
+    * salting must be invisible in the result at any salt factor. */
+  def saltedLineitemJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(l, o, "l_orderkey")
+      .orderBy("l_orderkey", "l_linenumber")
   }
 }
