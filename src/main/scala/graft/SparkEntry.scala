@@ -70,6 +70,7 @@ object SparkEntry {
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
     "s_ann_ivf"          -> ((s: SparkSession, dir: String) => SimilarityOps.annIvf(s, dir)),
+    "s_ann_ivf_kmeans"   -> ((s: SparkSession, dir: String) => SimilarityOps.annIvfRefined(s, dir)),
     "t_fingerprint"      -> TextOps.fingerprints _,
     "t_tokens"           -> TextOps.tokenCounts _,
     "t_quality"          -> TextOps.qualityScore _,

@@ -170,14 +170,78 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
+  /** Spherical k-means refinement of the IVF coarse centroids (Lloyd
+    * iterations under cosine): assign every vector to its nearest
+    * centroid, replace each centroid with its cell's element-wise
+    * mean (direction is what matters — the cosine scoring normalizes,
+    * so no explicit re-normalization step). Each iteration is one
+    * broadcast-assign pass + one aggregation; centroids stay tiny and
+    * broadcast, so refinement cost is `iters` corpus passes — the
+    * standard build-time trade for tighter cells (= higher recall at
+    * the same nProbe) at query time. Cells that lose every member
+    * keep their previous centroid. */
+  def ivfRefinedCentroidsOf(v0: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    var cents = v.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    for (_ <- 0 until iters) {
+      val cn = cents.withColumn("c_nrm", norm(col("c_emb")))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+      val assigned = v.crossJoin(broadcast(cn))
+        .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("embedding"))
+      // element-wise mean via posexplode → (cell, pos) average →
+      // re-assembled in position order; distributed, no vector UDAF
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), x => x.getField("m").cast(FloatType)).as("new_emb"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    cents
+  }
+
+  /** IVF ANN over refined centroids: same probe/search plan as
+    * annIvfOf, with build-time k-means cells instead of raw seeds. */
+  def annIvfRefinedOf(v0: DataFrame, nQueries: Int, k: Int, kCells: Int,
+                      nProbe: Int, iters: Int): DataFrame = {
+    val cents = ivfRefinedCentroidsOf(v0, kCells, iters)
+      .withColumn("c_nrm", norm(col("c_emb")))
+    annIvfWithCentroids(v0, cents, nQueries, k, nProbe)
+  }
+
+  def annIvfRefined(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                    kCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    annIvfRefinedOf(vecs(spark, dir), nQueries, k, kCells, nProbe, iters)
+
   /** ANN via IVF: rank cells per query, search only the `nProbe`
     * closest cells. Probed fraction ≈ nProbe/kCells of the corpus —
     * the standard recall/cost dial. */
   def annIvfOf(v0: DataFrame, nQueries: Int, k: Int, kCells: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssignOf(v0, kCells)
     val v = v0.withColumn("nrm", norm(col("embedding")))
     val cents = v.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    annIvfWithCentroids(v0, cents, nQueries, k, nProbe)
+  }
+
+  /** The IVF probe/search plan for a given (cell, c_emb, c_nrm)
+    * centroid table — shared by the seed and k-means-refined builds. */
+  private def annIvfWithCentroids(v0: DataFrame, cents: DataFrame, nQueries: Int,
+                                  k: Int, nProbe: Int): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))

@@ -302,6 +302,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.groupBy(_.getLong(0)).forall(_._2.length == 5))
   }
 
+  test("k-means-refined IVF recovers planted clusters and tightens centroids") {
+    // three tight clusters around axes e0/e1/e2; vec_ids 0,1,2 fall in
+    // distinct clusters so the seeds start one-per-cluster but OFF the
+    // cluster means
+    def v(axis: Int, j: Int) =
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 7) j * 0.03f else 0f))
+    val rows = (0 until 3).flatMap(c => (0 until 10).map(j => ((c + 3 * j).toLong, v(c, j))))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfRefinedCentroidsOf(df, kCells = 3, iters = 2)
+    // every refined centroid sits near its cluster mean: each corpus
+    // vector has cosine >= 0.95 with its own cell's centroid
+    val assignedSim = df
+      .withColumn("nrm", SimilarityOps.norm(col("embedding")))
+      .crossJoin(broadcast(cents.select(col("cell"), col("c_emb"),
+        SimilarityOps.norm(col("c_emb")).as("cn"))))
+      .withColumn("sim", SimilarityOps.dot(col("embedding"), col("c_emb")) /
+        (col("nrm") * col("cn")))
+      .groupBy("vec_id").agg(max("sim").as("best"))
+      .select("best").as[Double].collect()
+    assert(assignedSim.forall(_ >= 0.95), s"loose centroid: ${assignedSim.min}")
+    // the refined index returns the planted cluster-mates for query 0
+    val got = SimilarityOps.annIvfRefinedOf(df, nQueries = 1, k = 5,
+        kCells = 3, nProbe = 1, iters = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(3L, 6L, 9L, 12L, 15L), s"expected e0 cluster-mates, got $got")
+  }
+
   test("langid marks documents with CJK characters as zh") {
     val docs = Seq((1L, "the cat and the dog"), (2L, "中文文档")).toDF("doc_id", "text")
       .withColumn("lang", lit("x")).withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
