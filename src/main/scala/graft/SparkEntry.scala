@@ -75,7 +75,8 @@ object SparkEntry {
     "t_tokens"           -> TextOps.tokenCounts _,
     "t_quality"          -> TextOps.qualityScore _,
     "t_langid"           -> TextOps.langId _,
-    "m_media_meta"       -> graft.multimodal.Media.mediaMeta _
+    "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
+    "m_media_frames"     -> graft.multimodal.Media.mediaFrames _
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————

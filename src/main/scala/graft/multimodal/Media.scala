@@ -87,4 +87,10 @@ object Media {
     meta.filter(col("kind") === "video" && col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+
+  /** Registered frame-sample query: decode → sample in one pipeline
+    * (rows-only oracle — one row per sampled frame per video). */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(decodeMeta(mediaTable(spark, dir)).toDF())
+      .orderBy("media_id", "frame_idx")
 }
