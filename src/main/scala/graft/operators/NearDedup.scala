@@ -236,17 +236,27 @@ object NearDedup {
     * ∝ posting-list collisions, not corpus²; fingerprints appearing
     * in more than `maxDf` documents are dropped from the index
     * (boilerplate phrases — exactly the PPJoin stop-token idea),
-    * which only lowers the similarity estimate, never inflates it.
+    * which only lowers the similarity estimate, never inflates it —
+    * a true near-copy shares ALL its fingerprints, rare ones
+    * included, so its containment survives any cap. The cap is the
+    * scale guarantee: candidate volume is Σ df² ≤ maxDf · |postings|,
+    * linear in the corpus for fixed maxDf.
     * Scored by CONTAINMENT (|common| / min(|fps|)), not Jaccard — the
     * winnowing guarantee (every shared run of length ≥ k+w−1 shares a
     * fingerprint) makes this catch a document embedded inside a much
     * larger one, which symmetric shingle Jaccard structurally misses. */
   def winnowDedupOf(docs: DataFrame, threshold: Double = 0.6,
-                    maxDf: Long = 1000): DataFrame = {
+                    maxDf: Long = 50, k: Int = 24, w: Int = 8): DataFrame = {
+    // k is in CHARACTERS: dedup needs multi-word grams (t_fingerprint's
+    // k=5 is for fine-grained match offsets) — on a natural-language
+    // corpus a 5-char gram is pure boilerplate, every fingerprint
+    // exceeds any df cap, and the index goes empty. k=24 ≈ 4-5 words
+    // keeps fingerprints discriminative; the winnowing guarantee then
+    // covers shared runs of ≥ k+w−1 = 31 chars.
     // winnow output is sorted-distinct per doc → explode is already
     // one row per (doc, fingerprint)
     val fps = docs.select(col("doc_id"),
-      explode(graft.functions.native.winnow_fingerprint(col("text"))).as("fp"))
+      explode(graft.functions.native.winnow_fingerprint(col("text"), k, w)).as("fp"))
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
@@ -266,9 +276,19 @@ object NearDedup {
   }
 
   // registered default 0.8: the short boilerplate-heavy test docs make
-  // low-containment collisions common; 0.8 keeps the output dup-like
-  def winnowDedup(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    winnowDedupOf(Tables.documents(spark, dir), threshold)
+  // low-containment collisions common; 0.8 keeps the output dup-like.
+  // The test corpus is near-dup-free random text, so (as with the CDC
+  // change files synthesized from orders) every 50th document is
+  // re-issued wrapped in extra text — a deterministic planted
+  // CONTAINED duplicate whose recovery the driver's rows check pins.
+  def winnowDedup(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(lit("quoted verbatim below . "), col("text"),
+          lit(" . with further commentary appended")).as("text"))
+    winnowDedupOf(docs.unionByName(planted), threshold)
+  }
 
   /** 64-bit SimHash per document: majority vote of each bit over the
     * document's word hashes — ONE custom typed-imperative aggregate

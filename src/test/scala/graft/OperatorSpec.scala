@@ -161,7 +161,7 @@ class OperatorSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(11)
     def sentence() = Seq.fill(8)("w" + rnd.nextInt(5000)).mkString(" ")
     val baseA = Seq.fill(30)(sentence()).mkString(". ")
-    val nearCopy = baseA.replace("w1", "w9999") // light edit
+    val nearCopy = baseA.replaceFirst("w\\d+", "w9999") // one-token edit
     val container = Seq.fill(40)(sentence()).mkString(". ") + ". " + baseA
     val unrelated = Seq.fill(30)(sentence()).mkString(". ")
     val docs = Seq(
