@@ -191,16 +191,11 @@ object ReferenceOps {
 
   /** Reconciliation: count rows in-database-only / in-file-only /
     * in-both, matching on the full row (database_verify.py:160-236).
-    * Realized as one full-outer join on (key, price) — a single
-    * shuffle, no driver-side merge. */
+    * One full-outer join on (key, price) via the generic
+    * Reconcile.counts — a single shuffle, no driver-side merge. */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     val (db, file) = reconcileSides(spark, dir)
-    db.withColumn("in_db", lit(1))
-      .join(file.withColumn("in_file", lit(1)), Seq("k", "p"), "full_outer")
-      .agg(
-        count(when(col("in_db") === 1 && col("in_file") === 1, 1)).as("n_both"),
-        count(when(col("in_file").isNull, 1)).as("n_database_only"),
-        count(when(col("in_db").isNull, 1)).as("n_file_only"))
+    Reconcile.counts(db, file, Seq("k", "p"))
   }
 
   /** Reconcile fix-up — the reference's `function_fix_database`
@@ -208,20 +203,13 @@ object ReferenceOps {
     * no full-row match in the database is applied back per key —
     * UPDATE where the key exists with different values, INSERT where
     * it is missing; database rows the file doesn't contradict are
-    * kept. The reference loops per-row over Postgres; here it is ONE
-    * keyed full-outer merge where the file side wins — keys are
-    * unique per side, so the full-row difference test rides the same
-    * join instead of a separate anti-join, and repairing a 100 TB
-    * store costs a single co-partitioned shuffle per side. */
+    * kept. The generic Reconcile.fixUp does the work (one keyed
+    * full-outer merge, file side wins); this binding surfaces the
+    * repaired price as DOUBLE for the oracle contract. */
   def reconcileFixUp(spark: SparkSession, dir: String): DataFrame = {
     val (db, file) = reconcileSides(spark, dir)
-    db.withColumnRenamed("p", "p_db")
-      .join(file.withColumnRenamed("p", "p_new"), Seq("k"), "full_outer")
-      .select(col("k"),
-        coalesce(col("p_new"), col("p_db")).cast(DoubleType).as("price"),
-        when(col("p_db").isNull, "inserted")
-          .when(col("p_new").isNull || (col("p_new") <=> col("p_db")), "kept")
-          .otherwise("updated").as("fix_action"))
+    Reconcile.fixUp(db, file, key = "k", compareCols = Seq("p"))
+      .select(col("k"), col("p").cast(DoubleType).as("price"), col("fix_action"))
       .orderBy("k")
   }
 

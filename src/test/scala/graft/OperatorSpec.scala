@@ -33,6 +33,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(resurrected.filter(col("is_deleted") =!= "F").count() === 0)
   }
 
+  test("generic Reconcile.fixUp: multi-column repair with null-safe comparison") {
+    val db = Seq(
+      ("K1", Some(100L), Some("a")),  // identical in file → kept
+      ("K2", Some(200L), Some("b")),  // price differs → updated
+      ("K3", Some(300L), None),       // both null in col2 → identical → kept
+      ("K4", Some(400L), Some("d"))   // absent from file → kept
+    ).toDF("k", "price", "tag")
+    val file = Seq(
+      ("K1", Some(100L), Some("a")),
+      ("K2", Some(250L), Some("b")),
+      ("K3", Some(300L), None),
+      ("K5", Some(500L), Some("e"))   // absent from db → inserted
+    ).toDF("k", "price", "tag")
+    val out = Reconcile.fixUp(db, file, "k", Seq("price", "tag"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getString(3)))).toMap
+    assert(out("K1") === ((Some(100L), Some("a"), "kept")))
+    assert(out("K2") === ((Some(250L), Some("b"), "updated"))) // file price wins
+    assert(out("K3") === ((Some(300L), None, "kept")))          // null <=> null
+    assert(out("K4") === ((Some(400L), Some("d"), "kept")))
+    assert(out("K5") === ((Some(500L), Some("e"), "inserted")))
+    assert(out.size === 5)
+    // counts agrees on the same inputs: K1 and K3 (null <=> null)
+    // match; K2 differs on price, K4/K5 are one-sided
+    val c = Reconcile.counts(db, file, Seq("k", "price", "tag")).head()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) === ((2L, 2L, 2L)))
+  }
+
   test("reconcile fix-up: file side wins per key — update, insert, keep") {
     val out = ReferenceOps.reconcileFixUp(spark, sf)
     val actions = out.select("k", "fix_action").as[(Long, String)].collect().toMap
