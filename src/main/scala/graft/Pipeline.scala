@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.CdcMerge
+import graft.operators.{CdcMerge, Reconcile}
 import graft.sources.{PricePaidCsv, Sinks}
 
 /** End-to-end orchestration of the reference's service DAG as library
@@ -78,4 +78,32 @@ object Pipeline {
     * when filtered by month. */
   def current(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath).filter(col("is_deleted") === "F")
+
+  /** The reference's database-verify tool (land_registry_database_
+    * verify.py, incl. its fix_database mode) as one call: reconcile
+    * the LIVE snapshot rows against a pp-complete file on every value
+    * column; with `fix = true`, apply the file-wins repair
+    * (Reconcile.fixUp) and rewrite the snapshot — soft-deleted rows
+    * are outside the comparison and carry over untouched. Returns the
+    * reconciliation counts. */
+  def verifyAndFix(spark: SparkSession, completeCsv: String, tablePath: String,
+                   fix: Boolean = false): Map[String, Long] = {
+    val key = "transaction_unique_id"
+    val cols = key +: compareCols
+    val live = current(spark, tablePath).select(cols.map(col): _*)
+    val file = PricePaidCsv.normalized(spark, completeCsv).select(cols.map(col): _*)
+    val c = Reconcile.counts(live, file, cols).head()
+    if (fix) {
+      val repaired = Reconcile.fixUp(live, file, key, compareCols)
+        .drop("fix_action")
+        .withColumn("is_deleted", lit("F"))
+      val deletedRows = spark.read.parquet(tablePath).drop("txn_month")
+        .filter(col("is_deleted") === "T")
+      Sinks.replaceSnapshot(repaired.unionByName(deletedRows),
+        "transaction_date", tablePath)
+    }
+    Map("n_both" -> c.getLong(0),
+        "n_database_only" -> c.getLong(1),
+        "n_file_only" -> c.getLong(2))
+  }
 }

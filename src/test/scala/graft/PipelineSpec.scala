@@ -124,6 +124,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts.count(_.startsWith("txn_month=")) === 4)
   }
 
+  test("Pipeline.verifyAndFix reconciles the snapshot against a file and repairs it") {
+    // snapshot initialized from a DIVERGED file: P1 has the wrong
+    // price, P3 is an extra row the truth file lacks, P4 is missing
+    val diverged = writeFile("pp-complete-diverged.txt", Seq(
+      row("P1", 111111, "2024-01-15", "A"),
+      row("P2", 200000, "2024-02-15", "A"),
+      row("P3", 300000, "2024-03-15", "A")))
+    val truth = writeFile("pp-complete.txt", Seq(
+      row("P1", 100000, "2024-01-15", "A"),
+      row("P2", 200000, "2024-02-15", "A"),
+      row("P4", 400000, "2024-04-15", "A")))
+    val table = Files.createTempDirectory("pp_verify").toString + "/price_paid"
+    Pipeline.initialize(spark, diverged, table)
+
+    val before = Pipeline.verifyAndFix(spark, truth, table)
+    assert(before === Map("n_both" -> 1L, "n_database_only" -> 2L, "n_file_only" -> 2L))
+
+    val counted = Pipeline.verifyAndFix(spark, truth, table, fix = true)
+    assert(counted === before) // counts are measured pre-repair
+
+    // post-fix: P1 repaired to the file price, P4 inserted; P3 (db-only,
+    // file silent) kept — the reference's fix never deletes
+    val after = Pipeline.verifyAndFix(spark, truth, table)
+    assert(after === Map("n_both" -> 3L, "n_database_only" -> 1L, "n_file_only" -> 0L))
+    val prices = Pipeline.current(spark, table)
+      .select("transaction_unique_id", "price")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prices === Map("{P1}" -> 100000L, "{P2}" -> 200000L,
+      "{P3}" -> 300000L, "{P4}" -> 400000L))
+  }
+
   test("second month: re-applying an identical update is idempotent") {
     val base = writeFile("pp-complete.txt", Seq(row("T1", 100000, "2024-01-01", "A")))
     val update = writeFile("pp-monthly-update.txt", Seq(row("T1", 150000, "2024-01-01", "C")))
