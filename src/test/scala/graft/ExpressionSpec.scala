@@ -170,6 +170,9 @@ class ExpressionSpec extends AnyFunSuite {
     assert(h === ref)
     assert(spark.sql("SELECT size(winnow_fingerprint('hello world hello world')) AS n")
       .head().getInt(0) > 0)
+    assert(spark.sql(
+      "SELECT size(hyperplane_buckets(array(cast(1.0 as float), cast(-2.0 as float)), 4, 3)) AS n")
+      .head().getInt(0) === 4)
   }
 
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {
