@@ -75,6 +75,7 @@ object SparkEntry {
     "t_tokens"           -> TextOps.tokenCounts _,
     "t_quality"          -> TextOps.qualityScore _,
     "t_langid"           -> TextOps.langId _,
+    "t_vocab"            -> TextOps.vocabStats _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _
   )
@@ -480,6 +481,15 @@ object SparkEntry {
          |      THEN CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) / ($wsTok)
          |      ELSE 0.0 END AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_vocab" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS token
+         |  FROM documents)
+         |SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+         |FROM t WHERE length(token) > 0
+         |GROUP BY token ORDER BY cf DESC, token LIMIT 100""".stripMargin,
 
     "t_langid" ->
       """SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,

@@ -158,6 +158,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics: top terms by collection frequency
+    * with document frequency — the tokenizer-design / stop-list
+    * diagnostic a training-data pipeline runs before building a
+    * vocabulary. One explode + one aggregation (map-side combine on
+    * uniform token keys); the top-k cut happens after the aggregate,
+    * whose cardinality is the vocabulary, not the corpus. */
+  def vocabStatsOf(docs: DataFrame, topK: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(wsTrim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(topK)
+
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStatsOf(Tables.documents(spark, dir))
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables.documents(spark, dir))
 }
