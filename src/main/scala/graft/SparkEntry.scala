@@ -76,6 +76,7 @@ object SparkEntry {
     "t_quality"          -> TextOps.qualityScore _,
     "t_langid"           -> TextOps.langId _,
     "t_vocab"            -> TextOps.vocabStats _,
+    "t_split"            -> TextOps.splitAssign _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _
   )
@@ -490,6 +491,14 @@ object SparkEntry {
          |SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
          |FROM t WHERE length(token) > 0
          |GROUP BY token ORDER BY cf DESC, token LIMIT 100""".stripMargin,
+
+    "t_split" ->
+      """SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        | SELECT doc_id, CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "t_langid" ->
       """SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,

@@ -177,6 +177,26 @@ object TextOps {
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     vocabStatsOf(Tables.documents(spark, dir))
 
+  /** Deterministic content-hash train/val/test split (80/10/10): keyed
+    * on the text itself (first 16 md5 bits), so the assignment
+    * survives re-ids, re-partitioning, and incremental corpus growth —
+    * the leakage-safe split for training corpora. Exact duplicates
+    * land in the SAME split by construction; only near-dups can leak,
+    * which the dedup operators remove first. Pure projection — no
+    * shuffle at any scale. */
+  def splitAssignOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(LongType) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOf(Tables.documents(spark, dir))
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables.documents(spark, dir))
 }
