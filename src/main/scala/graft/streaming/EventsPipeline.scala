@@ -101,6 +101,27 @@ object EventsPipeline {
       .select("e.*")
       .filter(col("event_id").isNotNull && col("ts").isNotNull)
 
+  /** typed event rows → kafka (key, value) bytes — the producer-side
+    * contract of the reference's notification emitters
+    * (emit_kafka_notification_for_pp_monthly_update_files.py,
+    * lib_kafka.py create_producer): JSON value, series id as the key
+    * so a partition preserves per-series order. Inverse of
+    * parseKafkaEvents (round-trip spec-pinned). */
+  def encodeKafkaEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast(StringType).cast(BinaryType).as("key"),
+      to_json(struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))).cast(BinaryType).as("value"))
+
+  /** Production publish entry: `df.writeStream.format("kafka")` over
+    * the encoded rows (no broker in the sandbox — the encode transform
+    * is what the spec covers). */
+  def publishEventsKafka(events: DataFrame, bootstrap: String,
+                         topic: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    encodeKafkaEvents(events).writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+
   /** The data-decision service as a stateful stream: for each file
     * series (key), compare the incoming content hash with the LAST
     * hash seen — archive if different/new, garbage_collect if same —

@@ -169,6 +169,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(agg.length === 1 && agg.head.getAs[Double]("total_value") === 1.5)
   }
 
+  test("kafka producer encode round-trips through the consumer parse") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.5, "p1"),
+      (2L, ts("2024-01-02 23:59:59"), 8L, "view", -0.25, "p2"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val wire = EventsPipeline.encodeKafkaEvents(events)
+    assert(wire.schema.fieldNames.toSeq === Seq("key", "value"))
+    assert(wire.schema.fields.forall(_.dataType.typeName === "binary"))
+    // key = series id, so per-series order survives partitioning
+    val keys = wire.select(col("key").cast("string")).as[String].collect().toSet
+    assert(keys === Set("7", "8"))
+    val back = EventsPipeline.parseKafkaEvents(wire)
+      .orderBy("event_id")
+      .as[(Long, Timestamp, Long, String, Double, String)].collect().toSeq
+    assert(back === Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.5, "p1"),
+      (2L, ts("2024-01-02 23:59:59"), 8L, "view", -0.25, "p2")))
+  }
+
   test("file-stream pipeline starts and produces the batch-equivalent schema") {
     val stream = EventsPipeline.eventsWindowStream(spark, sf)
     val batch = EventsPipeline.eventsWindowBatch(spark, sf)
