@@ -65,6 +65,13 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_asof_order").contains("WindowGroupLimit"))
   }
 
+  test("corpus split is a pure projection — only the output sort exchanges") {
+    val p = planOf("t_split")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"split assignment must not shuffle data:\n$p")
+  }
+
   test("q_monthly_growth's global window runs on a pre-aggregated month series") {
     // the unpartitioned lag window (WindowExec single-partition
     // warning in bench logs) is INTENTIONAL: its input is the
