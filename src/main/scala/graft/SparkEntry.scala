@@ -78,7 +78,8 @@ object SparkEntry {
     "t_vocab"            -> TextOps.vocabStats _,
     "t_split"            -> TextOps.splitAssign _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
-    "m_media_frames"     -> graft.multimodal.Media.mediaFrames _
+    "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
+    "m_media_resize"     -> graft.multimodal.Media.mediaResize _
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————

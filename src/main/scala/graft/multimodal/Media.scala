@@ -93,4 +93,45 @@ object Media {
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(decodeMeta(mediaTable(spark, dir)).toDF())
       .orderBy("media_id", "frame_idx")
+
+  /** Resized-image record: target box + the re-encoded payload. */
+  case class ResizedImage(media_id: Long, src_width: Int, src_height: Int,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** Image resize plumbing: fit each image into a `maxSide` box
+    * preserving aspect ratio, re-encoding per partition (the stub
+    * truncates the payload proportionally to the pixel reduction — a
+    * real implementation swaps in the codec at the marked line). The
+    * Spark-side shape is the production one: binary in / binary out,
+    * one decoder+encoder context per partition, metadata computed with
+    * the pixels in hand. */
+  def resizeImages(media: DataFrame, maxSide: Int = 256): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec: init decode+encode contexts here, once per partition
+        rows.map { case (id, kind, payload) =>
+          val m = decodeStub(id, kind, payload)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+          val (w, h) = (math.max(1, (m.width * scale).round.toInt),
+                        math.max(1, (m.height * scale).round.toInt))
+          // STUB re-encode: proportional byte truncation stands in for
+          // the real encoder call
+          val outBytes = java.util.Arrays.copyOf(payload,
+            math.max(1, (payload.length * scale * scale).round.toInt))
+          ResizedImage(id, m.width, m.height, w, h, outBytes)
+        }
+      }
+  }
+
+  /** Registered resize query (rows-only): per-image target geometry +
+    * payload size — scalar columns only for the driver dump. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    resizeImages(mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("src_width"), col("src_height"),
+        col("width"), col("height"), length(col("payload")).as("n_bytes"))
+      .orderBy("media_id")
 }

@@ -93,6 +93,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.filter(_.kind == "video").forall(_.n_frames >= 1))
   }
 
+  test("image resize fits the box, preserves aspect ratio, and shrinks payloads") {
+    val resized = Media.resizeImages(Media.mediaTable(spark, sf), maxSide = 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(math.max(r.width, r.height) <= 64, s"${r.media_id} exceeds the box")
+      assert(r.width >= 1 && r.height >= 1)
+      // aspect ratio preserved within integer rounding
+      val srcRatio = r.src_width.toDouble / r.src_height
+      val dstRatio = r.width.toDouble / r.height
+      assert(math.abs(srcRatio - dstRatio) / srcRatio < 0.1,
+        s"${r.media_id}: ratio $srcRatio -> $dstRatio")
+      assert(r.payload.length >= 1)
+    }
+    // an image already inside the box is untouched
+    val big = Media.resizeImages(Media.mediaTable(spark, sf), maxSide = 8192).collect()
+    assert(big.forall(r => r.width == r.src_width && r.height == r.src_height))
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()
