@@ -7,18 +7,18 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths where composed
-  * built-ins are wasteful (SURVEY.md §4). Scan-path expressions
-  * (dot product, poly hash, winnowing, hyperplane signatures) are
-  * whole-stage-codegen capable; the single-char-scan text censuses
-  * (WordSetScores, CharClassCounts) stay CodegenFallback — their
-  * per-row work is one tight JVM loop either way.
+  * built-ins are wasteful (SURVEY.md §4). Every scalar expression is
+  * whole-stage-codegen capable — kernels are shared between eval and
+  * generated code (static call, or an expression reference object
+  * where instance state like dictionary sets is needed), so no
+  * operator splits the scan pipeline.
   */
 
 /** dot(a, b) over two float vectors, accumulated left-to-right in
@@ -190,9 +190,11 @@ object WinnowFingerprint {
   * the `\b`-delimited alternation semantics of the Java/RE2 regexes
   * it replaces (both treat \w as ASCII by default), so counts are
   * identical to the regex formulation for pure-letter dictionary
-  * words. CodegenFallback: the per-row work is a single char scan. */
+  * words. Codegen'd via an expression reference object (the dictionary
+  * sets live in the instance), so the scan pipeline stays in one
+  * whole-stage span. */
 case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   // a dictionary word with a non-ASCII-word character ("für",
   // "l'eau") can never equal an ASCII token, silently diverging from
   // the regex formulation — reject at construction instead
@@ -215,8 +217,9 @@ case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
     (c >= '0' && c <= '9') || c == '_'
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code via a reference object. */
+  def compute(v: UTF8String): ArrayData = {
+    val s = v.toString
     val counts = new Array[Long](sets.length)
     var i = 0
     val n = s.length
@@ -235,6 +238,14 @@ case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
     new GenericArrayData(counts)
   }
 
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("wordSetScores", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($s);"
+    })
+
   override protected def withNewChildInternal(c: Expression): WordSetScores = copy(child = c)
 }
 
@@ -243,15 +254,29 @@ case class WordSetScores(child: Expression, dicts: Seq[Seq[String]])
   * regexp_replace+length pass per class in quality scoring. Counts are
   * identical to the regex character-class formulation (n_chars counts
   * code points like SQL length(); the classes themselves are pure
-  * ASCII, unaffected by surrogate pairs). */
+  * ASCII, unaffected by surrogate pairs). Codegen calls the same
+  * static kernel as eval. */
 case class CharClassCounts(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(v: Any): Any =
+    CharClassCounts.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = CharClassCounts.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): CharClassCounts = copy(child = c)
+}
+
+object CharClassCounts {
+  /** The census kernel, shared by eval and generated code. */
+  def compute(s: UTF8String): ArrayData = {
     val n = s.numChars()
     var alpha = 0L
     var punct = 0L
@@ -266,8 +291,6 @@ case class CharClassCounts(child: Expression)
     }
     new GenericArrayData(Array(n.toLong, alpha, punct))
   }
-
-  override protected def withNewChildInternal(c: Expression): CharClassCounts = copy(child = c)
 }
 
 /** Banded random-hyperplane LSH signature in one corpus pass: returns
