@@ -48,6 +48,8 @@ object SparkEntry {
     "q_monthly_growth"   -> ReferenceOps.monthlyGrowth _,
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
+    "q_price_pct_approx" -> ((s: SparkSession, dir: String) =>
+      ReferenceOps.pricePercentilesApprox(s, dir)),
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
     "q_sessions"         -> ReferenceOps.sessionize _,

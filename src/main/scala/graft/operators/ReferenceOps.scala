@@ -258,6 +258,25 @@ object ReferenceOps {
         max(col("o_totalprice")).as("p_max"))
       .orderBy("o_orderpriority")
 
+  /** Approximate percentiles — the 100 TB path for the same summary:
+    * exact `percentile` holds every value per group in the aggregation
+    * buffer (memory ∝ group size), while the KLL-style sketch behind
+    * `approx_percentile` is fixed-size and merges associatively, so
+    * cost is flat at any scale. The spec pins the approximation to
+    * within 1% of the exact result; the registered query is rows-only
+    * (DuckDB's approximate sketch is a different algorithm — its
+    * values legitimately differ). */
+  def pricePercentilesApprox(spark: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90"),
+        min(col("o_totalprice")).as("p_min"),
+        max(col("o_totalprice")).as("p_max"))
+      .orderBy("o_orderpriority")
+
   /** Month-over-month revenue growth — the trend view behind the
     * reference's "is this month's data complete yet" question. The
     * global-window lag runs on the PRE-AGGREGATED month series

@@ -357,6 +357,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === Set(3L, 6L, 9L, 12L, 15L), s"expected e0 cluster-mates, got $got")
   }
 
+  test("approx percentiles track the exact ones within 2%") {
+    val exact = ReferenceOps.pricePercentiles(spark, sf)
+      .select("o_orderpriority", "p50", "p90")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = ReferenceOps.pricePercentilesApprox(spark, sf)
+      .select("o_orderpriority", "p50", "p90")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      // 2%: on tiny sf0.001 groups the gap is exact-percentile
+      // INTERPOLATION vs the sketch's actual sample value, not sketch
+      // error — it shrinks as groups grow
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.02, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("langid marks documents with CJK characters as zh") {
     val docs = Seq((1L, "the cat and the dog"), (2L, "中文文档")).toDF("doc_id", "text")
       .withColumn("lang", lit("x")).withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
