@@ -36,6 +36,8 @@ object SparkEntry {
     "q_archive_log"      -> ReferenceOps.archiveLog _,
     "q_delay_binned"     -> ReferenceOps.delayBinned _,
     "q_upload_stats"     -> ReferenceOps.uploadStats _,
+    "q_upload_stats_approx" -> ((s: SparkSession, dir: String) =>
+      ReferenceOps.uploadStatsApprox(s, dir)),
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,

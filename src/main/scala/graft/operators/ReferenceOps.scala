@@ -189,6 +189,20 @@ object ReferenceOps {
     (db, file)
   }
 
+  /** Sketch-based upload stats — the 100 TB path for the same log row:
+    * exact countDistinct shuffles every distinct key; HyperLogLog++
+    * (`approx_count_distinct`) is a fixed-size mergeable sketch, so
+    * the whole summary stays one map-side pass + a tiny merge.
+    * Spec-pinned within 2% of the exact count. */
+  def uploadStatsApprox(spark: SparkSession, dir: String, rsd: Double = 0.01): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("n_transactions"),
+        min(to_date(col("l_shipdate"))).as("min_ship_date"),
+        max(to_date(col("l_shipdate"))).as("max_ship_date"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("total_price"))
+
   /** Reconciliation: count rows in-database-only / in-file-only /
     * in-both, matching on the full row (database_verify.py:160-236).
     * One full-outer join on (key, price) via the generic

@@ -375,6 +375,17 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-based upload stats track the exact log row within 2%") {
+    val exact = ReferenceOps.uploadStats(spark, sf).head()
+    val approx = ReferenceOps.uploadStatsApprox(spark, sf).head()
+    assert(approx.getLong(0) === exact.getLong(0)) // row count is exact
+    val (eN, aN) = (exact.getLong(1), approx.getLong(1))
+    assert(math.abs(aN - eN).toDouble / eN < 0.02, s"HLL n_transactions $aN vs $eN")
+    assert(approx.getDate(2) === exact.getDate(2))
+    assert(approx.getDate(3) === exact.getDate(3))
+    assert(approx.getDouble(4) === exact.getDouble(4)) // decimal sum is exact
+  }
+
   test("langid marks documents with CJK characters as zh") {
     val docs = Seq((1L, "the cat and the dog"), (2L, "中文文档")).toDF("doc_id", "text")
       .withColumn("lang", lit("x")).withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
