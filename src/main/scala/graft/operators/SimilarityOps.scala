@@ -153,21 +153,37 @@ object SimilarityOps {
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame =
     annLshOf(vecs(spark, dir), nQueries, k)
 
+  /** Nearest-centroid assignment WITHOUT a shuffle: the centroid table
+    * is packed into a single broadcast array row and the argmax over
+    * cells runs per corpus row (struct max — sim first, then negated
+    * cell id so ties pick the smallest cell, matching a
+    * `orderBy(sim desc, cell)` window). The window formulation this
+    * replaces expanded the corpus ×kCells and shuffled the expansion
+    * to rank it — a full-corpus shuffle per assignment at 100 TB;
+    * this is a pure projection over one corpus pass. */
+  private def nearestCell(v: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      collect_list(struct(col("cell"), col("c_emb"), col("c_nrm"))).as("cs"))
+    v.crossJoin(broadcast(packed))
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(
+          (dot(col("embedding"), c.getField("c_emb")) /
+            (col("nrm") * c.getField("c_nrm"))).as("sim"),
+          (-c.getField("cell")).as("neg_cell")))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.neg_cell")).as("cell"))
+  }
+
   /** IVF cell assignment: `kCells` coarse centroids (deterministic
-    * seed vectors — the first kCells corpus vectors; a k-means refine
-    * would slot in here), every vector assigned to its nearest
-    * centroid by cosine. One broadcast join + one window — the
-    * 100 TB-side cost is a single corpus pass. */
+    * seed vectors — the first kCells corpus vectors; see
+    * ivfRefinedCentroidsOf for the k-means build), every vector
+    * assigned to its nearest centroid by cosine in one shuffle-free
+    * corpus pass. */
   def ivfAssignOf(v0: DataFrame, kCells: Int): DataFrame = {
     val v = v0.withColumn("nrm", norm(col("embedding")))
     val cents = v.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    nearestCell(v, cents)
   }
 
   /** Spherical k-means refinement of the IVF coarse centroids (Lloyd
@@ -186,12 +202,7 @@ object SimilarityOps {
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     for (_ <- 0 until iters) {
       val cn = cents.withColumn("c_nrm", norm(col("c_emb")))
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-      val assigned = v.crossJoin(broadcast(cn))
-        .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("embedding"))
+      val assigned = nearestCell(v, cn).select(col("cell"), col("embedding"))
       // element-wise mean via posexplode → (cell, pos) average →
       // re-assembled in position order; distributed, no vector UDAF
       val means = assigned
@@ -236,12 +247,7 @@ object SimilarityOps {
   private def annIvfWithCentroids(v0: DataFrame, cents: DataFrame, nQueries: Int,
                                   k: Int, nProbe: Int): DataFrame = {
     val v = v0.withColumn("nrm", norm(col("embedding")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val assigned = nearestCell(v, cents)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))

@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
       s"global window must consume the month aggregate:\n$p")
   }
 
+  test("IVF assignment is shuffle-free: only the per-query rank window remains") {
+    // nearest-cell assignment is a packed-centroid projection; the
+    // window formulation it replaced shuffled a xkCells corpus
+    // expansion per assignment
+    for (name <- Seq("s_ann_ivf", "s_ann_ivf_kmeans")) {
+      val p = planOf(name)
+      // remaining windows (probe ranking, final top-k) all partition by
+      // query_id — query-sized or candidate-sized inputs. A window
+      // partitioned by vec_id would mean the corpus expansion shuffle
+      // is back.
+      assert(!p.contains("windowspecdefinition(vec_id"),
+        s"$name: corpus-side window crept back in:\n$p")
+    }
+  }
+
   test("ANN queries use the native dot product expression") {
     assert(planOf("s_ann_topk").contains("dotproductf"))
     assert(planOf("d_embed_dup").contains("dotproductf"))
