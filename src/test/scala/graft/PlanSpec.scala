@@ -65,6 +65,13 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_asof_order").contains("WindowGroupLimit"))
   }
 
+  test("top-k windows prune partially before the shuffle (WindowGroupLimit)") {
+    // without it, each query/customer becomes one corpus-sized
+    // partition at the rank step
+    for (name <- Seq("s_ann_topk", "s_ann_lsh", "s_ann_ivf", "q_window_rank"))
+      assert(planOf(name).contains("WindowGroupLimit"), s"$name lost rank pruning")
+  }
+
   test("corpus split is a pure projection — only the output sort exchanges") {
     val p = planOf("t_split")
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
