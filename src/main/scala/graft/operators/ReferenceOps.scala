@@ -331,17 +331,22 @@ object ReferenceOps {
   }
 
   /** Ranking + running totals per customer — the windowed analyst
-    * workload over the queryable store. */
+    * workload over the queryable store. The rank filter runs in its
+    * OWN window step before the running sum: a mixed rank+sum window
+    * blocks InferWindowGroupLimit, while the split lets the rank
+    * prune partially before the shuffle, and the running total over
+    * the surviving rank-1..3 prefix is identical to the unpruned one
+    * (a prefix sum only reads rows at or above its own rank). */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
       .withColumn("price_rank", row_number().over(order).cast(LongType))
+      .filter(col("price_rank") <= 3)
       .withColumn("running_total",
         sum(dec2(col("o_totalprice")))
           .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DoubleType))
-      .filter(col("price_rank") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("price_rank"), col("running_total"))
       .orderBy("o_custkey", "price_rank")
   }
