@@ -229,7 +229,14 @@ object ReferenceOps {
 
   /** Rollup revenue by nation × order-month with subtotal rows — the
     * report shape analysts build over the price-paid store. Decimal
-    * sums keep every (sub)total exact. */
+    * sums keep every (sub)total exact.
+    *
+    * Two-level aggregation: Spark's ROLLUP expands its INPUT ×levels
+    * before aggregating, so rolling up the raw join would triple the
+    * fact rows through the shuffle at any scale. Aggregating at the
+    * finest (nation, month) grain first shrinks the Expand to the
+    * report-sized aggregate; subtotals are sums of exact decimal
+    * sums, so every value is identical to the single-level rollup. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"),
@@ -240,12 +247,14 @@ object ReferenceOps {
       col("l_orderkey"),
       (dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
         .as("rev"))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val fine = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
-      .rollup(col("n_name"), col("order_month"))
-      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .groupBy(col("n_name"), col("order_month"))
+      .agg(sum(col("rev")).as("rev_fine"), count(lit(1)).as("n_fine"))
+    fine.rollup(col("n_name"), col("order_month"))
+      .agg(sum(col("rev_fine")).cast(DoubleType).as("revenue"),
+        sum(col("n_fine")).as("n_items"))
       .orderBy(col("n_name").asc_nulls_first, col("order_month").asc_nulls_first)
   }
 
