@@ -45,8 +45,11 @@ object EventsPipeline {
     * MemoryStream; on a cluster this is `readStream.format("kafka")`. */
   def eventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, dir).schema
+    // the events table is a single parquet file; a file-stream source
+    // wants a directory, so stream the SF dir filtered to that file
     val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     windowedAgg(Tables.eventsFromRaw(stream), withWatermark = true)
   }
 

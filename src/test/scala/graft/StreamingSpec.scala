@@ -194,4 +194,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.isStreaming)
     assert(stream.schema.fieldNames.sameElements(batch.schema.fieldNames))
   }
+
+  test("file-stream windowed agg over the REAL events table equals the batch result") {
+    // complete mode so every window state row is emitted at the end —
+    // the stream/batch agreement the reference had to build by hand
+    val q = EventsPipeline.eventsWindowStream(spark, sf)
+      .writeStream.format("memory").queryName("real_win").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("real_win")
+      .orderBy("hour_start", "event_type").collect().map(_.toString).toSeq
+    q.stop()
+    val batch = EventsPipeline.eventsWindowBatch(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
 }
