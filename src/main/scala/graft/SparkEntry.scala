@@ -72,6 +72,7 @@ object SparkEntry {
     "d_clean_corpus"     -> ((s: SparkSession, dir: String) =>
       NearDedup.cleanCorpus(graft.sources.Tables.documents(s, dir))),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
+    "s_hybrid"           -> ((s: SparkSession, dir: String) => SimilarityOps.hybridSearch(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
     "s_ann_ivf"          -> ((s: SparkSession, dir: String) => SimilarityOps.annIvf(s, dir)),
     "s_ann_ivf_kmeans"   -> ((s: SparkSession, dir: String) => SimilarityOps.annIvfRefined(s, dir)),

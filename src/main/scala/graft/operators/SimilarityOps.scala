@@ -174,6 +174,42 @@ object SimilarityOps {
         (-col("best.neg_cell")).as("cell"))
   }
 
+  /** Hybrid retrieval: metadata-filtered ANN. The corpus is first
+    * restricted to the ids in `keep` (a LEFT-SEMI join — the filter
+    * prunes the corpus before any vector math runs), then each query
+    * vector is scored against the survivors only. This is the
+    * composition a retrieval pipeline runs (language / quality /
+    * licence gates ahead of similarity), and the reason text
+    * predicates and vector scoring live in one plan language: Catalyst
+    * pushes the whole gate below the scoring join. */
+  def hybridSearchOf(v0: DataFrame, keep: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val corpus = v.join(keep.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Registered binding: neighbors must be English AND substantial
+    * (≥ minTokens whitespace tokens) — the doc and embedding tables
+    * share ids. */
+  def hybridSearch(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                   minTokens: Long = 5, lang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = TextOps.langIdOf(docs)
+      .filter(col("detected_lang") === lang).select("doc_id")
+      .join(TextOps.qualityScoreOf(docs)
+        .filter(col("n_tokens") >= minTokens).select("doc_id"), "doc_id")
+    hybridSearchOf(vecs(spark, dir), keep, nQueries, k)
+  }
+
   /** IVF cell assignment: `kCells` coarse centroids (deterministic
     * seed vectors — the first kCells corpus vectors; see
     * ivfRefinedCentroidsOf for the k-means build), every vector

