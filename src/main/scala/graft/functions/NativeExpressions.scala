@@ -375,6 +375,63 @@ object HyperplaneBuckets {
   }
 }
 
+/** MinHash signature over a shingle-hash array in ONE pass: value i of
+  * the output is min over elements x of xxhash64(i, x), bit-identical
+  * to Spark's `xxhash64(lit(i), x)` (the per-permutation seed is
+  * XXH64.hashInt(i, 42) — exactly how the builtin folds an int
+  * literal child into the stream). Replaces numHashes separate
+  * `array_min(transform(...))` trees, which run as interpreted
+  * higher-order lambdas and traverse the array once PER permutation.
+  * Inputs are non-empty by construction (shingle sets exist only for
+  * docs with >= n tokens); an empty array would yield a MaxValue-
+  * filled signature where the composed form yields nulls. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashSignature.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = MinHashSignature.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($a, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+object MinHashSignature {
+  // per-permutation seeds: Spark's xxhash64 folds children left to
+  // right, so the int literal i contributes hashInt(i, 42) as the
+  // running seed before the shingle long is hashed
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n, k => Array.tabulate(k)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)))
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val s = seeds(numHashes)
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(x, s(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** SimHash as a single typed-imperative aggregate: the per-bit ±1
   * vote tally lives in one int[64] buffer updated in tight JVM code —
   * one aggregation pass instead of 64 separate conditional-sum
@@ -442,6 +499,9 @@ object native {
     ExpressionUtils.column(PolyHash64(ExpressionUtils.expression(c)))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
+  def minhash_signature(c: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(c), numHashes))
   def hyperplane_buckets(c: Column, nBands: Int, nPlanes: Int): Column =
     ExpressionUtils.column(
       HyperplaneBuckets(ExpressionUtils.expression(c), nBands, nPlanes))

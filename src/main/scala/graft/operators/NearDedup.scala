@@ -105,13 +105,14 @@ object NearDedup {
       .agg(array_distinct(collect_list(col("shingle"))).as("s"))
       .withColumn("nsh", size(col("s")).cast(LongType))
 
-  /** Signatures projected straight off the set array: 64×array_min
-    * over transform — no second aggregation pass. Values are identical
-    * to minHashSignatures (min over the same distinct shingles). */
+  /** Signatures projected straight off the set array in one native
+    * pass (`MinHashSignature` — bit-identical to the composed
+    * 64×array_min(transform(xxhash64)) form, which ran as interpreted
+    * lambdas traversing the array once per permutation); no second
+    * aggregation pass. */
   private def signaturesFromSets(sets: DataFrame, numHashes: Int = 64): DataFrame =
     sets.select(col("doc_id"),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("s"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+      graft.functions.native.minhash_signature(col("s"), numHashes).as("sig"))
 
   /** MinHash+LSH near-dup pairs verified by exact Jaccard. */
   def minHashDedupOf(docs: DataFrame, threshold: Double): DataFrame = {

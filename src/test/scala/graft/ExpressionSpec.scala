@@ -159,6 +159,21 @@ class ExpressionSpec extends AnyFunSuite {
     assert(evaled === out(0L))
   }
 
+  test("minhash_signature is bit-identical to the composed array_min/transform form") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong()))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("doc_id", "s")
+    val n = 16
+    val nativeSig = df.select(col("doc_id"), minhash_signature(col("s"), n).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composedSig = df.select(col("doc_id"),
+      array((0 until n).map(i =>
+        array_min(transform(col("s"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeSig === composedSig)
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     // TestSpark session is built by GraftSession, which registers the
     // extensions — so plain SQL can use the engine's functions.
