@@ -214,6 +214,24 @@ object SparkEntry {
       | outcome
       |FROM dec WHERE outcome <> 'delete_but_missing_and_ignored' ORDER BY o_orderkey""".stripMargin
 
+  // langid oracle fragments, shared by t_langid and the s_hybrid gate
+  private val langScoresSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS BIGINT) AS score_en,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS BIGINT) AS score_de,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que|des)\b')) AS BIGINT) AS score_fr,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|que|por|con|del)\b')) AS BIGINT) AS score_es,
+      |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+      | FROM documents""".stripMargin
+
+  private val langCaseSql =
+    """CASE WHEN score_zh > 0 THEN 'zh'
+      |      WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+      |      WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+      |      WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+      |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+      |      ELSE 'es' END""".stripMargin
+
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
@@ -507,20 +525,27 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "t_langid" ->
-      """SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
-        | CASE WHEN score_zh > 0 THEN 'zh'
-        |      WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
-        |      WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
-        |      WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
-        |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
-        |      ELSE 'es' END AS detected_lang
-        |FROM (
-        | SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS BIGINT) AS score_en,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS BIGINT) AS score_de,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans|que|des)\b')) AS BIGINT) AS score_fr,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|que|por|con|del)\b')) AS BIGINT) AS score_es,
-        |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
-        | FROM documents) t ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+         | $langCaseSql AS detected_lang
+         |FROM ($langScoresSql) t ORDER BY doc_id""".stripMargin,
+
+    // the hybrid gate reuses the langid + token-count oracle fragments;
+    // ids-only output so float cosine representation never hashes
+    "s_hybrid" ->
+      s"""WITH lang AS (
+         |  SELECT doc_id, $langCaseSql AS detected_lang FROM ($langScoresSql) t),
+         |keep AS (
+         |  SELECT d.doc_id FROM documents d JOIN lang ON d.doc_id = lang.doc_id
+         |  WHERE lang.detected_lang = 'en' AND CAST($wsTok AS BIGINT) >= 5),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, v.vec_id,
+         |        list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])) AS cos
+         |      FROM embeddings v JOIN keep ON v.vec_id = keep.doc_id
+         |      CROSS JOIN q WHERE v.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -193,7 +193,9 @@ object SimilarityOps {
       .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      // ids only (like s_ann_topk): float-representation-robust output
+      // that a DuckDB oracle can hash-match
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 
