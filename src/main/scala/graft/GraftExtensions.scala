@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{DotProductF, HyperplaneBuckets, PolyHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{DotProductF, HyperplaneBuckets, MinHashSignature, PolyHash64, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("... dot_f(a,b) ...")`
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint", "winnow_fingerprint(str) - winnowed k-gram fingerprint set"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head, 5, 4)))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(arr, numHashes) - all MinHash permutation minima in one pass"),
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("hyperplane_buckets"),
       info("hyperplane_buckets",
         "hyperplane_buckets(vec, nBands, nPlanes) - banded random-hyperplane LSH signature"),

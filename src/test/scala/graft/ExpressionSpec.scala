@@ -188,6 +188,8 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT size(hyperplane_buckets(array(cast(1.0 as float), cast(-2.0 as float)), 4, 3)) AS n")
       .head().getInt(0) === 4)
+    assert(spark.sql(
+      "SELECT size(minhash_signature(array(1L, 2L, 3L), 8)) AS n").head().getInt(0) === 8)
   }
 
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {
