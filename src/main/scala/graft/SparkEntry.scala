@@ -64,6 +64,7 @@ object SparkEntry {
     "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
     "d_dedup_winnow"     -> ((s: SparkSession, dir: String) => NearDedup.winnowDedup(s, dir)),
+    "d_decontaminate"    -> NearDedup.decontaminate _,
     // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     // … and the banded-LSH variant — the plan that survives 100×
@@ -82,6 +83,9 @@ object SparkEntry {
     "t_langid"           -> TextOps.langId _,
     "t_vocab"            -> TextOps.vocabStats _,
     "t_split"            -> TextOps.splitAssign _,
+    "t_sample"           -> TextOps.stratifiedSample _,
+    "t_repetition"       -> TextOps.repetitionScore _,
+    "t_pack"             -> TextOps.packSequences _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _
@@ -515,6 +519,68 @@ object SparkEntry {
          |SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
          |FROM t WHERE length(token) > 0
          |GROUP BY token ORDER BY cf DESC, token LIMIT 100""".stripMargin,
+
+    "t_sample" ->
+      """SELECT doc_id, lang, bucket, keep_rate FROM (
+        | SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket,
+        |  CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 60 ELSE 100 END AS keep_rate
+        | FROM documents) t
+        |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin,
+
+    "t_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |             FROM w WHERE n_tokens >= 2)),
+        |top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM
+        |          (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / n_tokens END AS distinct_ratio,
+        |  CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |  CASE WHEN n_tokens < 2 THEN 0.0
+        |       ELSE CAST(COALESCE(top.top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1) END AS top_bigram_ratio
+        |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "t_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |      FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+        |  CAST(tokens_before % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "d_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |cw AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM corpus),
+        |cpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM cw WHERE len(ws) >= 3),
+        |csh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM cpos),
+        |bw AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM bench),
+        |bpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM bw WHERE len(ws) >= 3),
+        |bsh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM bpos),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_bench_shingles FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(COALESCE(h.n_bench_shingles, 0) AS BIGINT) AS n_bench_shingles,
+        |  CASE WHEN COALESCE(h.n_bench_shingles, 0) >= 1 THEN 1 ELSE 0 END AS is_contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "t_split" ->
       """SELECT doc_id, bucket,

@@ -291,6 +291,45 @@ object NearDedup {
     winnowDedupOf(docs.unionByName(planted), threshold)
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least `minHits` word n-grams with a benchmark/eval set — the
+    * standard test-set-leakage scan a training pipeline runs before
+    * release (the GPT-3/PaLM-style n-gram overlap check). Output is one
+    * row per corpus document with its overlap count, clean docs
+    * included (n_bench_shingles = 0).
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus
+    * (eval suites are MBs against 100 TB), so its distinct shingle set
+    * is BROADCAST and the scan is one corpus pass — a broadcast
+    * semi-join-shaped aggregation, no corpus shuffle beyond the
+    * per-doc count. The same plan serves as the exact fallback for a
+    * bloom-filter prefilter at extreme benchmark sizes. */
+  def decontaminateOf(corpus: DataFrame, benchmark: DataFrame,
+                      n: Int = 3, minHits: Long = 1): DataFrame = {
+    val benchShingles = shingles(benchmark, n).select("shingle").distinct()
+    val hits = shingles(corpus, n)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_shingles"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_shingles"), lit(0L)).as("n_bench_shingles"))
+      .withColumn("is_contaminated",
+        when(col("n_bench_shingles") >= minHits, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Registered binding: every 20th document plays the benchmark set,
+    * the rest are the corpus under scan — deterministic roles, so the
+    * DuckDB oracle reproduces them exactly. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateOf(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
   /** 64-bit SimHash per document: majority vote of each bit over the
     * document's word hashes — ONE custom typed-imperative aggregate
     * (`SimHashAgg`) holding the 64 vote counters in a single buffer,

@@ -199,4 +199,105 @@ object TextOps {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables.documents(spark, dir))
+
+  /** Per-language keep-rates (percent) for the registered stratified
+    * sample: downsample the over-represented languages toward balance,
+    * keep the scarce ones whole — the standard re-balancing move of a
+    * multilingual training mix. */
+  val sampleRates: Map[String, Int] =
+    Map("en" -> 40, "de" -> 100, "fr" -> 100, "es" -> 100, "zh" -> 60)
+
+  /** Stratified deterministic downsampling: keep a document iff its
+    * content-hash bucket (same md5-prefix bucket as the train/val/test
+    * split) falls below its stratum's keep-rate. Content-keyed, so the
+    * decision is reproducible across runs, re-ids and re-partitioning,
+    * and exact duplicates are kept or dropped TOGETHER. Pure
+    * projection + filter — no shuffle, no sampling state, works
+    * identically on 1000 executors. */
+  def stratifiedSampleOf(docs: DataFrame, rates: Map[String, Int],
+                         defaultRate: Int = 100): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast(LongType) % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("keep_rate"))
+      .filter(col("bucket") < col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables.documents(spark, dir), sampleRates)
+
+  /** Repetition signals (the Gopher/MassiveText repetition rules,
+    * Rae et al. 2021 §A1.1, adapted to token granularity): fraction of
+    * distinct tokens, and the share of the document's bigrams taken by
+    * its single most frequent bigram. High-repetition documents
+    * (boilerplate, keyword stuffing, degenerate generations) score low
+    * distinct_ratio / high top_bigram_ratio and get filtered.
+    *
+    * Everything is per-row array algebra — the most-frequent-bigram
+    * count comes from the longest run in the SORTED bigram array (one
+    * `aggregate` fold), so the whole operator is a projection: no
+    * explode, no groupBy, no shuffle at any scale. */
+  def repetitionScoreOf(docs: DataFrame): DataFrame = {
+    val toks = split(wsTrim(lower(col("text"))), "\\s+")
+    val nTok = when(length(wsTrim(col("text"))) === 0, 0).otherwise(size(toks))
+    val bigrams = array_sort(zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b)))
+    // longest run in the sorted array = max multiplicity
+    val runState = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val topBigram = aggregate(
+      bigrams, runState,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .withColumn("__n", nTok.cast(LongType))
+      .withColumn("__nb", when(col("__n") >= 2, col("__n") - 1).otherwise(0L))
+      .select(col("doc_id"),
+        col("__n").as("n_tokens"),
+        when(col("__n") === 0, 0L)
+          .otherwise(size(array_distinct(toks)).cast(LongType)).as("n_distinct"),
+        when(col("__n") === 0, 0.0)
+          .otherwise(size(array_distinct(toks)).cast(DoubleType) / col("__n"))
+          .as("distinct_ratio"),
+        when(col("__nb") === 0, 0L).otherwise(topBigram.cast(LongType)).as("top_bigram_n"),
+        when(col("__nb") === 0, 0.0)
+          .otherwise(topBigram.cast(DoubleType) / col("__nb")).as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoreOf(Tables.documents(spark, dir))
+
+  /** Sequence packing (concat-and-chunk, the GPT training layout):
+    * documents are laid end-to-end in doc_id order within a shard and
+    * cut into fixed `budget`-token sequences; each document reports the
+    * sequence it STARTS in and its offset there. Sharding bounds the
+    * running-sum window — each shard packs independently (exactly how
+    * per-worker packing runs in production), so the window partitions
+    * by shard and no global sort exists at any scale. */
+  def packSequencesOf(docs: DataFrame, budget: Int = 256, nShards: Int = 8): DataFrame = {
+    val toks = when(length(wsTrim(col("text"))) === 0, 0)
+      .otherwise(size(split(wsTrim(col("text")), "\\s+")))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        toks.cast(LongType).as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("tokens_before") / budget).cast(LongType).as("seq_id"),
+        (col("tokens_before") % budget).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir))
 }

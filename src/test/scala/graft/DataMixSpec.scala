@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{NearDedup, TextOps}
+
+/** Training-mix operators: stratified sampling, repetition scoring,
+  * sequence packing, and benchmark decontamination. */
+class DataMixSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "the cat sat on the mat and looked at the dog"),
+    (2L, "en", "a b a b c"),
+    (3L, "de", "der hund lief durch den park und bellte laut"),
+    (4L, "zh", "中文 内容 测试 样本 数据"),
+    (5L, "en", ""),
+    (6L, "en", "word"),
+    (7L, "en", "spam spam spam spam spam spam"),
+    (8L, "en", "the cat sat on the mat and looked at the dog") // dup of 1
+  ).toDF("doc_id", "lang", "text")
+
+  test("stratified sample: deterministic, duplicate-stable, rate-respecting") {
+    val once  = TextOps.stratifiedSampleOf(docs, Map("en" -> 50)).collect()
+    val again = TextOps.stratifiedSampleOf(docs, Map("en" -> 50)).collect()
+    assert(once.toSeq === again.toSeq) // content-keyed, no RNG state
+    val kept = once.map(_.getLong(0)).toSet
+    // exact duplicates share the md5 bucket → kept or dropped together
+    assert(kept.contains(1L) === kept.contains(8L))
+    // rate 100 keeps everything, rate 0 drops everything in stratum
+    val all = TextOps.stratifiedSampleOf(docs, Map.empty).collect()
+    assert(all.length === docs.count())
+    val noEn = TextOps.stratifiedSampleOf(docs, Map("en" -> 0)).collect()
+    assert(!noEn.map(_.getString(1)).contains("en"))
+    assert(noEn.map(_.getString(1)).toSet === Set("de", "zh"))
+  }
+
+  test("repetition score: known counts, degenerate docs score high") {
+    val m = TextOps.repetitionScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "a b a b c": 5 tokens, 3 distinct, bigrams = [a b, b a, a b, b c]
+    assert(m(2L).getLong(1) === 5L)
+    assert(m(2L).getLong(2) === 3L)
+    assert(m(2L).getDouble(3) === 3.0 / 5.0)
+    assert(m(2L).getLong(4) === 2L)          // "a b" twice
+    assert(m(2L).getDouble(5) === 2.0 / 4.0)
+    // empty doc: all zeros, no NaN/null
+    assert(m(5L).getLong(1) === 0L && m(5L).getDouble(3) === 0.0
+      && m(5L).getLong(4) === 0L && m(5L).getDouble(5) === 0.0)
+    // single token: no bigrams
+    assert(m(6L).getLong(1) === 1L && m(6L).getLong(4) === 0L)
+    // "spam"×6: distinct_ratio 1/6, top bigram owns all 5 slots
+    assert(m(7L).getDouble(3) === 1.0 / 6.0)
+    assert(m(7L).getDouble(5) === 1.0)
+  }
+
+  test("pack sequences: per-shard cumulative layout, budget arithmetic") {
+    val packed = TextOps.packSequencesOf(docs, budget = 7, nShards = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // shard = doc_id % 2; within a shard, offsets accumulate in doc_id order
+    val byShard = packed.toSeq.sortBy(_._1).groupBy(_._2._1)
+    byShard.foreach { case (_, ds) =>
+      var before = 0L
+      ds.foreach { case (_, (_, n, seqId, off)) =>
+        assert(seqId === before / 7, s"seq_id at before=$before")
+        assert(off === before % 7, s"seq_offset at before=$before")
+        before += n
+      }
+    }
+    // first doc of each shard starts at sequence 0, offset 0
+    assert(packed(1L)._3 === 0L && packed(1L)._4 === 0L)
+    assert(packed(2L)._3 === 0L && packed(2L)._4 === 0L)
+  }
+
+  test("decontaminate: planted benchmark overlap is flagged, clean docs are not") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "totally unrelated text with no overlap here"),
+      (12L, "prefix words then alpha beta gamma suffix")
+    ).toDF("doc_id", "text")
+    val bench = Seq((90L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val m = NearDedup.decontaminateOf(corpus, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // doc 10 shares "alpha beta gamma" and "beta gamma delta" → 2 hits
+    assert(m(10L) === ((2L, 1)))
+    assert(m(11L) === ((0L, 0)))
+    assert(m(12L) === ((1L, 1)))    // one shared 3-gram
+    assert(m.size === 3)            // clean docs still present in output
+  }
+
+  test("decontaminate plan: benchmark shingle set is broadcast, corpus never cross-joins") {
+    val docs2 = docs.select("doc_id", "text")
+    val plan = NearDedup.decontaminateOf(
+      docs2.filter(col("doc_id") % 4 =!= 0),
+      docs2.filter(col("doc_id") % 4 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
