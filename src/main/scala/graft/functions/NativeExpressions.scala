@@ -491,6 +491,66 @@ case class SimHashAgg(child: Expression,
     copy(child = c.head)
 }
 
+/** Repetition census for the Gopher/MassiveText repetition rules:
+  * `[n_tokens, n_distinct, top_bigram_n]` in ONE tokenization pass.
+  * Tokens are maximal runs of non-ASCII-whitespace in the LOWERCASED
+  * text — exactly `split(regexp_trim(lower(text)), "\s+")` (Java `\s`
+  * is ASCII-only without UNICODE_CHARACTER_CLASS), and bigram keys are
+  * the space-joined neighbor pairs — so all three counts are
+  * bit-identical to the composed array-algebra form, which needed an
+  * array_sort + an interpreted higher-order fold per row. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    RepetitionStats.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = RepetitionStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
+object RepetitionStats {
+  private def isWs(c: Char): Boolean = // Java regex \s (ASCII)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** The census kernel, shared by eval and generated code. */
+  def compute(v: UTF8String): ArrayData = {
+    val s = v.toLowerCase.toString // same lowercase as Spark's lower()
+    val n = s.length
+    val distinct = new java.util.HashSet[String]()
+    val bigrams = new java.util.HashMap[String, Int]()
+    var nTok = 0L
+    var topBigram = 0L
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        nTok += 1
+        distinct.add(tok)
+        if (prev != null) {
+          val c = bigrams.merge(prev + " " + tok, 1, Integer.sum)
+          if (c > topBigram) topBigram = c.toLong
+        }
+        prev = tok
+      }
+    }
+    new GenericArrayData(Array(nTok, distinct.size.toLong, topBigram))
+  }
+}
+
 /** Column-level entry points. */
 object native {
   def dot_f(a: Column, b: Column): Column =
@@ -512,4 +572,6 @@ object native {
     ExpressionUtils.column(WordSetScores(ExpressionUtils.expression(c), dicts))
   def char_class_counts(c: Column): Column =
     ExpressionUtils.column(CharClassCounts(ExpressionUtils.expression(c)))
+  def repetition_stats(c: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 }

@@ -236,11 +236,35 @@ object TextOps {
     * (boilerplate, keyword stuffing, degenerate generations) score low
     * distinct_ratio / high top_bigram_ratio and get filtered.
     *
-    * Everything is per-row array algebra — the most-frequent-bigram
-    * count comes from the longest run in the SORTED bigram array (one
-    * `aggregate` fold), so the whole operator is a projection: no
-    * explode, no groupBy, no shuffle at any scale. */
+    * One native census pass per row (`RepetitionStats`:
+    * [n_tokens, n_distinct, top_bigram_n]) — the whole operator is a
+    * projection: no explode, no groupBy, no shuffle at any scale. The
+    * composed array-algebra form below is kept as the semantic
+    * reference; DataMixSpec pins the two bit-equal. */
   def repetitionScoreOf(docs: DataFrame): DataFrame = {
+    val st = graft.functions.native.repetition_stats(col("text"))
+    val scored = docs.withColumn("__st", st)
+    val nTok = col("__st").getItem(0)
+    val nDist = col("__st").getItem(1)
+    val topBg = col("__st").getItem(2)
+    val nBigrams = when(nTok >= 2, nTok - 1).otherwise(0L)
+    scored
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        nDist.as("n_distinct"),
+        when(nTok === 0, 0.0)
+          .otherwise(nDist.cast(DoubleType) / nTok).as("distinct_ratio"),
+        topBg.as("top_bigram_n"),
+        when(nBigrams === 0, 0.0)
+          .otherwise(topBg.cast(DoubleType) / nBigrams).as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The composed-builtins reference formulation of repetitionScoreOf
+    * (sorted-bigram longest run via an `aggregate` fold) — slower
+    * (interpreted higher-order lambdas) but independently derived;
+    * kept for the equality spec. */
+  private[graft] def repetitionScoreComposedOf(docs: DataFrame): DataFrame = {
     val toks = split(wsTrim(lower(col("text"))), "\\s+")
     val nTok = when(length(wsTrim(col("text"))) === 0, 0).otherwise(size(toks))
     val bigrams = array_sort(zip_with(

@@ -55,6 +55,18 @@ class DataMixSpec extends AnyFunSuite {
     assert(m(7L).getDouble(5) === 1.0)
   }
 
+  test("repetition score: native census is bit-equal to the composed formulation") {
+    val edge = docs.select("doc_id", "text").unionByName(Seq(
+      (20L, "  leading and trailing   "),
+      (21L, "tab\tand\nnewlineseparated tokens tab\tand"),
+      (22L, "MiXeD CaSe mixed case MIXED CASE"),
+      (23L, "中文 内容 中文 内容 中文")
+    ).toDF("doc_id", "text"))
+    val a = TextOps.repetitionScoreOf(edge).collect().toSeq
+    val b = TextOps.repetitionScoreComposedOf(edge).collect().toSeq
+    assert(a === b)
+  }
+
   test("pack sequences: per-shard cumulative layout, budget arithmetic") {
     val packed = TextOps.packSequencesOf(docs, budget = 7, nShards = 2).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
