@@ -65,6 +65,10 @@ object SparkEntry {
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
     "d_dedup_winnow"     -> ((s: SparkSession, dir: String) => NearDedup.winnowDedup(s, dir)),
     "d_decontaminate"    -> NearDedup.decontaminate _,
+    // identical result via a bloom prefilter — the too-big-to-broadcast path
+    "d_decontaminate_bloom" -> NearDedup.decontaminateBloom _,
+    "d_dedup_incr"       -> NearDedup.incrementalExact _,
+    "d_dedup_incr_near"  -> ((s: SparkSession, dir: String) => NearDedup.incrementalNear(s, dir)),
     // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     // … and the banded-LSH variant — the plan that survives 100×
@@ -86,6 +90,8 @@ object SparkEntry {
     "t_sample"           -> TextOps.stratifiedSample _,
     "t_repetition"       -> TextOps.repetitionScore _,
     "t_pack"             -> TextOps.packSequences _,
+    "t_pii"              -> TextOps.piiScrub _,
+    "t_source_stats"     -> TextOps.sourceStats _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _
@@ -239,7 +245,14 @@ object SparkEntry {
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the bloom variant is result-identical to the exact plan by
+    // construction (false positives die in the exact join) — one oracle
+    m + ("d_decontaminate_bloom" -> m("d_decontaminate"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_ingest_clean" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS quantity,
         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
@@ -581,6 +594,45 @@ object SparkEntry {
         |  CASE WHEN COALESCE(h.n_bench_shingles, 0) >= 1 THEN 1 ELSE 0 END AS is_contaminated
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    "d_dedup_incr" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |m AS (SELECT b.doc_id, MIN(ba.doc_id) AS dup_of
+        |      FROM batch b JOIN base ba ON b.text = ba.text GROUP BY b.doc_id)
+        |SELECT bt.doc_id,
+        |  CASE WHEN m.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup,
+        |  CAST(COALESCE(m.dup_of, -1) AS BIGINT) AS dup_of
+        |FROM batch bt LEFT JOIN m ON bt.doc_id = m.doc_id
+        |ORDER BY bt.doc_id""".stripMargin,
+
+    "t_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         WHEN doc_id % 10 = 5 THEN text || ' from host ' || CAST(doc_id % 256 AS VARCHAR) || '.0.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |         WHEN doc_id % 10 = 7 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "t_source_stats" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(AVG(n_chars) AS DOUBLE) AS avg_chars,
+        |  CAST(SUM(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "t_split" ->
       """SELECT doc_id, bucket,

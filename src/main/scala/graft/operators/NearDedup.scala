@@ -59,20 +59,29 @@ object NearDedup {
       s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds signature length $numHashes")
     // the runtime check feeds the slice length (coalesce of a passing
     // assert_true is null), so Catalyst cannot prune it away
-    val checkedLen = coalesce(
-      assert_true(size(col("sig")) >= bands * rowsPerBand,
-        lit(s"minhash signature shorter than bands*rowsPerBand (${bands * rowsPerBand})"))
-        .cast(IntegerType),
-      lit(rowsPerBand))
-    val banded = sig.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, checkedLen)))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    val banded = bandHashes(sig, bands, rowsPerBand)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** One (doc_id, band, band_hash) row per signature band — the LSH
+    * bucket keys, shared by the self-join (dedup) and the two-sided
+    * join (incremental dedup). The runtime length check feeds the
+    * slice length (coalesce of a passing assert_true is null), so
+    * Catalyst cannot prune it away. */
+  private def bandHashes(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val checkedLen = coalesce(
+      assert_true(size(col("sig")) >= bands * rowsPerBand,
+        lit(s"minhash signature shorter than bands*rowsPerBand (${bands * rowsPerBand})"))
+        .cast(IntegerType),
+      lit(rowsPerBand))
+    sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, checkedLen)))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
   }
 
   /** Exact Jaccard for a set of candidate pairs: join each side's
@@ -328,6 +337,115 @@ object NearDedup {
     decontaminateOf(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** Bloom-prefiltered decontamination — the shape for benchmark sets
+    * too large to broadcast as an exact hash set: a Bloom filter built
+    * from the benchmark shingles (fixed size regardless of item count)
+    * prunes the corpus shingle stream BEFORE the exact broadcast join,
+    * so the join input is hits+false-positives instead of the whole
+    * corpus. The exact join then removes the false positives, making
+    * the result IDENTICAL to [[decontaminateOf]] (same oracle) — the
+    * bloom stage only cuts shuffle/join volume. */
+  def decontaminateBloomOf(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 3, minHits: Long = 1,
+                           expectedItems: Long = 1L << 20,
+                           fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchShingles = shingles(benchmark, n).select("shingle").distinct()
+    val bloom = benchShingles.stat.bloomFilter("shingle", expectedItems, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val survivors = shingles(corpus, n).as[(Long, Long)]
+      .filter(t => bloomBc.value.mightContainLong(t._2))
+      .toDF("doc_id", "shingle")
+    val hits = survivors
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_shingles"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_shingles"), lit(0L)).as("n_bench_shingles"))
+      .withColumn("is_contaminated",
+        when(col("n_bench_shingles") >= minHits, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Registered binding: same deterministic corpus/benchmark roles as
+    * [[decontaminate]], so both variants share one DuckDB oracle. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateBloomOf(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** Incremental ingestion dedup, exact tier: flag each NEW document
+    * against the existing base corpus by content hash — the base is
+    * aggregated to (hash → canonical id) once and joined, never
+    * re-deduped. The join key is the 256-bit hash, not the text, so
+    * at 100 TB the shuffle carries 32-byte keys instead of documents.
+    * Unmatched docs report dup_of = -1 (scalar-only driver
+    * contract). */
+  def incrementalExactOf(base: DataFrame, batch: DataFrame): DataFrame = {
+    val baseHashes = base
+      .select(sha2(col("text"), 256).as("content_sha"), col("doc_id"))
+      .groupBy("content_sha").agg(min(col("doc_id")).as("dup_of"))
+    batch.select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+      .join(baseHashes, Seq("content_sha"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, 1).otherwise(0).as("is_exact_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered binding: every 5th document plays the incoming batch,
+    * the rest are the existing corpus — deterministic roles for the
+    * DuckDB oracle. */
+  def incrementalExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalExactOf(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  /** Incremental ingestion dedup, near tier: MinHash band buckets of
+    * the NEW batch joined against band buckets of the base — a
+    * two-sided LSH join, so candidate volume scales with the batch
+    * (small) times bucket collision rate, never base². At 100 TB the
+    * base-side shingle/signature subplan is the natural thing to
+    * persist between ingests (bucketed by band hash); here it is
+    * recomputed per call. Verification is exact Jaccard on candidate
+    * pairs only. */
+  def incrementalNearOf(base: DataFrame, batch: DataFrame,
+                        threshold: Double): DataFrame = {
+    val baseSets = shingleSets(base)
+    val batchSets = shingleSets(batch)
+    val baseBands = bandHashes(signaturesFromSets(baseSets), 16, 4)
+    val batchBands = bandHashes(signaturesFromSets(batchSets), 16, 4)
+    val cand = batchBands.as("x").join(baseBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("base_id"))
+      .distinct()
+    cand
+      .join(batchSets.select(col("doc_id").as("batch_id"),
+        col("s").as("s_a"), col("nsh").as("n_a")), "batch_id")
+      .join(baseSets.select(col("doc_id").as("base_id"),
+        col("s").as("s_b"), col("nsh").as("n_b")), "base_id")
+      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast(LongType))
+      .filter(col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+      .select(col("batch_id"), col("base_id"))
+      .orderBy("batch_id", "base_id")
+  }
+
+  def incrementalNear(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalNearOf(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), threshold)
   }
 
   /** 64-bit SimHash per document: majority vote of each bit over the

@@ -324,4 +324,72 @@ object TextOps {
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesOf(Tables.documents(spark, dir))
+
+  /** PII patterns (email / NANP phone / IPv4) shared by detection and
+    * redaction. Only RE2-compatible constructs (no lookaround, no
+    * backreferences) so the DuckDB oracle's regexp functions behave
+    * identically to Spark's Java regex. Order matters for redaction;
+    * the three patterns are mutually non-overlapping (emails need a
+    * letter TLD, phones use dashes, IPs use dots). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII detection + redaction: per-category match counts on the raw
+    * text, then category placeholders substituted in declared order —
+    * the release gate a training corpus passes before export. Pure
+    * projection (three regex scans per row), no shuffle at any
+    * scale. */
+  def piiScrubOf(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast(LongType).as(s"n_$name")
+    }
+    val clean = piiPatterns.foldLeft(col("text")) { case (acc, (_, pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+    docs.select(col("doc_id") +: counts :+ clean.as("clean_text"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Registered binding: PII is planted deterministically (doc_id-keyed
+    * email / IP / phone suffixes) before scrubbing, so the redaction
+    * path is actually exercised and the DuckDB oracle reproduces the
+    * planting exactly. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast(StringType), lit("@example.com")))
+      .when(col("doc_id") % 10 === 5,
+        concat(col("text"), lit(" from host "),
+          (col("doc_id") % 256).cast(StringType), lit(".0.0."),
+          (col("doc_id") % 100).cast(StringType)))
+      .when(col("doc_id") % 10 === 7,
+        concat(col("text"), lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+      .otherwise(col("text")))
+    piiScrubOf(planted)
+  }
+
+  /** Per-source corpus dashboard: document/language counts, char and
+    * token volume per source — the domain-level view used to decide
+    * which sources to keep, reweight, or drop. One hash-partitioned
+    * aggregation on the (low-cardinality) source key with map-side
+    * combine. */
+  def sourceStatsOf(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        avg(col("n_chars")).as("avg_chars"),
+        sum(wsTokenCount(col("text")).cast(LongType)).as("total_tokens"))
+      .orderBy("source")
+
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    sourceStatsOf(Tables.documents(spark, dir))
 }

@@ -102,6 +102,58 @@ class DataMixSpec extends AnyFunSuite {
     assert(m.size === 3)            // clean docs still present in output
   }
 
+  test("pii scrub: planted identifiers are counted and redacted, clean text untouched") {
+    val pii = Seq(
+      (1L, "mail me at a.b@x.io then ping 10.0.0.1 or call 555-123-4567"),
+      (2L, "two mails x@y.org and z@w.net in one doc"),
+      (3L, "no identifiers here at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val m = TextOps.piiScrubOf(pii).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(m(1L) === ((1L, 1L, 1L,
+      "mail me at <EMAIL> then ping <IP> or call <PHONE>")))
+    assert(m(2L)._1 === 2L && m(2L)._4 === "two mails <EMAIL> and <EMAIL> in one doc")
+    assert(m(3L) === ((0L, 0L, 0L, "no identifiers here at all")))
+    assert(m(4L) === ((0L, 0L, 0L, "")))
+  }
+
+  test("incremental exact dedup: batch doc matching base is flagged with canonical id") {
+    val base = Seq(
+      (1L, "shared content one"), (2L, "base only"), (6L, "shared content one")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared content one"), (11L, "batch only")
+    ).toDF("doc_id", "text")
+    val m = NearDedup.incrementalExactOf(base, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(m(10L) === ((1, 1L))) // dup of MIN matching base id
+    assert(m(11L) === ((0, -1L)))
+  }
+
+  test("incremental near dedup: perturbed batch copy of a base doc is caught") {
+    val baseText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val base = Seq((1L, baseText), (2L, "completely different content about spark plans and shuffles at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, baseText.replace("today", "tonight")), // near-dup of base 1
+      (11L, "fresh unrelated document with none of those words appearing anywhere else")
+    ).toDF("doc_id", "text")
+    val pairs = NearDedup.incrementalNearOf(base, batch, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)))
+    assert(!pairs.exists(_._1 == 11L))
+  }
+
+  test("bloom decontamination is result-identical to the exact plan on real data") {
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val exact = NearDedup.decontaminateOf(
+      docs2.filter(col("doc_id") % 20 =!= 0), docs2.filter(col("doc_id") % 20 === 0))
+    val bloom = NearDedup.decontaminateBloomOf(
+      docs2.filter(col("doc_id") % 20 =!= 0), docs2.filter(col("doc_id") % 20 === 0))
+    assert(exact.collect().toSeq === bloom.collect().toSeq)
+  }
+
   test("decontaminate plan: benchmark shingle set is broadcast, corpus never cross-joins") {
     val docs2 = docs.select("doc_id", "text")
     val plan = NearDedup.decontaminateOf(
