@@ -69,6 +69,7 @@ object SparkEntry {
     "d_decontaminate_bloom" -> NearDedup.decontaminateBloom _,
     "d_dedup_incr"       -> NearDedup.incrementalExact _,
     "d_dedup_incr_near"  -> ((s: SparkSession, dir: String) => NearDedup.incrementalNear(s, dir)),
+    "d_corpus_export"    -> CorpusExport.exportCorpus _,
     // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     // … and the banded-LSH variant — the plan that survives 100×
@@ -92,6 +93,7 @@ object SparkEntry {
     "t_pack"             -> TextOps.packSequences _,
     "t_pii"              -> TextOps.piiScrub _,
     "t_source_stats"     -> TextOps.sourceStats _,
+    "t_budget"           -> TextOps.tokenBudget _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _
@@ -633,6 +635,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin,
 
     "t_split" ->
       """SELECT doc_id, bucket,

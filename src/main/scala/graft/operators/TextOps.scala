@@ -392,4 +392,25 @@ object TextOps {
 
   def sourceStats(spark: SparkSession, dir: String): DataFrame =
     sourceStatsOf(Tables.documents(spark, dir))
+
+  /** Token-budget mix selection: take documents per source, in
+    * deterministic doc_id order, until each source's token budget is
+    * exhausted (greedy prefix, the "cap every domain at N tokens"
+    * move when assembling a fixed-size training mix). One window over
+    * the source partitioning — per-source state is a running sum, so
+    * a 1000-executor run partitions by source exactly like the
+    * per-source output files would. */
+  def tokenBudgetOf(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerSource)
+      .orderBy("doc_id")
+  }
+
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOf(Tables.documents(spark, dir), budgetPerSource = 500L)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{NearDedup, TextOps}
+import graft.operators.{CorpusExport, NearDedup, TextOps}
 
 /** Training-mix operators: stratified sampling, repetition scoring,
   * sequence packing, and benchmark decontamination. */
@@ -152,6 +152,36 @@ class DataMixSpec extends AnyFunSuite {
     val bloom = NearDedup.decontaminateBloomOf(
       docs2.filter(col("doc_id") % 20 =!= 0), docs2.filter(col("doc_id") % 20 === 0))
     assert(exact.collect().toSeq === bloom.collect().toSeq)
+  }
+
+  test("token budget: greedy per-source prefix respects the cap deterministically") {
+    val mix = Seq(
+      (1L, "s1", "one two three"),          // 3 tokens, cum 3
+      (3L, "s1", "four five six seven"),    // 4 tokens, cum 7
+      (5L, "s1", "eight nine"),             // 2 tokens, cum 9 > 8 → dropped
+      (2L, "s2", "a b c d e f g h")         // 8 tokens, cum 8 → kept
+    ).toDF("doc_id", "source", "text")
+    val kept = TextOps.tokenBudgetOf(mix, 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept === Map(1L -> 3L, 3L -> 7L, 2L -> 8L))
+  }
+
+  test("corpus export: contaminated and duplicate docs are gone, manifest is complete") {
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val out = CorpusExport.exportCorpus(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSet ===
+      Set("doc_id", "shard", "n_tokens", "seq_id", "seq_offset", "split"))
+    val ids = rows.map(_.getLong(0)).toSet
+    // benchmark docs (doc_id % 20 == 0) can never appear in the export
+    assert(!ids.exists(_ % 20 == 0))
+    // contaminated corpus docs are dropped
+    val contaminated = NearDedup.decontaminate(spark, sf)
+      .filter(col("is_contaminated") === 1).collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // split labels are exhaustive
+    assert(rows.map(_.getString(5)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
   test("decontaminate plan: benchmark shingle set is broadcast, corpus never cross-joins") {
