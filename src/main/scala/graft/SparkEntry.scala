@@ -94,6 +94,7 @@ object SparkEntry {
     "t_pii"              -> TextOps.piiScrub _,
     "t_source_stats"     -> TextOps.sourceStats _,
     "t_budget"           -> TextOps.tokenBudget _,
+    "t_quality_model"    -> TextOps.qualityModel _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _
@@ -648,6 +649,44 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin,
+
+    "t_quality_model" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN ($wsTok) > 0
+         |         THEN CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) / ($wsTok)
+         |         ELSE 0.0 END AS stopword_ratio,
+         |    CAST($wsTok AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  WITH w AS (
+         |    SELECT doc_id,
+         |      regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws,
+         |      CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |           ELSE len(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens
+         |    FROM documents),
+         |  bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+         |         FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |               FROM w WHERE n_tokens >= 2)),
+         |  top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM
+         |            (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id)
+         |  SELECT w.doc_id,
+         |    CASE WHEN n_tokens = 0 THEN 0.0
+         |         ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / n_tokens END AS distinct_ratio,
+         |    CASE WHEN n_tokens < 2 THEN 0.0
+         |         ELSE CAST(COALESCE(top.top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1) END AS top_bigram_ratio
+         |  FROM w LEFT JOIN top ON w.doc_id = top.doc_id)
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM (
+         |  SELECT q.doc_id,
+         |    0.4 * q.alpha_ratio + 0.3 * q.stopword_ratio + 0.2 * r.distinct_ratio
+         |      + 0.3 * LEAST(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0)
+         |      - 0.5 * q.punct_ratio - 0.4 * r.top_bigram_ratio AS quality_score
+         |  FROM q JOIN r ON q.doc_id = r.doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "t_split" ->
       """SELECT doc_id, bucket,

@@ -413,4 +413,49 @@ object TextOps {
 
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetOf(Tables.documents(spark, dir), budgetPerSource = 500L)
+
+  /** Model-based quality filtering: a fixed linear scoring model over
+    * the census features (the shape of a fastText/logreg quality
+    * classifier applied as column algebra — the weights would come
+    * from training, here they are library constants). All three
+    * censuses are native one-pass expressions, so the whole model is
+    * a single whole-stage-codegen projection: no UDF, no model-server
+    * round trip, no shuffle. The score avoids transcendental
+    * functions (no sigmoid) so Spark and the DuckDB oracle compute
+    * bit-identical doubles: a monotone transform wouldn't change the
+    * ranking or the keep decision anyway. */
+  def qualityModelOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cc = graft.functions.native.char_class_counts(col("text"))
+    val stop = graft.functions.native
+      .word_set_scores(lower(col("text")), Seq(qualityStopwords)).getItem(0)
+    val rs = graft.functions.native.repetition_stats(col("text"))
+    val scored = docs.withColumn("__cc", cc).withColumn("__st", rs)
+      .withColumn("__stop", stop)
+    val nChars = col("__cc").getItem(0).cast(DoubleType)
+    val nAlpha = col("__cc").getItem(1).cast(DoubleType)
+    val nPunct = col("__cc").getItem(2).cast(DoubleType)
+    val nTok = col("__st").getItem(0)
+    val nDist = col("__st").getItem(1)
+    val topBg = col("__st").getItem(2)
+    val nBigrams = when(nTok >= 2, nTok - 1).otherwise(0L)
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
+    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
+    val stopRatio = when(nTok > 0, col("__stop").cast(DoubleType) / nTok).otherwise(0.0)
+    val distinctRatio = when(nTok === 0, 0.0).otherwise(nDist.cast(DoubleType) / nTok)
+    val topBigramRatio = when(nBigrams === 0, 0.0)
+      .otherwise(topBg.cast(DoubleType) / nBigrams)
+    // weights sum left-to-right; the DuckDB oracle uses the same
+    // association order so the doubles are bit-identical
+    val score = lit(0.4) * alphaRatio + lit(0.3) * stopRatio +
+      lit(0.2) * distinctRatio +
+      lit(0.3) * least(nTok.cast(DoubleType) / lit(100.0), lit(1.0)) -
+      lit(0.5) * punctRatio - lit(0.4) * topBigramRatio
+    scored
+      .select(col("doc_id"), score.as("quality_score"))
+      .withColumn("keep", when(col("quality_score") >= threshold, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  def qualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityModelOf(Tables.documents(spark, dir))
 }

@@ -184,6 +184,17 @@ class DataMixSpec extends AnyFunSuite {
     assert(rows.map(_.getString(5)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("quality model: degenerate docs score below normal prose, empties at zero") {
+    val m = TextOps.qualityModelOf(docs.select("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(m(5L)._1 === 0.0 && m(5L)._2 === 0)        // empty doc
+    assert(m(1L)._1 > m(7L)._1)                        // prose beats "spam"×6
+    assert(m(1L)._1 > m(4L)._1)                        // prose beats CJK (no ascii-alpha signal)
+    // the keep decision is non-degenerate on real data
+    val keeps = TextOps.qualityModel(spark, sf).groupBy("keep").count().collect()
+    assert(keeps.length === 2, keeps.mkString(","))
+  }
+
   test("decontaminate plan: benchmark shingle set is broadcast, corpus never cross-joins") {
     val docs2 = docs.select("doc_id", "text")
     val plan = NearDedup.decontaminateOf(
