@@ -57,4 +57,51 @@ object Sinks {
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Training-corpus export layout: the packed manifest (or any doc
+    * table) written as split-partitioned, shard-distributed compressed
+    * JSONL — the interchange format trainer data loaders consume.
+    * Partitioning by split keeps train/val/test physically separate;
+    * repartitioning by shard gives each loader worker one file set. */
+  def writeCorpusJsonl(df: DataFrame, path: String,
+                       splitCol: String = "split",
+                       shardCol: String = "shard"): Unit =
+    df.repartition(col(shardCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(splitCol)
+      .option("compression", "gzip")
+      .json(path)
+}
+
+/** Read-side for JSONL corpora — the standard LLM training-data
+  * interchange format. Schema-FIRST: at 100 TB, schema inference
+  * would be a full extra pass over the data before the real job
+  * starts, so a reader without an explicit schema is a bug, not a
+  * convenience. */
+object JsonlDocs {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  /** Read a JSONL corpus (optionally gzipped — Spark decompresses by
+    * extension). Corrupt lines land in `_corrupt_record` instead of
+    * failing the job (PERMISSIVE), mirroring how a web-scale crawl
+    * always contains malformed documents. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Clean view: parseable rows only, contract columns only. */
+  def readClean(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source")
 }

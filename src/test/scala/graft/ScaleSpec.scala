@@ -54,4 +54,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(files === 8)
     assert(spark.read.parquet(out).count() === Tables.orders(spark, sf).count())
   }
+
+  test("jsonl corpus round-trips through the split-partitioned gzip sink") {
+    import graft.sources.JsonlDocs
+    val out = Files.createTempDirectory("jsonl").toString
+    val docs = Tables.documents(spark, sf)
+      .join(graft.operators.TextOps.splitAssign(spark, sf).select("doc_id", "split"), "doc_id")
+      .withColumn("shard", col("doc_id") % 4)
+      .select("doc_id", "text", "lang", "source", "split", "shard")
+    Sinks.writeCorpusJsonl(docs, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet.subsetOf(Set("split=train", "split=val", "split=test")))
+    val back = JsonlDocs.readClean(spark, out + "/split=train")
+    assert(back.columns.toSeq === Seq("doc_id", "text", "lang", "source"))
+    val trainIds = docs.filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(back.collect().map(_.getLong(0)).toSet === trainIds)
+  }
+
+  test("jsonl reader quarantines corrupt lines instead of failing the job") {
+    import graft.sources.JsonlDocs
+    val dir = Files.createTempDirectory("jsonlbad").toFile
+    val f = new java.io.File(dir, "part.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "good line", "lang": "en", "source": "s"}""")
+    w.println("""{"doc_id": 2, "text": "truncated""")
+    w.println("""not json at all""")
+    w.println("""{"doc_id": 3, "text": "also good", "lang": "de", "source": "s"}""")
+    w.close()
+    val all = JsonlDocs.read(spark, f.getPath)
+    assert(all.count() === 4)
+    val clean = JsonlDocs.readClean(spark, f.getPath)
+    assert(clean.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
 }
