@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{DotProductF, HyperplaneBuckets, MinHashSignature, PolyHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{DotProductF, HyperplaneBuckets, MinHashSignature, PolyHash64, RepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("... dot_f(a,b) ...")`
@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => HyperplaneBuckets(children(0),
         children(1).asInstanceOf[Literal].value.asInstanceOf[Int],
         children(2).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(str) - [n_tokens, n_distinct, top_bigram_n] in one pass"),
+      (children: Seq[Expression]) => RepetitionStats(children.head)))
   }
 }

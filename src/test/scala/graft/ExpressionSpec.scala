@@ -190,6 +190,8 @@ class ExpressionSpec extends AnyFunSuite {
       .head().getInt(0) === 4)
     assert(spark.sql(
       "SELECT size(minhash_signature(array(1L, 2L, 3L), 8)) AS n").head().getInt(0) === 8)
+    assert(spark.sql(
+      "SELECT repetition_stats('a b a b c') AS r").head().getSeq[Long](0) === Seq(5L, 3L, 2L))
   }
 
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {

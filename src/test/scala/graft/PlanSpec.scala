@@ -113,4 +113,23 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("d_embed_dup").contains("dotproductf"))
     assert(planOf("d_embed_dup_lsh").contains("dotproductf"))
   }
+
+  test("per-doc text operators are pure projections — only the output sort exchanges") {
+    // scoring/scrubbing/sampling must never shuffle the corpus: at
+    // 100 TB any exchange here dominates the job
+    for (name <- Seq("t_pii", "t_sample", "t_repetition", "t_quality_model")) {
+      val p = planOf(name)
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+        s"$name grew a join/aggregate:\n$p")
+      val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name must not shuffle data:\n$p")
+    }
+  }
+
+  test("quality model and repetition scoring use the native censuses") {
+    assert(planOf("t_repetition").contains("repetitionstats"))
+    val p = planOf("t_quality_model")
+    assert(p.contains("repetitionstats") && p.contains("charclasscounts")
+      && p.contains("wordsetscores"), p)
+  }
 }
