@@ -145,6 +145,20 @@ class DataMixSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 11L))
   }
 
+  test("incremental near dedup equals the full self-join restricted to cross-split pairs") {
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val base = docs2.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs2.filter(col("doc_id") % 5 === 0)
+    val incr = NearDedup.incrementalNearOf(base, batch, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full corpus self-join, keep only pairs with one side in each role
+    val full = NearDedup.minHashDedupOf(docs2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    assert(incr === full)
+  }
+
   test("bloom decontamination is result-identical to the exact plan on real data") {
     val docs2 = graft.sources.Tables.documents(spark, sf)
     val exact = NearDedup.decontaminateOf(

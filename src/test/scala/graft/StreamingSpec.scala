@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.EventsPipeline
+import graft.streaming.{CorpusStream, EventsPipeline}
 
 /** Streaming semantics: the SAME windowedAgg used by the batch oracle
   * query must produce the same aggregates when fed incrementally, and
@@ -207,5 +207,43 @@ class StreamingSpec extends AnyFunSuite {
     val batch = EventsPipeline.eventsWindowBatch(spark, sf)
       .collect().map(_.toString).toSeq
     assert(streamed === batch)
+  }
+
+  test("corpus stream dedups by content across micro-batches, admitting min doc_id") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = CorpusStream.streamingIngestDedup(df)
+      .writeStream.format("memory").queryName("corpus_out").outputMode("append").start()
+    mem.addData(
+      (5L, "document alpha", "en", "s1"),
+      (3L, "document alpha", "en", "s1"), // in-batch copy: 3 wins (min id)
+      (7L, "document beta", "en", "s2"))
+    q.processAllAvailable()
+    mem.addData(
+      (9L, "document alpha", "en", "s3"), // cross-batch copy: dropped
+      (11L, "document gamma", "de", "s1"))
+    q.processAllAvailable()
+    val ids = spark.table("corpus_out").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids === Set(3L, 7L, 11L))
+  }
+
+  test("jsonl ingest stream quarantines corrupt lines and lands the corpus in parquet") {
+    val in = java.nio.file.Files.createTempDirectory("corpusin").toString
+    val out = java.nio.file.Files.createTempDirectory("corpusout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("corpusckpt").toString
+    val w = new java.io.PrintWriter(new java.io.File(in, "drop1.jsonl"))
+    w.println("""{"doc_id": 1, "text": "first doc", "lang": "en", "source": "s"}""")
+    w.println("""garbage line""")
+    w.println("""{"doc_id": 2, "text": "first doc", "lang": "en", "source": "s"}""")
+    w.close()
+    val q = CorpusStream.run(spark, in, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out).collect()
+    assert(landed.map(_.getLong(0)).toSet === Set(1L)) // dup 2 dropped, garbage quarantined
+    assert(landed.head.schema.fieldNames.toSeq ===
+      Seq("doc_id", "content_sha", "text", "lang", "source"))
   }
 }
