@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build once, probe many — the production shape
+  * of ANN at 100 TB, where the expensive parts (k-means centroids,
+  * corpus cell assignment) are amortized across every query batch
+  * instead of re-run per search like the inline plans.
+  *
+  * Layout on disk:
+  *   path/centroids — (cell, c_emb, c_nrm), one small file
+  *   path/corpus    — (vec_id, embedding, nrm) PARTITIONED BY cell
+  *
+  * The cell partitioning is the whole point: a probe touches only the
+  * nProbe cell directories per query (verified as PartitionFilters in
+  * the scan), so probe IO is nProbe/kCells of the corpus regardless
+  * of corpus size.
+  */
+object IvfIndex {
+
+  /** Build the index: spherical-k-means-refined centroids, then the
+    * corpus assigned and written cell-partitioned. Both are one-time
+    * costs (iters + 1 corpus passes + one shuffled write). */
+  def build(v0: DataFrame, path: String, kCells: Int = 16, iters: Int = 2): Unit = {
+    val cents = SimilarityOps.ivfRefinedCentroidsOf(v0, kCells, iters)
+      .withColumn("c_nrm", SimilarityOps.norm(col("c_emb")))
+    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val v = v0.withColumn("nrm", SimilarityOps.norm(col("embedding")))
+    SimilarityOps.nearestCell(v, cents)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/corpus")
+  }
+
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  /** Probe the persisted index with (query_id, q_emb) queries: rank
+    * cells against the (tiny, broadcast) centroid table, then scan
+    * ONLY the probed cell partitions. The probed cell set is collected
+    * to the driver (nQueries × nProbe ints) so the partition filter is
+    * static — the scan prunes directories, not rows. */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+            k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(spark, path)
+    val q = queries.withColumn("q_nrm", SimilarityOps.norm(col("q_emb")))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"))
+    val probes = SimilarityOps.probeCells(cents, q, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells: _*))
+    SimilarityOps.searchAssigned(assigned, probes, k)
+  }
+}

@@ -161,7 +161,7 @@ object SimilarityOps {
     * replaces expanded the corpus ×kCells and shuffled the expansion
     * to rank it — a full-corpus shuffle per assignment at 100 TB;
     * this is a pure projection over one corpus pass. */
-  private def nearestCell(v: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def nearestCell(v: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(
       collect_list(struct(col("cell"), col("c_emb"), col("c_nrm"))).as("cs"))
     v.crossJoin(broadcast(packed))
@@ -280,20 +280,24 @@ object SimilarityOps {
     annIvfWithCentroids(v0, cents, nQueries, k, nProbe)
   }
 
-  /** The IVF probe/search plan for a given (cell, c_emb, c_nrm)
-    * centroid table — shared by the seed and k-means-refined builds. */
-  private def annIvfWithCentroids(v0: DataFrame, cents: DataFrame, nQueries: Int,
-                                  k: Int, nProbe: Int): DataFrame = {
-    val v = v0.withColumn("nrm", norm(col("embedding")))
-    val assigned = nearestCell(v, cents)
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+  /** Rank the centroid table per query and keep the nProbe closest
+    * cells: (query_id, q_emb, q_nrm, cell). Shared by the inline IVF
+    * plans and the persisted-index probe path (IvfIndex). */
+  private[graft] def probeCells(cents: DataFrame, q: DataFrame,
+                                    nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+  }
+
+  /** Search a cell-assigned corpus with a probe set: score only the
+    * probed cells' members, top-k per query. Shared by the inline and
+    * persisted-index paths. */
+  private[graft] def searchAssigned(assigned: DataFrame, probes: DataFrame,
+                                        k: Int): DataFrame = {
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
@@ -302,6 +306,17 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The IVF probe/search plan for a given (cell, c_emb, c_nrm)
+    * centroid table — shared by the seed and k-means-refined builds. */
+  private def annIvfWithCentroids(v0: DataFrame, cents: DataFrame, nQueries: Int,
+                                  k: Int, nProbe: Int): DataFrame = {
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val assigned = nearestCell(v, cents)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    searchAssigned(assigned, probeCells(cents, q, nProbe), k)
   }
 
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,

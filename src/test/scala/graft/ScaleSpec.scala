@@ -55,6 +55,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === Tables.orders(spark, sf).count())
   }
 
+  test("persisted IVF index: probe prunes to the probed cell partitions and matches inline search") {
+    import graft.operators.{IvfIndex, SimilarityOps}
+    val idx = Files.createTempDirectory("ivfidx").toString
+    val v0 = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IvfIndex.build(v0, idx, kCells = 8, iters = 1)
+    val queries = v0.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val fromIndex = IvfIndex.probe(spark, idx, queries, k = 5, nProbe = 2)
+    // same search against an in-memory assignment built from the SAME
+    // persisted centroids — proves the persisted layout loses nothing
+    val cents = IvfIndex.centroids(spark, idx)
+    val v = v0.withColumn("nrm", SimilarityOps.norm(col("embedding")))
+    val q = queries.withColumn("q_nrm", SimilarityOps.norm(col("q_emb")))
+    val inline = SimilarityOps.searchAssigned(
+      SimilarityOps.nearestCell(v, cents),
+      SimilarityOps.probeCells(cents, q, nProbe = 2), k = 5)
+    assert(fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      inline.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // the probe scan must prune cell directories, not filter rows
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    // corpus layout is actually cell-partitioned on disk
+    val dirs = new java.io.File(idx + "/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
+  }
+
   test("jsonl corpus round-trips through the split-partitioned gzip sink") {
     import graft.sources.JsonlDocs
     val out = Files.createTempDirectory("jsonl").toString
