@@ -95,6 +95,8 @@ object SparkEntry {
     "t_source_stats"     -> TextOps.sourceStats _,
     "t_budget"           -> TextOps.tokenBudget _,
     "t_quality_model"    -> TextOps.qualityModel _,
+    "t_epochs"           -> TextOps.upsampleEpochs _,
+    "d_dedup_priority"   -> TextOps.dedupPriority _,
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _
@@ -626,6 +628,29 @@ object SparkEntry {
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "t_epochs" ->
+      """SELECT doc_id, lang, CAST(epoch_idx AS BIGINT) AS epoch_idx FROM (
+        |  SELECT doc_id, lang,
+        |    unnest(generate_series(0,
+        |      CASE WHEN lang = 'de' THEN 2 WHEN lang = 'fr' THEN 2
+        |           WHEN lang = 'es' THEN 2 WHEN lang = 'zh' THEN 3
+        |           ELSE 1 END - 1)) AS epoch_idx
+        |  FROM documents)
+        |ORDER BY doc_id, epoch_idx""".stripMargin,
+
+    "d_dedup_priority" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 1 ELSE 2 END AS prio
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, prio,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY prio, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY text) AS n_copies
+        |  FROM t)
+        |SELECT doc_id AS canonical_id, source, prio, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM w WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
 
     "t_source_stats" ->
       """SELECT source,

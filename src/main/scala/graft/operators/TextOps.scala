@@ -458,4 +458,61 @@ object TextOps {
 
   def qualityModel(spark: SparkSession, dir: String): DataFrame =
     qualityModelOf(Tables.documents(spark, dir))
+
+  /** Epoch counts per language for the registered upsampling query:
+    * scarce languages are repeated, abundant ones seen once — the
+    * other half of mix re-balancing (stratifiedSample downsamples,
+    * this upsamples). */
+  val epochRates: Map[String, Int] = Map("de" -> 2, "fr" -> 2, "es" -> 2, "zh" -> 3)
+
+  /** Deterministic upsampling: emit each document `epochs(lang)` times
+    * with an epoch index — the repeated-epochs view a trainer iterates
+    * when a stratum must be over-represented. Pure explode of a
+    * bounded per-row sequence: output size is Σ epochs, no shuffle,
+    * no RNG. */
+  def upsampleEpochsOf(docs: DataFrame, epochs: Map[String, Int],
+                       defaultEpochs: Int = 1): DataFrame = {
+    val n = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (lang, e)) =>
+      when(col("lang") === lang, e).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), n - 1)).as("epoch_idx"))
+      .select(col("doc_id"), col("lang"),
+        col("epoch_idx").cast(LongType).as("epoch_idx"))
+      .orderBy("doc_id", "epoch_idx")
+  }
+
+  def upsampleEpochs(spark: SparkSession, dir: String): DataFrame =
+    upsampleEpochsOf(Tables.documents(spark, dir), epochRates)
+
+  /** Priority-aware exact dedup: among identical documents, keep the
+    * copy from the most trusted source (then min doc_id) — the usual
+    * rule when the same page arrives via multiple crawls of different
+    * quality. One window over the content-hash partitioning. */
+  def dedupPriorityOf(docs: DataFrame, priorities: Map[String, Int],
+                      defaultPriority: Int = 100): DataFrame = {
+    val pr = priorities.foldLeft(lit(defaultPriority)) { case (acc, (s, p)) =>
+      when(col("source") === s, p).otherwise(acc)
+    }
+    val bySha = Window.partitionBy("content_sha")
+    val w = bySha.orderBy("prio", "doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        sha2(col("text"), 256).as("content_sha"), pr.as("prio"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(bySha))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("canonical_id"), col("source"),
+        col("prio"), col("n_copies"))
+      .orderBy("canonical_id")
+  }
+
+  /** Registered binding: even-numbered sources outrank odd ones —
+    * deterministic priorities the oracle reproduces. */
+  def dedupPriority(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val priorities = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 1 else 2)).toMap
+    dedupPriorityOf(docs, priorities)
+  }
 }

@@ -209,6 +209,27 @@ class DataMixSpec extends AnyFunSuite {
     assert(keeps.length === 2, keeps.mkString(","))
   }
 
+  test("epoch upsampling repeats each stratum the declared number of times") {
+    val out = TextOps.upsampleEpochsOf(docs.select("doc_id", "lang", "text"),
+      Map("zh" -> 3, "de" -> 2)).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(2)).sorted.toSeq }
+    assert(out(1L) === Seq(0L))          // en: default 1 epoch
+    assert(out(3L) === Seq(0L, 1L))      // de: 2 epochs
+    assert(out(4L) === Seq(0L, 1L, 2L))  // zh: 3 epochs
+  }
+
+  test("priority dedup keeps the most trusted copy, not the lowest id") {
+    val d = Seq(
+      (1L, "crawl_b", "same content"),
+      (2L, "crawl_a", "same content"),  // higher priority despite larger id
+      (3L, "crawl_b", "unique content")
+    ).toDF("doc_id", "source", "text")
+    val m = TextOps.dedupPriorityOf(d, Map("crawl_a" -> 1, "crawl_b" -> 2)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(m === Map(2L -> (("crawl_a", 2L)), 3L -> (("crawl_b", 1L))))
+  }
+
   test("decontaminate plan: benchmark shingle set is broadcast, corpus never cross-joins") {
     val docs2 = docs.select("doc_id", "text")
     val plan = NearDedup.decontaminateOf(
