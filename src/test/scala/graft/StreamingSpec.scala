@@ -209,6 +209,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("kafka corpus binding parses JSON documents and drops malformed payloads") {
+    val good = """{"doc_id":42,"text":"a kafka document","lang":"en","source":"bus"}"""
+    val df = Seq(good, "garbage payload", """{"lang":"en"}""").toDF("s")
+      .select(col("s").cast("binary").as("value"))
+    val parsed = CorpusStream.parseKafkaDocs(df)
+    assert(parsed.schema.fieldNames.toSeq === Seq("doc_id", "text", "lang", "source"))
+    val rows = parsed.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("doc_id") === 42L
+      && rows.head.getAs[String]("text") === "a kafka document")
+  }
+
   test("corpus stream dedups by content across micro-batches, admitting min doc_id") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, String)]
