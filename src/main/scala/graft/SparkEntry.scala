@@ -541,7 +541,7 @@ object SparkEntry {
     "t_sample" ->
       """SELECT doc_id, lang, bucket, keep_rate FROM (
         | SELECT doc_id, lang,
-        |  CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket,
+        |  CAST(concat('0x', substr(md5(text || 'sample'), 1, 4)) AS INTEGER) % 100 AS bucket,
         |  CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 60 ELSE 100 END AS keep_rate
         | FROM documents) t
         |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin,

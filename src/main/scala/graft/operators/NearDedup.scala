@@ -14,6 +14,13 @@ import graft.sources.Tables
   */
 object NearDedup {
 
+  /** Shared MinHash/LSH defaults — the incremental (two-sided) tier
+    * MUST band identically to the self-join tier or the cross-split
+    * equivalence (DataMixSpec) silently breaks. */
+  val defaultNumHashes = 64
+  val defaultBands = 16
+  val defaultRowsPerBand = 4
+
   /** Word n-gram shingles per document (with duplicates), hashed to
     * 64-bit. Positions are exploded FIRST so the per-shingle hash runs
     * as top-level codegen'd expressions — a higher-order `transform`
@@ -38,7 +45,7 @@ object NearDedup {
 
   /** MinHash signatures: `numHashes` permutations approximated by
     * seeded xxhash64; one groupBy computes all minima map-side. */
-  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+  def minHashSignatures(sh: DataFrame, numHashes: Int = defaultNumHashes): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -48,8 +55,8 @@ object NearDedup {
   /** Candidate pairs from LSH banding (bands × rowsPerBand must not
     * exceed the signature length): docs agreeing on any full band
     * collide. */
-  def minHashCandidates(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
-                        numHashes: Int = 64): DataFrame = {
+  def minHashCandidates(sig: DataFrame, bands: Int = defaultBands, rowsPerBand: Int = defaultRowsPerBand,
+                        numHashes: Int = defaultNumHashes): DataFrame = {
     // out-of-range slices would hash identical EMPTY arrays — every
     // doc colliding with every other, the O(n²) blowup LSH exists to
     // avoid — so fail fast: on the declared length here, and on the
@@ -119,7 +126,7 @@ object NearDedup {
     * 64×array_min(transform(xxhash64)) form, which ran as interpreted
     * lambdas traversing the array once per permutation); no second
     * aggregation pass. */
-  private def signaturesFromSets(sets: DataFrame, numHashes: Int = 64): DataFrame =
+  private def signaturesFromSets(sets: DataFrame, numHashes: Int = defaultNumHashes): DataFrame =
     sets.select(col("doc_id"),
       graft.functions.native.minhash_signature(col("s"), numHashes).as("sig"))
 
@@ -316,11 +323,20 @@ object NearDedup {
   def decontaminateOf(corpus: DataFrame, benchmark: DataFrame,
                       n: Int = 3, minHits: Long = 1): DataFrame = {
     val benchShingles = shingles(benchmark, n).select("shingle").distinct()
-    val hits = shingles(corpus, n)
+    flagContamination(shingles(corpus, n), benchShingles,
+      corpus.select("doc_id"), minHits)
+  }
+
+  /** The shared flagging tail of both decontamination variants — the
+    * two are contractually result-identical (one oracle), so the
+    * exact join, per-doc count, and minHits flag live in ONE place. */
+  private def flagContamination(corpusShingles: DataFrame, benchShingles: DataFrame,
+                                corpusIds: DataFrame, minHits: Long): DataFrame = {
+    val hits = corpusShingles
       .join(broadcast(benchShingles), "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bench_shingles"))
-    corpus.select("doc_id")
+    corpusIds
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bench_shingles"), lit(0L)).as("n_bench_shingles"))
@@ -359,17 +375,7 @@ object NearDedup {
     val survivors = shingles(corpus, n).as[(Long, Long)]
       .filter(t => bloomBc.value.mightContainLong(t._2))
       .toDF("doc_id", "shingle")
-    val hits = survivors
-      .join(broadcast(benchShingles), "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bench_shingles"))
-    corpus.select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bench_shingles"), lit(0L)).as("n_bench_shingles"))
-      .withColumn("is_contaminated",
-        when(col("n_bench_shingles") >= minHits, 1).otherwise(0))
-      .orderBy("doc_id")
+    flagContamination(survivors, benchShingles, corpus.select("doc_id"), minHits)
   }
 
   /** Registered binding: same deterministic corpus/benchmark roles as
@@ -422,8 +428,8 @@ object NearDedup {
                         threshold: Double): DataFrame = {
     val baseSets = shingleSets(base)
     val batchSets = shingleSets(batch)
-    val baseBands = bandHashes(signaturesFromSets(baseSets), 16, 4)
-    val batchBands = bandHashes(signaturesFromSets(batchSets), 16, 4)
+    val baseBands = bandHashes(signaturesFromSets(baseSets), defaultBands, defaultRowsPerBand)
+    val batchBands = bandHashes(signaturesFromSets(batchSets), defaultBands, defaultRowsPerBand)
     val cand = batchBands.as("x").join(baseBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("base_id"))

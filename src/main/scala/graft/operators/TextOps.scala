@@ -208,15 +208,20 @@ object TextOps {
     Map("en" -> 40, "de" -> 100, "fr" -> 100, "es" -> 100, "zh" -> 60)
 
   /** Stratified deterministic downsampling: keep a document iff its
-    * content-hash bucket (same md5-prefix bucket as the train/val/test
-    * split) falls below its stratum's keep-rate. Content-keyed, so the
-    * decision is reproducible across runs, re-ids and re-partitioning,
-    * and exact duplicates are kept or dropped TOGETHER. Pure
+    * content-hash bucket falls below its stratum's keep-rate.
+    * Content-keyed, so the decision is reproducible across runs,
+    * re-ids and re-partitioning, and exact duplicates are kept or
+    * dropped TOGETHER. The hash is SALTED ('sample') so the bucket is
+    * independent of the train/val/test split bucket — without the
+    * salt, a stratum sampled at rate r < 80 could never reach the
+    * val/test splits (both would read the same bucket). Pure
     * projection + filter — no shuffle, no sampling state, works
     * identically on 1000 executors. */
   def stratifiedSampleOf(docs: DataFrame, rates: Map[String, Int],
                          defaultRate: Int = 100): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast(LongType) % 100
+    val bucket =
+      conv(substring(md5(concat(col("text"), lit("sample"))), 1, 4), 16, 10)
+        .cast(LongType) % 100
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, r).otherwise(acc)
     }
@@ -317,7 +322,10 @@ object TextOps {
         toks.cast(LongType).as("n_tokens"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("tokens_before") / budget).cast(LongType).as("seq_id"),
+        // integral div, NOT `/`: long/int promotes to double, which
+        // rounds above 2^53 cumulative tokens — seq_id would drift
+        // from the exact seq_offset (the oracle uses integer `//`)
+        expr(s"tokens_before div $budget").as("seq_id"),
         (col("tokens_before") % budget).as("seq_offset"))
       .orderBy("doc_id")
   }
@@ -475,9 +483,12 @@ object TextOps {
     val n = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (lang, e)) =>
       when(col("lang") === lang, e).otherwise(acc)
     }
+    // epochs = 0 must DROP the stratum: a bare sequence(0, -1) would
+    // count DOWN ([0, -1]) and duplicate the doc instead
+    val idxs = when(n >= 1, sequence(lit(0), n - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
     docs
-      .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(0), n - 1)).as("epoch_idx"))
+      .select(col("doc_id"), col("lang"), explode(idxs).as("epoch_idx"))
       .select(col("doc_id"), col("lang"),
         col("epoch_idx").cast(LongType).as("epoch_idx"))
       .orderBy("doc_id", "epoch_idx")

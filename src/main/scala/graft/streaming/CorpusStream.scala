@@ -26,7 +26,12 @@ object CorpusStream {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
-      .filter(col("_corrupt_record").isNull)
+      // a line missing the text field is valid JSON (not corrupt) but
+      // useless — and sha2(null) would collapse every null-text doc
+      // into ONE dedup state key; same text.isNotNull contract as the
+      // Kafka entry
+      .filter(col("_corrupt_record").isNull && col("text").isNotNull
+        && col("doc_id").isNotNull)
       .select("doc_id", "text", "lang", "source")
 
   /** Streaming exact dedup across the WHOLE ingest history: the state

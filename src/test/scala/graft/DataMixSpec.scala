@@ -217,6 +217,10 @@ class DataMixSpec extends AnyFunSuite {
     assert(out(1L) === Seq(0L))          // en: default 1 epoch
     assert(out(3L) === Seq(0L, 1L))      // de: 2 epochs
     assert(out(4L) === Seq(0L, 1L, 2L))  // zh: 3 epochs
+    // 0 epochs DROPS the stratum (sequence(0,-1) would duplicate it)
+    val dropped = TextOps.upsampleEpochsOf(docs.select("doc_id", "lang", "text"),
+      Map("en" -> 0)).collect().map(_.getString(1)).toSet
+    assert(!dropped.contains("en") && dropped.nonEmpty)
   }
 
   test("priority dedup keeps the most trusted copy, not the lowest id") {
