@@ -68,6 +68,7 @@ object SparkEntry {
     // identical result via a bloom prefilter — the too-big-to-broadcast path
     "d_decontaminate_bloom" -> NearDedup.decontaminateBloom _,
     "d_dedup_incr"       -> NearDedup.incrementalExact _,
+    "d_contam_by_source" -> NearDedup.contaminationBySource _,
     "d_dedup_incr_near"  -> ((s: SparkSession, dir: String) => NearDedup.incrementalNear(s, dir)),
     "d_corpus_export"    -> CorpusExport.exportCorpus _,
     // exact quadratic baseline (oracle-checked at small SF) …
@@ -599,6 +600,25 @@ object SparkEntry {
         |  CASE WHEN COALESCE(h.n_bench_shingles, 0) >= 1 THEN 1 ELSE 0 END AS is_contaminated
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    "d_contam_by_source" ->
+      """WITH corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 20 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |cw AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM corpus),
+        |cpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM cw WHERE len(ws) >= 3),
+        |csh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM cpos),
+        |bw AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM bench),
+        |bpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM bw WHERE len(ws) >= 3),
+        |bsh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM bpos),
+        |hits AS (SELECT doc_id, COUNT(*) AS n FROM csh JOIN bsh USING (shingle) GROUP BY doc_id),
+        |flags AS (SELECT c.doc_id, c.source,
+        |            CASE WHEN COALESCE(h.n, 0) >= 1 THEN 1 ELSE 0 END AS is_contaminated
+        |          FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(CASE WHEN is_contaminated = 1 THEN 1 END) AS BIGINT) AS n_contaminated,
+        |  CAST(COUNT(CASE WHEN is_contaminated = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS contamination_rate
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
 
     "d_dedup_incr" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),

@@ -387,6 +387,30 @@ object NearDedup {
       docs.filter(col("doc_id") % 20 === 0))
   }
 
+  /** Contamination release report: per-source contaminated-document
+    * counts and rate — the dashboard a data owner reads to decide
+    * which source to re-crawl or drop when benchmark overlap shows
+    * up. One aggregation over the decontamination scan on the
+    * (low-cardinality) source key. */
+  def contaminationBySourceOf(corpus: DataFrame, benchmark: DataFrame,
+                              n: Int = 3, minHits: Long = 1): DataFrame =
+    decontaminateOf(corpus, benchmark, n, minHits)
+      .join(corpus.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_contaminated")).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast(DoubleType) / col("n_docs"))
+      .orderBy("source")
+
+  def contaminationBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationBySourceOf(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
   /** Incremental ingestion dedup, exact tier: flag each NEW document
     * against the existing base corpus by content hash — the base is
     * aggregated to (hash → canonical id) once and joined, never

@@ -209,6 +209,19 @@ class DataMixSpec extends AnyFunSuite {
     assert(keeps.length === 2, keeps.mkString(","))
   }
 
+  test("contamination report: rates aggregate per source, clean sources at zero") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta", "web"),
+      (11L, "alpha beta gamma noise", "web"),
+      (12L, "totally clean other text", "books")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((90L, "alpha beta gamma")).toDF("doc_id", "text")
+    val m = NearDedup.contaminationBySourceOf(corpus, bench).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m("web") === ((2L, 2L, 1.0)))
+    assert(m("books") === ((1L, 0L, 0.0)))
+  }
+
   test("epoch upsampling repeats each stratum the declared number of times") {
     val out = TextOps.upsampleEpochsOf(docs.select("doc_id", "lang", "text"),
       Map("zh" -> 3, "de" -> 2)).collect()
