@@ -29,8 +29,8 @@ object Pipeline {
     val df = PricePaidCsv.normalized(spark, completeCsv)
       .drop("record_op")
       .withColumn("is_deleted", lit("F"))
-    Sinks.writeMonthlySnapshot(df, "transaction_date", tablePath)
-    spark.read.parquet(tablePath).count()
+    Sinks.publishSnapshot(df, "transaction_date", tablePath)
+    Sinks.readSnapshot(spark, tablePath).count()
   }
 
   /** The data-decision step: ingest only if this file's content hash
@@ -58,7 +58,7 @@ object Pipeline {
     * returns the operation statistics (the reference's operation-log
     * row) after rewriting the snapshot. */
   def applyMonthly(spark: SparkSession, updateCsv: String, tablePath: String): Map[String, Long] = {
-    val base = spark.read.parquet(tablePath).drop("txn_month")
+    val base = Sinks.readSnapshot(spark, tablePath).drop("txn_month")
     val changes = PricePaidCsv.normalized(spark, updateCsv)
     // broadcast path: the monthly update is tiny next to the snapshot,
     // so the merge never shuffles the base (CdcMerge.mergeBroadcast)
@@ -67,17 +67,17 @@ object Pipeline {
     val stats = CdcMerge.stats(merged).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val next = CdcMerge.applied(merged).drop("outcome")
-    // rewrite via temp path (the snapshot can't be overwritten while
-    // it is still the read source of the plan) + checked atomic swap
-    Sinks.replaceSnapshot(next, "transaction_date", tablePath)
+    // versioned publish: the new version is written beside the one the
+    // plan is still reading; readers switch at the atomic manifest move
+    Sinks.publishSnapshot(next, "transaction_date", tablePath)
     merged.unpersist()
     stats
   }
 
-  /** Analyst read path: the live (non-deleted) rows, partition-pruned
-    * when filtered by month. */
+  /** Analyst read path: the live (non-deleted) rows of the manifest's
+    * current version, partition-pruned when filtered by month. */
   def current(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(tablePath).filter(col("is_deleted") === "F")
+    Sinks.readSnapshot(spark, tablePath).filter(col("is_deleted") === "F")
 
   /** The reference's database-verify tool (land_registry_database_
     * verify.py, incl. its fix_database mode) as one call: reconcile
@@ -97,9 +97,9 @@ object Pipeline {
       val repaired = Reconcile.fixUp(live, file, key, compareCols)
         .drop("fix_action")
         .withColumn("is_deleted", lit("F"))
-      val deletedRows = spark.read.parquet(tablePath).drop("txn_month")
+      val deletedRows = Sinks.readSnapshot(spark, tablePath).drop("txn_month")
         .filter(col("is_deleted") === "T")
-      Sinks.replaceSnapshot(repaired.unionByName(deletedRows),
+      Sinks.publishSnapshot(repaired.unionByName(deletedRows),
         "transaction_date", tablePath)
     }
     Map("n_both" -> c.getLong(0),

@@ -23,27 +23,100 @@ object Sinks {
       .partitionBy("txn_month")
       .parquet(path)
 
-  /** Atomically replace the snapshot at `tablePath` with `df`:
-    * write to `<table>.next`, move the live table aside, install, drop
-    * the recovery copy — every rename checked, restore on failure.
-    * The single swap protocol shared by the batch (Pipeline) and
-    * streaming (CdcStream) update paths. */
-  def replaceSnapshot(df: DataFrame, dateCol: String, tablePath: String): Unit = {
+  // ---- Versioned snapshot protocol -------------------------------------
+  //
+  // The reference's consumers read Postgres, so a snapshot replacement is
+  // a transaction: readers never observe a missing table or a half-swapped
+  // one (land_registry_pp_complete_db_upload.py). The Spark analog is NOT
+  // a directory rename-swap (a reader whose scan starts between the two
+  // renames fails on a missing path; a long scan can read half-old files).
+  // Instead:
+  //
+  //   tablePath/v00000001/…          immutable snapshot versions
+  //   tablePath/v00000002/…          (month-partitioned)
+  //   tablePath/_manifests/m00000002 commit markers — the NAME is the
+  //                                  version; current = max name
+  //
+  // A publish writes the next version dir in full, then creates its
+  // commit marker. Because the marker is a NEW file name (never an
+  // overwrite or delete+recreate of a live one), commit is atomic on any
+  // filesystem — an overwrite-rename of a single `_CURRENT` file is
+  // delete+rename on local/HDFS-like filesystems, leaving a window with
+  // no manifest at all. Readers list the marker dir, take the max, and
+  // scan an immutable version directory: a swap mid-scan is invisible,
+  // and `retainVersions` previous versions stay on disk as the grace
+  // window for scans that resolved before the swap.
+
+  private val versionRe = "v(\\d{8})".r
+  private val manifestRe = "m(\\d{8})".r
+  private def versionDirName(v: Long): String = f"v$v%08d"
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live (committed) version number: the newest commit marker. */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession, tablePath: String): Option[Long] = {
+    val mdir = new org.apache.hadoop.fs.Path(tablePath, "_manifests")
+    val fs = hadoopFs(spark, mdir)
+    if (!fs.exists(mdir)) None
+    else fs.listStatus(mdir).toSeq.collect {
+      case s => s.getPath.getName match {
+        case manifestRe(n) => Some(n.toLong)
+        case _             => None
+      }
+    }.flatten.maxOption
+  }
+
+  /** Resolved directory of the live snapshot version. */
+  def currentVersionDir(spark: org.apache.spark.sql.SparkSession, tablePath: String): String = {
+    val v = currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath (no commit marker in _manifests)"))
+    s"$tablePath/${versionDirName(v)}"
+  }
+
+  /** Read the live snapshot — the plan is pinned to one immutable
+    * version directory, so concurrent publishes can't disturb it. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(currentVersionDir(spark, tablePath))
+
+  /** Publish `df` as the next snapshot version and atomically commit it;
+    * prunes versions older than the newest `retainVersions`. Returns the
+    * published version number.
+    *
+    * Crash-safe: a failure before the marker create leaves an orphan
+    * version dir with no marker — never visible to readers, skipped past
+    * by the next publish's max+1 numbering and removed by its prune.
+    * Commit itself is the creation of one new file name, atomic on any
+    * filesystem, so readers see either the old version or the new one,
+    * never neither. */
+  def publishSnapshot(df: DataFrame, dateCol: String, tablePath: String,
+                      retainVersions: Int = 2): Long = {
+    require(retainVersions >= 1, "retainVersions must keep at least the live version")
     val spark = df.sparkSession
-    val tmp = tablePath + ".next"
-    writeMonthlySnapshot(df, dateCol, tmp)
-    val dst = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
-    fs.delete(old, true)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"snapshot swap: could not move $dst aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.rename(old, dst) // restore
-      throw new java.io.IOException(s"snapshot swap: could not install $tmp")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    val existing: Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.collect {
+        case s if s.isDirectory => s.getPath.getName match {
+          case versionRe(n) => Some(n.toLong)
+          case _            => None
+        }
+      }.flatten
+    val next = (existing :+ 0L).max + 1
+    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}")
+    // commit marker: a NEW file name under _manifests — version encoded
+    // in the name, so there is no content to race on
+    val marker = new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d")
+    fs.create(marker, false).close()
+    // grace-window prune: keep the newest retainVersions committed
+    // versions (+ their markers); never touch the one just committed
+    val committed = (existing :+ next).sorted.reverse
+    committed.drop(retainVersions).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d"), false)
     }
-    fs.delete(old, true)
-    ()
+    next
   }
 
   /** Bucketed write for co-located joins: repeated joins on `keyCol`

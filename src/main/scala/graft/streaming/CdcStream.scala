@@ -46,7 +46,7 @@ object CdcStream {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1)
             .drop("__rn", seqCol)
-          val base = spark.read.parquet(tablePath).drop("txn_month")
+          val base = Sinks.readSnapshot(spark, tablePath).drop("txn_month")
           val nChanges = latest.count()
           val merged =
             if (nChanges <= maxBroadcastRows)
@@ -54,7 +54,11 @@ object CdcStream {
             else // catch-up backlog: too big to broadcast safely
               CdcMerge.merge(base, latest, key, compareCols)
           val next = CdcMerge.applied(merged).drop("outcome")
-          Sinks.replaceSnapshot(next, partitionCol, tablePath)
+          // versioned publish: concurrent analyst reads resolved the
+          // previous version's immutable dir and are untouched by the
+          // manifest move — the transactional-visibility analog of the
+          // reference's Postgres upload
+          Sinks.publishSnapshot(next, partitionCol, tablePath)
           ()
         }
       }

@@ -116,11 +116,12 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(prices === Map("{P1}" -> 120000L, "{P3}" -> 300000L, "{P4}" -> 400000L))
     // deleted row still exists in the snapshot, flagged
-    assert(spark.read.parquet(table)
+    assert(graft.sources.Sinks.readSnapshot(spark, table)
       .filter(col("transaction_unique_id") === "{P2}" && col("is_deleted") === "T")
       .count() === 1)
     // month partitioning present → analyst period queries prune
-    val parts = new java.io.File(table).listFiles().filter(_.isDirectory).map(_.getName)
+    val vdir = graft.sources.Sinks.currentVersionDir(spark, table)
+    val parts = new java.io.File(vdir).listFiles().filter(_.isDirectory).map(_.getName)
     assert(parts.count(_.startsWith("txn_month=")) === 4)
   }
 

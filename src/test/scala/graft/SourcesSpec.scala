@@ -111,6 +111,65 @@ class SourcesSpec extends AnyFunSuite {
     assert(big.forall(r => r.width == r.src_width && r.height == r.src_height))
   }
 
+  test("versioned snapshot publish: a reader resolved before the swap is undisturbed") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("vsnap").toString + "/t"
+    val d1 = Seq(("A", 1L, java.sql.Date.valueOf("2024-01-15")),
+                 ("B", 2L, java.sql.Date.valueOf("2024-02-15")))
+      .toDF("k", "price", "transaction_date")
+    val d2 = Seq(("A", 10L, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("k", "price", "transaction_date")
+    assert(Sinks.publishSnapshot(d1, "transaction_date", table) === 1L)
+    assert(Sinks.currentVersion(spark, table) === Some(1L))
+    // a reader that resolved the manifest BEFORE the swap: its plan is
+    // pinned to the immutable v1 dir
+    val pinned = Sinks.readSnapshot(spark, table)
+    assert(Sinks.publishSnapshot(d2, "transaction_date", table) === 2L)
+    // the pre-swap reader still sees ALL of v1 (never half-old/half-new,
+    // never a missing path — the transactional-visibility contract)
+    assert(pinned.select("k", "price").as[(String, Long)].collect().toSet
+      === Set(("A", 1L), ("B", 2L)))
+    // a post-swap reader resolves v2
+    assert(Sinks.readSnapshot(spark, table).count() === 1L)
+    // retention: v1 kept as the grace window, pruned after the NEXT publish
+    val root = new java.io.File(table)
+    assert(root.listFiles().map(_.getName).count(_.matches("v\\d{8}")) === 2)
+    assert(Sinks.publishSnapshot(d1, "transaction_date", table) === 3L)
+    val dirs = root.listFiles().map(_.getName).filter(_.matches("v\\d{8}")).toSet
+    assert(dirs === Set("v00000002", "v00000003"))
+  }
+
+  test("versioned snapshot publish: concurrent reads across repeated swaps never fail") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("vsnap_conc").toString + "/t"
+    def df(p: Long) = Seq(("A", p, java.sql.Date.valueOf("2024-01-15")),
+                          ("B", p, java.sql.Date.valueOf("2024-02-15")))
+      .toDF("k", "price", "transaction_date")
+    Sinks.publishSnapshot(df(0), "transaction_date", table)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // each read resolves the manifest fresh and must see a complete
+          // 2-row snapshot with one consistent price — even mid-publish
+          val rows = Sinks.readSnapshot(spark, table)
+            .select("price").as[Long].collect()
+          assert(rows.length === 2 && rows.toSet.size === 1)
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    // retainVersions = 3: one extra grace version so a reader that
+    // resolved just before two back-to-back swaps still finds its files
+    (1L to 5L).foreach(v =>
+      Sinks.publishSnapshot(df(v), "transaction_date", table, retainVersions = 3))
+    stop.set(true)
+    reader.join(60000)
+    assert(failure.get() === null, s"concurrent reader failed: ${failure.get()}")
+    assert(Sinks.currentVersion(spark, table) === Some(6L))
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()

@@ -117,7 +117,7 @@ class StreamingSpec extends AnyFunSuite {
     val base = Seq(("K1", 100L, ts("2024-01-01 00:00:00"), "F"),
                    ("K2", 200L, ts("2024-02-01 00:00:00"), "F"))
       .toDF("k", "price", "transaction_date", "is_deleted")
-    graft.sources.Sinks.writeMonthlySnapshot(base, "transaction_date", table)
+    graft.sources.Sinks.publishSnapshot(base, "transaction_date", table)
 
     val mem = MemoryStream[(Long, String, String, Long, Timestamp)]
     val changes = mem.toDF().toDF("seq", "k", "record_op", "price", "transaction_date")
@@ -134,11 +134,11 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    val fin = spark.read.parquet(table)
+    val fin = graft.sources.Sinks.readSnapshot(spark, table)
       .select("k", "price", "is_deleted")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
     // exactly 3 rows — the duplicate K1 op in batch 1 must NOT fork the row
-    assert(spark.read.parquet(table).count() === 3)
+    assert(graft.sources.Sinks.readSnapshot(spark, table).count() === 3)
     assert(fin === Map("K1" -> ((150L, "F")), "K2" -> ((200L, "T")), "K3" -> ((300L, "F"))))
   }
 
