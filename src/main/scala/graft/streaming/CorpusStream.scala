@@ -39,13 +39,12 @@ object CorpusStream {
     * document hits the same state partition and is dropped — exact
     * first-writer-wins at any parallelism. State per key is one
     * boolean (~the hash itself in the store), sharded across
-    * executors like any keyed state; retention on unbounded streams
-    * is a deployment dial (RocksDB state backend + a periodic
-    * snapshot-and-rebuild, the trade every streaming dedup makes) —
-    * a processing-time timeout here would make the default
-    * zero-interval trigger churn empty timeout-check batches
-    * back-to-back. Output: the admitted (first-occurrence)
-    * documents. */
+    * executors like any keyed state — but it GROWS without bound (one
+    * entry per distinct hash ever admitted): correct for bounded
+    * backfills, wrong for a years-long ingest. For an unbounded stream
+    * use [[streamingIngestDedupBounded]], which hard-caps state at
+    * nShards × maxHashesPerShard. Output: the admitted
+    * (first-occurrence) documents. */
   def streamingIngestDedup(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -67,6 +66,55 @@ object CorpusStream {
             val first = rows.minBy(_._2)
             Iterator.single((first._2, sha, first._3, first._4, first._5))
           }
+      }
+      .toDF("doc_id", "content_sha", "text", "lang", "source")
+  }
+
+  /** Bounded-state variant of [[streamingIngestDedup]]: state is keyed
+    * by a SHARD of the content hash instead of the hash itself, and
+    * each shard retains only its newest `maxHashesPerShard` admitted
+    * hashes (FIFO eviction — the same retention dial as
+    * EventsPipeline.streamingDedup). Total state is hard-capped at
+    * nShards × maxHashesPerShard hashes for the life of the query, so
+    * an unbounded ingest can run forever on a fixed state store; the
+    * trade is that dedup is exact only within the retention horizon (a
+    * copy arriving after its original was evicted is re-admitted) —
+    * the trade every production streaming dedup makes. Admission is
+    * deterministic at any parallelism: one shard's history lives in one
+    * state partition, and in-batch copies admit the min doc_id. */
+  def streamingIngestDedupBounded(docs: DataFrame, nShards: Int = 1024,
+                                  maxHashesPerShard: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(sha2(col("text"), 256).as("content_sha"), col("doc_id"),
+        col("text"), col("lang"), col("source"))
+      .withColumn("shard", pmod(hash(col("content_sha")), lit(nShards)))
+      .as[(String, Long, String, String, String, Int)]
+      .groupByKey(_._6)
+      .flatMapGroupsWithState[Vector[String], (Long, String, String, String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[(String, Long, String, String, String, Int)],
+         state: GroupState[Vector[String]]) =>
+          val seen = state.getOption.getOrElse(Vector.empty[String])
+          val seenSet = scala.collection.mutable.HashSet.from(seen)
+          var fifo = seen
+          val out = Vector.newBuilder[(Long, String, String, String, String)]
+          // doc_id order: the iterator is unordered within a batch, and
+          // in-batch copies must admit the min id deterministically
+          rows.toVector.sortBy(_._2).foreach { case (sha, id, text, lang, src, _) =>
+            if (!seenSet.contains(sha)) {
+              out += ((id, sha, text, lang, src))
+              seenSet += sha
+              fifo = fifo :+ sha
+              if (fifo.length > maxHashesPerShard) {
+                seenSet -= fifo.head
+                fifo = fifo.tail
+              }
+            }
+          }
+          state.update(fifo)
+          out.result().iterator
       }
       .toDF("doc_id", "content_sha", "text", "lang", "source")
   }
@@ -94,15 +142,24 @@ object CorpusStream {
     streamingIngestDedup(parseKafkaDocs(raw))
   }
 
-  /** End-to-end: watched JSONL directory → history-wide dedup →
-    * append-only parquet corpus. Checkpointed, so a restarted query
-    * resumes with its dedup state intact. */
+  /** End-to-end: watched JSONL directory → content dedup → append-only
+    * parquet corpus. Checkpointed, so a restarted query resumes with
+    * its dedup state intact. `retention = Some((nShards,
+    * maxHashesPerShard))` selects the bounded-state dedup (the
+    * unbounded-ingest deployment); None keeps exact history-wide dedup
+    * for bounded backfills. */
   def run(spark: SparkSession, inputDir: String, corpusPath: String,
-          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    streamingIngestDedup(ingestJsonl(spark, inputDir))
-      .writeStream
+          checkpoint: String,
+          retention: Option[(Int, Int)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docs = ingestJsonl(spark, inputDir)
+    val deduped = retention match {
+      case Some((shards, perShard)) => streamingIngestDedupBounded(docs, shards, perShard)
+      case None                     => streamingIngestDedup(docs)
+    }
+    deduped.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .start(corpusPath)
+  }
 }

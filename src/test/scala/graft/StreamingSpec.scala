@@ -241,6 +241,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Set(3L, 7L, 11L))
   }
 
+  test("bounded corpus dedup: state stays flat under a repeating-content stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = CorpusStream.streamingIngestDedupBounded(df, nShards = 4, maxHashesPerShard = 8)
+      .writeStream.format("memory").queryName("corpus_bounded").outputMode("append").start()
+    // 10 batches repeating the same 6 documents: an unbounded dedup's
+    // output would be right too, but its state would grow with every
+    // DISTINCT hash — here state rows are capped at nShards forever
+    (0 until 10).foreach { b =>
+      mem.addData((0 until 6).map(i => ((b * 100 + i).toLong, s"repeated doc $i", "en", "s")): _*)
+      q.processAllAvailable()
+    }
+    val admitted = spark.table("corpus_bounded").collect()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    // each distinct text admitted exactly once (its hash stayed within
+    // the retention horizon across all 10 batches), min doc_id wins
+    assert(admitted.length === 6)
+    assert(admitted.map(_.getLong(0)).toSet === (0L until 6L).toSet)
+    assert(stateRows <= 4, s"state rows $stateRows exceed the shard cap")
+  }
+
+  test("bounded corpus dedup: fresh content cannot grow state past the cap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    // capacity = 2 shards × 4 hashes = 8; stream 20 batches × 10 FRESH
+    // docs — 200 distinct hashes through an 8-hash state
+    val q = CorpusStream.streamingIngestDedupBounded(df, nShards = 2, maxHashesPerShard = 4)
+      .writeStream.format("memory").queryName("corpus_fresh").outputMode("append").start()
+    (0 until 20).foreach { b =>
+      mem.addData((0 until 10).map(i => ((b * 10 + i).toLong, s"fresh doc ${b * 10 + i}", "en", "s")): _*)
+      q.processAllAvailable()
+    }
+    val n = spark.table("corpus_fresh").count()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(n === 200L) // all fresh → all admitted
+    assert(stateRows <= 2, s"state rows $stateRows exceed the shard cap")
+  }
+
+  test("bounded corpus dedup: drops copies within the horizon, re-admits beyond it") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    // one shard, horizon of 2 hashes → FIFO behavior is fully visible
+    val q = CorpusStream.streamingIngestDedupBounded(df, nShards = 1, maxHashesPerShard = 2)
+      .writeStream.format("memory").queryName("corpus_fifo").outputMode("append").start()
+    mem.addData((1L, "doc A", "en", "s"), (2L, "doc B", "en", "s"))
+    q.processAllAvailable()
+    mem.addData((3L, "doc A", "en", "s")) // within horizon: dropped
+    q.processAllAvailable()
+    mem.addData((4L, "doc C", "en", "s"), (5L, "doc D", "en", "s")) // evict A, B
+    q.processAllAvailable()
+    mem.addData((6L, "doc A", "en", "s")) // beyond horizon: re-admitted
+    q.processAllAvailable()
+    val ids = spark.table("corpus_fifo").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids === Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("jsonl ingest stream quarantines corrupt lines and lands the corpus in parquet") {
     val in = java.nio.file.Files.createTempDirectory("corpusin").toString
     val out = java.nio.file.Files.createTempDirectory("corpusout").toString
