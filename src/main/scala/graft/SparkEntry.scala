@@ -571,8 +571,10 @@ object SparkEntry {
         |ORDER BY w.doc_id""".stripMargin,
 
     "t_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
+      """WITH p AS (
+        |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)) AS ns FROM documents),
+        |t AS (
+        |  SELECT doc_id, doc_id % (SELECT ns FROM p) AS shard,
         |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents),
@@ -639,15 +641,22 @@ object SparkEntry {
         |         WHEN doc_id % 10 = 7 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |         ELSE text END AS text
         |  FROM documents)
+        |, redacted AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM planted),
+        |redacted2 AS (
+        |  SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS after_phone
+        |  FROM redacted)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |  CAST(len(regexp_extract_all(after_email, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(after_phone,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
-        |FROM planted ORDER BY doc_id""".stripMargin,
+        |FROM redacted2 ORDER BY doc_id""".stripMargin,
 
     "t_epochs" ->
       """SELECT doc_id, lang, CAST(epoch_idx AS BIGINT) AS epoch_idx FROM (

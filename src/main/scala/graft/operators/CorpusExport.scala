@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -13,7 +13,10 @@ import graft.sources.Tables
   *      ([[NearDedup.decontaminateOf]], broadcast benchmark shingles)
   *   3. stratified per-language downsampling ([[TextOps.stratifiedSampleOf]])
   *   4. leakage-safe content-hash train/val/test split ([[TextOps.splitAssignOf]])
-  *   5. per-shard sequence packing ([[TextOps.packSequencesOf]])
+  *   5. per-(shard, split) sequence packing ([[TextOps.packSequencesOf]]) —
+  *      the split label joins BEFORE packing and partitions the packing
+  *      window, so no packed sequence ever interleaves train/val/test
+  *      documents (a loader that consumes sequences stays leakage-safe)
   *
   * Scale shape: every stage is the already-audited plan; the
   * composition adds only doc_id semi-joins between stages (uniform
@@ -21,13 +24,26 @@ import graft.sources.Tables
   */
 object CorpusExport {
 
+  /** @param persistDir when set, the cleaned corpus (the one subplan
+    *   three downstream stages re-read) is materialized as parquet
+    *   under this path — the durable stage boundary for a real
+    *   cluster, where an executor loss must not kill the export.
+    *   When None, `localCheckpoint` materializes on executor-local
+    *   storage: cheaper, single-process only (the sandbox binding). */
   def exportCorpusOf(docs: DataFrame, benchmark: DataFrame,
-                     rates: Map[String, Int]): DataFrame = {
+                     rates: Map[String, Int],
+                     persistDir: Option[String] = None): DataFrame = {
     // the cleaned corpus feeds three downstream subplans (shingling,
     // the doc_id semi-joins, packing); materialize it ONCE instead of
-    // re-running the iterative cluster resolution per reference — the
-    // local analog of persisting the stage boundary on a cluster
-    val clean = NearDedup.cleanCorpus(docs).localCheckpoint()
+    // re-running the iterative cluster resolution per reference
+    val cleanPlan = NearDedup.cleanCorpus(docs)
+    val clean = persistDir match {
+      case Some(dir) =>
+        val p = s"$dir/clean_corpus.parquet"
+        cleanPlan.write.mode(SaveMode.Overwrite).parquet(p)
+        docs.sparkSession.read.parquet(p)
+      case None => cleanPlan.localCheckpoint()
+    }
     val uncontaminated = NearDedup.decontaminateOf(clean, benchmark)
       .filter(col("is_contaminated") === 0)
       .select("doc_id")
@@ -35,8 +51,7 @@ object CorpusExport {
     val sampled = TextOps.stratifiedSampleOf(surviving, rates).select("doc_id")
     val kept = surviving.join(sampled, "doc_id")
     val split = TextOps.splitAssignOf(kept).select("doc_id", "split")
-    TextOps.packSequencesOf(kept)
-      .join(split, "doc_id")
+    TextOps.packSequencesOf(kept.join(split, "doc_id"), groupCols = Seq("split"))
       .orderBy("doc_id")
   }
 

@@ -40,7 +40,12 @@ object IvfIndex {
     * cells against the (tiny, broadcast) centroid table, then scan
     * ONLY the probed cell partitions. The probed cell set is collected
     * to the driver (nQueries × nProbe ints) so the partition filter is
-    * static — the scan prunes directories, not rows. */
+    * static — the scan prunes directories, not rows.
+    *
+    * Query ids here are an EXTERNAL numbering, unrelated to the
+    * indexed vec_ids, so self-exclusion is off: a corpus vector whose
+    * vec_id happens to equal a query_id is a legitimate neighbor, not
+    * the query itself. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
             k: Int = 10, nProbe: Int = 4): DataFrame = {
     val cents = centroids(spark, path)
@@ -50,6 +55,6 @@ object IvfIndex {
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(cells: _*))
-    SimilarityOps.searchAssigned(assigned, probes, k)
+    SimilarityOps.searchAssigned(assigned, probes, k, excludeSelf = false)
   }
 }

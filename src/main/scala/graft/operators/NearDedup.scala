@@ -145,8 +145,20 @@ object NearDedup {
       .orderBy("id_a", "id_b")
   }
 
-  def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    minHashDedupOf(Tables.documents(spark, dir), threshold)
+  /** Registered binding. The test corpus is near-dup-free random
+    * text, so (mirroring d_dedup_winnow) every 50th sufficiently-long
+    * document is re-issued with a short suffix — a deterministic
+    * planted NEAR-duplicate (high but non-1.0 Jaccard) whose recovery
+    * the driver's rows check pins; the length floor keeps the planted
+    * pair's true Jaccard safely above the threshold. */
+  def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs
+      .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+        concat(col("text"), lit(" with a brief trailing remark appended")).as("text"))
+    minHashDedupOf(docs.unionByName(planted), threshold)
+  }
 
   /** All-pairs n-gram Jaccard above a threshold — EXACT result via
     * prefix filtering (PPJoin family, Xiao et al.): only the first

@@ -295,12 +295,17 @@ object SimilarityOps {
 
   /** Search a cell-assigned corpus with a probe set: score only the
     * probed cells' members, top-k per query. Shared by the inline and
-    * persisted-index paths. */
+    * persisted-index paths. `excludeSelf` drops the corpus row whose
+    * vec_id equals the query_id — correct when queries ARE corpus
+    * vectors (the inline plans), wrong when query ids come from an
+    * external numbering (a persisted index probed by a separate query
+    * table), where an id collision would silently drop a neighbor. */
   private[graft] def searchAssigned(assigned: DataFrame, probes: DataFrame,
-                                        k: Int): DataFrame = {
+                                        k: Int,
+                                        excludeSelf: Boolean = true): DataFrame = {
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
+    val scored = assigned.join(broadcast(probes), "cell")
+    (if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id")) else scored)
       .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
       .withColumn("rank", row_number().over(wRank).cast(LongType))
       .filter(col("rank") <= k)

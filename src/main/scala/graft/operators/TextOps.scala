@@ -312,51 +312,70 @@ object TextOps {
     * running-sum window — each shard packs independently (exactly how
     * per-worker packing runs in production), so the window partitions
     * by shard and no global sort exists at any scale. */
-  def packSequencesOf(docs: DataFrame, budget: Int = 256, nShards: Int = 8): DataFrame = {
+  def packSequencesOf(docs: DataFrame, budget: Int = 256, nShards: Int = 8,
+                      groupCols: Seq[String] = Nil): DataFrame = {
     val toks = when(length(wsTrim(col("text"))) === 0, 0)
       .otherwise(size(split(wsTrim(col("text")), "\\s+")))
-    val w = Window.partitionBy("shard").orderBy("doc_id")
+    // extra group columns (e.g. the train/val/test split) partition the
+    // packing alongside the shard, so a packed sequence never straddles
+    // a group boundary — a val doc must not share a seq_id with train
+    val parts = (col("shard") +: groupCols.map(col)): Seq[Column]
+    val w = Window.partitionBy(parts: _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
-        toks.cast(LongType).as("n_tokens"))
+      .select(col("doc_id") +: (col("doc_id") % nShards).as("shard") +:
+        toks.cast(LongType).as("n_tokens") +: groupCols.map(col): _*)
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
+      .select(col("doc_id") +: col("shard") +: col("n_tokens") +:
         // integral div, NOT `/`: long/int promotes to double, which
         // rounds above 2^53 cumulative tokens — seq_id would drift
         // from the exact seq_offset (the oracle uses integer `//`)
-        expr(s"tokens_before div $budget").as("seq_id"),
-        (col("tokens_before") % budget).as("seq_offset"))
+        expr(s"tokens_before div $budget").as("seq_id") +:
+        (col("tokens_before") % budget).as("seq_offset") +:
+        groupCols.map(col): _*)
       .orderBy("doc_id")
   }
 
-  def packSequences(spark: SparkSession, dir: String): DataFrame =
-    packSequencesOf(Tables.documents(spark, dir))
+  /** Shard count for an n-document corpus: one shard per
+    * `targetDocsPerShard` documents with a floor of 8, so packing
+    * parallelism grows with the data instead of pinning at the
+    * default — at 100 TB the shard count is the corpus size over the
+    * target, not a constant. The DuckDB oracle computes the same
+    * formula from COUNT(*). */
+  def packShardsFor(nDocs: Long, targetDocsPerShard: Long = 4096L): Int =
+    math.min(math.max(8L, (nDocs + targetDocsPerShard - 1) / targetDocsPerShard),
+      1L << 20).toInt
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    packSequencesOf(docs, nShards = packShardsFor(docs.count()))
+  }
 
   /** PII patterns (email / NANP phone / IPv4) shared by detection and
     * redaction. Only RE2-compatible constructs (no lookaround, no
     * backreferences) so the DuckDB oracle's regexp functions behave
-    * identically to Spark's Java regex. Order matters for redaction;
-    * the three patterns are mutually non-overlapping (emails need a
-    * letter TLD, phones use dashes, IPs use dots). */
+    * identically to Spark's Java regex. Order matters: a phone or IP
+    * embedded inside an email (`555-123-4567@x.com`) belongs to the
+    * email category, which redacts first and thereby consumes it. */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phones", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
     ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
-  /** PII detection + redaction: per-category match counts on the raw
-    * text, then category placeholders substituted in declared order —
-    * the release gate a training corpus passes before export. Pure
-    * projection (three regex scans per row), no shuffle at any
-    * scale. */
+  /** PII detection + redaction: each category is counted on the text
+    * AFTER the previous categories were substituted, so `n_<cat>`
+    * always equals the number of `<CAT>` placeholders in `clean_text`
+    * — a phone hiding inside an email local-part is an email, not an
+    * email AND a phone. Pure projection (the regex scans run per row),
+    * no shuffle at any scale. */
   def piiScrubOf(docs: DataFrame): DataFrame = {
-    val counts = piiPatterns.map { case (name, pat, _) =>
-      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-        .cast(LongType).as(s"n_$name")
-    }
-    val clean = piiPatterns.foldLeft(col("text")) { case (acc, (_, pat, tag)) =>
-      regexp_replace(acc, pat, tag)
-    }
+    val (counts, clean) = piiPatterns
+      .foldLeft((Seq.empty[Column], col("text"))) {
+        case ((cs, acc), (name, pat, tag)) =>
+          val n = size(regexp_extract_all(acc, lit(pat), lit(0)))
+            .cast(LongType).as(s"n_$name")
+          (cs :+ n, regexp_replace(acc, pat, tag))
+      }
     docs.select(col("doc_id") +: counts :+ clean.as("clean_text"): _*)
       .orderBy("doc_id")
   }
@@ -404,11 +423,48 @@ object TextOps {
   /** Token-budget mix selection: take documents per source, in
     * deterministic doc_id order, until each source's token budget is
     * exhausted (greedy prefix, the "cap every domain at N tokens"
-    * move when assembling a fixed-size training mix). One window over
-    * the source partitioning — per-source state is a running sum, so
-    * a 1000-executor run partitions by source exactly like the
-    * per-source output files would. */
-  def tokenBudgetOf(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    * move when assembling a fixed-size training mix).
+    *
+    * The running sum is HIERARCHICAL: a plain
+    * `Window.partitionBy(source)` would hand every document of a huge
+    * source to one reducer (source cardinality bounds parallelism —
+    * maybe hundreds of values against 100 TB). Instead doc_ids are cut
+    * into contiguous `shardWidth` ranges; shard-local prefix sums run
+    * at (source × shard) parallelism over the corpus, and the only
+    * source-partitioned window runs over the per-shard TOTALS — one
+    * row per shard, not per document. Because `doc_id div shardWidth`
+    * is monotone in doc_id, shard-offset + shard-local sum equals the
+    * single-window running sum exactly (same oracle). */
+  def tokenBudgetOf(docs: DataFrame, budgetPerSource: Long,
+                    shardWidth: Long = 1L << 16): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val wIn = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = t.withColumn("cum_in_shard", sum(col("n_tokens")).over(wIn))
+    // per-(source, shard) totals: |sources|·|shards| rows — tiny next
+    // to the corpus, so the source-ordered exclusive prefix sum below
+    // is over the offset TABLE, not the data
+    val wOff = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("source", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_tokens")).over(wOff), lit(0L)))
+      .select(col("source"), col("shard"), col("shard_offset"))
+    inShard.join(offsets, Seq("source", "shard"))
+      .withColumn("cum_tokens", col("shard_offset") + col("cum_in_shard"))
+      .filter(col("cum_tokens") <= budgetPerSource)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The single-window reference formulation of tokenBudgetOf — kept
+    * for the equality spec that pins the hierarchical decomposition. */
+  private[graft] def tokenBudgetSingleWindowOf(docs: DataFrame,
+                                               budgetPerSource: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -419,8 +475,12 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // shardWidth 64 at the test scale (500-doc corpus → ~8 shards per
+  // source) so the hierarchical path is actually exercised; production
+  // callers size shardWidth so a shard's documents fit one task
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
-    tokenBudgetOf(Tables.documents(spark, dir), budgetPerSource = 500L)
+    tokenBudgetOf(Tables.documents(spark, dir), budgetPerSource = 500L,
+      shardWidth = 64L)
 
   /** Model-based quality filtering: a fixed linear scoring model over
     * the census features (the shape of a fastText/logreg quality

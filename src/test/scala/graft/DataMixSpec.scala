@@ -118,6 +118,60 @@ class DataMixSpec extends AnyFunSuite {
     assert(m(4L) === ((0L, 0L, 0L, "")))
   }
 
+  test("pii scrub: an identifier consumed by an earlier category is not double-counted") {
+    val pii = Seq(
+      (1L, "reach 555-123-4567@example.com or 10.1.2.3"),
+      (2L, "plain phone 555-123-4567 still counts")
+    ).toDF("doc_id", "text")
+    val m = TextOps.piiScrubOf(pii).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // the phone-shaped local part belongs to the email: email redaction
+    // consumes it, so n_phones is 0 and clean_text holds no <PHONE>
+    assert(m(1L) === ((1L, 0L, 1L, "reach <EMAIL> or <IP>")))
+    assert(m(2L) === ((0L, 1L, 0L, "plain phone <PHONE> still counts")))
+  }
+
+  test("token budget: hierarchical decomposition equals the single window at any shard width") {
+    val mix = (1L to 40L)
+      .map(i => (i, s"s${i % 3}", ("tok " * ((i % 7).toInt + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val ref = TextOps.tokenBudgetSingleWindowOf(mix, 30L).collect().toSeq
+    assert(ref.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 1L << 16))
+      assert(TextOps.tokenBudgetOf(mix, 30L, shardWidth = w).collect().toSeq === ref,
+        s"shardWidth=$w diverged from the single-window reference")
+  }
+
+  test("pack sequences: group columns restart packing at every group boundary") {
+    val d = docs.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 2 === 0, "val").otherwise("train").as("split"))
+    val packed = TextOps.packSequencesOf(d, budget = 7, nShards = 1,
+      groupCols = Seq("split")).collect()
+    val byGroup = packed.groupBy(r => (r.getLong(1), r.getString(5)))
+    assert(byGroup.keySet.map(_._2) === Set("train", "val"))
+    byGroup.foreach { case (g, rs) =>
+      var before = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) === before / 7 && r.getLong(4) === before % 7,
+          s"group $g: packing arithmetic broke at doc ${r.getLong(0)}")
+        before += r.getLong(2)
+      }
+    }
+  }
+
+  test("registered minhash binding recovers every planted near-duplicate pair") {
+    val planted = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val pairs = NearDedup.minHashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 20000000L)),
+        s"planted near-dup of doc $id not recovered")
+    }
+  }
+
   test("incremental exact dedup: batch doc matching base is flagged with canonical id") {
     val base = Seq(
       (1L, "shared content one"), (2L, "base only"), (6L, "shared content one")
@@ -196,6 +250,30 @@ class DataMixSpec extends AnyFunSuite {
     assert(ids.intersect(contaminated).isEmpty)
     // split labels are exhaustive
     assert(rows.map(_.getString(5)).toSet.subsetOf(Set("train", "val", "test")))
+    // packing is per (shard, split): within each group the offsets
+    // accumulate from zero in doc_id order, so a packed sequence can
+    // never interleave train/val/test documents
+    rows.groupBy(r => (r.getLong(1), r.getString(5))).foreach { case (g, rs) =>
+      var before = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) === before / 256 && r.getLong(4) === before % 256,
+          s"group $g: sequence packing straddles a split boundary at doc ${r.getLong(0)}")
+        before += r.getLong(2)
+      }
+    }
+  }
+
+  test("corpus export through a durable parquet stage boundary is identical") {
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("export").toString
+    val viaDisk = CorpusExport.exportCorpusOf(
+      docs2.filter(col("doc_id") % 20 =!= 0),
+      docs2.filter(col("doc_id") % 20 === 0),
+      TextOps.sampleRates, persistDir = Some(dir)).collect().toSeq
+    val viaLocal = CorpusExport.exportCorpus(spark, sf).collect().toSeq
+    assert(viaDisk === viaLocal)
+    // the cluster-safe stage boundary actually landed on disk
+    assert(new java.io.File(s"$dir/clean_corpus.parquet").exists())
   }
 
   test("quality model: degenerate docs score below normal prose, empties at zero") {

@@ -126,6 +126,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t_budget running sum is hierarchical: no source-only window over the raw corpus") {
+    val p = planOf("t_budget")
+    // the per-document window partitions by (source, shard): shard-level
+    // parallelism inside a source instead of one reducer per source
+    assert("windowspecdefinition\\(source#\\d+, shard#\\d+L?, doc_id".r.findFirstIn(p).isDefined, p)
+    // a window partitioned by source alone and ordered by doc_id would
+    // mean the whole-source sequential scan is back; the only
+    // source-partitioned window orders by shard (the per-shard totals
+    // table — one row per shard, not per document)
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"source-only running sum over raw documents crept back:\n$p")
+    // the shard-totals aggregate feeding the offset window exists
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("quality model and repetition scoring use the native censuses") {
     assert(planOf("t_repetition").contains("repetitionstats"))
     val p = planOf("t_quality_model")

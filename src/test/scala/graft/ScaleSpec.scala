@@ -64,15 +64,26 @@ class ScaleSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val fromIndex = IvfIndex.probe(spark, idx, queries, k = 5, nProbe = 2)
     // same search against an in-memory assignment built from the SAME
-    // persisted centroids — proves the persisted layout loses nothing
+    // persisted centroids — proves the persisted layout loses nothing.
+    // The persisted probe treats query ids as an EXTERNAL numbering
+    // (no self-exclusion), so the inline comparison disables it too.
     val cents = IvfIndex.centroids(spark, idx)
     val v = v0.withColumn("nrm", SimilarityOps.norm(col("embedding")))
     val q = queries.withColumn("q_nrm", SimilarityOps.norm(col("q_emb")))
     val inline = SimilarityOps.searchAssigned(
       SimilarityOps.nearestCell(v, cents),
-      SimilarityOps.probeCells(cents, q, nProbe = 2), k = 5)
+      SimilarityOps.probeCells(cents, q, nProbe = 2), k = 5, excludeSelf = false)
     assert(fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       inline.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // externally-numbered probe: a corpus vec_id colliding with a
+    // query_id is a legitimate neighbor, NOT silently dropped — here
+    // the identical vector ranks first with cosine ≈ 1
+    val top = fromIndex.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      assert(top(qid)._1 === qid && top(qid)._2 > 0.999,
+        s"query $qid should see its id-colliding corpus twin at rank 1")
+    }
     // the probe scan must prune cell directories, not filter rows
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), plan)
