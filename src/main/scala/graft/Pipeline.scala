@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{CdcMerge, Reconcile}
-import graft.sources.{PricePaidCsv, Sinks}
+import graft.sources.{FileLog, PricePaidCsv, Sinks}
 
 /** End-to-end orchestration of the reference's service DAG as library
   * calls — what a user of the original system invokes instead of the
@@ -53,6 +53,21 @@ object Pipeline {
 
   def shouldIngest(newHash: String, lastIngestedHash: Option[String]): Boolean =
     !lastIngestedHash.contains(newHash)
+
+  /** Durable data-decision: compare against the last ingested hash
+    * read from the persisted file log (so the decision survives
+    * process restarts, like the reference's Postgres file-log tables)
+    * and record this file's decision back. Returns the decision and
+    * the computed hash. */
+  def decideAndLog(spark: SparkSession, logDir: String, fileName: String,
+                   df: DataFrame): (String, String) = {
+    val h = contentHash(df)
+    val decision =
+      if (shouldIngest(h, FileLog.latestIngestedHash(spark, logDir))) "archive"
+      else "garbage_collect"
+    FileLog.append(spark, logDir, fileName, h, decision)
+    (decision, h)
+  }
 
   /** Apply one monthly update file to the snapshot at tablePath;
     * returns the operation statistics (the reference's operation-log

@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,12 +13,16 @@ import graft.sources.Tables
   * payloads travel as opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract run per-partition in batches.
   *
-  * The actual codec call is STUBBED (`decodeStub`) — image/audio
-  * libraries are not in this container — but everything Spark-side is
-  * real and tested: the schema, the binary column, the partition-wise
-  * batch processing shape (the Scala analog of `mapInPandas`: one
-  * iterator of rows per partition, library handles amortized across
-  * the batch), and the deterministic metadata contract.
+  * The IMAGE path is real: payloads are genuine PNGs, decoded with the
+  * JDK's `javax.imageio` codec (true width/height from the bitstream)
+  * and resized through `Graphics2D` with a real re-encode. Audio and
+  * video decode remains STUBBED (`decodeStub`) — no audio/video codec
+  * ships with the JDK and the container has no media libraries — but
+  * everything Spark-side is real and tested for all three kinds: the
+  * schema, the binary column, the partition-wise batch processing
+  * shape (the Scala analog of `mapInPandas`: one iterator of rows per
+  * partition, codec setup amortized across the batch), and the
+  * deterministic metadata contract.
   */
 object Media {
 
@@ -22,46 +30,112 @@ object Media {
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
                        width: Int, height: Int, n_frames: Int, sample_rate: Int)
 
-  /** Build a media table from the documents corpus: the text bytes
-    * stand in for an encoded payload (deterministic, so specs and
-    * rows-only verification are stable). */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  // ImageIO's default scratch-file cache would do disk IO per decode;
+  // executors decode in memory
+  ImageIO.setUseCache(false)
+
+  /** Deterministic synthetic bitmap for media_id: size and colors are
+    * pure functions of the id, so specs and the driver's rows-only
+    * verification are stable across runs and partitionings. Pixels are
+    * written as one bulk array (per-pixel setRGB is ~3× slower), and
+    * the size range is kept modest — the codec work is real at any
+    * size; the fixture doesn't need megapixels to prove it. */
+  private[graft] def syntheticImage(id: Long): BufferedImage = {
+    val w = 16 + ((id * 7) % 120).toInt
+    val h = 16 + ((id * 13) % 90).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val pix = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // id-seeded gradient (non-constant pixels so resize is real work)
+        val r = ((id * 31 + x) % 256).toInt
+        val g = ((id * 17 + y) % 256).toInt
+        val b = ((id + x + y) % 256).toInt
+        pix(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    img
+  }
+
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Build a media table from the documents corpus. Image payloads are
+    * real PNGs (rendered per partition, like a fetch+transcode stage
+    * would produce); audio/video payloads reuse the text bytes as an
+    * opaque stand-in for an encoded stream.
+    *
+    * @param onlyKind restrict the table to one kind BEFORE any payload
+    *   rendering — consumers that touch a single modality (frame
+    *   sampling reads only videos, resize only images) must not pay
+    *   the PNG encode for rows they immediately filter out, because a
+    *   filter cannot push through the render `mapPartitions`. */
+  def mediaTable(spark: SparkSession, dir: String,
+                 onlyKind: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
       .select(
         col("doc_id").as("media_id"),
         // deterministic kind assignment: image/audio/video round-robin
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
         encode(col("text"), "UTF-8").as("payload"))
+    val narrowed = onlyKind.fold(base)(k => base.filter(col("kind") === k))
+    narrowed
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, p) =>
+          if (kind == "image") (id, kind, encodePng(syntheticImage(id)))
+          else (id, kind, p)
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic
-    * pseudo-metadata derived from the payload bytes; replace the body
-    * with the real library call (e.g. javax.imageio / ffmpeg binding)
-    * when available. Runs once per row inside a per-partition batch,
-    * where a real codec would amortize its init across the batch. */
+  /** STUB decoder for the kinds with no JDK codec (audio/video).
+    * Deterministic pseudo-metadata derived from the payload bytes;
+    * replace the body with the real library call (e.g. an ffmpeg
+    * binding) when available. */
   private def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     val b0 = if (n > 0) payload(0) & 0xff else 0
     val b1 = if (n > 1) payload(1) & 0xff else 0
     kind match {
-      case "image" => MediaMeta(id, kind, n, 16 + b0 % 4080, 16 + b1 % 2160, 1, 0)
       case "audio" => MediaMeta(id, kind, n, 0, 0, 0, Seq(8000, 16000, 44100, 48000)(b0 % 4))
-      case _       => MediaMeta(id, kind, n, 16 + b0 % 1920, 16 + b1 % 1080, 1 + n % 300, 0)
+      case _       => MediaMeta(id, kind, n, 16 + b0 % 1920, 16 + b1 % 2160, 1 + n % 300, 0)
     }
   }
 
+  /** Decode one payload: images through the REAL `javax.imageio` codec
+    * (width/height read from the PNG/JPEG bitstream; an undecodable
+    * payload falls back to the stub rather than failing the batch),
+    * audio/video through the stub. */
+  private def decodeOne(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
+    if (kind == "image") {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) decodeStub(id, kind, payload)
+      else MediaMeta(id, kind, payload.length, img.getWidth, img.getHeight, 1, 0)
+    } else decodeStub(id, kind, payload)
+
   /** Partition-wise batch decode with an optional pass-through column:
     * binary in, (typed metadata, extra) out. `mapPartitions` (not a
-    * per-row UDF) so a real decoder initializes once per partition —
-    * the ONE decode loop both public entry points share. */
+    * per-row UDF) so codec setup amortizes once per partition — the
+    * ONE decode loop both public entry points share. */
   private def decodeWith(media: DataFrame, extra: org.apache.spark.sql.Column): Dataset[(MediaMeta, String)] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"), extra.as("extra"))
       .as[(Long, String, Array[Byte], String)]
       .mapPartitions { rows =>
-        // real codec: init decoder context here, once per partition
-        rows.map { case (id, kind, payload, x) => (decodeStub(id, kind, payload), x) }
+        rows.map { case (id, kind, payload, x) => (decodeOne(id, kind, payload), x) }
       }
   }
 
@@ -89,21 +163,22 @@ object Media {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
 
   /** Registered frame-sample query: decode → sample in one pipeline
-    * (rows-only oracle — one row per sampled frame per video). */
+    * (rows-only oracle — one row per sampled frame per video). Only
+    * the video rows are built and decoded. */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(decodeMeta(mediaTable(spark, dir)).toDF())
+    sampleFrames(decodeMeta(mediaTable(spark, dir, onlyKind = Some("video"))).toDF())
       .orderBy("media_id", "frame_idx")
 
   /** Resized-image record: target box + the re-encoded payload. */
   case class ResizedImage(media_id: Long, src_width: Int, src_height: Int,
                           width: Int, height: Int, payload: Array[Byte])
 
-  /** Image resize plumbing: fit each image into a `maxSide` box
-    * preserving aspect ratio, re-encoding per partition (the stub
-    * truncates the payload proportionally to the pixel reduction — a
-    * real implementation swaps in the codec at the marked line). The
+  /** Image resize: fit each image into a `maxSide` box preserving
+    * aspect ratio — a REAL decode → `Graphics2D` bilinear scale → PNG
+    * re-encode, all through the JDK codec. An image already inside the
+    * box passes through byte-identical (no decode/re-encode loss). The
     * Spark-side shape is the production one: binary in / binary out,
-    * one decoder+encoder context per partition, metadata computed with
+    * codec contexts amortized per partition, metadata computed with
     * the pixels in hand. */
   def resizeImages(media: DataFrame, maxSide: Int = 256): Dataset[ResizedImage] = {
     val spark = media.sparkSession
@@ -112,17 +187,23 @@ object Media {
       .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec: init decode+encode contexts here, once per partition
-        rows.map { case (id, kind, payload) =>
-          val m = decodeStub(id, kind, payload)
-          val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
-          val (w, h) = (math.max(1, (m.width * scale).round.toInt),
-                        math.max(1, (m.height * scale).round.toInt))
-          // STUB re-encode: proportional byte truncation stands in for
-          // the real encoder call
-          val outBytes = java.util.Arrays.copyOf(payload,
-            math.max(1, (payload.length * scale * scale).round.toInt))
-          ResizedImage(id, m.width, m.height, w, h, outBytes)
+        rows.map { case (id, _, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          require(img != null, s"media $id: payload is not a decodable image")
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(sw, sh))
+          if (scale >= 1.0) ResizedImage(id, sw, sh, sw, sh, payload)
+          else {
+            val w = math.max(1, (sw * scale).round.toInt)
+            val h = math.max(1, (sh * scale).round.toInt)
+            val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            ResizedImage(id, sw, sh, w, h, encodePng(dst))
+          }
         }
       }
   }
@@ -130,7 +211,7 @@ object Media {
   /** Registered resize query (rows-only): per-image target geometry +
     * payload size — scalar columns only for the driver dump. */
   def mediaResize(spark: SparkSession, dir: String): DataFrame =
-    resizeImages(mediaTable(spark, dir)).toDF()
+    resizeImages(mediaTable(spark, dir, onlyKind = Some("image"))).toDF()
       .select(col("media_id"), col("src_width"), col("src_height"),
         col("width"), col("height"), length(col("payload")).as("n_bytes"))
       .orderBy("media_id")

@@ -18,6 +18,21 @@ import graft.sources.Tables
   * Spark's WindowGroupLimit prunes to the top row before the final
   * window, so the intermediate never materializes all matches per
   * probe beyond the sort.
+  *
+  * Range-join evaluation (considered, not adopted): open-source Spark
+  * has no range-join optimization or hint for non-equi predicates —
+  * the RANGE_JOIN hint is a proprietary runtime feature, not in
+  * Catalyst. Catalyst's own `RewriteAsOfJoin` (what pandas-on-Spark
+  * `merge_asof` lowers to) rewrites to the same equality-join +
+  * per-probe reduce shape used here, just with an aggregate instead
+  * of a window; since WindowGroupLimit already reduces each mapper's
+  * output to one row per probe BEFORE the exchange (the same partial
+  * pruning a max_by partial aggregate would give), switching buys no
+  * shuffle-volume reduction. The remaining expansion — the join
+  * emitting every build row ≤ t before the prune — is inherent to any
+  * join-based formulation; eliminating it needs a custom range-join
+  * SparkPlan, which current evidence (q_asof_order ≈0.9 s at sf0.1,
+  * no skewed probe keys) does not justify.
   */
 object AsOf {
 

@@ -298,12 +298,15 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("minhash pairs are a subset of exact jaccard pairs (no false positives)") {
-    // minHashDedup verifies candidates with EXACT jaccard >= 0.5, so
+    // minHashDedupOf verifies candidates with EXACT jaccard >= 0.5, so
     // its output must be a subset of the exhaustive inverted-index
     // jaccard at the same threshold; the difference is LSH misses.
+    // Both sides run on the RAW corpus — the registered binding adds
+    // planted dups the ngram side wouldn't see.
     val exact = NearDedup.ngramJaccard(spark, sf, threshold = 0.5)
       .as[(Long, Long)].collect().toSet
-    val mh = NearDedup.minHashDedup(spark, sf, threshold = 0.5)
+    val mh = NearDedup.minHashDedupOf(
+        graft.sources.Tables.documents(spark, sf), 0.5)
       .as[(Long, Long)].collect().toSet
     assert(mh.subsetOf(exact), s"false positives: ${mh -- exact}")
     if (exact.nonEmpty) {

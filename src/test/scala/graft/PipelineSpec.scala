@@ -125,6 +125,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts.count(_.startsWith("txn_month=")) === 4)
   }
 
+  test("durable file log: the ingest decision survives a restart") {
+    import graft.sources.FileLog
+    val logDir = Files.createTempDirectory("filelog").toString + "/log"
+    val complete = writeFile("pp-complete.txt", Seq(
+      row("F1", 100000, "2024-01-15", "A")))
+    val changed = writeFile("pp-complete-2.txt", Seq(
+      row("F1", 120000, "2024-01-15", "C")))
+
+    // empty log: nothing ingested yet → ingest
+    assert(FileLog.latestIngestedHash(spark, logDir) === None)
+    val df1 = PricePaidCsv.normalized(spark, complete)
+    val (d1, h1) = Pipeline.decideAndLog(spark, logDir, "pp-complete.txt", df1)
+    assert(d1 === "archive")
+
+    // "restart": a decision made purely from the persisted log — the
+    // identical re-download is garbage-collected, a changed file is not
+    assert(FileLog.latestIngestedHash(spark, logDir) === Some(h1))
+    val (d2, h2) = Pipeline.decideAndLog(spark, logDir, "pp-complete.txt", df1)
+    assert(d2 === "garbage_collect" && h2 === h1)
+    val (d3, h3) =
+      Pipeline.decideAndLog(spark, logDir, "pp-complete-2.txt",
+        PricePaidCsv.normalized(spark, changed))
+    assert(d3 === "archive" && h3 != h1)
+
+    // a garbage_collect entry never advances the last-ingested hash
+    FileLog.append(spark, logDir, "pp-complete.txt", h1, "garbage_collect")
+    assert(FileLog.latestIngestedHash(spark, logDir) === Some(h3))
+    // the log is append-only with monotone sequence numbers
+    val seqs = FileLog.read(spark, logDir).orderBy("seq")
+      .select("seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("Pipeline.verifyAndFix reconciles the snapshot against a file and repairs it") {
     // snapshot initialized from a DIVERGED file: P1 has the wrong
     // price, P3 is an extra row the truth file lacks, P4 is missing

@@ -170,6 +170,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(spark, table) === Some(6L))
   }
 
+  test("image decode is real: a planted PNG reports its true bitstream dimensions") {
+    val png = Media.encodePng(new java.awt.image.BufferedImage(
+      123, 45, java.awt.image.BufferedImage.TYPE_INT_RGB))
+    val m = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
+    val meta = Media.decodeMeta(m).collect().head
+    assert(meta.width === 123 && meta.height === 45 && meta.n_frames === 1)
+    // the resized payload is itself a decodable PNG of the target box
+    val r = Media.resizeImages(m, maxSide = 60).collect().head
+    assert(r.src_width === 123 && r.src_height === 45)
+    assert(math.max(r.width, r.height) === 60)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth === r.width && back.getHeight === r.height)
+    // the registered media table carries genuine PNG payloads
+    Media.mediaTable(spark, sf).filter(col("kind") === "image")
+      .limit(3).collect().foreach { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload")))
+        assert(img != null && img.getWidth >= 16 && img.getHeight >= 16)
+      }
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()
