@@ -98,6 +98,11 @@ object SparkEntry {
     "t_quality_model"    -> TextOps.qualityModel _,
     "t_epochs"           -> TextOps.upsampleEpochs _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
+    "t_pair_counts"      -> TextOps.pairCounts _,
+    // semantic (embedding-space) leak scan + SemDeDup cluster dedup
+    "d_decontam_semantic" -> ((s: SparkSession, dir: String) =>
+      SimilarityOps.semanticDecontaminate(s, dir)),
+    "d_semdedup"         -> ((s: SparkSession, dir: String) => SimilarityOps.semDedup(s, dir)),
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _
@@ -495,6 +500,33 @@ object SparkEntry {
     // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
     // like the Spark side — float32 accumulation can flip
     // near-threshold pairs and near-tied ranks
+    "t_pair_counts" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS pair
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |             FROM w WHERE n_tokens >= 2))
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM bg GROUP BY pair ORDER BY cf DESC, pair LIMIT 100""".stripMargin,
+
+    "d_decontam_semantic" ->
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |hits AS (SELECT c.vec_id, COUNT(*) AS n
+        |         FROM corpus c JOIN bench b
+        |           ON list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.3
+        |         GROUP BY c.vec_id)
+        |SELECT c.vec_id,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+        |  CASE WHEN COALESCE(h.n, 0) >= 1 THEN 1 ELSE 0 END AS is_contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.vec_id = h.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
+
     "d_embed_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b

@@ -98,6 +98,92 @@ object SimilarityOps {
                     k: Int = 10): DataFrame =
     annBruteForceOf(vecs(spark, dir), nQueries, k)
 
+  /** Semantic benchmark decontamination — the embedding-space analog
+    * of the n-gram scan (`NearDedup.decontaminateOf`): a corpus
+    * document is contaminated when its embedding's cosine to ANY
+    * benchmark embedding exceeds the threshold, catching paraphrased
+    * test-set leakage that exact n-gram overlap misses.
+    *
+    * Scale shape: eval suites are tiny next to the corpus, so the
+    * benchmark side is packed into ONE broadcast array row and the
+    * whole scan is a single projection over the corpus — no join
+    * shuffle, no aggregation, clean docs report 0 hits by
+    * construction (the same packed-broadcast idiom as the IVF
+    * assignment). */
+  def semanticDecontaminateOf(corpus: DataFrame, bench: DataFrame,
+                              threshold: Double): DataFrame = {
+    val packed = bench.withColumn("b_nrm", norm(col("embedding")))
+      .agg(collect_list(struct(col("embedding").as("b_emb"),
+        col("b_nrm").as("b_nrm"))).as("bs"))
+    corpus.withColumn("nrm", norm(col("embedding")))
+      .crossJoin(broadcast(packed))
+      .withColumn("n_bench_hits",
+        size(filter(col("bs"), b =>
+          dot(col("embedding"), b.getField("b_emb")) /
+            (col("nrm") * b.getField("b_nrm")) > threshold)).cast(LongType))
+      .select(col("vec_id"), col("n_bench_hits"),
+        when(col("n_bench_hits") >= 1, 1).otherwise(0).as("is_contaminated"))
+      .orderBy("vec_id")
+  }
+
+  /** Registered binding: every 20th vector plays the benchmark
+    * (mirroring d_decontaminate); 0.3 sits at ~p99 of the test
+    * corpus's cosine distribution, so the flag is non-degenerate. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3): DataFrame = {
+    val v = vecs(spark, dir)
+    semanticDecontaminateOf(v.filter(col("vec_id") % 20 =!= 0),
+      v.filter(col("vec_id") % 20 === 0), threshold)
+  }
+
+  /** SemDeDup-style semantic dedup (cluster-then-compare, after
+    * Abbas et al. 2023): k-means-cluster the embedding space, compare
+    * vectors only WITHIN their cluster, and flag each one that
+    * duplicates a lower-id cluster-mate above the cosine threshold —
+    * the min-id representative is kept, matching the exact-dedup
+    * convention.
+    *
+    * Scale shape: candidate pairs come from a cell equi-join, so the
+    * quadratic term is per-cell (corpus²/kCells in expectation), not
+    * corpus² — the knob a 100 TB run turns is kCells ∝ corpus size.
+    * Assignment reuses the shuffle-free packed-centroid argmax; the
+    * only corpus shuffle is the cell-keyed join. */
+  def semDedupOf(v0: DataFrame, threshold: Double, kCells: Int = 16,
+                 iters: Int = 2): DataFrame = {
+    val cents = ivfRefinedCentroidsOf(v0, kCells, iters)
+      .withColumn("c_nrm", norm(col("c_emb")))
+    val assigned = nearestCell(v0.withColumn("nrm", norm(col("embedding"))), cents)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dupOf = a.join(b, "cell")
+      .filter(col("id_b") < col("id_a"))
+      .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) > threshold)
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("dup_of"))
+      .select(col("id_a").as("vec_id"), col("dup_of"))
+    assigned.select("vec_id", "cell")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNotNull, 1).otherwise(0).as("is_semantic_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Registered binding: random test embeddings have no true semantic
+    * dups, so every 50th vector is re-issued verbatim at a shifted id
+    * — identical vectors land in the same cell by construction
+    * (identical argmax), so planted recovery is deterministic
+    * (spec-pinned). */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.9): DataFrame = {
+    val v = vecs(spark, dir)
+    val planted = v.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(20000000L)).as("vec_id"), col("embedding"))
+    semDedupOf(v.unionByName(planted), threshold)
+  }
+
   /** Random-hyperplane LSH bucket assignment: sign bits of the dot
     * product with `nPlanes` deterministic pseudo-random hyperplanes
     * (hash-derived, seed-stable across the cluster). */

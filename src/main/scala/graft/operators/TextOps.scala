@@ -177,6 +177,35 @@ object TextOps {
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     vocabStatsOf(Tables.documents(spark, dir))
 
+  /** Adjacent token-pair census — the merge-candidate scan at the
+    * heart of BPE tokenizer training, run at word granularity: global
+    * collection frequency + document frequency of every adjacent
+    * token pair, top-K by cf. This is the table a tokenizer-training
+    * pass consults before choosing its first merge, and the bigram
+    * complement of [[vocabStatsOf]].
+    *
+    * One explode + one aggregation with map-side combine; pair-key
+    * cardinality is vocabulary²-bounded (not corpus-bounded), and the
+    * top-K cut happens after the aggregate — same scale shape as
+    * t_vocab. */
+  def pairCountsOf(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val toks = split(wsTrim(lower(col("text"))), "\\s+")
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (x, y) => concat_ws(" ", x, y))
+    docs
+      .filter(length(wsTrim(col("text"))) > 0)
+      .select(col("doc_id"), explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("pair"))
+      .limit(topK)
+  }
+
+  def pairCounts(spark: SparkSession, dir: String): DataFrame =
+    pairCountsOf(Tables.documents(spark, dir))
+
   /** Deterministic content-hash train/val/test split (80/10/10): keyed
     * on the text itself (first 16 md5 bits), so the assignment
     * survives re-ids, re-partitioning, and incremental corpus growth —

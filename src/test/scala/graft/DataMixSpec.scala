@@ -159,6 +159,21 @@ class DataMixSpec extends AnyFunSuite {
     }
   }
 
+  test("pair counts: global adjacent-pair census with document frequency") {
+    val d = Seq(
+      (1L, "a b a b"),   // pairs: "a b"×2, "b a"×1
+      (2L, "a b c"),     // "a b", "b c"
+      (3L, "solo"),      // single token → no pairs
+      (4L, "")           // empty → no pairs
+    ).toDF("doc_id", "text")
+    val m = TextOps.pairCountsOf(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m === Map("a b" -> ((3L, 2L)), "b a" -> ((1L, 1L)), "b c" -> ((1L, 1L))))
+    // top-K cut is deterministic: ties break on the pair string
+    val top = TextOps.pairCountsOf(d, topK = 2).collect().map(_.getString(0)).toSeq
+    assert(top === Seq("a b", "b a"))
+  }
+
   test("registered minhash binding recovers every planted near-duplicate pair") {
     val planted = graft.sources.Tables.documents(spark, sf)
       .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200)

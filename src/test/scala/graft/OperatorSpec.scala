@@ -360,6 +360,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === Set(3L, 6L, 9L, 12L, 15L), s"expected e0 cluster-mates, got $got")
   }
 
+  test("semantic decontamination flags embedding-space leaks, clean vectors report zero") {
+    // bench vector = e0; corpus: an exact copy (leak), a near-copy
+    // (paraphrase analog), and an orthogonal vector (clean)
+    def v(xs: Float*) = xs.toArray
+    val corpus = Seq(
+      (1L, v(1f, 0f, 0f, 0f)),          // identical to bench → hit
+      (2L, v(0.9f, 0.1f, 0f, 0f)),      // near-copy → hit
+      (3L, v(0f, 0f, 1f, 0f))           // orthogonal → clean
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((90L, v(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val m = SimilarityOps.semanticDecontaminateOf(corpus, bench, 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(m(1L) === ((1L, 1)))
+    assert(m(2L) === ((1L, 1)))
+    assert(m(3L) === ((0L, 0)))   // clean rows still present, 0 hits
+    assert(m.size === 3)
+  }
+
+  test("semdedup flags within-cluster duplicates against the min-id representative") {
+    // two tight clusters around e0/e1 (jitter only on dim 7, so
+    // within-cluster cosine ≥ 0.9998 and cross-cluster ≈ 0): every
+    // non-min member is a dup of its cluster's min id; the two
+    // representatives stay unflagged
+    def v(axis: Int, j: Float) =
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 7) j else 0f))
+    val df = Seq(
+      (0L, v(0, 0f)), (1L, v(1, 0f)),                     // seeds/centroids
+      (10L, v(0, 0.01f)), (11L, v(0, 0.01f)), (12L, v(0, 0.02f)),
+      (20L, v(1, 0.01f)), (21L, v(1, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val m = SimilarityOps.semDedupOf(df, threshold = 0.999, kCells = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(m(10L) === ((1, 0L)) && m(11L) === ((1, 0L)) && m(12L) === ((1, 0L)))
+    assert(m(20L) === ((1, 1L)) && m(21L) === ((1, 1L)))
+    assert(m(0L)._1 === 0 && m(1L)._1 === 0)
+    assert(m.size === 7)          // every vector present with a verdict
+  }
+
+  test("registered semdedup binding recovers every planted duplicate embedding") {
+    val planted = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val m = SimilarityOps.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    planted.foreach { id =>
+      assert(m(id + 20000000L) === ((1, id)),
+        s"planted copy of vec $id not flagged against its original")
+    }
+  }
+
   test("approx percentiles track the exact ones within 2%") {
     val exact = ReferenceOps.pricePercentiles(spark, sf)
       .select("o_orderpriority", "p50", "p90")

@@ -12,10 +12,13 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   // brute-force scorers intentionally cross-join against a broadcast
-  // query/centroid set (s_ann_lsh and d_embed_dup_lsh are NOT here:
-  // their banded bucket joins must stay equi-joins)
+  // query/centroid/benchmark set — d_semdedup and d_decontam_semantic
+  // join a SINGLE packed broadcast row (the IVF-assignment idiom)
+  // (s_ann_lsh and d_embed_dup_lsh are NOT here: their banded bucket
+  // joins must stay equi-joins)
   private val intentionalCross =
-    Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_ivf_kmeans", "s_hybrid")
+    Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_ivf_kmeans", "s_hybrid",
+      "d_semdedup", "d_decontam_semantic")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
