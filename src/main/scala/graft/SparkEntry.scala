@@ -99,6 +99,10 @@ object SparkEntry {
     "t_epochs"           -> TextOps.upsampleEpochs _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
+    // the STREAMING ingest-dedup plan drained in one AvailableNow pass —
+    // source → flatMapGroupsWithState → checkpointed sink, hash-checked vs SQL
+    "q_stream_dedup"     -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CorpusStream.ingestDedupBatch(s, dir)),
     // semantic (embedding-space) leak scan + SemDeDup cluster dedup
     "d_decontam_semantic" -> ((s: SparkSession, dir: String) =>
       SimilarityOps.semanticDecontaminate(s, dir)),
@@ -500,6 +504,17 @@ object SparkEntry {
     // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
     // like the Spark side — float32 accumulation can flip
     // near-threshold pairs and near-tied ranks
+    "q_stream_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |adm AS (SELECT MIN(doc_id) AS doc_id FROM planted GROUP BY text)
+        |SELECT p.doc_id, p.text, p.lang, p.source
+        |FROM planted p JOIN adm a ON p.doc_id = a.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
     "t_pair_counts" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -147,19 +147,51 @@ object CorpusStream {
     * its dedup state intact. `retention = Some((nShards,
     * maxHashesPerShard))` selects the bounded-state dedup (the
     * unbounded-ingest deployment); None keeps exact history-wide dedup
-    * for bounded backfills. */
+    * for bounded backfills. `availableNow` drains what is currently in
+    * the directory and stops (the bounded-backfill trigger); the
+    * default runs forever. */
   def run(spark: SparkSession, inputDir: String, corpusPath: String,
           checkpoint: String,
-          retention: Option[(Int, Int)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+          retention: Option[(Int, Int)] = None,
+          availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     val docs = ingestJsonl(spark, inputDir)
     val deduped = retention match {
       case Some((shards, perShard)) => streamingIngestDedupBounded(docs, shards, perShard)
       case None                     => streamingIngestDedup(docs)
     }
-    deduped.writeStream
+    val writer = deduped.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .format("parquet")
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .start(corpusPath)
+  }
+
+  /** Registered driver query for the streaming ingest path: the
+    * documents table plus planted duplicate copies is written as
+    * JSONL, drained through the checkpointed streaming dedup in one
+    * AvailableNow pass, and the admitted documents are read back from
+    * the parquet sink. In a single micro-batch, first-writer-wins
+    * collapses to min-doc_id-per-text — exactly the batch semantics
+    * the DuckDB oracle expresses, so the whole STREAMING plan (source
+    * → flatMapGroupsWithState → checkpointed sink) is hash-checked
+    * against SQL. Cross-batch and restart behavior are spec-covered
+    * (StreamingSpec). */
+  def ingestDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("corpus_stream_q").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    // coalesce(4) < maxFilesPerTrigger(16): guarantees ONE micro-batch
+    // at any SF, which is what makes the oracle equivalence exact
+    docs.unionByName(planted).coalesce(4).write.json(s"$tmp/in")
+    run(spark, s"$tmp/in", s"$tmp/corpus", s"$tmp/ckpt",
+      availableNow = true).awaitTermination()
+    spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id")
   }
 }
