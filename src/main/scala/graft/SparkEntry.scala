@@ -103,6 +103,11 @@ object SparkEntry {
     // source → flatMapGroupsWithState → checkpointed sink, hash-checked vs SQL
     "q_stream_dedup"     -> ((s: SparkSession, dir: String) =>
       graft.streaming.CorpusStream.ingestDedupBatch(s, dir)),
+    // the STREAMING CDC updater drained end-to-end (file source →
+    // foreachBatch merge → versioned snapshot), hash-checked vs the
+    // batch decision-matrix oracle
+    "q_stream_cdc"       -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CdcStream.streamCdcBatch(s, dir)),
     // semantic (embedding-space) leak scan + SemDeDup cluster dedup
     "d_decontam_semantic" -> ((s: SparkSession, dir: String) =>
       SimilarityOps.semanticDecontaminate(s, dir)),
@@ -504,6 +509,21 @@ object SparkEntry {
     // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
     // like the Spark side — float32 accumulation can flip
     // near-threshold pairs and near-tied ranks
+    // the streaming updater's final snapshot = the batch merge's applied
+    // side + the (pass-through) order date the snapshot partitions on
+    "q_stream_cdc" -> (cdcCte +
+      """SELECT d.o_orderkey,
+        | CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
+        |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
+        |      THEN new_price ELSE base_price END AS DOUBLE) AS price,
+        | CAST(o.o_orderdate AS DATE) AS transaction_date,
+        | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
+        |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
+        |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted
+        |FROM dec d JOIN orders o ON d.o_orderkey = o.o_orderkey
+        |WHERE outcome <> 'delete_but_missing_and_ignored'
+        |ORDER BY d.o_orderkey""".stripMargin),
+
     "q_stream_dedup" ->
       """WITH planted AS (
         |  SELECT doc_id, text, lang, source FROM documents

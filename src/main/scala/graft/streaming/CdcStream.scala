@@ -65,4 +65,45 @@ object CdcStream {
 
   /** Daily cadence, like the reference's CRON trigger. */
   def dailyTrigger: Trigger = Trigger.ProcessingTime("24 hours")
+
+  /** Registered driver query for the streaming updater: the synthetic
+    * CDC base (Cdc.baseTable + the order date for snapshot
+    * partitioning) is published as the initial snapshot, the synthetic
+    * change set streams in from files, `applyUpdates` drains it in one
+    * AvailableNow batch through the SAME CdcMerge the batch path uses,
+    * and the final published snapshot is read back — so the entire
+    * streaming loop (file source → foreachBatch broadcast merge →
+    * versioned snapshot publish → manifest-resolved read) hash-checks
+    * against the batch CDC decision-matrix oracle. Multi-batch
+    * sequencing and latest-op-per-key are spec-covered
+    * (StreamingSpec). */
+  def streamCdcBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    import graft.sources.Tables
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_stream_q").toString
+    val table = s"$tmp/table"
+    val dates = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
+    Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
+      "transaction_date", table)
+    // one op per key in the synthetic set → seq is just the key; a
+    // live feed would carry a real offset here
+    val changes = Cdc.changeSet(spark, dir)
+      .withColumnRenamed("new_price", "price")
+      .join(dates, "o_orderkey")
+      .withColumn("seq", col("o_orderkey"))
+    changes.coalesce(4).write.parquet(s"$tmp/changes")
+    applyUpdates(
+        spark.readStream.schema(changes.schema).parquet(s"$tmp/changes"),
+        table, "o_orderkey", Seq("price", "transaction_date"), seqCol = "seq")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    Sinks.readSnapshot(spark, table)
+      .select(col("o_orderkey"),
+        col("price").cast(org.apache.spark.sql.types.DoubleType).as("price"),
+        col("transaction_date"), col("is_deleted"))
+      .orderBy("o_orderkey")
+  }
 }
