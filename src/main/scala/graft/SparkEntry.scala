@@ -108,6 +108,9 @@ object SparkEntry {
     // batch decision-matrix oracle
     "q_stream_cdc"       -> ((s: SparkSession, dir: String) =>
       graft.streaming.CdcStream.streamCdcBatch(s, dir)),
+    // the STREAMING data-decision state operator drained in one pass —
+    // shares q_file_decision's oracle verbatim (one truth, two plans)
+    "q_stream_decision"  -> EventsPipeline.fileDecisionBatch _,
     // semantic (embedding-space) leak scan + SemDeDup cluster dedup
     "d_decontam_semantic" -> ((s: SparkSession, dir: String) =>
       SimilarityOps.semanticDecontaminate(s, dir)),
@@ -314,6 +317,10 @@ object SparkEntry {
         |FROM d JOIN v USING (order_date) GROUP BY d.delay_days ORDER BY d.delay_days""".stripMargin),
 
     "q_file_decision" -> (fileDecisionCte +
+      "SELECT user_id, event_id, sha256sum, data_decision FROM dec ORDER BY user_id, event_id"),
+    // the streaming state operator, one-batch-drained, answers to the
+    // SAME truth as the batch lag window
+    "q_stream_decision" -> (fileDecisionCte +
       "SELECT user_id, event_id, sha256sum, data_decision FROM dec ORDER BY user_id, event_id"),
 
     "q_gc_candidates" -> (fileDecisionCte +

@@ -157,6 +157,30 @@ object EventsPipeline {
       .toDF("user_id", "event_id", "sha256sum", "data_decision")
   }
 
+  /** Registered driver query for the streaming data-decision service:
+    * the events table is replayed through the stateful stream
+    * (file source → flatMapGroupsWithState → checkpointed parquet
+    * sink) in one AvailableNow pass. With a whole series in one batch,
+    * the state path reduces to the batch lag window — so this shares
+    * q_file_decision's DuckDB oracle VERBATIM: the streaming and batch
+    * plans are held to one truth. Cross-batch state carry-over is
+    * spec-covered (StreamingSpec). */
+  def fileDecisionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream_q").toString
+    val events = Tables.events(spark, dir)
+    events.coalesce(4).write.parquet(s"$tmp/in")
+    streamingFileDecision(
+        spark.readStream.schema(events.schema).parquet(s"$tmp/in"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$tmp/out")
+      .awaitTermination()
+    spark.read.parquet(s"$tmp/out").orderBy("user_id", "event_id")
+  }
+
   /** Stateful exactly-once dedup by content hash per key — the
     * decision service's "have I seen this file content before"
     * memory, as a streaming state operator. Batch equivalent:
