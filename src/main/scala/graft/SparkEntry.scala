@@ -83,6 +83,8 @@ object SparkEntry {
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
     "s_ann_ivf"          -> ((s: SparkSession, dir: String) => SimilarityOps.annIvf(s, dir)),
     "s_ann_ivf_kmeans"   -> ((s: SparkSession, dir: String) => SimilarityOps.annIvfRefined(s, dir)),
+    // the persisted cell-partitioned index: build → directory-pruned probe
+    "s_ann_ivf_index"    -> ((s: SparkSession, dir: String) => IvfIndex.annIndexed(s, dir)),
     "t_fingerprint"      -> TextOps.fingerprints _,
     "t_tokens"           -> TextOps.tokenCounts _,
     "t_quality"          -> TextOps.qualityScore _,

@@ -57,4 +57,25 @@ object IvfIndex {
       .filter(col("cell").isin(cells: _*))
     SimilarityOps.searchAssigned(assigned, probes, k, excludeSelf = false)
   }
+
+  /** Registered driver query: build the persisted index in a temp
+    * location and probe it with externally-numbered queries (the
+    * corpus's first nQueries vectors re-issued under shifted ids) —
+    * the full build→layout→directory-pruned-probe lifecycle runs under
+    * the driver's rows check. Each query's rank-1 neighbor is its own
+    * corpus twin (cosine 1), by the external-numbering semantics.
+    * Rows-only: k-means is not SQL-expressible; equality-to-inline and
+    * the PartitionFilters pin live in ScaleSpec. */
+  def annIndexed(spark: SparkSession, dir: String, nQueries: Int = 5,
+                 k: Int = 10, kCells: Int = 16, nProbe: Int = 4,
+                 iters: Int = 2): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_index_q").toString
+    val v0 = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    build(v0, tmp, kCells, iters)
+    val queries = v0.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + lit(1000000L)).as("query_id"),
+        col("embedding").as("q_emb"))
+    probe(spark, tmp, queries, k, nProbe)
+  }
 }
