@@ -13,40 +13,70 @@ import org.apache.spark.sql.functions._
   *
   * Storage is an append-only parquet directory: each append writes a
   * new file, so no existing data is ever rewritten and a reader
-  * mid-append sees a consistent prefix of the log. Like the
-  * reference's daily cron, the writer is single-process (appends are
-  * not coordinated across concurrent writers — the sequence number
-  * comes from a read-then-write).
+  * mid-append sees a consistent prefix of the log. All paths go
+  * through the Hadoop `FileSystem` API, so the log is durable on any
+  * cluster filesystem, not just the local disk. The sequence number
+  * is CLAIMED by a conditional create under `_seq` (a new file name
+  * per seq — create fails if it exists), so two concurrent appends
+  * can never commit the same number; the reference gets the same
+  * guarantee from its Postgres serial primary key.
   */
 object FileLog {
 
   case class Entry(seq: Long, file_name: String, sha256: String,
                    decision: String, logged_at: java.sql.Timestamp)
 
-  /** The full log, empty-schema-safe when nothing was ever appended. */
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The full log, empty-schema-safe when nothing was ever appended.
+    * Existence is checked through the Hadoop FS (a `java.io.File`
+    * probe would silently read any non-local log as empty and reset
+    * the sequence); `_`-prefixed coordination dirs are invisible to
+    * the parquet scan, so a claimed-but-unwritten append can't break
+    * schema inference. */
   def read(spark: SparkSession, logDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(logDir).exists())
-      spark.read.parquet(logDir)
-    else
-      Seq.empty[Entry].toDF()
+    val root = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, root)
+    val hasData = fs.exists(root) &&
+      fs.listStatus(root).exists(s => !s.getPath.getName.startsWith("_"))
+    if (hasData) spark.read.parquet(logDir)
+    else Seq.empty[Entry].toDF()
   }
 
   /** Append one decision row; returns the assigned sequence number
     * (monotone per log — the replay/ordering key the reference gets
-    * from its serial primary key). */
+    * from its serial primary key). Concurrent appenders both read the
+    * same max(seq), but only one wins the conditional create of the
+    * `_seq` claim for it; the other retries with the next number. */
   def append(spark: SparkSession, logDir: String, fileName: String,
              sha256: String, decision: String): Long = {
     import spark.implicits._
-    val seq = read(spark, logDir).agg(max(col("seq"))).head() match {
+    val root = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, root)
+    val guess = read(spark, logDir).agg(max(col("seq"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0) + 1L
     }
+    val seq = Sinks.claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_seq"),
+      guess, "s")
+    // stage in a PRIVATE dir, then rename the part file to its final
+    // (claim-unique) name: concurrent appends through Spark's shared
+    // `_temporary` job-commit dir would race each other's cleanup, and
+    // the single-file rename is atomic where the committer isn't
+    val staging = new org.apache.hadoop.fs.Path(root, f"_staging/s$seq%08d")
     Seq(Entry(seq, fileName, sha256, decision,
         new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF()
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(logDir)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"no part file staged under $staging"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(root, f"part-s$seq%08d.parquet"))
+    fs.delete(staging, true)
     seq
   }
 

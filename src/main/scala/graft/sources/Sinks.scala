@@ -53,6 +53,29 @@ object Sinks {
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Claim the first free number >= `start` by conditionally creating
+    * a NEW file name under `dir`: `create(overwrite = false)` fails on
+    * an existing name, so two concurrent writers can never claim the
+    * same number — the loser observes the collision and retries with
+    * the next. (Atomicity of the conditional create is the
+    * filesystem's: exact on HDFS/object stores with preconditions,
+    * check-then-create on the raw local FS.) */
+  private[sources] def claimNumber(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path,
+                                   start: Long, prefix: String): Long = {
+    var n = start
+    while (true) {
+      val claim = new org.apache.hadoop.fs.Path(dir, f"$prefix$n%08d")
+      try { fs.create(claim, false).close(); return n }
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(claim)) n += 1 // lost the race — take the next number
+          else throw e
+      }
+    }
+    n // unreachable
+  }
+
   /** The live (committed) version number: the newest commit marker. */
   def currentVersion(spark: org.apache.spark.sql.SparkSession, tablePath: String): Option[Long] = {
     val mdir = new org.apache.hadoop.fs.Path(tablePath, "_manifests")
@@ -84,11 +107,17 @@ object Sinks {
     * published version number.
     *
     * Crash-safe: a failure before the marker create leaves an orphan
-    * version dir with no marker — never visible to readers, skipped past
-    * by the next publish's max+1 numbering and removed by its prune.
-    * Commit itself is the creation of one new file name, atomic on any
-    * filesystem, so readers see either the old version or the new one,
-    * never neither. */
+    * version dir (and claim) with no marker — never visible to readers,
+    * skipped past by the next publish's claim loop and removed by its
+    * prune. Commit itself is the creation of one new file name, atomic
+    * on any filesystem, so readers see either the old version or the
+    * new one, never neither.
+    *
+    * Multi-writer-safe numbering: the version number is CLAIMED first
+    * by a conditional create under `_claims` (see [[claimNumber]]), so
+    * two concurrent publishers can never write into the same version
+    * directory — the reference gets the same guarantee from Postgres
+    * serial PKs; this is its filesystem analog. */
   def publishSnapshot(df: DataFrame, dateCol: String, tablePath: String,
                       retainVersions: Int = 2): Long = {
     require(retainVersions >= 1, "retainVersions must keep at least the live version")
@@ -103,18 +132,24 @@ object Sinks {
           case _            => None
         }
       }.flatten
-    val next = (existing :+ 0L).max + 1
+    // own the number before writing a byte of data: a concurrent
+    // publisher that guessed the same max+1 loses the conditional
+    // create and moves on to the next number
+    val next = claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_claims"),
+      (existing :+ 0L).max + 1, "c")
     writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}")
     // commit marker: a NEW file name under _manifests — version encoded
     // in the name, so there is no content to race on
     val marker = new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d")
     fs.create(marker, false).close()
     // grace-window prune: keep the newest retainVersions committed
-    // versions (+ their markers); never touch the one just committed
+    // versions (+ their markers and claims); never touch the one just
+    // committed
     val committed = (existing :+ next).sorted.reverse
     committed.drop(retainVersions).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
       fs.delete(new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, f"_claims/c$v%08d"), false)
     }
     next
   }

@@ -158,6 +158,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(seqs === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("file log: interleaved concurrent appends claim distinct seqs") {
+    import graft.sources.FileLog
+    import scala.jdk.CollectionConverters._
+    val logDir = Files.createTempDirectory("filelog_conc").toString + "/log"
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // both writers race read-max → conditional claim → parquet append;
+    // the claim create arbitrates, so no seq is ever committed twice
+    val threads = (1 to 2).map { t =>
+      new Thread(() =>
+        try (1 to 4).foreach { i =>
+          results.add(FileLog.append(spark, logDir, s"f$t-$i.txt", s"sha-$t-$i", "archive"))
+        } catch { case e: Throwable => failure.set(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(failure.get() === null, s"concurrent append failed: ${failure.get()}")
+    val seqs = results.asScala.toSeq
+    assert(seqs.size === 8 && seqs.distinct.size === 8, s"duplicate seq claimed: $seqs")
+    // every claimed seq committed exactly one durable row
+    assert(FileLog.read(spark, logDir).select("seq").collect().map(_.getLong(0)).toSet
+      === seqs.toSet)
+  }
+
   test("Pipeline.verifyAndFix reconciles the snapshot against a file and repairs it") {
     // snapshot initialized from a DIVERGED file: P1 has the wrong
     // price, P3 is an extra row the truth file lacks, P4 is missing
