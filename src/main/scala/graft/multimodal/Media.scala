@@ -3,6 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,10 +16,13 @@ import graft.sources.Tables
   *
   * The IMAGE path is real: payloads are genuine PNGs, decoded with the
   * JDK's `javax.imageio` codec (true width/height from the bitstream)
-  * and resized through `Graphics2D` with a real re-encode. Audio and
-  * video decode remains STUBBED (`decodeStub`) — no audio/video codec
-  * ships with the JDK and the container has no media libraries — but
-  * everything Spark-side is real and tested for all three kinds: the
+  * and resized through `Graphics2D` with a real re-encode. The AUDIO
+  * path is real too: payloads are genuine 16-bit PCM WAV streams and
+  * the sample rate / frame count come from the RIFF header via
+  * `javax.sound.sampled.AudioSystem`. Only video decode remains
+  * STUBBED (`decodeStub`) — no video codec ships with the JDK and the
+  * container has no media libraries — but everything Spark-side is
+  * real and tested for all three kinds: the
   * schema, the binary column, the partition-wise batch processing
   * shape (the Scala analog of `mapInPandas`: one iterator of rows per
   * partition, codec setup amortized across the batch), and the
@@ -68,10 +72,37 @@ object Media {
     out.toByteArray
   }
 
+  /** Sample rates the synthetic audio fixture draws from — the common
+    * telephony/speech/CD/studio ladder. */
+  private[graft] val wavRates = Array(8000, 16000, 44100, 48000)
+
+  /** Deterministic synthetic WAV for media_id: a real RIFF/WAVE
+    * container (16-bit PCM mono sine) whose sample rate and frame
+    * count are pure functions of the id. Like the PNG fixture, size is
+    * kept modest — the header parse is identical work at any length. */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val rate = wavRates(((id % 4) + 4).toInt % 4)
+    val nFrames = 200 + ((id * 11) % 1800).toInt
+    val pcm = new Array[Byte](nFrames * 2)
+    val freq = (id % 40) + 1
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / 100.0) * 12000).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Build a media table from the documents corpus. Image payloads are
-    * real PNGs (rendered per partition, like a fetch+transcode stage
-    * would produce); audio/video payloads reuse the text bytes as an
-    * opaque stand-in for an encoded stream.
+    * real PNGs and audio payloads real WAVs (rendered per partition,
+    * like a fetch+transcode stage would produce); video payloads reuse
+    * the text bytes as an opaque stand-in for an encoded stream.
     *
     * @param onlyKind restrict the table to one kind BEFORE any payload
     *   rendering — consumers that touch a single modality (frame
@@ -93,37 +124,51 @@ object Media {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, kind, p) =>
-          if (kind == "image") (id, kind, encodePng(syntheticImage(id)))
-          else (id, kind, p)
+          kind match {
+            case "image" => (id, kind, encodePng(syntheticImage(id)))
+            case "audio" => (id, kind, syntheticWav(id))
+            case _       => (id, kind, p)
+          }
         }
       }
       .toDF("media_id", "kind", "payload")
   }
 
-  /** STUB decoder for the kinds with no JDK codec (audio/video).
-    * Deterministic pseudo-metadata derived from the payload bytes;
-    * replace the body with the real library call (e.g. an ffmpeg
-    * binding) when available. */
+  /** STUB decoder for the kinds with no JDK codec (video), and the
+    * fall-back for undecodable image/audio payloads. Deterministic
+    * pseudo-metadata derived from the payload bytes; replace the body
+    * with the real library call (e.g. an ffmpeg binding) when
+    * available. */
   private def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     val b0 = if (n > 0) payload(0) & 0xff else 0
     val b1 = if (n > 1) payload(1) & 0xff else 0
     kind match {
-      case "audio" => MediaMeta(id, kind, n, 0, 0, 0, Seq(8000, 16000, 44100, 48000)(b0 % 4))
+      case "audio" => MediaMeta(id, kind, n, 0, 0, 0, wavRates(b0 % 4))
       case _       => MediaMeta(id, kind, n, 16 + b0 % 1920, 16 + b1 % 2160, 1 + n % 300, 0)
     }
   }
 
   /** Decode one payload: images through the REAL `javax.imageio` codec
-    * (width/height read from the PNG/JPEG bitstream; an undecodable
-    * payload falls back to the stub rather than failing the batch),
-    * audio/video through the stub. */
+    * (width/height read from the PNG/JPEG bitstream), audio through
+    * the REAL `javax.sound.sampled` parser (sample rate / frame count
+    * from the RIFF header — no PCM decode needed for metadata), video
+    * through the stub. An undecodable image/audio payload falls back
+    * to the stub rather than failing the batch. */
   private def decodeOne(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
-    if (kind == "image") {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      if (img == null) decodeStub(id, kind, payload)
-      else MediaMeta(id, kind, payload.length, img.getWidth, img.getHeight, 1, 0)
-    } else decodeStub(id, kind, payload)
+    kind match {
+      case "image" =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) decodeStub(id, kind, payload)
+        else MediaMeta(id, kind, payload.length, img.getWidth, img.getHeight, 1, 0)
+      case "audio" =>
+        try {
+          val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+          MediaMeta(id, kind, payload.length, 0, 0,
+            math.max(aff.getFrameLength, 0), aff.getFormat.getSampleRate.toInt)
+        } catch { case _: Exception => decodeStub(id, kind, payload) }
+      case _ => decodeStub(id, kind, payload)
+    }
 
   /** Partition-wise batch decode with an optional pass-through column:
     * binary in, (typed metadata, extra) out. `mapPartitions` (not a
@@ -176,7 +221,10 @@ object Media {
   /** Image resize: fit each image into a `maxSide` box preserving
     * aspect ratio — a REAL decode → `Graphics2D` bilinear scale → PNG
     * re-encode, all through the JDK codec. An image already inside the
-    * box passes through byte-identical (no decode/re-encode loss). The
+    * box passes through byte-identical (no decode/re-encode loss); an
+    * UNDECODABLE payload is dropped rather than failing the whole
+    * batch (same robustness contract as `decodeOne`'s stub fall-back —
+    * user-supplied media tables always carry some corrupt rows). The
     * Spark-side shape is the production one: binary in / binary out,
     * codec contexts amortized per partition, metadata computed with
     * the pixels in hand. */
@@ -187,25 +235,29 @@ object Media {
       .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, _, payload) =>
-          val img = ImageIO.read(new ByteArrayInputStream(payload))
-          require(img != null, s"media $id: payload is not a decodable image")
-          val (sw, sh) = (img.getWidth, img.getHeight)
-          val scale = math.min(1.0, maxSide.toDouble / math.max(sw, sh))
-          if (scale >= 1.0) ResizedImage(id, sw, sh, sw, sh, payload)
-          else {
-            val w = math.max(1, (sw * scale).round.toInt)
-            val h = math.max(1, (sh * scale).round.toInt)
-            val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-            val g = dst.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
-            g.dispose()
-            ResizedImage(id, sw, sh, w, h, encodePng(dst))
-          }
-        }
+        rows.flatMap { case (id, _, payload) => resizeOne(id, payload, maxSide) }
       }
+  }
+
+  private def resizeOne(id: Long, payload: Array[Byte], maxSide: Int): Option[ResizedImage] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0, maxSide.toDouble / math.max(sw, sh))
+      if (scale >= 1.0) Some(ResizedImage(id, sw, sh, sw, sh, payload))
+      else {
+        val w = math.max(1, (sw * scale).round.toInt)
+        val h = math.max(1, (sh * scale).round.toInt)
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        Some(ResizedImage(id, sw, sh, w, h, encodePng(dst)))
+      }
+    }
   }
 
   /** Registered resize query (rows-only): per-image target geometry +

@@ -170,6 +170,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(spark, table) === Some(6L))
   }
 
+  test("versioned snapshot publish: concurrent publishers claim distinct versions") {
+    import graft.sources.Sinks
+    import scala.jdk.CollectionConverters._
+    val table = Files.createTempDirectory("vsnap_race").toString + "/t"
+    def df(p: Long) = Seq(("A", p, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("k", "price", "transaction_date")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // two publishers race list-versions → claim → write → commit; the
+    // _claims conditional create means they can never write the same dir
+    val ts = (1 to 2).map(t => new Thread(() =>
+      try (1 to 3).foreach(i =>
+        out.add(Sinks.publishSnapshot(df(t * 10L + i), "transaction_date", table,
+          retainVersions = 10)))
+      catch { case e: Throwable => failure.set(e) }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(failure.get() === null, s"concurrent publish failed: ${failure.get()}")
+    val versions = out.asScala.toSeq
+    assert(versions.size === 6 && versions.distinct.size === 6,
+      s"version claimed twice: $versions")
+    assert(Sinks.currentVersion(spark, table) === Some(versions.max))
+  }
+
   test("image decode is real: a planted PNG reports its true bitstream dimensions") {
     val png = Media.encodePng(new java.awt.image.BufferedImage(
       123, 45, java.awt.image.BufferedImage.TYPE_INT_RGB))
@@ -189,6 +212,36 @@ class SourcesSpec extends AnyFunSuite {
           new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload")))
         assert(img != null && img.getWidth >= 16 && img.getHeight >= 16)
       }
+  }
+
+  test("audio decode is real: a planted WAV reports its true header metadata") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // hand-built RIFF/WAVE at a rate the fixture never uses: 321 frames
+    // of 16-bit mono PCM at 22050 Hz
+    val pcm = new Array[Byte](321 * 2)
+    val fmt = new AudioFormat(22050f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 321L)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val m = Seq((1L, "audio", out.toByteArray)).toDF("media_id", "kind", "payload")
+    val meta = Media.decodeMeta(m).collect().head
+    assert(meta.sample_rate === 22050 && meta.n_frames === 321)
+    // the registered media table carries genuine WAV payloads whose
+    // header metadata matches the fixture formula
+    Media.mediaTable(spark, sf).filter(col("kind") === "audio")
+      .limit(3).collect().foreach { row =>
+        val id = row.getAs[Long]("media_id")
+        val aff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload")))
+        assert(aff.getFormat.getSampleRate.toInt === Media.wavRates(((id % 4) + 4).toInt % 4))
+        assert(aff.getFrameLength === 200 + ((id * 11) % 1800).toInt)
+      }
+    // an undecodable audio payload falls back to the stub, not a failure
+    val bad = Seq((2L, "audio", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    assert(Media.decodeMeta(bad).collect().head.sample_rate > 0)
+    // an undecodable image payload is dropped by resize, not fatal
+    val badImg = Seq((3L, "image", Array[Byte](9, 9))).toDF("media_id", "kind", "payload")
+    assert(Media.resizeImages(badImg).collect().isEmpty)
   }
 
   test("decode is deterministic and frame sampling explodes every Nth frame") {
