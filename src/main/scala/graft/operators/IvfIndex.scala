@@ -58,23 +58,31 @@ object IvfIndex {
     SimilarityOps.searchAssigned(assigned, probes, k, excludeSelf = false)
   }
 
-  /** Registered driver query: build the persisted index in a temp
-    * location and probe it with externally-numbered queries (the
-    * corpus's first nQueries vectors re-issued under shifted ids) —
-    * the full build→layout→directory-pruned-probe lifecycle runs under
-    * the driver's rows check. Each query's rank-1 neighbor is its own
+  /** Registered driver query: build the persisted index in a scratch
+    * location (removed on JVM exit — repeated bench runs don't
+    * accumulate disk) and probe it with externally-numbered queries
+    * (the corpus's first nQueries vectors re-issued at max(id)+1-based
+    * ids, disjoint from every real id at ANY corpus size) — the full
+    * build→layout→directory-pruned-probe lifecycle runs under the
+    * driver's rows check. Each query's rank-1 neighbor is its own
     * corpus twin (cosine 1), by the external-numbering semantics.
     * Rows-only: k-means is not SQL-expressible; equality-to-inline and
-    * the PartitionFilters pin live in ScaleSpec. */
+    * the PartitionFilters pin live in ScaleSpec. `kCells = 0` derives
+    * the cell count from the corpus size via
+    * `SimilarityOps.kCellsFor`. */
   def annIndexed(spark: SparkSession, dir: String, nQueries: Int = 5,
-                 k: Int = 10, kCells: Int = 16, nProbe: Int = 4,
+                 k: Int = 10, kCells: Int = 0, nProbe: Int = 4,
                  iters: Int = 2): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("ivf_index_q").toString
+    val tmp = graft.util.Scratch.dir("ivf_index_q")
     val v0 = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    build(v0, tmp, kCells, iters)
+    val (maxId, n) = v0.agg(max("vec_id"), count(lit(1))).head() match {
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    val kc = if (kCells > 0) kCells else SimilarityOps.kCellsFor(n)
+    build(v0, tmp, kc, iters)
     val queries = v0.filter(col("vec_id") < nQueries)
-      .select((col("vec_id") + lit(1000000L)).as("query_id"),
+      .select((col("vec_id") + lit(maxId + 1L)).as("query_id"),
         col("embedding").as("q_emb"))
     probe(spark, tmp, queries, k, nProbe)
   }

@@ -153,12 +153,23 @@ object NearDedup {
     * pair's true Jaccard safely above the threshold. */
   def minHashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // planted ids live at max(id)+1-based offsets — disjoint from every
+    // real id at ANY corpus size, unlike a hardcoded constant
+    val off = plantedOffset(docs, "doc_id")
     val planted = docs
       .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200)
-      .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(off)).as("doc_id"),
         concat(col("text"), lit(" with a brief trailing remark appended")).as("text"))
     minHashDedupOf(docs.unionByName(planted), threshold)
   }
+
+  /** One past the table's max id: the offset that keeps planted/
+    * synthetic rows id-disjoint from real ones at any corpus size. */
+  private[graft] def plantedOffset(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => r.getLong(0) + 1L
+    }
 
   /** All-pairs n-gram Jaccard above a threshold — EXACT result via
     * prefix filtering (PPJoin family, Xiao et al.): only the first
@@ -313,7 +324,7 @@ object NearDedup {
   def winnowDedup(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val planted = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(plantedOffset(docs, "doc_id"))).as("doc_id"),
         concat(lit("quoted verbatim below . "), col("text"),
           lit(" . with further commentary appended")).as("text"))
     winnowDedupOf(docs.unionByName(planted), threshold)

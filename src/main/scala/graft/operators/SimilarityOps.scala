@@ -31,6 +31,17 @@ object SimilarityOps {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
+  /** Cell count for an n-vector corpus: one cell per `targetPerCell`
+    * vectors with a floor of 16 and the same 1<<20 cap as
+    * `TextOps.packShardsFor`, clamped to n so seed selection
+    * (`vec_id < kCells`) always finds a vector. Keeping cell SIZE
+    * constant keeps SemDeDup's per-cell quadratic term and IVF's
+    * per-probe scan cost flat as the corpus grows — kCells is a dial
+    * a 100 TB run must scale with the data, not a constant. */
+  def kCellsFor(nVectors: Long, targetPerCell: Long = 4096L): Int =
+    math.max(1L, math.min(math.min(nVectors, 1L << 20),
+      math.max(16L, (nVectors + targetPerCell - 1) / targetPerCell))).toInt
+
   /** Near-duplicate pairs above a cosine threshold.
     *
     * Scale note: with `useLsh` candidate generation goes through the
@@ -172,16 +183,20 @@ object SimilarityOps {
   }
 
   /** Registered binding: random test embeddings have no true semantic
-    * dups, so every 50th vector is re-issued verbatim at a shifted id
-    * — identical vectors land in the same cell by construction
+    * dups, so every 50th vector is re-issued verbatim at a
+    * max(id)+1-based shifted id (disjoint from real ids at any corpus
+    * size) — identical vectors land in the same cell by construction
     * (identical argmax), so planted recovery is deterministic
     * (spec-pinned). */
   def semDedup(spark: SparkSession, dir: String,
                threshold: Double = 0.9): DataFrame = {
     val v = vecs(spark, dir)
+    val off = NearDedup.plantedOffset(v, "vec_id")
     val planted = v.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + lit(20000000L)).as("vec_id"), col("embedding"))
-    semDedupOf(v.unionByName(planted), threshold)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+    val all = v.unionByName(planted)
+    // cell count scales with the corpus (constant expected cell size)
+    semDedupOf(all, threshold, kCells = kCellsFor(all.count()))
   }
 
   /** Random-hyperplane LSH bucket assignment: sign bits of the dot
@@ -352,9 +367,14 @@ object SimilarityOps {
     annIvfWithCentroids(v0, cents, nQueries, k, nProbe)
   }
 
+  /** Registered binding: `kCells = 0` (the default) derives the cell
+    * count from the corpus size via [[kCellsFor]]. */
   def annIvfRefined(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-                    kCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
-    annIvfRefinedOf(vecs(spark, dir), nQueries, k, kCells, nProbe, iters)
+                    kCells: Int = 0, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val v = vecs(spark, dir)
+    val kc = if (kCells > 0) kCells else kCellsFor(v.count())
+    annIvfRefinedOf(v, nQueries, k, kc, nProbe, iters)
+  }
 
   /** ANN via IVF: rank cells per query, search only the `nProbe`
     * closest cells. Probed fraction ≈ nProbe/kCells of the corpus —
@@ -410,7 +430,12 @@ object SimilarityOps {
     searchAssigned(assigned, probeCells(cents, q, nProbe), k)
   }
 
+  /** Registered binding: `kCells = 0` (the default) derives the cell
+    * count from the corpus size via [[kCellsFor]]. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-             kCells: Int = 16, nProbe: Int = 4): DataFrame =
-    annIvfOf(vecs(spark, dir), nQueries, k, kCells, nProbe)
+             kCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    val v = vecs(spark, dir)
+    val kc = if (kCells > 0) kCells else kCellsFor(v.count())
+    annIvfOf(v, nQueries, k, kc, nProbe)
+  }
 }

@@ -166,7 +166,7 @@ object EventsPipeline {
     * plans are held to one truth. Cross-batch state carry-over is
     * spec-covered (StreamingSpec). */
   def fileDecisionBatch(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("events_stream_q").toString
+    val tmp = graft.util.Scratch.dir("events_stream_q")
     val events = Tables.events(spark, dir)
     events.coalesce(4).write.parquet(s"$tmp/in")
     streamingFileDecision(

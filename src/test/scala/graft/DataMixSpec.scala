@@ -175,14 +175,16 @@ class DataMixSpec extends AnyFunSuite {
   }
 
   test("registered minhash binding recovers every planted near-duplicate pair") {
-    val planted = graft.sources.Tables.documents(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1L // binding's offset
+    val planted = docs
       .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200)
       .collect().map(_.getLong(0)).toSet
     assert(planted.nonEmpty)
     val pairs = NearDedup.minHashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     planted.foreach { id =>
-      assert(pairs.contains((id, id + 20000000L)),
+      assert(pairs.contains((id, id + off)),
         s"planted near-dup of doc $id not recovered")
     }
   }

@@ -398,14 +398,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(m.size === 7)          // every vector present with a verdict
   }
 
+  test("kCellsFor keeps cell size constant: floor 16, cap 1<<20, clamped to n") {
+    import SimilarityOps.kCellsFor
+    assert(kCellsFor(10) === 10)                 // tiny corpus: at most n cells
+    assert(kCellsFor(1000) === 16)               // floor at the small-SF default
+    assert(kCellsFor(4096L * 100) === 100)       // ~4096 vectors per cell
+    assert(kCellsFor(4096L * 100 + 1) === 101)   // ceil division
+    assert(kCellsFor(Long.MaxValue / 4) === (1 << 20)) // parallelism cap
+  }
+
   test("registered semdedup binding recovers every planted duplicate embedding") {
-    val planted = graft.sources.Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 50 === 0).collect().map(_.getLong(0)).toSet
+    val ids = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val off = ids.max + 1L // the binding's max(id)+1 planted offset
+    val planted = ids.filter(_ % 50 == 0).toSet
     assert(planted.nonEmpty)
     val m = SimilarityOps.semDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
     planted.foreach { id =>
-      assert(m(id + 20000000L) === ((1, id)),
+      assert(m(id + off) === ((1, id)),
         s"planted copy of vec $id not flagged against its original")
     }
   }
