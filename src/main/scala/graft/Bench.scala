@@ -21,7 +21,12 @@ object Bench {
     // passes is the stable steady-state estimator — median still
     // wobbled >20% on the checkpoint-heavy iterative queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // comma-separated key filter for targeted iteration; full sweep by
+    // default (the driver contract)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     ordered.foreach { case (_, fn) => run(fn) }
     val results = ordered.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>

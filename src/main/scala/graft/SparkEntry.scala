@@ -110,6 +110,15 @@ object SparkEntry {
     // batch decision-matrix oracle
     "q_stream_cdc"       -> ((s: SparkSession, dir: String) =>
       graft.streaming.CdcStream.streamCdcBatch(s, dir)),
+    // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
+    // each micro-batch merging into the previous batch's published
+    // snapshot — hash-checked vs the chained two-merge replay oracle
+    "q_stream_cdc_multi" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CdcStream.streamCdcReplayBatch(s, dir)),
+    // the BOUNDED-STATE streaming dedup plan under the same exact-dedup
+    // oracle (horizon sized above the corpus: no eviction at test scale)
+    "q_stream_dedup_bounded" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CorpusStream.ingestDedupBoundedBatch(s, dir)),
     // the STREAMING data-decision state operator drained in one pass —
     // shares q_file_decision's oracle verbatim (one truth, two plans)
     "q_stream_decision"  -> EventsPipeline.fileDecisionBatch _,
@@ -222,7 +231,7 @@ object SparkEntry {
        |FROM $s s FULL OUTER JOIN $c c ON s.o_orderkey = c.o_orderkey
        |WHERE NOT (s.o_orderkey IS NULL AND c.record_op = 'D')""".stripMargin
 
-  private val cdcReplaySql = cdcCte +
+  private val cdcReplayChain = cdcCte +
     s""", chg2 AS (
        |  SELECT o_orderkey, record_op, CAST(new_price AS DECIMAL(18,2)) AS new_price FROM (
        |    SELECT o_orderkey,
@@ -235,8 +244,33 @@ object SparkEntry {
        |chg1 AS (SELECT o_orderkey, record_op, new_price FROM chg),
        |s1 AS (${cdcStepSql("base_s", "chg1")}),
        |s2 AS (${cdcStepSql("s1", "chg2")})
-       |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, is_deleted
-       |FROM s2 ORDER BY o_orderkey""".stripMargin
+       |""".stripMargin
+
+  private val cdcReplaySql = cdcReplayChain +
+    """SELECT o_orderkey, CAST(price AS DOUBLE) AS price, is_deleted
+      |FROM s2 ORDER BY o_orderkey""".stripMargin
+
+  // the streaming multi-batch updater's final snapshot = the chained
+  // replay state + the (pass-through) order date it partitions on
+  private val cdcStreamReplaySql = cdcReplayChain +
+    """SELECT s2.o_orderkey, CAST(price AS DOUBLE) AS price,
+      |  CAST(o.o_orderdate AS DATE) AS transaction_date, is_deleted
+      |FROM s2 JOIN orders o ON s2.o_orderkey = o.o_orderkey
+      |ORDER BY s2.o_orderkey""".stripMargin
+
+  // one truth for both streaming-dedup state layouts (exact and
+  // FIFO-bounded-above-the-corpus): min-doc_id-per-text admission
+  private val streamDedupSql =
+    """WITH planted AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |    text, lang, source
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |adm AS (SELECT MIN(doc_id) AS doc_id FROM planted GROUP BY text)
+      |SELECT p.doc_id, p.text, p.lang, p.source
+      |FROM planted p JOIN adm a ON p.doc_id = a.doc_id
+      |ORDER BY p.doc_id""".stripMargin
 
   private val cdcMergeSql = cdcCte +
     """SELECT o_orderkey,
@@ -533,16 +567,11 @@ object SparkEntry {
         |WHERE outcome <> 'delete_but_missing_and_ignored'
         |ORDER BY d.o_orderkey""".stripMargin),
 
-    "q_stream_dedup" ->
-      """WITH planted AS (
-        |  SELECT doc_id, text, lang, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |adm AS (SELECT MIN(doc_id) AS doc_id FROM planted GROUP BY text)
-        |SELECT p.doc_id, p.text, p.lang, p.source
-        |FROM planted p JOIN adm a ON p.doc_id = a.doc_id
-        |ORDER BY p.doc_id""".stripMargin,
+    "q_stream_dedup" -> streamDedupSql,
+    // the bounded-state plan is held to the SAME truth: its horizon is
+    // sized above the corpus, so eviction can't change the answer
+    "q_stream_dedup_bounded" -> streamDedupSql,
+    "q_stream_cdc_multi" -> cdcStreamReplaySql,
 
     "t_pair_counts" ->
       """WITH w AS (
@@ -648,7 +677,7 @@ object SparkEntry {
 
     "t_pack" ->
       """WITH p AS (
-        |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)) AS ns FROM documents),
+        |  SELECT LEAST(GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)), 1048576) AS ns FROM documents),
         |t AS (
         |  SELECT doc_id, doc_id % (SELECT ns FROM p) AS shard,
         |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0

@@ -38,7 +38,15 @@ object CdcStream {
     changes.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // sizing comes from the RAW micro-batch count — an upper bound
+        // on the deduped change count, so the broadcast decision is
+        // conservative-correct, and the count re-reads only the
+        // micro-batch's source files (no shuffle): the dedup WINDOW
+        // plan is evaluated exactly once, inside the merge. (Persisting
+        // the deduped frame instead costs more than it saves: the cache
+        // build breaks pipelining into the broadcast exchange.)
+        val nRaw = batch.count()
+        if (nRaw > 0) {
           val spark = batch.sparkSession
           // latest op per key wins within the batch
           val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
@@ -47,9 +55,8 @@ object CdcStream {
             .filter(col("__rn") === 1)
             .drop("__rn", seqCol)
           val base = Sinks.readSnapshot(spark, tablePath).drop("txn_month")
-          val nChanges = latest.count()
           val merged =
-            if (nChanges <= maxBroadcastRows)
+            if (nRaw <= maxBroadcastRows)
               CdcMerge.mergeBroadcast(base, latest, key, compareCols)
             else // catch-up backlog: too big to broadcast safely
               CdcMerge.merge(base, latest, key, compareCols)
@@ -80,7 +87,7 @@ object CdcStream {
   def streamCdcBatch(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Cdc
     import graft.sources.Tables
-    val tmp = java.nio.file.Files.createTempDirectory("cdc_stream_q").toString
+    val tmp = graft.util.Scratch.dir("cdc_stream_q")
     val table = s"$tmp/table"
     val dates = Tables.orders(spark, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
@@ -100,10 +107,70 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
       .awaitTermination()
+    readBack(spark, table)
+  }
+
+  /** Registered driver query for MULTI-BATCH snapshot-to-snapshot
+    * chaining: the two synthetic monthly change files are dropped as
+    * separate files and drained with `maxFilesPerTrigger = 1`, so the
+    * stream applies month 1 in batch 0 (publishing snapshot v2) and
+    * month 2 in batch 1 AGAINST THAT PUBLISHED SNAPSHOT (publishing
+    * v3) — each micro-batch reads the previous batch's committed
+    * version through the manifest, which is the sequencing the
+    * one-batch query can't exercise. The final snapshot hash-checks
+    * against the chained two-merge replay oracle (the q_cdc_replay
+    * formulation, dates joined on). */
+  def streamCdcReplayBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    import graft.sources.Tables
+    val tmp = graft.util.Scratch.dir("cdc_stream_multi_q")
+    val table = s"$tmp/table"
+    val dates = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
+    Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
+      "transaction_date", table)
+    def asChanges(cs: DataFrame): DataFrame = cs
+      .withColumnRenamed("new_price", "price")
+      .join(dates, "o_orderkey")
+      .withColumn("seq", col("o_orderkey"))
+    val c1 = asChanges(Cdc.changeSet(spark, dir))
+    val c2 = asChanges(Cdc.changeSet2(spark, dir))
+    // one file per monthly drop, with modification times pinned a
+    // minute apart: the file source orders drops by mod time, so month
+    // order is deterministic even when both writes land in one clock
+    // tick
+    def drop(cs: DataFrame, name: String, ts: Long): Unit = {
+      val stage = s"$tmp/stage_$name"
+      cs.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new java.io.IOException(s"no part file staged under $stage"))
+      val dst = new java.io.File(s"$tmp/changes/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      ()
+    }
+    val t0 = System.currentTimeMillis()
+    drop(c1, "month1", t0)
+    drop(c2, "month2", t0 + 60000L)
+    applyUpdates(
+        spark.readStream.schema(c1.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/changes"),
+        table, "o_orderkey", Seq("price", "transaction_date"), seqCol = "seq")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    readBack(spark, table)
+  }
+
+  /** Final-snapshot projection shared by the registered queries. */
+  private def readBack(spark: SparkSession, table: String): DataFrame =
     Sinks.readSnapshot(spark, table)
       .select(col("o_orderkey"),
         col("price").cast(org.apache.spark.sql.types.DoubleType).as("price"),
         col("transaction_date"), col("is_deleted"))
       .orderBy("o_orderkey")
-  }
 }

@@ -179,19 +179,41 @@ object CorpusStream {
     * → flatMapGroupsWithState → checkpointed sink) is hash-checked
     * against SQL. Cross-batch and restart behavior are spec-covered
     * (StreamingSpec). */
-  def ingestDedupBatch(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("corpus_stream_q").toString
+  def ingestDedupBatch(spark: SparkSession, dir: String,
+                       retention: Option[(Int, Int)] = None): DataFrame = {
+    val tmp = graft.util.Scratch.dir("corpus_stream_q")
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source")
+    // planted copies live at max(id)+1-based ids — disjoint from real
+    // ids at any corpus size; the oracle derives the same offset
+    val off = graft.operators.NearDedup.plantedOffset(docs, "doc_id")
     val planted = docs.filter(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + off)
     // coalesce(4) < maxFilesPerTrigger(16): guarantees ONE micro-batch
     // at any SF, which is what makes the oracle equivalence exact
     docs.unionByName(planted).coalesce(4).write.json(s"$tmp/in")
     run(spark, s"$tmp/in", s"$tmp/corpus", s"$tmp/ckpt",
-      availableNow = true).awaitTermination()
+      retention = retention, availableNow = true).awaitTermination()
     spark.read.parquet(s"$tmp/corpus")
       .select("doc_id", "text", "lang", "source")
       .orderBy("doc_id")
+  }
+
+  /** Registered driver query for the BOUNDED-STATE dedup plan
+    * (`streamingIngestDedupBounded`): same planted-duplicate drain as
+    * `ingestDedupBatch`, but through the FIFO-sharded state operator
+    * with a retention horizon sized ABOVE the corpus hash count — no
+    * eviction fires at test scale, so the bounded plan is held to the
+    * SAME exact-dedup SQL oracle as the unbounded one (one truth, two
+    * state layouts). Eviction/re-admission semantics beyond the
+    * horizon are spec-covered (StreamingSpec). */
+  def ingestDedupBoundedBatch(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    val shards = 32
+    // horizon ≥ the whole corpus hash count in EVERY shard: eviction
+    // provably can't fire, whatever the hash spread, so the bounded
+    // plan must reproduce the exact-dedup oracle bit for bit
+    val perShard = math.min(n + 64L, Int.MaxValue.toLong).toInt
+    ingestDedupBatch(spark, dir, retention = Some((shards, perShard)))
   }
 }

@@ -303,6 +303,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("multi-batch streaming CDC chains published snapshots and equals the batch replay") {
+    // two monthly drops at maxFilesPerTrigger=1: batch 1 merges into the
+    // snapshot batch 0 published — the composition must equal the batch
+    // two-merge fold (the q_cdc_replay semantics)
+    val streamed = graft.streaming.CdcStream.streamCdcReplayBatch(spark, sf)
+      .select("o_orderkey", "price", "is_deleted").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val batch = graft.operators.Cdc.replayResult(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(streamed === batch)
+  }
+
+  test("bounded-state registered drain admits exactly the unbounded admission set") {
+    // horizon sized above the corpus → no eviction → identical output
+    val bounded = CorpusStream.ingestDedupBoundedBatch(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val exact = CorpusStream.ingestDedupBatch(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(bounded === exact && bounded.nonEmpty)
+  }
+
   test("jsonl ingest stream quarantines corrupt lines and lands the corpus in parquet") {
     val in = java.nio.file.Files.createTempDirectory("corpusin").toString
     val out = java.nio.file.Files.createTempDirectory("corpusout").toString
