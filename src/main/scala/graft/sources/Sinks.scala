@@ -54,26 +54,36 @@ object Sinks {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Claim the first free number >= `start` by conditionally creating
-    * a NEW file name under `dir`: `create(overwrite = false)` fails on
-    * an existing name, so two concurrent writers can never claim the
-    * same number — the loser observes the collision and retries with
-    * the next. (Atomicity of the conditional create is the
-    * filesystem's: exact on HDFS/object stores with preconditions,
-    * check-then-create on the raw local FS.) */
+    * a NEW file name under `dir` — two concurrent writers can never
+    * claim the same number; the loser observes the collision and
+    * retries with the next. The conditional create must be ATOMIC:
+    * HDFS/object-store `create(overwrite = false)` is (namenode
+    * check / If-None-Match precondition), but Hadoop's LOCAL
+    * filesystem implements it as check-then-create, which two racing
+    * threads both pass — so the `file` scheme goes through
+    * `java.nio.Files.createFile` (O_CREAT|O_EXCL, atomic in the
+    * kernel) instead. */
   private[sources] def claimNumber(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: org.apache.hadoop.fs.Path,
                                    start: Long, prefix: String): Long = {
-    var n = start
-    while (true) {
-      val claim = new org.apache.hadoop.fs.Path(dir, f"$prefix$n%08d")
-      try { fs.create(claim, false).close(); return n }
-      catch {
-        case e: java.io.IOException =>
-          if (fs.exists(claim)) n += 1 // lost the race — take the next number
-          else throw e
+    val local = fs.getScheme == "file"
+    def tryClaim(claim: org.apache.hadoop.fs.Path): Boolean =
+      if (local) {
+        val p = java.nio.file.Paths.get(claim.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        try { java.nio.file.Files.createFile(p); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(claim, false).close(); true }
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(claim)) false else throw e
+        }
       }
-    }
-    n // unreachable
+    var n = start
+    while (!tryClaim(new org.apache.hadoop.fs.Path(dir, f"$prefix$n%08d")))
+      n += 1 // lost the race — take the next number
+    n
   }
 
   /** The live (committed) version number: the newest commit marker. */
