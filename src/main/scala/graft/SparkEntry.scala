@@ -64,6 +64,11 @@ object SparkEntry {
     "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
     "d_dedup_winnow"     -> ((s: SparkSession, dir: String) => NearDedup.winnowDedup(s, dir)),
+    // ExactSubstr census (Lee et al. 2022): repeated L-token spans
+    // across documents — the tier document-level dedup cannot see
+    "d_substr_dup"       -> ((s: SparkSession, dir: String) => NearDedup.substrDup(s, dir)),
+    // …and its removal half: cut every non-canonical occurrence
+    "d_substr_scrub"     -> ((s: SparkSession, dir: String) => NearDedup.substrScrub(s, dir)),
     "d_decontaminate"    -> NearDedup.decontaminate _,
     // identical result via a bloom prefilter — the too-big-to-broadcast path
     "d_decontaminate_bloom" -> NearDedup.decontaminateBloom _,
@@ -691,6 +696,73 @@ object SparkEntry {
         |  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
         |  CAST(tokens_before % 256 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ExactSubstr census: md5 span keys make the grouping reproducible
+    // across engines (identical collisions, if any)
+    "d_substr_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+        |    'prefatory remark . ' || text || ' . closing remark' AS text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |w AS (SELECT doc_id,
+        |        regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws
+        |      FROM corpus),
+        |sp AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS span_md5
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |             FROM w WHERE len(ws) >= 8)),
+        |c AS (SELECT span_md5, COUNT(*) AS cnt FROM sp GROUP BY span_md5),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |         CAST(COUNT(CASE WHEN cnt >= 2 THEN 1 END) AS BIGINT) AS n_dup_spans
+        |       FROM sp JOIN c USING (span_md5) GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN COALESCE(pd.n_spans, 0) = 0 THEN 0.0
+        |       ELSE CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans END AS dup_ratio,
+        |  CASE WHEN (CASE WHEN COALESCE(pd.n_spans, 0) = 0 THEN 0.0
+        |             ELSE CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans END) > 0.2
+        |       THEN 1 ELSE 0 END AS is_flagged
+        |FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // ExactSubstr removal: keep the (doc_id, pos)-smallest occurrence
+    // of each duplicated span, cut the covered tokens of every other
+    "d_substr_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+        |    'prefatory remark . ' || text || ' . closing remark' AS text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |w AS (SELECT doc_id,
+        |        regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+        |        CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+        |      FROM corpus),
+        |sp AS (SELECT doc_id, i, md5(lower(array_to_string(ws[i:i+7], ' '))) AS span_md5
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |             FROM w WHERE n >= 8)),
+        |c AS (SELECT span_md5 FROM sp GROUP BY span_md5 HAVING COUNT(*) >= 2),
+        |occ AS (SELECT doc_id, i,
+        |          ROW_NUMBER() OVER (PARTITION BY span_md5 ORDER BY doc_id, i) AS rn
+        |        FROM sp JOIN c USING (span_md5)),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM
+        |          (SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos
+        |           FROM occ WHERE rn > 1)),
+        |tk AS (SELECT doc_id, i AS pos, ws[i] AS tok
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |             FROM w WHERE n > 0)),
+        |kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+        |           CAST(COUNT(*) AS BIGINT) AS n_kept
+        |         FROM tk t WHERE NOT EXISTS (
+        |           SELECT 1 FROM cov v WHERE v.doc_id = t.doc_id AND v.pos = t.pos)
+        |         GROUP BY t.doc_id)
+        |SELECT w.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+        |  CAST(w.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     "d_decontaminate" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),

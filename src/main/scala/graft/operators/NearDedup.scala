@@ -330,6 +330,150 @@ object NearDedup {
     winnowDedupOf(docs.unionByName(planted), threshold)
   }
 
+  /** Repeated-substring census — the ExactSubstr tier of training-data
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): an L-token span whose text occurs more
+    * than once ACROSS THE CORPUS is memorizable duplicated text that
+    * document-level dedup (exact / minhash / simhash / winnow) cannot
+    * see, because the containing documents differ — boilerplate,
+    * license blocks, templated paragraphs. Output is one row per
+    * document: its span count, how many of its spans are duplicated
+    * corpus-wide, the duplicated fraction, and the release flag at
+    * `maxDupRatio` (the drop-or-rewrite decision a pipeline applies).
+    *
+    * Scale shape: the span table is one row per token position (the
+    * shingle explode, L× nothing — same volume as the n=3 shingle
+    * path), and the census groups on md5(span) — a 128-bit key BOTH
+    * engines compute identically, so the shuffle carries 32-byte keys
+    * instead of L-word strings and the DuckDB oracle reproduces the
+    * exact grouping (an engine-private hash like xxhash64 here would
+    * put hash collisions in the result path). Two hash-partitioned
+    * shuffles over the span table (census + count-join) plus the
+    * per-doc aggregation — the exact-dedup shape at L× the volume,
+    * no quadratic term anywhere. */
+  def substrDupOf(docs: DataFrame, l: Int = 8, maxDupRatio: Double = 0.2): DataFrame = {
+    val sp = spanHashes(docs, l)
+    val census = sp.groupBy("span_md5").agg(count(lit(1)).as("cnt"))
+    val perDoc = sp.join(census, "span_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_spans"),
+        count(when(col("cnt") >= 2, 1)).cast(LongType).as("n_dup_spans"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast(DoubleType) / col("n_spans")))
+      .withColumn("is_flagged", when(col("dup_ratio") > maxDupRatio, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** One md5 per L-token span start position — the same explode-first
+    * codegen idiom as `rawShingles` (a higher-order transform lambda
+    * would drop to interpreted eval), with md5 instead of xxhash64
+    * because the span key participates in oracle-checked counts. */
+  private def spanHashes(docs: DataFrame, l: Int): DataFrame =
+    positionedSpanHashes(docs, l).select("doc_id", "span_md5")
+
+  /** Span hashes WITH their 0-based start position and the original
+    * (case-preserving) token array — the scrub path needs positions to
+    * cut and original tokens to rebuild; hashing runs over lowercased
+    * copies so the census and the scrub agree on span identity. */
+  private def positionedSpanHashes(docs: DataFrame, l: Int): DataFrame = {
+    val words = split(TextOps.wsTrim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= l)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - l)).as("i"))
+      .select(col("doc_id"), col("w"), col("i"),
+        md5(lower(concat_ws(" ", slice(col("w"), col("i") + 1, lit(l))))).as("span_md5"))
+  }
+
+  /** ExactSubstr REMOVAL — the action half of the census: every
+    * duplicated L-token span keeps exactly ONE canonical occurrence
+    * corpus-wide (the smallest (doc_id, position), the same
+    * min-id-representative convention as the other dedup tiers) and
+    * every other occurrence's tokens are cut from their documents,
+    * overlapping cut regions unioned per document. Output is one row
+    * per document with the rebuilt (case-preserving) text and the
+    * number of tokens removed — documents shrink, none disappear.
+    *
+    * Scale shape: census + rank-per-span + covered-position explode +
+    * one anti-join on (doc, position) + per-doc ordered reassembly —
+    * all keyed shuffles over token-volume tables; the per-span rank
+    * window partitions by span_md5 (occurrence counts, tiny
+    * partitions), never by doc or corpus. */
+  def substrScrubOf(docs: DataFrame, l: Int = 8): DataFrame = {
+    val sp = positionedSpanHashes(docs, l)
+    val census = sp.groupBy("span_md5").agg(count(lit(1)).as("cnt"))
+    // every non-canonical occurrence of a duplicated span
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("span_md5").orderBy("doc_id", "i")
+    val cut = sp.join(census.filter(col("cnt") >= 2), "span_md5")
+      .withColumn("rn", row_number().over(wOcc))
+      .filter(col("rn") > 1)
+    // union of covered 0-based token positions per document
+    val covered = cut
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + l - 1)).as("pos"))
+      .distinct()
+    // empty/whitespace docs carry NO tokens (split of "" yields a
+    // phantom "" element — filtered here so removed counts stay 0)
+    val toks = docs
+      .filter(length(TextOps.wsTrim(col("text"))) > 0)
+      .select(col("doc_id"), split(TextOps.wsTrim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("pt"), x => x.getField("tok"))).as("clean_text"),
+        col("n_kept"))
+    docs.select(col("doc_id"),
+        when(length(TextOps.wsTrim(col("text"))) === 0, lit(0))
+          .otherwise(size(split(TextOps.wsTrim(col("text")), "\\s+")))
+          .cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_tokens_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered binding — same wrapper-disguised planting as
+    * `substrDup`, so the scrub has real work to do: the planted copy
+    * keeps its wrapper words and loses its interior (the original,
+    * being the canonical occurrence, survives intact). */
+  def substrScrub(spark: SparkSession, dir: String, l: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + lit(plantedOffset(docs, "doc_id"))).as("doc_id"),
+        concat(lit("prefatory remark . "), col("text"),
+          lit(" . closing remark")).as("text"))
+    substrScrubOf(docs.unionByName(planted), l)
+  }
+
+  /** Registered binding. The test corpus is random text with no true
+    * repeated spans, so every 40th document's body is re-issued at a
+    * max(id)+1-based id wrapped in fresh prefix/suffix words: the
+    * wrapper defeats document-level exact dedup while every interior
+    * span repeats — exactly the leak ExactSubstr exists to catch. The
+    * oracle reproduces the planting. */
+  def substrDup(spark: SparkSession, dir: String, l: Int = 8,
+                maxDupRatio: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + lit(plantedOffset(docs, "doc_id"))).as("doc_id"),
+        concat(lit("prefatory remark . "), col("text"),
+          lit(" . closing remark")).as("text"))
+    substrDupOf(docs.unionByName(planted), l, maxDupRatio)
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least `minHits` word n-grams with a benchmark/eval set — the
     * standard test-set-leakage scan a training pipeline runs before

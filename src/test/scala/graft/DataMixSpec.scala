@@ -174,6 +174,49 @@ class DataMixSpec extends AnyFunSuite {
     assert(top === Seq("a b", "b a"))
   }
 
+  test("substring-dup census counts repeated L-token spans across documents") {
+    val d = Seq(
+      (1L, "a b c x y"),  // spans: "a b c","b c x","c x y" — first is shared
+      (2L, "z a b c w"),  // spans: "z a b","a b c","b c w" — second is shared
+      (3L, "p q r s t"),  // 3 spans, none repeated
+      (4L, "too short")   // < l tokens: no spans at all
+    ).toDF("doc_id", "text")
+    val m = NearDedup.substrDupOf(d, l = 3, maxDupRatio = 0.3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    assert(m(1L) === ((3L, 1L, 1)))  // 1/3 > 0.3 → flagged
+    assert(m(2L) === ((3L, 1L, 1)))
+    assert(m(3L) === ((3L, 0L, 0)))
+    assert(m(4L) === ((0L, 0L, 0)))
+  }
+
+  test("substring scrub keeps one canonical occurrence and cuts the rest, preserving case") {
+    val d = Seq(
+      (1L, "A b c x y"),  // span "a b c" (lowercased identity) — canonical here
+      (2L, "z a b c w"),  // non-canonical occurrence: tokens 1..3 cut
+      (3L, "p q r s t")   // untouched
+    ).toDF("doc_id", "text")
+    val m = NearDedup.substrScrubOf(d, l = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(m(1L) === (("A b c x y", 0L))) // canonical survives, case intact
+    assert(m(2L) === (("z w", 3L)))
+    assert(m(3L) === (("p q r s t", 0L)))
+  }
+
+  test("registered substr binding: planted wrapped copies mark originals fully duplicated") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nTok = TextOps.tokenCountsOf(docs).select("doc_id", "n_ws_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // an original with ≥8 tokens re-issued inside a wrapper: every one
+    // of its 8-token spans recurs in the copy → dup_ratio exactly 1
+    val expect = nTok.keys.filter(id => id % 40 == 0 && nTok(id) >= 8).toSet
+    assert(expect.nonEmpty)
+    val m = NearDedup.substrDup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    expect.foreach { id =>
+      assert(m(id) === 1.0, s"original $id should be fully span-duplicated")
+    }
+  }
+
   test("registered minhash binding recovers every planted near-duplicate pair") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val off = docs.agg(max("doc_id")).head().getLong(0) + 1L // binding's offset
