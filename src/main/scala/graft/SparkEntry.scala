@@ -104,6 +104,9 @@ object SparkEntry {
     "t_budget"           -> TextOps.tokenBudget _,
     "t_quality_model"    -> TextOps.qualityModel _,
     "t_epochs"           -> TextOps.upsampleEpochs _,
+    // count-based per-domain cap (FineWeb/Gopher) + sliding-window chunking
+    "t_domain_cap"       -> ((s: SparkSession, dir: String) => TextOps.domainCap(s, dir)),
+    "t_chunks"           -> ((s: SparkSession, dir: String) => TextOps.chunk(s, dir)),
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
     // the STREAMING ingest-dedup plan drained in one AvailableNow pass —
@@ -726,6 +729,28 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS is_flagged
         |FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+
+    "t_domain_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source
+        |FROM (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    "t_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+        |  FROM documents),
+        |ch AS (SELECT doc_id, k,
+        |    array_to_string(ws[k*48+1 : k*48+64], ' ') AS chunk_text,
+        |    len(ws[k*48+1 : k*48+64]) AS n_chunk_tokens
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (n + 47) // 48 - 1)) AS k
+        |        FROM w WHERE n > 0))
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, chunk_text,
+        |  CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // ExactSubstr removal: keep the (doc_id, pos)-smallest occurrence
     // of each duplicated span, cut the covered tokens of every other

@@ -263,6 +263,59 @@ object TextOps {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSampleOf(Tables.documents(spark, dir), sampleRates)
 
+  /** Per-source document cap — the per-domain limit web-corpus
+    * pipelines apply so one mega-domain cannot dominate the training
+    * mix (the FineWeb/Gopher per-domain cap, the count-based
+    * complement of `stratifiedSample`'s rate-based thinning). Keeps
+    * the `maxDocs` smallest doc_ids per source (crawl order = arrival
+    * order — deterministic) with each survivor's rank.
+    *
+    * Scale shape: one window partitioned by source ordered by doc_id
+    * with a rank ≤ N filter — Spark's WindowGroupLimit prunes every
+    * partition to N rows BEFORE the rank shuffle (plan-pinned), so the
+    * shuffle moves sources × N rows, not the corpus. */
+  def domainCapOf(docs: DataFrame, maxDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rank_in_source", row_number().over(w).cast(LongType))
+      .filter(col("rank_in_source") <= maxDocs)
+      .orderBy("doc_id")
+  }
+
+  def domainCap(spark: SparkSession, dir: String, maxDocs: Int = 15): DataFrame =
+    domainCapOf(Tables.documents(spark, dir), maxDocs)
+
+  /** Sliding context-window chunking: each document's tokens cut into
+    * windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
+    * overlapping context, the shape embedding models and packed
+    * training loaders consume). Chunk starts are 0, stride, 2·stride …
+    * while < n; the final chunk may be short (no padding — the loader
+    * pads). One explode over ceil(n/stride) starts per doc, then pure
+    * array slicing — no shuffle beyond the output sort at any scale. */
+  def chunkOf(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      "need 1 <= stride <= chunkTokens (gaps would drop tokens)")
+    val toks = split(wsTrim(col("text")), "\\s+")
+    docs
+      .filter(length(wsTrim(col("text"))) > 0)
+      .select(col("doc_id"), toks.as("w"), size(toks).as("n"))
+      // number of chunk starts = ceil(n / stride), in exact integer math
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L),
+          expr(s"(n + ${stride - 1}) div $stride") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("w"), (col("chunk_idx") * stride + 1).cast(IntegerType),
+            lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("w"), (col("chunk_idx") * stride + 1).cast(IntegerType),
+          lit(chunkTokens))).cast(LongType).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkOf(Tables.documents(spark, dir))
+
   /** Repetition signals (the Gopher/MassiveText repetition rules,
     * Rae et al. 2021 §A1.1, adapted to token granularity): fraction of
     * distinct tokens, and the share of the document's bigrams taken by

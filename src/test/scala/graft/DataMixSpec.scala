@@ -174,6 +174,30 @@ class DataMixSpec extends AnyFunSuite {
     assert(top === Seq("a b", "b a"))
   }
 
+  test("domain cap keeps the N earliest docs per source with their ranks") {
+    val d = Seq(
+      (1L, "s1"), (2L, "s1"), (5L, "s1"),
+      (3L, "s2"), (4L, "s2")
+    ).map { case (id, s) => (id, "txt", s) }.toDF("doc_id", "text", "source")
+    val m = TextOps.domainCapOf(d, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)) // 5 capped out
+  }
+
+  test("chunking slides a fixed window with stride; final chunk may be short") {
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "   ")).toDF("doc_id", "text")
+    val rows = TextOps.chunkOf(d, chunkTokens = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // starts 0,3,6,9 — ceil(10/3) = 4 chunks, last one 1 token
+    assert(rows.toSeq === Seq(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6 t7 t8 t9", 4L),
+      (1L, 3L, "t9", 1L)))
+    // every token is covered by some chunk (stride <= chunk size)
+    assert(rows.map(_._4).sum >= 10)
+  }
+
   test("substring-dup census counts repeated L-token spans across documents") {
     val d = Seq(
       (1L, "a b c x y"),  // spans: "a b c","b c x","c x y" — first is shared

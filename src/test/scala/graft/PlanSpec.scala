@@ -69,9 +69,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("top-k windows prune partially before the shuffle (WindowGroupLimit)") {
-    // without it, each query/customer becomes one corpus-sized
+    // without it, each query/customer/source becomes one corpus-sized
     // partition at the rank step
-    for (name <- Seq("s_ann_topk", "s_ann_lsh", "s_ann_ivf", "q_window_rank"))
+    for (name <- Seq("s_ann_topk", "s_ann_lsh", "s_ann_ivf", "q_window_rank",
+        "t_domain_cap"))
       assert(planOf(name).contains("WindowGroupLimit"), s"$name lost rank pruning")
   }
 
@@ -120,7 +121,7 @@ class PlanSpec extends AnyFunSuite {
   test("per-doc text operators are pure projections — only the output sort exchanges") {
     // scoring/scrubbing/sampling must never shuffle the corpus: at
     // 100 TB any exchange here dominates the job
-    for (name <- Seq("t_pii", "t_sample", "t_repetition", "t_quality_model")) {
+    for (name <- Seq("t_pii", "t_sample", "t_repetition", "t_quality_model", "t_chunks")) {
       val p = planOf(name)
       assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
         s"$name grew a join/aggregate:\n$p")
