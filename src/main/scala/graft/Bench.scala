@@ -22,9 +22,15 @@ object Bench {
     // wobbled >20% on the checkpoint-heavy iterative queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // comma-separated key filter for targeted iteration; full sweep by
-    // default (the driver contract)
+    // default (the driver contract). Unknown or empty keys fail loudly:
+    // a typo printing total=0 would read as an impossibly fast run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { keys =>
+      val unknown = keys.diff(SparkEntry.queries.keySet)
+      require(keys.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY has no valid query keys (unknown: ${unknown.mkString(",")})")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
     ordered.foreach { case (_, fn) => run(fn) }

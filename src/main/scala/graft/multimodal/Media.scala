@@ -158,7 +158,7 @@ object Media {
   private def decodeOne(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
     kind match {
       case "image" =>
-        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        val img = readImage(payload)
         if (img == null) decodeStub(id, kind, payload)
         else MediaMeta(id, kind, payload.length, img.getWidth, img.getHeight, 1, 0)
       case "audio" =>
@@ -239,8 +239,17 @@ object Media {
       }
   }
 
+  /** Decode an image payload, null when undecodable. ImageIO signals
+    * corruption TWO ways — null for an unrecognized format, but an
+    * IIOException for a recognized-then-truncated bitstream (a valid
+    * PNG signature with cut-off IDAT data) — and both must degrade,
+    * not fail the batch. */
+  private def readImage(payload: Array[Byte]): BufferedImage =
+    try ImageIO.read(new ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+
   private def resizeOne(id: Long, payload: Array[Byte], maxSide: Int): Option[ResizedImage] = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img = readImage(payload)
     if (img == null) None
     else {
       val (sw, sh) = (img.getWidth, img.getHeight)

@@ -77,7 +77,8 @@ object IvfIndex {
     val v0 = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val (maxId, n) = v0.agg(max("vec_id"), count(lit(1))).head() match {
-      case r => (r.getLong(0), r.getLong(1))
+      case r if r.isNullAt(0) => (0L, 0L) // empty corpus: no vectors at all
+      case r                  => (r.getLong(0), r.getLong(1))
     }
     val kc = if (kCells > 0) kCells else SimilarityOps.kCellsFor(n)
     build(v0, tmp, kc, iters)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable ingest/decision log — the Spark analog of the reference's
@@ -61,22 +61,15 @@ object FileLog {
     }
     val seq = Sinks.claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_seq"),
       guess, "s")
-    // stage in a PRIVATE dir, then rename the part file to its final
-    // (claim-unique) name: concurrent appends through Spark's shared
-    // `_temporary` job-commit dir would race each other's cleanup, and
-    // the single-file rename is atomic where the committer isn't
-    val staging = new org.apache.hadoop.fs.Path(root, f"_staging/s$seq%08d")
-    Seq(Entry(seq, fileName, sha256, decision,
-        new java.sql.Timestamp(System.currentTimeMillis())))
-      .toDF()
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val part = fs.listStatus(staging)
-      .map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new java.io.IOException(s"no part file staged under $staging"))
-    fs.rename(part, new org.apache.hadoop.fs.Path(root, f"part-s$seq%08d.parquet"))
-    fs.delete(staging, true)
+    // staged in a PRIVATE dir, renamed to the claim-unique final name:
+    // concurrent appends through Spark's shared `_temporary` job-commit
+    // dir would race each other's cleanup, and the checked single-file
+    // rename is atomic where the committer isn't
+    Sinks.writeSingleParquetFile(
+      Seq(Entry(seq, fileName, sha256, decision,
+          new java.sql.Timestamp(System.currentTimeMillis()))).toDF(),
+      f"$logDir%s/_staging/s$seq%08d",
+      f"$logDir%s/part-s$seq%08d.parquet")
     seq
   }
 

@@ -117,11 +117,15 @@ object Sinks {
     * published version number.
     *
     * Crash-safe: a failure before the marker create leaves an orphan
-    * version dir (and claim) with no marker — never visible to readers,
-    * skipped past by the next publish's claim loop and removed by its
-    * prune. Commit itself is the creation of one new file name, atomic
-    * on any filesystem, so readers see either the old version or the
-    * new one, never neither.
+    * version dir (and claim) with no marker — never visible to readers
+    * and skipped past by the next publish's claim loop. Unmarked dirs
+    * are deliberately NOT pruned: a version number can't distinguish a
+    * crashed writer's debris from a SLOW concurrent writer mid-write,
+    * and deleting the latter's dir under it would break the
+    * multi-writer contract — orphans are bounded by crash count and
+    * left to age-based maintenance. Commit itself is the creation of
+    * one new file name, atomic on any filesystem, so readers see
+    * either the old version or the new one, never neither.
     *
     * Multi-writer-safe numbering: the version number is CLAIMED first
     * by a conditional create under `_claims` (see [[claimNumber]]), so
@@ -152,16 +156,48 @@ object Sinks {
     // in the name, so there is no content to race on
     val marker = new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d")
     fs.create(marker, false).close()
-    // grace-window prune: keep the newest retainVersions committed
-    // versions (+ their markers and claims); never touch the one just
-    // committed
-    val committed = (existing :+ next).sorted.reverse
-    committed.drop(retainVersions).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
+    // grace-window prune over COMMITTED versions only (those with a
+    // marker): a bare version dir may be a concurrent publisher still
+    // writing, and its number gives no way to tell — so unmarked dirs
+    // are never touched here (see the crash-safety note above)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val committed: Seq[Long] = fs.listStatus(mdir).toSeq.flatMap(
+      _.getPath.getName match {
+        case manifestRe(n) => Some(n.toLong)
+        case _             => None
+      })
+    committed.sorted.reverse.drop(retainVersions).foreach { v =>
+      // marker FIRST: readers must stop resolving v before its data
+      // disappears; a crash in between leaves an unmarked dir, which
+      // readers already ignore
       fs.delete(new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
       fs.delete(new org.apache.hadoop.fs.Path(root, f"_claims/c$v%08d"), false)
     }
     next
+  }
+
+  /** Write `df` as exactly ONE parquet file at `destFile`, staged in a
+    * private dir and moved by a single-file rename. Two guarantees the
+    * plain `df.write` path lacks: concurrent writers into one
+    * directory never race each other's shared `_temporary` committer
+    * dir, and the rename's RESULT is checked — Hadoop filesystems
+    * report most rename failures by returning false, not throwing, and
+    * a silently dropped file here is a silently lost log row. */
+  def writeSingleParquetFile(df: DataFrame, stagingDir: String, destFile: String): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(destFile)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stagingDir)
+    val stage = new org.apache.hadoop.fs.Path(stagingDir)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"no part file staged under $stagingDir"))
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"rename $part -> $dest failed")
+    fs.delete(stage, true)
+    ()
   }
 
   /** Bucketed write for co-located joins: repeated joins on `keyCol`

@@ -140,15 +140,9 @@ object CdcStream {
     // order is deterministic even when both writes land in one clock
     // tick
     def drop(cs: DataFrame, name: String, ts: Long): Unit = {
-      val stage = s"$tmp/stage_$name"
-      cs.coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(throw new java.io.IOException(s"no part file staged under $stage"))
-      val dst = new java.io.File(s"$tmp/changes/$name.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(ts)
+      val dst = s"$tmp/changes/$name.parquet"
+      Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst)
+      new java.io.File(dst).setLastModified(ts)
       ()
     }
     val t0 = System.currentTimeMillis()

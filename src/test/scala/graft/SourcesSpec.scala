@@ -193,6 +193,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(spark, table) === Some(versions.max))
   }
 
+  test("prune never touches an unmarked version dir (slow concurrent writer safety)") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("vsnap_unmarked").toString + "/t"
+    def df(p: Long) = Seq(("A", p, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("k", "price", "transaction_date")
+    Sinks.publishSnapshot(df(1), "transaction_date", table)
+    // a concurrent publisher mid-write: version dir present, no marker —
+    // indistinguishable by number from crash debris, so prune must skip it
+    val inflight = new java.io.File(table, "v00000002")
+    assert(inflight.mkdirs())
+    Sinks.publishSnapshot(df(3), "transaction_date", table, retainVersions = 1)
+    Sinks.publishSnapshot(df(4), "transaction_date", table, retainVersions = 1)
+    assert(inflight.exists(), "unmarked dir was pruned out from under a slow writer")
+    assert(Sinks.currentVersion(spark, table) === Some(4L))
+    assert(Sinks.readSnapshot(spark, table).count() === 1)
+  }
+
+  test("recognized-but-truncated image payloads degrade instead of failing the batch") {
+    // 30 bytes = valid PNG signature + a cut-off IHDR: ImageIO's PNG
+    // reader CLAIMS it then throws (not the unrecognized→null path)
+    val png = Media.encodePng(new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB))
+    val truncated = png.take(30)
+    val m = Seq((1L, "image", truncated)).toDF("media_id", "kind", "payload")
+    val meta = Media.decodeMeta(m).collect().head // stub fall-back, no throw
+    assert(meta.n_bytes === 30 && meta.width >= 16)
+    assert(Media.resizeImages(m).collect().isEmpty) // dropped, not fatal
+  }
+
   test("image decode is real: a planted PNG reports its true bitstream dimensions") {
     val png = Media.encodePng(new java.awt.image.BufferedImage(
       123, 45, java.awt.image.BufferedImage.TYPE_INT_RGB))

@@ -153,17 +153,10 @@ class StreamingSpec extends AnyFunSuite {
           ("K2", 200L, ts("2024-02-01 00:00:00"), "F"))
         .toDF("k", "price", "transaction_date", "is_deleted"),
       "transaction_date", table)
-    def drop(rows: Seq[(Long, String, String, Long, Timestamp)], name: String): Unit = {
-      val stage = s"$tmp/stage_$name"
-      rows.toDF("seq", "k", "record_op", "price", "transaction_date")
-        .coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      val dst = new java.io.File(s"$tmp/in/$name.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      ()
-    }
+    def drop(rows: Seq[(Long, String, String, Long, Timestamp)], name: String): Unit =
+      Sinks.writeSingleParquetFile(
+        rows.toDF("seq", "k", "record_op", "price", "transaction_date"),
+        s"$tmp/stage_$name", s"$tmp/in/$name.parquet")
     val schema = Seq((1L, "K1", "C", 140L, ts("2024-01-01 00:00:00")))
       .toDF("seq", "k", "record_op", "price", "transaction_date").schema
     def drain(): Unit = CdcStream.applyUpdates(
