@@ -177,6 +177,54 @@ object Sinks {
     next
   }
 
+  /** Small-file compaction for the versioned snapshot store — the
+    * maintenance pass every append-heavy table needs at scale: many
+    * small files (one per shuffle task per month, accumulating with
+    * every publish) are rewritten into ~`targetFileBytes` files per
+    * month partition, published as the NEXT snapshot version. Readers
+    * are never disturbed (the manifest swap is the same transactional
+    * commit as any publish; the fragmented version ages out through
+    * `retainVersions`).
+    *
+    * Bin-packing: per-month byte sizes come from the live version's
+    * directory listing (metadata only — no data read), each month gets
+    * `ceil(bytes / target)` files (capped at `maxFilesPerMonth`), and
+    * rows are salted into that count then repartitioned on
+    * (month, salt) — each task partition holds exactly one
+    * (month, salt) slice, so the month's file count equals its split
+    * count: a giant month splits, a small month compacts to one file.
+    * Returns the published version. */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                      dateCol: String, targetFileBytes: Long = 128L << 20,
+                      maxFilesPerMonth: Int = 4096,
+                      retainVersions: Int = 2): Long = {
+    require(targetFileBytes >= 1, "targetFileBytes must be positive")
+    val vdir = new org.apache.hadoop.fs.Path(currentVersionDir(spark, tablePath))
+    val fs = hadoopFs(spark, vdir)
+    val monthSplits: Seq[(String, Int)] = fs.listStatus(vdir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn_month="))
+      .map { s =>
+        val bytes = fs.listStatus(s.getPath).map(_.getLen).sum
+        val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        (s.getPath.getName.stripPrefix("txn_month="),
+          math.min(math.max(1, n), maxFilesPerMonth))
+      }
+    val df = spark.read.parquet(vdir.toString).drop("txn_month")
+    import spark.implicits._
+    val splits = monthSplits.toDF("__m", "__n")
+    val salted = df
+      .withColumn("__m", date_format(col(dateCol), "yyyy-MM"))
+      .join(broadcast(splits), Seq("__m"), "left")
+      // salt over the whole row, stable across runs (no rand())
+      .withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), coalesce(col("__n"), lit(1))))
+    val nParts = math.max(1, monthSplits.map(_._2).sum)
+    val packed = salted
+      .repartition(nParts, col("__m"), col("__salt"))
+      .drop("__m", "__n", "__salt")
+    publishSnapshot(packed, dateCol, tablePath, retainVersions)
+  }
+
   /** Write `df` as exactly ONE parquet file at `destFile`, staged in a
     * private dir and moved by a single-file rename. Two guarantees the
     * plain `df.write` path lacks: concurrent writers into one

@@ -93,6 +93,71 @@ class ScaleSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
   }
 
+  test("snapshot compaction bin-packs each month to its target file count") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("compact").toString + "/t"
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("transaction_date"))
+    // repartition(8) fragments every month into 8 files — the shape an
+    // append-heavy table drifts into
+    Sinks.publishSnapshot(df.repartition(8), "transaction_date", table)
+    def monthFiles(): Map[String, Int] = {
+      val vdir = new java.io.File(Sinks.currentVersionDir(spark, table))
+      vdir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("txn_month="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    def checksum(): (Long, Long) = {
+      // key-sum is order-independent (a double sum would wobble with
+      // the partitioning under test)
+      val r = Sinks.readSnapshot(spark, table)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = monthFiles()
+    assert(before.values.max > 1, "fixture should start fragmented")
+    val sumBefore = checksum()
+    // huge target → every month compacts to exactly one file
+    assert(Sinks.compactSnapshot(spark, table, "transaction_date",
+      targetFileBytes = 1L << 30) === 2L)
+    val after = monthFiles()
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ === 1), s"not fully compacted: $after")
+    assert(checksum() === sumBefore)
+    // tiny target (cap at 4) → months SPLIT again (bin-packing both ways)
+    Sinks.compactSnapshot(spark, table, "transaction_date",
+      targetFileBytes = 1, maxFilesPerMonth = 4)
+    assert(monthFiles().values.max > 1)
+    assert(checksum() === sumBefore)
+  }
+
+  test("z-ordered layout: files cover hypercubes, so boxes on EITHER column prune files") {
+    import graft.sources.ZOrder
+    val out = Files.createTempDirectory("zorder").toString
+    val df = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("double").as("ck"), col("o_totalprice").as("tp"))
+    ZOrder.writeZOrdered(df, Seq("ck", "tp"), out, nFiles = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 16)
+    assert(spark.read.parquet(out).count() === df.count())
+    // per-file min/max = exactly what parquet footer pruning sees
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ck"), max("ck"), min("tp"), max("tp")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val q = df.stat.approxQuantile(Array("ck", "tp"), Array(0.25), 0.01)
+    val (ckQ, tpQ) = (q(0)(0), q(1)(0))
+    // 2-D quarter box: ideal z-order touches ~1/16 of files; half is
+    // the loose bound that still proves multi-column clustering
+    val both = stats.count { case (ckMin, _, tpMin, _) => ckMin <= ckQ && tpMin <= tpQ }
+    assert(both <= files.length / 2, s"2-D box touched $both/${files.length} files")
+    // a slice on the SECOND column alone must also skip — the property
+    // a single-column sort layout cannot provide
+    val tpOnly = stats.count { case (_, _, tpMin, _) => tpMin <= tpQ }
+    assert(tpOnly < files.length, s"tp-only slice touched every file")
+  }
+
   test("jsonl corpus round-trips through the split-partitioned gzip sink") {
     import graft.sources.JsonlDocs
     val out = Files.createTempDirectory("jsonl").toString
