@@ -57,6 +57,8 @@ object SparkEntry {
     "q_sessions"         -> ReferenceOps.sessionize _,
     "q_asof_order"       -> AsOf.eventOrderAsOf _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
+    // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
+    "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -533,6 +535,13 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    // the z-order layout must never change results — plain filter truth
+    "q_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_custkey <= 500 AND o_totalprice <= 50000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

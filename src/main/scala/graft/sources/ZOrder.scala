@@ -43,6 +43,22 @@ object ZOrder {
     terms.reduce(_ + _)
   }
 
+  /** Registered driver query: z-order the orders table on
+    * (o_custkey, o_totalprice) into a scratch layout, then read it
+    * back through a 2-D predicate — the full write→footer-pruned-scan
+    * lifecycle runs under the driver's hash check against a plain
+    * filter oracle (layout must never change results; the SKIPPING
+    * property is spec-measured in ScaleSpec). */
+  def zorderScan(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("zorder_q")
+    val df = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    writeZOrdered(df, Seq("o_custkey", "o_totalprice"), tmp, nFiles = 16)
+    spark.read.parquet(tmp)
+      .filter(col("o_custkey") <= 500 && col("o_totalprice") <= 50000.0)
+      .orderBy("o_orderkey")
+  }
+
   /** Learn equi-depth boundaries and write `df` z-ordered on `cols`
     * (numeric columns) into `nFiles` files at `path`. Returns the
     * per-column boundaries used (for tests / re-use). */
