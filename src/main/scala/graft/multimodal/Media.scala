@@ -14,14 +14,17 @@ import graft.sources.Tables
   * payloads travel as opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract run per-partition in batches.
   *
-  * The IMAGE path is real: payloads are genuine PNGs, decoded with the
-  * JDK's `javax.imageio` codec (true width/height from the bitstream)
-  * and resized through `Graphics2D` with a real re-encode. The AUDIO
-  * path is real too: payloads are genuine 16-bit PCM WAV streams and
-  * the sample rate / frame count come from the RIFF header via
-  * `javax.sound.sampled.AudioSystem`. Only video decode remains
-  * STUBBED (`decodeStub`) — no video codec ships with the JDK and the
-  * container has no media libraries — but everything Spark-side is
+  * ALL THREE modality paths are real JDK codecs. IMAGE: genuine PNGs
+  * decoded with `javax.imageio` (true width/height from the
+  * bitstream), resized through `Graphics2D` with a real re-encode.
+  * AUDIO: genuine 16-bit PCM WAV streams, sample rate / frame count
+  * from the RIFF header via `javax.sound.sampled.AudioSystem`. VIDEO:
+  * genuine multi-frame (animated) GIF containers — the one
+  * moving-picture format the JDK ships a codec for — with the true
+  * frame count and frame dimensions read back through the GIF
+  * `ImageReader` (`getNumImages`). A modern-codec container (H.264
+  * etc.) would still need an external library; `decodeStub` remains
+  * only as the corrupt-payload fall-back. Everything Spark-side is
   * real and tested for all three kinds: the
   * schema, the binary column, the partition-wise batch processing
   * shape (the Scala analog of `mapInPandas`: one iterator of rows per
@@ -99,10 +102,52 @@ object Media {
     out.toByteArray
   }
 
-  /** Build a media table from the documents corpus. Image payloads are
-    * real PNGs and audio payloads real WAVs (rendered per partition,
-    * like a fetch+transcode stage would produce); video payloads reuse
-    * the text bytes as an opaque stand-in for an encoded stream.
+  /** Frame count of the synthetic GIF for media_id: 4..11, id-derived
+    * — enough frames that every-Nth sampling is exercised, small
+    * enough that the fixture encode stays cheap. */
+  private[graft] def gifFramesFor(id: Long): Int = (4 + (id % 8)).toInt
+
+  /** Deterministic synthetic VIDEO for media_id: a real multi-frame
+    * GIF container (the JDK's only animated-picture codec). Frames are
+    * small INDEXED-color thumbnails (the GIF writer re-quantizes
+    * true-color frames pixel by pixel — the dominant cost at corpus
+    * scale — while indexed frames encode directly) with an id-seeded
+    * moving block, so frame content differs per frame like a real
+    * clip. */
+  private[graft] def syntheticGif(id: Long): Array[Byte] = {
+    val n = gifFramesFor(id)
+    val w = 32; val h = 24
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val frame = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+        val g = frame.createGraphics()
+        g.setColor(new java.awt.Color(((id * 31 + f * 7) % 256).toInt,
+          ((id * 17 + f * 13) % 256).toInt, ((id + f) % 256).toInt))
+        g.fillRect(0, 0, w, h)
+        g.setColor(java.awt.Color.WHITE)
+        g.fillRect(((id + f * 5) % (w - 8)).toInt, ((id + f * 3) % (h - 8)).toInt, 8, 8)
+        g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Build a media table from the documents corpus. All payloads are
+    * real encoded containers rendered per partition, like a
+    * fetch+transcode stage would produce: PNG images, PCM WAV audio,
+    * multi-frame GIF video.
     *
     * @param onlyKind restrict the table to one kind BEFORE any payload
     *   rendering — consumers that touch a single modality (frame
@@ -117,28 +162,27 @@ object Media {
         col("doc_id").as("media_id"),
         // deterministic kind assignment: image/audio/video round-robin
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"))
     val narrowed = onlyKind.fold(base)(k => base.filter(col("kind") === k))
     narrowed
-      .as[(Long, String, Array[Byte])]
+      .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, kind, p) =>
+        rows.map { case (id, kind) =>
           kind match {
             case "image" => (id, kind, encodePng(syntheticImage(id)))
             case "audio" => (id, kind, syntheticWav(id))
-            case _       => (id, kind, p)
+            case _       => (id, kind, syntheticGif(id))
           }
         }
       }
       .toDF("media_id", "kind", "payload")
   }
 
-  /** STUB decoder for the kinds with no JDK codec (video), and the
-    * fall-back for undecodable image/audio payloads. Deterministic
-    * pseudo-metadata derived from the payload bytes; replace the body
-    * with the real library call (e.g. an ffmpeg binding) when
-    * available. */
+  /** Fall-back pseudo-decoder for UNDECODABLE payloads of any kind
+    * (every healthy path now has a real JDK codec): deterministic
+    * pseudo-metadata derived from the payload bytes, so a corrupt row
+    * degrades instead of failing the batch. Swap for a quarantine
+    * route when corrupt rows must be audited. */
   private def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     val b0 = if (n > 0) payload(0) & 0xff else 0
@@ -153,7 +197,9 @@ object Media {
     * (width/height read from the PNG/JPEG bitstream), audio through
     * the REAL `javax.sound.sampled` parser (sample rate / frame count
     * from the RIFF header — no PCM decode needed for metadata), video
-    * through the stub. An undecodable image/audio payload falls back
+    * through the REAL GIF `ImageReader` (true container frame count
+    * via `getNumImages` plus first-frame dimensions — headers only,
+    * no pixel decode). An undecodable payload of any kind falls back
     * to the stub rather than failing the batch. */
   private def decodeOne(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
     kind match {
@@ -167,7 +213,22 @@ object Media {
           MediaMeta(id, kind, payload.length, 0, 0,
             math.max(aff.getFrameLength, 0), aff.getFormat.getSampleRate.toInt)
         } catch { case _: Exception => decodeStub(id, kind, payload) }
-      case _ => decodeStub(id, kind, payload)
+      case _ =>
+        try {
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) decodeStub(id, kind, payload)
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                MediaMeta(id, kind, payload.length, r.getWidth(0), r.getHeight(0),
+                  r.getNumImages(true), 0)
+              } finally r.dispose()
+            }
+          } finally iis.close()
+        } catch { case _: Exception => decodeStub(id, kind, payload) }
     }
 
   /** Partition-wise batch decode with an optional pass-through column:
@@ -209,9 +270,11 @@ object Media {
 
   /** Registered frame-sample query: decode → sample in one pipeline
     * (rows-only oracle — one row per sampled frame per video). Only
-    * the video rows are built and decoded. */
+    * the video rows are built and decoded; every 8th frame of the
+    * 4..31-frame GIF fixtures gives multi-row sampling per video. */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(decodeMeta(mediaTable(spark, dir, onlyKind = Some("video"))).toDF())
+    sampleFrames(decodeMeta(mediaTable(spark, dir, onlyKind = Some("video"))).toDF(),
+      everyN = 8)
       .orderBy("media_id", "frame_idx")
 
   /** Resized-image record: target box + the re-encoded payload. */

@@ -273,6 +273,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(Media.resizeImages(badImg).collect().isEmpty)
   }
 
+  test("video decode is real: a planted multi-frame GIF reports its true frame count") {
+    // hand-built 5-frame animated GIF through the JDK writer
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    (1 to 5).foreach { _ =>
+      w.writeToSequence(new javax.imageio.IIOImage(
+        new java.awt.image.BufferedImage(37, 21,
+          java.awt.image.BufferedImage.TYPE_INT_RGB), null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val m = Seq((1L, "video", out.toByteArray)).toDF("media_id", "kind", "payload")
+    val meta = Media.decodeMeta(m).collect().head
+    assert(meta.n_frames === 5 && meta.width === 37 && meta.height === 21)
+    // the registered media table carries genuine GIF containers whose
+    // frame counts match the fixture formula
+    Media.mediaTable(spark, sf).filter(col("kind") === "video")
+      .limit(3).collect().foreach { row =>
+        val id = row.getAs[Long]("media_id")
+        val got = Media.decodeMeta(
+          Seq((id, "video", row.getAs[Array[Byte]]("payload")))
+            .toDF("media_id", "kind", "payload")).collect().head
+        assert(got.n_frames === Media.gifFramesFor(id),
+          s"video $id frame count mismatch")
+      }
+    // corrupt video payloads degrade to the stub, not a failure
+    val bad = Seq((2L, "video", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    assert(Media.decodeMeta(bad).collect().head.n_frames >= 1)
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()
