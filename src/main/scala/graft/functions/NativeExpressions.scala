@@ -73,6 +73,44 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object BucketId {
+  /** Count of sorted `bounds` ≤ v — binary search, shared by eval and
+    * generated code. -0.0 normalizes to 0.0 first: Spark's `>=` treats
+    * them equal while `Arrays.binarySearch` orders them, and the
+    * composed reference formulation must stay bit-equal. */
+  def bucket(bounds: Array[Double], v0: Double): Int = {
+    val v = if (v0 == 0.0d) 0.0d else v0
+    val idx = java.util.Arrays.binarySearch(bounds, v)
+    if (idx >= 0) idx + 1 else -(idx + 1)
+  }
+}
+
+/** Equi-depth bucket id of a double against a sorted boundary array:
+  * a per-row binary search (log₂ 256 = 8 compares) replacing the
+  * composed `aggregate` fold over a 256-element literal array (256
+  * interpreted compares per row per column) — the z-order write path's
+  * hot loop. NaN ranks after every boundary, matching Spark's
+  * NaN-greatest comparison semantics. */
+case class BucketId(child: Expression, bounds: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val arr: Array[Double] = bounds.toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    BucketId.bucket(arr, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", arr, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.BucketId.bucket($ref, $v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BucketId = copy(child = c)
+}
+
 /** 64-bit polynomial rolling hash over the UTF-8 bytes of a string:
   * h = h*31 + byte (mod 2^64). The per-document content fingerprint
   * (SURVEY.md §2 #29); codegen'd, zero allocation. */
@@ -557,6 +595,8 @@ object native {
     ExpressionUtils.column(DotProductF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def poly_hash64(c: Column): Column =
     ExpressionUtils.column(PolyHash64(ExpressionUtils.expression(c)))
+  def bucket_id(c: Column, bounds: Seq[Double]): Column =
+    ExpressionUtils.column(BucketId(ExpressionUtils.expression(c), bounds))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
   def minhash_signature(c: Column, numHashes: Int): Column =

@@ -16,16 +16,24 @@ import org.apache.spark.sql.types.DoubleType
   * Cost model: one `approxQuantile` pass to learn boundaries (driver
   * holds nBuckets doubles per column — tiny), one range shuffle on the
   * z-value, local sorts. Write-time only; readers pay nothing. The
-  * bucket fold is an `aggregate` over a (≤256)-element literal array
-  * per row per column — interpreted, but amortized against the write
-  * it feeds.
+  * bucket id is a native codegen binary search (`BucketId`, 8 compares
+  * at 256 buckets) — the composed `aggregate` fold is kept as the
+  * semantic reference and spec-pinned equal.
   */
 object ZOrder {
 
   /** Equi-depth bucket id of `c` given sorted quantile `bounds`:
     * the count of boundaries ≤ value, i.e. a rank in 0..bounds.size.
-    * Null ranks 0 (sorts first, like NULLS FIRST). */
-  private[sources] def bucketOf(c: Column, bounds: Seq[Double]): Column =
+    * Null ranks 0 (sorts first, like NULLS FIRST). Native codegen
+    * binary search (8 compares at 256 buckets) — the composed
+    * `aggregate` fold below is the semantic reference (256 interpreted
+    * compares per row), equality spec-pinned. */
+  private[graft] def bucketOf(c: Column, bounds: Seq[Double]): Column =
+    coalesce(
+      graft.functions.native.bucket_id(c.cast(DoubleType), bounds),
+      lit(0))
+
+  private[graft] def bucketOfComposed(c: Column, bounds: Seq[Double]): Column =
     aggregate(
       array(bounds.map(lit(_)): _*),
       lit(0),
@@ -34,7 +42,7 @@ object ZOrder {
   /** Bit-interleaved z-value of the given bucket columns: bit b of
     * column i lands at position b * nCols + i, so all columns share
     * the high bits equally — the locality property z-order is for. */
-  private[sources] def zValue(buckets: Seq[Column], bits: Int): Column = {
+  private[graft] def zValue(buckets: Seq[Column], bits: Int): Column = {
     val k = buckets.size
     val terms = for {
       b <- 0 until bits

@@ -131,6 +131,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(checksum() === sumBefore)
   }
 
+  test("native bucket id equals the composed fold, boundary values included") {
+    import graft.sources.ZOrder
+    import spark.implicits._
+    val df = Tables.orders(spark, sf).select(col("o_totalprice").as("v"))
+    val bounds = df.stat.approxQuantile(Array("v"),
+      (1 until 64).map(_ / 64.0).toArray, 0.01)(0).toSeq.distinct.sorted
+    // real values — many land EXACTLY on a boundary (they came from
+    // the same data), the case where off-by-one bugs live
+    val diffs = df
+      .withColumn("a", ZOrder.bucketOf(col("v"), bounds))
+      .withColumn("b", ZOrder.bucketOfComposed(col("v"), bounds))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diffs === 0L)
+    // planted edge values: below-all, exact boundary, between, above-all
+    val edge = Seq(bounds.head - 1, bounds.head, (bounds.head + bounds(1)) / 2,
+      bounds.last, bounds.last + 1).toDF("v")
+    val e = edge
+      .withColumn("a", ZOrder.bucketOf(col("v"), bounds))
+      .withColumn("b", ZOrder.bucketOfComposed(col("v"), bounds))
+      .collect()
+    e.foreach(r => assert(r.getInt(1) === r.getInt(2), s"edge ${r.getDouble(0)}"))
+  }
+
   test("z-ordered layout: files cover hypercubes, so boxes on EITHER column prune files") {
     import graft.sources.ZOrder
     val out = Files.createTempDirectory("zorder").toString
