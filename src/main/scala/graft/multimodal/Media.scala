@@ -270,8 +270,10 @@ object Media {
 
   /** Registered frame-sample query: decode → sample in one pipeline
     * (rows-only oracle — one row per sampled frame per video). Only
-    * the video rows are built and decoded; every 8th frame of the
-    * 4..31-frame GIF fixtures gives multi-row sampling per video. */
+    * the video rows are built and decoded; with every-8th-frame
+    * sampling over the 4..11-frame GIF fixtures, videos with ≥9
+    * frames sample two rows and the rest one — both branches of the
+    * stride arithmetic are exercised. */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(decodeMeta(mediaTable(spark, dir, onlyKind = Some("video"))).toDF(),
       everyN = 8)

@@ -186,43 +186,40 @@ object Sinks {
     * commit as any publish; the fragmented version ages out through
     * `retainVersions`).
     *
-    * Bin-packing: per-month byte sizes come from the live version's
-    * directory listing (metadata only — no data read), each month gets
-    * `ceil(bytes / target)` files (capped at `maxFilesPerMonth`), and
-    * rows are salted into that count then repartitioned on
-    * (month, salt) — each task partition holds exactly one
-    * (month, salt) slice, so the month's file count equals its split
-    * count: a giant month splits, a small month compacts to one file.
-    * Returns the published version. */
+    * Bin-packing: each month is co-located into ONE task (so a small
+    * month compacts to exactly one file) and
+    * `spark.sql.files.maxRecordsPerFile` — sized from the live
+    * version's bytes-per-row, learned from the directory listing plus
+    * a footer-only row count — rolls an oversized month into
+    * ceil(rows / rowsPerFile) sequential files. This is EXACT per-file
+    * sizing (a hash-salted layout can merge two slices by collision),
+    * covers null-date rows like any other month, and keeps write
+    * parallelism across months; within one giant month the single
+    * writer task is the price of exactness, acceptable for a
+    * maintenance pass. Returns the published version. */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       dateCol: String, targetFileBytes: Long = 128L << 20,
-                      maxFilesPerMonth: Int = 4096,
                       retainVersions: Int = 2): Long = {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
     val vdir = new org.apache.hadoop.fs.Path(currentVersionDir(spark, tablePath))
     val fs = hadoopFs(spark, vdir)
-    val monthSplits: Seq[(String, Int)] = fs.listStatus(vdir).toSeq
+    val monthDirs = fs.listStatus(vdir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn_month="))
-      .map { s =>
-        val bytes = fs.listStatus(s.getPath).map(_.getLen).sum
-        val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        (s.getPath.getName.stripPrefix("txn_month="),
-          math.min(math.max(1, n), maxFilesPerMonth))
-      }
+    val totalBytes = monthDirs.map(d => fs.listStatus(d.getPath).map(_.getLen).sum).sum
     val df = spark.read.parquet(vdir.toString).drop("txn_month")
-    import spark.implicits._
-    val splits = monthSplits.toDF("__m", "__n")
-    val salted = df
-      .withColumn("__m", date_format(col(dateCol), "yyyy-MM"))
-      .join(broadcast(splits), Seq("__m"), "left")
-      // salt over the whole row, stable across runs (no rand())
-      .withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), coalesce(col("__n"), lit(1))))
-    val nParts = math.max(1, monthSplits.map(_._2).sum)
-    val packed = salted
-      .repartition(nParts, col("__m"), col("__salt"))
-      .drop("__m", "__n", "__salt")
-    publishSnapshot(packed, dateCol, tablePath, retainVersions)
+    val totalRows = df.count() // parquet footer counts — no data read
+    val bytesPerRow = math.max(1L, totalBytes / math.max(1L, totalRows))
+    val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
+    val packed = df.repartition(math.max(1, monthDirs.size),
+      date_format(col(dateCol), "yyyy-MM"))
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rowsPerFile)
+    try publishSnapshot(packed, dateCol, tablePath, retainVersions)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Write `df` as exactly ONE parquet file at `destFile`, staged in a

@@ -124,9 +124,9 @@ class ScaleSpec extends AnyFunSuite {
     assert(after.keySet === before.keySet)
     assert(after.values.forall(_ === 1), s"not fully compacted: $after")
     assert(checksum() === sumBefore)
-    // tiny target (cap at 4) → months SPLIT again (bin-packing both ways)
-    Sinks.compactSnapshot(spark, table, "transaction_date",
-      targetFileBytes = 1, maxFilesPerMonth = 4)
+    // tiny target (~a few rows per file) → months SPLIT again
+    // (bin-packing works both directions)
+    Sinks.compactSnapshot(spark, table, "transaction_date", targetFileBytes = 64)
     assert(monthFiles().values.max > 1)
     assert(checksum() === sumBefore)
   }
