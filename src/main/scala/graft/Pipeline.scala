@@ -94,6 +94,20 @@ object Pipeline {
   def current(spark: SparkSession, tablePath: String): DataFrame =
     Sinks.readSnapshot(spark, tablePath).filter(col("is_deleted") === "F")
 
+  /** Periodic maintenance — the step the reference delegates to
+    * Postgres (autovacuum) and we must own on parquet: a publish
+    * writes one file per task per month (a 1000-way-parallel merge
+    * leaves up to 1000 small files in EVERY month dir), so period
+    * queries come to pay per-file open costs instead of scan costs.
+    * Rewrites the live snapshot bin-packed to ~`targetFileBytes` files
+    * per month (`Sinks.compactSnapshot` — readers ride the manifest
+    * swap like any publish) and returns the published version. Run it
+    * on the reference's GC cadence, e.g. after every Nth
+    * `applyMonthly`. */
+  def maintain(spark: SparkSession, tablePath: String,
+               targetFileBytes: Long = 128L << 20): Long =
+    Sinks.compactSnapshot(spark, tablePath, "transaction_date", targetFileBytes)
+
   /** The reference's database-verify tool (land_registry_database_
     * verify.py, incl. its fix_database mode) as one call: reconcile
     * the LIVE snapshot rows against a pp-complete file on every value

@@ -181,6 +181,34 @@ class PipelineSpec extends AnyFunSuite {
       === seqs.toSet)
   }
 
+  test("Pipeline.maintain compacts the snapshot without changing the analyst view") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("maintain").toString + "/t"
+    val complete = writeFile("pp-complete.txt", Seq(
+      row("M1", 100000, "2024-01-15", "A"),
+      row("M2", 200000, "2024-01-20", "A"),
+      row("M3", 300000, "2024-02-10", "A")))
+    Pipeline.initialize(spark, complete, table)
+    // fragment like a wide-parallel publish would: 8 tasks per month
+    Sinks.publishSnapshot(
+      Sinks.readSnapshot(spark, table).drop("txn_month").repartition(8),
+      "transaction_date", table)
+    def monthFiles(): Int = new java.io.File(Sinks.currentVersionDir(spark, table))
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("txn_month="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(monthFiles() > 1)
+    val before = Pipeline.current(spark, table)
+      .select("transaction_unique_id", "price").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val vBefore = Sinks.currentVersion(spark, table).get
+    assert(Pipeline.maintain(spark, table, targetFileBytes = 1L << 30) === vBefore + 1)
+    assert(monthFiles() === 1)
+    val after = Pipeline.current(spark, table)
+      .select("transaction_unique_id", "price").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(after === before)
+  }
+
   test("Pipeline.verifyAndFix reconciles the snapshot against a file and repairs it") {
     // snapshot initialized from a DIVERGED file: P1 has the wrong
     // price, P3 is an extra row the truth file lacks, P4 is missing
