@@ -83,8 +83,9 @@ object SparkEntry {
     // … and the banded-LSH variant — the plan that survives 100×
     "d_embed_dup_lsh"    -> ((s: SparkSession, dir: String) =>
       SimilarityOps.embedDupPairs(s, dir, useLsh = true)),
-    "d_clean_corpus"     -> ((s: SparkSession, dir: String) =>
-      NearDedup.cleanCorpus(graft.sources.Tables.documents(s, dir))),
+    // exact-pair variant (PPJoin edges + planted near-dups) so the
+    // full clean composition hash-matches a recursive-CTE oracle
+    "d_clean_corpus"     -> NearDedup.cleanCorpusExact _,
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_hybrid"           -> ((s: SparkSession, dir: String) => SimilarityOps.hybridSearch(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
@@ -565,6 +566,50 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the full corpus-clean composition: planted near-dups (offset
+    // derived via the MAX(doc_id)+1 subquery, exactly as the Spark
+    // side derives it) → quality filter → exact 3-gram Jaccard pairs
+    // at 0.5 → min-label connected components as a RECURSIVE CTE
+    // (UNION-dedup'd reachability; LEAST folds the self node in) →
+    // keep unpaired docs and cluster canonicals
+    "d_clean_corpus" ->
+      s"""WITH RECURSIVE
+         |corpus AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         |         text || ' with a brief trailing remark appended',
+         |         lang, source,
+         |         CAST(length(text || ' with a brief trailing remark appended') AS BIGINT)
+         |  FROM documents WHERE doc_id % 50 = 25 AND length(text) >= 200),
+         |q AS (SELECT * FROM corpus
+         |      WHERE ($wsTok) >= 5
+         |        AND (CASE WHEN length(text) > 0
+         |             THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+         |             ELSE 0.0 END) >= 0.5),
+         |w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws FROM q),
+         |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src)
+         |SELECT q.doc_id, q.text, q.lang, q.source, q.n_chars
+         |FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+         |WHERE l.cluster_id IS NULL OR l.cluster_id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
 
     // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
     // like the Spark side — float32 accumulation can flip

@@ -15,7 +15,13 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration subset (comma-separated names), mirroring
+    // SPARK_GRAFT_BENCH_ONLY; the driver leaves it unset → full dump
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any previous dump FIRST: a query that now fails at
       // analysis time must not leave a stale (passing) result behind
       val target = new java.io.File(s"$outDir/$name")

@@ -253,19 +253,53 @@ object NearDedup {
   /** Training-corpus cleaning: quality-filter documents, then drop
     * every near-duplicate except its cluster's canonical (minimum
     * doc_id) — the composition a data pipeline runs before
-    * tokenization. */
+    * tokenization.
+    *
+    * Pair generation is MinHash+LSH by default (the cheapest plan at
+    * 100 TB); `exactPairs = true` swaps in the PPJoin prefix-filtered
+    * EXACT Jaccard ([[ngramJaccardOf]]) — same asymptotic shape (no
+    * all-pairs term), but deterministic, which is what lets the
+    * registered `d_clean_corpus` hash-match a DuckDB oracle
+    * end-to-end (a MinHash edge set depends on engine-private
+    * xxhash64 permutations no other engine can reproduce). */
   def cleanCorpus(docs: DataFrame, jaccardThreshold: Double = 0.5,
-                  minTokens: Long = 5, minAlphaRatio: Double = 0.5): DataFrame = {
+                  minTokens: Long = 5, minAlphaRatio: Double = 0.5,
+                  exactPairs: Boolean = false): DataFrame = {
     val quality = TextOps.qualityScoreOf(docs)
       .filter(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
       .select("doc_id")
     val qualified = docs.join(quality, "doc_id")
-    val clusters = duplicateClusters(minHashDedupOf(qualified, jaccardThreshold))
+    val pairs =
+      if (exactPairs) ngramJaccardOf(qualified, jaccardThreshold)
+      else minHashDedupOf(qualified, jaccardThreshold)
+    val clusters = duplicateClusters(pairs.select("id_a", "id_b"))
     qualified
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(docs.columns.map(col): _*)
       .orderBy("doc_id")
+  }
+
+  /** Registered binding for `d_clean_corpus`: exact pair generation
+    * plus planted near-duplicates (mirroring [[minHashDedup]]'s
+    * offset-derived planting), so every stage — quality filter, pair
+    * generation, min-label connected components, canonicalization —
+    * is deterministic and the whole composition hash-matches a DuckDB
+    * oracle whose label propagation is a recursive CTE. The planting
+    * proves the cluster path non-vacuous: planted rows enter the
+    * qualified corpus but never the output (their cluster canonical
+    * is the original). */
+  def cleanCorpusExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val off = plantedOffset(docs, "doc_id")
+    val planted = docs
+      .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200)
+      .select((col("doc_id") + lit(off)).as("doc_id"),
+        concat(col("text"), lit(" with a brief trailing remark appended")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+    cleanCorpus(docs.unionByName(planted.select(docs.columns.map(col): _*)),
+      exactPairs = true)
   }
 
   /** Winnowing-fingerprint near-dup (MOSS scheme, Schleimer et al.

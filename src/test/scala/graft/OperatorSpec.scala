@@ -239,6 +239,22 @@ class OperatorSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val kept = NearDedup.cleanCorpus(docs).select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 5L))
+    // the exact-pair (PPJoin) mode behind the oracle-checked
+    // d_clean_corpus must resolve the same clusters on this fixture
+    val keptExact = NearDedup.cleanCorpus(docs, exactPairs = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExact === Set(1L, 5L))
+  }
+
+  test("cleanCorpusExact drops every planted near-duplicate (cluster path non-vacuous)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nPlanted = docs
+      .filter(col("doc_id") % 50 === 25 && length(col("text")) >= 200).count()
+    assert(nPlanted > 0) // fixture must actually exercise the planting
+    val maxReal = docs.agg(max(col("doc_id"))).as[Long].head()
+    val out = NearDedup.cleanCorpusExact(spark, sf)
+    // planted ids live above max(doc_id); none may survive canonicalization
+    assert(out.filter(col("doc_id") > maxReal).count() === 0)
   }
 
   test("prefix-filtered jaccard equals the full inverted-index result") {
