@@ -101,12 +101,18 @@ object Pipeline {
     * queries come to pay per-file open costs instead of scan costs.
     * Rewrites the live snapshot bin-packed to ~`targetFileBytes` files
     * per month (`Sinks.compactSnapshot` — readers ride the manifest
-    * swap like any publish) and returns the published version. Run it
-    * on the reference's GC cadence, e.g. after every Nth
-    * `applyMonthly`. */
+    * swap like any publish) and returns the published version. With
+    * `zorderCols`, the same single republish also CLUSTERS each month
+    * on those columns (Delta's `OPTIMIZE ZORDER BY`) so period+key
+    * queries prune on footer stats afterwards. Run it on the
+    * reference's GC cadence, e.g. after every Nth `applyMonthly`;
+    * concurrent publishes are safe (compaction retries behind them,
+    * never shadows them — see `Sinks.publishSnapshot`). */
   def maintain(spark: SparkSession, tablePath: String,
-               targetFileBytes: Long = 128L << 20): Long =
-    Sinks.compactSnapshot(spark, tablePath, "transaction_date", targetFileBytes)
+               targetFileBytes: Long = 128L << 20,
+               zorderCols: Seq[String] = Nil): Long =
+    Sinks.compactSnapshot(spark, tablePath, "transaction_date", targetFileBytes,
+      zorderCols = zorderCols)
 
   /** The reference's database-verify tool (land_registry_database_
     * verify.py, incl. its fix_database mode) as one call: reconcile

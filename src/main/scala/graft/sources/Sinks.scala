@@ -3,6 +3,12 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
+/** A snapshot publish lost an optimistic-concurrency race: the version
+  * number it required (`expectedVersion`) was claimed by a concurrent
+  * publisher first. Nothing was written; safe to re-read the live
+  * version and retry. */
+class ConcurrentSnapshotUpdate(msg: String) extends java.io.IOException(msg)
+
 /** Write-side of the engine — the Spark analog of the reference's
   * database-upload services. Instead of row-inserts into Postgres
   * (pp_complete_db_upload.py), the table IS a partitioned parquet
@@ -15,11 +21,13 @@ object Sinks {
     * category, one period") partition-prunable at 100 TB. Dynamic
     * partition overwrite replaces only the months present in `df`
     * (the monthly update case) instead of the whole table. */
-  def writeMonthlySnapshot(df: DataFrame, dateCol: String, path: String): Unit =
+  def writeMonthlySnapshot(df: DataFrame, dateCol: String, path: String,
+                           writerOptions: Map[String, String] = Map.empty): Unit =
     df.withColumn("txn_month", date_format(col(dateCol), "yyyy-MM"))
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .options(writerOptions)
       .partitionBy("txn_month")
       .parquet(path)
 
@@ -49,6 +57,7 @@ object Sinks {
 
   private val versionRe = "v(\\d{8})".r
   private val manifestRe = "m(\\d{8})".r
+  private val claimRe = "c(\\d{8})".r
   private def versionDirName(v: Long): String = f"v$v%08d"
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,12 +66,15 @@ object Sinks {
     * a NEW file name under `dir` — two concurrent writers can never
     * claim the same number; the loser observes the collision and
     * retries with the next. The conditional create must be ATOMIC:
-    * HDFS/object-store `create(overwrite = false)` is (namenode
-    * check / If-None-Match precondition), but Hadoop's LOCAL
-    * filesystem implements it as check-then-create, which two racing
-    * threads both pass — so the `file` scheme goes through
-    * `java.nio.Files.createFile` (O_CREAT|O_EXCL, atomic in the
-    * kernel) instead. */
+    * HDFS `create(overwrite = false)` is (namenode check), but
+    * Hadoop's LOCAL filesystem implements it as check-then-create,
+    * which two racing threads both pass — so the `file` scheme goes
+    * through `java.nio.Files.createFile` (O_CREAT|O_EXCL, atomic in
+    * the kernel) instead. Object stores only qualify when the
+    * connector maps it to a conditional write (If-None-Match /
+    * Hadoop 3.4+ `fs.s3a.create.conditional`); classic S3A's
+    * HEAD-then-PUT is NOT atomic, and the multi-writer guarantee
+    * does not extend there (see [[publishSnapshot]]). */
   private[sources] def claimNumber(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: org.apache.hadoop.fs.Path,
                                    start: Long, prefix: String): Long = {
@@ -131,9 +143,27 @@ object Sinks {
     * by a conditional create under `_claims` (see [[claimNumber]]), so
     * two concurrent publishers can never write into the same version
     * directory — the reference gets the same guarantee from Postgres
-    * serial PKs; this is its filesystem analog. */
+    * serial PKs; this is its filesystem analog. The claim/commit
+    * guarantees hold on filesystems with an atomic conditional create
+    * (local via O_CREAT|O_EXCL, HDFS via the namenode, object stores
+    * with conditional-write support such as Hadoop 3.4+ `fs.s3a.create
+    * .conditional`); on an object store where create(overwrite=false)
+    * is HEAD-then-PUT, two racing writers can both pass the check —
+    * run single-writer there, or front the store with a coordination
+    * layer.
+    *
+    * `expectedVersion`: when set, the publish ABORTS (before writing
+    * any data — only an orphan claim file is left) unless the claimed
+    * number is exactly this. Content-rewriting maintenance passes use
+    * it as optimistic concurrency control (see [[compactSnapshot]]):
+    * a compaction of version V may only ever commit as V+1, so a
+    * concurrent content-ADDING publisher — which claims a later
+    * number and commits a later marker — always shadows it, and stale
+    * compacted data can never revert a newer snapshot. */
   def publishSnapshot(df: DataFrame, dateCol: String, tablePath: String,
-                      retainVersions: Int = 2): Long = {
+                      retainVersions: Int = 2,
+                      writerOptions: Map[String, String] = Map.empty,
+                      expectedVersion: Option[Long] = None): Long = {
     require(retainVersions >= 1, "retainVersions must keep at least the live version")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -151,7 +181,12 @@ object Sinks {
     // create and moves on to the next number
     val next = claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_claims"),
       (existing :+ 0L).max + 1, "c")
-    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}")
+    expectedVersion.filter(_ != next).foreach { e =>
+      throw new ConcurrentSnapshotUpdate(
+        s"publish of $tablePath expected version $e but the claim landed on $next " +
+        "(a concurrent publisher owns the intervening number); no data was written")
+    }
+    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions)
     // commit marker: a NEW file name under _manifests — version encoded
     // in the name, so there is no content to race on
     val marker = new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d")
@@ -172,7 +207,20 @@ object Sinks {
       // readers already ignore
       fs.delete(new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
-      fs.delete(new org.apache.hadoop.fs.Path(root, f"_claims/c$v%08d"), false)
+    }
+    // claim sweep: every claim strictly below the oldest RETAINED
+    // committed version is unreachable debris — the claims of pruned
+    // versions, plus abandoned claims from crashed or expectedVersion-
+    // aborted publishers. No live writer can re-claim one (the claim
+    // scan starts past the retained version dirs), so inode growth
+    // stays bounded by the retain window, not by publish count.
+    val keepFloor = committed.sorted.reverse.take(retainVersions).lastOption.getOrElse(0L)
+    val cdir = new org.apache.hadoop.fs.Path(root, "_claims")
+    if (fs.exists(cdir)) fs.listStatus(cdir).foreach { s =>
+      s.getPath.getName match {
+        case claimRe(n) if n.toLong < keepFloor => fs.delete(s.getPath, false)
+        case _                                  => ()
+      }
     }
     next
   }
@@ -186,40 +234,89 @@ object Sinks {
     * commit as any publish; the fragmented version ages out through
     * `retainVersions`).
     *
-    * Bin-packing: each month is co-located into ONE task (so a small
-    * month compacts to exactly one file) and
-    * `spark.sql.files.maxRecordsPerFile` — sized from the live
-    * version's bytes-per-row, learned from the directory listing plus
-    * a footer-only row count — rolls an oversized month into
-    * ceil(rows / rowsPerFile) sequential files. This is EXACT per-file
-    * sizing (a hash-salted layout can merge two slices by collision),
-    * covers null-date rows like any other month, and keeps write
-    * parallelism across months; within one giant month the single
-    * writer task is the price of exactness, acceptable for a
-    * maintenance pass. Returns the published version. */
+    * Parallel even within one giant month: each month is split into
+    * ceil(rows / rowsPerFile) content-hash salt groups — sized from
+    * the live version's bytes-per-row (directory listing + footer-only
+    * row count), one tiny count row per month on the driver — and the
+    * shuffle spreads the groups over that many tasks, so a 100 TB hot
+    * month compacts with full write parallelism instead of
+    * serializing onto one task. The per-write `maxRecordsPerFile`
+    * option (NOT a session-conf mutation — concurrent writes in the
+    * same session are unaffected) caps every file at the exact target
+    * regardless of salt-bucket skew or hash collisions between
+    * groups; a small month still compacts to exactly one file. A
+    * deterministic per-month row number would give the minimal file
+    * count exactly, but computing it IS the bottleneck being removed
+    * (a row_number window over a month serializes that month); the
+    * salt trades ≤√n per-group fill variance for full parallelism.
+    *
+    * `zorderCols` switches the pass to Delta-style OPTIMIZE ZORDER:
+    * the same republish also CLUSTERS rows, range-partitioning on
+    * (month, z-value) and sorting within partitions, so each file
+    * covers a z-hypercube and post-compaction scans prune on any
+    * z-column's footer stats. File sizing there is the range
+    * partitioner's (sampled) balance, capped by `maxRecordsPerFile`.
+    *
+    * Concurrency: compaction is a content-neutral rewrite of version
+    * V, so it publishes with `expectedVersion = V+1` — if any other
+    * publisher claimed V+1 first, the publish aborts before writing
+    * and retries against the new live version (up to `maxAttempts`).
+    * A publisher that starts mid-compaction claims a number above
+    * V+1 and its later marker wins `currentVersion`, so stale
+    * compacted data can never shadow newer content (see
+    * [[publishSnapshot]]). Returns the published version. */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       dateCol: String, targetFileBytes: Long = 128L << 20,
-                      retainVersions: Int = 2): Long = {
+                      retainVersions: Int = 2, zorderCols: Seq[String] = Nil,
+                      maxAttempts: Int = 3): Long = {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
-    val vdir = new org.apache.hadoop.fs.Path(currentVersionDir(spark, tablePath))
-    val fs = hadoopFs(spark, vdir)
-    val monthDirs = fs.listStatus(vdir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn_month="))
-    val totalBytes = monthDirs.map(d => fs.listStatus(d.getPath).map(_.getLen).sum).sum
-    val df = spark.read.parquet(vdir.toString).drop("txn_month")
-    val totalRows = df.count() // parquet footer counts — no data read
-    val bytesPerRow = math.max(1L, totalBytes / math.max(1L, totalRows))
-    val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
-    val packed = df.repartition(math.max(1, monthDirs.size),
-      date_format(col(dateCol), "yyyy-MM"))
-    val key = "spark.sql.files.maxRecordsPerFile"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, rowsPerFile)
-    try publishSnapshot(packed, dateCol, tablePath, retainVersions)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    require(maxAttempts >= 1, "maxAttempts must be positive")
+    var lastRace: ConcurrentSnapshotUpdate = null
+    (1 to maxAttempts).foreach { _ =>
+      val compacting = currentVersion(spark, tablePath).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no published snapshot at $tablePath (no commit marker in _manifests)"))
+      val vdir = new org.apache.hadoop.fs.Path(s"$tablePath/${versionDirName(compacting)}")
+      val fs = hadoopFs(spark, vdir)
+      val monthDirs = fs.listStatus(vdir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn_month="))
+      val totalBytes = monthDirs.map(d => fs.listStatus(d.getPath).map(_.getLen).sum).sum
+      val df = spark.read.parquet(vdir.toString).drop("txn_month")
+      val totalRows = df.count() // parquet footer counts — no data read
+      val bytesPerRow = math.max(1L, totalBytes / math.max(1L, totalRows))
+      val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
+      // null-safe month key: null dates form a group like any other
+      val monthKey = coalesce(date_format(col(dateCol), "yyyy-MM"), lit("__null__"))
+      val packed =
+        if (zorderCols.nonEmpty) {
+          val totalFiles = math.max(1L,
+            (totalBytes + targetFileBytes - 1) / targetFileBytes).min(1 << 20).toInt
+          val (withS, z, sCols, _) = ZOrder.zPrepared(df, zorderCols, 256)
+          withS.withColumn("__mk", monthKey).withColumn("__z", z)
+            .repartitionByRange(totalFiles, col("__mk"), col("__z"))
+            .sortWithinPartitions("__mk", "__z")
+            .drop(sCols ++ Seq("__mk", "__z"): _*)
+        } else {
+          val counts = df.groupBy(monthKey.as("__mk"))
+            .agg(count(lit(1)).as("__n")).collect() // one row per month
+          val fileCounts = counts.map { r =>
+            (r.getString(0), math.max(1L, (r.getLong(1) + rowsPerFile - 1) / rowsPerFile))
+          }
+          val totalFiles = math.max(1L, fileCounts.map(_._2).sum).min(1 << 20).toInt
+          import spark.implicits._
+          val nfDf = fileCounts.toSeq.toDF("__mk", "__nf")
+          df.withColumn("__mk", monthKey)
+            .join(broadcast(nfDf), "__mk")
+            .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), col("__nf")))
+            .repartition(totalFiles, col("__mk"), col("__salt"))
+            .drop("__mk", "__nf", "__salt")
+        }
+      try return publishSnapshot(packed, dateCol, tablePath, retainVersions,
+        writerOptions = Map("maxRecordsPerFile" -> rowsPerFile.toString),
+        expectedVersion = Some(compacting + 1))
+      catch { case e: ConcurrentSnapshotUpdate => lastRace = e } // re-read and retry
     }
+    throw lastRace
   }
 
   /** Write `df` as exactly ONE parquet file at `destFile`, staged in a
@@ -228,7 +325,10 @@ object Sinks {
     * directory never race each other's shared `_temporary` committer
     * dir, and the rename's RESULT is checked — Hadoop filesystems
     * report most rename failures by returning false, not throwing, and
-    * a silently dropped file here is a silently lost log row. */
+    * a silently dropped file here is a silently lost log row. The
+    * single-file rename is atomic on local/HDFS filesystems; on object
+    * stores rename is copy+delete, so the crash window there is a
+    * duplicated (never lost) staged file. */
   def writeSingleParquetFile(df: DataFrame, stagingDir: String, destFile: String): Unit = {
     val spark = df.sparkSession
     val dest = new org.apache.hadoop.fs.Path(destFile)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types._
 
 /** Z-order clustered writes — multi-column data-skipping layout (the
   * Delta/Iceberg `OPTIMIZE ZORDER BY` idea, built from Spark
@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.DoubleType
   * bucket id is a native codegen binary search (`BucketId`, 8 compares
   * at 256 buckets) — the composed `aggregate` fold is kept as the
   * semantic reference and spec-pinned equal.
+  *
+  * The z-value is a LONG (63 usable bits), so bits × columns ≤ 63:
+  * up to 7 columns at 256 buckets, or finer buckets on fewer columns.
+  * Non-numeric key columns join the interleave through order-
+  * preserving numeric surrogates (see [[numericView]]): dates as
+  * epoch days, timestamps as epoch seconds, strings as a packed
+  * code-point prefix — quantile boundaries are learned on the SAME
+  * surrogate, so equi-depth bucketing stays self-consistent.
   */
 object ZOrder {
 
@@ -41,14 +49,70 @@ object ZOrder {
 
   /** Bit-interleaved z-value of the given bucket columns: bit b of
     * column i lands at position b * nCols + i, so all columns share
-    * the high bits equally — the locality property z-order is for. */
+    * the high bits equally — the locality property z-order is for.
+    * Long arithmetic throughout: the interleave may use all 63
+    * non-sign bits. */
   private[graft] def zValue(buckets: Seq[Column], bits: Int): Column = {
     val k = buckets.size
     val terms = for {
       b <- 0 until bits
       (bk, i) <- buckets.zipWithIndex
-    } yield shiftleft(shiftright(bk, b).bitwiseAND(lit(1)), b * k + i)
+    } yield shiftleft(shiftright(bk.cast(LongType), b).bitwiseAND(lit(1L)), b * k + i)
     terms.reduce(_ + _)
+  }
+
+  /** Order-preserving numeric surrogate for a z-column, by data type:
+    * numerics cast to double; dates → epoch day; timestamps → epoch
+    * second; strings → the first three code points packed big-endian
+    * into 48 bits (16 per char, capped at 0xFFFF), which preserves
+    * lexicographic order on the prefix — exact within the prefix, and
+    * self-consistent because boundaries are learned on the same
+    * mapping. 48 bits stays inside double's 53-bit exact-integer
+    * range, so no two distinct surrogates collapse. Null propagates
+    * (→ bucket 0 via [[bucketOf]]'s coalesce). */
+  private[graft] def numericView(dt: DataType, c: Column): Column = dt match {
+    case DateType      => unix_date(c).cast(DoubleType)
+    case TimestampType => c.cast(LongType).cast(DoubleType)
+    case StringType =>
+      (0 until 3).map { i =>
+        val cp = ascii(substring(c, i + 1, 1))
+        when(cp > 65535, 65535L).otherwise(cp.cast(LongType)) * (1L << (16 * (2 - i)))
+      }.reduce(_ + _).cast(DoubleType)
+    case _ => c.cast(DoubleType)
+  }
+
+  /** Learn equi-depth boundaries for `cols` of `df` and build the
+    * z-value. Returns (df with the surrogate columns appended, the
+    * z-value column over them, the surrogate column names to drop
+    * after shuffling, the per-column boundaries). Shared by
+    * [[writeZOrdered]] and `Sinks.compactSnapshot`'s OPTIMIZE-ZORDER
+    * mode. */
+  private[graft] def zPrepared(df: DataFrame, cols: Seq[String], nBuckets: Int)
+      : (DataFrame, Column, Seq[String], Map[String, Seq[Double]]) = {
+    require(cols.nonEmpty && nBuckets >= 2 && nBuckets <= (1 << 16),
+      "need >=1 z-column, 2..65536 buckets")
+    val bits = 32 - Integer.numberOfLeadingZeros(nBuckets - 1) // ceil(log2)
+    require(bits * cols.size <= 63, "bits x columns must fit a long z-value")
+    val sCols = cols.indices.map(i => s"__zs_$i")
+    val withS = cols.zip(sCols).foldLeft(df) { case (d, (c, s)) =>
+      d.withColumn(s, numericView(df.schema(c).dataType, col(c)))
+    }
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = withS.stat.approxQuantile(sCols.toArray, probs, 0.01)
+    val byCol = cols.zip(bounds.map(_.toSeq.distinct.sorted)).toMap
+    // rescale each column's bucket id onto the FULL 0..nBuckets-1
+    // range: a low-cardinality column (k distinct boundaries < the
+    // requested count) would otherwise occupy only its low log2(k)
+    // bits, while the interleave's file-splitting locality lives in
+    // the HIGH bits — leaving that column unprunable. Monotone integer
+    // scaling (multiply before divide, in long space) preserves bucket
+    // order exactly; a full-cardinality column is the identity.
+    val z = zValue(cols.zip(sCols).map { case (c, s) =>
+      val k = byCol(c).size
+      if (k == 0) lit(0L)
+      else (bucketOf(col(s), byCol(c)).cast(LongType) * (nBuckets - 1)) / k
+    }, bits)
+    (withS, z, sCols, byCol)
   }
 
   /** Registered driver query: z-order the orders table on
@@ -68,22 +132,17 @@ object ZOrder {
   }
 
   /** Learn equi-depth boundaries and write `df` z-ordered on `cols`
-    * (numeric columns) into `nFiles` files at `path`. Returns the
-    * per-column boundaries used (for tests / re-use). */
+    * (numeric, date, timestamp, or string columns) into `nFiles` files
+    * at `path`. Returns the per-column boundaries used (for tests /
+    * re-use). */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
                     nFiles: Int, nBuckets: Int = 256): Map[String, Seq[Double]] = {
-    require(cols.nonEmpty && nFiles >= 1 && nBuckets >= 2 && nBuckets <= (1 << 16),
-      "need >=1 z-column, >=1 file, 2..65536 buckets")
-    val bits = 32 - Integer.numberOfLeadingZeros(nBuckets - 1) // ceil(log2)
-    require(bits * cols.size <= 31, "bits x columns must fit an int z-value")
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.01)
-    val byCol = cols.zip(bounds.map(_.toSeq.distinct.sorted)).toMap
-    val z = zValue(cols.map(c => bucketOf(col(c), byCol(c))), bits)
-    df.withColumn("__z", z)
+    require(nFiles >= 1, "need >=1 file")
+    val (withS, z, sCols, byCol) = zPrepared(df, cols, nBuckets)
+    withS.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop(sCols :+ "__z": _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path)
     byCol

@@ -131,6 +131,131 @@ class ScaleSpec extends AnyFunSuite {
     assert(checksum() === sumBefore)
   }
 
+  test("compaction splits a giant month across multiple writer tasks") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("bigmonth").toString + "/t"
+    // one hot month — the case the old single-task-per-month layout
+    // serialized onto one writer
+    val df = spark.range(20000).select(
+      col("id").as("k"),
+      (rand(7) * 1000).as("v"),
+      to_date(lit("2024-06-15")).as("transaction_date"))
+    Sinks.publishSnapshot(df.repartition(8), "transaction_date", table)
+    def monthDir(): java.io.File =
+      new java.io.File(Sinks.currentVersionDir(spark, table), "txn_month=2024-06")
+    def checksum(): (Long, Long) = {
+      val r = Sinks.readSnapshot(spark, table).agg(count(lit(1)), sum(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = checksum()
+    val monthBytes = monthDir().listFiles().map(_.length()).sum
+    // target ≈ an eighth of the month → the month must split
+    Sinks.compactSnapshot(spark, table, "transaction_date",
+      targetFileBytes = math.max(1L, monthBytes / 8))
+    val parts = monthDir().listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts.length >= 2, s"month did not split: ${parts.toSeq}")
+    // part-NNNNN is the writer task id: >1 distinct id = parallel write
+    val taskIds = parts.flatMap("part-(\\d+)-".r.findFirstMatchIn(_)).map(_.group(1)).distinct
+    assert(taskIds.length > 1, s"month written by a single task: ${parts.toSeq}")
+    assert(checksum() === before)
+  }
+
+  test("publishSnapshot expectedVersion: optimistic-concurrency abort writes nothing") {
+    import graft.sources.{ConcurrentSnapshotUpdate, Sinks}
+    val table = Files.createTempDirectory("occ").toString + "/t"
+    val df = spark.range(100).select(col("id").as("k"),
+      to_date(lit("2024-01-01")).as("transaction_date"))
+    assert(Sinks.publishSnapshot(df, "transaction_date", table) === 1L)
+    assert(Sinks.publishSnapshot(df, "transaction_date", table,
+      expectedVersion = Some(2L)) === 2L)
+    // a compaction of v1 arriving now would demand v2 — already taken
+    intercept[ConcurrentSnapshotUpdate] {
+      Sinks.publishSnapshot(df, "transaction_date", table, expectedVersion = Some(2L))
+    }
+    assert(Sinks.currentVersion(spark, table) === Some(2L))
+    assert(!new java.io.File(table, "v00000003").exists(), "aborted publish wrote data")
+    // the aborted attempt consumed claim 3, so the next publish lands
+    // on 4 — unique and monotone, gaps allowed (Postgres-serial
+    // semantics)
+    assert(Sinks.publishSnapshot(df, "transaction_date", table) === 4L)
+    (5L to 7L).foreach { v =>
+      assert(Sinks.publishSnapshot(df, "transaction_date", table) === v)
+    }
+    // claim sweep: with retainVersions=2 the oldest retained committed
+    // version is 6 — every claim below it (including the aborted c3)
+    // must be pruned, bounding inode growth
+    val claims = new java.io.File(table, "_claims").listFiles().map(_.getName)
+    assert(claims.forall(_.stripPrefix("c").toLong >= 6L), claims.toSeq.toString)
+  }
+
+  test("4-column z-order (numeric, date, string): trailing columns still prune") {
+    import graft.sources.ZOrder
+    val out = Files.createTempDirectory("zorder4").toString
+    val df = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("double").as("ck"), col("o_totalprice").as("tp"),
+        to_date(col("o_orderdate")).as("od"), col("o_orderpriority").as("pr"))
+    // 4 cols × 8 bits = 32 bits — over the old int budget, inside the
+    // long one; date and string columns ride their numeric surrogates
+    ZOrder.writeZOrdered(df, Seq("ck", "tp", "od", "pr"), out, nFiles = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 16)
+    assert(spark.read.parquet(out).count() === df.count())
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("od"), max("od"), min("pr"), max("pr")).head()
+      (r.getDate(0), r.getDate(1), r.getString(2), r.getString(3))
+    }
+    // date slice: first quartile of order dates
+    val dCut = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+      df.select(unix_date(col("od")).cast("double").as("d")).stat
+        .approxQuantile("d", Array(0.25), 0.01).head.toLong))
+    val dateTouched = stats.count { case (dMin, _, _, _) => !dMin.after(dCut) }
+    assert(dateTouched < files.length, "date-only slice touched every file")
+    // string point-lookup on the lexicographically smallest priority
+    val prLo = df.agg(min("pr")).head().getString(0)
+    val prTouched = stats.count { case (_, _, pMin, pMax) =>
+      pMin <= prLo && prLo <= pMax
+    }
+    assert(prTouched < files.length, "string lookup touched every file")
+  }
+
+  test("maintain with zorderCols: one republish both bin-packs and clusters") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("optimize").toString + "/t"
+    val df = spark.range(20000).select(
+      col("id").as("k"),
+      (col("id") % 997).cast("double").as("ck"),
+      (rand(11) * 10000).as("tp"),
+      to_date(lit("2024-06-15")).as("transaction_date"))
+    Sinks.publishSnapshot(df.repartition(8), "transaction_date", table)
+    def monthDir(): java.io.File =
+      new java.io.File(Sinks.currentVersionDir(spark, table), "txn_month=2024-06")
+    def checksum(): (Long, Long) = {
+      val r = Sinks.readSnapshot(spark, table).agg(count(lit(1)), sum(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = checksum()
+    val monthBytes = monthDir().listFiles().map(_.length()).sum
+    assert(Pipeline.maintain(spark, table,
+      targetFileBytes = math.max(1L, monthBytes / 8),
+      zorderCols = Seq("ck", "tp")) === 2L)
+    assert(checksum() === before)
+    val files = monthDir().listFiles().map(_.getAbsolutePath)
+      .filter(_.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected a packed-and-split month, got ${files.length} files")
+    // clustering: per-file min/max boxes must let a slice on EITHER
+    // z-column skip files — the OPTIMIZE ZORDER property
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ck"), max("ck"), min("tp"), max("tp")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val ckTouched = stats.count { case (ckMin, _, _, _) => ckMin <= 997 / 4.0 }
+    val tpTouched = stats.count { case (_, _, tpMin, _) => tpMin <= 2500.0 }
+    assert(ckTouched < files.length, "ck slice touched every file")
+    assert(tpTouched < files.length, "tp slice touched every file")
+  }
+
   test("native bucket id equals the composed fold, boundary values included") {
     import graft.sources.ZOrder
     import spark.implicits._
