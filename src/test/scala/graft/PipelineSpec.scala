@@ -181,6 +181,42 @@ class PipelineSpec extends AnyFunSuite {
       === seqs.toSet)
   }
 
+  test("file log compaction: same rows, few files, pruned claims, live appends survive") {
+    import graft.sources.FileLog
+    val logDir = Files.createTempDirectory("filelog_compact").toString + "/log"
+    (0 until 50).foreach(i => FileLog.append(spark, logDir, s"f$i.txt", s"sha-$i", "archive"))
+    def dataFiles(): Seq[String] = new java.io.File(logDir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSeq
+    assert(dataFiles().size === 50)
+    val rows = FileLog.read(spark, logDir).orderBy("seq").collect().map(_.toSeq).toSeq
+    assert(FileLog.compactLog(spark, logDir) === 50L)
+    // one segment file replaces fifty per-append files…
+    assert(dataFiles() === Seq("log-hi00000049-c00000000.parquet"))
+    // …with byte-identical rows
+    assert(FileLog.read(spark, logDir).orderBy("seq").collect().map(_.toSeq).toSeq === rows)
+    // claim inodes ≤ hi are pruned
+    val claims = new java.io.File(logDir, "_seq").listFiles().map(_.getName).toSeq
+    assert(claims.isEmpty, s"stale claims not pruned: $claims")
+    // appends continue above the compacted watermark
+    assert(FileLog.append(spark, logDir, "f50.txt", "sha-50", "archive") === 50L)
+    assert(FileLog.latestIngestedHash(spark, logDir) === Some("sha-50"))
+    // a second compaction folds the segment + the new row into one
+    assert(FileLog.compactLog(spark, logDir) === 51L)
+    assert(FileLog.read(spark, logDir).count() === 51L)
+    // appends racing a compaction: all rows survive, seqs stay unique
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() =>
+      try (51 to 58).foreach(i => FileLog.append(spark, logDir, s"f$i.txt", s"sha-$i", "archive"))
+      catch { case e: Throwable => failure.set(e) })
+    appender.start()
+    FileLog.compactLog(spark, logDir)
+    appender.join(120000)
+    assert(failure.get() === null, s"append racing compaction failed: ${failure.get()}")
+    val seqs = FileLog.read(spark, logDir).select("seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs.size === 59 && seqs.distinct.size === 59 && seqs.max === 58L)
+  }
+
   test("Pipeline.maintain compacts the snapshot without changing the analyst view") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("maintain").toString + "/t"
