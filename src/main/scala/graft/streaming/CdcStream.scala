@@ -142,8 +142,10 @@ object CdcStream {
     def drop(cs: DataFrame, name: String, ts: Long): Unit = {
       val dst = s"$tmp/changes/$name.parquet"
       Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst)
-      new java.io.File(dst).setLastModified(ts)
-      ()
+      // Hadoop FS API (not java.io.File): the mod-time pin works on any
+      // filesystem the table lives on, matching the rest of the write path
+      val p = new org.apache.hadoop.fs.Path(dst)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).setTimes(p, ts, -1)
     }
     val t0 = System.currentTimeMillis()
     drop(c1, "month1", t0)
