@@ -139,7 +139,9 @@ object SparkEntry {
     "d_semdedup"         -> ((s: SparkSession, dir: String) => SimilarityOps.semDedup(s, dir)),
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
-    "m_media_resize"     -> graft.multimodal.Media.mediaResize _
+    "m_media_resize"     -> graft.multimodal.Media.mediaResize _,
+    // planted truncated payloads routed to the audited side output
+    "m_media_quarantine" -> graft.multimodal.Media.mediaQuarantine _
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————

@@ -154,25 +154,48 @@ object Media {
     *   sampling reads only videos, resize only images) must not pay
     *   the PNG encode for rows they immediately filter out, because a
     *   filter cannot push through the render `mapPartitions`. */
+  /** @param plantCorrupt when true, every 25th document additionally
+    *   contributes a TRUNCATED payload (10 bytes — a recognizable
+    *   magic prefix with the body cut off, the classic interrupted-
+    *   fetch shape) under an offset-derived id, one per modality in
+    *   round-robin — the fixture for the quarantine path. */
   def mediaTable(spark: SparkSession, dir: String,
-                 onlyKind: Option[String] = None): DataFrame = {
+                 onlyKind: Option[String] = None,
+                 plantCorrupt: Boolean = false): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val base = docs
       .select(
         col("doc_id").as("media_id"),
         // deterministic kind assignment: image/audio/video round-robin
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"))
-    val narrowed = onlyKind.fold(base)(k => base.filter(col("kind") === k))
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        lit(false).as("corrupt"))
+    val withPlanted =
+      if (!plantCorrupt) base
+      else {
+        // planted ids live at max(id)+1-based offsets — id-disjoint
+        // from every real row at any corpus size (the repo-wide
+        // planting idiom)
+        val off = docs.agg(max(col("doc_id"))).head() match {
+          case r if r.isNullAt(0) => 1L
+          case r                  => r.getLong(0) + 1L
+        }
+        base.unionByName(base.filter(col("media_id") % 25 === 0)
+          .select((col("media_id") + lit(off)).as("media_id"), col("kind"),
+            lit(true).as("corrupt")))
+      }
+    val narrowed = onlyKind.fold(withPlanted)(k => withPlanted.filter(col("kind") === k))
     narrowed
-      .as[(Long, String)]
+      .as[(Long, String, Boolean)]
       .mapPartitions { rows =>
-        rows.map { case (id, kind) =>
-          kind match {
-            case "image" => (id, kind, encodePng(syntheticImage(id)))
-            case "audio" => (id, kind, syntheticWav(id))
-            case _       => (id, kind, syntheticGif(id))
+        rows.map { case (id, kind, corrupt) =>
+          val payload = kind match {
+            case "image" => encodePng(syntheticImage(id))
+            case "audio" => syntheticWav(id)
+            case _       => syntheticGif(id)
           }
+          (id, kind, if (corrupt) payload.take(10) else payload)
         }
       }
       .toDF("media_id", "kind", "payload")
@@ -181,8 +204,9 @@ object Media {
   /** Fall-back pseudo-decoder for UNDECODABLE payloads of any kind
     * (every healthy path now has a real JDK codec): deterministic
     * pseudo-metadata derived from the payload bytes, so a corrupt row
-    * degrades instead of failing the batch. Swap for a quarantine
-    * route when corrupt rows must be audited. */
+    * degrades instead of failing the batch. When corrupt rows must be
+    * audited instead, [[decodeMetaTagged]] carries the decode outcome
+    * and [[mediaQuarantine]] routes the failures to a side output. */
   private def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     val b0 = if (n > 0) payload(0) & 0xff else 0
@@ -199,49 +223,54 @@ object Media {
     * from the RIFF header — no PCM decode needed for metadata), video
     * through the REAL GIF `ImageReader` (true container frame count
     * via `getNumImages` plus first-frame dimensions — headers only,
-    * no pixel decode). An undecodable payload of any kind falls back
-    * to the stub rather than failing the batch. */
-  private def decodeOne(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
+    * no pixel decode). None = undecodable — the caller picks the
+    * degradation (stub metadata or quarantine). */
+  private def decodeOneOpt(id: Long, kind: String, payload: Array[Byte]): Option[MediaMeta] =
     kind match {
       case "image" =>
-        val img = readImage(payload)
-        if (img == null) decodeStub(id, kind, payload)
-        else MediaMeta(id, kind, payload.length, img.getWidth, img.getHeight, 1, 0)
+        Option(readImage(payload)).map(img =>
+          MediaMeta(id, kind, payload.length, img.getWidth, img.getHeight, 1, 0))
       case "audio" =>
         try {
           val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
-          MediaMeta(id, kind, payload.length, 0, 0,
-            math.max(aff.getFrameLength, 0), aff.getFormat.getSampleRate.toInt)
-        } catch { case _: Exception => decodeStub(id, kind, payload) }
+          Some(MediaMeta(id, kind, payload.length, 0, 0,
+            math.max(aff.getFrameLength, 0), aff.getFormat.getSampleRate.toInt))
+        } catch { case _: Exception => None }
       case _ =>
         try {
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
           try {
             val readers = ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) decodeStub(id, kind, payload)
+            if (!readers.hasNext) None
             else {
               val r = readers.next()
               try {
                 r.setInput(iis)
-                MediaMeta(id, kind, payload.length, r.getWidth(0), r.getHeight(0),
-                  r.getNumImages(true), 0)
+                Some(MediaMeta(id, kind, payload.length, r.getWidth(0), r.getHeight(0),
+                  r.getNumImages(true), 0))
               } finally r.dispose()
             }
           } finally iis.close()
-        } catch { case _: Exception => decodeStub(id, kind, payload) }
+        } catch { case _: Exception => None }
     }
 
   /** Partition-wise batch decode with an optional pass-through column:
-    * binary in, (typed metadata, extra) out. `mapPartitions` (not a
-    * per-row UDF) so codec setup amortizes once per partition — the
-    * ONE decode loop both public entry points share. */
-  private def decodeWith(media: DataFrame, extra: org.apache.spark.sql.Column): Dataset[(MediaMeta, String)] = {
+    * binary in, (typed metadata, extra, decoded-ok) out. `mapPartitions`
+    * (not a per-row UDF) so codec setup amortizes once per partition —
+    * the ONE decode loop every public entry point shares. Undecodable
+    * rows carry the stub's pseudo-metadata and `false`. */
+  private def decodeWith(media: DataFrame, extra: org.apache.spark.sql.Column): Dataset[(MediaMeta, String, Boolean)] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"), extra.as("extra"))
       .as[(Long, String, Array[Byte], String)]
       .mapPartitions { rows =>
-        rows.map { case (id, kind, payload, x) => (decodeOne(id, kind, payload), x) }
+        rows.map { case (id, kind, payload, x) =>
+          decodeOneOpt(id, kind, payload) match {
+            case Some(m) => (m, x, true)
+            case None    => (decodeStub(id, kind, payload), x, false)
+          }
+        }
       }
   }
 
@@ -250,6 +279,25 @@ object Media {
     import spark.implicits._
     decodeWith(media, lit("")).map(_._1)
   }
+
+  /** Decode with the outcome carried as a `decode_ok` column — the
+    * release-pipeline shape: one pass over the payloads, then split
+    * into the healthy corpus and the audited quarantine with cheap
+    * filters (persist the tagged frame when consuming both sides). */
+  def decodeMetaTagged(media: DataFrame): DataFrame =
+    decodeWith(media, lit(""))
+      .select(col("_1.*"), col("_3").as("decode_ok"))
+
+  /** Registered quarantine query (rows-only): the planted-corrupt
+    * media table routes every undecodable payload — id, kind, and
+    * size, the audit a release pipeline files instead of silently
+    * degrading — while healthy rows are untouched (spec-pinned; the
+    * un-planted `m_media_meta` row count is unchanged). */
+  def mediaQuarantine(spark: SparkSession, dir: String): DataFrame =
+    decodeMetaTagged(mediaTable(spark, dir, plantCorrupt = true))
+      .filter(!col("decode_ok"))
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+      .orderBy("media_id")
 
   /** Metadata extraction query (rows-only oracle): decoded metadata of
     * every media object plus a payload content hash for dedup — sha

@@ -222,6 +222,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(Media.resizeImages(m).collect().isEmpty) // dropped, not fatal
   }
 
+  test("corrupt payloads route to quarantine; healthy rows and counts unaffected") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val maxReal = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val nPlanted = docs.filter(col("doc_id") % 25 === 0).count()
+    assert(nPlanted > 0)
+    // every planted (truncated) payload — one per modality in the
+    // round-robin — lands in quarantine, and nothing else does
+    val q = Media.mediaQuarantine(spark, sf).collect()
+    assert(q.length === nPlanted, s"expected $nPlanted quarantined, got ${q.length}")
+    assert(q.forall(_.getLong(0) > maxReal), "a healthy (real-id) row was quarantined")
+    assert(q.forall(_.getLong(2) === 10L)) // the truncated size is audited
+    assert(q.map(_.getString(1)).toSet.subsetOf(Set("image", "audio", "video")))
+    // the tagged decode splits cleanly: ok-rows = all real ids
+    val tagged = Media.decodeMetaTagged(Media.mediaTable(spark, sf, plantCorrupt = true))
+    assert(tagged.filter(col("decode_ok")).count() === docs.count())
+    // the un-planted registered meta query is unchanged by the feature
+    assert(Media.mediaMeta(spark, sf).count() === docs.count())
+  }
+
   test("image decode is real: a planted PNG reports its true bitstream dimensions") {
     val png = Media.encodePng(new java.awt.image.BufferedImage(
       123, 45, java.awt.image.BufferedImage.TYPE_INT_RGB))
