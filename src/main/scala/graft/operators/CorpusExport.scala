@@ -29,14 +29,19 @@ object CorpusExport {
     *   under this path — the durable stage boundary for a real
     *   cluster, where an executor loss must not kill the export.
     *   When None, `localCheckpoint` materializes on executor-local
-    *   storage: cheaper, single-process only (the sandbox binding). */
+    *   storage: cheaper, single-process only (the sandbox binding).
+    * @param exactPairs forwarded to [[NearDedup.cleanCorpus]]: PPJoin
+    *   exact-Jaccard pair generation instead of MinHash — same scale
+    *   shape, deterministic, which is what lets the registered
+    *   `d_corpus_export` hash-match a DuckDB oracle end-to-end. */
   def exportCorpusOf(docs: DataFrame, benchmark: DataFrame,
                      rates: Map[String, Int],
-                     persistDir: Option[String] = None): DataFrame = {
+                     persistDir: Option[String] = None,
+                     exactPairs: Boolean = false): DataFrame = {
     // the cleaned corpus feeds three downstream subplans (shingling,
     // the doc_id semi-joins, packing); materialize it ONCE instead of
     // re-running the iterative cluster resolution per reference
-    val cleanPlan = NearDedup.cleanCorpus(docs)
+    val cleanPlan = NearDedup.cleanCorpus(docs, exactPairs = exactPairs)
     val clean = persistDir match {
       case Some(dir) =>
         val p = s"$dir/clean_corpus.parquet"
@@ -51,17 +56,24 @@ object CorpusExport {
     val sampled = TextOps.stratifiedSampleOf(surviving, rates).select("doc_id")
     val kept = surviving.join(sampled, "doc_id")
     val split = TextOps.splitAssignOf(kept).select("doc_id", "split")
-    TextOps.packSequencesOf(kept.join(split, "doc_id"), groupCols = Seq("split"))
+    // shard count scales with the corpus (packShardsFor on the input
+    // count — an upper bound of the kept set, one cheap column scan),
+    // not a constant 8 at 100 TB; the oracle computes the same formula
+    TextOps.packSequencesOf(kept.join(split, "doc_id"),
+        nShards = TextOps.packShardsFor(docs.count()), groupCols = Seq("split"))
       .orderBy("doc_id")
   }
 
   /** Registered binding: every 20th document plays the benchmark set
-    * (as in d_decontaminate); the rest flow through the full export. */
+    * (as in d_decontaminate); the rest flow through the full export —
+    * with exact pair generation, so the whole five-stage composition
+    * hash-checks against one DuckDB oracle. */
   def exportCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     exportCorpusOf(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0),
-      TextOps.sampleRates)
+      TextOps.sampleRates,
+      exactPairs = true)
   }
 }
