@@ -75,25 +75,31 @@ object Sinks {
     * Hadoop 3.4+ `fs.s3a.create.conditional`); classic S3A's
     * HEAD-then-PUT is NOT atomic, and the multi-writer guarantee
     * does not extend there (see [[publishSnapshot]]). */
+  /** One conditional create of `dir/<prefix><n>`: true iff this caller
+    * won the name. The atomicity contract is [[claimNumber]]'s. */
+  private[sources] def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path,
+                                n: Long, prefix: String): Boolean = {
+    val claim = new org.apache.hadoop.fs.Path(dir, f"$prefix$n%08d")
+    if (fs.getScheme == "file") {
+      val p = java.nio.file.Paths.get(claim.toUri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      try { java.nio.file.Files.createFile(p); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(claim, false).close(); true }
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(claim)) false else throw e
+      }
+    }
+  }
+
   private[sources] def claimNumber(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: org.apache.hadoop.fs.Path,
                                    start: Long, prefix: String): Long = {
-    val local = fs.getScheme == "file"
-    def tryClaim(claim: org.apache.hadoop.fs.Path): Boolean =
-      if (local) {
-        val p = java.nio.file.Paths.get(claim.toUri.getPath)
-        java.nio.file.Files.createDirectories(p.getParent)
-        try { java.nio.file.Files.createFile(p); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try { fs.create(claim, false).close(); true }
-        catch {
-          case e: java.io.IOException =>
-            if (fs.exists(claim)) false else throw e
-        }
-      }
     var n = start
-    while (!tryClaim(new org.apache.hadoop.fs.Path(dir, f"$prefix$n%08d")))
+    while (!tryClaim(fs, dir, n, prefix))
       n += 1 // lost the race — take the next number
     n
   }
@@ -179,12 +185,17 @@ object Sinks {
     // own the number before writing a byte of data: a concurrent
     // publisher that guessed the same max+1 loses the conditional
     // create and moves on to the next number
-    val next = claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_claims"),
-      (existing :+ 0L).max + 1, "c")
-    expectedVersion.filter(_ != next).foreach { e =>
-      throw new ConcurrentSnapshotUpdate(
-        s"publish of $tablePath expected version $e but the claim landed on $next " +
-        "(a concurrent publisher owns the intervening number); no data was written")
+    val claimsDir = new org.apache.hadoop.fs.Path(root, "_claims")
+    val next = expectedVersion match {
+      // exact-version publish: ONE conditional create of that claim —
+      // an abort burns nothing (no walk-up claim, no data)
+      case Some(e) =>
+        if (!tryClaim(fs, claimsDir, e, "c"))
+          throw new ConcurrentSnapshotUpdate(
+            s"publish of $tablePath expected version $e but its claim is already " +
+            "taken (a concurrent publisher owns it); no data was written")
+        e
+      case None => claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
     }
     writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions)
     // commit marker: a NEW file name under _manifests — version encoded
@@ -264,7 +275,11 @@ object Sinks {
     * A publisher that starts mid-compaction claims a number above
     * V+1 and its later marker wins `currentVersion`, so stale
     * compacted data can never shadow newer content (see
-    * [[publishSnapshot]]). Returns the published version. */
+    * [[publishSnapshot]]). Consequence of always yielding: an ORPHAN
+    * claim at V+1 (a publisher that crashed between claim and write)
+    * stalls compaction — every attempt aborts, cheaply — until the
+    * next real publish commits past it; maintenance then succeeds on
+    * its next cadence. Returns the published version. */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       dateCol: String, targetFileBytes: Long = 128L << 20,
                       retainVersions: Int = 2, zorderCols: Seq[String] = Nil,

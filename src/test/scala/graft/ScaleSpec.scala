@@ -174,18 +174,41 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(Sinks.currentVersion(spark, table) === Some(2L))
     assert(!new java.io.File(table, "v00000003").exists(), "aborted publish wrote data")
-    // the aborted attempt consumed claim 3, so the next publish lands
-    // on 4 — unique and monotone, gaps allowed (Postgres-serial
-    // semantics)
-    assert(Sinks.publishSnapshot(df, "transaction_date", table) === 4L)
-    (5L to 7L).foreach { v =>
+    // an exact-version abort burns NOTHING — the very next publish
+    // takes 3 (unique and monotone; gaps only from crashes)
+    (3L to 6L).foreach { v =>
       assert(Sinks.publishSnapshot(df, "transaction_date", table) === v)
     }
     // claim sweep: with retainVersions=2 the oldest retained committed
-    // version is 6 — every claim below it (including the aborted c3)
-    // must be pruned, bounding inode growth
+    // version is 5 — every claim below it must be pruned, bounding
+    // inode growth
     val claims = new java.io.File(table, "_claims").listFiles().map(_.getName)
-    assert(claims.forall(_.stripPrefix("c").toLong >= 6L), claims.toSeq.toString)
+    assert(claims.forall(_.stripPrefix("c").toLong >= 5L), claims.toSeq.toString)
+  }
+
+  test("compaction yields to a contending claim and succeeds once publishes move past it") {
+    import graft.sources.{ConcurrentSnapshotUpdate, Sinks}
+    val table = Files.createTempDirectory("occ_retry").toString + "/t"
+    val df = spark.range(500).select(col("id").as("k"),
+      to_date(lit("2024-03-01")).as("transaction_date"))
+    Sinks.publishSnapshot(df, "transaction_date", table) // v1
+    // a "publisher crashed between claim and write": claim c2 exists,
+    // no data, no marker — compaction may only commit as v2, so every
+    // attempt must abort (cheaply, before writing) rather than shadow
+    // a possibly-live writer
+    val c2 = new java.io.File(table, "_claims/c00000002")
+    assert(c2.createNewFile())
+    intercept[ConcurrentSnapshotUpdate] {
+      Sinks.compactSnapshot(spark, table, "transaction_date", maxAttempts = 2)
+    }
+    assert(Sinks.currentVersion(spark, table) === Some(1L))
+    assert(!new java.io.File(table, "v00000003").exists(), "aborted compaction wrote data")
+    // a real publish moves the frontier past the orphan…
+    assert(Sinks.publishSnapshot(df, "transaction_date", table) === 3L)
+    // …and the next maintenance pass compacts that version as v4
+    assert(Sinks.compactSnapshot(spark, table, "transaction_date") === 4L)
+    val r = Sinks.readSnapshot(spark, table).agg(count(lit(1)), sum(col("k"))).head()
+    assert((r.getLong(0), r.getLong(1)) === (500L, 500L * 499 / 2))
   }
 
   test("4-column z-order (numeric, date, string): trailing columns still prune") {
