@@ -250,6 +250,71 @@ object NearDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): converges in O(log²) rounds REGARDLESS of
+    * component diameter, where min-label propagation
+    * ([[duplicateClusters]]) needs diameter rounds — the difference
+    * between ~5 jobs and ~200 on an adversarial 200-link chain (mirror
+    * farms, quote cascades re-quoting each other). Per round: two
+    * neighborhood aggregations + keyed joins over the edge list, all
+    * shuffles on node ids (AQE-skew-safe; the large-star step is
+    * exactly what caps hot-node neighborhoods). Same output contract
+    * as [[duplicateClusters]] — (doc_id, cluster_id = component
+    * minimum) — spec-pinned equal on random graphs, and the chain spec
+    * pins the round count at the logarithmic bound. The swap-in for
+    * corpora whose duplicate graph is adversarial; the default
+    * pipeline keeps min-label propagation (duplicate clusters are
+    * near-cliques, diameter ≤ ~3, where it is strictly cheaper). */
+  def duplicateClustersStar(pairs: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def symmetric(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = symmetric(e)
+      val m = nbr.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(nbr.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: u and every neighbor v < u link to min(N<(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbr = symmetric(e)
+      val small = nbr.filter(col("v") < col("u"))
+      val m = small.groupBy("u").agg(min(col("v")).as("m"))
+      canon(small.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v"))))
+    }
+    val nodes = symmetric(canon(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+      .select("u").distinct().localCheckpoint(true)
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    // distinct-set equality: same count and no edge outside the old set
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).limit(1).collect().isEmpty
+    var stable = false
+    while (!stable) {
+      // the paper's termination criterion is BOTH steps individually at
+      // a fixed point (that is what proves the result is a star
+      // forest) — a composition-only check could stop on a large-star/
+      // small-star 2-cycle
+      val afterLarge = largeStar(edges).localCheckpoint(true)
+      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      stable = same(afterLarge, edges) && same(afterSmall, afterLarge)
+      edges = afterSmall
+    }
+    // converged = disjoint stars centered at component minima: members
+    // appear on the v side exactly once; centers label themselves
+    nodes
+      .join(edges.select(col("v").as("u"), col("u").as("lbl")), Seq("u"), "left")
+      .select(col("u").as("doc_id"), coalesce(col("lbl"), col("u")).as("cluster_id"))
+  }
+
   /** Training-corpus cleaning: quality-filter documents, then drop
     * every near-duplicate except its cluster's canonical (minimum
     * doc_id) — the composition a data pipeline runs before
