@@ -59,6 +59,8 @@ object SparkEntry {
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
+    // Hilbert-clustered 3-D sibling (numeric+numeric+date), same idea
+    "q_hilbert_scan"     -> graft.sources.ZOrder.hilbertScan _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -544,6 +546,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders
         |WHERE o_custkey <= 500 AND o_totalprice <= 50000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_hilbert_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders
+        |WHERE o_custkey <= 500 AND o_totalprice <= 50000
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31'
         |ORDER BY o_orderkey""".stripMargin,
 
     "d_dedup_exact" ->

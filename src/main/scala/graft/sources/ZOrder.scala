@@ -82,17 +82,19 @@ object ZOrder {
   }
 
   /** Learn equi-depth boundaries for `cols` of `df` and build the
-    * z-value. Returns (df with the surrogate columns appended, the
-    * z-value column over them, the surrogate column names to drop
-    * after shuffling, the per-column boundaries). Shared by
-    * [[writeZOrdered]] and `Sinks.compactSnapshot`'s OPTIMIZE-ZORDER
-    * mode. */
-  private[graft] def zPrepared(df: DataFrame, cols: Seq[String], nBuckets: Int)
+    * curve value (Morton z by default, Hilbert with `hilbert = true`).
+    * Returns (df with the surrogate columns appended, the curve column
+    * over them, the surrogate column names to drop after shuffling,
+    * the per-column boundaries). Shared by [[writeZOrdered]],
+    * [[writeHilbertOrdered]] and `Sinks.compactSnapshot`'s
+    * OPTIMIZE-ZORDER mode. */
+  private[graft] def zPrepared(df: DataFrame, cols: Seq[String], nBuckets: Int,
+                               hilbert: Boolean = false)
       : (DataFrame, Column, Seq[String], Map[String, Seq[Double]]) = {
     require(cols.nonEmpty && nBuckets >= 2 && nBuckets <= (1 << 16),
       "need >=1 z-column, 2..65536 buckets")
     val bits = 32 - Integer.numberOfLeadingZeros(nBuckets - 1) // ceil(log2)
-    require(bits * cols.size <= 63, "bits x columns must fit a long z-value")
+    require(bits * cols.size <= 63, "bits x columns must fit a long curve value")
     val sCols = cols.indices.map(i => s"__zs_$i")
     val withS = cols.zip(sCols).foldLeft(df) { case (d, (c, s)) =>
       d.withColumn(s, numericView(df.schema(c).dataType, col(c)))
@@ -107,12 +109,17 @@ object ZOrder {
     // the HIGH bits — leaving that column unprunable. Monotone integer
     // scaling (multiply before divide, in long space) preserves bucket
     // order exactly; a full-cardinality column is the identity.
-    val z = zValue(cols.zip(sCols).map { case (c, s) =>
+    val buckets = cols.zip(sCols).map { case (c, s) =>
       val k = byCol(c).size
       if (k == 0) lit(0L)
       else (bucketOf(col(s), byCol(c)).cast(LongType) * (nBuckets - 1)) / k
-    }, bits)
-    (withS, z, sCols, byCol)
+    }
+    val curve =
+      if (hilbert)
+        graft.functions.native.hilbert_index(
+          array(buckets.map(_.cast(IntegerType)): _*), bits)
+      else zValue(buckets, bits)
+    (withS, curve, sCols, byCol)
   }
 
   /** Registered driver query: z-order the orders table on
@@ -136,15 +143,49 @@ object ZOrder {
     * at `path`. Returns the per-column boundaries used (for tests /
     * re-use). */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-                    nFiles: Int, nBuckets: Int = 256): Map[String, Seq[Double]] = {
+                    nFiles: Int, nBuckets: Int = 256): Map[String, Seq[Double]] =
+    writeCurveOrdered(df, cols, path, nFiles, nBuckets, hilbert = false)
+
+  /** Same layout machinery, Hilbert-curve ordering: the Hilbert walk
+    * visits every cell of the bucket grid through unit steps (no
+    * Morton quadrant jumps), so consecutive rows — and therefore file
+    * boundaries — cut strictly fewer hypercubes; the stronger
+    * clustering for box-query pruning (the idea behind Hilbert-based
+    * OPTIMIZE in modern lakehouses). Index computed by the native
+    * codegen `HilbertIndex` (Skilling's transform, spec-verified
+    * unit-step). */
+  def writeHilbertOrdered(df: DataFrame, cols: Seq[String], path: String,
+                          nFiles: Int, nBuckets: Int = 256): Map[String, Seq[Double]] =
+    writeCurveOrdered(df, cols, path, nFiles, nBuckets, hilbert = true)
+
+  private def writeCurveOrdered(df: DataFrame, cols: Seq[String], path: String,
+                                nFiles: Int, nBuckets: Int,
+                                hilbert: Boolean): Map[String, Seq[Double]] = {
     require(nFiles >= 1, "need >=1 file")
-    val (withS, z, sCols, byCol) = zPrepared(df, cols, nBuckets)
-    withS.withColumn("__z", z)
+    val (withS, curve, sCols, byCol) = zPrepared(df, cols, nBuckets, hilbert)
+    withS.withColumn("__z", curve)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop(sCols :+ "__z": _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path)
     byCol
+  }
+
+  /** Registered Hilbert sibling of [[zorderScan]]: 3-D clustered write
+    * (numeric, numeric, DATE — the date rides its epoch-day surrogate)
+    * → box-filtered read-back, hash-checked against a plain filter
+    * oracle. Layout must never change results; the pruning property is
+    * spec-measured in ScaleSpec. */
+  def hilbertScan(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("hilbert_q")
+    val df = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+    writeHilbertOrdered(df, Seq("o_custkey", "o_totalprice", "o_orderdate"), tmp, nFiles = 16)
+    spark.read.parquet(tmp)
+      .filter(col("o_custkey") <= 500 && col("o_totalprice") <= 50000.0 &&
+        col("o_orderdate") <= to_date(lit("1995-12-31")))
+      .orderBy("o_orderkey")
   }
 }

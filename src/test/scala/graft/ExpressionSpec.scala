@@ -23,6 +23,30 @@ class ExpressionSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("hilbert index is a true Hilbert curve: bijective with unit steps, exhaustively") {
+    // every cell of small 2-D/3-D/4-D grids through the REGISTERED
+    // expression (not just the kernel): indices must be a permutation
+    // of 0..cells-1, and walking them in order must move exactly one
+    // coordinate by exactly 1 each step — the defining property Morton
+    // order lacks (its quadrant jumps are what Hilbert removes)
+    for ((n, bits) <- Seq((2, 3), (3, 2), (4, 2))) {
+      val size = 1 << bits
+      val cells = Seq.fill(n)(0 until size).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, r) => acc.flatMap(p => r.map(p :+ _))
+      }
+      val got = cells.map(_.toArray).toDF("c")
+        .select(col("c"), hilbert_index(col("c"), bits).as("h"))
+        .collect().map(r => r.getSeq[Int](0) -> r.getLong(1))
+      assert(got.map(_._2).sorted.sameElements(cells.indices.map(_.toLong)),
+        s"$n-D/$bits-bit indices are not a permutation")
+      val walk = got.sortBy(_._2).map(_._1).toSeq
+      walk.zip(walk.tail).foreach { case (a, b) =>
+        val d = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(d === 1, s"$n-D/$bits-bit walk jumps from $a to $b")
+      }
+    }
+  }
+
   test("dot_f handles nulls and empty arrays") {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]),
                  (Some(Array.empty[Float]), Some(Array.empty[Float]))).toDF("a", "b")

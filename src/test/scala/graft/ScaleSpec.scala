@@ -330,6 +330,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(tpOnly < files.length, s"tp-only slice touched every file")
   }
 
+  test("hilbert layout prunes on either column and never cuts more boxes than morton") {
+    import graft.sources.ZOrder
+    val zOut = Files.createTempDirectory("curve_z").toString
+    val hOut = Files.createTempDirectory("curve_h").toString
+    val df = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("double").as("ck"), col("o_totalprice").as("tp"))
+    ZOrder.writeZOrdered(df, Seq("ck", "tp"), zOut, nFiles = 16)
+    ZOrder.writeHilbertOrdered(df, Seq("ck", "tp"), hOut, nFiles = 16)
+    assert(spark.read.parquet(hOut).count() === df.count())
+    def boxTouch(out: String): (Int, Int, Int) = {
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val stats = files.map { f =>
+        val r = spark.read.parquet(f).agg(min("ck"), max("ck"), min("tp"), max("tp")).head()
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }
+      val q = df.stat.approxQuantile(Array("ck", "tp"), Array(0.25), 0.01)
+      val (ckQ, tpQ) = (q(0)(0), q(1)(0))
+      (stats.count { case (ckMin, _, tpMin, _) => ckMin <= ckQ && tpMin <= tpQ },
+       stats.count { case (_, _, tpMin, _) => tpMin <= tpQ },
+       files.length)
+    }
+    val (hBoth, hTp, hN) = boxTouch(hOut)
+    val (zBoth, _, _) = boxTouch(zOut)
+    assert(hN === 16)
+    // the multi-column clustering properties the z test pins…
+    assert(hBoth <= hN / 2, s"2-D box touched $hBoth/$hN hilbert files")
+    assert(hTp < hN, "tp-only slice touched every hilbert file")
+    // …and the Hilbert walk (unit steps, no quadrant jumps) must not
+    // be WORSE than Morton on the 2-D box — the reason it exists
+    assert(hBoth <= zBoth, s"hilbert box-touch $hBoth worse than morton $zBoth")
+  }
+
   test("jsonl corpus round-trips through the split-partitioned gzip sink") {
     import graft.sources.JsonlDocs
     val out = Files.createTempDirectory("jsonl").toString
