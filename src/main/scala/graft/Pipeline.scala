@@ -110,9 +110,10 @@ object Pipeline {
     * never shadows them — see `Sinks.publishSnapshot`). */
   def maintain(spark: SparkSession, tablePath: String,
                targetFileBytes: Long = 128L << 20,
-               zorderCols: Seq[String] = Nil): Long =
+               zorderCols: Seq[String] = Nil,
+               hilbertCurve: Boolean = false): Long =
     Sinks.compactSnapshot(spark, tablePath, "transaction_date", targetFileBytes,
-      zorderCols = zorderCols)
+      zorderCols = zorderCols, hilbertCurve = hilbertCurve)
 
   /** The reference's database-verify tool (land_registry_database_
     * verify.py, incl. its fix_database mode) as one call: reconcile

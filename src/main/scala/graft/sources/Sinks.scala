@@ -283,7 +283,7 @@ object Sinks {
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       dateCol: String, targetFileBytes: Long = 128L << 20,
                       retainVersions: Int = 2, zorderCols: Seq[String] = Nil,
-                      maxAttempts: Int = 3): Long = {
+                      maxAttempts: Int = 3, hilbertCurve: Boolean = false): Long = {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
     require(maxAttempts >= 1, "maxAttempts must be positive")
     var lastRace: ConcurrentSnapshotUpdate = null
@@ -306,7 +306,7 @@ object Sinks {
         if (zorderCols.nonEmpty) {
           val totalFiles = math.max(1L,
             (totalBytes + targetFileBytes - 1) / targetFileBytes).min(1 << 20).toInt
-          val (withS, z, sCols, _) = ZOrder.zPrepared(df, zorderCols, 256)
+          val (withS, z, sCols, _) = ZOrder.zPrepared(df, zorderCols, 256, hilbertCurve)
           withS.withColumn("__mk", monthKey).withColumn("__z", z)
             .repartitionByRange(totalFiles, col("__mk"), col("__z"))
             .sortWithinPartitions("__mk", "__z")

@@ -277,6 +277,16 @@ class ScaleSpec extends AnyFunSuite {
     val tpTouched = stats.count { case (_, _, tpMin, _) => tpMin <= 2500.0 }
     assert(ckTouched < files.length, "ck slice touched every file")
     assert(tpTouched < files.length, "tp slice touched every file")
+    // the same maintenance call with the Hilbert curve: next version,
+    // identical data, still clustered
+    assert(Pipeline.maintain(spark, table,
+      targetFileBytes = math.max(1L, monthBytes / 8),
+      zorderCols = Seq("ck", "tp"), hilbertCurve = true) === 3L)
+    assert(checksum() === before)
+    val hFiles = monthDir().listFiles().map(_.getAbsolutePath)
+      .filter(_.endsWith(".parquet"))
+    val hCk = hFiles.map(f => spark.read.parquet(f).agg(min("ck")).head().getDouble(0))
+    assert(hCk.count(_ <= 997 / 4.0) < hFiles.length, "hilbert ck slice touched every file")
   }
 
   test("native bucket id equals the composed fold, boundary values included") {
