@@ -130,6 +130,20 @@ object Sinks {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(currentVersionDir(spark, tablePath))
 
+  /** Writer options enabling a parquet BLOOM FILTER on each given
+    * column: the point-lookup complement of min/max footer stats —
+    * on a high-cardinality key (the reference's
+    * `transaction_unique_id`) every file's min/max box spans the whole
+    * domain, so range stats prune nothing, while a bloom filter lets a
+    * key-equality scan skip row groups that definitely lack the key.
+    * Pass to [[publishSnapshot]]/[[writeMonthlySnapshot]] via
+    * `writerOptions` (write-side cost only; readers benefit
+    * automatically through parquet's row-group filtering). */
+  def bloomFilterOptions(cols: Seq[String], expectedNdv: Long = 1L << 20): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)).toMap
+
   /** Publish `df` as the next snapshot version and atomically commit it;
     * prunes versions older than the newest `retainVersions`. Returns the
     * published version number.

@@ -340,6 +340,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(tpOnly < files.length, s"tp-only slice touched every file")
   }
 
+  test("snapshot publishes can carry parquet bloom filters on the lookup key") {
+    import graft.sources.Sinks
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val table = Files.createTempDirectory("bloom").toString + "/t"
+    val df = spark.range(5000).select(
+      concat(lit("TUID-"), format_string("%08d", col("id") * 7919 % 100000)).as("tuid"),
+      col("id").as("k"),
+      to_date(lit("2024-05-01")).as("transaction_date"))
+    // one file → its bloom covers every written key (a multi-file
+    // write gives each file a bloom over only ITS keys)
+    Sinks.publishSnapshot(df.coalesce(1), "transaction_date", table,
+      writerOptions = Sinks.bloomFilterOptions(Seq("tuid"), expectedNdv = 10000))
+    val vdir = new java.io.File(Sinks.currentVersionDir(spark, table))
+    val parts = vdir.listFiles().filter(_.getName.startsWith("txn_month="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    parts.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try reader.getRowGroups.asScala.foreach { rg =>
+        val byName = rg.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+        // the keyed column carries a bloom filter…
+        val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(byName("tuid"))
+        assert(bloom != null, s"${f.getName}: no bloom filter on tuid")
+        // …that answers membership: a present key hits, a key outside
+        // the written domain misses (false negatives are impossible)
+        assert(bloom.findHash(bloom.hash(Binary.fromString("TUID-00007919"))))
+        assert(!bloom.findHash(bloom.hash(Binary.fromString("TUID-NOT-THERE"))))
+        // …and the un-keyed column does not pay for one
+        assert(reader.getBloomFilterDataReader(rg).readBloomFilter(byName("k")) == null,
+          s"${f.getName}: unexpected bloom filter on k")
+      } finally reader.close()
+    }
+    // the read path is unchanged semantically
+    assert(Sinks.readSnapshot(spark, table)
+      .filter(col("tuid") === "TUID-00007919").count() >= 1L)
+  }
+
   test("hilbert layout prunes on either column and never cuts more boxes than morton") {
     import graft.sources.ZOrder
     val zOut = Files.createTempDirectory("curve_z").toString
