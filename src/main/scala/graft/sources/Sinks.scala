@@ -62,21 +62,16 @@ object Sinks {
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Claim the first free number >= `start` by conditionally creating
-    * a NEW file name under `dir` — two concurrent writers can never
-    * claim the same number; the loser observes the collision and
-    * retries with the next. The conditional create must be ATOMIC:
-    * HDFS `create(overwrite = false)` is (namenode check), but
-    * Hadoop's LOCAL filesystem implements it as check-then-create,
-    * which two racing threads both pass — so the `file` scheme goes
-    * through `java.nio.Files.createFile` (O_CREAT|O_EXCL, atomic in
-    * the kernel) instead. Object stores only qualify when the
-    * connector maps it to a conditional write (If-None-Match /
-    * Hadoop 3.4+ `fs.s3a.create.conditional`); classic S3A's
-    * HEAD-then-PUT is NOT atomic, and the multi-writer guarantee
-    * does not extend there (see [[publishSnapshot]]). */
-  /** One conditional create of `dir/<prefix><n>`: true iff this caller
-    * won the name. The atomicity contract is [[claimNumber]]'s. */
+  /** One ATOMIC conditional create of `dir/<prefix><n>`: true iff this
+    * caller won the name. HDFS `create(overwrite = false)` is atomic
+    * (namenode check), but Hadoop's LOCAL filesystem implements it as
+    * check-then-create, which two racing threads both pass — so the
+    * `file` scheme goes through `java.nio.Files.createFile`
+    * (O_CREAT|O_EXCL, atomic in the kernel) instead. Object stores
+    * only qualify when the connector maps it to a conditional write
+    * (If-None-Match / Hadoop 3.4+ `fs.s3a.create.conditional`);
+    * classic S3A's HEAD-then-PUT is NOT atomic, and the multi-writer
+    * guarantee does not extend there (see [[publishSnapshot]]). */
   private[sources] def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: org.apache.hadoop.fs.Path,
                                 n: Long, prefix: String): Boolean = {
@@ -95,6 +90,9 @@ object Sinks {
     }
   }
 
+  /** Claim the first free number >= `start` by walking [[tryClaim]]
+    * upward — two concurrent writers can never claim the same number;
+    * the loser observes the collision and retries with the next. */
   private[sources] def claimNumber(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: org.apache.hadoop.fs.Path,
                                    start: Long, prefix: String): Long = {

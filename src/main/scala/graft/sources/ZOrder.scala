@@ -73,6 +73,9 @@ object ZOrder {
   private[graft] def numericView(dt: DataType, c: Column): Column = dt match {
     case DateType      => unix_date(c).cast(DoubleType)
     case TimestampType => c.cast(LongType).cast(DoubleType)
+    // NTZ has no direct numeric cast; the session-zone reinterpretation
+    // is a monotone shift, which is all a bucket boundary needs
+    case TimestampNTZType => c.cast(TimestampType).cast(LongType).cast(DoubleType)
     case StringType =>
       (0 until 3).map { i =>
         val cp = ascii(substring(c, i + 1, 1))

@@ -243,6 +243,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(prTouched < files.length, "string lookup touched every file")
   }
 
+  test("timestamp z-columns ride the epoch-second surrogate") {
+    import graft.sources.ZOrder
+    val out = Files.createTempDirectory("zorder_ts").toString
+    // raw TIMESTAMP column (the orders fixture's native o_orderdate type)
+    val df = Tables.orders(spark, sf).select(col("o_orderdate").as("ts"))
+    ZOrder.writeZOrdered(df, Seq("ts"), out, nFiles = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 4)
+    assert(spark.read.parquet(out).count() === df.count())
+    // 1-D curve = a plain sort: per-file time ranges must not interleave
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ts"), max("ts")).head()
+      def epoch(i: Int) = r.getAs[java.time.LocalDateTime](i)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+      (epoch(0), epoch(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin + 1000L, s"file time ranges interleave: $aMax vs $bMin")
+    }
+  }
+
   test("maintain with zorderCols: one republish both bin-packs and clusters") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("optimize").toString + "/t"
