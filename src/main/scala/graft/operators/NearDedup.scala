@@ -206,9 +206,17 @@ object NearDedup {
       .withColumn("nsh", size(col("s")).cast(LongType))
       .withColumn("prefix",
         transform(slice(col("fs"), lit(1), prefixLen), x => x.getField("shingle")))
-    val indexed = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    val indexed = sets.select(col("doc_id"), col("nsh"), explode(col("prefix")).as("shingle"))
+    // length filter (the PPJoin size-ratio bound): jaccard ≥ t forces
+    // t·|B| ≤ |A| (and symmetrically), so size-mismatched collisions
+    // are dropped AT the candidate join — lossless (the
+    // equals-full-inverted-index spec covers this path at t=0.5 and
+    // 0.8), and it is exactly the volume the exact-verify stage would
+    // otherwise waste on boilerplate-shingle collisions
     val cand = indexed.as("a").join(indexed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.nsh") * 1000000L >= col("b.nsh") * p &&
+        col("b.nsh") * 1000000L >= col("a.nsh") * p)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
