@@ -112,6 +112,9 @@ object SparkEntry {
     // count-based per-domain cap (FineWeb/Gopher) + sliding-window chunking
     "t_domain_cap"       -> ((s: SparkSession, dir: String) => TextOps.domainCap(s, dir)),
     "t_chunks"           -> ((s: SparkSession, dir: String) => TextOps.chunk(s, dir)),
+    // full Gopher rule set (integer cross-multiplied ratios) + tf/df top terms
+    "t_gopher"           -> TextOps.gopherRules _,
+    "t_top_terms"        -> TextOps.topTerms _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
     // the STREAMING ingest-dedup plan drained in one AvailableNow pass —
@@ -880,6 +883,69 @@ object SparkEntry {
         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, chunk_text,
         |  CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Gopher rule set: every ratio threshold is an integer
+    // cross-multiplication on both engines — no float anywhere
+    "t_gopher" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+        |    len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+        |    string_split(text, chr(10)) AS ls,
+        |    len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS n_stopwords
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_words, n_word_chars, n_symbols,
+        |    len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet_lines,
+        |    len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ellipsis_lines,
+        |    n_stopwords
+        |  FROM w),
+        |f AS (SELECT *,
+        |    CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END AS ok_word_count,
+        |    CASE WHEN n_words > 0 AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS ok_mean_word_len,
+        |    CASE WHEN n_symbols * 10 <= n_words THEN 1 ELSE 0 END AS ok_symbol_ratio,
+        |    CASE WHEN n_alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS ok_alpha_ratio,
+        |    CASE WHEN n_bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS ok_bullet,
+        |    CASE WHEN n_ellipsis_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS ok_ellipsis,
+        |    CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS ok_stopwords
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_word_chars AS BIGINT) AS n_word_chars,
+        |  CAST(n_symbols AS BIGINT) AS n_symbols,
+        |  CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+        |  CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+        |  CAST(n_stopwords AS BIGINT) AS n_stopwords,
+        |  CAST(ok_word_count AS BIGINT) AS ok_word_count,
+        |  CAST(ok_mean_word_len AS BIGINT) AS ok_mean_word_len,
+        |  CAST(ok_symbol_ratio AS BIGINT) AS ok_symbol_ratio,
+        |  CAST(ok_alpha_ratio AS BIGINT) AS ok_alpha_ratio,
+        |  CAST(ok_bullet AS BIGINT) AS ok_bullet,
+        |  CAST(ok_ellipsis AS BIGINT) AS ok_ellipsis,
+        |  CAST(ok_stopwords AS BIGINT) AS ok_stopwords,
+        |  CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_ratio
+        |       * ok_bullet * ok_ellipsis * ok_stopwords AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // top terms: df is the tiebreak (preserves the tf-idf order for
+    // equal tf without a transcendental the hash gate can't cross)
+    "t_top_terms" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS term
+        |  FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+        |tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dc AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+        |r AS (SELECT tc.doc_id, tc.term, tc.tf, dc.df,
+        |    CAST(row_number() OVER (PARTITION BY tc.doc_id
+        |      ORDER BY tc.tf DESC, dc.df ASC, tc.term ASC) AS BIGINT) AS rank
+        |  FROM tc JOIN dc USING (term))
+        |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // ExactSubstr removal: keep the (doc_id, pos)-smallest occurrence
     // of each duplicated span, cut the covered tokens of every other

@@ -668,4 +668,94 @@ object TextOps {
     val priorities = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 1 else 2)).toMap
     dedupPriorityOf(docs, priorities)
   }
+
+  /** The Gopher stop set (Rae et al. 2021 §A1.1 rule 7). */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher/MassiveText document-quality rule set (Rae et al.
+    * 2021 §A1.1) — the canonical pre-training heuristic filter, of
+    * which [[repetitionScoreOf]] covers the repetition half. Every
+    * rule here is a per-row projection (no shuffle at any scale), and
+    * every ratio threshold is evaluated by INTEGER cross-
+    * multiplication (`10·sym ≤ n` instead of `sym/n ≤ 0.1`), so the
+    * verdicts and every underlying count hash-match a DuckDB oracle
+    * exactly — no float division anywhere.
+    *
+    * Rules: word count within [minWords, maxWords]; mean word length
+    * within [3, 10]; symbol-to-word ratio (`#`/`…`) ≤ 0.1; ≥ 80% of
+    * words contain an alphabetic character; ≤ 90% of lines start with
+    * a bullet; ≤ 30% of lines end with an ellipsis; ≥ 2 stop words
+    * present. `keep` is the conjunction. */
+  def gopherRulesOf(docs: DataFrame, minWords: Long = 30,
+                    maxWords: Long = 100000): DataFrame = {
+    val toks = split(wsTrim(col("text")), "\\s+")
+    val lines = split(col("text"), "\n", -1)
+    val nW = wsTokenCount(col("text")).cast(LongType)
+    // Σ word lengths = every non-whitespace char, one regexp strip
+    val sumLen = length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
+    val nSym = size(regexp_extract_all(col("text"), lit("[#…]"), lit(0))).cast(LongType)
+    val nAlphaW = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+    val nLines = size(lines).cast(LongType)
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast(LongType)
+    val nEllip = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast(LongType)
+    val nStop = graft.functions.native
+      .word_set_scores(lower(col("text")), Seq(gopherStopwords)).getItem(0)
+      .cast(LongType)
+    val asBit = (c: Column) => when(c, 1L).otherwise(0L)
+    docs
+      .select(col("doc_id"), nW.as("n_words"), sumLen.as("n_word_chars"),
+        nSym.as("n_symbols"), nAlphaW.as("n_alpha_words"),
+        nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+        nEllip.as("n_ellipsis_lines"), nStop.as("n_stopwords"))
+      .withColumn("ok_word_count",
+        asBit(col("n_words") >= minWords && col("n_words") <= maxWords))
+      .withColumn("ok_mean_word_len",
+        asBit(col("n_words") > 0 &&
+          col("n_word_chars") >= col("n_words") * 3L &&
+          col("n_word_chars") <= col("n_words") * 10L))
+      .withColumn("ok_symbol_ratio", asBit(col("n_symbols") * 10L <= col("n_words")))
+      .withColumn("ok_alpha_ratio", asBit(col("n_alpha_words") * 5L >= col("n_words") * 4L))
+      .withColumn("ok_bullet", asBit(col("n_bullet_lines") * 10L <= col("n_lines") * 9L))
+      .withColumn("ok_ellipsis", asBit(col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L))
+      .withColumn("ok_stopwords", asBit(col("n_stopwords") >= 2L))
+      .withColumn("keep", col("ok_word_count") * col("ok_mean_word_len") *
+        col("ok_symbol_ratio") * col("ok_alpha_ratio") * col("ok_bullet") *
+        col("ok_ellipsis") * col("ok_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  /** Distinctive terms per document: rank a document's terms by
+    * (tf DESC, df ASC, term ASC) and keep the top `k` — the
+    * integer-only core of tf-idf term extraction (df replaces the
+    * idf logarithm as the tiebreak, preserving the tf-idf order for
+    * equal tf without introducing a transcendental the oracle can't
+    * reproduce bit-for-bit). tf and df come from ONE tokenize+groupBy
+    * pass (df is a re-aggregation of the distinct (doc, term) pairs,
+    * not a second scan); the per-document top-k is a row_number
+    * window that the optimizer collapses to WindowGroupLimit, so
+    * each document prunes to k rows BEFORE the final sort. All
+    * shuffles are keyed on (doc_id, term) / term / doc_id — no
+    * all-pairs term anywhere at 100 TB. */
+  def topTermsOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .filter(length(wsTrim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(lower(wsTrim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    topTermsOf(Tables.documents(spark, dir))
 }

@@ -72,8 +72,15 @@ class PlanSpec extends AnyFunSuite {
     // without it, each query/customer/source becomes one corpus-sized
     // partition at the rank step
     for (name <- Seq("s_ann_topk", "s_ann_lsh", "s_ann_ivf", "q_window_rank",
-        "t_domain_cap"))
+        "t_domain_cap", "t_top_terms"))
       assert(planOf(name).contains("WindowGroupLimit"), s"$name lost rank pruning")
+  }
+
+  test("gopher rules are a pure projection — only the output sort exchanges") {
+    val p = planOf("t_gopher")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"per-doc rule evaluation must not shuffle:\n$p")
   }
 
   test("corpus split is a pure projection — only the output sort exchanges") {

@@ -60,6 +60,50 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(firsts(4L) === 1 && firsts(6L) === 0)
   }
 
+  test("gopher rules: integer cross-multiplied ratios match hand computation") {
+    val corpus = Seq(
+      (1L, ""),                                    // 0 words: every count-gated rule fails
+      (2L, Seq.fill(30)("the data table").mkString(" ")), // 90 words, stopword-rich
+      (3L, "- bullet one\n- bullet two\nplain line"),     // 2/3 bullet lines
+      (4L, "trails off...\nand again…\nsolid end"),       // 2/3 ellipsis lines
+      (5L, ("# " * 40) + Seq.fill(35)("word").mkString(" ")) // 40 symbols vs 75 words
+    ).toDF("doc_id", "text")
+    val m = TextOps.gopherRulesOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getValuesMap[Long](Seq(
+        "n_words", "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        "n_stopwords", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_ratio", "ok_bullet", "ok_ellipsis", "keep"))).toMap
+    assert(m(1L)("n_words") === 0L && m(1L)("ok_word_count") === 0L &&
+      m(1L)("ok_mean_word_len") === 0L && m(1L)("keep") === 0L)
+    assert(m(2L)("n_words") === 90L && m(2L)("n_stopwords") === 30L &&
+      m(2L)("ok_word_count") === 1L && m(2L)("keep") === 1L)
+    assert(m(3L)("n_lines") === 3L && m(3L)("n_bullet_lines") === 2L &&
+      m(3L)("ok_bullet") === 1L) // 2·10 ≤ 3·9 — under the 90% cap
+    assert(m(4L)("n_ellipsis_lines") === 2L &&
+      m(4L)("ok_ellipsis") === 0L) // 2·10 > 3·3 — over the 30% cap
+    assert(m(5L)("n_symbols") === 40L && m(5L)("n_words") === 75L &&
+      m(5L)("ok_symbol_ratio") === 0L && // 400 > 75
+      m(5L)("ok_alpha_ratio") === 0L)    // 35·5 < 75·4: '#' tokens aren't words
+  }
+
+  test("top terms rank by tf desc then df asc then term, capped at k") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta gamma"), // tf: alpha 2; beta/gamma tie on tf=1
+      (2L, "beta beta gamma delta"),  // df(beta)=2 = df(gamma), term order breaks
+      (3L, "gamma epsilon")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.topTermsOf(corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows((1L, 1L)) === (("alpha", 2L, 1L))) // highest tf wins
+    // beta and gamma both tf=1 in doc 1; df(beta)=2 < df(gamma)=3
+    assert(rows((1L, 2L)) === (("beta", 1L, 2L)))
+    assert(rows((2L, 1L)) === (("beta", 2L, 2L)))
+    // doc 2 rank 2: gamma/delta tf=1; df(delta)=1 < df(gamma)=3
+    assert(rows((2L, 2L)) === (("delta", 1L, 1L)))
+    assert(rows.size === 6) // k=2 per doc, no overflow
+  }
+
   test("fingerprints: empty text yields empty winnow set, stable content hash") {
     val m = TextOps.fingerprintsOf(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
