@@ -126,6 +126,11 @@ object SparkEntry {
     // batch decision-matrix oracle
     "q_stream_cdc"       -> ((s: SparkSession, dir: String) =>
       graft.streaming.CdcStream.streamCdcBatch(s, dir)),
+    // TIME TRAVEL: read retained version 2 after version 3 published —
+    // same truth as q_stream_cdc, reached through readSnapshotAt
+    "q_time_travel"      -> SnapshotDiff.timeTravelResult _,
+    // CDF: the v2→v3 diff = exactly what month 2 did to the table
+    "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
     // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
     // each micro-batch merging into the previous batch's published
     // snapshot — hash-checked vs the chained two-merge replay oracle
@@ -275,6 +280,22 @@ object SparkEntry {
       |  CAST(o.o_orderdate AS DATE) AS transaction_date, is_deleted
       |FROM s2 JOIN orders o ON s2.o_orderkey = o.o_orderkey
       |ORDER BY s2.o_orderkey""".stripMargin
+
+  // the single-merge snapshot (state after month 1 + the pass-through
+  // order date) — one truth for the streaming one-batch updater AND
+  // the time-travel read of version 2 after version 3 published
+  private val cdcSingleMergeSnapshotSql = cdcCte +
+    """SELECT d.o_orderkey,
+      | CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
+      |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
+      |      THEN new_price ELSE base_price END AS DOUBLE) AS price,
+      | CAST(o.o_orderdate AS DATE) AS transaction_date,
+      | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
+      |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
+      |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted
+      |FROM dec d JOIN orders o ON d.o_orderkey = o.o_orderkey
+      |WHERE outcome <> 'delete_but_missing_and_ignored'
+      |ORDER BY d.o_orderkey""".stripMargin
 
   // one truth for both streaming-dedup state layouts (exact and
   // FIFO-bounded-above-the-corpus): min-doc_id-per-text admission
@@ -694,18 +715,28 @@ object SparkEntry {
     // near-threshold pairs and near-tied ranks
     // the streaming updater's final snapshot = the batch merge's applied
     // side + the (pass-through) order date the snapshot partitions on
-    "q_stream_cdc" -> (cdcCte +
-      """SELECT d.o_orderkey,
-        | CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
-        |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
-        |      THEN new_price ELSE base_price END AS DOUBLE) AS price,
-        | CAST(o.o_orderdate AS DATE) AS transaction_date,
-        | CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
-        |      WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
-        |      WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted
-        |FROM dec d JOIN orders o ON d.o_orderkey = o.o_orderkey
-        |WHERE outcome <> 'delete_but_missing_and_ignored'
-        |ORDER BY d.o_orderkey""".stripMargin),
+    "q_stream_cdc" -> cdcSingleMergeSnapshotSql,
+    // TIME TRAVEL shares the streaming query's truth: the version-2
+    // read after the version-3 publish must still be the single-merge
+    // state, bit-exact — retention kept history, the pinned read
+    // resolved it
+    "q_time_travel" -> cdcSingleMergeSnapshotSql,
+
+    // CDF: full-outer diff of the two chained replay states (both
+    // fragments proven by q_cdc_replay / q_stream_cdc_multi)
+    "q_snapshot_diff" -> (cdcReplayChain +
+      """SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |       WHEN b.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  CAST(a.price AS DOUBLE) AS old_price,
+        |  CAST(b.price AS DOUBLE) AS new_price,
+        |  a.is_deleted AS old_is_deleted,
+        |  b.is_deleted AS new_is_deleted
+        |FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.price <> b.price OR a.is_deleted <> b.is_deleted
+        |ORDER BY o_orderkey""".stripMargin),
 
     "q_stream_dedup" -> streamDedupSql,
     // the bounded-state plan is held to the SAME truth: its horizon is

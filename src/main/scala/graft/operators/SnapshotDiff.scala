@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.sources.{Sinks, Tables}
+
+/** Change-data-feed between two versions of the versioned snapshot
+  * store — the read-side complement of the CDC write path: the
+  * reference keeps an audit trail by logging every applied operation
+  * (`InputFileStatistics`, the file-log tables); a lakehouse gets the
+  * same answer by DIFFING two committed versions (`table_changes` /
+  * CDF in Delta terms). Version history is exactly what
+  * [[Sinks.publishSnapshot]]'s retention keeps, so the diff needs no
+  * extra write-side bookkeeping at all.
+  */
+object SnapshotDiff {
+
+  /** Row-level diff of two keyed table states: one full-outer shuffle
+    * join on the key at any scale (both sides hash-partition; no
+    * all-pairs term), emitting only changed rows — `insert` (key only
+    * in `newDf`), `delete` (key only in `oldDf`), `update` (any
+    * compare column differs, null-safe). Unchanged keys — the
+    * overwhelming majority between adjacent versions — are dropped
+    * before the output sort, so the result is change-sized, not
+    * table-sized. */
+  def diffOf(oldDf: DataFrame, newDf: DataFrame, key: String,
+             compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((key +: compareCols).map(col): _*).as("o")
+    val n = newDf.select((key +: compareCols).map(col): _*).as("n")
+    val differs = compareCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"o.$key").isNull, "insert")
+          .when(col(s"n.$key").isNull, "delete")
+          .when(differs, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        (coalesce(col(s"o.$key"), col(s"n.$key")).as(key) +:
+          col("change_type") +:
+          compareCols.flatMap(c =>
+            Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c")))): _*)
+  }
+
+  /** Publish the three-version CDC timeline into a scratch table:
+    * v1 = base snapshot, v2 = month-1 merge applied, v3 = month-2
+    * merge applied against v2 — the batch twin of the streaming
+    * multi-batch query's lifecycle, shared by both registered
+    * queries below. Returns the table path (live version = 3; v2
+    * retained by the default window, v1 pruned). */
+  private def publishTimeline(spark: SparkSession, dir: String, tmp: String): String = {
+    val table = s"$tmp/table"
+    val dates = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
+    Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
+      "transaction_date", table)
+    def applyMonth(changes: DataFrame): Unit = {
+      val prev = Sinks.readSnapshot(spark, table).drop("txn_month")
+      val merged = CdcMerge.mergeBroadcast(prev,
+        changes.withColumnRenamed("new_price", "price").join(dates, "o_orderkey"),
+        key = "o_orderkey", compareCols = Seq("price", "transaction_date"))
+      Sinks.publishSnapshot(CdcMerge.applied(merged).drop("outcome"),
+        "transaction_date", table)
+      ()
+    }
+    applyMonth(Cdc.changeSet(spark, dir))
+    applyMonth(Cdc.changeSet2(spark, dir))
+    table
+  }
+
+  /** Registered `q_time_travel`: after the month-2 publish, read the
+    * RETAINED month-1 version through [[Sinks.readSnapshotAt]] — the
+    * historical state as of version 2, hash-checked against the
+    * single-merge oracle even though the live table has moved on.
+    * Pins that retention keeps committed history bit-exact and that
+    * the version-pinned read path resolves the right directory. */
+  def timeTravelResult(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("time_travel_q")
+    val table = publishTimeline(spark, dir, tmp)
+    Sinks.readSnapshotAt(spark, table, version = 2L)
+      .select(col("o_orderkey"), col("price").cast(DoubleType).as("price"),
+        col("transaction_date"), col("is_deleted"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Registered `q_snapshot_diff`: the change feed v2 → v3, i.e.
+    * exactly what month 2 did to the table — re-added keys surface as
+    * `insert`, price bumps and soft-delete flips as `update` (soft
+    * deletes mean no physical `delete` ever appears; the branch
+    * exists for tables that hard-delete). Hash-checked against a
+    * DuckDB full-outer diff of the two chained replay states. */
+  def snapshotDiffResult(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("snapshot_diff_q")
+    val table = publishTimeline(spark, dir, tmp)
+    diffOf(
+        Sinks.readSnapshotAt(spark, table, version = 2L),
+        Sinks.readSnapshotAt(spark, table, version = 3L),
+        key = "o_orderkey", compareCols = Seq("price", "is_deleted"))
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_price").cast(DoubleType).as("old_price"),
+        col("new_price").cast(DoubleType).as("new_price"),
+        col("old_is_deleted"), col("new_is_deleted"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -128,6 +128,41 @@ object Sinks {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(currentVersionDir(spark, tablePath))
 
+  /** Every COMMITTED version still resolvable, ascending — the
+    * manifest numbers intersected with the version dirs that survived
+    * retention pruning. (A marker whose dir a concurrent pruner has
+    * deleted is mid-removal debris, not readable history.) */
+  def listVersions(spark: org.apache.spark.sql.SparkSession, tablePath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val fs = hadoopFs(spark, mdir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+      case manifestRe(n) => Some(n.toLong)
+      case _             => None
+    }).filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, versionDirName(v))))
+      .sorted
+  }
+
+  /** TIME TRAVEL: read a specific committed snapshot version — the
+    * versioned store's historical-read half (`VERSION AS OF` in a
+    * lakehouse table format). Versions stay readable as long as
+    * retention keeps them (`retainVersions` at publish); asking for a
+    * version that was never committed, or that retention already
+    * pruned, fails with the available range rather than silently
+    * reading debris — an uncommitted version DIRECTORY may be a
+    * concurrent publisher mid-write and must never be served. */
+  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                     version: Long): DataFrame = {
+    val available = listVersions(spark, tablePath)
+    if (!available.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"snapshot version $version of $tablePath is not readable " +
+        s"(committed + retained: ${available.mkString("[", ", ", "]")}) — " +
+        "it was never committed, or retention pruned it")
+    spark.read.parquet(s"$tablePath/${versionDirName(version)}")
+  }
+
   /** Writer options enabling a parquet BLOOM FILTER on each given
     * column: the point-lookup complement of min/max footer stats —
     * on a high-cardinality key (the reference's

@@ -139,6 +139,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(dirs === Set("v00000002", "v00000003"))
   }
 
+  test("time travel reads retained history; pruned and uncommitted versions refuse") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("vtravel").toString + "/t"
+    def df(p: Long) = Seq(("A", p, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("k", "price", "transaction_date")
+    (1L to 3L).foreach(v => Sinks.publishSnapshot(df(v * 100), "transaction_date",
+      table, retainVersions = 2))
+    assert(Sinks.listVersions(spark, table) === Seq(2L, 3L)) // v1 pruned
+    // the retained historical version reads bit-exact while live moved on
+    assert(Sinks.readSnapshotAt(spark, table, 2L)
+      .select("price").as[Long].collect().toSeq === Seq(200L))
+    assert(Sinks.readSnapshot(spark, table)
+      .select("price").as[Long].collect().toSeq === Seq(300L))
+    // pruned version: refuse with the available range, never read debris
+    val pruned = intercept[java.io.FileNotFoundException](
+      Sinks.readSnapshotAt(spark, table, 1L))
+    assert(pruned.getMessage.contains("[2, 3]"))
+    // a bare version DIR without a commit marker (concurrent publisher
+    // mid-write / crashed writer) must never be served either
+    new java.io.File(table, "v00000007").mkdirs()
+    intercept[java.io.FileNotFoundException](Sinks.readSnapshotAt(spark, table, 7L))
+    assert(Sinks.listVersions(spark, table) === Seq(2L, 3L))
+  }
+
+  test("snapshot diff emits exactly the changed rows, typed by change kind") {
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, Some(10L), "F"), (2L, Some(20L), "F"), (3L, Some(30L), "F"),
+        (5L, None: Option[Long], "F"))
+      .toDF("id", "price", "is_deleted")
+    val v2 = Seq((1L, Some(10L), "F"), (2L, Some(25L), "F"), (4L, Some(40L), "F"),
+        (5L, None: Option[Long], "F"))
+      .toDF("id", "price", "is_deleted")
+    val d = SnapshotDiff.diffOf(v1, v2, "id", Seq("price", "is_deleted")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (dropped), 5 unchanged with a NULL compare column
+    // (null-safe equality — not a spurious update), 2 updated,
+    // 3 only-in-old, 4 only-in-new
+    assert(d === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
   test("versioned snapshot publish: concurrent reads across repeated swaps never fail") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("vsnap_conc").toString + "/t"
