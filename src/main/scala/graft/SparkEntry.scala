@@ -115,6 +115,8 @@ object SparkEntry {
     // full Gopher rule set (integer cross-multiplied ratios) + tf/df top terms
     "t_gopher"           -> TextOps.gopherRules _,
     "t_top_terms"        -> TextOps.topTerms _,
+    // CCNet-style LM fluency proxy: reference-corpus trigram coverage
+    "t_lm_score"         -> TextOps.lmCoverage _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
     // the STREAMING ingest-dedup plan drained in one AvailableNow pass —
@@ -962,6 +964,28 @@ object SparkEntry {
         |  CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_ratio
         |       * ok_bullet * ok_ellipsis * ok_stopwords AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // LM coverage: trigram membership vs the even-doc_id reference
+    // half; the 80% bar is a cross-multiplied integer comparison
+    "t_lm_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+        |  FROM documents),
+        |tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 2)) AS i
+        |        FROM w WHERE n >= 3)),
+        |ref AS (SELECT DISTINCT tri FROM tg WHERE doc_id % 2 = 0),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n_trigrams, COUNT(r.tri) AS n_covered
+        |  FROM tg t LEFT JOIN ref r ON t.tri = r.tri GROUP BY t.doc_id)
+        |SELECT w.doc_id,
+        |  CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(COALESCE(sc.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(CASE WHEN COALESCE(sc.n_covered, 0) * 100 >= COALESCE(sc.n_trigrams, 0) * 80
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_fluent
+        |FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     // top terms: df is the tiebreak (preserves the tf-idf order for
     // equal tf without a transcendental the hash gate can't cross)

@@ -758,4 +758,56 @@ object TextOps {
 
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     topTermsOf(Tables.documents(spark, dir))
+
+  /** CCNet-style language-model quality proxy (Wenzek et al. 2020):
+    * score every document by how much of it the reference corpus has
+    * seen before — here the fraction of its word TRIGRAMS that occur
+    * in the reference half. CCNet ranks by KenLM perplexity; the
+    * n-gram COVERAGE fraction is the same fluency signal with integer
+    * arithmetic only (a perplexity needs log-probs, a transcendental
+    * no cross-engine bit-exact oracle can reproduce), thresholded by
+    * cross-multiplication like [[gopherRulesOf]].
+    *
+    * Plan shape at 100 TB: trigram explode is shuffle-free, the
+    * reference vocabulary is a distinct on the trigram key, the
+    * membership join and the per-doc count are both keyed shuffles —
+    * no broadcast of the (corpus-sized) reference, no all-pairs term.
+    * Documents shorter than 3 tokens carry no evidence and pass
+    * (0 ≥ 0 — length policing is [[gopherRulesOf]]'s job). */
+  def lmCoverageOf(docs: DataFrame, refDocs: DataFrame,
+                   minCoveredPct: Int = 80): DataFrame = {
+    require(minCoveredPct >= 0 && minCoveredPct <= 100, "percentage out of range")
+    def trigrams(d: DataFrame): DataFrame = {
+      val w = split(lower(wsTrim(col("text"))), "\\s+")
+      d.select(col("doc_id"), w.as("w"), size(w).as("n"))
+        .filter(length(wsTrim(col("text"))) > 0 && col("n") >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), col("n") - 2), i =>
+            concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2)))).as("tri"))
+    }
+    val ref = trigrams(refDocs).select("tri").distinct().withColumn("__hit", lit(1))
+    val scored = trigrams(docs)
+      .join(ref, Seq("tri"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), count(col("__hit")).as("n_covered"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("is_fluent",
+        when(col("n_covered") * 100L >= col("n_trigrams") * minCoveredPct, 1L)
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Registered binding: the even-doc_id half is the "reference" the
+    * model trained on — a deterministic split both engines compute,
+    * standing in for CCNet's clean Wikipedia LM corpus. */
+  def lmCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    lmCoverageOf(docs, docs.filter(col("doc_id") % 2 === 0))
+  }
 }

@@ -104,6 +104,22 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(rows.size === 6) // k=2 per doc, no overflow
   }
 
+  test("lm coverage counts reference trigram hits; short docs carry no evidence") {
+    val corpus = Seq(
+      (1L, "a b c d"),        // trigrams: "a b c", "b c d"
+      (2L, "a b c x y z"),    // "a b c" covered; "b c x","c x y","x y z" not
+      (3L, "q r"),            // < 3 tokens: no evidence, passes
+      (4L, "")                // empty: no evidence, passes
+    ).toDF("doc_id", "text")
+    val ref = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val m = TextOps.lmCoverageOf(corpus, ref, minCoveredPct = 50).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) === ((2L, 2L, 1L)))  // fully covered
+    assert(m(2L) === ((4L, 1L, 0L)))  // 1 of 4 < 50%
+    assert(m(3L) === ((0L, 0L, 1L)))
+    assert(m(4L) === ((0L, 0L, 1L)))
+  }
+
   test("fingerprints: empty text yields empty winnow set, stable content hash") {
     val m = TextOps.fingerprintsOf(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
