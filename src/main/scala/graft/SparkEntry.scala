@@ -117,6 +117,10 @@ object SparkEntry {
     "t_top_terms"        -> TextOps.topTerms _,
     // CCNet-style LM fluency proxy: reference-corpus trigram coverage
     "t_lm_score"         -> TextOps.lmCoverage _,
+    // Misra–Gries heavy-hitter sketch: t_vocab without the token
+    // shuffle (rows-only — merge order shapes sub-threshold survivors;
+    // exact-when-vocab-fits + undercount bound are ExpressionSpec-pinned)
+    "t_vocab_approx"     -> TextOps.vocabSketch _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
     // the STREAMING ingest-dedup plan drained in one AvailableNow pass —

@@ -596,6 +596,128 @@ case class SimHashAgg(child: Expression,
     copy(child = c.head)
 }
 
+/** Mergeable Misra–Gries heavy-hitter summary (Agarwal et al.,
+  * "Mergeable Summaries", PODS'12) — the sketch tier of the
+  * vocabulary census: the exact `t_vocab` shuffles EVERY token to its
+  * reducer; this aggregate keeps at most `capacity` counters per
+  * partition and merges capacity-sized buffers, so a 100 TB token
+  * stream costs one map pass + tiny merges, like the HLL and
+  * approx-percentile tiers beside it.
+  *
+  * Classic MG update (absent item on a full buffer decrements all
+  * counters and is itself dropped) and the mergeable-summaries merge
+  * (pointwise sum, then subtract the (capacity+1)-th largest count
+  * and keep the positive survivors). Estimates UNDERCOUNT by at most
+  * n/(capacity+1) — any token more frequent than that bound is
+  * guaranteed present, and when the true vocabulary fits the capacity
+  * no decrement ever fires, so counts are exact (both spec-pinned).
+  *
+  * eval returns the summary as (token, est_count) structs sorted by
+  * (est_count DESC, token) — deterministic output order for whatever
+  * survives. */
+case class MisraGriesTopK(child: Expression, capacity: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with ExpectsInputTypes {
+  require(capacity >= 1, "capacity must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType, nullable = false),
+      StructField("est_count", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(tok)
+      if (cur != 0L || buf.containsKey(tok)) buf.put(tok, cur + 1L)
+      else if (buf.size < capacity) buf.put(tok, 1L)
+      else {
+        // full and absent: the arrival cancels against one unit of
+        // every resident counter (amortized O(1) — each decrement
+        // pairs with a past increment)
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+                     b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    b.forEach((k, v) => a.merge(k, v, (x: Long, y: Long) => x + y))
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count, keep positives —
+      // at most `capacity` survive and each error adds the subtracted
+      // amount, preserving the n/(capacity+1) bound across merges
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(a.size - capacity - 1)
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val entries = new java.util.ArrayList(buf.entrySet())
+    entries.sort { (x: java.util.Map.Entry[String, Long], y: java.util.Map.Entry[String, Long]) =>
+      val c = java.lang.Long.compare(y.getValue, x.getValue)
+      if (c != 0) c else x.getKey.compareTo(y.getKey)
+    }
+    val rows = new Array[Any](entries.size)
+    var i = 0
+    while (i < entries.size) {
+      val e = entries.get(i)
+      rows(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.forEach { (k, v) => out.writeUTF(k); out.writeLong(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MisraGriesTopK =
+    copy(child = c.head)
+}
+
 /** Repetition census for the Gopher/MassiveText repetition rules:
   * `[n_tokens, n_distinct, top_bigram_n]` in ONE tokenization pass.
   * Tokens are maximal runs of non-ASCII-whitespace in the LOWERCASED
@@ -683,4 +805,7 @@ object native {
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
   def hilbert_index(c: Column, bits: Int): Column =
     ExpressionUtils.column(HilbertIndex(ExpressionUtils.expression(c), bits))
+  def misra_gries_topk(c: Column, capacity: Int): Column =
+    ExpressionUtils.column(
+      MisraGriesTopK(ExpressionUtils.expression(c), capacity).toAggregateExpression())
 }

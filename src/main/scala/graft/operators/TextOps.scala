@@ -177,6 +177,33 @@ object TextOps {
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     vocabStatsOf(Tables.documents(spark, dir))
 
+  /** Sketch tier of [[vocabStatsOf]] (the HLL / approx-percentile
+    * pattern applied to heavy hitters): a mergeable Misra–Gries
+    * summary (native `MisraGriesTopK` TypedImperativeAggregate) keeps
+    * ≤ `capacity` counters per partition and merges capacity-sized
+    * buffers — one map pass over the token stream, NO token shuffle
+    * at all (the exact census shuffles every token to its reducer,
+    * which at 100 TB is the dominant cost of `t_vocab`). Estimates
+    * undercount by ≤ n/(capacity+1); when the true vocabulary fits
+    * the capacity the counts are exact (both ExpressionSpec-pinned,
+    * and the registered corpus vocabulary does fit — the sketch
+    * reproduces the exact census's cf column). */
+  def vocabSketchOf(docs: DataFrame, capacity: Int = 2048, topK: Int = 100): DataFrame =
+    docs
+      .filter(length(wsTrim(col("text"))) > 0)
+      .select(explode(split(wsTrim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(graft.functions.native.misra_gries_topk(col("token"), capacity).as("summary"))
+      .select(posexplode(col("summary")))
+      .filter(col("pos") < topK)
+      .select(col("col.token").as("token"),
+        col("col.est_count").as("est_count"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy("rank")
+
+  def vocabSketch(spark: SparkSession, dir: String): DataFrame =
+    vocabSketchOf(Tables.documents(spark, dir))
+
   /** Adjacent token-pair census — the merge-candidate scan at the
     * heart of BPE tokenizer training, run at word granularity: global
     * collection frequency + document frequency of every adjacent

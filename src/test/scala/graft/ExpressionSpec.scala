@@ -198,6 +198,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(nativeSig === composedSig)
   }
 
+  test("misra-gries: exact when the vocabulary fits, regardless of partitioning") {
+    // vocab of 20 tokens with distinct frequencies, scattered over 7
+    // partitions: capacity 32 > vocab → no decrement ever fires, so
+    // every merge path must reproduce the exact census
+    val toks = (1 to 20).flatMap(i => Seq.fill(i * 3)(s"tok$i"))
+    val df = scala.util.Random.shuffle(toks).toDF("t").repartition(7)
+    val got = df.agg(misra_gries_topk(col("t"), 32).as("s"))
+      .select(explode(col("s")))
+      .select(col("col.token"), col("col.est_count"))
+      .as[(String, Long)].collect().toMap
+    assert(got === (1 to 20).map(i => s"tok$i" -> i.toLong * 3).toMap)
+  }
+
+  test("misra-gries: heavy hitter survives a tiny capacity within the undercount bound") {
+    // 400 of 1000 tokens are "hh", the rest 600 distinct singletons:
+    // with capacity 8, anything above n/(cap+1) = 111 MUST survive,
+    // estimates never overcount, and the undercount is bounded
+    val toks = Seq.fill(400)("hh") ++ (1 to 600).map(i => s"rare$i")
+    val df = scala.util.Random.shuffle(toks).toDF("t").repartition(5)
+    val got = df.agg(misra_gries_topk(col("t"), 8).as("s"))
+      .select(explode(col("s")))
+      .select(col("col.token"), col("col.est_count"))
+      .as[(String, Long)].collect().toMap
+    assert(got.contains("hh"), s"heavy hitter evicted: $got")
+    assert(got("hh") <= 400L, "MG must never overcount")
+    assert(400L - got("hh") <= 1000L / 9 + 1, s"undercount beyond bound: ${got("hh")}")
+    assert(got.size <= 8)
+  }
+
+  test("vocab sketch reproduces the exact census on the corpus (vocab fits capacity)") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val exact = graft.operators.TextOps.vocabStatsOf(docs)
+      .select(col("token"), col("cf")).as[(String, Long)].collect()
+    val sketch = graft.operators.TextOps.vocabSketchOf(docs)
+      .select(col("token"), col("est_count")).as[(String, Long)].collect()
+    assert(sketch.toSeq === exact.toSeq) // same tokens, counts, AND order
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     // TestSpark session is built by GraftSession, which registers the
     // extensions — so plain SQL can use the engine's functions.
