@@ -121,6 +121,10 @@ object SparkEntry {
     // shuffle (rows-only — merge order shapes sub-threshold survivors;
     // exact-when-vocab-fits + undercount bound are ExpressionSpec-pinned)
     "t_vocab_approx"     -> TextOps.vocabSketch _,
+    // the same sketch group-wise (per-source dominant vocabulary)
+    "t_source_top_tokens" -> TextOps.sourceTopTokens _,
+    // exact-k uniform stratified sample via salted-md5 permutation rank
+    "t_reservoir"        -> TextOps.reservoirSample _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
     // the STREAMING ingest-dedup plan drained in one AvailableNow pass —
@@ -968,6 +972,16 @@ object SparkEntry {
         |  CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_ratio
         |       * ok_bullet * ok_ellipsis * ok_stopwords AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // exact-k stratified sample: the salted-md5 permutation is a
+    // uniform order both engines compute identically
+    "t_reservoir" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+        |FROM (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || 'resv'), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 10 ORDER BY source, sample_rank""".stripMargin,
 
     // LM coverage: trigram membership vs the even-doc_id reference
     // half; the 80% bar is a cross-multiplied integer comparison

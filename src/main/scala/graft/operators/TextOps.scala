@@ -204,6 +204,51 @@ object TextOps {
   def vocabSketch(spark: SparkSession, dir: String): DataFrame =
     vocabSketchOf(Tables.documents(spark, dir))
 
+  /** Per-source heavy hitters in ONE pass: the same mergeable
+    * Misra–Gries aggregate run group-wise — the shuffle moves
+    * capacity-sized sketch buffers keyed on source, never the token
+    * stream (the exact equivalent shuffles every (source, token)
+    * pair). The dashboard complement of [[sourceStatsOf]]: what
+    * vocabulary dominates each feed. */
+  def sourceTopTokensOf(docs: DataFrame, capacity: Int = 1024, topK: Int = 10): DataFrame =
+    docs
+      .filter(length(wsTrim(col("text"))) > 0)
+      .select(col("source"),
+        explode(split(wsTrim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source")
+      .agg(graft.functions.native.misra_gries_topk(col("token"), capacity).as("summary"))
+      .select(col("source"), posexplode(col("summary")))
+      .filter(col("pos") < topK)
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.token").as("token"), col("col.est_count").as("est_count"))
+      .orderBy("source", "rank")
+
+  def sourceTopTokens(spark: SparkSession, dir: String): DataFrame =
+    sourceTopTokensOf(Tables.documents(spark, dir))
+
+  /** Exact-k uniform stratified sample (reservoir semantics made
+    * deterministic): rank each stratum's documents by the md5 of a
+    * salted id — a uniform random permutation both engines compute
+    * identically — and keep the first `k`. The exact-SIZE complement
+    * of rate-based [[stratifiedSampleOf]] (eval-set construction
+    * wants "exactly k per source", not a Bernoulli rate); the rank
+    * window collapses to WindowGroupLimit, so each stratum prunes to
+    * k rows before the shuffle. */
+  def reservoirSampleOf(docs: DataFrame, k: Int = 10,
+                        strataCol: String = "source",
+                        salt: String = "resv"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col("doc_id").cast(StringType), lit(salt))), col("doc_id"))
+    docs.select(col("doc_id"), col(strataCol))
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= k)
+      .orderBy(strataCol, "sample_rank")
+  }
+
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    reservoirSampleOf(Tables.documents(spark, dir))
+
   /** Adjacent token-pair census — the merge-candidate scan at the
     * heart of BPE tokenizer training, run at word granularity: global
     * collection frequency + document frequency of every adjacent

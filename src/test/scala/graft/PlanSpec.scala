@@ -72,7 +72,7 @@ class PlanSpec extends AnyFunSuite {
     // without it, each query/customer/source becomes one corpus-sized
     // partition at the rank step
     for (name <- Seq("s_ann_topk", "s_ann_lsh", "s_ann_ivf", "q_window_rank",
-        "t_domain_cap", "t_top_terms"))
+        "t_domain_cap", "t_top_terms", "t_reservoir"))
       assert(planOf(name).contains("WindowGroupLimit"), s"$name lost rank pruning")
   }
 

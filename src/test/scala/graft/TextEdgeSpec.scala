@@ -120,6 +120,38 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(m(4L) === ((0L, 0L, 1L)))
   }
 
+  test("reservoir sample: exactly k per stratum, deterministic, salt-sensitive") {
+    val corpus = (1L to 100L).map(i => (i, s"text $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val s1 = TextOps.reservoirSampleOf(corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact size per stratum, ranks 1..k
+    assert(s1.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+      === (0 until 4).map(i => s"src$i" -> (1L to 5L)).toMap)
+    // deterministic: the same call yields the same sample
+    val s2 = TextOps.reservoirSampleOf(corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.toSeq === s2.toSeq)
+    // a different salt draws a different permutation (not id order)
+    val other = TextOps.reservoirSampleOf(corpus, k = 5, salt = "other").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.map(_._1).toSet !== other.map(_._1).toSet)
+    assert(s1.map(_._1).toSeq !== (1L to 20L).toSeq) // md5 order, not doc order
+  }
+
+  test("per-source top tokens equal the exact per-source census when vocab fits") {
+    val corpus = Seq(
+      (1L, "x x x y y z", "a"), (2L, "x y", "a"),
+      (3L, "p p q", "b"), (4L, "q q q p", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.sourceTopTokensOf(corpus, capacity = 16, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got(("a", 1L)) === (("x", 4L)))
+    assert(got(("a", 2L)) === (("y", 3L)))
+    assert(got(("b", 1L)) === (("q", 4L)))
+    assert(got(("b", 2L)) === (("p", 3L)))
+  }
+
   test("fingerprints: empty text yields empty winnow set, stable content hash") {
     val m = TextOps.fingerprintsOf(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
