@@ -141,6 +141,9 @@ object SparkEntry {
     "q_time_travel"      -> SnapshotDiff.timeTravelResult _,
     // CDF: the v2→v3 diff = exactly what month 2 did to the table
     "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
+    // CDF ROUND-TRIP: apply that feed back onto v2 and land on v3,
+    // hash-checked against the chained replay oracle (not our own diff)
+    "q_cdf_apply"        -> SnapshotDiff.cdfApplyResult _,
     // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
     // each micro-batch merging into the previous batch's published
     // snapshot — hash-checked vs the chained two-merge replay oracle
@@ -747,6 +750,11 @@ object SparkEntry {
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |   OR a.price <> b.price OR a.is_deleted <> b.is_deleted
         |ORDER BY o_orderkey""".stripMargin),
+
+    // applying the v2→v3 feed onto v2 must reproduce v3 = the chained
+    // replay state — the SAME truth as q_cdc_replay, reached through
+    // diffOf + applyDiff instead of the merge fold
+    "q_cdf_apply" -> cdcReplaySql,
 
     "q_stream_dedup" -> streamDedupSql,
     // the bounded-state plan is held to the SAME truth: its horizon is

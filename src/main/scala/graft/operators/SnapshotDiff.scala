@@ -43,6 +43,45 @@ object SnapshotDiff {
             Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c")))): _*)
   }
 
+  /** Apply a change feed (the output of [[diffOf]]) to the state it
+    * was diffed FROM, reconstructing the state it was diffed TO —
+    * what a downstream subscriber (replica, incremental view, search
+    * index) does with the CDF instead of re-reading the whole table.
+    * One left join on the key (drop deleted/updated old rows) + one
+    * union of the feed's new rows; change-feed-sized work beyond the
+    * single keyed join. Round-trip `applyDiff(old, diffOf(old, new))
+    * ≡ new` is spec-pinned, nulls included. */
+  def applyDiff(oldDf: DataFrame, diff: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    val touched = diff.select(col(key), col("change_type"))
+    val kept = oldDf.select((key +: compareCols).map(col): _*)
+      .join(touched, Seq(key), "left")
+      .filter(col("change_type").isNull)
+      .drop("change_type")
+    val arrived = diff
+      .filter(col("change_type") =!= "delete")
+      .select((col(key) +: compareCols.map(c => col(s"new_$c").as(c))): _*)
+    kept.unionByName(arrived)
+  }
+
+  /** Registered `q_cdf_apply`: replay the v2→v3 change feed onto the
+    * retained version-2 state and land, bit-exact, on version 3 — the
+    * subscriber round-trip ([[diffOf]] then [[applyDiff]]) proven
+    * against the chained-replay oracle rather than against our own
+    * diff. A feed subscriber that maintains a replica this way holds
+    * the same state as a full re-read, at change-feed cost. */
+  def cdfApplyResult(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("cdf_apply_q")
+    val table = publishTimeline(spark, dir, tmp)
+    val v2 = Sinks.readSnapshotAt(spark, table, version = 2L)
+    val v3 = Sinks.readSnapshotAt(spark, table, version = 3L)
+    val feed = diffOf(v2, v3, key = "o_orderkey", compareCols = Seq("price", "is_deleted"))
+    applyDiff(v2, feed, key = "o_orderkey", compareCols = Seq("price", "is_deleted"))
+      .select(col("o_orderkey"), col("price").cast(DoubleType).as("price"),
+        col("is_deleted"))
+      .orderBy("o_orderkey")
+  }
+
   /** Publish the three-version CDC timeline into a scratch table:
     * v1 = base snapshot, v2 = month-1 merge applied, v3 = month-2
     * merge applied against v2 — the batch twin of the streaming

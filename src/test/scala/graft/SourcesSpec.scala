@@ -179,6 +179,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(d === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
   }
 
+  test("applying a snapshot diff to the old state reconstructs the new state exactly") {
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, Some(10L), "F"), (2L, Some(20L), "F"), (3L, Some(30L), "F"),
+        (5L, None: Option[Long], "F"))
+      .toDF("id", "price", "is_deleted")
+    // exercises every feed branch: update (2), hard delete (3),
+    // insert (4), untouched null-compare row (5), null ARRIVING via an
+    // update (1: value → null must round-trip, not resurrect 10)
+    val v2 = Seq((1L, None: Option[Long], "F"), (2L, Some(25L), "F"), (4L, Some(40L), "F"),
+        (5L, None: Option[Long], "F"))
+      .toDF("id", "price", "is_deleted")
+    val feed = SnapshotDiff.diffOf(v1, v2, "id", Seq("price", "is_deleted"))
+    val rebuilt = SnapshotDiff.applyDiff(v1, feed, "id", Seq("price", "is_deleted"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+    val expected = v2.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+    assert(rebuilt === expected)
+  }
+
   test("versioned snapshot publish: concurrent reads across repeated swaps never fail") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("vsnap_conc").toString + "/t"
