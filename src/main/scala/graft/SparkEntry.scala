@@ -144,6 +144,9 @@ object SparkEntry {
     // CDF ROUND-TRIP: apply that feed back onto v2 and land on v3,
     // hash-checked against the chained replay oracle (not our own diff)
     "q_cdf_apply"        -> SnapshotDiff.cdfApplyResult _,
+    // INCREMENTAL VIEW MAINTENANCE: fold the v2→v3 feed into v2's
+    // monthly aggregate; hash-checked vs a full GROUP BY over v3
+    "q_incr_agg"         -> SnapshotDiff.incrAggResult _,
     // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
     // each micro-batch merging into the previous batch's published
     // snapshot — hash-checked vs the chained two-merge replay oracle
@@ -750,6 +753,17 @@ object SparkEntry {
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |   OR a.price <> b.price OR a.is_deleted <> b.is_deleted
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the incrementally-maintained monthly aggregate must equal a full
+    // GROUP BY over the final chained replay state (count + exact
+    // decimal sum are self-decomposable under the feed's signed deltas)
+    "q_incr_agg" -> (cdcReplayChain +
+      """SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+        |  COUNT(*) AS n_live,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM s2 JOIN orders o ON s2.o_orderkey = o.o_orderkey
+        |WHERE is_deleted = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // applying the v2→v3 feed onto v2 must reproduce v3 = the chained
     // replay state — the SAME truth as q_cdc_replay, reached through

@@ -198,6 +198,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(rebuilt === expected)
   }
 
+  test("incremental aggregate refresh from a change feed equals full recompute") {
+    import graft.operators.SnapshotDiff
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def p(v: String) = new java.math.BigDecimal(v)
+    val v1 = Seq(
+      (1L, p("10.00"), "F", d("2024-01-05")), // untouched
+      (2L, p("20.00"), "F", d("2024-01-20")), // price update, same month
+      (3L, p("30.00"), "F", d("2024-02-03")), // moves month (date update)
+      (4L, p("40.00"), "F", d("2024-02-09")), // soft-delete flip F→T
+      (5L, p("50.00"), "T", d("2024-03-14")), // dead in both (never counted)
+      (6L, p("60.00"), "F", d("2024-04-01"))) // hard delete empties April
+      .toDF("id", "price", "is_deleted", "transaction_date")
+    val v2 = Seq(
+      (1L, p("10.00"), "F", d("2024-01-05")),
+      (2L, p("25.00"), "F", d("2024-01-20")),
+      (3L, p("30.00"), "F", d("2024-03-03")),
+      (4L, p("40.00"), "T", d("2024-02-09")),
+      (5L, p("50.00"), "T", d("2024-03-14")),
+      (7L, p("70.00"), "F", d("2024-05-30"))) // insert opens May
+      .toDF("id", "price", "is_deleted", "transaction_date")
+    val feed = SnapshotDiff.diffOf(v1, v2, "id",
+      Seq("price", "is_deleted", "transaction_date"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    val refreshed = norm(SnapshotDiff.refreshAgg(SnapshotDiff.monthlyAgg(v1), feed))
+    assert(refreshed === norm(SnapshotDiff.monthlyAgg(v2)))
+    // the emptied months (February lost its only live row to March and
+    // the flip; April's row hard-deleted) must be GONE, not zero rows
+    assert(!refreshed.exists(_._1.startsWith("2024-02")))
+    assert(!refreshed.exists(_._1.startsWith("2024-04")))
+    assert(refreshed.map(_._1) === Set("2024-01-01", "2024-03-01", "2024-05-01"))
+  }
+
   test("versioned snapshot publish: concurrent reads across repeated swaps never fail") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("vsnap_conc").toString + "/t"
