@@ -117,6 +117,13 @@ object SparkEntry {
     "t_top_terms"        -> TextOps.topTerms _,
     // CCNet-style LM fluency proxy: reference-corpus trigram coverage
     "t_lm_score"         -> TextOps.lmCoverage _,
+    // vocabulary-indexed tokenization: corpus-derived id map, OOV = 0
+    "t_tokenize_ids"     -> TextOps.tokenizeIds _,
+    // deflate compression-ratio quality flags (rows-only: no SQL
+    // deflate exists; the native kernel is ExpressionSpec-pinned)
+    "t_compress"         -> TextOps.compressionScore _,
+    // deterministic shuffle+shard export ordering (salted-md5 rank)
+    "t_shuffle_shard"    -> TextOps.shuffleShard _,
     // Misra–Gries heavy-hitter sketch: t_vocab without the token
     // shuffle (rows-only — merge order shapes sub-threshold survivors;
     // exact-when-vocab-fits + undercount bound are ExpressionSpec-pinned)
@@ -1041,6 +1048,35 @@ object SparkEntry {
         |  FROM tc JOIN dc USING (term))
         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // vocabulary-indexed tokenization: ids 1..64 by (cf desc, token),
+    // OOV -> 0; positions are 1-based over the whitespace tokens
+    "t_tokenize_ids" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS token
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)
+        |  WHERE length(ws[i]) > 0),
+        |v AS (SELECT token,
+        |    CAST(row_number() OVER (ORDER BY cf DESC, token) AS BIGINT) AS token_id
+        |  FROM (SELECT token, COUNT(*) AS cf FROM t GROUP BY token
+        |        ORDER BY cf DESC, token LIMIT 64))
+        |SELECT t.doc_id, t.pos, t.token, COALESCE(v.token_id, 0) AS token_id
+        |FROM t LEFT JOIN v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // deterministic shuffle+shard: salted md5 rank within md5 bucket
+    "t_shuffle_shard" ->
+      """WITH s AS (SELECT doc_id,
+        |    md5('shard|' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |  FROM documents),
+        |b AS (SELECT doc_id, sort_key,
+        |    CAST(CAST(concat('0x', substr(sort_key, 1, 4)) AS INTEGER) % 16 AS BIGINT) AS shard
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM b ORDER BY shard, pos_in_shard""".stripMargin,
 
     // ExactSubstr removal: keep the (doc_id, pos)-smallest occurrence
     // of each duplicated span, cut the covered tokens of every other

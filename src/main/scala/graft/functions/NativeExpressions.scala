@@ -211,6 +211,50 @@ case class PolyHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): PolyHash64 = copy(child = c)
 }
 
+/** Deflate-compressed size of the UTF-8 text (raw deflate, fixed
+  * level) — the compression-ratio quality signal web-corpus pipelines
+  * use to flag machine-generated repetition (ratio far below prose)
+  * and binary/encrypted junk (ratio at or above 1). A scalar codegen
+  * expression calling a static kernel, so the whole quality pass
+  * stays one scan pipeline; the Deflater is created per call (cheap
+  * against per-document compression work, and thread-safe under
+  * Spark's task parallelism where a shared instance would not be). */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    DeflateSize.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = DeflateSize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.compute($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
+}
+
+object DeflateSize {
+  /** Raw-deflate byte count at the default level, shared by eval and
+    * generated code. Level is pinned (6) so the signal is stable
+    * across JVM default changes. */
+  def compute(v: UTF8String): Int = {
+    val in = v.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
 /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003, the
   * standard MOSS scheme): rolling k-gram hashes, then the minimum of
   * each sliding window of `w` hashes; returns the sorted distinct
@@ -786,6 +830,8 @@ object native {
     ExpressionUtils.column(PolyHash64(ExpressionUtils.expression(c)))
   def bucket_id(c: Column, bounds: Seq[Double]): Column =
     ExpressionUtils.column(BucketId(ExpressionUtils.expression(c), bounds))
+  def deflate_size(c: Column): Column =
+    ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(c)))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
   def minhash_signature(c: Column, numHashes: Int): Column =

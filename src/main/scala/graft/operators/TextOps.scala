@@ -878,6 +878,113 @@ object TextOps {
   /** Registered binding: the even-doc_id half is the "reference" the
     * model trained on — a deterministic split both engines compute,
     * standing in for CCNet's clean Wikipedia LM corpus. */
+  /** Vocabulary-indexed tokenization — the step that turns a cleaned
+    * corpus into model input: build the top-`vocabSize` vocabulary by
+    * collection frequency (ties broken by token asc, ids 1..V in rank
+    * order, 0 reserved for OOV/unk), then map every positioned token
+    * of every document to its id. The analogue of the reference's
+    * typed-normalization stage applied to text: raw strings in,
+    * integer ids out (`lib_dataframe.py:1-17` normalizes CSV fields
+    * the same way — parse once, store typed).
+    *
+    * Scale shape: the vocabulary aggregate is one token-keyed shuffle
+    * with map-side combine whose OUTPUT is vocabulary-sized, so the
+    * id map is tiny and the mapping join is a broadcast — the corpus
+    * itself is touched by two map-only passes (explode+count,
+    * explode+lookup) and never shuffles on the mapping side. The
+    * rank window runs over vocab-sized input (post-limit), not the
+    * corpus. Emitted exploded (doc_id, pos, token, token_id) rather
+    * than as an array column so the result is plain-SQL comparable;
+    * a real export would `collect_list` over the same frame. */
+  def tokenizeIdsOf(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(lower(col("text"))), "\\s+")))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("token"))
+    val vocab = toks
+      .groupBy("token").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), col("cf"),
+        row_number().over(Window.orderBy(col("cf").desc, col("token")))
+          .cast(LongType).as("token_id"))
+    toks
+      .join(broadcast(vocab.select("token", "token_id")), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), col("token"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame =
+    tokenizeIdsOf(Tables.documents(spark, dir))
+
+  /** Deterministic corpus shuffle + sharding — the export-side global
+    * shuffle every training run needs: each document gets a salted
+    * content-independent pseudo-random sort key (md5 of seed+id, the
+    * same cross-engine hash trick as [[stratifiedSampleOf]]), its
+    * shard is the key's top 16 bits mod `nShards`, and its position
+    * within the shard is its key rank there. Reproducible across
+    * runs, cluster sizes and input orderings — re-running the export
+    * yields byte-identical shards, and a resumed job can rebuild
+    * shard k alone.
+    *
+    * Scale shape: ONE hash-shuffle by shard + a per-shard local sort
+    * (the window partitions by shard — no global ordering, no
+    * single-partition window). Shards are corpus/nShards sized; at
+    * 100 TB pick nShards ≥ cluster parallelism and each shard sorts
+    * independently — this is exactly Spark's repartition+sortWithin
+    * Partitions shape expressed as an auditable query. */
+  def shuffleShardOf(docs: DataFrame, nShards: Int = 16,
+                     seed: String = "shard"): DataFrame = {
+    val skey = md5(concat(lit(seed + "|"), col("doc_id").cast(StringType)))
+    val shard = (conv(substring(col("sort_key"), 1, 4), 16, 10)
+      .cast(LongType) % nShards).as("shard")
+    val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    docs
+      .select(col("doc_id"), skey.as("sort_key"))
+      .select(col("doc_id"), col("sort_key"), shard)
+      .withColumn("pos_in_shard", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+      .orderBy("shard", "pos_in_shard")
+  }
+
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShardOf(Tables.documents(spark, dir))
+
+  /** Compression-ratio quality signal (the RedPajama/Dolma heuristic):
+    * deflate the UTF-8 text and compare compressed to raw size.
+    * Machine-generated repetition compresses far below natural prose
+    * (flagged `is_repetitive`), while binary-ish/near-random content
+    * barely compresses at all (flagged `is_random`); `keep` is the
+    * band between. Thresholds are integer-cross-multiplied percents —
+    * no float division, so the flags are exactly reproducible.
+    * One map-only scan (the native codegen [[graft.functions.native
+    * .deflate_size]] keeps the deflate inside the whole-stage span) —
+    * no shuffle at any scale. Rows-only oracle: no SQL engine exposes
+    * a deflate, so the signal is ExpressionSpec-pinned instead. */
+  def compressionScoreOf(docs: DataFrame, minPct: Int = 20,
+                         maxPct: Int = 90): DataFrame =
+    docs
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        graft.functions.native.deflate_size(col("text"))
+          .cast(LongType).as("deflate_bytes"))
+      .withColumn("is_repetitive",
+        (col("n_bytes") > 0 &&
+          col("deflate_bytes") * 100 < col("n_bytes") * minPct).cast(IntegerType))
+      .withColumn("is_random",
+        (col("n_bytes") > 0 &&
+          col("deflate_bytes") * 100 > col("n_bytes") * maxPct).cast(IntegerType))
+      .withColumn("keep",
+        (col("n_bytes") > 0 && col("is_repetitive") === 0 &&
+          col("is_random") === 0).cast(IntegerType))
+      .orderBy("doc_id")
+
+  def compressionScore(spark: SparkSession, dir: String): DataFrame =
+    compressionScoreOf(Tables.documents(spark, dir))
+
   def lmCoverage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     lmCoverageOf(docs, docs.filter(col("doc_id") % 2 === 0))

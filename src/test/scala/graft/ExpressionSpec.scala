@@ -23,6 +23,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("deflate_size separates repetition from randomness; eval = codegen") {
+    // deterministic pseudo-random text via an LCG (no Random seed API
+    // drift), printable ASCII so UTF-8 length == char count
+    var x = 123456789L
+    val rnd = new StringBuilder
+    (1 to 400).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      rnd.append((33 + Math.floorMod(x >>> 33, 94L)).toChar)
+    }
+    val docs = Seq(
+      (1L, "ab" * 200),      // 400 bytes of pure repetition
+      (2L, rnd.toString),    // 400 bytes of LCG noise
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"), deflate_size(col("text")).as("z"))
+      .as[(Long, Int)].collect().toMap
+    // repetition compresses below 10%; noise stays above 60%
+    assert(m(1L) * 100 < 400 * 10, s"repetitive ratio too high: ${m(1L)}")
+    assert(m(2L) * 100 > 400 * 60, s"random ratio too low: ${m(2L)}")
+    assert(m(3L) > 0 && m(3L) <= 8) // deflate's empty-stream frame
+    // interpreted eval agrees with the df (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val evaled = org.apache.spark.sql.graft.DeflateSize(Literal("ab" * 200))
+      .eval(null).asInstanceOf[Int]
+    assert(evaled === m(1L))
+    // and the flags classify accordingly through the operator (maxPct
+    // lowered to 80: printable-ASCII noise deflates to ~83% — Huffman
+    // recovers the 6.55-vs-8-bit alphabet slack even without matches)
+    val flags = graft.operators.TextOps.compressionScoreOf(docs, maxPct = 80).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(flags(1L) === ((1, 0, 0))) // repetitive
+    assert(flags(2L) === ((0, 1, 0))) // random
+    assert(flags(3L) === ((0, 0, 0))) // empty: neither, not kept
+  }
+
   test("hilbert index is a true Hilbert curve: bijective with unit steps, exhaustively") {
     // every cell of small 2-D/3-D/4-D grids through the REGISTERED
     // expression (not just the kernel): indices must be a permutation

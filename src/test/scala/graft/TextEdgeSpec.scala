@@ -152,6 +152,51 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(got(("b", 2L)) === (("p", 3L)))
   }
 
+  test("tokenize ids: rank order, OOV = 0, 1-based positions, round-trip") {
+    val corpus = Seq(
+      (1L, "b b b a a c"),   // cf: b=3, a=2(+1 below)=3 … see vocab calc
+      (2L, "a c d"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    // cf: a=3, b=3, c=2, d=1 → ids by (cf desc, token asc):
+    //   a→1, b→2, c→3 (vocabSize=3), d is OOV → 0
+    val rows = TextOps.tokenizeIdsOf(corpus, vocabSize = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+    val m = rows.toMap
+    assert(m((1L, 1L)) === (("b", 2L)))
+    assert(m((1L, 4L)) === (("a", 1L)))
+    assert(m((1L, 6L)) === (("c", 3L)))
+    assert(m((2L, 3L)) === (("d", 0L))) // OOV
+    // positions are 1-based and contiguous per doc; empty doc absent
+    val byDoc = rows.groupBy(_._1._1).view.mapValues(_.map(_._1._2).sorted.toSeq)
+    assert(byDoc(1L) === (1L to 6L) && byDoc(2L) === (1L to 3L))
+    assert(!byDoc.toMap.contains(3L))
+    // round-trip: tokens in position order reassemble the trimmed text
+    val rebuilt = rows.filter(_._1._1 == 1L).sortBy(_._1._2)
+      .map(_._2._1).mkString(" ")
+    assert(rebuilt === "b b b a a c")
+  }
+
+  test("shuffle shard: exact permutation, deterministic, input-order invariant") {
+    val corpus = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val s1 = TextOps.shuffleShardOf(corpus, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once; shards within range
+    assert(s1.map(_._1).sorted.toSeq === (1L to 200L))
+    assert(s1.forall(t => t._2 >= 0 && t._2 < 8))
+    // per-shard positions are contiguous ranks 1..n
+    s1.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length))
+    }
+    // not doc order: the permutation actually shuffles
+    assert(s1.sortBy(t => (t._2, t._3)).map(_._1).toSeq !== (1L to 200L))
+    // input order/partitioning changes nothing (cluster-reproducible)
+    val s2 = TextOps.shuffleShardOf(
+        corpus.orderBy(col("doc_id").desc).repartition(7), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.sorted.toSeq === s2.sorted.toSeq)
+  }
+
   test("fingerprints: empty text yields empty winnow set, stable content hash") {
     val m = TextOps.fingerprintsOf(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
