@@ -174,7 +174,10 @@ object SparkEntry {
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _,
     // planted truncated payloads routed to the audited side output
-    "m_media_quarantine" -> graft.multimodal.Media.mediaQuarantine _
+    "m_media_quarantine" -> graft.multimodal.Media.mediaQuarantine _,
+    // perceptual (dHash) image near-dup pairs over planted lookalikes
+    // (rows-only: the hash rides the JDK bilinear downscale)
+    "m_media_dedup"      -> graft.multimodal.Media.mediaDedup _
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————

@@ -389,4 +389,169 @@ object Media {
       .select(col("media_id"), col("src_width"), col("src_height"),
         col("width"), col("height"), length(col("payload")).as("n_bytes"))
       .orderBy("media_id")
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection: downscale to
+    * 9×8 grayscale (bilinear, so every source pixel contributes), set
+    * bit y·8+x iff gray(x,y) > gray(x+1,y). Robust to re-encoding,
+    * mild brightness shifts (monotone maps preserve the comparisons)
+    * and small local edits (each bit depends on two pooled blocks). */
+  private[graft] def dHash(img: BufferedImage): Long = {
+    val scaled = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = scaled.getRGB(x, y); val b = scaled.getRGB(x + 1, y)
+        val ga = ((a >> 16 & 0xff) * 299 + (a >> 8 & 0xff) * 587 + (a & 0xff) * 114)
+        val gb = ((b >> 16 & 0xff) * 299 + (b >> 8 & 0xff) * 587 + (b & 0xff) * 114)
+        if (ga > gb) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hashes: decode → dHash, undecodable rows
+    * dropped (the resize path's degradation contract). Partition-wise
+    * batches; output is one long per image. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Option(readImage(payload)).map(img => (id, dHash(img)))
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs by perceptual hash — multi-index Hamming
+    * search (the SimHash band idiom made EXACT): split each 64-bit
+    * dHash into 8 bands of 8 bits; by pigeonhole, two hashes within
+    * Hamming distance ≤ 7 agree on at least one whole band, so the
+    * band equi-join is a complete candidate generator for
+    * `maxHamming` ≤ 7 — no all-pairs term, no probabilistic recall.
+    * Scale shape: one explode (8 rows per image) + one band-keyed
+    * shuffle join + a distinct on the pair key; candidate volume is
+    * controlled by band selectivity (at larger corpora, widen bands
+    * and verify with a second hash or rotate to 16-bit bands over a
+    * 128-bit hash — same plan shape). */
+  def imageNearDupOf(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8 bands of 8 bits guarantee recall only to Hamming 7")
+    val hashes = imageHashes(media)
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("band_idx"),
+          shiftrightunsigned(col("dhash"), i * 8).bitwiseAND(lit(0xffL))
+            .as("band_bits"))): _*)).as("band"))
+      .select(col("media_id"), col("dhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("h_a"), col("b.dhash").as("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Image table with planted perceptual near-dups: every 8th image id
+    * re-appears at a derived offset (max(id)+1 — the repo-wide
+    * planting idiom) with a mild global brightness lift plus a local
+    * corner edit: visibly "the same picture", byte-different payload —
+    * exactly what exact/binary-hash dedup cannot see and dHash must. */
+  def imageTableWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val off = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => r.getLong(0) + 1L
+    }
+    val imgIds = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val base = imgIds.select(col("doc_id").as("media_id"), lit(false).as("perturbed"))
+    val planted = imgIds.filter(col("doc_id") % 24 === 0)
+      .select((col("doc_id") + lit(off)).as("media_id"), lit(true).as("perturbed"))
+    base.unionByName(planted)
+      .as[(Long, Boolean)]
+      .mapPartitions { rows =>
+        rows.map { case (id, pert) =>
+          val img = syntheticTexturedImage(if (pert) id - off else id)
+          (id, "image", encodePng(if (pert) perturbImage(img) else img))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Id-seeded textured image for the perceptual-dedup fixture: 8×8
+    * blocks of LCG-derived colors. [[syntheticImage]]'s smooth shared
+    * gradient is right for codec/resize work but perceptually
+    * near-identical across ids once pooled to 9×8 — every image would
+    * be everyone's near-dup. Distinct textures give near-uniform
+    * dHashes (distinct pairs land at the ~32-bit random baseline),
+    * while a perturbed COPY stays within a few bits. */
+  private[graft] def syntheticTexturedImage(id: Long): BufferedImage = {
+    val w = 16 + ((id * 7) % 120).toInt
+    val h = 16 + ((id * 13) % 90).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val pix = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = id * 6364136223846793005L + (x / 8).toLong * 2862933555777941757L +
+          (y / 8).toLong * 3202034522624059733L
+        s ^= s >>> 33; s *= 0xff51afd7ed558ccdL; s ^= s >>> 33
+        pix(y * w + x) = (s & 0xffffff).toInt
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    img
+  }
+
+  /** Mild perceptual perturbation: +6 brightness everywhere (monotone,
+    * preserves most dHash comparisons) and a small bright patch in the
+    * top-left corner (flips at most the bits pooled from that patch). */
+  private def perturbImage(src: BufferedImage): BufferedImage = {
+    val w = src.getWidth; val h = src.getHeight
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = src.getRGB(x, y)
+        val corner = x < w / 8 && y < h / 8
+        def lift(c: Int): Int = math.min(255, c + (if (corner) 24 else 6))
+        out.setRGB(x, y,
+          (lift(p >> 16 & 0xff) << 16) | (lift(p >> 8 & 0xff) << 8) | lift(p & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Registered image near-dup query (rows-only: the dHash depends on
+    * the JDK's bilinear downscale — no SQL oracle can reproduce it;
+    * planted-pair recovery is spec-pinned instead): perceptual
+    * duplicate pairs over the planted table. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupOf(imageTableWithNearDups(spark, dir))
 }

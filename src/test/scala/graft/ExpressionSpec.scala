@@ -289,6 +289,9 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT size(minhash_signature(array(1L, 2L, 3L), 8)) AS n").head().getInt(0) === 8)
     assert(spark.sql(
       "SELECT repetition_stats('a b a b c') AS r").head().getSeq[Long](0) === Seq(5L, 3L, 2L))
+    assert(spark.sql("SELECT deflate_size(repeat('ab', 200)) AS z").head().getInt(0) ===
+      org.apache.spark.sql.graft.DeflateSize.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("ab" * 200)))
   }
 
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {

@@ -76,6 +76,30 @@ class PlanSpec extends AnyFunSuite {
       assert(planOf(name).contains("WindowGroupLimit"), s"$name lost rank pruning")
   }
 
+  test("tokenize-ids maps the corpus through a broadcast vocab join") {
+    // the id map is vocabulary-sized: a SortMergeJoin here would
+    // shuffle every exploded token of a 100 TB corpus on its string key
+    val p = planOf("t_tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"vocab lookup fell back to shuffle:\n$p")
+  }
+
+  test("shuffle-shard ranks inside shard partitions, never globally") {
+    // the rank window must partition by shard (per-shard local sorts);
+    // an unpartitioned WindowExec would serialize the whole corpus
+    // through one task
+    val p = planOf("t_shuffle_shard")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
+  test("compression scoring is a pure projection — only the output sort exchanges") {
+    val p = planOf("t_compress")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"deflate scoring must not shuffle:\n$p")
+  }
+
   test("gopher rules are a pure projection — only the output sort exchanges") {
     val p = planOf("t_gopher")
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)

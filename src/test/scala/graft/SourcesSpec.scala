@@ -111,6 +111,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(big.forall(r => r.width == r.src_width && r.height == r.src_height))
   }
 
+  test("perceptual dedup: band search is EXACT vs brute force; planted pairs survive") {
+    val table = Media.imageTableWithNearDups(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val off = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) + 1L
+    val plantedIds = docs.filter(col("doc_id") % 24 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val hashes = Media.imageHashes(table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Media.imageNearDupOf(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // the multi-index search equals brute force over the same hashes —
+    // the pigeonhole completeness claim, checked pair-exhaustively
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(hashes(i) ^ hashes(j)) <= 7
+    } yield (i, j)).toSet
+    assert(found === brute)
+    // the perturbation is perceptually mild: most planted copies stay
+    // inside the Hamming budget and are therefore recovered
+    val within = plantedIds.filter(id =>
+      java.lang.Long.bitCount(hashes(id) ^ hashes(id + off)) <= 7)
+    assert(within.size * 10 >= plantedIds.size * 7,
+      s"only ${within.size}/${plantedIds.size} planted pairs within budget")
+    within.foreach(id => assert(found.contains((id, id + off))))
+    // dHash is deterministic: rebuilding the table reproduces the pairs
+    val again = Media.imageNearDupOf(Media.imageTableWithNearDups(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === again.toSeq)
+    // distinct source images don't collapse wholesale: pairs stay rare
+    val nImages = table.count()
+    assert(pairs.length < nImages, s"${pairs.length} pairs from $nImages images")
+  }
+
   test("versioned snapshot publish: a reader resolved before the swap is undisturbed") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("vsnap").toString + "/t"
