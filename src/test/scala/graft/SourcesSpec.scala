@@ -147,6 +147,60 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs.length < nImages, s"${pairs.length} pairs from $nImages images")
   }
 
+  test("audio dedup: band search exact vs brute force; volume-dropped copies recovered") {
+    val table = Media.audioTableWithNearDups(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val off = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) + 1L
+    val plantedIds = docs.filter(col("doc_id") % 24 === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val prints = Media.audioFingerprints(table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Media.audioNearDupOf(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // completeness: the band search equals brute force over the prints
+    val ids = prints.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(prints(i) ^ prints(j)) <= 7
+    } yield (i, j)).toSet
+    assert(found === brute)
+    // the 80%-volume + sub-threshold-noise copy keeps its profile:
+    // every planted pair stays within the Hamming budget (the margin
+    // absorbs crossing-migration at window edges) and is recovered
+    plantedIds.foreach { id =>
+      val d = java.lang.Long.bitCount(prints(id) ^ prints(id + off))
+      assert(d <= 7, s"planted audio pair $id drifted to Hamming $d")
+      assert(found.contains((id, id + off)))
+    }
+    // distinct melodies don't collapse wholesale
+    assert(pairs.length < prints.size, s"${pairs.length} pairs from ${prints.size} clips")
+  }
+
+  test("video dedup: frame-aligned overlap recovers filter-passed copies") {
+    val table = Media.videoTableWithNearDups(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val off = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) + 1L
+    val plantedIds = docs.filter(col("doc_id") % 24 === 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val pairs = Media.videoNearDupOf(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // every brightness-lifted whole-clip copy is recovered, with full
+    // frame counts on both sides (the copy has the same frame count)
+    plantedIds.foreach { id =>
+      assert(found.contains((id, id + off)), s"planted clip pair ($id, ${id + off}) missed")
+    }
+    pairs.filter(p => plantedIds.contains(p._1) && p._2 == p._1 + off).foreach { p =>
+      assert(p._3 * 100 >= p._4 * 60, s"pair $p under the overlap floor")
+    }
+    // distinct clips (different moving-block trajectories) stay apart
+    val nClips = table.count()
+    assert(pairs.length < nClips, s"${pairs.length} pairs from $nClips clips")
+  }
+
   test("versioned snapshot publish: a reader resolved before the swap is undisturbed") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("vsnap").toString + "/t"
