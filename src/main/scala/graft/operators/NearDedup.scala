@@ -206,17 +206,31 @@ object NearDedup {
       .withColumn("nsh", size(col("s")).cast(LongType))
       .withColumn("prefix",
         transform(slice(col("fs"), lit(1), prefixLen), x => x.getField("shingle")))
-    val indexed = sets.select(col("doc_id"), col("nsh"), explode(col("prefix")).as("shingle"))
+    val indexed = sets.select(col("doc_id"), col("nsh"),
+        posexplode(col("prefix")))
+      .select(col("doc_id"), col("nsh"), col("pos").cast(LongType).as("pos"),
+        col("col").as("shingle"))
     // length filter (the PPJoin size-ratio bound): jaccard ≥ t forces
     // t·|B| ≤ |A| (and symmetrically), so size-mismatched collisions
     // are dropped AT the candidate join — lossless (the
     // equals-full-inverted-index spec covers this path at t=0.5 and
     // 0.8), and it is exactly the volume the exact-verify stage would
-    // otherwise waste on boilerplate-shingle collisions
+    // otherwise waste on boilerplate-shingle collisions.
+    // positional filter (PPJoin's second bound): jaccard ≥ t needs
+    // overlap ≥ α = ⌈t·(n_a+n_b)/(1+t)⌉, and a common prefix token at
+    // (sorted) positions (i, j) caps the overlap reachable from there
+    // at 1 + min(n_a−1−i, n_b−1−j). Applied per matched token before
+    // the distinct this stays LOSSLESS: at the pair's FIRST common
+    // token no overlap precedes, so a pair with true overlap ≥ α
+    // always survives on that row — later rows may prune, which is
+    // exactly the candidate volume saved. α in the same p/1e6 integer
+    // arithmetic as the prefix: ⌈x/y⌉ = (x+y−1) div y.
     val cand = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
         col("a.nsh") * 1000000L >= col("b.nsh") * p &&
-        col("b.nsh") * 1000000L >= col("a.nsh") * p)
+        col("b.nsh") * 1000000L >= col("a.nsh") * p &&
+        expr(s"1L + least(a.nsh - 1L - a.pos, b.nsh - 1L - b.pos) >= " +
+          s"((a.nsh + b.nsh) * ${p}L + ${1000000L + p - 1L}L) div ${1000000L + p}L"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
