@@ -294,7 +294,8 @@ object Media {
     * degrading — while healthy rows are untouched (spec-pinned; the
     * un-planted `m_media_meta` row count is unchanged). */
   def mediaQuarantine(spark: SparkSession, dir: String): DataFrame =
-    decodeMetaTagged(mediaTable(spark, dir, plantCorrupt = true))
+    decodeMetaTagged(cachedFixture(s"media-corrupt|$dir", spark)(
+        mediaTable(spark, dir, plantCorrupt = true)))
       .filter(!col("decode_ok"))
       .select(col("media_id"), col("kind"), col("n_bytes"))
       .orderBy("media_id")
@@ -304,7 +305,8 @@ object Media {
     * computed in the SAME pass as the decode (one corpus scan, no
     * join; the payload is never read twice). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    decodeWith(mediaTable(spark, dir), sha2(col("payload"), 256))
+    decodeWith(cachedFixture(s"media|$dir", spark)(mediaTable(spark, dir)),
+        sha2(col("payload"), 256))
       .select(col("_1.*"), col("_2").as("payload_sha"))
       .orderBy("media_id")
 
@@ -323,7 +325,8 @@ object Media {
     * frames sample two rows and the rest one — both branches of the
     * stride arithmetic are exercised. */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(decodeMeta(mediaTable(spark, dir, onlyKind = Some("video"))).toDF(),
+    sampleFrames(decodeMeta(cachedFixture(s"media|$dir", spark)(
+        mediaTable(spark, dir)).filter(col("kind") === "video")).toDF(),
       everyN = 8)
       .orderBy("media_id", "frame_idx")
 
@@ -385,7 +388,8 @@ object Media {
   /** Registered resize query (rows-only): per-image target geometry +
     * payload size — scalar columns only for the driver dump. */
   def mediaResize(spark: SparkSession, dir: String): DataFrame =
-    resizeImages(mediaTable(spark, dir, onlyKind = Some("image"))).toDF()
+    resizeImages(cachedFixture(s"media|$dir", spark)(mediaTable(spark, dir))
+      .filter(col("kind") === "image")).toDF()
       .select(col("media_id"), col("src_width"), col("src_height"),
         col("width"), col("height"), length(col("payload")).as("n_bytes"))
       .orderBy("media_id")
@@ -558,13 +562,15 @@ object Media {
     out
   }
 
-  /** One planted dedup fixture per (modality, source dir) per JVM,
-    * materialized to scratch parquet: the synthetic ENCODE of the
-    * fixture corpus (PNG/WAV/GIF writers) is setup, not the work the
-    * dedup queries claim — and the video query's two consumers
-    * (frame counts + band join) would otherwise re-encode the whole
-    * clip table twice per pass. The timed path keeps everything
-    * real: payload DECODE, fingerprinting, and the band search. */
+  /** One synthetic media fixture per (variant, source dir) per JVM,
+    * materialized to scratch parquet and shared by every registered
+    * media query: the synthetic ENCODE of the fixture corpus
+    * (PNG/WAV/GIF writers) is setup, not the work the queries claim —
+    * and the video dedup query's two consumers (frame counts + band
+    * join) would otherwise re-encode the whole clip table twice per
+    * pass. The timed path keeps everything real: payload DECODE,
+    * metadata extraction, resize re-encode, fingerprinting, band
+    * search. */
   private val dedupFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
