@@ -122,6 +122,10 @@ object SparkEntry {
     // deflate compression-ratio quality flags (rows-only: no SQL
     // deflate exists; the native kernel is ExpressionSpec-pinned)
     "t_compress"         -> TextOps.compressionScore _,
+    // BPE tokenizer training: ordered merge table (rows-only — the
+    // iterative argmax loop has no SQL form; spec pins the classic
+    // hand-computable example + reconstruction invariant)
+    "t_bpe"              -> TextOps.bpeTrain _,
     // deterministic shuffle+shard export ordering (salted-md5 rank)
     "t_shuffle_shard"    -> TextOps.shuffleShard _,
     // Misra–Gries heavy-hitter sketch: t_vocab without the token

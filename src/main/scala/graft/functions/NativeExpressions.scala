@@ -255,6 +255,58 @@ object DeflateSize {
   }
 }
 
+/** One BPE merge step over a symbol sequence: replace every
+  * non-overlapping adjacent (left, right) occurrence, scanning left
+  * to right, with the concatenation — the inner rewrite of
+  * byte-pair-encoding tokenizer training (Sennrich et al. 2016).
+  * A native expression so the per-round rewrite of the whole word
+  * table stays inside whole-stage codegen (a higher-order-function
+  * fold here runs as interpreted lambdas). */
+case class MergePair(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(arr: Any, l: Any, r: Any): Any =
+    MergePair.merge(arr.asInstanceOf[ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l, r) => {
+      val cls = MergePair.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.merge($a, $l, $r);"
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): MergePair =
+    copy(first = f, second = s, third = t)
+}
+
+object MergePair {
+  /** Leftmost-first non-overlapping merge, shared by eval and
+    * generated code. */
+  def merge(arr: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (i + 1 < n && s.equals(l) && arr.getUTF8String(i + 1).equals(r)) {
+        out(k) = UTF8String.concat(l, r)
+        i += 2
+      } else {
+        out(k) = s
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
+  }
+}
+
 /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003, the
   * standard MOSS scheme): rolling k-gram hashes, then the minimum of
   * each sliding window of `w` hashes; returns the sorted distinct
@@ -832,6 +884,9 @@ object native {
     ExpressionUtils.column(BucketId(ExpressionUtils.expression(c), bounds))
   def deflate_size(c: Column): Column =
     ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(c)))
+  def merge_pair(arr: Column, l: Column, r: Column): Column =
+    ExpressionUtils.column(MergePair(ExpressionUtils.expression(arr),
+      ExpressionUtils.expression(l), ExpressionUtils.expression(r)))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, w))
   def minhash_signature(c: Column, numHashes: Int): Column =

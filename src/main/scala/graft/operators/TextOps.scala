@@ -985,6 +985,70 @@ object TextOps {
   def compressionScore(spark: SparkSession, dir: String): DataFrame =
     compressionScoreOf(Tables.documents(spark, dir))
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the step after
+    * [[pairCountsOf]]'s merge-candidate census: iteratively merge the
+    * globally most frequent adjacent symbol pair, `nMerges` times,
+    * returning the ordered merge table a tokenizer ships with.
+    *
+    * Scale shape — the textbook algorithm IS the scalable one: the
+    * corpus is touched exactly ONCE (the word-count aggregate, one
+    * token-keyed shuffle with map-side combine); every merge round
+    * then runs over the WORD table — vocabulary-sized, millions of
+    * rows at 100 TB, not corpus-sized — as one pair-explode +
+    * aggregate + a top-1 `collect` (driver gets one row per round,
+    * like [[graft.operators.NearDedup.duplicateClusters]]'s
+    * convergence count) + a native codegen
+    * [[graft.functions.native.merge_pair]] rewrite of the symbol
+    * arrays. `localCheckpoint` truncates the per-round lineage.
+    * Ties break by (pair freq desc, left, right) so training is
+    * deterministic at any partitioning; merges stop early when no
+    * pair reaches `minFreq`. */
+  def bpeTrainOf(docs: DataFrame, nMerges: Int = 16, minFreq: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    val words = docs
+      .select(explode(split(wsTrim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var table = words
+      .withColumn("syms", filter(split(col("word"), ""), s => length(s) > 0))
+      .select(col("wc"), col("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val pairs = table
+        .select(col("wc"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("freq"))
+        .filter(col("freq") >= minFreq)
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      pairs.headOption match {
+        case Some(Row(l: String, r: String, f: Long)) =>
+          merges += ((round, l, r, f))
+          table = table
+            .withColumn("syms",
+              graft.functions.native.merge_pair(col("syms"), lit(l), lit(r)))
+            .localCheckpoint(true)
+          round += 1
+        case _ => done = true
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+      .select(col("rank").cast(LongType).as("rank"), col("left"), col("right"),
+        col("freq"))
+      .orderBy("rank")
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables.documents(spark, dir))
+
   def lmCoverage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     lmCoverageOf(docs, docs.filter(col("doc_id") % 2 === 0))

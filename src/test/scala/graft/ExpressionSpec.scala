@@ -58,6 +58,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(flags(3L) === ((0, 0, 0))) // empty: neither, not kept
   }
 
+  test("merge_pair: leftmost non-overlapping BPE rewrite; eval = codegen") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "b")),
+      (2L, Seq("a", "a", "a")),   // overlap: leftmost wins, no chain
+      (3L, Seq("x")),
+      (4L, Seq.empty[String])
+    ).toDF("id", "syms")
+    val outAb = df.select(col("id"), merge_pair(col("syms"), lit("a"), lit("b")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(outAb(1L) === Seq("ab", "ab", "b"))
+    assert(outAb(3L) === Seq("x") && outAb(4L) === Seq.empty)
+    val outAa = df.select(col("id"), merge_pair(col("syms"), lit("a"), lit("a")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(outAa(2L) === Seq("aa", "a")) // not ("aa" then merge again)
+    // concatenation is preserved by any merge (the BPE invariant)
+    assert(outAb(1L).mkString === "ababb" && outAa(2L).mkString === "aaa")
+    // interpreted eval agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val evaled = org.apache.spark.sql.graft.MergePair(
+      Literal.create(Seq("a", "b", "a", "b", "b"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      Literal("a"), Literal("b")).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until evaled.numElements()).map(evaled.getUTF8String(_).toString)
+      === Seq("ab", "ab", "b"))
+  }
+
   test("hilbert index is a true Hilbert curve: bijective with unit steps, exhaustively") {
     // every cell of small 2-D/3-D/4-D grids through the REGISTERED
     // expression (not just the kernel): indices must be a permutation

@@ -197,6 +197,25 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(s1.sorted.toSeq === s2.sorted.toSeq)
   }
 
+  test("bpe training reproduces the classic hand-computed merge sequence") {
+    // Sennrich's example vocabulary (sans end-of-word marker):
+    // low×5 lower×2 newest×6 widest×3. Hand-computed rounds:
+    //   1: (e,s)  freq 9  — ties (s,t) 9, left-asc break
+    //   2: (es,t) freq 9
+    //   3: (l,o)  freq 7  — ties (o,w) 7, left-asc break
+    //   4: (lo,w) freq 7
+    val corpus = Seq(
+      (1L, (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)).trim)
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainOf(corpus, nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+    // early stop: a corpus whose pairs all fall under minFreq trains nothing
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainOf(tiny, nMerges = 4, minFreq = 2).collect().isEmpty)
+  }
+
   test("fingerprints: empty text yields empty winnow set, stable content hash") {
     val m = TextOps.fingerprintsOf(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
