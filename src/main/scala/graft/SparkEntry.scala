@@ -126,6 +126,9 @@ object SparkEntry {
     // iterative argmax loop has no SQL form; spec pins the classic
     // hand-computable example + reconstruction invariant)
     "t_bpe"              -> TextOps.bpeTrain _,
+    // encode the corpus with its own trained merge table (one codegen
+    // projection: the merge chain unrolls into native merge_pair calls)
+    "t_bpe_tokenize"     -> TextOps.bpeApply _,
     // deterministic shuffle+shard export ordering (salted-md5 rank)
     "t_shuffle_shard"    -> TextOps.shuffleShard _,
     // Misra–Gries heavy-hitter sketch: t_vocab without the token

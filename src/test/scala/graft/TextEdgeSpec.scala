@@ -214,6 +214,13 @@ class TextEdgeSpec extends AnyFunSuite {
     // early stop: a corpus whose pairs all fall under minFreq trains nothing
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     assert(TextOps.bpeTrainOf(tiny, nMerges = 4, minFreq = 2).collect().isEmpty)
+    // apply: replaying the merges tokenizes a NOVEL word with the
+    // learned subwords — "lowest" → low + est — and pieces always
+    // reconstruct the word
+    val applied = TextOps.bpeApplyOf(Seq((9L, "lowest")).toDF("doc_id", "text"),
+        merges.map(m => (m._2, m._3)).toSeq).collect()
+      .map(r => (r.getLong(2), r.getString(3)))
+    assert(applied.sortBy(_._1).map(_._2).toSeq === Seq("low", "est"))
   }
 
   test("fingerprints: empty text yields empty winnow set, stable content hash") {
