@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{DeflateSize, DotProductF, HyperplaneBuckets, MinHashSignature, PolyHash64, RepetitionStats, WinnowFingerprint}
+import org.apache.spark.sql.graft.{DeflateSize, DotProductF, HilbertIndex, HyperplaneBuckets, MergePair, MinHashSignature, PolyHash64, RepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("... dot_f(a,b) ...")`
@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("deflate_size",
         "deflate_size(str) - raw-deflate byte count of the UTF-8 text (compression-ratio quality signal)"),
       (children: Seq[Expression]) => DeflateSize(children.head)))
+    ext.injectFunction((FunctionIdentifier("merge_pair"),
+      info("merge_pair",
+        "merge_pair(syms, l, r) - one leftmost non-overlapping BPE merge pass over a symbol array"),
+      (children: Seq[Expression]) => MergePair(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("hilbert_index"),
+      info("hilbert_index",
+        "hilbert_index(cells, bits) - Hilbert-curve index of a bucket-coordinate array"),
+      (children: Seq[Expression]) => HilbertIndex(children(0),
+        children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("repetition_stats"),
       info("repetition_stats",
         "repetition_stats(str) - [n_tokens, n_distinct, top_bigram_n] in one pass"),

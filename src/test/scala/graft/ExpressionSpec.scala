@@ -321,6 +321,13 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT deflate_size(repeat('ab', 200)) AS z").head().getInt(0) ===
       org.apache.spark.sql.graft.DeflateSize.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("ab" * 200)))
+    assert(spark.sql("SELECT merge_pair(array('a','b','b'), 'a', 'b') AS m")
+      .head().getSeq[String](0) === Seq("ab", "b"))
+    // the SQL hilbert index agrees with the registered expression
+    val sqlH = spark.sql("SELECT hilbert_index(array(1, 2), 2) AS h").head().getLong(0)
+    val colH = Seq((Seq(1, 2))).toDF("cells")
+      .select(hilbert_index(col("cells"), 2)).head().getLong(0)
+    assert(sqlH === colH)
   }
 
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {
