@@ -87,6 +87,33 @@ class ExpressionSpec extends AnyFunSuite {
       === Seq("ab", "ab", "b"))
   }
 
+  test("merge_pair preserves concatenation and never overlaps, randomized") {
+    val rnd = new scala.util.Random(77)
+    val syms = Seq("a", "b", "c", "ab")
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(syms(rnd.nextInt(syms.length)))))
+    val df = rows.toDF("id", "s")
+    for ((l, r) <- Seq(("a", "b"), ("b", "b"), ("ab", "c"))) {
+      val out = df.select(col("id"), merge_pair(col("s"), lit(l), lit(r)))
+        .as[(Long, Seq[String])].collect().toMap
+      rows.foreach { case (id, in) =>
+        val o = out(id)
+        assert(o.mkString === in.mkString, s"concat broken for $in with ($l,$r)")
+        // a merged symbol is never the left half of another merge in
+        // the same pass (leftmost non-overlapping semantics): scanning
+        // the reference single pass reproduces the output exactly
+        val ref = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < in.length) {
+          if (i + 1 < in.length && in(i) == l && in(i + 1) == r) {
+            ref += (l + r); i += 2
+          } else { ref += in(i); i += 1 }
+        }
+        assert(o === ref.toSeq, s"pass semantics broken for $in with ($l,$r)")
+      }
+    }
+  }
+
   test("hilbert index is a true Hilbert curve: bijective with unit steps, exhaustively") {
     // every cell of small 2-D/3-D/4-D grids through the REGISTERED
     // expression (not just the kernel): indices must be a permutation

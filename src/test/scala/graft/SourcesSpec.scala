@@ -147,6 +147,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs.length < nImages, s"${pairs.length} pairs from $nImages images")
   }
 
+  test("hamming band search equals brute force on random hashes, any threshold") {
+    // the pigeonhole completeness claim over arbitrary inputs, not
+    // just the planted media fixtures: random 64-bit hashes plus
+    // planted near-neighbors at every distance 0..7 (pure-random
+    // pairs almost never land within 7 bits, so without planting the
+    // sweep would verify an empty set)
+    val rnd = new scala.util.Random(20260813)
+    val base = Seq.tabulate(120)(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 to 7).map { d =>
+      val (srcId, h) = base(rnd.nextInt(base.length))
+      // flip exactly d distinct bit positions
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      (srcId, 1000L + d, d, bits.foldLeft(h)((acc, b) => acc ^ (1L << b)))
+    }
+    val all = base ++ planted.map(p => (p._2, p._4))
+    val df = all.toDF("id", "hash").withColumn("part", lit(0))
+      .select(col("id"), col("part"), col("hash"))
+    for (t <- Seq(0, 3, 7)) {
+      val got = Media.hammingBandPairs(df, maxHamming = t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        if java.lang.Long.bitCount(ha ^ hb) <= t
+      } yield (ia, ib)).toSet
+      assert(got === brute, s"mismatch at maxHamming=$t")
+      // every planted neighbor at distance ≤ t is in the verified set
+      planted.filter(_._3 <= t).foreach { case (src, pid, d, _) =>
+        assert(brute.contains((src, pid)), s"planted d=$d pair missing at t=$t")
+      }
+    }
+  }
+
   test("audio dedup: band search exact vs brute force; volume-dropped copies recovered") {
     val table = Media.audioTableWithNearDups(spark, sf)
     val docs = graft.sources.Tables.documents(spark, sf)
