@@ -137,6 +137,9 @@ object SparkEntry {
     "t_vocab_approx"     -> TextOps.vocabSketch _,
     // the same sketch group-wise (per-source dominant vocabulary)
     "t_source_top_tokens" -> TextOps.sourceTopTokens _,
+    // Count-Min point estimates vs the exact census (rows-only:
+    // overcount-only + error-bound invariants are spec-pinned)
+    "t_vocab_cms"        -> TextOps.vocabCms _,
     // exact-k uniform stratified sample via salted-md5 permutation rank
     "t_reservoir"        -> TextOps.reservoirSample _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,

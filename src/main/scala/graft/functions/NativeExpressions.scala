@@ -814,6 +814,119 @@ case class MisraGriesTopK(child: Expression, capacity: Int,
     copy(child = c.head)
 }
 
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+  * point-frequency member of the mergeable-summary family next to
+  * [[MisraGriesTopK]]'s heavy hitters: `depth` hash rows × `width`
+  * counters; an item's estimate is the MIN of its counters, an
+  * overcount-only bound of ≤ N/width per row whp. Buffers are flat
+  * long arrays, merge is pointwise addition — partition-order
+  * independent, so the sketch is identical at any parallelism. */
+case class CountMinSketch(child: Expression, depth: Int, width: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+    with ExpectsInputTypes {
+  require(depth >= 1 && width >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok = v.asInstanceOf[UTF8String]
+      var d = 0
+      while (d < depth) {
+        buf(d * width + CountMinSketch.bucket(tok, d, width)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMinSketch =
+    copy(child = c.head)
+}
+
+object CountMinSketch {
+  /** Row-`seed` bucket of a token: FNV-style byte fold with a
+    * per-row offset, splitmix finalizer — deterministic across JVMs
+    * and partitionings, shared by the aggregate and the estimator. */
+  def bucket(tok: UTF8String, seed: Int, width: Int): Int = {
+    val bytes = tok.getBytes
+    var h = seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+    var i = 0
+    while (i < bytes.length) { h = h * 1099511628211L + (bytes(i) & 0xff); i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    Math.floorMod(h, width.toLong).toInt
+  }
+
+  /** Plain-Scala reference estimate for specs. */
+  def estimate(counters: Array[Long], tok: UTF8String, depth: Int, width: Int): Long = {
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = counters(d * width + bucket(tok, d, width))
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+}
+
+/** Point-frequency estimate from a [[CountMinSketch]] counter array:
+  * min of the token's `depth` counters. Scalar and codegen-capable,
+  * so estimating a whole token list against one broadcast sketch row
+  * stays inside whole-stage codegen. */
+case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(sk: Any, tok: Any): Any = {
+    val arr = sk.asInstanceOf[ArrayData].toLongArray()
+    CountMinSketch.estimate(arr, tok.asInstanceOf[UTF8String], depth, width)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, tok) => {
+      val cls = CountMinSketch.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.estimate($sk.toLongArray(), $tok, $depth, $width);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
 /** Repetition census for the Gopher/MassiveText repetition rules:
   * `[n_tokens, n_distinct, top_bigram_n]` in ONE tokenization pass.
   * Tokens are maximal runs of non-ASCII-whitespace in the LOWERCASED
@@ -909,4 +1022,10 @@ object native {
   def misra_gries_topk(c: Column, capacity: Int): Column =
     ExpressionUtils.column(
       MisraGriesTopK(ExpressionUtils.expression(c), capacity).toAggregateExpression())
+  def count_min_sketch_agg(c: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(
+      CountMinSketch(ExpressionUtils.expression(c), depth, width).toAggregateExpression())
+  def cms_estimate(sketch: Column, token: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(CmsEstimate(ExpressionUtils.expression(sketch),
+      ExpressionUtils.expression(token), depth, width))
 }

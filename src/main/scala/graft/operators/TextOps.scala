@@ -985,6 +985,38 @@ object TextOps {
   def compressionScore(spark: SparkSession, dir: String): DataFrame =
     compressionScoreOf(Tables.documents(spark, dir))
 
+  /** Count-Min point-frequency estimates for the vocabulary census —
+    * the third member of the mergeable-summary family (HLL distinct,
+    * Misra-Gries heavy hitters, CMS point queries): ONE map pass
+    * builds a depth×width counter sketch (the shuffle moves
+    * fixed-size counter arrays, never the token stream — `t_vocab`'s
+    * exact census shuffles every token), then the exact top-`topK`
+    * tokens are estimated against the single broadcast sketch row
+    * (the packed-broadcast idiom). `overcount = est − cf` is ≥ 0 by
+    * construction (CMS never undercounts) and ≤ N/width per row whp —
+    * both spec-pinned, alongside a bit-exact plain-Scala reference
+    * replay. Rows-only: the sketch rides the native hash. */
+  def vocabCmsOf(docs: DataFrame, depth: Int = 4, width: Int = 2048,
+                 topK: Int = 100): DataFrame = {
+    val toks = docs
+      .select(explode(split(wsTrim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = toks.agg(
+      graft.functions.native.count_min_sketch_agg(col("token"), depth, width).as("sk"))
+    val census = toks.groupBy("token").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(topK)
+    census.join(broadcast(sketch))
+      .select(col("token"), col("cf"),
+        graft.functions.native.cms_estimate(col("sk"), col("token"), depth, width)
+          .as("est"))
+      .withColumn("overcount", col("est") - col("cf"))
+      .orderBy(col("cf").desc, col("token"))
+  }
+
+  def vocabCms(spark: SparkSession, dir: String): DataFrame =
+    vocabCmsOf(Tables.documents(spark, dir))
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the step after
     * [[pairCountsOf]]'s merge-candidate census: iteratively merge the
     * globally most frequent adjacent symbol pair, `nMerges` times,

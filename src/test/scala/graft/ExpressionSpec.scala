@@ -87,6 +87,47 @@ class ExpressionSpec extends AnyFunSuite {
       === Seq("ab", "ab", "b"))
   }
 
+  test("count-min sketch: reference-exact, overcount-only, partition-invariant") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.CountMinSketch
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq.tabulate(40)(i => s"tok$i")
+    // zipf-ish draws so counts differ
+    val tokens = Seq.fill(600)(vocab(math.min(rnd.nextInt(40), rnd.nextInt(40))))
+    val truth = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (depth, width) = (3, 64) // width < vocab·2 → collisions happen
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    val sk = df.agg(count_min_sketch_agg(col("token"), depth, width))
+      .head().getSeq[Long](0).toArray
+    // bit-exact vs a plain-Scala replay of the same kernel
+    val ref = new Array[Long](depth * width)
+    tokens.foreach { t =>
+      (0 until depth).foreach { d =>
+        ref(d * width + CountMinSketch.bucket(UTF8String.fromString(t), d, width)) += 1L
+      }
+    }
+    assert(sk.toSeq === ref.toSeq)
+    // estimates never undercount; collisions were actually exercised
+    val ests = vocab.map(t =>
+      t -> CountMinSketch.estimate(sk, UTF8String.fromString(t), depth, width)).toMap
+    vocab.foreach { t =>
+      assert(ests(t) >= truth.getOrElse(t, 0L), s"$t undercounted")
+    }
+    assert(vocab.exists(t => ests(t) > truth.getOrElse(t, 0L)),
+      "no collision at width 64 — the overcount branch went untested")
+    // a wide sketch is exact on this vocabulary
+    val wide = df.agg(count_min_sketch_agg(col("token"), depth, 4096))
+      .head().getSeq[Long](0).toArray
+    vocab.foreach { t =>
+      assert(CountMinSketch.estimate(wide, UTF8String.fromString(t), depth, 4096)
+        === truth.getOrElse(t, 0L))
+    }
+    // pointwise merge: any partitioning yields the identical sketch
+    val sk7 = df.repartition(7).agg(count_min_sketch_agg(col("token"), depth, width))
+      .head().getSeq[Long](0).toArray
+    assert(sk7.toSeq === sk.toSeq)
+  }
+
   test("merge_pair preserves concatenation and never overlaps, randomized") {
     val rnd = new scala.util.Random(77)
     val syms = Seq("a", "b", "c", "ab")

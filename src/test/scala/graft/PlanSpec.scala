@@ -18,7 +18,10 @@ class PlanSpec extends AnyFunSuite {
   // joins must stay equi-joins)
   private val intentionalCross =
     Set("d_embed_dup", "s_ann_topk", "s_ann_ivf", "s_ann_ivf_kmeans", "s_hybrid",
-      "s_ann_ivf_index", "d_semdedup", "d_decontam_semantic")
+      "s_ann_ivf_index", "d_semdedup", "d_decontam_semantic",
+      // the census estimates against ONE broadcast sketch row (the
+      // packed-broadcast idiom): a 1×topK nested loop, never corpus²
+      "t_vocab_cms")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
