@@ -56,6 +56,9 @@ object SparkEntry {
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
     "q_sessions"         -> ReferenceOps.sessionize _,
     "q_asof_order"       -> AsOf.eventOrderAsOf _,
+    // bucketed interval join: events inside alert windows, one
+    // equi-shuffle on the time bucket (never a nested loop)
+    "q_range_join"       -> RangeJoin.eventRangeJoin _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -584,6 +587,18 @@ object SparkEntry {
         |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // interval join at integer-microsecond precision on both engines
+    // (epoch_us floor-truncates DuckDB's nanos exactly like Spark's
+    // micro timestamps)
+    "q_range_join" ->
+      """WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS lo_us
+        |           FROM events WHERE event_id % 499 = 0)
+        |SELECT w.window_id, e.event_id
+        |FROM events e JOIN w
+        |  ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.lo_us + 7200000000
+        | AND e.event_id <> w.window_id
+        |ORDER BY window_id, event_id""".stripMargin,
 
     "q_asof_order" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),

@@ -516,4 +516,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.columns.contains("detected_lang"))
     assert(out.filter(col("detected_lang").isNull).count() === 0)
   }
+
+  test("bucketed range join equals the naive non-equi join, boundaries included") {
+    val rnd = new scala.util.Random(9)
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ts(sec: Long) = java.sql.Timestamp.from(base.plusSeconds(sec))
+    // probes over ~3 days at random offsets, plus exact-boundary hits
+    val probes = (1L to 300L).map(i => (i, ts(rnd.nextInt(260000).toLong))) ++
+      Seq((901L, ts(10000L)),          // == a window lo: INCLUDED
+          (902L, ts(10000L + 7200L)),  // == that window hi: EXCLUDED
+          (903L, ts(10000L + 7199L)))  // last in-window second
+    val probeDf = probes.toDF("event_id", "ts")
+    // windows of mixed lengths: shorter than, equal to, and spanning
+    // several 1h buckets
+    val windows = Seq(
+      (1L, ts(10000L), ts(10000L + 7200L)),
+      (2L, ts(50000L), ts(50000L + 600L)),
+      (3L, ts(100000L), ts(100000L + 20000L)),
+      (4L, ts(3600L), ts(7200L))
+    ).toDF("window_id", "lo", "hi")
+    val got = RangeJoin.bucketed(probeDf, "ts", windows, "lo", "hi")
+      .select("window_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = probeDf.join(windows,
+        col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select("window_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got.contains((1L, 901L)) && got.contains((1L, 903L)))
+    assert(!got.contains((1L, 902L))) // hi is exclusive
+    // no pair is emitted twice even when a window spans many buckets
+    val rows = RangeJoin.bucketed(probeDf, "ts", windows, "lo", "hi").count()
+    assert(rows === got.size)
+  }
+
+  test("range join plans as an equi-join on the bucket, never a nested loop") {
+    val p = SparkEntry.queries("q_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
