@@ -59,6 +59,8 @@ object SparkEntry {
     // bucketed interval join: events inside alert windows, one
     // equi-shuffle on the time bucket (never a nested loop)
     "q_range_join"       -> RangeJoin.eventRangeJoin _,
+    // ordered-step conversion funnel (min-chain, strict-after)
+    "q_funnel"           -> Funnel.eventFunnel _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -587,6 +589,28 @@ object SparkEntry {
         |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ordered funnel: min-chain with strict-after steps, all times in
+    // integer microseconds on both engines
+    "q_funnel" ->
+      """WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |       FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t0.t0
+        |       GROUP BY e.user_id),
+        |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t1
+        |       GROUP BY e.user_id)
+        |SELECT t0.user_id,
+        |  CAST(1 AS BIGINT) AS reached_view,
+        |  CAST(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_click,
+        |  CAST(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_purchase,
+        |  (t1.t1 - t0.t0) // 1000000 AS secs_view_click,
+        |  (t2.t2 - t1.t1) // 1000000 AS secs_click_purchase
+        |FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // interval join at integer-microsecond precision on both engines
     // (epoch_us floor-truncates DuckDB's nanos exactly like Spark's

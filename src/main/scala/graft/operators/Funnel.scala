@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Ordered-step funnel analysis over the event stream — the classic
+  * conversion question (view → click → purchase: who reached each
+  * step, and how fast?) the reference's analytics side motivates
+  * (`Analysis/main.py` slices the same store by period/category; a
+  * funnel slices it by behavioral sequence).
+  *
+  * Semantics: step k is reached at the EARLIEST event of its type
+  * strictly after the step-(k−1) time (min-chain, the standard
+  * "ordered funnel"); a user skipping a step never reaches the rest,
+  * however many later-step events they have.
+  *
+  * Scale shape: one user-keyed aggregate per step plus user-keyed
+  * joins — no window over the raw stream, no self-join on time. All
+  * times are integer MICROSECONDS (`unix_micros`, = DuckDB
+  * `epoch_us`), so gaps and the strict-after comparison are exact and
+  * engine-reproducible at any parallelism.
+  */
+object Funnel {
+
+  /** Per-user funnel over `steps` (event_type values, in order):
+    * reached flags and integer-second gaps between consecutive
+    * reached steps (null once the funnel is abandoned). */
+  def funnelOf(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val us = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"))
+    // fold: step k's table is (user_id, t_k); the next step aggregates
+    // events of its type strictly after t_k, per user
+    val stepTimes: Seq[DataFrame] = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val t =
+          if (i == 0)
+            us.filter(col("event_type") === step)
+              .groupBy("user_id").agg(min(col("us")).as(s"t$i"))
+          else
+            us.filter(col("event_type") === step)
+              .join(acc.last.select(col("user_id"), col(s"t${i - 1}")), "user_id")
+              .filter(col("us") > col(s"t${i - 1}"))
+              .groupBy("user_id").agg(min(col("us")).as(s"t$i"))
+        acc :+ t
+    }
+    val joined = stepTimes.tail.foldLeft(stepTimes.head) { (acc, t) =>
+      acc.join(t, Seq("user_id"), "left")
+    }
+    val flags = steps.indices.map(i =>
+      when(col(s"t$i").isNotNull, 1L).otherwise(0L).as(s"reached_${steps(i)}"))
+    val gaps = steps.indices.tail.map(i =>
+      expr(s"(t$i - t${i - 1}) div 1000000L")
+        .as(s"secs_${steps(i - 1)}_${steps(i)}"))
+    joined.select((col("user_id") +: (flags ++ gaps)): _*).orderBy("user_id")
+  }
+
+  /** Registered `q_funnel`: the view → click → purchase conversion
+    * per user, hash-checked against DuckDB's min-chain. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+}

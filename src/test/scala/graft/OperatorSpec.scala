@@ -550,6 +550,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows === got.size)
   }
 
+  test("funnel: ordered min-chain, strict-after, abandonment cuts the tail") {
+    val base = java.time.Instant.parse("2024-04-01T00:00:00Z")
+    def ts(sec: Long) = java.sql.Timestamp.from(base.plusSeconds(sec))
+    val events = Seq(
+      // user 1: full funnel in order — all steps, gaps 10s and 20s
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(30)),
+      // user 2: purchase BEFORE click — reaches click, not purchase
+      (2L, "view", ts(0)), (2L, "purchase", ts(5)), (2L, "click", ts(10)),
+      // user 3: click with NO view — not in the funnel at all
+      (3L, "click", ts(0)), (3L, "purchase", ts(10)),
+      // user 4: click at the SAME time as view — strict-after misses it,
+      // a later click catches
+      (4L, "view", ts(100)), (4L, "click", ts(100)), (4L, "click", ts(160)),
+      // user 5: view only
+      (5L, "view", ts(0))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnelOf(events, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 10L, 20L)))
+    assert(out(2L) === ((1L, 1L, 0L, 10L, -1L))) // purchase precedes click
+    assert(!out.contains(3L))                    // never viewed
+    assert(out(4L) === ((1L, 1L, 0L, 60L, -1L))) // same-ts click skipped
+    assert(out(5L) === ((1L, 0L, 0L, -1L, -1L)))
+  }
+
   test("range join plans as an equi-join on the bucket, never a nested loop") {
     val p = SparkEntry.queries("q_range_join")(spark, sf)
       .queryExecution.executedPlan.toString
