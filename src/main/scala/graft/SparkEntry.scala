@@ -61,6 +61,8 @@ object SparkEntry {
     "q_range_join"       -> RangeJoin.eventRangeJoin _,
     // ordered-step conversion funnel (min-chain, strict-after)
     "q_funnel"           -> Funnel.eventFunnel _,
+    // cohort retention: first-active day × comeback day offsets
+    "q_retention"        -> Funnel.eventRetention _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -589,6 +591,17 @@ object SparkEntry {
         |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // cohort retention: distinct user-days → first day per user →
+    // (cohort, offset) counts; all day arithmetic integral
+    "q_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ordered funnel: min-chain with strict-after steps, all times in
     // integer microseconds on both engines

@@ -60,4 +60,29 @@ object Funnel {
     * per user, hash-checked against DuckDB's min-chain. */
   def eventFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** Cohort retention — the other classic behavioral slice: users
+    * grouped by FIRST-ACTIVE day (the cohort), counted on each later
+    * day-offset they came back. Two user-keyed aggregates (first day
+    * per user, distinct user-days) + one user-keyed join + one
+    * (cohort, offset)-keyed count — the output is cohorts × horizon,
+    * bounded regardless of event volume, and nothing windows over the
+    * raw stream. Day arithmetic via `datediff` on DATEs (integer on
+    * both engines). */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Registered `q_retention`: per-cohort comeback counts over the
+    * event month, hash-checked against the same two-aggregate chain
+    * in DuckDB. */
+  def eventRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.events(spark, dir))
 }

@@ -577,6 +577,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(5L) === ((1L, 0L, 0L, -1L, -1L)))
   }
 
+  test("retention: cohort = first day, same-day repeats count once") {
+    val base = java.time.Instant.parse("2024-05-01T12:00:00Z")
+    def ts(day: Int, sec: Long = 0L) =
+      java.sql.Timestamp.from(base.plusSeconds(day * 86400L + sec))
+    val events = Seq(
+      // u1: day0 ×3 events (counts once), back on day2
+      (1L, ts(0)), (1L, ts(0, 600)), (1L, ts(0, 1200)), (1L, ts(2)),
+      // u2: same cohort day0, back day1 and day2
+      (2L, ts(0)), (2L, ts(1)), (2L, ts(2)),
+      // u3: later cohort day1 only
+      (3L, ts(1))
+    ).map { case (u, t) => (u, "view", t) }.toDF("user_id", "event_type", "ts")
+    val out = Funnel.retentionOf(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-05-01", 0L)) === 2L) // u1+u2, u1's repeats collapsed
+    assert(out(("2024-05-01", 1L)) === 1L) // u2
+    assert(out(("2024-05-01", 2L)) === 2L) // u1+u2
+    assert(out(("2024-05-02", 0L)) === 1L) // u3's own cohort
+    assert(out.size === 4)
+  }
+
   test("range join plans as an equi-join on the bucket, never a nested loop") {
     val p = SparkEntry.queries("q_range_join")(spark, sf)
       .queryExecution.executedPlan.toString
