@@ -46,7 +46,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only the tail of stdout, which truncates the
+    // per-query map on a 100+-query sweep — persist the full JSON so
+    // the round's bench record survives verbatim
+    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
