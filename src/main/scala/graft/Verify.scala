@@ -19,6 +19,7 @@ object Verify {
     // SPARK_GRAFT_BENCH_ONLY; the driver leaves it unset → full dump
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +53,11 @@ object Verify {
     // no output at all (rows-only queries have no oracle entry)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // explicit failure record: a query that errored must appear as a red
+    // entry on the scoreboard, never as a silent omission (round-8
+    // lesson — 11 broken queries read as "0 failures")
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver-generated star schema
   * (`/root/testdata/sf*`). One parquet file per table; filters and
@@ -19,18 +19,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as long (legacy conf) and truncate to
-    * microseconds — Spark's native timestamp precision. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations. NANOS is rejected
+    * by Spark's vectorized reader, so the legacy conf reads it as long
+    * (a no-op for MICROS files); [[eventsFromRaw]] then normalizes
+    * either encoding to session-TZ TIMESTAMP at microsecond precision. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
   }
 
-  def eventsFromRaw(raw: DataFrame): DataFrame =
-    // integral division: `/` would promote to double and lose ulps at
-    // epoch-nanos magnitude, shifting some timestamps by 1µs
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def eventsFromRaw(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
+      // legacy nanos-as-long: integral division — `/` would promote to
+      // double and lose ulps at epoch-nanos magnitude, shifting some
+      // timestamps by 1µs
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      // parquet micros without UTC adjustment; the session TZ is pinned
+      // to UTC, so this cast reinterprets the same instant losslessly
+      raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => raw // already session-TZ TIMESTAMP at micros
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsFromRaw(eventsRaw(spark, dir))
