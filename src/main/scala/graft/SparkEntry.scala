@@ -126,6 +126,14 @@ object SparkEntry {
     "t_lm_score"         -> TextOps.lmCoverage _,
     // vocabulary-indexed tokenization: corpus-derived id map, OOV = 0
     "t_tokenize_ids"     -> TextOps.tokenizeIds _,
+    // HTML main-text extraction: shared step table generates the Spark
+    // chain AND the DuckDB oracle — construction + extraction hash-match
+    "t_extract_html"     -> Markup.extractHtml _,
+    // Unicode hygiene: mojibake repair → NFC (native expr) → zero-width
+    // strip; the dirty fixture fires every branch on every row
+    "t_normalize"        -> Markup.normalize _,
+    // paragraph-tier dedup: rank idiom at blank-line granularity
+    "d_para_dedup"       -> Markup.paraDedup _,
     // deflate compression-ratio quality flags (rows-only: no SQL
     // deflate exists; the native kernel is ExpressionSpec-pinned)
     "t_compress"         -> TextOps.compressionScore _,
@@ -171,6 +179,9 @@ object SparkEntry {
     // INCREMENTAL VIEW MAINTENANCE: fold the v2→v3 feed into v2's
     // monthly aggregate; hash-checked vs a full GROUP BY over v3
     "q_incr_agg"         -> SnapshotDiff.incrAggResult _,
+    // SCHEMA EVOLUTION: stable column ids in the publish manifest —
+    // v1 (pre-rename, pre-add) reads through the live schema by id
+    "q_schema_evolution" -> graft.sources.SchemaEvolution.evolutionResult _,
     // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
     // each micro-batch merging into the previous batch's published
     // snapshot — hash-checked vs the chained two-merge replay oracle
@@ -1369,6 +1380,30 @@ object SparkEntry {
          |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
          |      FROM s)
          |SELECT query_id, rank, vec_id AS neighbor_id FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // schema evolution: the oracle reconstructs both version states
+    // from the raw table — v1 under the live names with a typed-null
+    // added column, v2 as published
+    "q_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(o_orderdate AS DATE) AS transaction_date, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 <> 0)
+        |SELECT CAST(1 AS BIGINT) AS src_version, o_orderkey,
+        |       CAST(price AS DOUBLE) AS amount, CAST(NULL AS VARCHAR) AS category
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderkey,
+        |       CAST(price + 5.25 AS DOUBLE), o_orderpriority
+        |FROM base
+        |ORDER BY src_version, o_orderkey""".stripMargin,
+
+    // generated twins: the SQL is produced by folding the SAME step
+    // table that builds the Spark plan (operators/Markup.scala), so
+    // implementation and oracle cannot drift
+    "t_extract_html" -> graft.operators.Markup.extractHtmlOracle,
+    "t_normalize"    -> graft.operators.Markup.normalizeOracle,
+    "d_para_dedup"   -> graft.operators.Markup.paraDedupOracle
   )
 }

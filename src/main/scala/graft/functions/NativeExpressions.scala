@@ -255,6 +255,43 @@ object DeflateSize {
   }
 }
 
+/** Unicode NFC normalization (canonical composition) — the dedup-key
+  * prerequisite: NFD twins ("é" as e+combining-acute vs precomposed)
+  * hash apart and defeat every content-hash-keyed operator unless the
+  * corpus is composed first. A scalar codegen expression over the JDK
+  * normalizer (the same Unicode normalization DuckDB's nfc_normalize
+  * implements, so the oracle surface is cross-engine); the common
+  * already-NFC case is detected without allocating. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    NfcNormalize.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = NfcNormalize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $cls.compute($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
+object NfcNormalize {
+  /** Shared by eval and generated code. isNormalized is a cheap
+    * quick-check scan; ASCII (the overwhelming web-corpus case) takes
+    * it without ever decoding to String. */
+  def compute(v: UTF8String): UTF8String = {
+    val s = v.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** One BPE merge step over a symbol sequence: replace every
   * non-overlapping adjacent (left, right) occurrence, scanning left
   * to right, with the concatenation — the inner rewrite of
@@ -997,6 +1034,8 @@ object native {
     ExpressionUtils.column(BucketId(ExpressionUtils.expression(c), bounds))
   def deflate_size(c: Column): Column =
     ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(c)))
+  def nfc_normalize(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
   def merge_pair(arr: Column, l: Column, r: Column): Column =
     ExpressionUtils.column(MergePair(ExpressionUtils.expression(arr),
       ExpressionUtils.expression(l), ExpressionUtils.expression(r)))

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Schema evolution for the versioned snapshot store — the migration
+  * concern the reference handles by dropping and recreating every
+  * table (`create_table_recreate_all_tables.py:1-21`); a lakehouse
+  * keeps history readable across schema changes instead.
+  *
+  * Mechanism (the public Iceberg design): every logical column gets a
+  * STABLE ID at first publish; a rename keeps the id under a new
+  * name, an added column mints a new id. Each version carries its
+  * id→(name, type) mapping as `_schema` metadata inside the version
+  * dir ([[Sinks.publishSnapshot]] `extraMeta`, written before the
+  * commit marker, so a committed version always has its mapping).
+  * Reading an old version "as of" the live schema resolves columns BY
+  * ID: renamed columns come back under their current name, columns
+  * added later materialize as typed nulls — one scan, no rewrite of
+  * history, no positional guessing.
+  *
+  * Scale: the mapping is one tiny file per version; resolution is a
+  * driver-side projection decision. The data path stays a plain
+  * column-pruned parquet scan of the immutable version dir.
+  */
+object SchemaEvolution {
+
+  /** One logical column: stable id, current name, Spark DDL type. */
+  final case class ColMeta(id: Long, name: String, ddl: String)
+
+  private val metaName = "schema"
+  private def versionDir(tablePath: String, v: Long) = f"$tablePath/v$v%08d"
+
+  /** Serialize: one `id<TAB>name<TAB>ddl` line per column. Names are
+    * parquet field names (no tabs/newlines possible); the format needs
+    * no parser beyond split. */
+  private def render(cols: Seq[ColMeta]): String =
+    cols.map(c => s"${c.id}\t${c.name}\t${c.ddl}").mkString("\n")
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The id mapping committed with `version`, if that version was
+    * published through [[publishEvolved]]. */
+  def schemaOf(spark: SparkSession, tablePath: String, version: Long): Option[Seq[ColMeta]] = {
+    val p = new org.apache.hadoop.fs.Path(s"${versionDir(tablePath, version)}/_$metaName")
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val Array(id, name, ddl) = line.split("\t", 3)
+        ColMeta(id.toLong, name, ddl)
+      })
+    }
+  }
+
+  /** Publish `df` as the next version WITH its id mapping. Ids carry
+    * over by name from the live version's mapping; `renamedFrom` maps
+    * a NEW column name to the OLD name whose id it inherits (the
+    * rename declaration — without it a renamed column would mint a
+    * fresh id and read as add+drop). Unknown names mint new ids. */
+  def publishEvolved(df: DataFrame, dateCol: String, tablePath: String,
+                     renamedFrom: Map[String, String] = Map.empty,
+                     retainVersions: Int = 2): Long = {
+    val spark = df.sparkSession
+    val prev: Seq[ColMeta] = Sinks.currentVersion(spark, tablePath)
+      .flatMap(v => schemaOf(spark, tablePath, v)).getOrElse(Seq.empty)
+    val prevByName = prev.map(c => c.name -> c).toMap
+    renamedFrom.foreach { case (nu, old) =>
+      require(prevByName.contains(old) || prev.isEmpty,
+        s"renamedFrom: no column '$old' in the live schema to inherit for '$nu'")
+      require(df.columns.contains(nu), s"renamedFrom: '$nu' not in the published frame")
+    }
+    var nextId = prev.map(_.id).maxOption.getOrElse(0L)
+    val cols = df.schema.fields.toSeq.map { f =>
+      val inherited = renamedFrom.get(f.name).flatMap(prevByName.get)
+        .orElse(prevByName.get(f.name))
+      inherited match {
+        case Some(old) => ColMeta(old.id, f.name, f.dataType.sql)
+        case None      => nextId += 1; ColMeta(nextId, f.name, f.dataType.sql)
+      }
+    }
+    Sinks.publishSnapshot(df, dateCol, tablePath, retainVersions,
+      extraMeta = Map(metaName -> render(cols)))
+  }
+
+  /** Read committed `version` projected onto the schema of
+    * `asOfVersion` (default: live). Columns resolve BY ID: present →
+    * selected under the as-of name; absent at `version` (added later)
+    * → typed null. A column DROPPED later simply has no id in the
+    * as-of mapping and vanishes from the projection — history reads
+    * never fail on schema drift in either direction. */
+  def readSnapshotAs(spark: SparkSession, tablePath: String, version: Long,
+                     asOfVersion: Option[Long] = None): DataFrame = {
+    val asOf = asOfVersion.orElse(Sinks.currentVersion(spark, tablePath)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
+    val target = schemaOf(spark, tablePath, asOf).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"version $asOf of $tablePath has no schema mapping " +
+        "(published without SchemaEvolution.publishEvolved)"))
+    val atV: Map[Long, ColMeta] = schemaOf(spark, tablePath, version).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"version $version of $tablePath has no schema mapping")).map(c => c.id -> c).toMap
+    val phys = Sinks.readSnapshotAt(spark, tablePath, version)
+    val projection: Seq[Column] = target.map { c =>
+      atV.get(c.id) match {
+        case Some(old) => col(old.name).as(c.name)
+        case None      => lit(null).cast(DataType.fromDDL(c.ddl)).as(c.name)
+      }
+    }
+    phys.select(projection: _*)
+  }
+
+  /** One evolved two-version table per source dir per JVM (same memo
+    * rationale as SnapshotDiff.publishTimeline: the fixture build is
+    * shared, the timed path is the evolved reads). */
+  private val evolved = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** v1: (o_orderkey, price, transaction_date). v2: price RENAMED to
+    * amount (id preserved via `renamedFrom`), values bumped +5.25, and
+    * a `category` column ADDED. The evolution every long-lived table
+    * hits: rename + add, with history still on disk under old names. */
+  private def buildEvolved(spark: SparkSession, dir: String, tmp: String): String = {
+    val table = s"$tmp/table"
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        to_date(col("o_orderdate")).as("transaction_date"),
+        col("o_orderpriority"))
+    publishEvolved(base.drop("o_orderpriority"), "transaction_date", table)
+    publishEvolved(base
+        .select(col("o_orderkey"),
+          (col("price") + lit(new java.math.BigDecimal("5.25"))).as("amount"),
+          col("transaction_date"),
+          col("o_orderpriority").as("category")),
+      "transaction_date", table, renamedFrom = Map("amount" -> "price"))
+    table
+  }
+
+  /** Registered `q_schema_evolution`: both versions read through the
+    * LIVE schema in one projection each — v1's `price` surfaces as
+    * `amount` (by id), its `category` as typed null; v2 reads as
+    * itself. Hash-checked against a DuckDB reconstruction of both
+    * states, so the id mapping provably round-trips values, names and
+    * null semantics. */
+  def evolutionResult(spark: SparkSession, dir: String): DataFrame = {
+    val table = evolved.computeIfAbsent(dir,
+      _ => buildEvolved(spark, dir, graft.util.Scratch.dir("schema_evolution_q")))
+    def asOfLive(v: Long) = readSnapshotAs(spark, table, v)
+      .select(lit(v).as("src_version"), col("o_orderkey"),
+        col("amount").cast("double").as("amount"), col("category"))
+    asOfLive(1L).unionByName(asOfLive(2L)).orderBy("src_version", "o_orderkey")
+  }
+}

@@ -216,7 +216,8 @@ object Sinks {
   def publishSnapshot(df: DataFrame, dateCol: String, tablePath: String,
                       retainVersions: Int = 2,
                       writerOptions: Map[String, String] = Map.empty,
-                      expectedVersion: Option[Long] = None): Long = {
+                      expectedVersion: Option[Long] = None,
+                      extraMeta: Map[String, String] = Map.empty): Long = {
     require(retainVersions >= 1, "retainVersions must keep at least the live version")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -245,6 +246,16 @@ object Sinks {
       case None => claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
     }
     writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions)
+    // version-scoped metadata (e.g. the evolved-schema mapping) lands
+    // INSIDE the version dir, before the marker: a committed version is
+    // never observable without its metadata, and the underscore prefix
+    // keeps parquet scans blind to it
+    extraMeta.foreach { case (name, content) =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, s"${versionDirName(next)}/_$name"), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     // commit marker: a NEW file name under _manifests — version encoded
     // in the name, so there is no content to race on
     val marker = new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d")

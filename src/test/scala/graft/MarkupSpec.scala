@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Markup
+
+/** Markup + encoding hygiene (SURVEY.md §2 rows 94-96): HTML
+  * main-text extraction, Unicode normalization, paragraph dedup.
+  * DuckDB value parity is the oracle gate's job (the SQL twins are
+  * generated from the same step tables); these specs pin the
+  * SEMANTICS — what gets dropped, what survives, idempotence. All
+  * non-ASCII fixture chars are \u escapes so the bytes are exact. */
+class MarkupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Markup.extractHtmlText(col("h")).as("t"))
+      .head().getString(0)
+
+  private def normalize(s: String): String =
+    Seq(s).toDF("t").select(Markup.normalizeText(col("t")).as("n"))
+      .head().getString(0)
+
+  test("html extraction strips nested tags and keeps their text") {
+    assert(extract("<div><p>outer <b>bold <i>deep</i></b> tail</p></div>")
+      === "outer bold deep tail")
+  }
+
+  test("html extraction drops script/style/comment content entirely") {
+    val html = "<p>keep</p><script>var hidden = 1 < 2;</script>" +
+      "<style>.c { color: red }</style><!-- secret\nnote -->before<p>after</p>"
+    val got = extract(html)
+    assert(got === "keep\nbefore\nafter")
+    assert(!got.contains("hidden") && !got.contains("color") && !got.contains("secret"))
+  }
+
+  test("html extraction decodes entities AFTER stripping — no tag resurrection") {
+    // &lt;script&gt; must decode to visible text, never act as a tag
+    assert(extract("<p>a &amp;&amp; b &lt;script&gt;x&lt;/script&gt; " +
+        "&quot;q&quot; it&#39;s&nbsp;ok</p>")
+      === "a && b <script>x</script> \"q\" it's ok")
+  }
+
+  test("html extraction turns block tags into line breaks, inline tags into joins") {
+    assert(extract("<h1>Title</h1><p>one</p><p>two</p><ul><li>a</li><li>b</li></ul>")
+      === "Title\none\ntwo\na\nb")
+    // inline tags do NOT break the line
+    assert(extract("in<b>line</b> <span>span</span>") === "in line span")
+  }
+
+  test("html extraction handles attributes, self-closing and uppercase tags") {
+    assert(extract("""<DIV CLASS="x"><BR/><A HREF="http://e.com?a=1&amp;b=2">link</A></DIV>""")
+      === "link")
+    // an entity inside a surviving attribute dies with its tag
+    assert(extract("""<span title="a&amp;b">text</span>""") === "text")
+  }
+
+  test("normalization recomposes NFD so dedup keys converge") {
+    val nfd = "cafe\u0301"  // e + combining acute
+    val nfc = "caf\u00E9"    // precomposed
+    assert(normalize(nfd) === normalize(nfc))
+    assert(normalize(nfd) === nfc)
+    // the dedup-key claim itself: sha of normalized forms collides
+    val keys = Seq((1L, nfd), (2L, nfc)).toDF("doc_id", "text")
+      .select(sha2(Markup.normalizeText(col("text")), 256).as("k"))
+      .distinct().count()
+    assert(keys === 1L)
+  }
+
+  test("normalization strips zero-width chars, BOM and controls; keeps tab/newline") {
+    assert(normalize("a\u200Bb\u200Cc\u200Dd\uFEFFe\u00ADf") === "abcdef")
+    assert(normalize("x\u0007y\u0000z\u009Cw") === "xyzw")
+    assert(normalize("keep\ttab\nand newline") === "keep\ttab\nand newline")
+  }
+
+  test("normalization repairs two- and three-byte cp1252 mojibake") {
+    assert(normalize("\u00C3\u00A9clair") === "\u00E9clair")
+    assert(normalize("don\u00E2\u20AC\u2122t") === "don\u2019t")
+    assert(normalize("\u00E2\u20AC\u0153q\u00E2\u20AC\u201D") === "\u201Cq\u2014")
+  }
+
+  test("normalization is idempotent") {
+    val dirty = "cafe\u0301 \u200B \u00C3\u00A9 don\u00E2\u20AC\u2122t \u0007"
+    val once = normalize(dirty)
+    assert(normalize(once) === once)
+  }
+
+  test("paragraph dedup keeps one canonical occurrence of shared boilerplate") {
+    val docs = Seq(
+      (1L, "unique body one\n\nshared footer"),
+      (2L, "unique body two\n\nshared footer"),
+      (3L, "unique body three\n\nshared footer\n\nother boilerplate"),
+      (4L, "shared footer")) // doc that is ONLY boilerplate → empties
+      .toDF("doc_id", "text")
+    val out = Markup.paraDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("unique body one\n\nshared footer", 2L, 0L)))
+    assert(out(2L) === (("unique body two", 2L, 1L)))
+    assert(out(3L) === (("unique body three\n\nother boilerplate", 3L, 1L)))
+    assert(out(4L) === (("", 1L, 1L)))
+  }
+
+  test("paragraph dedup splits on any blank-line run; whitespace-only paras vanish") {
+    val docs = Seq(
+      (1L, "a\n\nb"),
+      (2L, "a\n \n  \nb"), // wider blank runs, same two paragraphs
+      (3L, "\n\na\n\n"))   // leading/trailing blanks → only 'a', a dup
+      .toDF("doc_id", "text")
+    val out = Markup.paraDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a\n\nb", 2L, 0L)))
+    assert(out(2L) === (("", 2L, 2L)))
+    assert(out(3L) === (("", 1L, 1L)))
+  }
+
+  test("registered markup queries have scale-sane plans") {
+    // extraction + normalization are pure projections: no exchange at
+    // all before the presentation orderBy's range partitioning
+    for (q <- Seq("t_extract_html", "t_normalize")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q should be map-only, got:\n$plan")
+    }
+    // paragraph dedup shuffles on the md5 key / doc id, never a
+    // cartesian or nested-loop anywhere
+    val plan = SparkEntry.queries("d_para_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+}

@@ -540,6 +540,116 @@ class SourcesSpec extends AnyFunSuite {
     assert(Media.decodeMeta(bad).collect().head.n_frames >= 1)
   }
 
+  test("schema evolution: rename/add/drop resolve by stable id across versions") {
+    import graft.sources.{SchemaEvolution, Sinks}
+    val table = Files.createTempDirectory("sevo").toString + "/t"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // v1: (k, price, transaction_date)
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 10L, d("2024-01-15")), (2L, 20L, d("2024-02-15")))
+        .toDF("k", "price", "transaction_date"),
+      "transaction_date", table)
+    // v2: price RENAMED to amount, category ADDED
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 11L, d("2024-01-15"), "a"), (2L, 21L, d("2024-02-15"), "b"))
+        .toDF("k", "amount", "transaction_date", "category"),
+      "transaction_date", table, renamedFrom = Map("amount" -> "price"))
+    // v1 through the live schema: price surfaces AS amount, with v1
+    // VALUES; the later-added category is a typed null
+    val v1 = SchemaEvolution.readSnapshotAs(spark, table, 1L)
+    assert(v1.columns.toSeq === Seq("k", "amount", "transaction_date", "category"))
+    assert(v1.select("k", "amount").as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 20L)))
+    assert(v1.schema("category").dataType.typeName === "string")
+    assert(v1.filter(col("category").isNotNull).count() === 0)
+    // v2 through its own schema is the identity
+    assert(SchemaEvolution.readSnapshotAs(spark, table, 2L)
+      .select("k", "amount", "category").as[(Long, Long, String)].collect().toSet
+      === Set((1L, 11L, "a"), (2L, 21L, "b")))
+    // v3 DROPS category and renames amount onward to total: old
+    // versions read through v3 lose category and follow the id chain
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 12L, d("2024-01-15"))).toDF("k", "total", "transaction_date"),
+      "transaction_date", table, renamedFrom = Map("total" -> "amount"),
+      retainVersions = 3)
+    val v1asV3 = SchemaEvolution.readSnapshotAs(spark, table, 1L)
+    assert(v1asV3.columns.toSeq === Seq("k", "total", "transaction_date"))
+    assert(v1asV3.select("k", "total").as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 20L)))
+    // and v1 read through the OLD v2 schema still works (pinned as-of)
+    assert(SchemaEvolution.readSnapshotAs(spark, table, 1L, asOfVersion = Some(2L))
+      .columns.toSeq === Seq("k", "amount", "transaction_date", "category"))
+    // physical history is untouched: the raw v1 dir still says "price"
+    assert(Sinks.readSnapshotAt(spark, table, 1L).columns.contains("price"))
+  }
+
+  test("events loader is timestamp-unit robust: NANOS and MICROS files read identically") {
+    // The driver's testdata generator has shipped events.ts as both
+    // parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds;
+    // the round-8 regression was the loader assuming one of them.
+    // Pin: the SAME logical instants, written under each encoding, come
+    // out of Tables.events as identical session-TZ microsecond
+    // timestamps — whichever unit future testdata carries.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    // instants with sub-microsecond noise: truncation (div 1000), not
+    // rounding, is the pinned nanos→micros semantics
+    val micros = Seq(1700000000000001L, 1700000003999999L, 1700086400123456L)
+    val rows = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, 100L + i, s"type_$i", i * 1.5, s"""{"k":$i}""") }
+
+    val nanosDir = Files.createTempDirectory("ev_nanos").toString
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,false));
+        |  required int64 user_id;
+        |  optional binary event_type (STRING);
+        |  optional double value;
+        |  optional binary props (STRING);
+        |}""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$nanosDir/events.parquet"))
+      .withConf(conf).build()
+    val gf = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, us, uid, et, v, props) =>
+      writer.write(gf.newGroup()
+        .append("event_id", id).append("ts", us * 1000L + id * 37L % 1000L)
+        .append("user_id", uid).append("event_type", et)
+        .append("value", v).append("props", props))
+    }
+    writer.close()
+
+    val microsDir = Files.createTempDirectory("ev_micros").toString
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$microsDir/events.parquet")
+
+    val fromNanos = graft.sources.Tables.events(spark, nanosDir)
+    val fromMicros = graft.sources.Tables.events(spark, microsDir)
+    // both normalize to session-TZ TIMESTAMP at microsecond precision
+    assert(fromNanos.schema("ts").dataType.typeName === "timestamp")
+    assert(fromMicros.schema("ts").dataType.typeName === "timestamp")
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), unix_micros(col("ts")), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(dump(fromNanos) === dump(fromMicros))
+    assert(dump(fromNanos).map(_(1)) === micros)
+    // a file already carrying session-TZ TIMESTAMP also passes through
+    val tzDir = Files.createTempDirectory("ev_tz").toString
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tzDir/events.parquet")
+    assert(dump(graft.sources.Tables.events(spark, tzDir)) === dump(fromMicros))
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()
