@@ -61,6 +61,8 @@ object SparkEntry {
     "q_range_join"       -> RangeJoin.eventRangeJoin _,
     // ordered-step conversion funnel (min-chain, strict-after)
     "q_funnel"           -> Funnel.eventFunnel _,
+    // …and its windowed variant: each step within a day of the last
+    "q_funnel_windowed"  -> Funnel.eventFunnelWindowed _,
     // cohort retention: first-active day × comeback day offsets
     "q_retention"        -> Funnel.eventRetention _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
@@ -635,6 +637,30 @@ object SparkEntry {
         |  (t2.t2 - t1.t1) // 1000000 AS secs_click_purchase
         |FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // the windowed funnel: identical min-chain with one residual
+    // bound per step join (inclusive, integer microseconds)
+    "q_funnel_windowed" ->
+      s"""WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+         |            WHERE event_type = 'view' GROUP BY user_id),
+         |t1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+         |       FROM events e JOIN t0 ON e.user_id = t0.user_id
+         |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t0.t0
+         |         AND epoch_us(e.ts) <= t0.t0 + ${graft.operators.Funnel.windowedGapUs}
+         |       GROUP BY e.user_id),
+         |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+         |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+         |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t1
+         |         AND epoch_us(e.ts) <= t1.t1 + ${graft.operators.Funnel.windowedGapUs}
+         |       GROUP BY e.user_id)
+         |SELECT t0.user_id,
+         |  CAST(1 AS BIGINT) AS reached_view,
+         |  CAST(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_click,
+         |  CAST(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_purchase,
+         |  (t1.t1 - t0.t0) // 1000000 AS secs_view_click,
+         |  (t2.t2 - t1.t1) // 1000000 AS secs_click_purchase
+         |FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+         |ORDER BY user_id""".stripMargin,
 
     // interval join at integer-microsecond precision on both engines
     // (epoch_us floor-truncates DuckDB's nanos exactly like Spark's

@@ -25,9 +25,19 @@ object Funnel {
 
   /** Per-user funnel over `steps` (event_type values, in order):
     * reached flags and integer-second gaps between consecutive
-    * reached steps (null once the funnel is abandoned). */
-  def funnelOf(events: DataFrame, steps: Seq[String]): DataFrame = {
+    * reached steps (null once the funnel is abandoned).
+    *
+    * `maxStepGapUs` makes the funnel WINDOWED: step k only counts
+    * within that many microseconds of step k-1 ("purchase within a
+    * day of click") — one residual time-bound predicate on each step
+    * join, nothing else changes. An expired step abandons the rest of
+    * the funnel (min-of-window ≡ min-chain when the earliest
+    * strictly-after event lands inside the bound, null otherwise —
+    * the INCLUSIVE bound is spec-pinned at the exact boundary). */
+  def funnelOf(events: DataFrame, steps: Seq[String],
+               maxStepGapUs: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    require(maxStepGapUs.forall(_ > 0), "the step window must be positive")
     val us = events.select(col("user_id"), col("event_type"),
       expr("unix_micros(ts)").as("us"))
     // fold: step k's table is (user_id, t_k); the next step aggregates
@@ -38,11 +48,15 @@ object Funnel {
           if (i == 0)
             us.filter(col("event_type") === step)
               .groupBy("user_id").agg(min(col("us")).as(s"t$i"))
-          else
+          else {
+            val inWindow = maxStepGapUs
+              .map(g => col("us") <= col(s"t${i - 1}") + lit(g))
+              .getOrElse(lit(true))
             us.filter(col("event_type") === step)
               .join(acc.last.select(col("user_id"), col(s"t${i - 1}")), "user_id")
-              .filter(col("us") > col(s"t${i - 1}"))
+              .filter(col("us") > col(s"t${i - 1}") && inWindow)
               .groupBy("user_id").agg(min(col("us")).as(s"t$i"))
+          }
         acc :+ t
     }
     val joined = stepTimes.tail.foldLeft(stepTimes.head) { (acc, t) =>
@@ -60,6 +74,19 @@ object Funnel {
     * per user, hash-checked against DuckDB's min-chain. */
   def eventFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** One day in microseconds — the step window of the registered
+    * windowed funnel (at the fixture's gap distribution: keeps ~40%
+    * of conversions, so both converted and expired branches carry
+    * real rows on either side of the boundary). */
+  val windowedGapUs: Long = 86400L * 1000000L
+
+  /** Registered `q_funnel_windowed`: the same funnel with each step
+    * bound to land within a day of the previous one, hash-checked
+    * against the identical min-chain + residual-bound in DuckDB. */
+  def eventFunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir), Seq("view", "click", "purchase"),
+      maxStepGapUs = Some(windowedGapUs))
 
   /** Cohort retention — the other classic behavioral slice: users
     * grouped by FIRST-ACTIVE day (the cohort), counted on each later

@@ -577,6 +577,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(5L) === ((1L, 0L, 0L, -1L, -1L)))
   }
 
+  test("windowed funnel: inclusive expiry boundary, expired step abandons the rest") {
+    val base = java.time.Instant.parse("2024-04-01T00:00:00Z")
+    def ts(us: Long) = java.sql.Timestamp.from(
+      base.plusNanos(us * 1000L))
+    val w = 100L * 1000000L // 100-second step window, in micros
+    val events = Seq(
+      // u1: click lands EXACTLY at t0 + w — inclusive bound keeps it
+      (1L, "view", ts(0)), (1L, "click", ts(w)), (1L, "purchase", ts(w + 50)),
+      // u2: click at t0 + w + 1µs — one microsecond late, expired,
+      // and the in-time purchase after it cannot resurrect the funnel
+      (2L, "view", ts(0)), (2L, "click", ts(w + 1)), (2L, "purchase", ts(w + 2)),
+      // u3: first click late, but a SECOND in-window click exists —
+      // min-over-window semantics: the windowed min is the in-window
+      // one only when no earlier-but-late event precedes it… it does
+      // here, so the funnel still converts via the in-window click
+      (3L, "view", ts(0)), (3L, "click", ts(50)), (3L, "purchase", ts(60)),
+      // u4: both steps convert at comfortable gaps
+      (4L, "view", ts(0)), (4L, "click", ts(1000000)), (4L, "purchase", ts(3000000))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnelOf(events, Seq("view", "click", "purchase"),
+        maxStepGapUs = Some(w)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 1L, 1L))) // boundary-exact click counts
+    assert(out(2L) === ((1L, 0L, 0L))) // 1µs past the bound: abandoned
+    assert(out(3L) === ((1L, 1L, 1L)))
+    assert(out(4L) === ((1L, 1L, 1L)))
+    // the unbounded funnel would have converted u2 — the window is
+    // the ONLY difference between the two plans
+    val unbounded = Funnel.funnelOf(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(unbounded(2L) === 1L)
+  }
+
   test("retention: cohort = first day, same-day repeats count once") {
     val base = java.time.Instant.parse("2024-05-01T12:00:00Z")
     def ts(day: Int, sec: Long = 0L) =
