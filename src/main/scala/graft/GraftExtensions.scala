@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{DeflateSize, DotProductF, HilbertIndex, HyperplaneBuckets, MergePair, MinHashSignature, PolyHash64, RepetitionStats, WinnowFingerprint}
+import org.apache.spark.sql.graft.{DeflateSize, DotProductF, HilbertIndex, HyperplaneBuckets, MergePair, MinHashSignature, NfcNormalize, PolyHash64, RepetitionStats, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("... dot_f(a,b) ...")`
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("merge_pair",
         "merge_pair(syms, l, r) - one leftmost non-overlapping BPE merge pass over a symbol array"),
       (children: Seq[Expression]) => MergePair(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition (same semantics as DuckDB's)"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((FunctionIdentifier("hilbert_index"),
       info("hilbert_index",
         "hilbert_index(cells, bits) - Hilbert-curve index of a bucket-coordinate array"),

@@ -168,14 +168,14 @@ object SnapshotDiff {
     val dates = Tables.orders(spark, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
     Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
-      "transaction_date", table)
+      "transaction_date", table, colocateMonths = true)
     def applyMonth(changes: DataFrame): Unit = {
       val prev = Sinks.readSnapshot(spark, table).drop("txn_month")
       val merged = CdcMerge.mergeBroadcast(prev,
         changes.withColumnRenamed("new_price", "price").join(dates, "o_orderkey"),
         key = "o_orderkey", compareCols = Seq("price", "transaction_date"))
       Sinks.publishSnapshot(CdcMerge.applied(merged).drop("outcome"),
-        "transaction_date", table)
+        "transaction_date", table, colocateMonths = true)
       ()
     }
     applyMonth(Cdc.changeSet(spark, dir))

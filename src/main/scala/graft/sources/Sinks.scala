@@ -20,16 +20,32 @@ object Sinks {
     * the layout that makes the reference's analyst queries ("one
     * category, one period") partition-prunable at 100 TB. Dynamic
     * partition overwrite replaces only the months present in `df`
-    * (the monthly update case) instead of the whole table. */
+    * (the monthly update case) instead of the whole table.
+    *
+    * `colocateMonths`: repartition on the month key before writing,
+    * so each month's rows land in ONE task → one file per month
+    * instead of (tasks × months) small files. This is the right shape
+    * for merge outputs republished every micro-batch (the streaming
+    * CDC path was paying file-count × publish-count in write commits
+    * AND in the next batch's re-read listing/footers). Left OFF where
+    * the caller already shaped the partitioning ([[compactSnapshot]]'s
+    * salted/z-ordered layouts — a repartition would destroy them) or
+    * where one month is huge enough to need multi-file parallelism
+    * (that's [[compactSnapshot]]'s salt-sized job, applied on its own
+    * cadence). */
   def writeMonthlySnapshot(df: DataFrame, dateCol: String, path: String,
-                           writerOptions: Map[String, String] = Map.empty): Unit =
-    df.withColumn("txn_month", date_format(col(dateCol), "yyyy-MM"))
+                           writerOptions: Map[String, String] = Map.empty,
+                           colocateMonths: Boolean = false): Unit = {
+    val withMonth = df.withColumn("txn_month", date_format(col(dateCol), "yyyy-MM"))
+    val shaped = if (colocateMonths) withMonth.repartition(col("txn_month")) else withMonth
+    shaped
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .options(writerOptions)
       .partitionBy("txn_month")
       .parquet(path)
+  }
 
   // ---- Versioned snapshot protocol -------------------------------------
   //
@@ -217,7 +233,8 @@ object Sinks {
                       retainVersions: Int = 2,
                       writerOptions: Map[String, String] = Map.empty,
                       expectedVersion: Option[Long] = None,
-                      extraMeta: Map[String, String] = Map.empty): Long = {
+                      extraMeta: Map[String, String] = Map.empty,
+                      colocateMonths: Boolean = false): Long = {
     require(retainVersions >= 1, "retainVersions must keep at least the live version")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -245,7 +262,8 @@ object Sinks {
         e
       case None => claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
     }
-    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions)
+    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions,
+      colocateMonths)
     // version-scoped metadata (e.g. the evolved-schema mapping) lands
     // INSIDE the version dir, before the marker: a committed version is
     // never observable without its metadata, and the underscore prefix

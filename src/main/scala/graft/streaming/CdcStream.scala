@@ -65,7 +65,7 @@ object CdcStream {
           // previous version's immutable dir and are untouched by the
           // manifest move — the transactional-visibility analog of the
           // reference's Postgres upload
-          Sinks.publishSnapshot(next, partitionCol, tablePath)
+          Sinks.publishSnapshot(next, partitionCol, tablePath, colocateMonths = true)
           ()
         }
       }
@@ -89,10 +89,14 @@ object CdcStream {
     import graft.sources.Tables
     val tmp = graft.util.Scratch.dir("cdc_stream_q")
     val table = s"$tmp/table"
+    // the date dimension feeds the initial publish AND the change-file
+    // build — cache it across those fixture jobs, release before the
+    // stream runs (the drained batches read materialized files only)
     val dates = Tables.orders(spark, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
+      .cache()
     Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
-      "transaction_date", table)
+      "transaction_date", table, colocateMonths = true)
     // one op per key in the synthetic set → seq is just the key; a
     // live feed would carry a real offset here
     val changes = Cdc.changeSet(spark, dir)
@@ -100,6 +104,7 @@ object CdcStream {
       .join(dates, "o_orderkey")
       .withColumn("seq", col("o_orderkey"))
     changes.coalesce(4).write.parquet(s"$tmp/changes")
+    dates.unpersist()
     applyUpdates(
         spark.readStream.schema(changes.schema).parquet(s"$tmp/changes"),
         table, "o_orderkey", Seq("price", "transaction_date"), seqCol = "seq")
@@ -125,10 +130,12 @@ object CdcStream {
     import graft.sources.Tables
     val tmp = graft.util.Scratch.dir("cdc_stream_multi_q")
     val table = s"$tmp/table"
+    // cached for the same three fixture jobs as streamCdcBatch
     val dates = Tables.orders(spark, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
+      .cache()
     Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
-      "transaction_date", table)
+      "transaction_date", table, colocateMonths = true)
     def asChanges(cs: DataFrame): DataFrame = cs
       .withColumnRenamed("new_price", "price")
       .join(dates, "o_orderkey")
@@ -150,6 +157,7 @@ object CdcStream {
     val t0 = System.currentTimeMillis()
     drop(c1, "month1", t0)
     drop(c2, "month2", t0 + 60000L)
+    dates.unpersist()
     applyUpdates(
         spark.readStream.schema(c1.schema)
           .option("maxFilesPerTrigger", 1)

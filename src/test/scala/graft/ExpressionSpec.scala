@@ -23,6 +23,36 @@ class ExpressionSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("nfc_normalize composes NFD, passes NFC through by reference; eval = codegen") {
+    val nfd = "cafe\u0301 A\u030Agua"  // decomposed e-acute, A-ring
+    val nfc = "caf\u00E9 \u00C5gua"    // precomposed twins
+    val docs = Seq((1L, nfd), (2L, nfc), (3L, "plain ascii"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.native.nfc_normalize(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(nfd !== nfc)               // the fixture really is two encodings
+    assert(out(1L) === nfc)           // composition happened
+    assert(out(2L) === nfc)           // already-NFC unchanged
+    assert(out(3L) === "plain ascii") // ASCII fast path
+    assert(out(4L) === "")
+    // interpreted eval agrees with the df (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val evaled = org.apache.spark.sql.graft.NfcNormalize(Literal(nfd))
+      .eval(null).toString
+    assert(evaled === nfc)
+    // the SQL surface is registered through GraftExtensions (Spark
+    // chr() is ASCII-mod-256, so the combining acute rides a \u escape)
+    assert(spark.sql("SELECT nfc_normalize('cafe\\u0301') AS n")
+      .head().getString(0) === "caf\u00E9")
+    // matches the JDK normalizer on arbitrary combining sequences
+    // (dot-below/dot-above in both orders -> canonical reordering)
+    val tricky = "q\u0323\u0307 x\u0307\u0323"
+    val got = docs.sparkSession.range(1).select(
+      graft.functions.native.nfc_normalize(lit(tricky))).head().getString(0)
+    assert(got === java.text.Normalizer.normalize(tricky, java.text.Normalizer.Form.NFC))
+  }
+
   test("deflate_size separates repetition from randomness; eval = codegen") {
     // deterministic pseudo-random text via an LCG (no Random seed API
     // drift), printable ASCII so UTF-8 length == char count
