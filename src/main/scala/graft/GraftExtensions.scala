@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // planner citizenship: the naive bounded-interval join rewrites to
+    // the bucketed equi-join automatically (see plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - double dot product of two float vectors"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))

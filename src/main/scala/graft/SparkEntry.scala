@@ -59,6 +59,9 @@ object SparkEntry {
     // bucketed interval join: events inside alert windows, one
     // equi-shuffle on the time bucket (never a nested loop)
     "q_range_join"       -> RangeJoin.eventRangeJoin _,
+    // the SAME interval join written naively — the RangeJoinRewrite
+    // optimizer rule produces the bucketed plan automatically
+    "q_range_join_auto"  -> RangeJoin.eventRangeJoinNaive _,
     // ordered-step conversion funnel (min-chain, strict-after)
     "q_funnel"           -> Funnel.eventFunnel _,
     // …and its windowed variant: each step within a day of the last
@@ -215,6 +218,15 @@ object SparkEntry {
   )
 
   // ——— DuckDB oracles ————————————————————————————————————————————
+  private val rangeJoinOracle =
+    """WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS lo_us
+      |           FROM events WHERE event_id % 499 = 0)
+      |SELECT w.window_id, e.event_id
+      |FROM events e JOIN w
+      |  ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.lo_us + 7200000000
+      | AND e.event_id <> w.window_id
+      |ORDER BY window_id, event_id""".stripMargin
+
   private val delayCte =
     """WITH d AS (
       |  SELECT CAST(o.o_orderdate AS DATE) AS order_date,
@@ -664,15 +676,10 @@ object SparkEntry {
 
     // interval join at integer-microsecond precision on both engines
     // (epoch_us floor-truncates DuckDB's nanos exactly like Spark's
-    // micro timestamps)
-    "q_range_join" ->
-      """WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS lo_us
-        |           FROM events WHERE event_id % 499 = 0)
-        |SELECT w.window_id, e.event_id
-        |FROM events e JOIN w
-        |  ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.lo_us + 7200000000
-        | AND e.event_id <> w.window_id
-        |ORDER BY window_id, event_id""".stripMargin,
+    // micro timestamps); the naive-formulation twin shares the oracle
+    // VERBATIM — one truth, expert API and planner rewrite
+    "q_range_join" -> rangeJoinOracle,
+    "q_range_join_auto" -> rangeJoinOracle,
 
     "q_asof_order" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),

@@ -66,4 +66,21 @@ object RangeJoin {
       .select(col("window_id"), col("event_id"))
       .orderBy("window_id", "event_id")
   }
+
+  /** Registered `q_range_join_auto`: the SAME question written the
+    * naive way — a plain inequality join on timestamp + interval — and
+    * left to [[graft.plans.RangeJoinRewrite]] to turn into the
+    * bucketed equi-join inside the optimizer. Shares `q_range_join`'s
+    * oracle verbatim: one truth, reached through the expert API and
+    * through the planner rewrite. The spec additionally pins that this
+    * plan contains no nested-loop join. */
+  def eventRangeJoinNaive(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    events.select(col("event_id"), col("ts"))
+      .join(alertWindows(events),
+        col("ts") >= col("lo") && col("ts") < col("lo") + expr("INTERVAL 2 HOURS"))
+      .filter(col("event_id") =!= col("window_id"))
+      .select(col("window_id"), col("event_id"))
+      .orderBy("window_id", "event_id")
+  }
 }

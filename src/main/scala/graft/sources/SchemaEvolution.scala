@@ -113,8 +113,20 @@ object SchemaEvolution {
     val phys = Sinks.readSnapshotAt(spark, tablePath, version)
     val projection: Seq[Column] = target.map { c =>
       atV.get(c.id) match {
-        case Some(old) => col(old.name).as(c.name)
-        case None      => lit(null).cast(DataType.fromDDL(c.ddl)).as(c.name)
+        case Some(old) if old.ddl == c.ddl => col(old.name).as(c.name)
+        case Some(old) =>
+          // TYPE evolution: follow the as-of schema, but only through
+          // lossless widenings (int→long, float→double, decimal
+          // scale-up — the Iceberg-permitted set); a narrowed read
+          // would silently truncate history, so it refuses instead
+          val from = DataType.fromDDL(old.ddl)
+          val to = DataType.fromDDL(c.ddl)
+          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+            s"column '${c.name}' (id ${c.id}) evolved ${old.ddl} -> ${c.ddl}, " +
+            "which is not a lossless widening; reading old versions through " +
+            "this schema would corrupt history")
+          col(old.name).cast(to).as(c.name)
+        case None => lit(null).cast(DataType.fromDDL(c.ddl)).as(c.name)
       }
     }
     phys.select(projection: _*)

@@ -583,6 +583,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sinks.readSnapshotAt(spark, table, 1L).columns.contains("price"))
   }
 
+  test("schema evolution: type widening on read is lossless-only") {
+    import graft.sources.SchemaEvolution
+    val table = Files.createTempDirectory("sevo_t").toString + "/t"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // v1: price is INT
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 10, d("2024-01-15"))).toDF("k", "price", "transaction_date"),
+      "transaction_date", table)
+    // v2: same id, widened to LONG (and bumped)
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 11L, d("2024-01-15"))).toDF("k", "price", "transaction_date"),
+      "transaction_date", table)
+    val v1 = SchemaEvolution.readSnapshotAs(spark, table, 1L)
+    assert(v1.schema("price").dataType.typeName === "long")
+    assert(v1.select("price").as[Long].collect().toSeq === Seq(10L))
+    // a NARROWING evolution (long→int) must refuse at read time: v2
+    // read through v1's int schema would truncate history
+    val e = intercept[IllegalArgumentException](
+      SchemaEvolution.readSnapshotAs(spark, table, 2L, asOfVersion = Some(1L)))
+    assert(e.getMessage.contains("not a lossless widening"))
+  }
+
   test("events loader is timestamp-unit robust: NANOS and MICROS files read identically") {
     // The driver's testdata generator has shipped events.ts as both
     // parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds;
