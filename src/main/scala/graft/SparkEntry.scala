@@ -139,6 +139,8 @@ object SparkEntry {
     "t_normalize"        -> Markup.normalize _,
     // paragraph-tier dedup: rank idiom at blank-line granularity
     "d_para_dedup"       -> Markup.paraDedup _,
+    // sentence segmentation: sentinel-marked boundaries, no lookbehind
+    "t_sentences"        -> Markup.sentences _,
     // deflate compression-ratio quality flags (rows-only: no SQL
     // deflate exists; the native kernel is ExpressionSpec-pinned)
     "t_compress"         -> TextOps.compressionScore _,
@@ -1437,6 +1439,7 @@ object SparkEntry {
     // implementation and oracle cannot drift
     "t_extract_html" -> graft.operators.Markup.extractHtmlOracle,
     "t_normalize"    -> graft.operators.Markup.normalizeOracle,
-    "d_para_dedup"   -> graft.operators.Markup.paraDedupOracle
+    "d_para_dedup"   -> graft.operators.Markup.paraDedupOracle,
+    "t_sentences"    -> graft.operators.Markup.sentencesOracle
   )
 }

@@ -259,6 +259,70 @@ object Markup {
         lit("\n\ncopyright "), col("source"),
         lit(" all rights reserved")).as("text")))
 
+  // — Sentence segmentation ————————————————————————————————————————
+
+  // abbreviations whose trailing period must NOT end a sentence; the
+  // protect step marks them with \x02 (restored to a space after the
+  // boundary pass), so no lookbehind is needed — the RE2 ∩ Java
+  // dialect has none
+  private val abbreviations = Seq("Mr", "Mrs", "Ms", "Dr", "Prof", "St", "No", "vs")
+
+  // sentinels (outside any text alphabet): \u0001 marks a sentence
+  // boundary, \u0002 protects an abbreviation's period+space; neither
+  // is \s in either regex dialect, so protected periods never fire
+  private val SB = "\u0001"
+  private val AP = "\u0002"
+
+  private val sentenceSteps: Seq[Step] =
+    abbreviations.map(a => Step(s"$a. ", s"$a.$AP", regex = false)) ++ Seq(
+      // terminal-punctuation run + whitespace → sentinel boundary; the
+      // run's LAST char decides (".?!" each get a rule, so "?!" splits
+      // after the "!")
+      Step("\\.\\s+", "." + SB, regex = true),
+      Step("!\\s+", "!" + SB, regex = true),
+      Step("\\?\\s+", "?" + SB, regex = true),
+      Step(AP, " ", regex = false))
+
+  /** Boundary-marked text: sentences separated by \u0001. */
+  private def markSentences(text: Column): Column = applySteps(text, sentenceSteps)
+
+  /** Sentence segmentation: one row per sentence with its 1-based
+    * index. Simple terminal-punctuation heuristic with an
+    * abbreviation guard — the chunking granularity between characters
+    * and paragraphs that dedup/quality stages key on. Map-only until
+    * the explode; no shuffle before the presentation sort. */
+  def sentencesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(markSentences(col("text")), SB)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("sent_idx"),
+        TextOps.wsTrim(col("col")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+      .orderBy("doc_id", "sent_idx")
+
+  /** Deterministic punctuation frame: the corpus has none of its own,
+    * so both engines wrap each document in the same sentence shell —
+    * abbreviations, a "?!" run, and an unterminated tail all fire. */
+  def sentences(spark: SparkSession, dir: String): DataFrame =
+    sentencesOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(
+        lit("Dr. Smith met Mrs. Green. It was cold! "), col("text"),
+        lit(" Did the metrics move?! Yes. The end")).as("text")))
+
+  def sentencesOracle: String = {
+    val planted = sqlLit("Dr. Smith met Mrs. Green. It was cold! ") +
+      " || text || " + sqlLit(" Did the metrics move?! Yes. The end")
+    val marked = sqlSteps(planted, sentenceSteps)
+    // sent_idx is the RAW segment index on both sides (not renumbered
+    // post-filter), so a pathological empty segment gaps identically
+    // in both engines
+    s"""WITH sp AS (SELECT doc_id, string_split($marked, chr(1)) AS ss FROM documents),
+       |se AS (SELECT doc_id, i, regexp_replace(ss[i], ${sqlLit("^\\s+|\\s+$")}, '', 'g') AS sentence
+       |       FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i FROM sp))
+       |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, sentence
+       |FROM se WHERE length(sentence) > 0 ORDER BY doc_id, sent_idx""".stripMargin
+  }
+
   def paraDedupOracle: String = {
     val planted = "text || " + sqlLit("\n\nsubscribe to the newsletter for weekly updates") +
       " || " + sqlLit("\n\ncopyright ") + " || source || " + sqlLit(" all rights reserved")

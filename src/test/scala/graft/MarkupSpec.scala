@@ -114,6 +114,24 @@ class MarkupSpec extends AnyFunSuite {
     assert(out(3L) === (("", 1L, 1L)))
   }
 
+  test("sentence segmentation: boundaries, abbreviation guard, punctuation runs") {
+    def sents(s: String): Seq[String] =
+      Markup.sentencesOf(Seq((1L, s)).toDF("doc_id", "text"))
+        .select("sentence").as[String].collect().toSeq
+    assert(sents("One here. Two here! Three here? Four")
+      === Seq("One here.", "Two here!", "Three here?", "Four"))
+    // "?!" runs split once, after the run
+    assert(sents("Really?! Yes.") === Seq("Really?!", "Yes."))
+    // abbreviations do not end sentences
+    assert(sents("Dr. Smith met Mrs. Green. They left.")
+      === Seq("Dr. Smith met Mrs. Green.", "They left."))
+    // no terminal punctuation → one sentence; empty → none
+    assert(sents("no punctuation at all") === Seq("no punctuation at all"))
+    assert(sents("") === Seq.empty)
+    // mid-text newlines count as boundary whitespace
+    assert(sents("First.\nSecond.") === Seq("First.", "Second."))
+  }
+
   test("registered markup queries have scale-sane plans") {
     // extraction + normalization are pure projections: no exchange at
     // all before the presentation orderBy's range partitioning
