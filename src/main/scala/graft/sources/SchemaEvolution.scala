@@ -30,7 +30,6 @@ object SchemaEvolution {
   final case class ColMeta(id: Long, name: String, ddl: String)
 
   private val metaName = "schema"
-  private def versionDir(tablePath: String, v: Long) = f"$tablePath/v$v%08d"
 
   /** Serialize: one `id<TAB>name<TAB>ddl` line per column. Names are
     * parquet field names (no tabs/newlines possible); the format needs
@@ -38,30 +37,17 @@ object SchemaEvolution {
   private def render(cols: Seq[ColMeta]): String =
     cols.map(c => s"${c.id}\t${c.name}\t${c.ddl}").mkString("\n")
 
-  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** The id mapping committed with `version`, if that version was
-    * published through [[publishEvolved]]. */
-  def schemaOf(spark: SparkSession, tablePath: String, version: Long): Option[Seq[ColMeta]] = {
-    val p = new org.apache.hadoop.fs.Path(s"${versionDir(tablePath, version)}/_$metaName")
-    val fs = hadoopFs(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val content = try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toString(java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      Some(content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+    * published through [[publishEvolved]] (or inherited it through a
+    * metadata-carrying maintenance pass — see
+    * [[Sinks.compactSnapshot]]). */
+  def schemaOf(spark: SparkSession, tablePath: String, version: Long): Option[Seq[ColMeta]] =
+    Sinks.versionMeta(spark, tablePath, version).get(metaName).map { content =>
+      content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
         val Array(id, name, ddl) = line.split("\t", 3)
         ColMeta(id.toLong, name, ddl)
-      })
+      }
     }
-  }
 
   /** Publish `df` as the next version WITH its id mapping. Ids carry
     * over by name from the live version's mapping; `renamedFrom` maps

@@ -75,6 +75,34 @@ object Sinks {
   private val manifestRe = "m(\\d{8})".r
   private val claimRe = "c(\\d{8})".r
   private def versionDirName(v: Long): String = f"v$v%08d"
+
+  /** Filename prefix of publish-supplied version metadata (the
+    * `extraMeta` files of [[publishSnapshot]]). */
+  private[sources] val metaPrefix = "_graft_"
+
+  /** The `extraMeta` map committed with `version` (empty if none) —
+    * the read half of the publish-metadata contract, used by
+    * consumers like SchemaEvolution and by maintenance passes that
+    * must carry metadata forward through a content rewrite. */
+  def versionMeta(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                  version: Long): Map[String, String] = {
+    val vdir = new org.apache.hadoop.fs.Path(s"$tablePath/${versionDirName(version)}")
+    val fs = hadoopFs(spark, vdir)
+    if (!fs.exists(vdir)) Map.empty
+    else fs.listStatus(vdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(metaPrefix))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val content = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString(java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        s.getPath.getName.drop(metaPrefix.length) -> content
+      }.toMap
+  }
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -266,11 +294,13 @@ object Sinks {
       colocateMonths)
     // version-scoped metadata (e.g. the evolved-schema mapping) lands
     // INSIDE the version dir, before the marker: a committed version is
-    // never observable without its metadata, and the underscore prefix
-    // keeps parquet scans blind to it
+    // never observable without its metadata, and the `_graft_` prefix
+    // keeps parquet scans blind to it while staying distinguishable
+    // from Spark's own _SUCCESS-style files (so maintenance passes can
+    // carry exactly these files forward)
     extraMeta.foreach { case (name, content) =>
       val out = fs.create(
-        new org.apache.hadoop.fs.Path(root, s"${versionDirName(next)}/_$name"), true)
+        new org.apache.hadoop.fs.Path(root, s"${versionDirName(next)}/$metaPrefix$name"), true)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -404,7 +434,12 @@ object Sinks {
         }
       try return publishSnapshot(packed, dateCol, tablePath, retainVersions,
         writerOptions = Map("maxRecordsPerFile" -> rowsPerFile.toString),
-        expectedVersion = Some(compacting + 1))
+        expectedVersion = Some(compacting + 1),
+        // a compaction is content-neutral, so the compacted version's
+        // publish metadata (e.g. the evolved-schema mapping) must ride
+        // along — otherwise a maintenance pass would strip an evolved
+        // table of its id map and break as-of reads
+        extraMeta = versionMeta(spark, tablePath, compacting))
       catch { case e: ConcurrentSnapshotUpdate => lastRace = e } // re-read and retry
     }
     throw lastRace

@@ -583,6 +583,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sinks.readSnapshotAt(spark, table, 1L).columns.contains("price"))
   }
 
+  test("schema evolution survives compaction: the id map rides the maintenance republish") {
+    import graft.sources.{SchemaEvolution, Sinks}
+    val table = Files.createTempDirectory("sevo_c").toString + "/t"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 10L, d("2024-01-15")), (2L, 20L, d("2024-02-15")))
+        .toDF("k", "price", "transaction_date"),
+      "transaction_date", table)
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 11L, d("2024-01-15"), "a")).toDF("k", "amount", "transaction_date", "category"),
+      "transaction_date", table, renamedFrom = Map("amount" -> "price"),
+      retainVersions = 3)
+    // a content-neutral maintenance pass republishes v2 as v3
+    val v3 = Sinks.compactSnapshot(spark, table, "transaction_date", retainVersions = 3)
+    assert(v3 === 3L)
+    // the compacted version kept its schema mapping: evolved reads of
+    // BOTH the compacted version and retained history still resolve
+    assert(SchemaEvolution.readSnapshotAs(spark, table, 3L)
+      .columns.toSeq === Seq("k", "amount", "transaction_date", "category"))
+    val v1 = SchemaEvolution.readSnapshotAs(spark, table, 1L)
+    assert(v1.columns.toSeq === Seq("k", "amount", "transaction_date", "category"))
+    assert(v1.select("k", "amount").as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 20L)))
+    // and the values survived the rewrite bit-exact
+    assert(SchemaEvolution.readSnapshotAs(spark, table, 3L)
+      .select("k", "amount").as[(Long, Long)].collect().toSet === Set((1L, 11L)))
+  }
+
   test("schema evolution: type widening on read is lossless-only") {
     import graft.sources.SchemaEvolution
     val table = Files.createTempDirectory("sevo_t").toString + "/t"
