@@ -92,6 +92,9 @@ object SparkEntry {
     "d_contam_by_source" -> NearDedup.contaminationBySource _,
     "d_dedup_incr_near"  -> ((s: SparkSession, dir: String) => NearDedup.incrementalNear(s, dir)),
     "d_corpus_export"    -> CorpusExport.exportCorpus _,
+    // the WEB front door: markup extraction + unicode normalization
+    // fused ahead of the same five-stage export (one oracle body)
+    "d_corpus_export_web" -> CorpusExport.exportCorpusWeb _,
     // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     // … and the banded-LSH variant — the plan that survives 100×
@@ -228,6 +231,69 @@ object SparkEntry {
       |  ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.lo_us + 7200000000
       | AND e.event_id <> w.window_id
       |ORDER BY window_id, event_id""".stripMargin
+
+  /** The five-stage corpus-export oracle over a parameterized source
+    * relation — "documents" for the base registration, the generated
+    * markup-clean subquery for the web variant (one oracle body, two
+    * front doors, like the Spark side). */
+  private def corpusExportOracle(source: String, benchSource: String = "documents"): String =
+    s"""WITH RECURSIVE
+         |corpus AS (SELECT doc_id, text, lang FROM $source WHERE doc_id % 20 <> 0),
+         |bench AS (SELECT doc_id, text FROM $benchSource WHERE doc_id % 20 = 0),
+         |q AS (SELECT * FROM corpus
+         |      WHERE ($wsTok) >= 5
+         |        AND (CASE WHEN length(text) > 0
+         |             THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+         |             ELSE 0.0 END) >= 0.5),
+         |w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws FROM q),
+         |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |clean AS (SELECT q.* FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+         |          WHERE l.cluster_id IS NULL OR l.cluster_id = q.doc_id),
+         |bw AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws FROM bench),
+         |bpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM bw WHERE len(ws) >= 3),
+         |bsh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM bpos),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sh s
+         |         JOIN clean c ON s.doc_id = c.doc_id
+         |         JOIN bsh b ON s.shingle = b.shingle),
+         |surv AS (SELECT c.* FROM clean c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |         WHERE h.doc_id IS NULL),
+         |samp AS (SELECT * FROM surv
+         |         WHERE CAST(concat('0x', substr(md5(text || 'sample'), 1, 4)) AS INTEGER) % 100 <
+         |               CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 60 ELSE 100 END),
+         |spl AS (SELECT doc_id, text,
+         |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |        FROM (SELECT doc_id, text,
+         |                CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS b
+         |              FROM samp) x),
+         |p AS (SELECT LEAST(GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)), 1048576) AS ns FROM corpus),
+         |t AS (SELECT doc_id, doc_id % (SELECT ns FROM p) AS shard, split,
+         |        CAST(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |             ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS BIGINT) AS n_tokens
+         |      FROM spl),
+         |c AS (SELECT doc_id, shard, split, n_tokens,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, split ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         |      FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+         |  CAST(tokens_before % 256 AS BIGINT) AS seq_offset, split
+         |FROM c ORDER BY doc_id""".stripMargin
 
   private val delayCte =
     """WITH d AS (
@@ -789,64 +855,8 @@ object SparkEntry {
     // benchmark decontamination → stratified sample → content-hash
     // split → per-(shard, split) packing. Every stage reuses its
     // individually-proven oracle fragment verbatim.
-    "d_corpus_export" ->
-      s"""WITH RECURSIVE
-         |corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0),
-         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
-         |q AS (SELECT * FROM corpus
-         |      WHERE ($wsTok) >= 5
-         |        AND (CASE WHEN length(text) > 0
-         |             THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
-         |             ELSE 0.0 END) >= 0.5),
-         |w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws FROM q),
-         |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
-         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
-         |pairs AS (SELECT id_a, id_b FROM common
-         |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
-         |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |           FROM reach GROUP BY src),
-         |clean AS (SELECT q.* FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
-         |          WHERE l.cluster_id IS NULL OR l.cluster_id = q.doc_id),
-         |bw AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws FROM bench),
-         |bpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM bw WHERE len(ws) >= 3),
-         |bsh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM bpos),
-         |hits AS (SELECT DISTINCT s.doc_id FROM sh s
-         |         JOIN clean c ON s.doc_id = c.doc_id
-         |         JOIN bsh b ON s.shingle = b.shingle),
-         |surv AS (SELECT c.* FROM clean c LEFT JOIN hits h ON c.doc_id = h.doc_id
-         |         WHERE h.doc_id IS NULL),
-         |samp AS (SELECT * FROM surv
-         |         WHERE CAST(concat('0x', substr(md5(text || 'sample'), 1, 4)) AS INTEGER) % 100 <
-         |               CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 60 ELSE 100 END),
-         |spl AS (SELECT doc_id, text,
-         |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |        FROM (SELECT doc_id, text,
-         |                CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS b
-         |              FROM samp) x),
-         |p AS (SELECT LEAST(GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)), 1048576) AS ns FROM corpus),
-         |t AS (SELECT doc_id, doc_id % (SELECT ns FROM p) AS shard, split,
-         |        CAST(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
-         |             ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS BIGINT) AS n_tokens
-         |      FROM spl),
-         |c AS (SELECT doc_id, shard, split, n_tokens,
-         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, split ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-         |      FROM t)
-         |SELECT doc_id, shard, n_tokens,
-         |  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
-         |  CAST(tokens_before % 256 AS BIGINT) AS seq_offset, split
-         |FROM c ORDER BY doc_id""".stripMargin,
+    "d_corpus_export" -> corpusExportOracle("documents"),
+    "d_corpus_export_web" -> corpusExportOracle(graft.operators.Markup.webSourceSql, "documents"),
 
     // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
     // like the Spark side — float32 accumulation can flip

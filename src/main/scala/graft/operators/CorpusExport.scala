@@ -76,4 +76,31 @@ object CorpusExport {
       TextOps.sampleRates,
       exactPairs = true)
   }
+
+  /** Registered `d_corpus_export_web` — the WEB front door: every
+    * CORPUS document arrives as crawled HTML with an encoding-damaged
+    * body (`Markup.webWrap`), runs markup extraction + Unicode
+    * normalization (`Markup.webClean`), and only then enters the same
+    * five-stage export. The benchmark side stays RAW text — which is
+    * the real shape (eval sets are clean) AND a lesson this fixture
+    * teaches: wrapping the benchmark too made every document
+    * "contaminated" through the shared HTML boilerplate shingles and
+    * emptied the export — boilerplate removal must run before
+    * decontamination, never after. One oracle body serves both
+    * registrations (the web one reads the generated markup-clean
+    * subquery), so the raw-HTML → training-manifest pipeline
+    * hash-checks end-to-end; the hygiene pass is a pure projection
+    * fused into the first stage's scan — zero added shuffles. */
+  def exportCorpusWeb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val web = docs
+      .select(col("doc_id"),
+        Markup.webClean(Markup.webWrap(col("doc_id"), col("text"))).as("text"),
+        col("lang"))
+    exportCorpusOf(
+      web.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      TextOps.sampleRates,
+      exactPairs = true)
+  }
 }

@@ -207,6 +207,27 @@ object Markup {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // — Web front door: wrap + clean, for the end-to-end export ——————
+
+  /** A document as a web crawl delivers it: the HTML shell around a
+    * body that leads with the encoding-damaged prefix. */
+  def webWrap(docId: Column, text: Column): Column =
+    plantHtml(docId, concat(lit(dirtyPrefix), text))
+
+  def webWrapSql(docId: String, text: String): String =
+    plantHtmlSql(docId, s"${sqlLit(dirtyPrefix)} || $text")
+
+  /** The full web-hygiene pass: extraction then normalization. */
+  def webClean(html: Column): Column = normalizeText(extractHtmlText(html))
+
+  def webCleanSql(inner: String): String = normalizeTextSql(extractHtmlSql(inner))
+
+  /** The documents table as a crawled-and-cleaned corpus, as a DuckDB
+    * source subquery — the web variant of the corpus-export oracle
+    * reads from this instead of raw `documents`. */
+  def webSourceSql: String =
+    s"(SELECT doc_id, ${webCleanSql(webWrapSql("doc_id", "text"))} AS text, lang FROM documents)"
+
   // — Paragraph-level dedup ————————————————————————————————————————
 
   /** Keep one canonical occurrence (smallest (doc_id, position)) of
