@@ -611,6 +611,27 @@ class SourcesSpec extends AnyFunSuite {
       .select("k", "amount").as[(Long, Long)].collect().toSet === Set((1L, 11L)))
   }
 
+  test("schema evolution: filters on renamed columns push down to the old physical name") {
+    import graft.sources.SchemaEvolution
+    val table = Files.createTempDirectory("sevo_p").toString + "/t"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    SchemaEvolution.publishEvolved(
+      (1L to 50L).map(i => (i, i * 10L, d("2024-01-15")))
+        .toDF("k", "price", "transaction_date"),
+      "transaction_date", table)
+    SchemaEvolution.publishEvolved(
+      Seq((1L, 999L, d("2024-01-15"))).toDF("k", "amount", "transaction_date"),
+      "transaction_date", table, renamedFrom = Map("amount" -> "price"))
+    // a filter written against the LIVE name must reach the v1 parquet
+    // scan as a pushed filter on the OLD physical name — the id-map
+    // projection is an alias, not a barrier
+    val plan = SchemaEvolution.readSnapshotAs(spark, table, 1L)
+      .filter(col("amount") > 300L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(price,300)"),
+      s"filter did not push down under the physical name:\n$plan")
+  }
+
   test("schema evolution: type widening on read is lossless-only") {
     import graft.sources.SchemaEvolution
     val table = Files.createTempDirectory("sevo_t").toString + "/t"
