@@ -144,6 +144,16 @@ object SparkEntry {
     "d_para_dedup"       -> Markup.paraDedup _,
     // sentence segmentation: sentinel-marked boundaries, no lookbehind
     "t_sentences"        -> Markup.sentences _,
+    // C4 line-level filtering (terminal punct, ≥5 words, javascript /
+    // lorem-ipsum / curly-brace rules) over the planted page frame
+    "t_c4_filter"        -> WebOps.c4Filter _,
+    // URL canonicalization + earliest-wins URL-level dedup
+    "d_url_dedup"        -> WebOps.urlDedup _,
+    // CCNet head/middle/tail perplexity buckets per language
+    "t_ppl_buckets"      -> WebOps.pplBuckets _,
+    // temperature-based source mixing: quota ∝ √n, hash-prefiltered
+    // exact-k selection
+    "t_temperature_mix"  -> WebOps.temperatureMix _,
     // deflate compression-ratio quality flags (rows-only: no SQL
     // deflate exists; the native kernel is ExpressionSpec-pinned)
     "t_compress"         -> TextOps.compressionScore _,
@@ -1450,6 +1460,14 @@ object SparkEntry {
     "t_extract_html" -> graft.operators.Markup.extractHtmlOracle,
     "t_normalize"    -> graft.operators.Markup.normalizeOracle,
     "d_para_dedup"   -> graft.operators.Markup.paraDedupOracle,
-    "t_sentences"    -> graft.operators.Markup.sentencesOracle
+    "t_sentences"    -> graft.operators.Markup.sentencesOracle,
+
+    // web-curation tier (operators/WebOps.scala): C4 line filtering,
+    // URL canonicalization+dedup, CCNet ppl buckets, temperature mix —
+    // same generated-twin / integer-arithmetic discipline
+    "t_c4_filter"       -> graft.operators.WebOps.c4FilterOracle,
+    "d_url_dedup"       -> graft.operators.WebOps.urlDedupOracle,
+    "t_ppl_buckets"     -> graft.operators.WebOps.pplBucketsOracle,
+    "t_temperature_mix" -> graft.operators.WebOps.temperatureMixOracle
   )
 }

@@ -30,7 +30,7 @@ import graft.sources.Tables
 object Markup {
 
   /** A replacement step: regex or plain-string, applied in order. */
-  private final case class Step(pattern: String, replacement: String, regex: Boolean)
+  private[operators] final case class Step(pattern: String, replacement: String, regex: Boolean)
 
   // — HTML extraction chain ————————————————————————————————————————
   // 1. drop content-free containers wholesale (script/style/comments);
@@ -83,7 +83,7 @@ object Markup {
       "", regex = true))
 
   // — step-table folds: one for Spark, one for DuckDB ——————————————
-  private def applySteps(c: Column, steps: Seq[Step]): Column =
+  private[operators] def applySteps(c: Column, steps: Seq[Step]): Column =
     steps.foldLeft(c) { (acc, s) =>
       if (s.regex) regexp_replace(acc, s.pattern, s.replacement)
       else replace(acc, lit(s.pattern), lit(s.replacement))
@@ -92,7 +92,7 @@ object Markup {
   /** SQL string literal with non-ASCII and control chars as chr(n)
     * concatenations — keeps the generated oracle pure-ASCII and
     * quote-safe. */
-  private def sqlLit(s: String): String = {
+  private[operators] def sqlLit(s: String): String = {
     if (s.isEmpty) "''"
     else s.map { ch =>
       if (ch >= ' ' && ch < 0x7f && ch != '\'') s"'$ch'"
@@ -106,7 +106,7 @@ object Markup {
     }.reverse.mkString(" || ")
   }
 
-  private def sqlSteps(inner: String, steps: Seq[Step]): String =
+  private[operators] def sqlSteps(inner: String, steps: Seq[Step]): String =
     steps.foldLeft(inner) { (acc, s) =>
       if (s.regex) s"regexp_replace($acc, ${sqlLit(s.pattern)}, ${sqlLit(s.replacement)}, 'g')"
       else s"replace($acc, ${sqlLit(s.pattern)}, ${sqlLit(s.replacement)})"

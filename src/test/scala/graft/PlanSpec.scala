@@ -185,4 +185,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("repetitionstats") && p.contains("charclasscounts")
       && p.contains("wordsetscores"), p)
   }
+
+  test("temperature mix broadcasts source stats; selection window is post-prefilter") {
+    // the stats join must broadcast (source-cardinality rows) — a
+    // SortMergeJoin would shuffle the whole corpus on source; the
+    // rank window partitions by source but runs AFTER the hash-
+    // threshold filter, so its input is survivor-sized
+    val p = planOf("t_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"stats join fell back to shuffle:\n$p")
+  }
+
+  test("url dedup windows by canonical URL — duplicate-group-sized partitions") {
+    val p = planOf("d_url_dedup")
+    assert(p.contains("hashpartitioning(canon_url"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
