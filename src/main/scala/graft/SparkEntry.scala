@@ -154,6 +154,10 @@ object SparkEntry {
     // temperature-based source mixing: quota ∝ √n, hash-prefiltered
     // exact-k selection
     "t_temperature_mix"  -> WebOps.temperatureMix _,
+    // domain blocklist: host suffix-chain explode × broadcast list
+    "t_domain_filter"    -> WebOps.domainFilter _,
+    // corpus-frequency boilerplate line removal (broadcast anti-join)
+    "t_boilerplate"      -> WebOps.boilerplateRemove _,
     // deflate compression-ratio quality flags (rows-only: no SQL
     // deflate exists; the native kernel is ExpressionSpec-pinned)
     "t_compress"         -> TextOps.compressionScore _,
@@ -1468,6 +1472,8 @@ object SparkEntry {
     "t_c4_filter"       -> graft.operators.WebOps.c4FilterOracle,
     "d_url_dedup"       -> graft.operators.WebOps.urlDedupOracle,
     "t_ppl_buckets"     -> graft.operators.WebOps.pplBucketsOracle,
-    "t_temperature_mix" -> graft.operators.WebOps.temperatureMixOracle
+    "t_temperature_mix" -> graft.operators.WebOps.temperatureMixOracle,
+    "t_domain_filter"   -> graft.operators.WebOps.domainFilterOracle,
+    "t_boilerplate"     -> graft.operators.WebOps.boilerplateRemoveOracle
   )
 }

@@ -266,6 +266,150 @@ object WebOps {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // — Domain blocklist filtering ———————————————————————————————————
+
+  /** Host part of a URL (no scheme, port, path). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+
+  private def urlHostSql(url: String): String =
+    s"regexp_extract($url, ${sqlLit("^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)")}, 1)"
+
+  /** Domain blocklist filtering (RefinedWeb/FineWeb URL filtering):
+    * a document is blocked when its host IS a listed domain or any
+    * SUBDOMAIN of one ("x.ads.example.com" matches "ads.example.com").
+    *
+    * Spark-first shape: the host explodes into its dot-suffix chain
+    * (≤ label-count rows, a map-side explode over a handful of
+    * labels), which equi-joins the BROADCAST blocklist — never a
+    * per-row `LIKE '%…'` scan over a blocklist of millions. The
+    * doc-keyed re-aggregate emits the matched suffix (min, for
+    * determinism when several levels match). */
+  def domainFilterOf(docs: DataFrame, blocked: DataFrame): DataFrame = {
+    val hosts = docs.select(col("doc_id"), lower(urlHost(col("url"))).as("host"))
+    val labels = split(col("host"), "\\.")
+    val suffixes = hosts
+      .select(col("doc_id"), col("host"),
+        explode(transform(sequence(lit(1), size(labels)), i =>
+          concat_ws(".", slice(labels, i, size(labels) - i + 1)))).as("sfx"))
+    val hits = suffixes
+      .join(broadcast(blocked.select(lower(col("domain")).as("sfx"))), Seq("sfx"))
+      .groupBy("doc_id").agg(min(col("sfx")).as("blocked_by"))
+    hosts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("blocked_by"), lit("")).as("blocked_by"),
+        when(col("blocked_by").isNull, 1L).otherwise(0L).as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic blocklist over the planted-URL hosts: two whole
+    * sources plus one suffix that only matches at the domain level. */
+  private val plantedBlocklist = Seq("news-src3.com", "news-src7.com", "invalid")
+
+  /** Registered `t_domain_filter`: documents carry the same planted
+    * crawl URLs as `d_url_dedup`; src3/src7 hosts are subdomain-level
+    * matches of the blocked domains (host "www.news-src3.com" vs
+    * blocked "news-src3.com"). */
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    domainFilterOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), plantUrl(col("doc_id"), col("source")).as("url")),
+      plantedBlocklist.toDF("domain"))
+  }
+
+  def domainFilterOracle: String = {
+    val url = plantUrlSql("doc_id", "source")
+    val blockedValues = plantedBlocklist.map(d => s"(${sqlLit(d)})").mkString(", ")
+    s"""WITH u AS (SELECT doc_id, lower(${urlHostSql(url)}) AS host FROM documents),
+       |bl(domain) AS (VALUES $blockedValues),
+       |sx AS (SELECT doc_id, host,
+       |         array_to_string(ls[i:], '.') AS sfx
+       |       FROM (SELECT doc_id, host, string_split(host, '.') AS ls,
+       |               unnest(generate_series(1, len(string_split(host, '.')))) AS i
+       |             FROM u)),
+       |h AS (SELECT doc_id, min(sfx) AS blocked_by
+       |      FROM sx JOIN bl ON sx.sfx = lower(bl.domain) GROUP BY doc_id)
+       |SELECT u.doc_id, u.host, COALESCE(h.blocked_by, '') AS blocked_by,
+       |  CAST(CASE WHEN h.blocked_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+       |FROM u LEFT JOIN h ON u.doc_id = h.doc_id ORDER BY u.doc_id""".stripMargin
+  }
+
+  // — Frequent-line boilerplate removal ————————————————————————————
+
+  /** Corpus-frequency line filter (CCNet §3.1 / Dolma): drop EVERY
+    * occurrence of any line that appears in ≥ `maxDocs` distinct
+    * documents — navigation menus, cookie banners, share bars. The
+    * complement of paragraph dedup (row 96), which keeps one
+    * canonical copy: boilerplate is junk in every copy.
+    *
+    * Scale shape: the frequency aggregate is md5-keyed (32-byte
+    * uniform shuffle keys) and its `HAVING count ≥ K` OUTPUT — the
+    * boilerplate set — is tiny relative to the corpus, so the removal
+    * pass is a BROADCAST anti-join (plan-pinned): the corpus is
+    * touched twice but shuffled only once, moving (key, doc) pairs,
+    * never text. */
+  def boilerplateRemoveOf(docs: DataFrame, maxDocs: Int = 10): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos"), wsTrim(col("col")).as("lt"))
+      .filter(length(col("lt")) > 0)
+      .withColumn("k", md5(col("lt")))
+    val frequent = lines.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= maxDocs)
+      .select("k")
+    val kept = lines.join(broadcast(frequent), Seq("k"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("lt")))).as("pp"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(col("pp"), x => x.getField("lt"))).as("clean_text"),
+        col("n_kept"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines").cast(LongType).as("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_boiler"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered `t_boilerplate`: the corpus has no native line
+    * structure, so both engines append the same cookie banner
+    * (corpus-wide, 500 docs ≥ 10) and a per-(source, doc_id%2) share
+    * bar (~12 docs each at sf0.01, straddling the threshold) while
+    * every body line stays unique. */
+  def boilerplateRemove(spark: SparkSession, dir: String): DataFrame =
+    boilerplateRemoveOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(
+        lit("We use cookies to improve your experience\n"),
+        col("text"),
+        lit("\nShare this story from "), col("source"),
+        lit(" lane "), (col("doc_id") % 2).cast(StringType)).as("text")))
+
+  def boilerplateRemoveOracle: String = {
+    val planted = sqlLit("We use cookies to improve your experience\n") +
+      " || text || " + sqlLit("\nShare this story from ") +
+      " || source || " + sqlLit(" lane ") + " || CAST(doc_id % 2 AS VARCHAR)"
+    s"""WITH p0 AS (SELECT doc_id, $planted AS text FROM documents),
+       |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p0),
+       |le AS (SELECT doc_id, i, ${wsTrimSql("ls[i]")} AS lt
+       |       FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM sp)),
+       |lf AS (SELECT doc_id, i, lt, md5(lt) AS k FROM le WHERE length(lt) > 0),
+       |fr AS (SELECT k FROM (SELECT k, COUNT(DISTINCT doc_id) AS nd FROM lf GROUP BY k)
+       |       WHERE nd >= 10),
+       |kp AS (SELECT doc_id, string_agg(lt, chr(10) ORDER BY i) AS clean_text,
+       |         count(*) AS n_kept
+       |       FROM lf WHERE k NOT IN (SELECT k FROM fr) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_lines FROM lf GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(kp.clean_text, '') AS clean_text,
+       |  CAST(t.n_lines AS BIGINT) AS n_lines,
+       |  CAST(t.n_lines - COALESCE(kp.n_kept, 0) AS BIGINT) AS n_boiler
+       |FROM tot t LEFT JOIN kp ON t.doc_id = kp.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   // — CCNet perplexity bucketing ———————————————————————————————————
 
   /** Head/middle/tail thirds per language by LM-fluency order.

@@ -201,4 +201,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(canon_url"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("domain filter and boilerplate removal join through broadcasts only") {
+    // the blocklist and the frequent-line set are both small-by-
+    // construction: a SortMergeJoin would shuffle every host suffix /
+    // corpus line on its string key
+    for (name <- Seq("t_domain_filter", "t_boilerplate")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast:\n$p")
+    }
+    // the removal pass specifically must be a broadcast ANTI join
+    assert(planOf("t_boilerplate").contains("LeftAnti, BuildRight"),
+      planOf("t_boilerplate"))
+  }
 }

@@ -99,6 +99,59 @@ class WebOpsSpec extends AnyFunSuite {
     assert(out(10L)._3 === 2L && out(12L)._2 === 1L && out(12L)._3 === 1L)
   }
 
+  // — Domain blocklist —————————————————————————————————————————————
+
+  test("domain filter blocks exact domains and all their subdomains") {
+    val docs = Seq(
+      (1L, "http://ads.example.com/x"),          // exact match
+      (2L, "http://deep.ads.example.com/y"),     // subdomain match
+      (3L, "http://example.com/z"),              // parent NOT blocked
+      (4L, "http://notads.example.com/w"),       // label boundary respected
+      (5L, "https://ADS.EXAMPLE.COM/c"))         // case-insensitive
+      .toDF("doc_id", "url")
+    val blocked = Seq("ads.example.com").toDF("domain")
+    val out = WebOps.domainFilterOf(docs, blocked).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("ads.example.com", 0L)))
+    assert(out(2L) === (("ads.example.com", 0L)))
+    assert(out(3L) === (("", 1L)))
+    assert(out(4L) === (("", 1L)))
+    assert(out(5L) === (("ads.example.com", 0L)))
+  }
+
+  // — Boilerplate line removal —————————————————————————————————————
+
+  test("boilerplate removal drops EVERY copy of corpus-frequent lines") {
+    val banner = "We use cookies on this site"
+    val docs = (1L to 12L).map(i => (i, s"$banner\nunique body line $i"))
+      .toDF("doc_id", "text")
+    val out = WebOps.boilerplateRemoveOf(docs, maxDocs = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the banner appears in 12 ≥ 10 docs → removed everywhere (no
+    // canonical copy survives, unlike paragraph dedup)
+    (1L to 12L).foreach { i =>
+      assert(out(i) === ((s"unique body line $i", 2L, 1L)))
+    }
+  }
+
+  test("boilerplate removal keeps lines under the frequency threshold") {
+    val shared = "A merely popular line"
+    val docs = (1L to 9L).map(i => (i, s"$shared\nbody $i"))
+      .toDF("doc_id", "text")
+    val out = WebOps.boilerplateRemoveOf(docs, maxDocs = 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === s"$shared\nbody 1") // 9 < 10 docs → survives
+  }
+
+  test("boilerplate frequency counts DISTINCT documents, not occurrences") {
+    // one doc repeating a line 20 times must not make it corpus-boilerplate
+    val docs = Seq((1L, Seq.fill(20)("echo echo echo").mkString("\n")),
+      (2L, "other text")).toDF("doc_id", "text")
+    val out = WebOps.boilerplateRemoveOf(docs, maxDocs = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L) // nothing removed: 1 distinct doc < 10
+  }
+
   // — CCNet perplexity buckets —————————————————————————————————————
 
   test("ppl buckets rank by reference coverage within each language") {
