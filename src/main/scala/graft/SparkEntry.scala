@@ -95,6 +95,8 @@ object SparkEntry {
     // the WEB front door: markup extraction + unicode normalization
     // fused ahead of the same five-stage export (one oracle body)
     "d_corpus_export_web" -> CorpusExport.exportCorpusWeb _,
+    // crawl HTML → URL dedup → boilerplate removal → five-stage export
+    "d_corpus_export_curated" -> CorpusExport.exportCorpusCurated _,
     // exact quadratic baseline (oracle-checked at small SF) …
     "d_embed_dup"        -> ((s: SparkSession, dir: String) => SimilarityOps.embedDupPairs(s, dir)),
     // … and the banded-LSH variant — the plan that survives 100×
@@ -871,6 +873,8 @@ object SparkEntry {
     // individually-proven oracle fragment verbatim.
     "d_corpus_export" -> corpusExportOracle("documents"),
     "d_corpus_export_web" -> corpusExportOracle(graft.operators.Markup.webSourceSql, "documents"),
+    "d_corpus_export_curated" ->
+      corpusExportOracle(graft.operators.WebOps.curatedSourceSql, "documents"),
 
     // embeddings cast to DOUBLE[] so DuckDB accumulates in float64
     // like the Spark side — float32 accumulation can flip

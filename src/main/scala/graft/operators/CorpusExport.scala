@@ -109,4 +109,38 @@ object CorpusExport {
       TextOps.sampleRates,
       exactPairs = true)
   }
+
+  /** Registered `d_corpus_export_curated` — the FULL crawl-curation
+    * chain in front of the export: each document arrives as crawled
+    * HTML (damaged body, row 101's shell) under a crawl-variant URL
+    * (each story fetched TWICE with scheme/www/port/tracking noise —
+    * `WebOps.plantCrawlUrl`), then
+    *
+    *   hygiene (extract + normalize) → URL-level dedup (one fetch per
+    *   canonical URL survives) → corpus-frequency boilerplate removal
+    *   → the five-stage export.
+    *
+    * The boilerplate stage earns its place in the plan: it removes
+    * the shared footer line the HTML shell leaves in EVERY extracted
+    * document — the same shingle-poisoning failure the web fixture
+    * demonstrated against decontamination (row 101's lesson, now
+    * fixed by the pipeline itself instead of by fixture design).
+    * Curation runs over the FULL crawl (a re-fetch dedups against the
+    * benchmark-side twin too, as a real crawl store would) before the
+    * corpus/benchmark split; one generated source subquery
+    * (`WebOps.curatedSourceSql`) plugs into the SAME parameterized
+    * oracle body, so crawl-to-manifest hash-checks end-to-end. */
+  def exportCorpusCurated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val crawled = docs.select(col("doc_id"),
+      Markup.webClean(Markup.webWrap(col("doc_id"), col("text"))).as("text"),
+      col("lang"),
+      WebOps.plantCrawlUrl(col("doc_id")).as("url"))
+    val curated = WebOps.curateWebCrawl(crawled).localCheckpoint()
+    exportCorpusOf(
+      curated.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      TextOps.sampleRates,
+      exactPairs = true)
+  }
 }

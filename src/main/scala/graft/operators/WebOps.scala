@@ -410,6 +410,80 @@ object WebOps {
        |FROM tot t LEFT JOIN kp ON t.doc_id = kp.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  // — Curated crawl front door (for the end-to-end export) —————————
+
+  /** Crawl-variant URL for the curated export: documents doc_id = 2k
+    * and 2k+1 are the SAME story fetched twice under different
+    * scheme-case / www-case / default-port / tracking-param /
+    * fragment / trailing-slash noise — every varying piece
+    * canonicalizes away, so each pair collapses to one canonical URL
+    * and URL dedup keeps the even-id fetch. */
+  def plantCrawlUrl(docId: Column): Column = concat(
+    when(docId % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+    lit("://"),
+    when(docId % 3 === 0, lit("WWW.Crawl.Example.COM:80"))
+      .otherwise(lit("www.crawl.example.com")),
+    lit("/story/"), shiftright(docId, 1).cast(StringType),
+    when(docId % 5 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=crawler"),
+    when(docId % 6 === 0, lit("&utm_campaign=retarget")).otherwise(lit("")),
+    when(docId % 4 === 0, lit("#latest")).otherwise(lit("")))
+
+  private def plantCrawlUrlSql(docId: String): String = Seq(
+    s"(CASE WHEN $docId % 2 = 0 THEN 'HTTP' ELSE 'http' END)",
+    "'://'",
+    s"(CASE WHEN $docId % 3 = 0 THEN 'WWW.Crawl.Example.COM:80' ELSE 'www.crawl.example.com' END)",
+    "'/story/'", s"CAST($docId // 2 AS VARCHAR)",
+    s"(CASE WHEN $docId % 5 = 0 THEN '/' ELSE '' END)",
+    "'?utm_source=crawler'",
+    s"(CASE WHEN $docId % 6 = 0 THEN '&utm_campaign=retarget' ELSE '' END)",
+    s"(CASE WHEN $docId % 4 = 0 THEN '#latest' ELSE '' END)")
+    .mkString("(", " || ", ")")
+
+  /** The crawl-curation front door: URL-level dedup (earliest fetch
+    * per canonical URL survives) then corpus-frequency boilerplate
+    * removal. Input (doc_id, text, url, lang) → output
+    * (doc_id, text, lang), ready for the export stages. The
+    * boilerplate pass is what scrubs the shared footer the HTML shell
+    * leaves in every extracted document — the exact shingle-poisoning
+    * failure the web export fixture demonstrated. */
+  def curateWebCrawl(crawled: DataFrame): DataFrame = {
+    val canonical = crawled
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(canonicalUrl(col("url"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text", "lang")
+    canonical.select("doc_id", "lang")
+      .join(boilerplateRemoveOf(canonical.select("doc_id", "text"))
+        .select(col("doc_id"), col("clean_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("text"),
+        col("lang"))
+  }
+
+  /** The documents table as a crawled-deduped-descummed corpus, as a
+    * DuckDB source subquery — [[Markup.webSourceSql]] plus the two
+    * curation stages, generated from the same canonicalization /
+    * line-filter logic as the Spark plan. */
+  def curatedSourceSql: String = {
+    val url = plantCrawlUrlSql("doc_id")
+    val cleanText = Markup.webCleanSql(Markup.webWrapSql("doc_id", "text"))
+    s"""(WITH web AS (SELECT doc_id, $cleanText AS text, lang, $url AS url FROM documents),
+       |cu0 AS (SELECT doc_id, text, lang, ${canonicalUrlSql("url")} AS curl FROM web),
+       |cu AS (SELECT doc_id, text, lang,
+       |         ROW_NUMBER() OVER (PARTITION BY curl ORDER BY doc_id) AS rn FROM cu0),
+       |kd AS (SELECT doc_id, text, lang FROM cu WHERE rn = 1),
+       |csp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM kd),
+       |cle AS (SELECT doc_id, i, ${wsTrimSql("ls[i]")} AS lt
+       |        FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM csp)),
+       |clf AS (SELECT doc_id, i, lt, md5(lt) AS k FROM cle WHERE length(lt) > 0),
+       |cfr AS (SELECT k FROM (SELECT k, COUNT(DISTINCT doc_id) AS nd FROM clf GROUP BY k)
+       |        WHERE nd >= 10),
+       |ckp AS (SELECT doc_id, string_agg(lt, chr(10) ORDER BY i) AS clean_text
+       |        FROM clf WHERE k NOT IN (SELECT k FROM cfr) GROUP BY doc_id)
+       |SELECT kd.doc_id, COALESCE(ckp.clean_text, '') AS text, kd.lang
+       |FROM kd LEFT JOIN ckp ON kd.doc_id = ckp.doc_id)""".stripMargin
+  }
+
   // — CCNet perplexity bucketing ———————————————————————————————————
 
   /** Head/middle/tail thirds per language by LM-fluency order.

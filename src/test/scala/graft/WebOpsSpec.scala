@@ -152,6 +152,26 @@ class WebOpsSpec extends AnyFunSuite {
     assert(out(1L) === 0L) // nothing removed: 1 distinct doc < 10
   }
 
+  // — Curated crawl front door —————————————————————————————————————
+
+  test("crawl curation dedups URL pairs and scrubs corpus-wide footers") {
+    val footer = "Subscribe to our newsletter for more stories here"
+    // 24 fetches of 12 stories: ids 2k/2k+1 share a canonical URL
+    val crawled = (0L until 24L).map { id =>
+      (id, s"Unique body of story ${id / 2}\n$footer", "en",
+        (if (id % 2 == 0) s"HTTP://WWW.S.COM:80/story/${id / 2}?utm_x=$id"
+         else s"http://s.com/story/${id / 2}"))
+    }.toDF("doc_id", "text", "lang", "url")
+    val out = WebOps.curateWebCrawl(crawled).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the even fetch of each pair survives; its odd twin is gone
+    assert(out.keySet === (0L until 24L by 2).toSet)
+    // the footer appears in 12 ≥ 10 surviving docs → scrubbed from all
+    out.foreach { case (id, text) =>
+      assert(text === s"Unique body of story ${id / 2}")
+    }
+  }
+
   // — CCNet perplexity buckets —————————————————————————————————————
 
   test("ppl buckets rank by reference coverage within each language") {
