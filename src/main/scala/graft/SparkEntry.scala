@@ -208,6 +208,9 @@ object SparkEntry {
     // SCHEMA EVOLUTION: stable column ids in the publish manifest —
     // v1 (pre-rename, pre-add) reads through the live schema by id
     "q_schema_evolution" -> graft.sources.SchemaEvolution.evolutionResult _,
+    // DELETION VECTORS: merge-on-read deletes — base + two-vector
+    // chain resolved as one broadcast anti-join, no base rewrite
+    "q_dv_merge_read"    -> graft.sources.DeletionVectors.dvMergedResult _,
     // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
     // each micro-batch merging into the previous batch's published
     // snapshot — hash-checked vs the chained two-merge replay oracle
@@ -1478,6 +1481,9 @@ object SparkEntry {
     "t_ppl_buckets"     -> graft.operators.WebOps.pplBucketsOracle,
     "t_temperature_mix" -> graft.operators.WebOps.temperatureMixOracle,
     "t_domain_filter"   -> graft.operators.WebOps.domainFilterOracle,
-    "t_boilerplate"     -> graft.operators.WebOps.boilerplateRemoveOracle
+    "t_boilerplate"     -> graft.operators.WebOps.boilerplateRemoveOracle,
+
+    // merge-on-read deletion chain ≡ the plain filtered table
+    "q_dv_merge_read"   -> graft.sources.DeletionVectors.dvMergedOracle
   )
 }

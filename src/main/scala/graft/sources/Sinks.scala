@@ -74,7 +74,7 @@ object Sinks {
   private val versionRe = "v(\\d{8})".r
   private val manifestRe = "m(\\d{8})".r
   private val claimRe = "c(\\d{8})".r
-  private def versionDirName(v: Long): String = f"v$v%08d"
+  private[sources] def versionDirName(v: Long): String = f"v$v%08d"
 
   /** Filename prefix of publish-supplied version metadata (the
     * `extraMeta` files of [[publishSnapshot]]). */
@@ -103,7 +103,7 @@ object Sinks {
         s.getPath.getName.drop(metaPrefix.length) -> content
       }.toMap
   }
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
+  private[sources] def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** One ATOMIC conditional create of `dir/<prefix><n>`: true iff this

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeletionVectors, Sinks, ConcurrentSnapshotUpdate}
+import java.sql.Date
+
+/** Merge-on-read deletion vectors (SURVEY.md §2 row 109): delete
+  * publishes that never rewrite the base, chain-resolved merged
+  * reads, loud refusal on broken chains, OCC against concurrent
+  * publishers, and the materializing fold-back. */
+class DeletionVectorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshTable(): String = graft.util.Scratch.dir("dv_spec") + "/t"
+
+  private val d = Date.valueOf("2024-03-15")
+
+  private def publishBase(table: String, keys: Range = 1 to 8): Unit = {
+    Sinks.publishSnapshot(
+      keys.map(k => (k.toLong, s"row$k", d)).toDF("id", "payload", "day"),
+      "day", table)
+    ()
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("merged read applies the whole deletion chain; history reads per-link") {
+    val t = freshTable()
+    publishBase(t)
+    DeletionVectors.publishDeletes(spark, t, Seq(2L, 5L).toDF("id"), "id")
+    DeletionVectors.publishDeletes(spark, t, Seq(5L, 7L).toDF("id"), "id")
+    assert(ids(DeletionVectors.readMerged(spark, t)) === Set(1L, 3L, 4L, 6L, 8L))
+    // as-of the first vector: only {2,5} gone
+    assert(ids(DeletionVectors.readMergedAt(spark, t, 2L)) === Set(1L, 3L, 4L, 6L, 7L, 8L))
+    // as-of the base: untouched
+    assert(ids(DeletionVectors.readMergedAt(spark, t, 1L)) === (1L to 8L).toSet)
+  }
+
+  test("materialize folds the chain into a plain data version") {
+    val t = freshTable()
+    publishBase(t)
+    DeletionVectors.publishDeletes(spark, t, Seq(3L).toDF("id"), "id")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val merged = rows(DeletionVectors.readMerged(spark, t))
+    val v = DeletionVectors.materializeDeletes(spark, t, "day")
+    assert(v === 3L)
+    // the plain snapshot read now equals the merged state, and
+    // readMerged on a data version is a no-op pass-through
+    assert(rows(Sinks.readSnapshot(spark, t)) === merged)
+    assert(rows(DeletionVectors.readMerged(spark, t)) === merged)
+  }
+
+  test("delete-publish aborts against a concurrent claim, writing nothing") {
+    val t = freshTable()
+    publishBase(t)
+    // a racing publisher owns version 2's claim
+    val claims = java.nio.file.Paths.get(t, "_claims")
+    java.nio.file.Files.createDirectories(claims)
+    java.nio.file.Files.createFile(claims.resolve("c00000002"))
+    intercept[ConcurrentSnapshotUpdate] {
+      DeletionVectors.publishDeletes(spark, t, Seq(1L).toDF("id"), "id")
+    }
+    // nothing committed: live version still 1, base intact
+    assert(Sinks.currentVersion(spark, t) === Some(1L))
+    assert(ids(DeletionVectors.readMerged(spark, t)) === (1L to 8L).toSet)
+  }
+
+  test("a chain whose parent was pruned refuses loudly instead of serving debris") {
+    val t = freshTable()
+    publishBase(t)
+    DeletionVectors.publishDeletes(spark, t, Seq(4L).toDF("id"), "id")
+    // simulate retention pruning the base out from under the vector
+    val root = java.nio.file.Paths.get(t)
+    java.nio.file.Files.delete(root.resolve("_manifests/m00000001"))
+    val ex = intercept[java.io.FileNotFoundException] {
+      DeletionVectors.readMerged(spark, t).collect()
+    }
+    assert(ex.getMessage.contains("materialize before pruning"))
+  }
+
+  test("mixed delete keys are rejected up front") {
+    val t = freshTable()
+    publishBase(t)
+    DeletionVectors.publishDeletes(spark, t, Seq(2L).toDF("id"), "id")
+    val ex = intercept[IllegalArgumentException] {
+      DeletionVectors.publishDeletes(spark, t, Seq("row3").toDF("payload"), "payload")
+    }
+    assert(ex.getMessage.contains("chain keys"))
+  }
+
+  test("deletes of absent keys and empty vectors are harmless no-ops") {
+    val t = freshTable()
+    publishBase(t)
+    DeletionVectors.publishDeletes(spark, t, Seq(99L).toDF("id"), "id")
+    DeletionVectors.publishDeletes(spark, t, Seq.empty[Long].toDF("id"), "id")
+    assert(ids(DeletionVectors.readMerged(spark, t)) === (1L to 8L).toSet)
+  }
+}
