@@ -211,6 +211,9 @@ object SparkEntry {
     // DELETION VECTORS: merge-on-read deletes — base + two-vector
     // chain resolved as one broadcast anti-join, no base rewrite
     "q_dv_merge_read"    -> graft.sources.DeletionVectors.dvMergedResult _,
+    // MoR UPSERT: delta + vector per commit; later links supersede
+    // earlier images, base still never rewritten
+    "q_mor_upsert"       -> graft.sources.DeletionVectors.morUpsertResult _,
     // MULTI-BATCH chaining: two monthly drops at maxFilesPerTrigger=1,
     // each micro-batch merging into the previous batch's published
     // snapshot — hash-checked vs the chained two-merge replay oracle
@@ -1484,6 +1487,8 @@ object SparkEntry {
     "t_boilerplate"     -> graft.operators.WebOps.boilerplateRemoveOracle,
 
     // merge-on-read deletion chain ≡ the plain filtered table
-    "q_dv_merge_read"   -> graft.sources.DeletionVectors.dvMergedOracle
+    "q_dv_merge_read"   -> graft.sources.DeletionVectors.dvMergedOracle,
+    // two-link MoR upsert chain ≡ the directly-computed final state
+    "q_mor_upsert"      -> graft.sources.DeletionVectors.morUpsertOracle
   )
 }

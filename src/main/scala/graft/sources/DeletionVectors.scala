@@ -34,6 +34,7 @@ object DeletionVectors {
 
   private val metaName = "dv"          // → file `_graft_dv` in the version dir
   private val dvSubdir = "_dv"
+  private val deltaSubdir = "_delta"
 
   /** Publish a deletion vector against the CURRENT version: commits
     * as current+1 holding only `deleteKeys` (one column, `keyCol`)
@@ -42,7 +43,8 @@ object DeletionVectors {
     * number first. Never prunes (a DV's whole chain must stay
     * readable until materialization). Returns the committed version. */
   def publishDeletes(spark: SparkSession, tablePath: String,
-                     deleteKeys: DataFrame, keyCol: String): Long = {
+                     deleteKeys: DataFrame, keyCol: String,
+                     deltaRows: Option[DataFrame] = None): Long = {
     require(deleteKeys.columns.toSeq == Seq(keyCol),
       s"deleteKeys must be exactly ($keyCol), got ${deleteKeys.columns.mkString(",")}")
     val parent = Sinks.currentVersion(spark, tablePath).getOrElse(
@@ -62,13 +64,44 @@ object DeletionVectors {
     val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
     Sinks.writeSingleParquetFile(deleteKeys.distinct(),
       s"$vdir/_staging_dv", s"$vdir/$dvSubdir/keys.parquet")
+    deltaRows.foreach { d =>
+      Sinks.writeSingleParquetFile(d,
+        s"$vdir/_staging_delta", s"$vdir/$deltaSubdir/rows.parquet")
+    }
     val meta = fs.create(
       new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$metaName"), true)
-    try meta.write(s"parent=$parent\nkey=$keyCol\n"
+    try meta.write(s"parent=$parent\nkey=$keyCol\ndelta=${deltaRows.isDefined}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally meta.close()
     fs.create(new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d"), false).close()
     next
+  }
+
+  /** Merge-on-read UPSERT (the Delta MERGE / Hudi MOR commit): one
+    * version carries BOTH a deletion vector — every key the batch
+    * touches — and a delta parquet of the arriving rows (updates'
+    * new images + inserts), so the base is never rewritten and the
+    * merged read is parent ∖ vector ∪ delta. A pure delete is the
+    * degenerate case with an empty delta ([[publishDeletes]]); soft
+    * deletes arrive as updates flipping their flag, hard deletes as
+    * vector-only keys. Same parent+1 OCC claim, same chain walk,
+    * same materialization path. `changes` must carry `keyCol`;
+    * duplicate keys within one batch are rejected (one image per key
+    * per commit — the reference's per-month uniqueness invariant). */
+  def publishUpsert(spark: SparkSession, tablePath: String,
+                    changes: DataFrame, keyCol: String,
+                    deleteKeys: DataFrame): Long = {
+    require(changes.columns.contains(keyCol), s"changes must carry $keyCol")
+    val expected = readMerged(spark, tablePath).columns.toSet - "txn_month"
+    require(changes.columns.toSet == expected,
+      s"delta schema ${changes.columns.sorted.mkString(",")} must match the " +
+      s"merged table's ${expected.toSeq.sorted.mkString(",")}")
+    val dups = changes.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"one image per $keyCol per commit — deduplicate the batch first")
+    val touched = changes.select(col(keyCol)).unionByName(deleteKeys).distinct()
+    publishDeletes(spark, tablePath, touched, keyCol, deltaRows = Some(changes))
   }
 
   /** (parent, keyCol) when `version` is a DV version, None when it
@@ -90,7 +123,8 @@ object DeletionVectors {
     val committed = Sinks.listVersions(spark, tablePath).toSet
     var v = version
     var key: Option[String] = None
-    var dvs = List.empty[DataFrame]
+    // (version, vector, delta-if-any), newest link first
+    var links = List.empty[(Long, DataFrame, Option[DataFrame])]
     var meta = {
       if (!committed(v)) throw new java.io.FileNotFoundException(
         s"version $v of $tablePath is not readable")
@@ -100,19 +134,52 @@ object DeletionVectors {
       val (parent, k) = meta.get
       key.foreach(k0 => require(k0 == k, s"mixed delete keys in chain: $k0 vs $k"))
       key = Some(k)
-      dvs ::= spark.read.parquet(
-        s"$tablePath/${Sinks.versionDirName(v)}/$dvSubdir")
+      val vdir = s"$tablePath/${Sinks.versionDirName(v)}"
+      val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
+      val delta =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$deltaSubdir")))
+          Some(spark.read.parquet(s"$vdir/$deltaSubdir"))
+        else None
+      links = (v, spark.read.parquet(s"$vdir/$dvSubdir"), delta) :: links
       if (!committed(parent)) throw new java.io.FileNotFoundException(
         s"deletion-vector version $v of $tablePath points at parent $parent, " +
         "which is not readable (pruned?) — materialize before pruning")
       v = parent
       meta = versionDvMeta(spark, tablePath, v)
     }
-    val base = spark.read.parquet(s"$tablePath/${Sinks.versionDirName(v)}")
+    val baseRaw = spark.read.parquet(s"$tablePath/${Sinks.versionDirName(v)}")
     key match {
-      case None    => base
+      case None => baseRaw
       case Some(k) =>
-        base.join(broadcast(dvs.reduce(_ unionByName _).distinct()), Seq(k), "left_anti")
+        // the store's month partition column is derived, not payload —
+        // drop it so base rows and delta rows share a schema (the
+        // materializing publish re-derives it from the date column)
+        val base =
+          if (baseRaw.columns.contains("txn_month")) baseRaw.drop("txn_month")
+          else baseRaw
+        // every touched key leaves the base once, regardless of how
+        // many links touched it
+        val allKeys = links.map(_._2).reduce(_ unionByName _).distinct()
+        val masked = base.join(broadcast(allKeys), Seq(k), "left_anti")
+        // a delta image survives only if NO LATER link touched its key
+        // (a later update supersedes it; a later delete removes it) —
+        // chain-sized bookkeeping over commit-batch-sized frames
+        val deltas = links.collect { case (ver, _, Some(d)) =>
+          d.withColumn("__delta_ver", lit(ver)) }
+        if (deltas.isEmpty) masked
+        else {
+          val deltaAll = deltas.reduce(_ unionByName _)
+          val dvVers = links.map { case (ver, dv, _) =>
+            dv.withColumn("__dv_ver", lit(ver)) }.reduce(_ unionByName _)
+          val superseded = deltaAll.select(col(k), col("__delta_ver"))
+            .join(dvVers, Seq(k))
+            .filter(col("__dv_ver") > col("__delta_ver"))
+            .select(col(k), col("__delta_ver")).distinct()
+          val alive = deltaAll
+            .join(broadcast(superseded), Seq(k, "__delta_ver"), "left_anti")
+            .drop("__delta_ver")
+          masked.unionByName(alive)
+        }
     }
   }
 
@@ -175,5 +242,56 @@ object DeletionVectors {
     """SELECT o_orderkey, o_custkey, o_totalprice AS price,
       |  CAST(o_orderdate AS DATE) AS transaction_date
       |FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey % 5 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val morFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two chained MoR upserts: commit A bumps every 9th key by 10,
+    * inserts an offset twin of every 17th key at half price, and
+    * hard-deletes every 13th (non-updated) key; commit B re-bumps
+    * every 18th key by 25 (superseding A's image) and deletes every
+    * other A-insert. Exercises update-over-update and
+    * delete-of-earlier-insert across links. */
+  private def buildMorFixture(spark: SparkSession, dir: String, tmp: String): String = {
+    val table = s"$tmp/table"
+    val base = baseOf(spark, dir)
+    val k = col("o_orderkey")
+    Sinks.publishSnapshot(base, "transaction_date", table, colocateMonths = true)
+    val updA = base.filter(k % 9 === 0)
+      .withColumn("price", col("price") + 10.0)
+    val insA = base.filter(k % 17 === 0)
+      .select((k + 10000000L).as("o_orderkey"), col("o_custkey"),
+        (col("price") / 2.0).as("price"), col("transaction_date"))
+    publishUpsert(spark, table, updA.unionByName(insA), "o_orderkey",
+      base.filter(k % 13 === 0 && k % 9 =!= 0).select("o_orderkey"))
+    val updB = base.filter(k % 18 === 0)
+      .withColumn("price", col("price") + 25.0)
+    publishUpsert(spark, table, updB, "o_orderkey",
+      base.filter(k % 34 === 0).select((k + 10000000L).as("o_orderkey")))
+    table
+  }
+
+  /** Registered `q_mor_upsert`: the two-link upsert chain read merged
+    * — base never rewritten, later links superseding earlier images —
+    * hash-checked against the directly-computed final state. */
+  def morUpsertResult(spark: SparkSession, dir: String): DataFrame = {
+    val table = morFixtures.computeIfAbsent(dir,
+      _ => buildMorFixture(spark, dir, graft.util.Scratch.dir("mor_q")))
+    readMerged(spark, table)
+      .select("o_orderkey", "o_custkey", "price", "transaction_date")
+      .orderBy("o_orderkey")
+  }
+
+  def morUpsertOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 18 = 0 THEN o_totalprice + 25.0
+      |       WHEN o_orderkey % 9 = 0 THEN o_totalprice + 10.0
+      |       ELSE o_totalprice END AS price,
+      |  CAST(o_orderdate AS DATE) AS transaction_date
+      |FROM orders WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey % 9 <> 0)
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, o_totalprice / 2.0,
+      |  CAST(o_orderdate AS DATE)
+      |FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 34 <> 0
       |ORDER BY o_orderkey""".stripMargin
 }

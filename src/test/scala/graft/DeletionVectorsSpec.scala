@@ -93,6 +93,63 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("chain keys"))
   }
 
+  test("upsert chain: later links supersede earlier images and inserts") {
+    val t = freshTable()
+    publishBase(t, 1 to 4)
+    // commit A: update 2, insert 10
+    DeletionVectors.publishUpsert(spark, t,
+      Seq((2L, "row2-A", d), (10L, "row10-A", d)).toDF("id", "payload", "day"),
+      "id", Seq.empty[Long].toDF("id"))
+    // commit B: update 2 again, delete A's insert 10, delete base 4
+    DeletionVectors.publishUpsert(spark, t,
+      Seq((2L, "row2-B", d)).toDF("id", "payload", "day"),
+      "id", Seq(10L, 4L).toDF("id"))
+    val got = DeletionVectors.readMerged(spark, t)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "row1", 2L -> "row2-B", 3L -> "row3"))
+    // as-of commit A: its image and insert still visible
+    val atA = DeletionVectors.readMergedAt(spark, t, 2L)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atA === Map(1L -> "row1", 2L -> "row2-A", 3L -> "row3",
+      4L -> "row4", 10L -> "row10-A"))
+  }
+
+  test("upsert rejects duplicate keys and mismatched delta schemas") {
+    val t = freshTable()
+    publishBase(t, 1 to 3)
+    intercept[IllegalArgumentException] {
+      DeletionVectors.publishUpsert(spark, t,
+        Seq((2L, "x", d), (2L, "y", d)).toDF("id", "payload", "day"),
+        "id", Seq.empty[Long].toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      DeletionVectors.publishUpsert(spark, t,
+        Seq((2L, "x")).toDF("id", "payload"), // missing the day column
+        "id", Seq.empty[Long].toDF("id"))
+    }
+    // neither aborted publish committed anything
+    assert(Sinks.currentVersion(spark, t) === Some(1L))
+  }
+
+  test("materialize folds an upsert chain too") {
+    val t = freshTable()
+    publishBase(t, 1 to 3)
+    DeletionVectors.publishUpsert(spark, t,
+      Seq((3L, "row3-new", d), (9L, "row9", d)).toDF("id", "payload", "day"),
+      "id", Seq(1L).toDF("id"))
+    val merged = DeletionVectors.readMerged(spark, t)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    DeletionVectors.materializeDeletes(spark, t, "day")
+    val plain = Sinks.readSnapshot(spark, t)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain === merged)
+    assert(merged === Map(2L -> "row2", 3L -> "row3-new", 9L -> "row9"))
+  }
+
   test("deletes of absent keys and empty vectors are harmless no-ops") {
     val t = freshTable()
     publishBase(t)
