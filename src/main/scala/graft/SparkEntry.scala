@@ -219,6 +219,10 @@ object SparkEntry {
     // snapshot — hash-checked vs the chained two-merge replay oracle
     "q_stream_cdc_multi" -> ((s: SparkSession, dir: String) =>
       graft.streaming.CdcStream.streamCdcReplayBatch(s, dir)),
+    // the SAME two-batch lifecycle through merge-on-read commits:
+    // O(batch) writes per trigger, chain-resolved merged reads
+    "q_stream_cdc_mor" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CdcStream.streamCdcMorBatch(s, dir)),
     // the BOUNDED-STATE streaming dedup plan under the same exact-dedup
     // oracle (horizon sized above the corpus: no eviction at test scale)
     "q_stream_dedup_bounded" -> ((s: SparkSession, dir: String) =>
@@ -931,6 +935,9 @@ object SparkEntry {
     // sized above the corpus, so eviction can't change the answer
     "q_stream_dedup_bounded" -> streamDedupSql,
     "q_stream_cdc_multi" -> cdcStreamReplaySql,
+    // one truth, three plans: the MoR stream must land on the same
+    // chained-replay state as the full-republish stream
+    "q_stream_cdc_mor"   -> cdcStreamReplaySql,
 
     "t_pair_counts" ->
       """WITH w AS (

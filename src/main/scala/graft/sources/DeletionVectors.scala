@@ -88,18 +88,26 @@ object DeletionVectors {
     * same materialization path. `changes` must carry `keyCol`;
     * duplicate keys within one batch are rejected (one image per key
     * per commit — the reference's per-month uniqueness invariant). */
+  /** `validate = false` skips the schema-parity and duplicate-key
+    * publish guards (each costs a driver job / chain walk per commit)
+    * — for callers that already guarantee both by construction, like
+    * the streaming applier whose per-batch window dedups keys and
+    * whose images come from the base's own schema. */
   def publishUpsert(spark: SparkSession, tablePath: String,
                     changes: DataFrame, keyCol: String,
-                    deleteKeys: DataFrame): Long = {
+                    deleteKeys: DataFrame,
+                    validate: Boolean = true): Long = {
     require(changes.columns.contains(keyCol), s"changes must carry $keyCol")
-    val expected = readMerged(spark, tablePath).columns.toSet - "txn_month"
-    require(changes.columns.toSet == expected,
-      s"delta schema ${changes.columns.sorted.mkString(",")} must match the " +
-      s"merged table's ${expected.toSeq.sorted.mkString(",")}")
-    val dups = changes.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dups == 0,
-      s"one image per $keyCol per commit — deduplicate the batch first")
+    if (validate) {
+      val expected = readMerged(spark, tablePath).columns.toSet - "txn_month"
+      require(changes.columns.toSet == expected,
+        s"delta schema ${changes.columns.sorted.mkString(",")} must match the " +
+        s"merged table's ${expected.toSeq.sorted.mkString(",")}")
+      val dups = changes.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0,
+        s"one image per $keyCol per commit — deduplicate the batch first")
+    }
     val touched = changes.select(col(keyCol)).unionByName(deleteKeys).distinct()
     publishDeletes(spark, tablePath, touched, keyCol, deltaRows = Some(changes))
   }

@@ -73,6 +73,49 @@ object CdcStream {
   /** Daily cadence, like the reference's CRON trigger. */
   def dailyTrigger: Trigger = Trigger.ProcessingTime("24 hours")
 
+  /** [[applyUpdates]] with MERGE-ON-READ commits: instead of
+    * republishing the whole table per micro-batch (write cost
+    * O(table) at every trigger — the dominant cost of the full-
+    * republish updater), each batch publishes a
+    * [[graft.sources.DeletionVectors.publishUpsert]] version holding
+    * only the touched keys' new images. Per batch: ONE scan of the
+    * merged base restricted by a broadcast semi-join to touched keys
+    * (batch-sized output), the SAME CdcMerge decision matrix over
+    * batch-sized frames, and an O(batch) write. Deletes stay SOFT
+    * (is_deleted images), exactly like the batch path, so the vector
+    * only masks superseded images, never rows. Reads go through
+    * `DeletionVectors.readMerged`; `materializeDeletes` folds the
+    * chain on the maintenance cadence. */
+  def applyUpdatesMoR(changes: DataFrame, tablePath: String, key: String,
+                      compareCols: Seq[String], seqCol: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.count() > 0) {
+          val spark = batch.sparkSession
+          val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", seqCol)
+          val base = graft.sources.DeletionVectors.readMerged(spark, tablePath)
+            .drop("txn_month")
+          val touched = base.join(broadcast(latest.select(key)), Seq(key), "left_semi")
+          // materialize the batch-sized image set ONCE: the commit
+          // writes it twice (vector keys + delta rows), and each write
+          // would otherwise re-evaluate the base-scan + merge plan
+          val images = CdcMerge.applied(
+            CdcMerge.mergeBroadcast(touched, latest, key, compareCols))
+            .drop("outcome")
+            .localCheckpoint()
+          // guards skipped: the window dedup guarantees one image per
+          // key, and images carry the base's own schema by construction
+          graft.sources.DeletionVectors.publishUpsert(spark, tablePath,
+            images, key, latest.select(key).limit(0), validate = false)
+          ()
+        }
+      }
+
   /** Registered driver query for the streaming updater: the synthetic
     * CDC base (Cdc.baseTable + the order date for snapshot
     * partitioning) is published as the initial snapshot, the synthetic
@@ -168,6 +211,54 @@ object CdcStream {
       .start()
       .awaitTermination()
     readBack(spark, table)
+  }
+
+  /** Registered `q_stream_cdc_mor`: [[streamCdcReplayBatch]]'s exact
+    * two-batch lifecycle driven through the MERGE-ON-READ applier —
+    * month 1 commits upsert version 2, month 2 merges AGAINST THE
+    * CHAIN-RESOLVED STATE and commits version 3; the final merged
+    * read hash-checks against the same chained two-merge replay
+    * oracle. Same truth, O(batch) writes instead of O(table). */
+  def streamCdcMorBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    import graft.sources.Tables
+    val tmp = graft.util.Scratch.dir("cdc_stream_mor_q")
+    val table = s"$tmp/table"
+    val dates = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("transaction_date"))
+      .cache()
+    Sinks.publishSnapshot(Cdc.baseTable(spark, dir).join(dates, "o_orderkey"),
+      "transaction_date", table, colocateMonths = true)
+    def asChanges(cs: DataFrame): DataFrame = cs
+      .withColumnRenamed("new_price", "price")
+      .join(dates, "o_orderkey")
+      .withColumn("seq", col("o_orderkey"))
+    val c1 = asChanges(Cdc.changeSet(spark, dir))
+    val c2 = asChanges(Cdc.changeSet2(spark, dir))
+    def drop(cs: DataFrame, name: String, ts: Long): Unit = {
+      val dst = s"$tmp/changes/$name.parquet"
+      Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst)
+      val p = new org.apache.hadoop.fs.Path(dst)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).setTimes(p, ts, -1)
+    }
+    val t0 = System.currentTimeMillis()
+    drop(c1, "month1", t0)
+    drop(c2, "month2", t0 + 60000L)
+    dates.unpersist()
+    applyUpdatesMoR(
+        spark.readStream.schema(c1.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/changes"),
+        table, "o_orderkey", Seq("price", "transaction_date"), seqCol = "seq")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    graft.sources.DeletionVectors.readMerged(spark, table)
+      .select(col("o_orderkey"),
+        col("price").cast(org.apache.spark.sql.types.DoubleType).as("price"),
+        col("transaction_date"), col("is_deleted"))
+      .orderBy("o_orderkey")
   }
 
   /** Final-snapshot projection shared by the registered queries. */
