@@ -73,6 +73,7 @@ object SparkEntry {
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
     // Hilbert-clustered 3-D sibling (numeric+numeric+date), same idea
     "q_hilbert_scan"     -> graft.sources.ZOrder.hilbertScan _,
+    "q_stats_skip_scan"  -> graft.sources.FileStats.statsSkipScan _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -807,6 +808,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey <= 500 AND o_totalprice <= 50000
         |  AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // manifest-stats file skipping must never change results — plain
+    // filter truth, same box as the z-order scan
+    "q_stats_skip_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND o_custkey <= 500 AND o_totalprice <= 50000
         |ORDER BY o_orderkey""".stripMargin,
 
     "d_dedup_exact" ->

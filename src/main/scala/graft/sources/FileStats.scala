@@ -1,0 +1,342 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import scala.jdk.CollectionConverters._
+
+/** Manifest-level per-file column statistics ("zone maps") for the
+  * versioned snapshot store — the Iceberg/Delta data-skipping idea:
+  * min/max per (file, column) recorded ONCE at publish time in the
+  * version's commit metadata, so a filtered read prunes its file list
+  * against one small manifest instead of opening every parquet footer.
+  *
+  * Why this matters at 100 TB: parquet footers already carry min/max,
+  * but the reader must OPEN each of ~100k files to see them — at scale
+  * the listing + footer round-trips dominate a selective scan (and on
+  * an object store each footer is a ranged GET). The manifest moves
+  * that cost to one publish-time pass (itself footer-only — no data
+  * pages are read) and makes every subsequent selective read
+  * O(matching files). This complements the clustered layouts
+  * ([[ZOrder]]): clustering makes per-file ranges NARROW; the manifest
+  * makes them visible without touching the files.
+  *
+  * Stats are extracted from the parquet footers the write itself
+  * produced — never recomputed from data — so they are exact by
+  * construction. Columns whose physical type has no sound total order
+  * here (booleans, decimals, nested) record flag `u` (unknown) and
+  * never prune; a column that is entirely null in a file records `n`
+  * and IS prunable under any bounded range (a range predicate never
+  * matches null). String min/max compare in parquet's unsigned
+  * UTF-8-byte order, which this module reproduces exactly — Java
+  * String.compareTo (UTF-16 code units) would disagree above the BMP.
+  *
+  * The manifest rides the publish-metadata channel
+  * ([[Sinks.publishSnapshot]] `extraMeta`), so a committed version is
+  * never observable without its stats, and [[Sinks.compactSnapshot]]
+  * RECOMPUTES it for the rewritten files (a carried-forward manifest
+  * would describe files that no longer exist).
+  */
+object FileStats {
+
+  /** Reserved key of the stats manifest in the publish metadata. */
+  val metaName = "filestats"
+
+  /** Inclusive range predicate on one column; an open side is None.
+    * At least one side must be bounded. */
+  final case class ColRange(column: String, lo: Option[Any], hi: Option[Any]) {
+    require(lo.nonEmpty || hi.nonEmpty, s"range on $column has no bounds")
+  }
+
+  // flag values: m = min/max present, n = all values null, u = unknown
+  private final case class ColStat(tpe: String, flag: String, min: String, max: String)
+  private final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStat])
+
+  // ---- collection (publish side) ---------------------------------------
+
+  /** Scan the parquet footers under `versionDir` (its `txn_month=*`
+    * partition dirs) and build the stats manifest JSON for `cols`.
+    * Footer-only: no data pages are read. The per-file footer opens
+    * are DISTRIBUTED over the cluster (one small ranged read each —
+    * exactly the cost the manifest will save every subsequent reader),
+    * so a 100k-file version collects in one short cluster-wide wave
+    * instead of a serial driver loop. */
+  def collect(spark: SparkSession, versionDir: String, cols: Seq[String]): String = {
+    require(cols.nonEmpty, "statsCols must name at least one column")
+    val root = new Path(versionDir)
+    val fs = Sinks.hadoopFs(spark, root)
+    val files: Seq[(String, String)] = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("txn_month="))
+      .flatMap(d => fs.listStatus(d.getPath).toSeq)
+      .collect { case s if s.isFile && s.getPath.getName.endsWith(".parquet") =>
+        (s.getPath.toString, s"${s.getPath.getParent.getName}/${s.getPath.getName}") }
+    if (files.isEmpty) return render(cols, Nil)
+    val sc = spark.sparkContext
+    // Configuration is a Writable, not Serializable — ship it wrapped
+    val bconf = sc.broadcast(new org.apache.spark.SerializableWritable(
+      sc.hadoopConfiguration))
+    val colList = cols // avoid capturing `this`-adjacent state
+    val entries = sc
+      .parallelize(files, math.max(1, math.min(files.size, sc.defaultParallelism)))
+      .map { case (abs, rel) =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(abs), bconf.value.value))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val stats = colList.flatMap(c => statOf(blocks, c).map(c -> _)).toMap
+          FileEntry(rel, rows, stats)
+        } finally reader.close()
+      }
+      .collect().toSeq.sortBy(_.path) // stable manifest order
+    render(cols, entries)
+  }
+
+  /** Merge one column's chunk statistics across a file's row groups. */
+  private def statOf(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                     name: String): Option[ColStat] = {
+    val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == name))
+    if (chunks.isEmpty) return None // column absent (e.g. partition col) → no entry, never prunes
+    val tpe = typeTag(chunks.head.getPrimitiveType)
+    if (tpe.isEmpty) return Some(ColStat("?", "u", "", ""))
+    var unknown = false
+    var minS: String = null
+    var maxS: String = null
+    chunks.foreach { cc =>
+      val st = cc.getStatistics
+      if (st == null) unknown = true
+      else if (st.hasNonNullValue) {
+        val (lo, hi) = (serialize(tpe.get, st.genericGetMin), serialize(tpe.get, st.genericGetMax))
+        if (minS == null || compare(tpe.get, lo, minS) < 0) minS = lo
+        if (maxS == null || compare(tpe.get, hi, maxS) > 0) maxS = hi
+      } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
+        // no values recorded and the null count doesn't account for the
+        // chunk → stats were dropped by the writer (e.g. NaN handling,
+        // oversized binary); this file must never be pruned
+        unknown = true
+      }
+    }
+    Some(
+      if (unknown) ColStat(tpe.get, "u", "", "")
+      else if (minS == null) ColStat(tpe.get, "n", "", "")
+      else ColStat(tpe.get, "m", minS, maxS))
+  }
+
+  /** Physical+logical type → comparison domain; None = unsupported. */
+  private def typeTag(pt: PrimitiveType): Option[String] = {
+    import PrimitiveType.PrimitiveTypeName._
+    import LogicalTypeAnnotation._
+    pt.getPrimitiveTypeName match {
+      case INT32 => pt.getLogicalTypeAnnotation match {
+        case _: DateLogicalTypeAnnotation    => Some("date")
+        case _: DecimalLogicalTypeAnnotation => None
+        case _                               => Some("long")
+      }
+      case INT64 => pt.getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case TimeUnit.MILLIS => Some("ts-millis")
+          case TimeUnit.MICROS => Some("ts-micros")
+          case TimeUnit.NANOS  => Some("ts-nanos")
+        }
+        case _: DecimalLogicalTypeAnnotation => None
+        case _                               => Some("long")
+      }
+      case FLOAT | DOUBLE => Some("double")
+      case BINARY => pt.getLogicalTypeAnnotation match {
+        case _: StringLogicalTypeAnnotation => Some("string")
+        case _                              => None
+      }
+      case _ => None // BOOLEAN, INT96, FIXED_LEN_BYTE_ARRAY (incl. decimals)
+    }
+  }
+
+  private def serialize(tpe: String, v: Any): String = (tpe, v) match {
+    case ("string", b: org.apache.parquet.io.api.Binary) =>
+      new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+    case ("double", f: java.lang.Float) => f.doubleValue.toString
+    case _ => v.toString // Integer/Long for long/date/ts-*, Double for double
+  }
+
+  // ---- comparison domain ----------------------------------------------
+
+  /** Sign of (stored − bound) in the column's total order. Throws on a
+    * bound whose runtime type doesn't fit the column — wrong pruning
+    * must never be silent. */
+  private def compare(tpe: String, stored: String, bound: Any): Int = tpe match {
+    case "long"      => java.lang.Long.compare(stored.toLong, toLong(bound))
+    case "date"      => java.lang.Long.compare(stored.toLong, toEpochDay(bound))
+    case "double"    => java.lang.Double.compare(stored.toDouble, toDouble(bound))
+    case "string"    => unsignedUtf8Compare(stored, bound match {
+      case s: String => s
+      case other => fail(tpe, other)
+    })
+    case "ts-millis" => java.lang.Long.compare(stored.toLong, toMicros(bound) / 1000L)
+    case "ts-micros" => java.lang.Long.compare(stored.toLong, toMicros(bound))
+    case "ts-nanos"  => java.lang.Long.compare(stored.toLong,
+      math.multiplyExact(toMicros(bound), 1000L))
+    case other => throw new IllegalStateException(s"no comparison for type tag $other")
+  }
+
+  private def fail(tpe: String, v: Any): Nothing =
+    throw new IllegalArgumentException(
+      s"range bound ${v.getClass.getName} is not comparable to a $tpe stats column")
+
+  private def toLong(v: Any): Long = v match {
+    case n: Byte  => n.toLong
+    case n: Short => n.toLong
+    case n: Int   => n.toLong
+    case n: Long  => n
+    case other    => fail("long", other)
+  }
+  private def toDouble(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue
+    case other => fail("double", other)
+  }
+  private def toEpochDay(v: Any): Long = v match {
+    case d: java.time.LocalDate => d.toEpochDay
+    case d: java.sql.Date       => d.toLocalDate.toEpochDay
+    case other => fail("date", other)
+  }
+  private def toMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      math.addExact(math.multiplyExact(t.getTime / 1000L, 1000000L),
+        (t.getNanos / 1000L) % 1000000L)
+    case i: java.time.Instant =>
+      math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case other => fail("timestamp", other)
+  }
+
+  /** Parquet's binary order: unsigned byte-wise over UTF-8 — equal to
+    * code-point order, NOT to String.compareTo beyond the BMP. */
+  private def unsignedUtf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  // ---- manifest (de)serialization -------------------------------------
+
+  private def render(cols: Seq[String], entries: Seq[FileEntry]): String = {
+    val json = JObject(
+      "cols" -> JArray(cols.map(JString(_)).toList),
+      "files" -> JArray(entries.map { e =>
+        JObject(
+          "path" -> JString(e.path),
+          "rows" -> JLong(e.rows),
+          "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
+            c -> (if (s.flag == "m")
+              JObject("t" -> JString(s.tpe), "f" -> JString(s.flag),
+                "min" -> JString(s.min), "max" -> JString(s.max))
+            else JObject("t" -> JString(s.tpe), "f" -> JString(s.flag)))
+          })
+        )
+      }.toList))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  private def parse(json: String): (Seq[String], Seq[FileEntry]) = {
+    val root = JsonMethods.parse(json)
+    val cols = (root \ "cols") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _          => Nil
+    }
+    val files = (root \ "files") match {
+      case JArray(xs) => xs.map { f =>
+        val path = (f \ "path") match { case JString(s) => s; case _ => "" }
+        val rows = (f \ "rows") match {
+          case JLong(n) => n; case JInt(n) => n.toLong; case _ => 0L
+        }
+        val stats = (f \ "stats") match {
+          case JObject(fields) => fields.map { case (c, v) =>
+            val t = (v \ "t") match { case JString(s) => s; case _ => "?" }
+            val fl = (v \ "f") match { case JString(s) => s; case _ => "u" }
+            val mn = (v \ "min") match { case JString(s) => s; case _ => "" }
+            val mx = (v \ "max") match { case JString(s) => s; case _ => "" }
+            c -> ColStat(t, fl, mn, mx)
+          }.toMap
+          case _ => Map.empty[String, ColStat]
+        }
+        FileEntry(path, rows, stats)
+      }
+      case _ => Nil
+    }
+    (cols, files)
+  }
+
+  /** The column list a manifest covers (for recomputation after a
+    * content rewrite). */
+  def colsOf(json: String): Seq[String] = parse(json)._1
+
+  // ---- pruning (read side) --------------------------------------------
+
+  /** Version-dir-relative paths of the files that can satisfy every
+    * range. A file is dropped only on evidence: its recorded interval
+    * misses the range, or the column is entirely null in it (a range
+    * predicate never matches null). Unknown stats keep the file. */
+  def prune(json: String, ranges: Seq[ColRange]): Seq[String] = {
+    val (_, files) = parse(json)
+    files.filter { f =>
+      ranges.forall { r =>
+        f.stats.get(r.column) match {
+          case None => true
+          case Some(s) => s.flag match {
+            case "n" => false // all-null column: no range can match
+            case "m" =>
+              r.lo.forall(l => compare(s.tpe, s.max, l) >= 0) &&
+              r.hi.forall(h => compare(s.tpe, s.min, h) <= 0)
+            case _ => true // unknown → never prune
+          }
+        }
+      }
+    }.map(_.path)
+  }
+
+  /** The residual predicate the pruned scan must still apply — file
+    * granularity only narrows IO, row-level filtering is Spark's. */
+  def rangeFilter(ranges: Seq[ColRange]): Column =
+    ranges.flatMap { r =>
+      r.lo.map(l => col(r.column) >= lit(l)).toSeq ++
+        r.hi.map(h => col(r.column) <= lit(h)).toSeq
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Registered driver query: publish the orders table as a snapshot
+    * version carrying per-file stats on (o_custkey, o_totalprice) —
+    * range-clustered on custkey so file intervals are narrow — then
+    * answer a 2-D box filter through the manifest-pruned scan. The
+    * whole publish→manifest→pruned-read lifecycle runs under the
+    * driver's hash check against a plain filter oracle: skipping must
+    * never change results. The PRUNING property (files actually
+    * dropped from the scan) is spec-measured in ScaleSpec. */
+  def statsSkipScan(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{to_date, lit => flit}
+    val tmp = graft.util.Scratch.dir("statskip_q")
+    // a recent-period publish (the monthly-refresh shape): month
+    // partitioning bounds the dirs, custkey range-clustering keeps
+    // each file's (custkey, price) box narrow so the manifest prunes
+    val df = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+      .filter(col("o_orderdate") >= to_date(flit("1997-01-01")))
+      .repartitionByRange(8, col("o_custkey"))
+    Sinks.publishSnapshot(df, "o_orderdate", tmp,
+      statsCols = Seq("o_custkey", "o_totalprice"))
+    Sinks.readSnapshotSkipping(spark, tmp, Seq(
+      ColRange("o_custkey", None, Some(500L)),
+      ColRange("o_totalprice", None, Some(50000.0))))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+}

@@ -172,6 +172,40 @@ object Sinks {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(currentVersionDir(spark, tablePath))
 
+  /** Read the live snapshot through the manifest's per-file stats
+    * ([[FileStats]]): files whose recorded (min, max) interval cannot
+    * satisfy `ranges` are dropped from the scan's file list BEFORE any
+    * parquet footer is opened, and the residual row-level filter is
+    * applied on what remains — result-identical to
+    * `readSnapshot(..).filter(...)` by construction (pruning only
+    * removes files with evidence no row can match; the residual
+    * predicate does the rest). A version published without stats, or
+    * whose stats don't cover a ranged column, degrades to the plain
+    * filtered read — never to silent wrong answers. */
+  def readSnapshotSkipping(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                           ranges: Seq[FileStats.ColRange]): DataFrame = {
+    require(ranges.nonEmpty, "skipping read needs at least one column range")
+    val v = currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath (no commit marker in _manifests)"))
+    val vdir = s"$tablePath/${versionDirName(v)}"
+    val residual = FileStats.rangeFilter(ranges)
+    versionMeta(spark, tablePath, v).get(FileStats.metaName) match {
+      case None => spark.read.parquet(vdir).filter(residual)
+      case Some(manifest) =>
+        val kept = FileStats.prune(manifest, ranges)
+        if (kept.isEmpty)
+          // right schema (incl. the txn_month partition column), no data
+          spark.read.parquet(vdir).filter(lit(false))
+        else
+          // basePath keeps the txn_month partition column when scanning
+          // an explicit file list
+          spark.read.option("basePath", vdir)
+            .parquet(kept.map(p => s"$vdir/$p"): _*)
+            .filter(residual)
+    }
+  }
+
   /** Every COMMITTED version still resolvable, ascending — the
     * manifest numbers intersected with the version dirs that survived
     * retention pruning. (A marker whose dir a concurrent pruner has
@@ -262,7 +296,8 @@ object Sinks {
                       writerOptions: Map[String, String] = Map.empty,
                       expectedVersion: Option[Long] = None,
                       extraMeta: Map[String, String] = Map.empty,
-                      colocateMonths: Boolean = false): Long = {
+                      colocateMonths: Boolean = false,
+                      statsCols: Seq[String] = Nil): Long = {
     require(retainVersions >= 1, "retainVersions must keep at least the live version")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -298,7 +333,17 @@ object Sinks {
     // keeps parquet scans blind to it while staying distinguishable
     // from Spark's own _SUCCESS-style files (so maintenance passes can
     // carry exactly these files forward)
-    extraMeta.foreach { case (name, content) =>
+    // per-file min/max stats manifest ("zone maps", see [[FileStats]]):
+    // extracted from the footers the write itself just produced —
+    // footer-only reads, exact by construction — and committed WITH the
+    // version, so skipping reads never race a stats backfill. The key
+    // is reserved: a caller-supplied entry is shadowed (stale stats
+    // describing other files must never survive a rewrite).
+    val statsMeta: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else Map(FileStats.metaName ->
+        FileStats.collect(spark, s"$tablePath/${versionDirName(next)}", statsCols))
+    (extraMeta ++ statsMeta).foreach { case (name, content) =>
       val out = fs.create(
         new org.apache.hadoop.fs.Path(root, s"${versionDirName(next)}/$metaPrefix$name"), true)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -432,14 +477,20 @@ object Sinks {
             .repartition(totalFiles, col("__mk"), col("__salt"))
             .drop("__mk", "__nf", "__salt")
         }
+      val carried = versionMeta(spark, tablePath, compacting)
       try return publishSnapshot(packed, dateCol, tablePath, retainVersions,
         writerOptions = Map("maxRecordsPerFile" -> rowsPerFile.toString),
         expectedVersion = Some(compacting + 1),
         // a compaction is content-neutral, so the compacted version's
         // publish metadata (e.g. the evolved-schema mapping) must ride
         // along — otherwise a maintenance pass would strip an evolved
-        // table of its id map and break as-of reads
-        extraMeta = versionMeta(spark, tablePath, compacting))
+        // table of its id map and break as-of reads. The file-stats
+        // manifest is the one exception: it describes the OLD files, so
+        // it is recomputed for the rewritten layout (same column list)
+        // instead of carried
+        extraMeta = carried - FileStats.metaName,
+        statsCols = carried.get(FileStats.metaName)
+          .map(FileStats.colsOf).getOrElse(Nil))
       catch { case e: ConcurrentSnapshotUpdate => lastRace = e } // re-read and retry
     }
     throw lastRace

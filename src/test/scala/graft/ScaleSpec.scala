@@ -469,4 +469,115 @@ class ScaleSpec extends AnyFunSuite {
     val clean = JsonlDocs.readClean(spark, f.getPath)
     assert(clean.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
+
+  // ---- manifest file stats (zone maps) ---------------------------------
+
+  private def statsFixture(table: String): org.apache.spark.sql.DataFrame = {
+    // k range-clustered into 10 tasks → each file covers a narrow k
+    // interval; s tracks k (string pruning), c is null for the lower
+    // half of k (all-null-file pruning), dt spreads over ~14 months
+    val df = spark.range(20000).select(
+      col("id").as("k"),
+      (col("id") % 97).cast("double").as("p"),
+      format_string("w%05d", col("id")).as("s"),
+      when(col("id") < 10000, lit(null).cast("long")).otherwise(col("id")).as("c"),
+      date_add(to_date(lit("2023-01-01")), (col("id") % 400).cast("int")).as("dt"))
+      .repartitionByRange(10, col("k"))
+    Sinks.publishSnapshot(df, "dt", table, statsCols = Seq("k", "p", "s", "c"))
+    Sinks.readSnapshot(spark, table)
+  }
+
+  private def sigOf(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)), sum("k"), sum("p"), min("s"), max("s")).head().toString
+
+  test("file-stats manifest: skipping read prunes files and matches the plain filtered read") {
+    import graft.sources.FileStats.ColRange
+    val table = Files.createTempDirectory("fstats").toString + "/t"
+    val full = statsFixture(table)
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles > 20, s"fixture should span many files, got $totalFiles")
+
+    val kSlice = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", Some(0L), Some(999L))))
+    assert(kSlice.inputFiles.length < totalFiles / 2,
+      s"k-slice read ${kSlice.inputFiles.length} of $totalFiles files")
+    assert(kSlice.count() === 1000)
+    assert(sigOf(kSlice) === sigOf(full.filter(col("k").between(0, 999))))
+
+    // string interval prunes in parquet's unsigned UTF-8 byte order
+    val sSlice = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("s", Some("w00100"), Some("w00299"))))
+    assert(sSlice.inputFiles.length < totalFiles / 2)
+    assert(sigOf(sSlice) ===
+      sigOf(full.filter(col("s") >= "w00100" && col("s") <= "w00299")))
+
+    // a 2-D box composes pruning evidence across columns
+    val box = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", None, Some(999L)), ColRange("p", None, Some(50.0))))
+    assert(sigOf(box) === sigOf(full.filter(col("k") <= 999 && col("p") <= 50.0)))
+  }
+
+  test("file-stats manifest: all-null files prune under any bounded range; empty prune keeps schema") {
+    import graft.sources.FileStats.ColRange
+    val table = Files.createTempDirectory("fstatsn").toString + "/t"
+    val full = statsFixture(table)
+    val totalFiles = full.inputFiles.length
+    // c is entirely null for k < 10000 → those files carry flag n and
+    // drop without being opened (a range predicate never matches null)
+    val cSlice = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("c", Some(1L), None)))
+    assert(cSlice.inputFiles.length < totalFiles)
+    assert(cSlice.count() === 10000)
+    assert(sigOf(cSlice) === sigOf(full.filter(col("c") >= 1)))
+    // a range outside every file's interval prunes everything but
+    // keeps the schema (txn_month partition column included)
+    val none = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", Some(1000000L), None)))
+    assert(none.count() === 0)
+    assert(none.columns.toSet === full.columns.toSet)
+  }
+
+  test("file-stats manifest: compaction recomputes stats for the rewritten layout") {
+    import graft.sources.{FileStats, Sinks}
+    import graft.sources.FileStats.ColRange
+    val table = Files.createTempDirectory("fstatsc").toString + "/t"
+    val full = statsFixture(table)
+    val expected = sigOf(full.filter(col("k").between(0, 999)))
+    val v2 = Sinks.compactSnapshot(spark, table, "dt", targetFileBytes = 1L << 20)
+    val meta = Sinks.versionMeta(spark, table, v2)
+    assert(meta.contains(FileStats.metaName), "compacted version lost its stats manifest")
+    assert(FileStats.colsOf(meta(FileStats.metaName)) === Seq("k", "p", "s", "c"))
+    // the manifest describes the files that EXIST now — every entry
+    // must resolve inside the compacted version dir
+    val vdir = Sinks.currentVersionDir(spark, table)
+    val kept = FileStats.prune(meta(FileStats.metaName),
+      Seq(ColRange("k", Some(0L), Some(999L))))
+    assert(kept.nonEmpty)
+    kept.foreach(p => assert(new java.io.File(s"$vdir/$p").exists(), s"stale stats path $p"))
+    val skim = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", Some(0L), Some(999L))))
+    assert(sigOf(skim) === expected)
+  }
+
+  test("file-stats manifest: uncovered and unsupported columns degrade to full reads, never wrong ones") {
+    import graft.sources.FileStats.ColRange
+    val table = Files.createTempDirectory("fstatsu").toString + "/t"
+    // statsCols includes a boolean — no sound total order here → flag u
+    val df = spark.range(5000).select(
+      col("id").as("k"),
+      (col("id") % 2 === 0).as("b"),
+      to_date(lit("2024-03-01")).as("dt"))
+      .repartitionByRange(4, col("k"))
+    Sinks.publishSnapshot(df, "dt", table, statsCols = Seq("k", "b"))
+    val full = Sinks.readSnapshot(spark, table)
+    // range on a column with unknown stats keeps every file but still
+    // filters rows
+    val bSlice = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", None, Some(4999L))))
+    assert(bSlice.count() === 5000)
+    // range on a column NOT in the manifest: residual filter only
+    val pSlice = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("txn_month", Some("2024-03"), Some("2024-03"))))
+    assert(pSlice.count() === full.count())
+  }
 }
