@@ -147,6 +147,9 @@ object SparkEntry {
     "d_para_dedup"       -> Markup.paraDedup _,
     // sentence segmentation: sentinel-marked boundaries, no lookbehind
     "t_sentences"        -> Markup.sentences _,
+    // sentence-tier dedup: the rank idiom at sentence granularity,
+    // with the CCNet-style short-sentence guard
+    "d_sentence_dedup"   -> Markup.sentenceDedup _,
     // C4 line-level filtering (terminal punct, ≥5 words, javascript /
     // lorem-ipsum / curly-brace rules) over the planted page frame
     "t_c4_filter"        -> WebOps.c4Filter _,
@@ -1492,6 +1495,7 @@ object SparkEntry {
     "t_normalize"    -> graft.operators.Markup.normalizeOracle,
     "d_para_dedup"   -> graft.operators.Markup.paraDedupOracle,
     "t_sentences"    -> graft.operators.Markup.sentencesOracle,
+    "d_sentence_dedup" -> graft.operators.Markup.sentenceDedupOracle,
 
     // web-curation tier (operators/WebOps.scala): C4 line filtering,
     // URL canonicalization+dedup, CCNet ppl buckets, temperature mix —

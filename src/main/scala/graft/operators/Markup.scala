@@ -344,6 +344,82 @@ object Markup {
        |FROM se WHERE length(sentence) > 0 ORDER BY doc_id, sent_idx""".stripMargin
   }
 
+  // — Sentence-level dedup ——————————————————————————————————————————
+
+  /** Sentence-level exact dedup — the tier between paragraph dedup
+    * and ExactSubstr spans, at the granularity CCNet dedups on:
+    * share-bars and legal lines repeat as single sentences inside
+    * otherwise-unique paragraphs, invisible to both coarser tiers.
+    * Segmentation is [[sentencesOf]]'s boundary scheme; dedup is the
+    * paragraph tier's rank idiom on md5(sentence) — 32-byte uniform
+    * shuffle keys, rank window partitioned by the SENTENCE key
+    * (occurrence-sized partitions, never doc- or corpus-sized).
+    * Sentences shorter than `minChars` never dedup: "Yes." repeating
+    * across a corpus is language, not boilerplate — the CCNet-style
+    * length guard, and a skew guard too (tiny sentences are the
+    * high-frequency keys). Eligibility is a function of the sentence
+    * itself, so every occurrence of a key agrees on it. */
+  def sentenceDedupOf(docs: DataFrame, minChars: Int = 20): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"), posexplode(split(markSentences(col("text")), SB)))
+      .select(col("doc_id"), col("pos"), TextOps.wsTrim(col("col")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+    val w = Window.partitionBy("k").orderBy("doc_id", "pos")
+    val kept = sents
+      .withColumn("k", md5(col("sentence")))
+      .withColumn("eligible", length(col("sentence")) >= minChars)
+      .withColumn("rn", row_number().over(w))
+      .filter(!col("eligible") || col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sentence")))).as("ss"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ss"), x => x.getField("sentence"))).as("clean_text"),
+        col("n_kept"))
+    sents.groupBy("doc_id").agg(count(lit(1)).as("n_sents"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_sents").cast(LongType).as("n_sents"),
+        (col("n_sents") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_dup_sents"))
+      .orderBy("doc_id")
+  }
+
+  private val sentDupHead = "Subscribe to our free newsletter for weekly updates. "
+  private val sentDupTail = ". All material on this site is copyright protected."
+
+  /** Registered `d_sentence_dedup`: both engines frame each document
+    * with the same two boilerplate sentences — the tail's leading
+    * ". " also terminates the document body, so the planted sentences
+    * segment identically everywhere. After dedup the corpus-first
+    * occurrence of each boilerplate sentence survives, every document
+    * body survives, and short sentences are never touched. */
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame =
+    sentenceDedupOf(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit(sentDupHead), col("text"), lit(sentDupTail)).as("text")))
+
+  def sentenceDedupOracle: String = {
+    val planted = sqlLit(sentDupHead) + " || text || " + sqlLit(sentDupTail)
+    val marked = sqlSteps(planted, sentenceSteps)
+    s"""WITH sp AS (SELECT doc_id, string_split($marked, chr(1)) AS ss FROM documents),
+       |se AS (SELECT doc_id, i, regexp_replace(ss[i], ${sqlLit("^\\s+|\\s+$")}, '', 'g') AS sentence
+       |       FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i FROM sp)),
+       |sf AS (SELECT doc_id, i, sentence, md5(sentence) AS k,
+       |         length(sentence) >= 20 AS eligible
+       |       FROM se WHERE length(sentence) > 0),
+       |r AS (SELECT doc_id, i, sentence, eligible,
+       |        ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, i) AS rn FROM sf),
+       |kept AS (SELECT doc_id, string_agg(sentence, ' ' ORDER BY i) AS clean_text,
+       |         count(*) AS n_kept FROM r WHERE NOT eligible OR rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_sents FROM sf GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+       |  CAST(t.n_sents AS BIGINT) AS n_sents,
+       |  CAST(t.n_sents - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dup_sents
+       |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   def paraDedupOracle: String = {
     val planted = "text || " + sqlLit("\n\nsubscribe to the newsletter for weekly updates") +
       " || " + sqlLit("\n\ncopyright ") + " || source || " + sqlLit(" all rights reserved")

@@ -114,6 +114,31 @@ class MarkupSpec extends AnyFunSuite {
     assert(out(3L) === (("", 1L, 1L)))
   }
 
+  test("sentence dedup keeps the corpus-first occurrence; short sentences never dedup") {
+    val boiler = "Please subscribe to our newsletter today." // ≥20 chars → eligible
+    val docs = Seq(
+      (1L, s"Alpha body one is long enough here. $boiler"),
+      (2L, s"$boiler Beta body two is also long enough."),
+      (3L, "Yes. Gamma body three stands alone. Yes."), // "Yes." short → survives twice
+      (4L, boiler)) // doc that is ONLY boilerplate → empties
+      .toDF("doc_id", "text")
+    val out = Markup.sentenceDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((s"Alpha body one is long enough here. $boiler", 2L, 0L)))
+    assert(out(2L) === (("Beta body two is also long enough.", 2L, 1L)))
+    assert(out(3L) === (("Yes. Gamma body three stands alone. Yes.", 3L, 0L)))
+    assert(out(4L) === (("", 1L, 1L)))
+  }
+
+  test("sentence dedup removes a within-doc repeat and preserves sentence order") {
+    val s = "This exact sentence repeats inside one document."
+    val docs = Seq((1L, s"$s Middle filler sentence long enough. $s"))
+      .toDF("doc_id", "text")
+    val r = Markup.sentenceDedupOf(docs).head()
+    assert(r.getString(1) === s"$s Middle filler sentence long enough.")
+    assert(r.getLong(2) === 3L && r.getLong(3) === 1L)
+  }
+
   test("sentence segmentation: boundaries, abbreviation guard, punctuation runs") {
     def sents(s: String): Seq[String] =
       Markup.sentencesOf(Seq((1L, s)).toDF("doc_id", "text"))
