@@ -106,6 +106,11 @@ object SparkEntry {
     // exact-pair variant (PPJoin edges + planted near-dups) so the
     // full clean composition hash-matches a recursive-CTE oracle
     "d_clean_corpus"     -> NearDedup.cleanCorpusExact _,
+    // lexical retrieval: broadcast query-term weights over the
+    // inverted index; integer scorer carries the oracle, BM25 is the
+    // production scorer (rows-only: log idf)
+    "s_search"           -> Retrieval.search _,
+    "s_search_bm25"      -> Retrieval.searchBm25 _,
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_hybrid"           -> ((s: SparkSession, dir: String) => SimilarityOps.hybridSearch(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),
@@ -985,6 +990,10 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // generated twin: the workload VALUES list is emitted by the same
+    // code that builds the Spark-side DataFrame
+    "s_search" -> graft.operators.Retrieval.searchOracle,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Lexical (term-based) retrieval over the corpus — the sparse
+  * complement of the embedding-space ANN family: top-k documents per
+  * query from an inverted index, the workhorse of training-data
+  * curation tasks that start from a QUERY ("find documents about X to
+  * upsample / audit / decontaminate against") rather than from a
+  * vector.
+  *
+  * Plan shape at 100 TB: the corpus is tokenized ONCE into postings
+  * (doc_id, term, tf) — one term-keyed shuffle, the same census
+  * `t_top_terms` builds; document frequencies re-aggregate from the
+  * postings (no second corpus scan). The query workload is small by
+  * nature, so query terms join the df table BROADCAST, and the
+  * weighted query-term table (queries × terms — tiny) broadcasts into
+  * the postings join: the corpus shuffles once and never moves again;
+  * per-query scoring is a keyed aggregation on the MATCHING postings
+  * only. Top-k per query is a rank window that WindowGroupLimit
+  * prunes before the final shuffle.
+  */
+object Retrieval {
+
+  private def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.filter(length(TextOps.wsTrim(col(textCol))) > 0)
+
+  /** Corpus postings: one row per (doc_id, term) with its term
+    * frequency — the inverted index in relational form. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    tokens(docs, "text")
+      .select(col("doc_id"),
+        explode(split(lower(TextOps.wsTrim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Integer-exact retrieval: score(q, d) = Σ_{t ∈ q ∩ d} tf(t,d) ×
+    * (N − df(t)). The rarity weight (N − df) preserves idf's ORDER
+    * without the logarithm — all-integer arithmetic, so the ranking
+    * is reproducible bit-exactly by any engine (the same tf-DESC /
+    * df-ASC trade [[TextOps.topTermsOf]] makes). Query terms are
+    * de-duplicated (a term counts once per query); ties break on
+    * doc_id, so top-k is fully deterministic.
+    *
+    * `queries`: (query_id, qtext) — a query workload, small by
+    * nature. Returns (query_id, rank, doc_id, score), rank 1-based,
+    * at most `k` rows per query. */
+  def searchOf(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val tf = postingsOf(docs)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tokens(docs, "text").agg(count(lit(1)).as("n_docs"))
+    val qt = queries
+      .select(col("query_id"),
+        explode(split(lower(TextOps.wsTrim(col("qtext"))), "\\s+")).as("term"))
+      .distinct()
+    // (query, term, weight): query-workload-sized — the corpus-sized
+    // df table is probed with the BROADCAST query terms, then the
+    // result broadcasts into the postings join
+    val qterms = dfT.join(broadcast(qt), "term")
+      .crossJoin(broadcast(n))
+      .select(col("query_id"), col("term"), (col("n_docs") - col("df")).as("w"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * col("w")).as("score"))
+    val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) — the production lexical scorer:
+    * saturating tf, length normalization against the corpus mean, and
+    * the (transcendental) log idf, which is why this variant is
+    * rows-only — ln is not bit-reproducible across engines, while the
+    * integer sibling [[searchOf]] carries the oracle. Same plan
+    * shape: one corpus tokenization, document lengths re-aggregated
+    * from the postings, broadcast query-term weights, keyed scoring
+    * aggregation, WindowGroupLimit top-k. */
+  def searchBm25Of(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = postingsOf(docs)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val qt = queries
+      .select(col("query_id"),
+        explode(split(lower(TextOps.wsTrim(col("qtext"))), "\\s+")).as("term"))
+      .distinct()
+    val qterms = dfT.join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"), col("avgdl"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          .as("idf"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(qterms), "term")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score"))
+    val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  // — registered bindings ————————————————————————————————————————————
+
+  private[graft] val queryWorkload = Seq(
+    (1L, "hash join order"),
+    (2L, "window merge scan"),
+    (3L, "stream batch spark"))
+
+  /** Registered `s_search`: the integer-exact scorer over the corpus
+    * vocabulary with a three-query workload; hash-matched against the
+    * same inverted index built in SQL. */
+  def search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    searchOf(Tables.documents(spark, dir),
+      queryWorkload.toDF("query_id", "qtext"), k = 10)
+  }
+
+  /** Registered `s_search_bm25`: the BM25 scorer on the same
+    * workload — rows-only (log idf), ordering properties spec-pinned
+    * against the integer sibling. */
+  def searchBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    searchBm25Of(Tables.documents(spark, dir),
+      queryWorkload.toDF("query_id", "qtext"), k = 10)
+  }
+
+  /** Generated VALUES clause so the Spark workload and the oracle's
+    * can never drift. */
+  private[graft] def workloadValuesSql: String =
+    queryWorkload.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+
+  def searchOracle: String =
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |  WHERE length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0),
+       |t AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS term
+       |  FROM c),
+       |tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dc AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM c),
+       |q AS (SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '\\s+')) AS term
+       |    FROM (VALUES ${workloadValuesSql}) AS v(query_id, qtext))),
+       |s AS (SELECT q.query_id, tc.doc_id,
+       |    SUM(tc.tf * (n.n_docs - dc.df)) AS score
+       |  FROM q JOIN tc USING (term) JOIN dc USING (term) CROSS JOIN n
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+       |  CAST(score AS BIGINT) AS score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+}
