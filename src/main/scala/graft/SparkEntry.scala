@@ -111,6 +111,9 @@ object SparkEntry {
     // production scorer (rows-only: log idf)
     "s_search"           -> Retrieval.search _,
     "s_search_bm25"      -> Retrieval.searchBm25 _,
+    // PQ ANN: 8-byte codes + ADC table lookups + exact re-rank — the
+    // memory scale path beside IVF's IO path (rows-only, recall-pinned)
+    "s_ann_pq"           -> ((s: SparkSession, dir: String) => SimilarityOps.annPq(s, dir)),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_hybrid"           -> ((s: SparkSession, dir: String) => SimilarityOps.hybridSearch(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),

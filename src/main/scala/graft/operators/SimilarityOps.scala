@@ -438,4 +438,139 @@ object SimilarityOps {
     val kc = if (kCells > 0) kCells else kCellsFor(v.count())
     annIvfOf(v, nQueries, k, kc, nProbe)
   }
+
+  // — Product quantization (Jégou, Douze & Schmid, TPAMI 2011) ——————————
+
+  /** PQ is the MEMORY scale path of the ANN family: IVF/LSH bound how
+    * much of the corpus a query touches, PQ bounds how many BYTES each
+    * touched vector costs — m one-byte codes instead of 4·d float
+    * bytes (32× at d=64, m=8), which is what lets a trillion-vector
+    * index hold its scan set in executor memory. Vectors are
+    * unit-normalized and split into m contiguous subspaces; each
+    * subspace gets its own kSub-centroid codebook (Lloyd under L2 on
+    * the subvectors — the per-(sub, cell, pos) mean aggregation, same
+    * distributed idiom as the IVF refinement); a vector's code word is
+    * its per-subspace nearest-centroid indices. */
+
+  /** (vec_id, sub, semb): unit-normalized embeddings split into `m`
+    * contiguous subspaces. The dimension must divide by m (the
+    * registered binding uses 64/8); zero vectors are dropped (no
+    * direction to quantize). */
+  private[graft] def pqSubvectorsOf(v0: DataFrame, m: Int): DataFrame =
+    v0.withColumn("nrm", norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .withColumn("emb", transform(col("embedding"),
+        x => (x / col("nrm")).cast(FloatType)))
+      .select(col("vec_id"), col("emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("dsub", (size(col("emb")) / m).cast(IntegerType))
+      .select(col("vec_id"), col("sub"),
+        slice(col("emb"), col("sub") * col("dsub") + 1, col("dsub")).as("semb"))
+
+  /** Nearest codebook cell per (vector, subspace) — argmin L2², taken
+    * as argmax of 2⟨x,c⟩ − |c|² (|x|² is constant per row); ties
+    * break to the smaller cell. The m codebooks pack into one
+    * broadcast row each, so assignment is a projection. */
+  private def pqAssign(sv: DataFrame, books: DataFrame): DataFrame = {
+    val packed = books.groupBy("sub")
+      .agg(collect_list(struct(col("cell"), col("c_emb"))).as("cs"))
+    sv.join(broadcast(packed), "sub")
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(
+          (lit(2.0) * dot(col("semb"), c.getField("c_emb")) -
+            dot(c.getField("c_emb"), c.getField("c_emb"))).as("score"),
+          (-c.getField("cell")).as("neg_cell")))))
+      .select(col("vec_id"), col("sub"), col("semb"),
+        (-col("best.neg_cell")).as("cell"))
+  }
+
+  /** Train the m per-subspace codebooks: seeds are the first kSub
+    * vectors' subvectors, refined by `iters` Lloyd rounds (each one
+    * broadcast-assign pass + one per-(sub, cell, pos) mean — cost is
+    * iters corpus passes at build time, amortized over every query).
+    * Cells that lose all members keep their previous centroid. */
+  def pqCodebooksOf(v0: DataFrame, m: Int, kSub: Int, iters: Int): DataFrame = {
+    val sv = pqSubvectorsOf(v0, m)
+    var books = sv.filter(col("vec_id") < kSub)
+      .select(col("sub"), col("vec_id").cast(IntegerType).as("cell"),
+        col("semb").as("c_emb"))
+    for (_ <- 0 until iters) {
+      val means = pqAssign(sv, books)
+        .select(col("sub"), col("cell"), posexplode(col("semb")))
+        .groupBy("sub", "cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cell"),
+          transform(col("pm"), x => x.getField("m").cast(FloatType)).as("new_emb"))
+      books = books.join(means, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    books
+  }
+
+  /** Encode the corpus: (vec_id, codes) with codes(j) = the j-th
+    * subspace's nearest cell — the m-byte compressed representation. */
+  def pqEncodeOf(v0: DataFrame, books: DataFrame, m: Int): DataFrame =
+    pqAssign(pqSubvectorsOf(v0, m), books)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), x => x.getField("cell")).as("codes"))
+
+  /** PQ ANN with asymmetric distance computation (ADC) and exact
+    * re-ranking: each query precomputes one m×kSub table of
+    * subspace inner products against the codebooks (queries stay
+    * uncompressed — the "asymmetric" half, quantization error on one
+    * side only); a corpus vector's approximate score is then m table
+    * LOOKUPS (`zip_with` codes → table column, folded by
+    * `aggregate`) — no d-dimensional math touches the scan. The top
+    * `reRank` ADC candidates per query are re-scored against their
+    * exact embeddings (the standard two-stage shape: compressed scan
+    * for candidates, exact math on a candidate-sized set), final
+    * top-k by true cosine. */
+  def annPqOf(v0: DataFrame, nQueries: Int, k: Int, m: Int = 8, kSub: Int = 16,
+              iters: Int = 2, reRank: Int = 0): DataFrame = {
+    val rr = if (reRank > 0) reRank else 8 * k
+    val books = pqCodebooksOf(v0, m, kSub, iters)
+    val packed = books.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_emb")))).as("cs"))
+    // per-query ADC tables, cell-index-ordered so code j+1 lands at
+    // element_at(tab, code+1)
+    val qtab = pqSubvectorsOf(v0.filter(col("vec_id") < nQueries), m)
+      .join(broadcast(packed), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"),
+        transform(col("cs"), c => dot(col("semb"), c.getField("c_emb"))).as("tab"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("tab")))).as("st"))
+      .select(col("query_id"), transform(col("st"), x => x.getField("tab")).as("qtab"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val cand = pqEncodeOf(v0, books, m)
+      .crossJoin(broadcast(qtab))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qtab"), (c, tab) => element_at(tab, c + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rr)
+      .select("query_id", "vec_id")
+    // exact re-rank of the candidate-sized set
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wFin = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(v, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(wFin).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Registered `s_ann_pq`: 64-dim corpus → 8 subspaces × 16 cells
+    * (8-byte codes, 32× compression), 2 Lloyd rounds, 8k-candidate
+    * exact re-rank; recall floor vs brute force spec-pinned. */
+  def annPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame =
+    annPqOf(vecs(spark, dir), nQueries, k)
 }

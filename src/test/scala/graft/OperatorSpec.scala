@@ -148,6 +148,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh === Set(1L, 2L, 3L, 4L), s"expected cluster-mates of query 0, got $lsh")
   }
 
+  test("pq codes are m cells in [0, kSub); planted cluster-mates recovered") {
+    // the LSH planted fixture, 8-dim → 2 subspaces: near-identical
+    // vectors quantize to the same code word, so ADC ranks them top
+    def v(base: Int, jitter: Float) =
+      Array.tabulate(8)(i => (if (i == base) 1.0f else 0.0f) + (if (i == 7) jitter else 0f))
+    val rows = (0 until 5).map(i => (i.toLong, v(0, i * 0.01f))) ++
+               (10 until 15).map(i => (i.toLong, v(1, (i - 10) * 0.01f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val books = SimilarityOps.pqCodebooksOf(df, m = 2, kSub = 4, iters = 2)
+    val codes = SimilarityOps.pqEncodeOf(df, books, m = 2).collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 2, s"code length ${cs.length}")
+      assert(cs.forall(c => c >= 0 && c < 4), s"code out of range: $cs")
+    }
+    val pq = SimilarityOps.annPqOf(df, nQueries = 1, k = 4, m = 2, kSub = 4, iters = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(pq === Set(1L, 2L, 3L, 4L), s"expected cluster-mates of query 0, got $pq")
+  }
+
+  test("pq ANN with exact re-rank meets the recall@10 floor vs brute force") {
+    // the near-isotropic real embeddings — worst case for coarse
+    // 8x16 codebooks; the exact re-rank stage is what lifts recall
+    val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = SimilarityOps.annPq(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(pq.distinct.length === pq.length)
+    val recall = (pq.toSet & brute).size.toDouble / brute.size
+    assert(recall >= 0.6,
+      s"PQ recall@10 $recall below floor (${(pq.toSet & brute).size}/${brute.size})")
+  }
+
   test("ann banded-LSH meets the recall@10 floor vs brute-force top-k") {
     // the real test embeddings are near-isotropic (top-10 cosines
     // ~0.25-0.4) — the hardest case for hyperplane LSH — so clearing
