@@ -201,6 +201,11 @@ object SparkEntry {
     // source → flatMapGroupsWithState → checkpointed sink, hash-checked vs SQL
     "q_stream_dedup"     -> ((s: SparkSession, dir: String) =>
       graft.streaming.CorpusStream.ingestDedupBatch(s, dir)),
+    // the streaming NEAR-dedup tier: foreachBatch composition of the
+    // batch operators, the admitted corpus as state (rows-only — the
+    // two-batch fold equality and planted rejection are spec-pinned)
+    "d_stream_near_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CorpusStream.nearDedupBatch(s, dir)),
     // the STREAMING CDC updater drained end-to-end (file source →
     // foreachBatch merge → versioned snapshot), hash-checked vs the
     // batch decision-matrix oracle

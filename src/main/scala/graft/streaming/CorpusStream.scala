@@ -216,4 +216,132 @@ object CorpusStream {
     val perShard = math.min(n + 64L, Int.MaxValue.toLong).toInt
     ingestDedupBatch(spark, dir, retention = Some((shards, perShard)))
   }
+
+  // — Streaming NEAR-dedup tier ————————————————————————————————————————
+
+  /** One micro-batch of the streaming near-dedup service — exposed so
+    * the spec can pin "streaming query ≡ this fold over its batches":
+    * in-batch exact dedup (min doc_id per content hash) → in-batch
+    * minhash cluster dedup (connected components, cluster canonical
+    * survives) → BOTH incremental tiers against the admitted corpus
+    * (exact on the 32-byte content hash first — it also covers
+    * sub-shingle-length documents the near tier cannot see — then the
+    * banded minhash near tier, batch bands ⋈ base bands) → append the
+    * survivors.
+    *
+    * Near-dup candidacy is a JOIN property (any band collision with
+    * any admitted document), not a per-key property, so keyed
+    * streaming state cannot express it: the admitted corpus ITSELF is
+    * the state — exactly how production minhash services persist
+    * their index — and the write is per-batch-directory overwrite, so
+    * a foreachBatch retry after a crash is idempotent. */
+  def admitNearBatch(batch: DataFrame, corpusPath: String, batchId: Long,
+                     threshold: Double): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.NearDedup
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("content_sha", sha2(col("text"), 256))
+    val w = Window.partitionBy("content_sha").orderBy("doc_id")
+    val exact = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val clusters = NearDedup.duplicateClusters(
+      NearDedup.minHashDedupOf(exact.select("doc_id", "text"), threshold)
+        .select("id_a", "id_b"))
+    val canon = exact.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+    val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (!fs.exists(root)) canon
+      else {
+        // exclude this batch's OWN partition from the state read: a
+        // foreachBatch retry would otherwise reject the batch against
+        // its own earlier write and then overwrite the partition empty
+        val base = spark.read.parquet(corpusPath)
+          .filter(col("batch") =!= batchId)
+        val afterExact = canon.join(
+          base.select("content_sha").distinct(), Seq("content_sha"), "left_anti")
+        val nearDup = NearDedup.incrementalNearOf(
+            base.select("doc_id", "text"),
+            afterExact.select("doc_id", "text"), threshold)
+          .select(col("batch_id").as("doc_id")).distinct()
+        afterExact.join(nearDup, Seq("doc_id"), "left_anti")
+      }
+    survivors.select("doc_id", "content_sha", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+  }
+
+  /** Streaming corpus ingest with history-wide NEAR dedup: the
+    * near-tier sibling of [[run]] — each micro-batch admits only
+    * documents that are neither exact nor minhash-near duplicates of
+    * anything admitted before (or of a smaller-id batchmate), composed
+    * from the batch operators under `foreachBatch`. The batch-id
+    * partition layout makes retries idempotent and gives the corpus a
+    * natural arrival order. */
+  def runNearDedup(spark: SparkSession, inputDir: String, corpusPath: String,
+                   checkpoint: String, threshold: Double = 0.5,
+                   availableNow: Boolean = false,
+                   maxFilesPerTrigger: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docs = ingestJsonl(spark, inputDir, maxFilesPerTrigger)
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        admitNearBatch(batch.toDF(), corpusPath, batchId, threshold)
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** Registered `d_stream_near_dedup` (rows-only — minhash signatures
+    * have no cross-engine SQL twin; the two-batch fold equality and
+    * planted recovery are spec-pinned): originals drop in batch 0
+    * (in-batch cluster dedup also fires on the corpus's own internal
+    * near-dups, deterministically), perturbed near-copies (appended
+    * tail — defeats the exact tier) plus exact copies of SHORT
+    * documents (caught by the exact tier regardless of shingle
+    * coverage) drop in batch 1 and must all be rejected against the
+    * admitted batch-0 state. */
+  def nearDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("corpus_stream_near_q")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val off = graft.operators.NearDedup.plantedOffset(docs, "doc_id")
+    val nearCopies = docs
+      .filter(col("doc_id") % 20 === 0 && length(col("text")) >= 200)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" with one extra trailing remark")).as("text"),
+        col("lang"), col("source"))
+    val shortExact = docs.filter(length(col("text")) < 40)
+      .select((col("doc_id") + off * 2).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    // one FILE per drop in one watched dir, mod times a minute apart:
+    // the file source orders drops by mod time, so batch order is
+    // deterministic even when both writes land in one clock tick
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def drop(d: DataFrame, name: String, ts: Long): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(s"$tmp/stage_$name")
+      d.coalesce(1).write.json(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".json"))
+        .getOrElse(throw new java.io.FileNotFoundException(s"no json part in $stage"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+      val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/$name.json")
+      if (!fs.rename(part, dst))
+        throw new java.io.IOException(s"rename $part -> $dst failed")
+      fs.setTimes(dst, ts, -1)
+    }
+    val t0 = System.currentTimeMillis()
+    drop(docs, "b0", t0)
+    drop(nearCopies.unionByName(shortExact), "b1", t0 + 60000L)
+    runNearDedup(spark, s"$tmp/in", s"$tmp/corpus", s"$tmp/ckpt",
+      threshold = 0.5, availableNow = true, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id")
+  }
 }

@@ -380,4 +380,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.head.schema.fieldNames.toSeq ===
       Seq("doc_id", "content_sha", "text", "lang", "source"))
   }
+
+  test("streaming near-dedup rejects near and exact copies across batches; equals the batch fold") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("nearin").toString
+    val out = java.nio.file.Files.createTempDirectory("nearout").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("nearckpt").toString
+    val body = "the quick brown fox jumps over the lazy dog and then naps under the warm tree all afternoon"
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s"}"""
+    def drop(name: String, ts: Long, lines: String*): Unit = {
+      val f = new java.io.File(in, name)
+      val w = new java.io.PrintWriter(f)
+      lines.foreach(w.println)
+      w.close()
+      assert(f.setLastModified(ts))
+    }
+    val t0 = System.currentTimeMillis()
+    // batch 0: two distinct docs + an IN-batch near copy (7 ~ 1, larger
+    // id loses) + an in-batch exact copy (9 of 2, larger id loses)
+    drop("b0.jsonl", t0,
+      jline(1, body),
+      jline(2, "a completely different second story about winter storms on the coast road"),
+      jline(7, body + " extra"),
+      jline(9, "a completely different second story about winter storms on the coast road"))
+    // batch 1: a near copy of doc 1, an exact copy of doc 2, one new doc
+    drop("b1.jsonl", t0 + 60000L,
+      jline(20, body + " trailing remark"),
+      jline(21, "a completely different second story about winter storms on the coast road"),
+      jline(22, "an entirely new third narrative concerning spring gardens and morning rain"))
+    CorpusStream.runNearDedup(spark, in, out, ckpt, threshold = 0.5,
+      availableNow = true, maxFilesPerTrigger = 1).awaitTermination()
+    val admitted = spark.read.parquet(out)
+    assert(admitted.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 22L))
+    // arrival order is recorded: batch 1's admission lives in batch=1
+    assert(admitted.filter(col("batch") === 1).select("doc_id").as[Long]
+      .collect().toSet === Set(22L))
+    // the streaming query IS the fold of admitNearBatch over its
+    // micro-batches: replay the same two batches by hand and compare
+    val outB = java.nio.file.Files.createTempDirectory("nearfold").toString + "/c"
+    def batchDf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    CorpusStream.admitNearBatch(batchDf(
+      1L -> body,
+      2L -> "a completely different second story about winter storms on the coast road",
+      7L -> (body + " extra"),
+      9L -> "a completely different second story about winter storms on the coast road"),
+      outB, 0L, 0.5)
+    CorpusStream.admitNearBatch(batchDf(
+      20L -> (body + " trailing remark"),
+      21L -> "a completely different second story about winter storms on the coast road",
+      22L -> "an entirely new third narrative concerning spring gardens and morning rain"),
+      outB, 1L, 0.5)
+    val fold = spark.read.parquet(outB)
+      .select("doc_id", "content_sha", "text", "batch").collect().map(_.toString).sorted
+    val stream = admitted
+      .select("doc_id", "content_sha", "text", "batch").collect().map(_.toString).sorted
+    assert(stream.sameElements(fold))
+  }
+
+  test("streaming near-dedup batch write is idempotent under a foreachBatch retry") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("nearretry").toString + "/c"
+    def b(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val batch = b(1L -> "some long enough first document body for shingling purposes here",
+                  2L -> "another long enough second document body for shingling purposes too")
+    CorpusStream.admitNearBatch(batch, out, 0L, 0.5)
+    // a crash between sink write and commit re-runs the same batch id:
+    // the per-batch-directory overwrite must not duplicate admissions
+    CorpusStream.admitNearBatch(batch, out, 0L, 0.5)
+    assert(spark.read.parquet(out).count() === 2)
+  }
 }
