@@ -737,15 +737,33 @@ object NearDedup {
     * recomputed per call. Verification is exact Jaccard on candidate
     * pairs only. */
   def incrementalNearOf(base: DataFrame, batch: DataFrame,
-                        threshold: Double): DataFrame = {
-    val baseSets = shingleSets(base)
+                        threshold: Double): DataFrame =
+    incrementalNearPrebuilt(base, bandTableOf(base), batch, threshold)
+      .orderBy("batch_id", "base_id")
+
+  /** The (doc_id, band, bh) band table of a document set — the
+    * PERSISTABLE index row of the incremental near tier: a standing
+    * ingest stores this next to the admitted corpus (see
+    * `CorpusStream.runNearDedup`), so a new batch probes history
+    * without re-signaturing it. */
+  def bandTableOf(docs: DataFrame): DataFrame =
+    bandHashes(signaturesFromSets(shingleSets(docs)), defaultBands, defaultRowsPerBand)
+
+  /** Incremental near tier against a PREBUILT base band table:
+    * candidates come from batch bands ⋈ base bands, and base shingle
+    * sets are recomputed only for the CANDIDATE documents (semi-join
+    * first) — per-batch work is O(batch + candidates), never O(base),
+    * which is what makes a per-trigger streaming call sustainable. */
+  def incrementalNearPrebuilt(base: DataFrame, baseBands: DataFrame,
+                              batch: DataFrame, threshold: Double): DataFrame = {
     val batchSets = shingleSets(batch)
-    val baseBands = bandHashes(signaturesFromSets(baseSets), defaultBands, defaultRowsPerBand)
     val batchBands = bandHashes(signaturesFromSets(batchSets), defaultBands, defaultRowsPerBand)
     val cand = batchBands.as("x").join(baseBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("base_id"))
       .distinct()
+    val baseSets = shingleSets(
+      base.join(cand.select(col("base_id").as("doc_id")).distinct(), "doc_id"))
     cand
       .join(batchSets.select(col("doc_id").as("batch_id"),
         col("s").as("s_a"), col("nsh").as("n_a")), "batch_id")
@@ -755,7 +773,6 @@ object NearDedup {
       .filter(col("n_common").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select(col("batch_id"), col("base_id"))
-      .orderBy("batch_id", "base_id")
   }
 
   def incrementalNear(spark: SparkSession, dir: String,

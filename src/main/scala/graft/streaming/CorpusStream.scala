@@ -251,6 +251,7 @@ object CorpusStream {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
     val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val bandsPath = s"$corpusPath/_bands" // underscore: invisible to corpus scans
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val survivors =
       if (!fs.exists(root)) canon
@@ -262,14 +263,28 @@ object CorpusStream {
           .filter(col("batch") =!= batchId)
         val afterExact = canon.join(
           base.select("content_sha").distinct(), Seq("content_sha"), "left_anti")
-        val nearDup = NearDedup.incrementalNearOf(
-            base.select("doc_id", "text"),
+        // probe the PERSISTED band index — history is never
+        // re-signatured per trigger; base shingle sets are rebuilt for
+        // candidate docs only (work = O(batch + candidates))
+        val baseBands = spark.read.parquet(bandsPath)
+          .filter(col("batch") =!= batchId)
+          .select("doc_id", "band", "bh")
+        val nearDup = NearDedup.incrementalNearPrebuilt(
+            base.select("doc_id", "text"), baseBands,
             afterExact.select("doc_id", "text"), threshold)
           .select(col("batch_id").as("doc_id")).distinct()
         afterExact.join(nearDup, Seq("doc_id"), "left_anti")
       }
-    survivors.select("doc_id", "content_sha", "text", "lang", "source")
-      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    val out = survivors.select("doc_id", "content_sha", "text", "lang", "source")
+      // the band index derives from the survivors and is written FIRST:
+      // a crash between the two writes leaves an index entry for a
+      // batch with no corpus partition (harmless — its doc_ids match
+      // nothing), never an admitted batch invisible to the near tier;
+      // the foreachBatch retry overwrites both
+      .localCheckpoint(true)
+    NearDedup.bandTableOf(out.select("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+    out.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
   }
 
   /** Streaming corpus ingest with history-wide NEAR dedup: the

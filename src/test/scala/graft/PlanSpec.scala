@@ -21,7 +21,16 @@ class PlanSpec extends AnyFunSuite {
       "s_ann_ivf_index", "d_semdedup", "d_decontam_semantic",
       // the census estimates against ONE broadcast sketch row (the
       // packed-broadcast idiom): a 1×topK nested loop, never corpus²
-      "t_vocab_cms")
+      "t_vocab_cms",
+      // retrieval scorers join ONE broadcast corpus-stats row
+      // (n_docs / avgdl) onto the query-workload-sized term table —
+      // a 1×|query terms| nested loop; the corpus-side joins stay
+      // broadcast HASH joins (pinned in RetrievalSpec)
+      "s_search", "s_search_bm25",
+      // PQ: the ADC scan crosses the corpus codes against the
+      // broadcast per-query lookup tables (the brute-force-scorer
+      // idiom — nQueries rows, never corpus²)
+      "s_ann_pq")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
