@@ -114,6 +114,9 @@ object SparkEntry {
     // PQ ANN: 8-byte codes + ADC table lookups + exact re-rank — the
     // memory scale path beside IVF's IO path (rows-only, recall-pinned)
     "s_ann_pq"           -> ((s: SparkSession, dir: String) => SimilarityOps.annPq(s, dir)),
+    // IVFADC: probe-bounded scan of cell-partitioned PQ codes — both
+    // scale dials composed (rows-only, recall-pinned)
+    "s_ann_ivf_pq"       -> ((s: SparkSession, dir: String) => SimilarityOps.annIvfPq(s, dir)),
     "s_ann_topk"         -> ((s: SparkSession, dir: String) => SimilarityOps.annBruteForce(s, dir)),
     "s_hybrid"           -> ((s: SparkSession, dir: String) => SimilarityOps.hybridSearch(s, dir)),
     "s_ann_lsh"          -> ((s: SparkSession, dir: String) => SimilarityOps.annLsh(s, dir)),

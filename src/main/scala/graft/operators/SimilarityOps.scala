@@ -573,4 +573,67 @@ object SimilarityOps {
     * exact re-rank; recall floor vs brute force spec-pinned. */
   def annPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame =
     annPqOf(vecs(spark, dir), nQueries, k)
+
+  /** IVFADC — the full Jégou et al. index shape, composing the two
+    * scale dials: IVF bounds how MUCH of the corpus a query touches
+    * (nProbe/kCells of the cells), PQ bounds what each touched vector
+    * COSTS (m code bytes + table lookups). The scan side therefore
+    * reads (nProbe/kCells)·n·m bytes — the shape that serves
+    * billion-vector workloads from memory. Corpus vectors carry
+    * (cell, codes); probed cells' codes are ADC-scored against the
+    * broadcast per-query tables, and the top `reRank` candidates
+    * re-rank exactly. Codebooks quantize the raw vectors (the
+    * residual-free IVF-PQ variant — residual encoding would couple
+    * the codebooks to the cells; the exact re-rank stage recovers the
+    * ordering either way). */
+  def annIvfPqOf(v0: DataFrame, nQueries: Int, k: Int, kCells: Int,
+                 nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+                 iters: Int = 2, reRank: Int = 0): DataFrame = {
+    val rr = if (reRank > 0) reRank else 8 * k
+    val v = v0.withColumn("nrm", norm(col("embedding")))
+    val cents = v.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val assigned = nearestCell(v, cents).select("vec_id", "cell")
+    val books = pqCodebooksOf(v0, m, kSub, iters)
+    val packed = books.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_emb")))).as("cs"))
+    val coded = pqEncodeOf(v0, books, m).join(assigned, "vec_id")
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val qtab = pqSubvectorsOf(v0.filter(col("vec_id") < nQueries), m)
+      .join(broadcast(packed), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"),
+        transform(col("cs"), c => dot(col("semb"), c.getField("c_emb"))).as("tab"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("tab")))).as("st"))
+      .select(col("query_id"), transform(col("st"), x => x.getField("tab")).as("qtab"))
+    // (query, probed cell, ADC table): the broadcast probe set
+    val probes = probeCells(cents, q, nProbe)
+      .select("query_id", "cell").join(qtab, "query_id")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val cand = coded.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qtab"), (c, tab) => element_at(tab, c + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rr)
+      .select("query_id", "vec_id")
+    val wFin = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(v, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(wFin).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Registered `s_ann_ivf_pq`: corpus-derived cell count, 4-probe,
+    * 8×16 codebooks, exact re-rank; recall floor spec-pinned. */
+  def annIvfPq(spark: SparkSession, dir: String, nQueries: Int = 5,
+               k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val v = vecs(spark, dir)
+    annIvfPqOf(v, nQueries, k, kCellsFor(v.count()), nProbe)
+  }
 }

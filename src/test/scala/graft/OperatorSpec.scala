@@ -181,6 +181,19 @@ class OperatorSpec extends AnyFunSuite {
       s"PQ recall@10 $recall below floor (${(pq.toSet & brute).size}/${brute.size})")
   }
 
+  test("ivfadc meets the recall@10 floor vs brute force at 4 probes") {
+    val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = SimilarityOps.annIvfPq(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ivfpq.distinct.length === ivfpq.length)
+    val recall = (ivfpq.toSet & brute).size.toDouble / brute.size
+    // probe-bounded: strictly harder than whole-corpus PQ — the same
+    // floor the plain IVF path is held to
+    assert(recall >= 0.5,
+      s"IVFADC recall@10 $recall below floor (${(ivfpq.toSet & brute).size}/${brute.size})")
+  }
+
   test("ann banded-LSH meets the recall@10 floor vs brute-force top-k") {
     // the real test embeddings are near-isotropic (top-10 cosines
     // ~0.25-0.4) — the hardest case for hyperplane LSH — so clearing

@@ -29,8 +29,10 @@ class PlanSpec extends AnyFunSuite {
       "s_search", "s_search_bm25",
       // PQ: the ADC scan crosses the corpus codes against the
       // broadcast per-query lookup tables (the brute-force-scorer
-      // idiom — nQueries rows, never corpus²)
-      "s_ann_pq")
+      // idiom — nQueries rows, never corpus²); IVFADC adds the
+      // centroid probe cross (queries × broadcast centroids) but its
+      // code scan joins EQUI on the probed cell
+      "s_ann_pq", "s_ann_ivf_pq")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
