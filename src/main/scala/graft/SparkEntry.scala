@@ -55,6 +55,9 @@ object SparkEntry {
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
     "q_sessions"         -> ReferenceOps.sessionize _,
+    // hourly grid + gap fill + forward fill: generated spine, so
+    // silent gaps are impossible; order-independent aggregates only
+    "q_resample"         -> ReferenceOps.resampleHourly _,
     "q_asof_order"       -> AsOf.eventOrderAsOf _,
     // bucketed interval join: events inside alert windows, one
     // equi-shuffle on the time bucket (never a nested loop)
@@ -730,6 +733,22 @@ object SparkEntry {
         |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // hourly resample grid: generated spine × series, count/max only
+    // (order-independent → partitioning-proof), last-ignore-nulls fill
+    "q_resample" ->
+      """WITH ev AS (SELECT event_type AS series, date_trunc('hour', ts) AS h, value FROM events),
+        |agg AS (SELECT series, h, COUNT(*) AS n_events, MAX(value) AS max_value
+        |        FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |sp AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |grid AS (SELECT s.series, sp.h FROM (SELECT DISTINCT series FROM ev) s CROSS JOIN sp)
+        |SELECT g.series, g.h,
+        |  CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+        |  last_value(a.max_value IGNORE NULLS) OVER (PARTITION BY g.series ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_value_ff
+        |FROM grid g LEFT JOIN agg a ON g.series = a.series AND g.h = a.h
+        |ORDER BY g.series, g.h""".stripMargin,
 
     // cohort retention: distinct user-days → first day per user →
     // (cohort, offset) counts; all day arithmetic integral

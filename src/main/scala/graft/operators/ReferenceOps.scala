@@ -339,6 +339,41 @@ object ReferenceOps {
       .orderBy("user_id")
   }
 
+  /** Time-series RESAMPLE: downsample the event stream to a fixed
+    * hourly grid per series with gap filling and forward fill — the
+    * dashboard/monitoring read the raw stream can't serve (a chart
+    * needs every bucket present, an alert needs "the last observed
+    * value", and hours with no events are exactly the interesting
+    * ones). Spine = one `sequence` over the corpus [min, max] hour —
+    * generated, never joined from data, so silent gaps are
+    * impossible — crossed with the tiny distinct-series set; one
+    * left join onto the per-bucket aggregate; forward fill is
+    * `last(ignoreNulls)` over a series-partitioned running frame.
+    * Aggregates are COUNT and MAX only — both order-independent, so
+    * the result is bit-identical at any partitioning (a float SUM
+    * would not be) and the DuckDB oracle can hash-check the whole
+    * grid. Scale: the aggregate shuffles bucket-sized rows (bounded:
+    * series × hours), the spine is tiny, and the fill window
+    * partitions per series. */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("series"),
+        date_trunc("hour", col("ts")).as("h"), col("value"))
+    val agg = ev.groupBy("series", "h")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+    val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+      .crossJoin(ev.select("series").distinct())
+    val w = Window.partitionBy("series").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("series", "h"), "left")
+      .select(col("series"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("max_value"), ignoreNulls = true).over(w).as("max_value_ff"))
+      .orderBy("series", "h")
+  }
+
   /** Ranking + running totals per customer — the windowed analyst
     * workload over the queryable store. The rank filter runs in its
     * OWN window step before the running sum: a mixed rank+sum window

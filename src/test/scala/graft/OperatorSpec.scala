@@ -148,6 +148,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh === Set(1L, 2L, 3L, 4L), s"expected cluster-mates of query 0, got $lsh")
   }
 
+  test("resample grid has no gaps: empty hours read zero and forward-fill the last value") {
+    import graft.operators.ReferenceOps
+    val out = ReferenceOps.resampleHourly(spark, sf).collect()
+    // every series spans the same generated spine
+    val bySeries = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySeries.values.toSet.size === 1, s"unequal spine lengths: $bySeries")
+    // gap rows exist (count 0) and carry a forward-filled observation
+    // once the series has produced one
+    val gaps = out.filter(_.getLong(2) == 0L)
+    assert(gaps.nonEmpty, "fixture produced a gapless grid — spine too coarse to test fill")
+    val g = out.groupBy(_.getString(0)).values
+    g.foreach { rows =>
+      var lastMax: Option[Double] = None
+      rows.sortBy(_.getTimestamp(1).getTime).foreach { r =>
+        if (r.getLong(2) == 0L) {
+          // an empty bucket must echo the last observed max (or stay
+          // null before the first observation)
+          assert(Option(r.get(3)).map(_.asInstanceOf[Double]) === lastMax)
+        } else lastMax = Some(r.getDouble(3))
+      }
+    }
+  }
+
   test("pq codes are m cells in [0, kSub); planted cluster-mates recovered") {
     // the LSH planted fixture, 8-dim → 2 subspaces: near-identical
     // vectors quantize to the same code word, so ADC ranks them top

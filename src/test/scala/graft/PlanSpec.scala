@@ -32,7 +32,10 @@ class PlanSpec extends AnyFunSuite {
       // idiom — nQueries rows, never corpus²); IVFADC adds the
       // centroid probe cross (queries × broadcast centroids) but its
       // code scan joins EQUI on the probed cell
-      "s_ann_pq", "s_ann_ivf_pq")
+      "s_ann_pq", "s_ann_ivf_pq",
+      // the resample grid: generated hour spine × the tiny
+      // distinct-series set — series-count rows, never event-count
+      "q_resample")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
