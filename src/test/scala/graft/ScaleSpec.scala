@@ -559,6 +559,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(sigOf(skim) === expected)
   }
 
+  test("file-stats manifest: z-ordered compaction tightens pruning on BOTH clustered columns") {
+    import graft.sources.FileStats.ColRange
+    val table = Files.createTempDirectory("fstatsz").toString + "/t"
+    // write UNCLUSTERED on purpose: (k, p) scattered across files →
+    // stats intervals span the domain and prune nothing
+    val df = spark.range(20000).select(
+      col("id").as("k"),
+      pmod(col("id") * 7919, lit(20000)).as("p"),
+      to_date(lit("2024-06-01")).as("dt"))
+      .repartition(16) // round-robin: every file sees the full k range
+    Sinks.publishSnapshot(df, "dt", table, statsCols = Seq("k", "p"))
+    val before = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", Some(0L), Some(999L)))).inputFiles.length
+    val total = Sinks.readSnapshot(spark, table).inputFiles.length
+    assert(before === total, "scattered layout should not prune (intervals span the domain)")
+    // one maintenance pass: z-order on (k, p) AND recompute stats —
+    // the same publish does both, and the skipping read now prunes on
+    // EITHER clustered column
+    Sinks.compactSnapshot(spark, table, "dt", targetFileBytes = 16L << 10,
+      zorderCols = Seq("k", "p"))
+    val kAfter = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("k", Some(0L), Some(999L))))
+    val pAfter = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("p", Some(0L), Some(999L))))
+    val totalAfter = Sinks.readSnapshot(spark, table).inputFiles.length
+    assert(kAfter.inputFiles.length < totalAfter,
+      s"k-slice still reads ${kAfter.inputFiles.length}/$totalAfter files after z-order")
+    assert(pAfter.inputFiles.length < totalAfter,
+      s"p-slice still reads ${pAfter.inputFiles.length}/$totalAfter files after z-order")
+    assert(kAfter.count() === 1000)
+    assert(pAfter.count() === 1000)
+  }
+
   test("file-stats manifest: uncovered and unsupported columns degrade to full reads, never wrong ones") {
     import graft.sources.FileStats.ColRange
     val table = Files.createTempDirectory("fstatsu").toString + "/t"
