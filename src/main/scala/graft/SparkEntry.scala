@@ -59,6 +59,8 @@ object SparkEntry {
     // silent gaps are impossible; order-independent aggregates only
     "q_resample"         -> ReferenceOps.resampleHourly _,
     "q_asof_order"       -> AsOf.eventOrderAsOf _,
+    "q_asof_forward"     -> AsOf.eventOrderAsOfForward _,
+    "q_asof_nearest"     -> AsOf.eventOrderAsOfNearest _,
     // bucketed interval join: events inside alert windows, one
     // equi-shuffle on the time bucket (never a nested loop)
     "q_range_join"       -> RangeJoin.eventRangeJoin _,
@@ -822,6 +824,36 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY e.event_id
         |          ORDER BY o.order_date DESC, o.o_orderkey DESC) AS rn
         |      FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.order_date <= e.event_date)
+        |SELECT event_id, user_id, o_orderkey, CAST(total_price AS DOUBLE) AS total_price
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // forward as-of: earliest order at/after the event, ≤ 90 days out
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+        |o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS total_price FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.total_price,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY o.order_date ASC, o.o_orderkey DESC) AS rn
+        |      FROM e LEFT JOIN o ON e.user_id = o.o_custkey
+        |        AND o.order_date >= e.event_date
+        |        AND date_diff('day', e.event_date, o.order_date) <= 90)
+        |SELECT event_id, user_id, o_orderkey, CAST(total_price AS DOUBLE) AS total_price
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // nearest as-of: smallest |distance| ≤ 30 days, ties backward then key
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+        |o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS total_price FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.total_price,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY abs(date_diff('day', e.event_date, o.order_date)) ASC,
+        |                   o.order_date ASC, o.o_orderkey DESC) AS rn
+        |      FROM e LEFT JOIN o ON e.user_id = o.o_custkey
+        |        AND abs(date_diff('day', e.event_date, o.order_date)) <= 30)
         |SELECT event_id, user_id, o_orderkey, CAST(total_price AS DOUBLE) AS total_price
         |FROM j WHERE rn = 1
         |ORDER BY event_id""".stripMargin,

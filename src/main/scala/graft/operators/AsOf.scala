@@ -42,17 +42,45 @@ object AsOf {
     * @param probeTime probe-side time column
     * @param buildTime build-side time column
     * @param tieBreak  build-side unique column for deterministic ties
+    * @param direction `backward` (default — latest build at or before
+    *                  the probe), `forward` (earliest at or after), or
+    *                  `nearest` (smallest absolute distance; an exact
+    *                  distance tie prefers the BACKWARD row, then the
+    *                  tie-break) — the pandas merge_asof contract
+    * @param toleranceSeconds maximum |build − probe| distance; a probe
+    *                  with no build row inside it keeps a null match
+    *                  (the left join), never a wrong one. Also the
+    *                  SCALE dial for `nearest`: without it the per-key
+    *                  expansion is every build row of the key; with it
+    *                  a range-bucketed formulation (RangeJoin) applies
+    *                  if the expansion ever dominates
     */
   def join(probe: DataFrame, build: DataFrame, keyCol: String,
-           probeTime: String, buildTime: String, tieBreak: String): DataFrame = {
+           probeTime: String, buildTime: String, tieBreak: String,
+           direction: String = "backward",
+           toleranceSeconds: Option[Long] = None): DataFrame = {
     // synthetic probe-row id: duplicate probe rows are distinct probes
     // and must each keep their own match — windowing on the probe's
     // data columns alone would collapse them
     val p = probe.withColumn("__probe_id", monotonically_increasing_id())
-    val w = Window.partitionBy(col("__probe_id"))
-      .orderBy(col(buildTime).desc, col(tieBreak).desc)
-    p.join(build,
-        p(keyCol) === build(keyCol) && col(buildTime) <= col(probeTime), "left")
+    // date or timestamp both land on epoch seconds (dates at their
+    // UTC midnight), so one tolerance unit serves both
+    val bSec = col(buildTime).cast(TimestampType).cast(LongType)
+    val pSec = col(probeTime).cast(TimestampType).cast(LongType)
+    val within = toleranceSeconds
+      .map(t => abs(bSec - pSec) <= t).getOrElse(lit(true))
+    val (sideCond, order) = direction match {
+      case "backward" => (col(buildTime) <= col(probeTime),
+        Seq(col(buildTime).desc, col(tieBreak).desc))
+      case "forward"  => (col(buildTime) >= col(probeTime),
+        Seq(col(buildTime).asc, col(tieBreak).desc))
+      case "nearest"  => (lit(true),
+        Seq(abs(bSec - pSec).asc, col(buildTime).asc, col(tieBreak).desc))
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got $other")
+    }
+    val w = Window.partitionBy(col("__probe_id")).orderBy(order: _*)
+    p.join(build, p(keyCol) === build(keyCol) && sideCond && within, "left")
       .drop(build(keyCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -69,6 +97,39 @@ object AsOf {
         to_date(col("o_orderdate")).as("order_date"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("total_price"))
     join(e, o, "user_id", "event_date", "order_date", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("total_price").cast(DoubleType).as("total_price"))
+      .orderBy("event_id")
+  }
+
+  private def eventOrderSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = (
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date")),
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total_price")))
+
+  /** Registered `q_asof_forward`: the customer's NEXT order within 90
+    * days of each event — the scheduling/entitlement direction
+    * ("which upcoming version applies"). */
+  def eventOrderAsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val (e, o) = eventOrderSides(spark, dir)
+    join(e, o, "user_id", "event_date", "order_date", "o_orderkey",
+        direction = "forward", toleranceSeconds = Some(90L * 86400))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("total_price").cast(DoubleType).as("total_price"))
+      .orderBy("event_id")
+  }
+
+  /** Registered `q_asof_nearest`: the closest order within 30 days on
+    * either side; equal distances resolve backward then by order key —
+    * the reconciliation direction ("which record was this event
+    * probably about"). */
+  def eventOrderAsOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    val (e, o) = eventOrderSides(spark, dir)
+    join(e, o, "user_id", "event_date", "order_date", "o_orderkey",
+        direction = "nearest", toleranceSeconds = Some(30L * 86400))
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         col("total_price").cast(DoubleType).as("total_price"))
       .orderBy("event_id")

@@ -148,6 +148,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh === Set(1L, 2L, 3L, 4L), s"expected cluster-mates of query 0, got $lsh")
   }
 
+  test("as-of directions: backward, forward, nearest with tolerance and backward tie") {
+    import graft.operators.AsOf
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val probe = Seq(
+      (1L, "a", d("2024-01-25")), // between builds at 20 and 30
+      (2L, "a", d("2024-01-31")), // nearer the 30 build
+      (3L, "a", d("2024-01-02")), // before every build
+      (4L, "b", d("2024-01-15"))) // key with no builds at all
+      .toDF("pid", "k", "pt")
+    val build = Seq(
+      ("a", d("2024-01-10"), 10L),
+      ("a", d("2024-01-20"), 20L),
+      ("a", d("2024-01-30"), 30L))
+      .toDF("k", "bt", "bid")
+    def run(dir: String, tol: Option[Long]) =
+      AsOf.join(probe, build, "k", "pt", "bt", "bid", dir, tol)
+        .select("pid", "bid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(run("backward", None) === Map(1L -> 20L, 2L -> 30L, 3L -> -1L, 4L -> -1L))
+    assert(run("forward", None) === Map(1L -> 30L, 2L -> -1L, 3L -> 10L, 4L -> -1L))
+    // nearest: probe 1 sits EXACTLY 5 days from both 20 and 30 — the
+    // backward row wins the tie; probe 2 is 1 day from 30
+    assert(run("nearest", None) === Map(1L -> 20L, 2L -> 30L, 3L -> 10L, 4L -> -1L))
+    // tolerance 4 days: probe 1 is 5 days from every build → null
+    assert(run("nearest", Some(4L * 86400)) ===
+      Map(1L -> -1L, 2L -> 30L, 3L -> -1L, 4L -> -1L))
+    assert(run("backward", Some(4L * 86400)) ===
+      Map(1L -> -1L, 2L -> 30L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("resample grid has no gaps: empty hours read zero and forward-fill the last value") {
     import graft.operators.ReferenceOps
     val out = ReferenceOps.resampleHourly(spark, sf).collect()
