@@ -54,6 +54,11 @@ object SparkEntry {
       ReferenceOps.pricePercentilesApprox(s, dir)),
     "q5_nation_revenue"  -> ReferenceOps.nationRevenue _,
     "q_events_window"    -> EventsPipeline.eventsWindowBatch _,
+    // hopping 1h/15min windows: each event in exactly 4 windows
+    "q_events_hopping"   -> EventsPipeline.eventsHoppingBatch _,
+    // built-in session_window (≥-gap semantics, own oracle)
+    "q_session_window"   -> EventsPipeline.sessionWindowBatch _,
+    "q_cube_revenue"     -> ReferenceOps.cubeRevenue _,
     "q_sessions"         -> ReferenceOps.sessionize _,
     // hourly grid + gap fill + forward fill: generated spine, so
     // silent gaps are impossible; order-independent aggregates only
@@ -688,6 +693,16 @@ object SparkEntry {
          |GROUP BY ROLLUP (n_name, strftime(o.o_orderdate, '%Y-%m'))
          |ORDER BY n_name ASC NULLS FIRST, order_month ASC NULLS FIRST""".stripMargin,
 
+    "q_cube_revenue" ->
+      s"""SELECT n_name, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+         |  $revenueExpr AS revenue, COUNT(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY CUBE (n_name, strftime(o.o_orderdate, '%Y-%m'))
+         |ORDER BY n_name ASC NULLS FIRST, order_month ASC NULLS FIRST""".stripMargin,
+
     "q_monthly_growth" ->
       """WITH m AS (
         | SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -723,6 +738,32 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hopping windows via explicit expansion: window k (k=0..3) starts
+    // at trunc-to-15min(ts) − k·15min; integer-microsecond arithmetic
+    "q_events_hopping" ->
+      """WITH x AS (SELECT make_timestamp(
+        |      (epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS win_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window semantics: a gap of EXACTLY the duration starts a
+    // new session (session end is exclusive) — hence >= here, vs
+    // q_sessions' strict > for the manual lag window
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events),
+        |s AS (SELECT user_id,
+        |        CASE WHEN prev_ts IS NULL OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM x)
+        |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_sessions" ->
       """WITH x AS (SELECT user_id, event_id, ts,

@@ -237,7 +237,7 @@ object ReferenceOps {
     * finest (nation, month) grain first shrinks the Expand to the
     * report-sized aggregate; subtotals are sums of exact decimal
     * sums, so every value is identical to the single-level rollup. */
-  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+  private def revenueFine(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"),
       date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
@@ -247,16 +247,30 @@ object ReferenceOps {
       col("l_orderkey"),
       (dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
         .as("rev"))
-    val fine = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"), col("order_month"))
       .agg(sum(col("rev")).as("rev_fine"), count(lit(1)).as("n_fine"))
-    fine.rollup(col("n_name"), col("order_month"))
+  }
+
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    revenueFine(spark, dir)
+      .rollup(col("n_name"), col("order_month"))
       .agg(sum(col("rev_fine")).cast(DoubleType).as("revenue"),
         sum(col("n_fine")).as("n_items"))
       .orderBy(col("n_name").asc_nulls_first, col("order_month").asc_nulls_first)
-  }
+
+  /** CUBE over the same pre-aggregate — every subtotal combination
+    * (nation totals, month totals, grand total) in one pass; like the
+    * rollup, Expand runs on the report-sized pre-aggregate, never on
+    * the fact table. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    revenueFine(spark, dir)
+      .cube(col("n_name"), col("order_month"))
+      .agg(sum(col("rev_fine")).cast(DoubleType).as("revenue"),
+        sum(col("n_fine")).as("n_items"))
+      .orderBy(col("n_name").asc_nulls_first, col("order_month").asc_nulls_first)
 
   /** Event-type pivot per series: one row per user, one count column
     * per event type — the wide operational dashboard shape. */

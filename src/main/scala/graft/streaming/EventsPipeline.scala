@@ -35,6 +35,42 @@ object EventsPipeline {
         col("n_events"), col("total_value"))
   }
 
+  /** HOPPING (sliding) windowed aggregate — 1-hour windows advancing
+    * every 15 minutes, so each event contributes to exactly 4
+    * overlapping windows: the smoothed dashboard/alerting read where
+    * a tumbling window's bucket edges hide a burst that straddles
+    * them. Same decimal-exact value sum; same watermark contract on a
+    * stream (state is bounded by windows-in-flight × types). */
+  def hoppingAgg(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val e = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    e.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Batch entry for the hopping window (`q_events_hopping`). */
+  def eventsHoppingBatch(spark: SparkSession, dir: String): DataFrame =
+    hoppingAgg(Tables.events(spark, dir)).orderBy("win_start", "event_type")
+
+  /** Per-user sessionization through Spark's BUILT-IN `session_window`
+    * (30-minute gap): the operator the brief's preference ladder picks
+    * before any hand-rolled lag-window — and on a stream it is the
+    * mergeable-session state Structured Streaming manages natively.
+    * Semantics note pinned by the oracle: a gap of EXACTLY the
+    * duration starts a new session (session end is exclusive), which
+    * is why this query carries its own ≥-gap oracle rather than
+    * sharing `q_sessions`' >-gap one (the manual window keeps the
+    * reference's semantics; both are exact). */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .orderBy("user_id")
+
   /** Batch entry used by SparkEntry/Verify. */
   def eventsWindowBatch(spark: SparkSession, dir: String): DataFrame =
     windowedAgg(Tables.events(spark, dir))

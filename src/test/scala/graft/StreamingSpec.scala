@@ -40,6 +40,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.find(_.getString(1) == "view").get.getLong(2) === 1L)
   }
 
+  test("hopping windows assign each event to exactly 4 overlapping windows, stream = batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventsPipeline.hoppingAgg(df, withWatermark = true)
+      .writeStream.format("memory").queryName("hop_out").outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:20:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 14:00:00"), "late", 0.0)) // close the windows
+    q.processAllAvailable()
+    val clicks = spark.table("hop_out").filter(col("event_type") === "click")
+      .select("win_start").collect().map(_.getTimestamp(0).toString).sorted
+    q.stop()
+    // 10:20 falls in the 1h windows starting 09:30, 09:45, 10:00, 10:15
+    assert(clicks === Array("2024-01-01 09:30:00.0", "2024-01-01 09:45:00.0",
+      "2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0"))
+    // batch path agrees
+    import spark.implicits._
+    val batch = EventsPipeline.hoppingAgg(
+      Seq((ts("2024-01-01 10:20:00"), "click", 1.0)).toDF("ts", "event_type", "value"))
+      .select("win_start").as[Timestamp].collect().map(_.toString).sorted
+    assert(batch.sameElements(clicks))
+  }
+
   test("stateful dedup drops repeated content per key across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
