@@ -38,6 +38,9 @@ object SparkEntry {
     "q_upload_stats"     -> ReferenceOps.uploadStats _,
     "q_upload_stats_approx" -> ((s: SparkSession, dir: String) =>
       ReferenceOps.uploadStatsApprox(s, dir)),
+    // declarative expectation gate: one scan, one reduce row, a
+    // planted red check proving the failure path is hash-checked too
+    "q_quality_gate"     -> QualityGate.ordersGate _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
@@ -856,6 +859,33 @@ object SparkEntry {
     // VERBATIM — one truth, expert API and planner rewrite
     "q_range_join" -> rangeJoinOracle,
     "q_range_join_auto" -> rangeJoinOracle,
+
+    // expectation gate: conditional counts + per-key extra-occurrence
+    // sum, all integers; the planted at_most check reads red
+    "q_quality_gate" ->
+      """WITH s AS (SELECT
+        |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nn_ok,
+        |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nn_ck,
+        |    COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS neg,
+        |    COUNT(CASE WHEN o_orderpriority IS NULL OR o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 END) AS bad_pri,
+        |    COUNT(CASE WHEN o_orderpriority IS NULL OR
+        |      NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS bad_fmt,
+        |    COUNT(CASE WHEN o_totalprice > 1000 THEN 1 END) AS am
+        |  FROM orders),
+        |u AS (SELECT COALESCE(SUM(n - 1), 0) AS uv
+        |      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)),
+        |r AS (
+        |  SELECT 'not_null:o_orderkey' AS check_name, nn_ok AS violations FROM s
+        |  UNION ALL SELECT 'unique:o_orderkey', uv FROM u
+        |  UNION ALL SELECT 'not_null:o_custkey', nn_ck FROM s
+        |  UNION ALL SELECT 'non_negative:o_totalprice', neg FROM s
+        |  UNION ALL SELECT 'in_set:o_orderpriority', bad_pri FROM s
+        |  UNION ALL SELECT 'matches:o_orderpriority', bad_fmt FROM s
+        |  UNION ALL SELECT 'at_most:o_totalprice', am FROM s)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS pass
+        |FROM r ORDER BY check_name""".stripMargin,
 
     "q_asof_order" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),

@@ -148,6 +148,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh === Set(1L, 2L, 3L, 4L), s"expected cluster-mates of query 0, got $lsh")
   }
 
+  test("quality gate: scalar checks share one pass, uniqueness counts extras, nulls violate domains") {
+    import graft.operators.QualityGate._
+    val df = Seq(
+      (Some(1L), Some("A"), 10L),
+      (Some(1L), Some("B"), -5L),   // dup key + negative
+      (Some(2L), None, 2000L),      // null domain col + over cap
+      (None, Some("Z"), 3L))        // null key + out-of-set
+      .toDF("k", "cat", "v")
+    val out = validate(df, Seq(
+      notNull("k"), unique("k"), inSet("cat", Seq("A", "B")),
+      nonNegative("v"), atMost("v", 1000L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("not_null:k") === ((1L, false)))
+    assert(out("unique:k") === ((1L, false)))     // key 1 twice → 1 extra
+    assert(out("in_set:cat") === ((2L, false)))   // null and "Z"
+    assert(out("non_negative:v") === ((1L, false)))
+    assert(out("at_most:v") === ((1L, false)))
+    // the all-green diagonal
+    val clean = validate(df.filter(col("k") === 2L),
+      Seq(nonNegative("v"), unique("k"))).collect()
+    assert(clean.forall(_.getBoolean(2)))
+  }
+
   test("as-of directions: backward, forward, nearest with tolerance and backward tie") {
     import graft.operators.AsOf
     def d(s: String) = java.sql.Date.valueOf(s)
