@@ -41,6 +41,9 @@ object SparkEntry {
     // declarative expectation gate: one scan, one reduce row, a
     // planted red check proving the failure path is hash-checked too
     "q_quality_gate"     -> QualityGate.ordersGate _,
+    // blocked fuzzy record linkage: candidates share a blocking key,
+    // codegen levenshtein verifies
+    "q_fuzzy_link"       -> RecordLinkage.fuzzyLink _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
@@ -886,6 +889,8 @@ object SparkEntry {
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM r ORDER BY check_name""".stripMargin,
+
+    "q_fuzzy_link" -> graft.operators.RecordLinkage.fuzzyLinkOracle,
 
     "q_asof_order" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),

@@ -71,6 +71,29 @@ object QualityGate {
       .orderBy("check_name")
   }
 
+  /** A failed gate: carries the red report rows. */
+  class ExpectationsFailed(val report: Seq[(String, Long)])
+    extends RuntimeException(
+      "expectations failed: " +
+        report.map { case (n, v) => s"$n ($v violations)" }.mkString(", "))
+
+  /** Gate-then-publish: run the expectations and publish the snapshot
+    * version ONLY on all-green — the composition a production pipeline
+    * runs (the reference's verify step, moved BEFORE the upload
+    * instead of after it). A red gate throws with the failing checks
+    * and writes nothing: a bad feed can never become the live
+    * version. */
+  def gatedPublish(df: DataFrame, checks: Seq[Check], dateCol: String,
+                   tablePath: String, retainVersions: Int = 2,
+                   statsCols: Seq[String] = Nil): Long = {
+    val red = validate(df, checks).filter(!col("pass"))
+      .select("check_name", "violations").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (red.nonEmpty) throw new ExpectationsFailed(red)
+    graft.sources.Sinks.publishSnapshot(df, dateCol, tablePath,
+      retainVersions = retainVersions, statsCols = statsCols)
+  }
+
   /** Registered `q_quality_gate`: the pre-publish expectation run over
     * the orders feed — key integrity, domain membership, value sanity.
     * One expectation (`at_most:o_totalprice` at an implausibly low

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Fuzzy record linkage: match records across two feeds whose join
+  * key is a NAME that arrives slightly corrupted (typos, OCR noise,
+  * re-keyed exports) — the address/identity matching problem under
+  * the reference's price-paid feed, where `tuid` is the clean key
+  * precisely because upstream linkage already solved this.
+  *
+  * The classic two-stage shape: a BLOCKING key (cheap, high-recall)
+  * restricts candidates to records that agree on some stable
+  * fragment, then Levenshtein verifies each candidate pair — the
+  * edit-distance evaluation is Spark's codegen `levenshtein`, and
+  * work is Σ block² (bounded by the blocking key's selectivity),
+  * never |left|×|right|. Blocking trades recall for scale by
+  * construction: a corruption that hits the blocking fragment itself
+  * escapes linkage — the standard mitigation is a second pass with a
+  * different key (multi-pass blocking), which is just a `unionByName`
+  * of two fuzzyJoin calls here.
+  */
+object RecordLinkage {
+
+  /** Blocked fuzzy join: candidate pairs share the blocking key,
+    * verified pairs have `levenshtein ≤ maxDist`. Emits every
+    * surviving pair with its distance (callers pick rank-1 per left
+    * row if they need a unique match). */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftName: String, rightName: String,
+                blockLeft: Column, blockRight: Column, maxDist: Int): DataFrame =
+    left.withColumn("__bk", blockLeft)
+      .join(right.withColumn("__bk", blockRight), "__bk")
+      .withColumn("name_dist", levenshtein(col(leftName), col(rightName)))
+      .filter(col("name_dist") <= maxDist)
+      .drop("__bk")
+
+  /** Registered `q_fuzzy_link`: a synthetic dirty feed — every
+    * customer name re-keyed with one interior digit bumped (position
+    * 12, the 10⁶ place: always 0 at test scales, so the bumped name
+    * collides with no real customer and each dirty row has exactly
+    * one true match at distance 1) — linked back to the clean table
+    * blocking on the name's last 4 characters (untouched by the
+    * perturbation, so blocking recall is exactly 1 here and the
+    * linkage must recover every row). Hash-matched against the same
+    * derivation + levenshtein in DuckDB. */
+  def fuzzyLink(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val off = NearDedup.plantedOffset(c, "c_custkey")
+    val dirty = c.select(
+      (col("c_custkey") + off).as("d_id"),
+      concat(substring(col("c_name"), 1, 11),
+        ((substring(col("c_name"), 12, 1).cast("int") + 1) % 10).cast("string"),
+        substring(col("c_name"), 13, 100)).as("d_name"))
+    fuzzyJoin(dirty, c, "d_name", "c_name",
+        expr("right(d_name, 4)"), expr("right(c_name, 4)"), maxDist = 1)
+      .select(col("d_id"), col("c_custkey"),
+        col("name_dist").cast(LongType).as("name_dist"))
+      .orderBy("d_id", "c_custkey")
+  }
+
+  def fuzzyLinkOracle: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer),
+      |o AS (SELECT MAX(c_custkey) + 1 AS off FROM c),
+      |d AS (SELECT c_custkey + off AS d_id,
+      |        substring(c_name, 1, 11) ||
+      |        CAST((CAST(substring(c_name, 12, 1) AS INT) + 1) % 10 AS VARCHAR) ||
+      |        substring(c_name, 13, 100) AS d_name
+      |      FROM c CROSS JOIN o)
+      |SELECT d.d_id, c.c_custkey,
+      |  CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS name_dist
+      |FROM d JOIN c ON right(d.d_name, 4) = right(c.c_name, 4)
+      |WHERE levenshtein(d.d_name, c.c_name) <= 1
+      |ORDER BY d_id, c_custkey""".stripMargin
+}

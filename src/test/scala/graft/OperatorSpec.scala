@@ -171,6 +171,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(clean.forall(_.getBoolean(2)))
   }
 
+  test("gated publish refuses a red feed before writing; a green feed publishes") {
+    import graft.operators.QualityGate
+    import graft.operators.QualityGate._
+    import graft.sources.Sinks
+    val table = java.nio.file.Files.createTempDirectory("gated").toString + "/t"
+    val feed = Seq((1L, -5.0, "2024-02-01"), (2L, 3.0, "2024-02-02"))
+      .toDF("k", "v", "dt").withColumn("dt", to_date(col("dt")))
+    val checks = Seq(notNull("k"), unique("k"), nonNegative("v"))
+    val e = intercept[QualityGate.ExpectationsFailed] {
+      QualityGate.gatedPublish(feed, checks, "dt", table)
+    }
+    assert(e.report === Seq("non_negative:v" -> 1L))
+    // nothing became live
+    assert(Sinks.currentVersion(spark, table).isEmpty)
+    val v = QualityGate.gatedPublish(feed.filter(col("v") >= 0), checks, "dt", table)
+    assert(Sinks.currentVersion(spark, table) === Some(v))
+    assert(Sinks.readSnapshot(spark, table).count() === 1)
+  }
+
+  test("fuzzy linkage: blocking bounds candidates; a corrupted block key escapes until a second pass") {
+    import graft.operators.RecordLinkage.fuzzyJoin
+    val clean = Seq((1L, "alpha-0001"), (2L, "alpha-0002"), (3L, "beta-0003"))
+      .toDF("id", "name")
+    val dirty = Seq((10L, "alphA-0001"), (11L, "beta-0004"), (12L, "gamma-9999"))
+      .toDF("d_id", "d_name")
+    def pairs(bl: String, br: String) =
+      fuzzyJoin(dirty, clean, "d_name", "name", expr(bl), expr(br), maxDist = 1)
+        .select("d_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val suffixPass = pairs("right(d_name, 4)", "right(name, 4)")
+    // 10 links to 1 (one case flip, same suffix); 11 is distance 1
+    // from beta-0003 but its CORRUPTED digit is inside the block key →
+    // escapes this pass; 12 matches nothing
+    assert(suffixPass === Set(10L -> 1L))
+    // multi-pass blocking: a prefix-keyed second pass recovers 11
+    val prefixPass = pairs("left(d_name, 5)", "left(name, 5)")
+    assert(prefixPass.contains(11L -> 3L))
+    assert(!prefixPass.exists(_._1 == 12L))
+  }
+
   test("as-of directions: backward, forward, nearest with tolerance and backward tie") {
     import graft.operators.AsOf
     def d(s: String) = java.sql.Date.valueOf(s)
