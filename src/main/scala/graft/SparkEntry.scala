@@ -65,6 +65,11 @@ object SparkEntry {
     // built-in session_window (≥-gap semantics, own oracle)
     "q_session_window"   -> EventsPipeline.sessionWindowBatch _,
     "q_cube_revenue"     -> ReferenceOps.cubeRevenue _,
+    // market-basket pair mining: within-order self-join, basket-bounded
+    "q_copurchase"       -> ((s: SparkSession, dir: String) =>
+      ReferenceOps.coPurchasePairs(s, dir)),
+    // ntile cohort report over the customer pre-aggregate
+    "q_spend_quartiles"  -> ReferenceOps.spendQuartiles _,
     "q_sessions"         -> ReferenceOps.sessionize _,
     // hourly grid + gap fill + forward fill: generated spine, so
     // silent gaps are impossible; order-independent aggregates only
@@ -891,6 +896,26 @@ object SparkEntry {
         |FROM r ORDER BY check_name""".stripMargin,
 
     "q_fuzzy_link" -> graft.operators.RecordLinkage.fuzzyLinkOracle,
+
+    // within-order pair census; (support, pair) total order → LIMIT safe
+    "q_copurchase" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+        |FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
+
+    "q_spend_quartiles" ->
+      """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+        |        COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1),
+        |q AS (SELECT *, CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile
+        |      FROM s)
+        |SELECT quartile, COUNT(*) AS n_customers,
+        |  CAST(SUM(spend) AS DOUBLE) AS total_spend,
+        |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
 
     "q_asof_order" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),

@@ -353,6 +353,45 @@ object ReferenceOps {
       .orderBy("user_id")
   }
 
+  /** Frequent co-purchase pairs (market-basket mining, the top of the
+    * apriori lattice): parts ordered together, counted across orders.
+    * The pair explosion is a WITHIN-ORDER self-join — work is
+    * Σ items-per-order², bounded by the basket size (≤7 lineitems in
+    * this schema), never |lineitem|²; the canonical p1 < p2 ordering
+    * halves it and makes each pair unique per order. Top pairs by
+    * (support DESC, pair) are fully deterministic integers. */
+  def coPurchasePairs(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  /** Customer spend quartiles — the NTILE cohort report ("which
+    * quartile does this customer's lifetime spend fall in"): one
+    * keyed aggregation to lifetime spend (decimal-exact), one global
+    * ntile window over the pre-aggregated customer list (report-sized
+    * input, so the single-partition window is bounded), then quartile
+    * summary stats. */
+  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(dec2(col("o_totalprice"))).as("spend"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast(DoubleType).as("total_spend"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy("quartile")
+  }
+
   /** Time-series RESAMPLE: downsample the event stream to a fixed
     * hourly grid per series with gap filling and forward fill — the
     * dashboard/monitoring read the raw stream can't serve (a chart
