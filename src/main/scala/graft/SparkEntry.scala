@@ -70,6 +70,8 @@ object SparkEntry {
       ReferenceOps.coPurchasePairs(s, dir)),
     // ntile cohort report over the customer pre-aggregate
     "q_spend_quartiles"  -> ReferenceOps.spendQuartiles _,
+    // JSON payload extraction in the projection (schema-on-read tail)
+    "q_event_props"      -> ReferenceOps.eventPropsAgg _,
     "q_sessions"         -> ReferenceOps.sessionize _,
     // hourly grid + gap fill + forward fill: generated spine, so
     // silent gaps are impossible; order-independent aggregates only
@@ -896,6 +898,13 @@ object SparkEntry {
         |FROM r ORDER BY check_name""".stripMargin,
 
     "q_fuzzy_link" -> graft.operators.RecordLinkage.fuzzyLinkOracle,
+
+    "q_event_props" ->
+      """WITH x AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // within-order pair census; (support, pair) total order → LIMIT safe
     "q_copurchase" ->

@@ -353,6 +353,21 @@ object ReferenceOps {
       .orderBy("user_id")
   }
 
+  /** Semi-structured payload extraction: the events table carries a
+    * JSON `props` column (the schema-on-read tail every event bus
+    * has); `get_json_object` pulls typed fields out in the projection
+    * — codegen path extraction, no UDF, no full parse into a struct —
+    * and the aggregate is integer-exact. At scale the extraction
+    * rides the scan (column-pruned to `props` + group key). */
+  def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(when(col("k").isNotNull, 1)).as("n_with_k"),
+        sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Frequent co-purchase pairs (market-basket mining, the top of the
     * apriori lattice): parts ordered together, counted across orders.
     * The pair explosion is a WITHIN-ORDER self-join — work is

@@ -287,6 +287,34 @@ object CorpusStream {
     out.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
   }
 
+  /** Maintenance pass for the near-dedup state: fold the per-batch
+    * band-index partitions (one dir per trigger — inode growth is the
+    * cost of idempotent per-batch writes) into a single consolidated
+    * partition at `batch=-1`. −1 is no real batch id, so the running
+    * stream's own-batch exclusion never hides it, and a retry of any
+    * live batch still overwrites only its own partition. Run on the
+    * same cadence as snapshot compaction; crash-safe: the fold writes
+    * the consolidated partition FIRST and deletes the covered ones
+    * after, so a crash in between only leaves duplicate band rows —
+    * which add candidate pairs, never lose them (dedup stays exact;
+    * the next fold clears the debris). */
+  def compactBandIndex(spark: SparkSession, corpusPath: String): Unit = {
+    val bandsPath = s"$corpusPath/_bands"
+    val root = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(_.getName != "batch=-1")
+    if (batchDirs.size <= 1) return
+    val all = spark.read.parquet(bandsPath)
+      .select("doc_id", "band", "bh").distinct()
+      .localCheckpoint(true) // materialize BEFORE overwriting sources
+    all.write.mode("overwrite").parquet(s"$bandsPath/batch=-1")
+    batchDirs.foreach(d => fs.delete(d, true))
+  }
+
   /** Streaming corpus ingest with history-wide NEAR dedup: the
     * near-tier sibling of [[run]] — each micro-batch admits only
     * documents that are neither exact nor minhash-near duplicates of

@@ -464,6 +464,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.sameElements(fold))
   }
 
+  test("band-index compaction folds per-batch partitions; rejection state stays intact") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("nearcompact").toString + "/c"
+    val body = "a sufficiently long document body for reliable shingling and banding here"
+    def b(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    CorpusStream.admitNearBatch(b(1L -> body), out, 0L, 0.5)
+    CorpusStream.admitNearBatch(
+      b(2L -> "a wholly different second story with plenty of words to shingle on"), out, 1L, 0.5)
+    CorpusStream.compactBandIndex(spark, out)
+    val dirs = new java.io.File(s"$out/_bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("batch=-1"), s"expected one consolidated partition, got $dirs")
+    // the folded index still rejects a near copy of batch 0's doc
+    CorpusStream.admitNearBatch(b(30L -> (body + " extra tail")), out, 2L, 0.5)
+    val admitted = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(1L, 2L))
+  }
+
   test("streaming near-dedup batch write is idempotent under a foreachBatch retry") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("nearretry").toString + "/c"
