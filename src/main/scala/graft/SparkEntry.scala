@@ -50,10 +50,20 @@ object SparkEntry {
     "q_cdc_merge_bcast"  -> Cdc.mergeResultBroadcast _,
     "q_cdc_stats"        -> Cdc.mergeStats _,
     "q_cdc_replay"       -> Cdc.replayResult _,
+    // SCD Type-2 dimension history from the chained CDC snapshots:
+    // change-point detection in one key-partitioned bounded window
+    "q_scd2"             -> Scd.cdcHistory _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
     "q_monthly_growth"   -> ReferenceOps.monthlyGrowth _,
+    // RANGE-frame rolling 7-day revenue over the day-sized aggregate
+    "q_rolling_revenue"  -> ReferenceOps.rollingRevenue _,
+    // active/new/retained/churned ledger from distinct (user, day)
+    "q_churn"            -> ReferenceOps.dailyChurn _,
+    // Pareto: top-N customers covering 50/80/90/99% of revenue,
+    // decimal-exact threshold tests
+    "q_pareto"           -> ReferenceOps.revenueConcentration _,
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q_price_pct_approx" -> ((s: SparkSession, dir: String) =>
@@ -73,6 +83,8 @@ object SparkEntry {
     // JSON payload extraction in the projection (schema-on-read tail)
     "q_event_props"      -> ReferenceOps.eventPropsAgg _,
     "q_sessions"         -> ReferenceOps.sessionize _,
+    // gaps-and-islands interval union: merged activity coverage spans
+    "q_interval_merge"   -> Intervals.userActivitySpans _,
     // hourly grid + gap fill + forward fill: generated spine, so
     // silent gaps are impossible; order-independent aggregates only
     "q_resample"         -> ReferenceOps.resampleHourly _,
@@ -91,6 +103,8 @@ object SparkEntry {
     "q_funnel_windowed"  -> Funnel.eventFunnelWindowed _,
     // cohort retention: first-active day × comeback day offsets
     "q_retention"        -> Funnel.eventRetention _,
+    // first-order Markov transition matrix over the event stream
+    "q_transitions"      -> Funnel.eventTransitions _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -669,6 +683,30 @@ object SparkEntry {
 
     "q_cdc_replay" -> cdcReplaySql,
 
+    // Type-2 history over the same chained states: union the three
+    // snapshots, keep change points (null-safe state compare or first
+    // appearance), interval = version → lead(version)
+    "q_scd2" -> (cdcReplayChain +
+      """, snaps AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, o_orderkey, price, is_deleted FROM base_s
+        |  UNION ALL SELECT 1, o_orderkey, price, is_deleted FROM s1
+        |  UNION ALL SELECT 2, o_orderkey, price, is_deleted FROM s2),
+        |lagged AS (
+        |  SELECT *, lag(version) OVER w AS pv,
+        |         lag(price) OVER w AS pp, lag(is_deleted) OVER w AS pd
+        |  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)),
+        |hist AS (
+        |  SELECT o_orderkey, version AS valid_from, price, is_deleted
+        |  FROM lagged
+        |  WHERE pv IS NULL OR price IS DISTINCT FROM pp
+        |     OR is_deleted IS DISTINCT FROM pd)
+        |SELECT o_orderkey, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  CAST(price AS DOUBLE) AS price, is_deleted,
+        |  CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 'T' ELSE 'F' END AS is_current
+        |FROM hist WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY valid_from)
+        |ORDER BY o_orderkey, valid_from""".stripMargin),
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, price_rank, running_total FROM (
         | SELECT o_custkey, o_orderkey,
@@ -731,6 +769,56 @@ object SparkEntry {
         | END AS growth_pct
         |FROM m ORDER BY order_month""".stripMargin,
 
+    // RANGE frame over epoch-day ints: missing days SHRINK the window
+    "q_rolling_revenue" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+        |        COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1),
+        |e AS (SELECT *, CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS ed FROM d)
+        |SELECT day, CAST(day_rev AS DOUBLE) AS day_rev, n_orders,
+        |  CAST(SUM(day_rev) OVER w AS DOUBLE) AS rev_7d,
+        |  CAST(SUM(n_orders) OVER w AS BIGINT) AS orders_7d
+        |FROM e WINDOW w AS (ORDER BY ed RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    // engagement ledger from distinct (user, day): churned(d) = active
+    // d-1, absent d (reported on d)
+    "q_churn" ->
+      """WITH dm AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |act AS (SELECT day, COUNT(*) AS n_active FROM dm GROUP BY 1),
+        |ret AS (SELECT a.day, COUNT(*) AS n_retained FROM dm a
+        |        JOIN dm b ON a.user_id = b.user_id AND a.day = b.day + 1 GROUP BY 1),
+        |fst AS (SELECT day, COUNT(*) AS n_new FROM
+        |          (SELECT user_id, MIN(day) AS day FROM dm GROUP BY 1) GROUP BY 1),
+        |chn AS (SELECT a.day + 1 AS day, COUNT(*) AS n_churned FROM dm a
+        |        WHERE NOT EXISTS (SELECT 1 FROM dm b
+        |          WHERE b.user_id = a.user_id AND b.day = a.day + 1) GROUP BY 1)
+        |SELECT act.day, act.n_active,
+        |  COALESCE(ret.n_retained, 0) AS n_retained,
+        |  COALESCE(fst.n_new, 0) AS n_new,
+        |  COALESCE(chn.n_churned, 0) AS n_churned
+        |FROM act LEFT JOIN ret USING (day) LEFT JOIN fst USING (day)
+        |LEFT JOIN chn USING (day)
+        |ORDER BY act.day""".stripMargin,
+
+    // Pareto concentration: cum·100 ≥ total·t tested in DECIMAL
+    "q_pareto" ->
+      """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER o AS BIGINT) AS rk,
+        |        SUM(spend) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM s WINDOW o AS (ORDER BY spend DESC, o_custkey)),
+        |tot AS (SELECT SUM(spend) AS total, COUNT(*) AS n_customers_total FROM s),
+        |th AS (SELECT unnest([50, 80, 90, 99]) AS threshold_pct)
+        |SELECT CAST(th.threshold_pct AS BIGINT) AS threshold_pct,
+        |  MIN(r.rk) AS n_customers,
+        |  MAX(tot.n_customers_total) AS n_customers_total,
+        |  CAST(MIN(r.rk) AS DOUBLE) / CAST(MAX(tot.n_customers_total) AS DOUBLE) AS customer_share
+        |FROM r CROSS JOIN tot CROSS JOIN th
+        |WHERE r.cum * 100 >= tot.total * th.threshold_pct
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_event_pivot" ->
       """SELECT user_id,
         | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
@@ -790,6 +878,25 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // gaps-and-islands: running max(end) over preceding rows, a start
+    // strictly past it opens an island; touching intervals merge
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+        |f AS (SELECT user_id, s, e,
+        |        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |          OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        THEN 1 ELSE 0 END AS opn
+        |      FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |        CAST(SUM(opn) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |      FROM f)
+        |SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end,
+        |       COUNT(*) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // hourly resample grid: generated spine × series, count/max only
     // (order-independent → partitioning-proof), last-ignore-nulls fill
     "q_resample" ->
@@ -816,6 +923,20 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // transition matrix: per-user lead by (ts, event_id), integer-µs
+    // gaps; p = BIGINT/BIGINT in IEEE double (exactly rounded)
+    "q_transitions" ->
+      """WITH x AS (SELECT user_id, event_type AS from_type,
+        |        lead(event_type) OVER w AS to_type,
+        |        lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n,
+        |        CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+        |      FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n, total_gap_us,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // ordered funnel: min-chain with strict-after steps, all times in
     // integer microseconds on both engines

@@ -112,4 +112,41 @@ object Funnel {
     * in DuckDB. */
   def eventRetention(spark: SparkSession, dir: String): DataFrame =
     retentionOf(Tables.events(spark, dir))
+
+  /** Event-type TRANSITION MATRIX — the first-order Markov view of
+    * the stream ("after a view, what happens next, how often, and how
+    * fast"): per user, each event's successor by (ts, event_id) order
+    * feeds one (from, to) census. The funnel (above) asks about ONE
+    * prescribed path; the matrix surfaces every observed path with
+    * its empirical probability — where funnels come FROM.
+    *
+    * Determinism: equal-timestamp successors are tie-broken by
+    * event_id on both engines; the probability is one BIGINT/BIGINT
+    * division in IEEE double (exactly rounded, cross-engine bit-equal
+    * — no decimal rounding mode in sight). Scale: one user-keyed
+    * window (`lead`), one matrix-sized aggregate; the stream shuffles
+    * once, the matrix is |event types|² rows. */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+          .cast("long"))
+      .filter(col("to_type").isNotNull)
+      .withColumnRenamed("event_type", "from_type")
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("total_gap_us"))
+    val totals = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(totals).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Registered `q_transitions`. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables.events(spark, dir))
 }

@@ -502,4 +502,89 @@ object ReferenceOps {
       .groupBy("n_name").agg(sum(col("rev")).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** Rolling 7-day revenue — the RANGE-frame window (`RANGE BETWEEN 6
+    * PRECEDING`, over epoch-day integers so both engines frame
+    * identically): unlike a ROWS frame, missing calendar days shrink
+    * the window instead of silently pulling in older days. The window
+    * runs over the DAY-sized pre-aggregate (bounded by the calendar,
+    * not the fact table), so the global sort it needs is report-sized;
+    * decimal sums stay exact inside the frame and surface as DOUBLE. */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("day_rev"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("epoch_day",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast(LongType))
+    val w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", sum(col("day_rev")).over(w).cast(DoubleType))
+      .withColumn("orders_7d", sum(col("n_orders")).over(w))
+      .select(col("day"), col("day_rev").cast(DoubleType).as("day_rev"),
+        col("n_orders"), col("rev_7d"), col("orders_7d"))
+      .orderBy("day")
+  }
+
+  /** Daily active/new/retained/churned accounting — the engagement
+    * ledger over the event stream. All four counters derive from the
+    * distinct (user, day) table: active = per-day count, retained =
+    * self-join on (user, day = prev day + 1), new = first-day census,
+    * churned(d) = active on d−1 with no activity on d (the
+    * anti-join, reported on d). Day-keyed joins after one distinct —
+    * the stream shuffles once into the dedup, everything downstream
+    * is user-day-sized. */
+  def dailyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val dm = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val act = dm.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val a = dm.alias("a"); val b = dm.alias("b")
+    val ret = a.join(b, col("a.user_id") === col("b.user_id") &&
+        col("a.day") === date_add(col("b.day"), 1))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("n_retained"))
+    val fresh = dm.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val churned = a.join(b, col("b.user_id") === col("a.user_id") &&
+        col("b.day") === date_add(col("a.day"), 1), "left_anti")
+      .select(date_add(col("a.day"), 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    act.join(ret, Seq("day"), "left")
+      .join(fresh, Seq("day"), "left")
+      .join(churned, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
+  /** Revenue CONCENTRATION (Pareto): how many top customers cover
+    * 50/80/90/99% of lifetime revenue. The running share needs a
+    * global order — taken over the CUSTOMER aggregate (dimension-
+    * sized, the ntile/quartile precedent), never the fact table; the
+    * threshold test is `cum·100 ≥ total·t` in DECIMAL — integer-exact
+    * on both engines, no float share ever compared. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(sum(dec2(col("o_totalprice"))).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = spend
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("spend").desc, col("o_custkey"))).cast(LongType))
+      .withColumn("cum", sum(col("spend")).over(w))
+    val totals = spend.agg(sum(col("spend")).as("total"),
+      count(lit(1)).as("n_customers_total"))
+    val thresholds = spark.range(1).select(
+      explode(array(lit(50), lit(80), lit(90), lit(99))).as("threshold_pct"))
+    ranked.crossJoin(broadcast(totals)).crossJoin(broadcast(thresholds))
+      .filter(col("cum") * lit(100) >= col("total") * col("threshold_pct"))
+      .groupBy(col("threshold_pct").cast(LongType).as("threshold_pct"))
+      .agg(min(col("rk")).as("n_customers"),
+        max(col("n_customers_total")).as("n_customers_total"))
+      .withColumn("customer_share",
+        col("n_customers").cast(DoubleType) /
+          col("n_customers_total").cast(DoubleType))
+      .orderBy("threshold_pct")
+  }
 }

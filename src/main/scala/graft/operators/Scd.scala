@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Slowly-changing-dimension TYPE 2 history built from periodic
+  * snapshots — the warehouse-side completion of the CDC family
+  * (SURVEY rows 10/39): the reference applies each monthly update in
+  * place and keeps only the latest state
+  * (land_registry_monthly_update_database_updater.py), so "what was
+  * this row worth in month N" is unanswerable there. A Type-2
+  * dimension keeps every distinct state as its own row with a
+  * validity interval.
+  *
+  * Shape: tag each snapshot with its version, union, and detect
+  * change points with ONE key-partitioned window (frames are at most
+  * #snapshots rows, so the window is bounded by the schedule, never
+  * by data volume); `valid_to` is the `lead` of `valid_from` over the
+  * surviving change points. Total cost = one shuffle on the dimension
+  * key over #snapshots × |table| rows — at 100 TB the snapshots
+  * themselves arrive pre-partitioned from the snapshot store, and the
+  * union preserves that layout into the window exchange.
+  *
+  * State comparison is NULL-SAFE (`<=>`): a column transitioning
+  * null→value or value→null is a change; first appearance of a key
+  * (a mid-history ADD) always opens a row.
+  */
+object Scd {
+
+  /** Generic builder: `snapshots(i)` is the dimension at version i
+    * (ascending). Output: key, stateCols, `valid_from`/`valid_to`
+    * version interval (valid_to null = open), `is_current` 'T'/'F'. */
+  def type2FromSnapshots(snapshots: Seq[DataFrame], key: String,
+                         stateCols: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "need at least one snapshot")
+    val tagged = snapshots.zipWithIndex.map { case (df, v) =>
+      df.select((col(key) +: stateCols.map(col)) :+ lit(v.toLong).as("version"): _*)
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(key).orderBy("version")
+    // first-ever row for the key (lag(version) null) OR any state
+    // column differing null-safely from the previous version
+    val changed = stateCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || lag(col("version"), 1).over(w).isNull
+    val hist = tagged.withColumn("_chg", changed)
+      .filter(col("_chg"))
+      .withColumnRenamed("version", "valid_from")
+      .drop("_chg")
+    val w2 = Window.partitionBy(key).orderBy("valid_from")
+    hist
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", when(col("valid_to").isNull, "T").otherwise("F"))
+  }
+
+  /** The registered binding: Type-2 history over the synthetic CDC
+    * chain — version 0 = the base table, version 1 = after month 1's
+    * change file, version 2 = after month 2's (the exact states
+    * `q_cdc_replay` folds through). Internal math stays decimal;
+    * price surfaces as DOUBLE (the ReferenceOps representation
+    * convention). */
+  def cdcHistory(spark: SparkSession, dir: String): DataFrame = {
+    val base = Cdc.baseTable(spark, dir)
+    val c1 = Cdc.changeSet(spark, dir).withColumnRenamed("new_price", "price")
+    val c2 = Cdc.changeSet2(spark, dir).withColumnRenamed("new_price", "price")
+    val s1 = CdcMerge.applyAll(base, Seq(c1), key = "o_orderkey",
+      compareCols = Seq("price"))
+    val s2 = CdcMerge.applyAll(base, Seq(c1, c2), key = "o_orderkey",
+      compareCols = Seq("price"))
+    type2FromSnapshots(Seq(base, s1, s2), key = "o_orderkey",
+      stateCols = Seq("price", "is_deleted"))
+      .select(col("o_orderkey"), col("valid_from").cast(LongType),
+        col("valid_to").cast(LongType),
+        col("price").cast(DoubleType).as("price"),
+        col("is_deleted"), col("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+}

@@ -798,4 +798,137 @@ class OperatorSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("rolling revenue: RANGE frame sums exactly the trailing 7 calendar days") {
+    val rows = ReferenceOps.rollingRevenue(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val byDay = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (d, _, _, rev7, n7) =>
+      val win = (0 to 6).flatMap(k => byDay.get(d.minusDays(k.toLong)))
+      assert(math.abs(win.map(_._2).sum - rev7) < 1e-6, s"day $d rev_7d")
+      assert(win.map(_._3).sum === n7, s"day $d orders_7d")
+    }
+  }
+
+  test("daily churn ledger: flow identities hold day over day") {
+    val rows = ReferenceOps.dailyChurn(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDay = rows.toMap
+    val firstDay = rows.map(_._1).min
+    // day 1: everyone is new, nobody retained
+    assert(byDay(firstDay)._1 === byDay(firstDay)._3)
+    assert(byDay(firstDay)._2 === 0L)
+    rows.foreach { case (d, (active, retained, fresh, churned)) =>
+      assert(retained + fresh <= active, s"$d retained+new > active")
+      // conservation: yesterday's actives split into retained vs churned
+      byDay.get(d.minusDays(1L)).foreach { case (prevActive, _, _, _) =>
+        assert(retained + churned === prevActive, s"$d flow identity")
+      }
+    }
+  }
+
+  test("pareto concentration: thresholds are monotone and shares sane") {
+    val rows = ReferenceOps.revenueConcentration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(50L, 80L, 90L, 99L))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 })
+    rows.foreach { case (_, n, total, share) =>
+      assert(n >= 1 && n <= total)
+      assert(share > 0.0 && share <= 1.0)
+      assert(math.abs(share - n.toDouble / total.toDouble) < 1e-12)
+    }
+  }
+
+  test("transition matrix: per-user successor census with exact probabilities") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // u1: view→click→view ; u2: view→view ; u3 single event (no pair)
+    val ev = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "click", t(10)), (1L, 3L, "view", t(30)),
+      (2L, 4L, "view", t(0)), (2L, 5L, "view", t(5)),
+      (3L, 6L, "purchase", t(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.transitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(x => (x._1, x._2))
+    assert(out === Array(
+      ("click", "view", 1L, 20000000L, 1.0),
+      ("view", "click", 1L, 10000000L, 0.5),
+      ("view", "view", 1L, 5000000L, 0.5)))
+    // equal-timestamp successors tie-break by event_id
+    val tie = Seq((9L, 1L, "a", t(0)), (9L, 2L, "b", t(0)), (9L, 3L, "c", t(0)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val m = Funnel.transitionsOf(tie).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m === Set(("a", "b"), ("b", "c")))
+  }
+
+  test("interval merge: overlap, touch, nest, disjoint, tie starts") {
+    // key A: [0,10) ∪ [5,12) ∪ [12,20) merge (overlap + touch);
+    //        [3,8) nests; [25,30) disjoint
+    // key B: two intervals with identical starts merge regardless of order
+    val iv = Seq(
+      ("A", 0L, 10L), ("A", 5L, 12L), ("A", 12L, 20L), ("A", 3L, 8L), ("A", 25L, 30L),
+      ("B", 100L, 110L), ("B", 100L, 105L)
+    ).toDF("k", "s", "e")
+    val out = Intervals.mergeOf(iv, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(out === Array(
+      ("A", 1L, 0L, 20L, 4L), ("A", 2L, 25L, 30L, 1L),
+      ("B", 1L, 100L, 110L, 2L)))
+    // a genuine gap of one unit stays two islands (strict >)
+    val gap = Seq(("G", 0L, 5L), ("G", 6L, 9L)).toDF("k", "s", "e")
+    assert(Intervals.mergeOf(gap, "k", "s", "e").count() === 2)
+  }
+
+  test("scd2: change points, null transitions, mid-history adds, open intervals") {
+    val snaps = Seq(
+      // v0: k1=(10,a), k2=(5,null)
+      Seq((1L, Some(10L), Some("a")), (2L, Some(5L), None)),
+      // v1: k1 unchanged; k2 value→null flips; k3 appears
+      Seq((1L, Some(10L), Some("a")), (2L, None, Some("x")), (3L, Some(7L), Some("c"))),
+      // v2: k1 changes; k2 unchanged; k3 unchanged
+      Seq((1L, Some(11L), Some("a")), (2L, None, Some("x")), (3L, Some(7L), Some("c")))
+    ).map(_.toDF("k", "v", "s"))
+    val h = Scd.type2FromSnapshots(snaps, "k", Seq("v", "s"))
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(1)).map(_.toString), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getString(5))).sortBy(t => (t._1, t._2))
+    // k1: [0,2) then [2,∞) current; k2: [0,1) then [1,∞); k3: [1,∞)
+    assert(h === Array(
+      (1L, 0L, Some("10"), Some(2L), "F"), (1L, 2L, Some("11"), None, "T"),
+      (2L, 0L, Some("5"),  Some(1L), "F"), (2L, 1L, None,       None, "T"),
+      (3L, 1L, Some("7"),  None,     "T")))
+  }
+
+  test("scd2 cdc history: interval chains are contiguous with one current row per key") {
+    val h = Scd.cdcHistory(spark, sf).cache()
+    try {
+      // exactly one open (current) interval per key, and it is the last
+      val perKey = h.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"),
+          max("valid_from").as("max_from"),
+          max(when(col("valid_to").isNull, col("valid_from"))).as("open_from"))
+      assert(perKey.filter(col("n_open") =!= 1).count() === 0)
+      assert(perKey.filter(col("max_from") =!= col("open_from")).count() === 0)
+      // contiguity: every closed interval's valid_to = next valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy("valid_from")
+      val broken = h.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+        .filter(col("valid_to").isNotNull && !(col("valid_to") === col("nxt")))
+      assert(broken.count() === 0)
+      // consecutive versions really differ in state
+      val same = h.withColumn("pp", lag(col("price"), 1).over(w))
+        .withColumn("pd", lag(col("is_deleted"), 1).over(w))
+        .filter(col("pp").isNotNull &&
+          (col("price") <=> col("pp")) && (col("is_deleted") <=> col("pd")))
+      assert(same.count() === 0)
+      // month-1 price changes open a second row
+      assert(h.filter(col("valid_from") === 1).count() > 0)
+    } finally { h.unpersist(); () }
+  }
 }
