@@ -53,6 +53,8 @@ object SparkEntry {
     // SCD Type-2 dimension history from the chained CDC snapshots:
     // change-point detection in one key-partitioned bounded window
     "q_scd2"             -> Scd.cdcHistory _,
+    // incremental fold of the newest snapshot into the open slice only
+    "q_scd2_incr"        -> Scd.cdcHistoryIncremental _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
@@ -64,6 +66,14 @@ object SparkEntry {
     // Pareto: top-N customers covering 50/80/90/99% of revenue,
     // decimal-exact threshold tests
     "q_pareto"           -> ReferenceOps.revenueConcentration _,
+    // median+MAD robust outlier flags on daily event volume
+    "q_anomaly"          -> ReferenceOps.anomalyDays _,
+    // join-key distribution diagnostic (run before salting a join)
+    "q_skew_profile"     -> ((s: SparkSession, dir: String) =>
+      ReferenceOps.keySkewProfile(s, dir)),
+    // order-independent per-month content checksum (bit_xor of 60-bit
+    // row hashes) — verify counts upgraded to content equality
+    "q_fingerprint"      -> ReferenceOps.ordersFingerprint _,
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q_price_pct_approx" -> ((s: SparkSession, dir: String) =>
@@ -570,7 +580,10 @@ object SparkEntry {
     val m = oracleSqlBase
     // the bloom variant is result-identical to the exact plan by
     // construction (false positives die in the exact join) — one oracle
-    m + ("d_decontaminate_bloom" -> m("d_decontaminate"))
+    m + ("d_decontaminate_bloom" -> m("d_decontaminate")) +
+      // incremental SCD2 maintenance is result-identical to the batch
+      // rebuild by construction — one truth, two maintenance plans
+      ("q_scd2_incr" -> m("q_scd2"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -768,6 +781,41 @@ object SparkEntry {
         |           / CAST(lag(revenue) OVER (ORDER BY order_month) AS DOUBLE)
         | END AS growth_pct
         |FROM m ORDER BY order_month""".stripMargin,
+
+    // median/MAD: exact-percentile halves/quarters are bit-equal
+    // across engines; flag compares in exact doubles
+    "q_anomaly" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT median(n_events) AS med FROM d),
+        |dev AS (SELECT day, n_events, med, abs(n_events - med) AS dev
+        |        FROM d CROSS JOIN m),
+        |md AS (SELECT median(dev) AS mad FROM dev)
+        |SELECT day, n_events, CAST(med AS DOUBLE) AS med,
+        |  CAST(mad AS DOUBLE) AS mad,
+        |  CASE WHEN dev > 3 * mad THEN 'T' ELSE 'F' END AS is_anomaly
+        |FROM dev CROSS JOIN md ORDER BY day""".stripMargin,
+
+    // key-distribution diagnostic: share/skew are exact-int divisions
+    "q_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+        |SELECT o_custkey, n_orders,
+        |  CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(n_orders AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew
+        |FROM c CROSS JOIN t
+        |ORDER BY n_orders DESC, o_custkey LIMIT 20""".stripMargin,
+
+    // 60-bit md5-prefix row hashes xor-folded per month: commutative,
+    // overflow-free, identical at any partitioning or engine
+    "q_fingerprint" ->
+      """WITH x AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |        || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT order_month, COUNT(*) AS n_rows, bit_xor(h) AS xor_hash
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // RANGE frame over epoch-day ints: missing days SHRINK the window
     "q_rolling_revenue" ->

@@ -61,4 +61,25 @@ object Reconcile {
         df.withColumn(c, when(takesFile, col(s"__file_$c")).otherwise(col(s"__db_$c"))))
       .select(col(key) +: compareCols.map(col) :+ col("fix_action"): _*)
   }
+
+  /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum
+    * that turns the reference's verify counts into CONTENT equality:
+    * two stores whose per-group (n_rows, xor_hash) match hold the
+    * same rows, wherever and however partitioned. Each row hashes to
+    * a 60-bit integer (the first 15 hex chars of md5 over a
+    * `|`-joined canonical projection — columns pre-cast to strings by
+    * the CALLER so the canonical form is explicit); the group
+    * checksum is `bit_xor`, which commutes and never overflows, so
+    * ANY engine, partitioning, or row order reproduces it — exactly
+    * the property a 1000-executor scan needs. Map-side projection +
+    * one group-sized aggregate; nothing else moves. */
+  def fingerprint(df: DataFrame, groupCols: Seq[String],
+                  canonCols: Seq[String]): DataFrame = {
+    val h = conv(substring(md5(concat_ws("|", canonCols.map(col): _*)), 1, 15),
+      16, 10).cast("long")
+    df.withColumn("__h", h)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_hash"))
+  }
 }

@@ -558,6 +558,69 @@ object ReferenceOps {
       .orderBy("day")
   }
 
+  /** Registered fingerprint binding: per-month content checksum of
+    * the orders key/customer/date projection — the canonical columns
+    * are pre-cast to strings HERE so the canonical form is explicit
+    * and engine-neutral (longs and ISO dates print identically
+    * everywhere). */
+  def ordersFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Reconcile.fingerprint(
+      Tables.orders(spark, dir).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("o_orderkey").cast("string").as("c_key"),
+        col("o_custkey").cast("string").as("c_cust"),
+        to_date(col("o_orderdate")).cast("string").as("c_date")),
+      groupCols = Seq("order_month"),
+      canonCols = Seq("c_key", "c_cust", "c_date"))
+      .orderBy("order_month")
+
+  /** Robust ANOMALY detection on daily event volume — median + MAD
+    * (median absolute deviation), the outlier-resistant alternative to
+    * mean/stddev z-scores (one crazy day inflates a stddev and hides
+    * itself; it cannot move a median). Exactness: counts are integers,
+    * the exact-percentile interpolation `lower + (higher−lower)·0.5`
+    * produces halves/quarters that both engines compute bit-equally,
+    * and the flag compares `|n−med| > 3·mad` in exact doubles — no
+    * epsilon anywhere. Scale: one fact shuffle into the day census;
+    * med/mad are two single-row aggregates over the calendar-bounded
+    * census, broadcast back. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.agg(expr("percentile(n_events, 0.5)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n_events") - col("med")))
+    val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"),
+        col("med").cast(DoubleType).as("med"),
+        col("mad").cast(DoubleType).as("mad"),
+        when(col("dev") > lit(3) * col("mad"), "T").otherwise("F")
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** Join-key SKEW profiler — the diagnostic BEFORE the salted join
+    * (Skew.scala): which keys dominate, by how much. At 100 TB this
+    * is the query you run to decide whether a key needs salting; one
+    * keyed census plus a broadcast totals row. `share` and `skew`
+    * (multiples of a fair share) are exact-int divisions in double. */
+  def keySkewProfile(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val totals = counts.agg(sum(col("n_orders")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("n_orders").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("share"),
+        (col("n_orders").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+          col("total").cast(DoubleType)).as("skew"))
+      .orderBy(col("n_orders").desc, col("o_custkey"))
+      .limit(topK)
+  }
+
   /** Revenue CONCENTRATION (Pareto): how many top customers cover
     * 50/80/90/99% of lifetime revenue. The running share needs a
     * global order — taken over the CUSTOMER aggregate (dimension-

@@ -54,13 +54,58 @@ object Scd {
       .withColumn("is_current", when(col("valid_to").isNull, "T").otherwise("F"))
   }
 
+  /** INCREMENTAL maintenance: fold snapshot `version` into an
+    * existing Type-2 history WITHOUT re-reading earlier snapshots —
+    * the production regime (the batch builder above is the bootstrap /
+    * oracle surface). Closed rows pass through UNTOUCHED; only the
+    * open (current) slice joins the arriving snapshot — one key
+    * shuffle over |current| + |snapshot| rows, never over history.
+    * A key absent from the new snapshot keeps its open row (no
+    * observation is not a change); a changed key closes at `version`
+    * and reopens; a new key opens. Fold-equivalence to the batch
+    * builder is spec-pinned. */
+  def applyIncrement(history: DataFrame, snapshot: DataFrame, version: Long,
+                     key: String, stateCols: Seq[String]): DataFrame = {
+    val closed = history.filter(col("valid_to").isNotNull)
+    val cur = history.filter(col("valid_to").isNull)
+    val snap = snapshot.select((col(key) +: stateCols.map(col)): _*)
+    val joined = cur.alias("c")
+      .join(snap.alias("n"), col(s"c.$key") === col(s"n.$key"), "full_outer")
+    val differs = stateCols
+      .map(c => !(col(s"c.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    val bothSides = col(s"c.$key").isNotNull && col(s"n.$key").isNotNull
+    // open rows that survive as-is: key unchanged, or key unobserved
+    val stillOpen = joined
+      .filter(col(s"n.$key").isNull || (bothSides && !differs))
+      .select(cur.columns.map(c => col(s"c.$c")): _*)
+    // changed keys: close the old row at `version`
+    val closing = joined.filter(bothSides && differs)
+      .select(cur.columns.map {
+        case "valid_to"   => lit(version).as("valid_to")
+        case "is_current" => lit("F").as("is_current")
+        case c            => col(s"c.$c")
+      }: _*)
+    // changed + brand-new keys: open a row at `version`
+    val opening = joined
+      .filter((bothSides && differs) || col(s"c.$key").isNull)
+      .select(cur.columns.map {
+        case `key`        => col(s"n.$key").as(key)
+        case "valid_from" => lit(version).as("valid_from")
+        case "valid_to"   => lit(null).cast("long").as("valid_to")
+        case "is_current" => lit("T").as("is_current")
+        case c if stateCols.contains(c) => col(s"n.$c").as(c)
+        case c            => col(s"c.$c")
+      }: _*)
+    closed.unionByName(stillOpen).unionByName(closing).unionByName(opening)
+  }
+
   /** The registered binding: Type-2 history over the synthetic CDC
     * chain — version 0 = the base table, version 1 = after month 1's
     * change file, version 2 = after month 2's (the exact states
     * `q_cdc_replay` folds through). Internal math stays decimal;
     * price surfaces as DOUBLE (the ReferenceOps representation
     * convention). */
-  def cdcHistory(spark: SparkSession, dir: String): DataFrame = {
+  private def cdcSnapshots(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val base = Cdc.baseTable(spark, dir)
     val c1 = Cdc.changeSet(spark, dir).withColumnRenamed("new_price", "price")
     val c2 = Cdc.changeSet2(spark, dir).withColumnRenamed("new_price", "price")
@@ -68,12 +113,31 @@ object Scd {
       compareCols = Seq("price"))
     val s2 = CdcMerge.applyAll(base, Seq(c1, c2), key = "o_orderkey",
       compareCols = Seq("price"))
-    type2FromSnapshots(Seq(base, s1, s2), key = "o_orderkey",
-      stateCols = Seq("price", "is_deleted"))
-      .select(col("o_orderkey"), col("valid_from").cast(LongType),
+    Seq(base, s1, s2)
+  }
+
+  private def surface(h: DataFrame): DataFrame =
+    h.select(col("o_orderkey"), col("valid_from").cast(LongType),
         col("valid_to").cast(LongType),
         col("price").cast(DoubleType).as("price"),
         col("is_deleted"), col("is_current"))
       .orderBy("o_orderkey", "valid_from")
+
+  def cdcHistory(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = cdcSnapshots(spark, dir)
+    surface(type2FromSnapshots(snaps, key = "o_orderkey",
+      stateCols = Seq("price", "is_deleted")))
+  }
+
+  /** The incremental plan under the SAME oracle: bootstrap the
+    * history from versions 0-1 with the batch builder, fold version 2
+    * in with [[applyIncrement]] — one truth, two maintenance plans
+    * (the CDC-merge discipline applied to dimension history). */
+  def cdcHistoryIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = cdcSnapshots(spark, dir)
+    val boot = type2FromSnapshots(snaps.take(2), key = "o_orderkey",
+      stateCols = Seq("price", "is_deleted"))
+    surface(applyIncrement(boot, snaps(2), version = 2L,
+      key = "o_orderkey", stateCols = Seq("price", "is_deleted")))
   }
 }

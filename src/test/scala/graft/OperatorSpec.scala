@@ -799,6 +799,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("scd2 incremental: fold-equivalent to the batch rebuild, closed rows untouched") {
+    val v0 = Seq((1L, Some(10L)), (2L, Some(5L))).toDF("k", "v")
+    val v1 = Seq((1L, Some(11L)), (2L, Some(5L)), (3L, Some(7L))).toDF("k", "v")
+    // v2: k1 unobserved (keeps open row), k2 changes, k3 goes null
+    val v2 = Seq((2L, Some(6L)), (3L, Option.empty[Long])).toDF("k", "v")
+    val batch = Scd.type2FromSnapshots(Seq(v0, v1, v2), "k", Seq("v"))
+    val incr = Scd.applyIncrement(
+      Scd.type2FromSnapshots(Seq(v0, v1), "k", Seq("v")), v2, 2L, "k", Seq("v"))
+    val norm = (df: org.apache.spark.sql.DataFrame) => df
+      .select("k", "valid_from", "valid_to", "v", "is_current")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(norm(batch) === norm(incr))
+    // and folding one at a time from the bootstrap matches too
+    val twice = Scd.applyIncrement(
+      Scd.applyIncrement(Scd.type2FromSnapshots(Seq(v0), "k", Seq("v")),
+        v1, 1L, "k", Seq("v")), v2, 2L, "k", Seq("v"))
+    assert(norm(batch) === norm(twice))
+  }
+
+  test("fingerprint: partitioning/order invariant, content-sensitive") {
+    val base = Seq(("g1", "a"), ("g1", "b"), ("g2", "c"))
+      .toDF("g", "payload")
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      Reconcile.fingerprint(df, Seq("g"), Seq("payload"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    val a = fp(base)
+    assert(a === fp(base.repartition(7)))
+    assert(a === fp(base.orderBy(col("payload").desc)))
+    // one changed row flips its group's checksum, not the other group's
+    val b = fp(Seq(("g1", "a"), ("g1", "B"), ("g2", "c")).toDF("g", "payload"))
+    assert(a(0)._3 !== b(0)._3); assert(a(1)._3 === b(1)._3)
+  }
+
+  test("anomaly flags are self-consistent with the reported med/mad") {
+    ReferenceOps.anomalyDays(spark, sf).collect().foreach { r =>
+      val (n, med, mad, flag) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))
+      assert((math.abs(n - med) > 3 * mad) === (flag == "T"))
+    }
+  }
+
+  test("skew profile: share and skew identities, descending order") {
+    val rows = ReferenceOps.keySkewProfile(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.reverse.toSeq)
+    rows.foreach { case (_, share, skew) =>
+      assert(share > 0 && share <= 1.0 && skew >= share)
+    }
+  }
+
   test("rolling revenue: RANGE frame sums exactly the trailing 7 calendar days") {
     val rows = ReferenceOps.rollingRevenue(spark, sf).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getLong(2),
