@@ -74,6 +74,9 @@ object SparkEntry {
     // order-independent per-month content checksum (bit_xor of 60-bit
     // row hashes) — verify counts upgraded to content equality
     "q_fingerprint"      -> ReferenceOps.ordersFingerprint _,
+    // co-located bucketed join: publish both sides bucketed on the
+    // key, join with zero Exchange (PlanSpec-pinned)
+    "q_bucket_join"      -> ReferenceOps.bucketJoinRevenue _,
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q_price_pct_approx" -> ((s: SparkSession, dir: String) =>
@@ -816,6 +819,15 @@ object SparkEntry {
         |  FROM orders)
         |SELECT order_month, COUNT(*) AS n_rows, bit_xor(h) AS xor_hash
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // result-wise a plain join+agg; the bucketed no-shuffle property
+    // is pinned in PlanSpec, the oracle checks the numbers
+    "q_bucket_join" ->
+      """SELECT c.c_nationkey,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // RANGE frame over epoch-day ints: missing days SHRINK the window
     "q_rolling_revenue" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.sources.Tables
+import graft.sources.{Sinks, Tables}
 
 /** Batch operators derived from the reference's services and analysis
   * workloads (see SURVEY.md §2 anchors). All money arithmetic goes
@@ -573,6 +573,37 @@ object ReferenceOps {
       groupCols = Seq("order_month"),
       canonCols = Seq("c_key", "c_cust", "c_date"))
       .orderBy("order_month")
+
+  /** Bucketed CO-LOCATED join: both sides published once with
+    * `Sinks.writeBucketedTable` on the join key (same bucket count),
+    * then joined with ZERO Exchange on either input — the plan a
+    * 1000-executor cluster wants for a fact-to-dim join both sides of
+    * which are reused across many queries. The merge hint keeps the
+    * demonstration honest (a broadcast would also avoid the shuffle,
+    * but only because the fixture dim is small); the no-Exchange
+    * property is PlanSpec-pinned. Result-wise this is a plain
+    * join+aggregate, so the DuckDB oracle reads the raw parquet. */
+  def bucketJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_buckets"
+    Sinks.writeBucketedTable(
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+      "graft_b_orders", s"$tmp/orders", "o_custkey", buckets = 8)
+    Sinks.writeBucketedTable(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+      "graft_b_customer", s"$tmp/customer", "c_custkey", buckets = 8)
+    bucketedJoin(spark)
+      .groupBy("c_nationkey")
+      .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  /** The co-located join itself (exposed for the plan pin). */
+  def bucketedJoin(spark: SparkSession): DataFrame = {
+    val o = spark.table("graft_b_orders")
+    val c = spark.table("graft_b_customer")
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+  }
 
   /** Robust ANOMALY detection on daily event volume — median + MAD
     * (median absolute deviation), the outlier-resistant alternative to

@@ -534,6 +534,26 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** TRUE bucketed table (metastore variant of [[writeKeyPartitioned]]):
+    * `bucketBy` records the hash-partitioning in the catalog, so a
+    * join of two tables bucketed on the same key with the same count
+    * plans with ZERO Exchange — the 100 TB answer for a join both
+    * sides of which are reused across many queries (fact-to-dim
+    * reconciliations, repeated key lookups). The bucket files are
+    * written once; every subsequent join reads them co-located.
+    * External path + explicit DROP keeps re-publishes idempotent. */
+  def writeBucketedTable(df: DataFrame, table: String, path: String,
+                         keyCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Training-corpus export layout: the packed manifest (or any doc
     * table) written as split-partitioned, shard-distributed compressed
     * JSONL — the interchange format trainer data loaders consume.

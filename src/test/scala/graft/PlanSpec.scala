@@ -216,6 +216,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed tables join with ZERO Exchange on either side") {
+    // publish both sides bucketed on the join key, then pin the
+    // co-located plan: SortMergeJoin fed by bucketed scans, no
+    // shuffle anywhere in the join subtree
+    operators.ReferenceOps.bucketJoinRevenue(spark, sf).collect()
+    val join = operators.ReferenceOps.bucketedJoin(spark)
+    val p = join.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), s"bucketed join shuffled:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+  }
+
   test("domain filter and boilerplate removal join through broadcasts only") {
     // the blocklist and the frequent-line set are both small-by-
     // construction: a SortMergeJoin would shuffle every host suffix /
