@@ -44,6 +44,9 @@ object SparkEntry {
     // blocked fuzzy record linkage: candidates share a blocking key,
     // codegen levenshtein verifies
     "q_fuzzy_link"       -> RecordLinkage.fuzzyLink _,
+    // same linkage verified by the native Jaro-Winkler expression —
+    // the similarity doubles themselves hash-check against DuckDB
+    "q_fuzzy_link_jw"    -> RecordLinkage.fuzzyLinkJw _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
@@ -1079,6 +1082,7 @@ object SparkEntry {
         |FROM r ORDER BY check_name""".stripMargin,
 
     "q_fuzzy_link" -> graft.operators.RecordLinkage.fuzzyLinkOracle,
+    "q_fuzzy_link_jw" -> graft.operators.RecordLinkage.fuzzyLinkJwOracle,
 
     "q_event_props" ->
       """WITH x AS (SELECT event_type,

@@ -428,6 +428,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(sqlH === colH)
   }
 
+  test("jaro_winkler matches DuckDB bit-for-bit on pinned references") {
+    import org.apache.spark.sql.graft.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // values computed with duckdb 1.0 jaro_winkler_similarity — the
+    // oracle engine; includes the both-empty-→-0.0 convention, the
+    // boost-threshold boundary (CRATE/TRACE sits above 0.7 with a
+    // zero prefix) and the integer-halved transposition path
+    val pinned = Seq(
+      ("martha", "marhta") -> 0.9611111111111111,
+      ("DIXON", "DICKSONX") -> 0.8133333333333332,
+      ("JELLYFISH", "SMELLYFISH") -> 0.8962962962962964,
+      ("", "abc") -> 0.0, ("", "") -> 0.0,
+      ("a", "a") -> 1.0, ("abc", "abc") -> 1.0,
+      ("CRATE", "TRACE") -> 0.7333333333333334,
+      ("arnab", "raanb") -> 0.8666666666666667,
+      ("dwayne", "duane") -> 0.8400000000000001,
+      ("udvzrjod", "u") -> 0.7375,
+      ("crxutmeuiuz", "mtcezap") -> 0.45598845598845594,
+      ("zivs", "dzzvaqwlbrj") -> 0.5606060606060607,
+      ("qnylwvfghgpg", "vbtxrvn") -> 0.31746031746031744)
+    pinned.foreach { case ((a, b), want) =>
+      assert(JaroWinkler.compute(u(a), u(b)) === want, s"$a/$b")
+      assert(JaroWinkler.compute(u(b), u(a)) === want, s"$b/$a sym")
+    }
+    // and the column wrapper runs inside whole-stage codegen
+    val df = Seq(("martha", "marhta")).toDF("a", "b").repartition(1)
+      .select(jaro_winkler(col("a"), col("b")).as("jw"))
+      .filter(col("jw") > 0)
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.9611111111111111))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("jarowinkler"), plan)
+  }
+
   test("dot_f runs inside whole-stage codegen (no fallback in the ANN plan)") {
     val df = graft.sources.Tables.embeddings(spark, sf)
       .select(dot_f(col("embedding"), col("embedding")).as("d")).filter(col("d") > 0)
