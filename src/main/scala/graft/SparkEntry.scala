@@ -80,6 +80,13 @@ object SparkEntry {
     // co-located bucketed join: publish both sides bucketed on the
     // key, join with zero Exchange (PlanSpec-pinned)
     "q_bucket_join"      -> ReferenceOps.bucketJoinRevenue _,
+    // exact-sufficient-statistics regression: merge-order-proof
+    // slope/intercept/r from integer sums
+    "q_regression"       -> ReferenceOps.priceQuantityRegression _,
+    // column profiler: null counts + exact distincts, unpivoted
+    "q_profile"          -> ReferenceOps.ordersProfile _,
+    // per-type box-plot stats with Tukey-fence outlier counts
+    "q_boxplot"          -> ReferenceOps.eventBoxplot _,
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q_price_pct_approx" -> ((s: SparkSession, dir: String) =>
@@ -121,6 +128,9 @@ object SparkEntry {
     "q_retention"        -> Funnel.eventRetention _,
     // first-order Markov transition matrix over the event stream
     "q_transitions"      -> Funnel.eventTransitions _,
+    // stream-stream interval join (batch binding; stream ≡ batch
+    // pinned in StreamingSpec): last-hour click attribution pairs
+    "q_attribution"      -> EventsPipeline.eventAttribution _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -823,6 +833,61 @@ object SparkEntry {
         |SELECT order_month, COUNT(*) AS n_rows, bit_xor(h) AS xor_hash
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // sufficient statistics are exact integers (units / price cents);
+    // the double formula over them is identical on both engines
+    "q_regression" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |      FROM lineitem),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |        CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sxd,
+        |        CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS syd,
+        |        CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxyd,
+        |        CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sx2d,
+        |        CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS sy2d
+        |      FROM li GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxyd - sxd * syd) / (n * sx2d - sxd * sxd) AS slope_cents_per_unit,
+        |  (syd - ((n * sxyd - sxd * syd) / (n * sx2d - sxd * sxd)) * sxd) / n
+        |    AS intercept_cents,
+        |  (n * sxyd - sxd * syd)
+        |    / sqrt((n * sx2d - sxd * sxd) * (n * sy2d - syd * syd)) AS r
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // unpivoted null/distinct profile; one aggregate, four columns
+    "q_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN o_orderkey  IS NULL THEN 1 END) AS nu_k,
+        |    COUNT(DISTINCT o_orderkey)  AS di_k,
+        |    COUNT(CASE WHEN o_custkey   IS NULL THEN 1 END) AS nu_c,
+        |    COUNT(DISTINCT o_custkey)   AS di_c,
+        |    COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nu_p,
+        |    COUNT(DISTINCT o_totalprice) AS di_p,
+        |    COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nu_d,
+        |    COUNT(DISTINCT o_orderdate) AS di_d
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n_rows, nu_k AS n_nulls, di_k AS n_distinct FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, nu_c, di_c FROM a
+        |UNION ALL SELECT 'o_totalprice', n_rows, nu_p, di_p FROM a
+        |UNION ALL SELECT 'o_orderdate', n_rows, nu_d, di_d FROM a
+        |ORDER BY column_name""".stripMargin,
+
+    // R-7 quartiles are the same double expression in both engines;
+    // Tukey fences reuse them verbatim
+    "q_boxplot" ->
+      """WITH q AS (SELECT event_type, COUNT(*) AS n,
+        |        quantile_cont(value, 0.25) AS q1,
+        |        quantile_cont(value, 0.5) AS median,
+        |        quantile_cont(value, 0.75) AS q3
+        |      FROM events GROUP BY 1),
+        |w AS (SELECT event_type, n, q1, median, q3, q3 - q1 AS iqr FROM q)
+        |SELECT e.event_type, MAX(w.n) AS n, MAX(w.q1) AS q1,
+        |  MAX(w.median) AS median, MAX(w.q3) AS q3, MAX(w.iqr) AS iqr,
+        |  COUNT(CASE WHEN e.value < w.q1 - 1.5 * w.iqr THEN 1 END) AS n_low_outliers,
+        |  COUNT(CASE WHEN e.value > w.q3 + 1.5 * w.iqr THEN 1 END) AS n_high_outliers
+        |FROM events e JOIN w USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // result-wise a plain join+agg; the bucketed no-shuffle property
     // is pinned in PlanSpec, the oracle checks the numbers
     "q_bucket_join" ->
@@ -1000,6 +1065,16 @@ object SparkEntry {
         |SELECT from_type, to_type, n, total_gap_us,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // attribution pairs: key equality + time bound, integer-µs gaps
+    "q_attribution" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM c JOIN v ON v.user_id = c.user_id
+        |  AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // ordered funnel: min-chain with strict-after steps, all times in
     // integer microseconds on both engines

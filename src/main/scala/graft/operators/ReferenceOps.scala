@@ -574,6 +574,88 @@ object ReferenceOps {
       canonCols = Seq("c_key", "c_cust", "c_date"))
       .orderBy("order_month")
 
+  /** EXACT distributed linear regression / correlation via sufficient
+    * statistics — the one-pass, merge-order-proof way to regress at
+    * 100 TB: built-in `corr`/`regr_slope` accumulate FLOAT co-moments
+    * whose value depends on partition merge order, so two runs of the
+    * same query can differ in the last ulp. Here the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT integers
+    * (quantity units and price cents, decimal(38,0) sums — no
+    * overflow at any scale), and slope/intercept/r are a fixed double
+    * formula over those exact integers: bit-identical at any
+    * parallelism, and cross-engine. One grouped aggregate, one
+    * shuffle of six numbers per group. */
+  def priceQuantityRegression(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast(LongType).as("x"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+    val s = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sx2"),
+      sum((col("y").cast(d38) * col("y").cast(d38))).as("sy2"))
+    val nd = col("n").cast(DoubleType)
+    val sxd = col("sx").cast(DoubleType); val syd = col("sy").cast(DoubleType)
+    val cov = nd * col("sxy").cast(DoubleType) - sxd * syd
+    val vx = nd * col("sx2").cast(DoubleType) - sxd * sxd
+    val vy = nd * col("sy2").cast(DoubleType) - syd * syd
+    s.select(col("l_returnflag"), col("n"),
+        (cov / vx).as("slope_cents_per_unit"),
+        ((syd - (cov / vx) * sxd) / nd).as("intercept_cents"),
+        (cov / sqrt(vx * vy)).as("r"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Deequ-style COLUMN PROFILER — null counts and exact distinct
+    * cardinalities for every profiled column in one logical pass (the
+    * discovery step before writing row-123 expectations). Exact
+    * distincts expand the aggregate per column; the approx variant at
+    * 100 TB is one HLL per column (row 12's machinery) — this is the
+    * audit-grade form. Output is unpivoted (one row per column) so a
+    * growing schema never changes the result shape. */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val agg = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))): _*)
+    val stacked = cols.map(c =>
+      s"'$c', nulls_$c, dist_$c").mkString(", ")
+    agg.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      .orderBy("column_name")
+  }
+
+  /** Per-group BOX-PLOT stats — exact quartiles, IQR and Tukey-fence
+    * outlier counts per event type (the distribution summary behind
+    * every monitoring dashboard). The R-7 interpolation both engines
+    * implement is the same double expression, so even on arbitrary
+    * float values the quartiles are bit-equal; fences reuse them
+    * verbatim. One fact shuffle into the grouped percentile, one
+    * broadcast-join back for the fence counts. */
+  def eventBoxplot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val q = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.5)").as("median"),
+      expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    ev.join(broadcast(q), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("q1").as("q1"), max("median").as("median"),
+        max("q3").as("q3"), max("iqr").as("iqr"),
+        count(when(col("value") < col("q1") - lit(1.5) * col("iqr"), 1))
+          .as("n_low_outliers"),
+        count(when(col("value") > col("q3") + lit(1.5) * col("iqr"), 1))
+          .as("n_high_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Bucketed CO-LOCATED join: both sides published once with
     * `Sinks.writeBucketedTable` on the join key (same bucket count),
     * then joined with ZERO Exchange on either input — the plan a

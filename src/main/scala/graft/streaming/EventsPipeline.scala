@@ -262,4 +262,43 @@ object EventsPipeline {
       }
       .toDF("user_id", "event_id", "sha256sum")
   }
+
+  /** STREAM-STREAM interval join — last-hour click attribution: each
+    * click pairs with every view by the SAME user in the preceding
+    * hour (inclusive same-instant, exclusive one-hour-ago edge). The
+    * one stateful-join shape the windowed/session family can't
+    * express: two unbounded inputs matched on key + time bound.
+    *
+    * The time-bound conjunct is what makes the state FINITE: with
+    * both sides watermarked, Spark evicts views older than the
+    * watermark minus the join window and clicks past the watermark —
+    * state is O(events-per-hour), not O(stream). Batch and stream run
+    * the IDENTICAL join expression; the batch binding carries the
+    * DuckDB oracle and the spec pins stream ≡ batch on the same
+    * fixture (the q_stream_cdc discipline: one truth, two engines of
+    * execution). */
+  def attributionPairs(views: DataFrame, clicks: DataFrame,
+                       withWatermark: Boolean = false): DataFrame = {
+    val v = if (withWatermark) views.withWatermark("view_ts", "1 hour") else views
+    val c = if (withWatermark) clicks.withWatermark("click_ts", "1 hour") else clicks
+    c.join(v,
+        col("view_user") === col("click_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") > col("click_ts") - expr("interval 1 hour"))
+      .select(col("click_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
+  /** Batch binding of the attribution join over the events table. */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    attributionPairs(views, clicks).orderBy("user_id", "click_id", "view_id")
+  }
 }

@@ -850,6 +850,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("regression: r bounded, slope matches a driver-side recompute from raw rows") {
+    val out = ReferenceOps.priceQuantityRegression(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0)
+      assert(r.getLong(1) > 0)
+    }
+    // recompute one group's slope from the raw table
+    val flag = out.head.getString(0)
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum.toDouble; val sy = rows.map(_._2).sum.toDouble
+    val sxy = rows.map(p => BigInt(p._1) * p._2).sum.toDouble
+    val sx2 = rows.map(p => BigInt(p._1) * p._1).sum.toDouble
+    val want = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    assert(math.abs(out.head.getDouble(2) - want) < 1e-9)
+  }
+
+  test("profiler: key column is unique, distincts bounded by row count") {
+    val p = ReferenceOps.ordersProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nRows, nNullsK, nDistK) = p("o_orderkey")
+    assert(nNullsK === 0L && nDistK === nRows)
+    p.values.foreach { case (n, nulls, dist) =>
+      assert(dist + nulls <= n + 1) // all-null column still has ≤1 distinct
+      assert(dist <= n)
+    }
+  }
+
+  test("boxplot: quartile ordering and fence counts consistent") {
+    ReferenceOps.eventBoxplot(spark, sf).collect().foreach { r =>
+      val (n, q1, med, q3) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(q1 <= med && med <= q3)
+      assert(r.getDouble(5) === q3 - q1)
+      assert(r.getLong(6) + r.getLong(7) < n)
+    }
+  }
+
   test("rolling revenue: RANGE frame sums exactly the trailing 7 calendar days") {
     val rows = ReferenceOps.rollingRevenue(spark, sf).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getLong(2),

@@ -484,6 +484,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted === Set(1L, 2L))
   }
 
+  test("stream-stream attribution join: pairs match batch, state stays bounded") {
+    implicit val sc = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val views = vMem.toDF().toDF("view_user", "view_ts", "view_id")
+    val clicks = cMem.toDF().toDF("click_user", "click_ts", "click_id")
+    val q = EventsPipeline.attributionPairs(views, clicks, withWatermark = true)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    // u1: view 10:00; clicks at 10:00 sharp (gap 0 — same instant is
+    // INCLUSIVE), 10:30 (in window), 11:00 (exactly one hour — the
+    // window edge is EXCLUSIVE, dropped) and one ms past (dropped);
+    // u2's click must not pair with u1's view
+    vMem.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+    cMem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 199L),
+      (1L, ts("2024-01-01 10:30:00"), 200L),
+      (1L, ts("2024-01-01 11:00:00"), 201L),
+      (1L, new Timestamp(ts("2024-01-01 11:00:00").getTime + 1), 202L),
+      (2L, ts("2024-01-01 10:30:00"), 300L))
+    q.processAllAvailable()
+    val got = spark.table("attr_out")
+      .select("user_id", "click_id", "view_id", "gap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    q.stop()
+    assert(got === Array((1L, 199L, 100L, 0L), (1L, 200L, 100L, 1800000000L)))
+    // the batch plan over the same rows agrees exactly
+    import spark.implicits._
+    val vb = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
+      .toDF("view_user", "view_ts", "view_id")
+    val cb = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 199L),
+      (1L, ts("2024-01-01 10:30:00"), 200L),
+      (1L, ts("2024-01-01 11:00:00"), 201L),
+      (1L, new Timestamp(ts("2024-01-01 11:00:00").getTime + 1), 202L),
+      (2L, ts("2024-01-01 10:30:00"), 300L))
+      .toDF("click_user", "click_ts", "click_id")
+    val batch = EventsPipeline.attributionPairs(vb, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(batch === got)
+  }
+
   test("streaming near-dedup batch write is idempotent under a foreachBatch retry") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("nearretry").toString + "/c"
