@@ -47,6 +47,12 @@ object SparkEntry {
     // same linkage verified by the native Jaro-Winkler expression —
     // the similarity doubles themselves hash-check against DuckDB
     "q_fuzzy_link_jw"    -> RecordLinkage.fuzzyLinkJw _,
+    // multi-pass blocking: independent keys unioned, pair-deduped
+    "q_fuzzy_link_multi" -> RecordLinkage.fuzzyLinkMultipass _,
+    // base-2 exponential-decay trending (exact powers, order-proof)
+    "q_trending"         -> ReferenceOps.trendingDecay _,
+    // per-bucket two-sample chi-square drift contributions
+    "q_drift"            -> ReferenceOps.driftReport _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
@@ -1158,6 +1164,42 @@ object SparkEntry {
 
     "q_fuzzy_link" -> graft.operators.RecordLinkage.fuzzyLinkOracle,
     "q_fuzzy_link_jw" -> graft.operators.RecordLinkage.fuzzyLinkJwOracle,
+    "q_fuzzy_link_multi" -> graft.operators.RecordLinkage.fuzzyLinkMultipassOracle,
+
+    // 2^-age weights are exact in double on every engine, and the
+    // weighted sum has a common dyadic grid → order-independent
+    "q_trending" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT MAX(day) AS max_day FROM d)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  SUM(n * pow(2.0, -date_diff('day', day, max_day))) AS trend_score
+        |FROM d CROSS JOIN m GROUP BY 1
+        |ORDER BY trend_score DESC, event_type""".stripMargin,
+
+    // expected counts = exact-int products divided once; contributions
+    // are per-bucket (a summed chi2 would be float-order-dependent)
+    "q_drift" ->
+      """WITH e AS (SELECT event_type, value,
+        |        CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 2 END AS half,
+        |        CAST(floor(value / 10.0) AS BIGINT) AS bucket
+        |      FROM events),
+        |cells AS (SELECT event_type, bucket,
+        |        COUNT(CASE WHEN half = 1 THEN 1 END) AS o1,
+        |        COUNT(CASE WHEN half = 2 THEN 1 END) AS o2
+        |      FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type,
+        |        COUNT(CASE WHEN half = 1 THEN 1 END) AS n1,
+        |        COUNT(CASE WHEN half = 2 THEN 1 END) AS n2
+        |      FROM e GROUP BY 1),
+        |x AS (SELECT c.event_type, c.bucket, c.o1, c.o2,
+        |        CAST(t.n1 * (c.o1 + c.o2) AS DOUBLE) / CAST(t.n1 + t.n2 AS DOUBLE) AS e1,
+        |        CAST(t.n2 * (c.o1 + c.o2) AS DOUBLE) / CAST(t.n1 + t.n2 AS DOUBLE) AS e2
+        |      FROM cells c JOIN tot t USING (event_type))
+        |SELECT event_type, bucket, o1, o2, e1, e2,
+        |  CASE WHEN e1 > 0 AND e2 > 0 THEN
+        |    (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2 END AS chi2_contrib
+        |FROM x ORDER BY event_type, bucket""".stripMargin,
 
     "q_event_props" ->
       """WITH x AS (SELECT event_type,

@@ -98,6 +98,54 @@ object RecordLinkage {
       .orderBy("d_id", "c_custkey")
   }
 
+  /** MULTI-PASS blocking — the documented recall repair for blocked
+    * linkage, registered: a corruption inside one blocking fragment
+    * escapes that pass, so production linkage runs several passes
+    * with INDEPENDENT keys and unions the verified pairs. Here pass A
+    * blocks on the name's last 4 chars and pass B on the first 9
+    * (`Customer#` + leading digits — the perturbation at position 12
+    * never touches either, but either alone is a realistic partial
+    * key); the union dedups on the pair identity so a pair surviving
+    * both passes emits once, keeping its best (min) distance. Cost =
+    * Σ passes' block work — still never |L|×|R|. */
+  def fuzzyLinkMultipass(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val off = NearDedup.plantedOffset(c, "c_custkey")
+    val dirty = c.select(
+      (col("c_custkey") + off).as("d_id"),
+      concat(substring(col("c_name"), 1, 11),
+        ((substring(col("c_name"), 12, 1).cast("int") + 1) % 10).cast("string"),
+        substring(col("c_name"), 13, 100)).as("d_name"))
+    val passA = fuzzyJoin(dirty, c, "d_name", "c_name",
+      expr("right(d_name, 4)"), expr("right(c_name, 4)"), maxDist = 1)
+    val passB = fuzzyJoin(dirty, c, "d_name", "c_name",
+      expr("left(d_name, 9)"), expr("left(c_name, 9)"), maxDist = 1)
+    passA.unionByName(passB)
+      .groupBy("d_id", "c_custkey")
+      .agg(min(col("name_dist")).cast(LongType).as("name_dist"),
+        count(lit(1)).as("n_passes"))
+      .orderBy("d_id", "c_custkey")
+  }
+
+  def fuzzyLinkMultipassOracle: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer),
+      |o AS (SELECT MAX(c_custkey) + 1 AS off FROM c),
+      |d AS (SELECT c_custkey + off AS d_id,
+      |        substring(c_name, 1, 11) ||
+      |        CAST((CAST(substring(c_name, 12, 1) AS INT) + 1) % 10 AS VARCHAR) ||
+      |        substring(c_name, 13, 100) AS d_name
+      |      FROM c CROSS JOIN o),
+      |pa AS (SELECT d.d_id, c.c_custkey, levenshtein(d.d_name, c.c_name) AS nd
+      |       FROM d JOIN c ON right(d.d_name, 4) = right(c.c_name, 4)
+      |       WHERE levenshtein(d.d_name, c.c_name) <= 1),
+      |pb AS (SELECT d.d_id, c.c_custkey, levenshtein(d.d_name, c.c_name) AS nd
+      |       FROM d JOIN c ON left(d.d_name, 9) = left(c.c_name, 9)
+      |       WHERE levenshtein(d.d_name, c.c_name) <= 1),
+      |u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+      |SELECT d_id, c_custkey, CAST(MIN(nd) AS BIGINT) AS name_dist,
+      |  COUNT(*) AS n_passes
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def fuzzyLinkJwOracle: String =
     """WITH c AS (SELECT c_custkey, c_name FROM customer),
       |o AS (SELECT MAX(c_custkey) + 1 AS off FROM c),

@@ -656,6 +656,59 @@ object ReferenceOps {
       .orderBy("event_type")
   }
 
+  /** Exponential-DECAY trending score — "what's hot now": each day's
+    * events weigh 2^(−age-in-days), so yesterday counts half of
+    * today. Base-2 decay is deliberate: 2^(−k) is EXACT in double on
+    * every engine (no transcendental drift, unlike e^(−λt)), and the
+    * weighted terms are all multiples of the smallest power, so the
+    * sum is exact and ORDER-INDEPENDENT — deterministic at any
+    * parallelism. One day-census shuffle, one broadcast max-day. */
+  def trendingDecay(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mx = daily.agg(max("day").as("max_day"))
+    daily.crossJoin(broadcast(mx))
+      .withColumn("w",
+        col("n") * pow(lit(2.0), -datediff(col("max_day"), col("day"))))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), sum("w").as("trend_score"))
+      .orderBy(col("trend_score").desc, col("event_type"))
+  }
+
+  /** Distribution DRIFT report — two-sample chi-square contributions
+    * per value bucket between the month's first and second half (the
+    * feature-drift check a training pipeline runs between corpus
+    * snapshots). Expected counts are exact-integer products divided
+    * once in double, and each bucket's contribution is a fixed double
+    * expression — so the report is hash-checkable PER BUCKET. The
+    * per-bucket table is deliberately the output (not one summed χ²):
+    * float summation order across buckets is partition-dependent, and
+    * the per-bucket view is also what an analyst acts on. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"),
+      when(dayofmonth(col("ts")) <= 15, 1).otherwise(2).as("half"))
+    val b = ev.withColumn("bucket", floor(col("value") / lit(10.0)).cast(LongType))
+    val cells = b.groupBy("event_type", "bucket").agg(
+      count(when(col("half") === 1, 1)).as("o1"),
+      count(when(col("half") === 2, 1)).as("o2"))
+    val totals = b.groupBy("event_type").agg(
+      count(when(col("half") === 1, 1)).as("n1"),
+      count(when(col("half") === 2, 1)).as("n2"))
+    val e1 = (col("n1") * (col("o1") + col("o2"))).cast(DoubleType) /
+      (col("n1") + col("n2")).cast(DoubleType)
+    val e2 = (col("n2") * (col("o1") + col("o2"))).cast(DoubleType) /
+      (col("n1") + col("n2")).cast(DoubleType)
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("e1", e1).withColumn("e2", e2)
+      .withColumn("chi2_contrib",
+        when(col("e1") > 0 && col("e2") > 0,
+          (col("o1") - col("e1")) * (col("o1") - col("e1")) / col("e1") +
+          (col("o2") - col("e2")) * (col("o2") - col("e2")) / col("e2")))
+      .select("event_type", "bucket", "o1", "o2", "e1", "e2", "chi2_contrib")
+      .orderBy("event_type", "bucket")
+  }
+
   /** Bucketed CO-LOCATED join: both sides published once with
     * `Sinks.writeBucketedTable` on the join key (same bucket count),
     * then joined with ZERO Exchange on either input — the plan a

@@ -850,6 +850,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-pass blocking recovers a corruption inside one pass's blocking key") {
+    // corrupt the LAST char: pass A (blocks on right-4) must miss it,
+    // pass B (blocks on left-4) must recover it
+    val clean = Seq((1L, "ACME-LTD-0001"), (2L, "ZETA-PLC-0002")).toDF("id", "name")
+    val dirty = Seq((101L, "ACME-LTD-0009")).toDF("d_id", "d_name")
+    val passA = RecordLinkage.fuzzyJoin(dirty, clean, "d_name", "name",
+      expr("right(d_name, 4)"), expr("right(name, 4)"), maxDist = 1)
+    val passB = RecordLinkage.fuzzyJoin(dirty, clean, "d_name", "name",
+      expr("left(d_name, 4)"), expr("left(name, 4)"), maxDist = 1)
+    assert(passA.count() === 0)
+    val multi = passA.unionByName(passB)
+      .groupBy("d_id", "id").agg(min("name_dist").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi === Array((101L, 1L)))
+  }
+
+  test("trending decay: newest day dominates, score bounded by event count") {
+    val rows = ReferenceOps.trendingDecay(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, score) =>
+      assert(score > 0.0 && score <= n.toDouble)
+    }
+    // descending by score
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("drift report: non-negative contributions, expected counts conserve mass") {
+    ReferenceOps.driftReport(spark, sf).collect().foreach { r =>
+      val (o1, o2, e1, e2) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs((e1 + e2) - (o1 + o2)) < 1e-6)
+      if (!r.isNullAt(6)) assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
   test("regression: r bounded, slope matches a driver-side recompute from raw rows") {
     val out = ReferenceOps.priceQuantityRegression(spark, sf).collect()
     assert(out.nonEmpty)
