@@ -51,6 +51,12 @@ object SparkEntry {
     "q_fuzzy_link_multi" -> RecordLinkage.fuzzyLinkMultipass _,
     // base-2 exponential-decay trending (exact powers, order-proof)
     "q_trending"         -> ReferenceOps.trendingDecay _,
+    // top user-journey paths per session (array_sort reconstruction)
+    "q_session_paths"    -> ((s: SparkSession, dir: String) =>
+      ReferenceOps.sessionPaths(s, dir)),
+    // O(|update|) fingerprint maintenance via the XOR homomorphism;
+    // oracle computes the merged state's fingerprint directly
+    "q_fingerprint_incr" -> Cdc.fingerprintIncremental _,
     // per-bucket two-sample chi-square drift contributions
     "q_drift"            -> ReferenceOps.driftReport _,
     "q_reconcile"        -> ReferenceOps.reconcile _,
@@ -1165,6 +1171,42 @@ object SparkEntry {
     "q_fuzzy_link" -> graft.operators.RecordLinkage.fuzzyLinkOracle,
     "q_fuzzy_link_jw" -> graft.operators.RecordLinkage.fuzzyLinkJwOracle,
     "q_fuzzy_link_multi" -> graft.operators.RecordLinkage.fuzzyLinkMultipassOracle,
+
+    // session islands → ordered path strings → top-k census; the
+    // string_agg ORDER BY mirrors Spark's array_sort reconstruction
+    "q_session_paths" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |        lag(ts) OVER w AS prev
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session
+        |      FROM x),
+        |p AS (SELECT user_id, session,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // direct fingerprint of the merged state — hash-matching the
+    // Spark side's incremental XOR computation proves the
+    // homomorphism across engines
+    "q_fingerprint_incr" -> (cdcCte +
+      """, fin AS (SELECT o_orderkey,
+        |   CAST(CASE WHEN outcome IN ('add_and_added','change_but_missing_and_added','add_but_deleted_and_changed',
+        |                       'add_but_changed','change_and_changed','delete_but_not_identical_and_changed_and_deleted')
+        |        THEN new_price ELSE base_price END AS DECIMAL(18,2)) AS price,
+        |   CASE WHEN outcome IN ('delete_and_deleted','delete_but_not_identical_and_changed_and_deleted') THEN 'T'
+        |        WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
+        |        WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted
+        |  FROM dec WHERE outcome <> 'delete_but_missing_and_ignored'),
+        |hv AS (SELECT o_orderkey % 16 AS shard,
+        |   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+        |     CAST(price AS VARCHAR) || '|' || is_deleted), 1, 15)) AS BIGINT) AS h
+        |  FROM fin)
+        |SELECT shard, COUNT(*) AS n_rows, bit_xor(h) AS xor_hash
+        |FROM hv GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // 2^-age weights are exact in double on every engine, and the
     // weighted sum has a common dyadic grid → order-independent

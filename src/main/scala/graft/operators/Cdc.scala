@@ -123,6 +123,42 @@ object Cdc {
       .withColumn("price", col("price").cast(DoubleType))
       .orderBy("o_orderkey")
 
+  /** INCREMENTAL fingerprint maintenance — the XOR homomorphism of
+    * `Reconcile.fingerprint` exercised end-to-end: because the group
+    * checksum is a xor-fold, applying an update to a fingerprinted
+    * table costs O(|update|), never a base re-scan:
+    *
+    *   fp(final) = fp(base) ⊕ xor(base rows of TOUCHED keys)
+    *                        ⊕ xor(final rows of TOUCHED keys)
+    *
+    * with TOUCHED = the change file's keys — any superset of the
+    * really-changed keys works, because an unchanged touched row
+    * cancels itself. Row counts ride the same pass as +1/−1 weights.
+    * The registered query computes the incremental side; the ORACLE
+    * computes the fingerprint DIRECTLY from the merged state in
+    * DuckDB — a hash-match proves the homomorphism across engines.
+    * Sharded by key so the checksum table is a fixed small report. */
+  def fingerprintIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseTable(spark, dir)
+    val finalT = CdcMerge.applied(merged(spark, dir))
+      .select(col("o_orderkey"), col("price"), col("is_deleted"))
+    val touched = changeSet(spark, dir).select("o_orderkey").distinct()
+    def canon(df: DataFrame, w: Long): DataFrame = df.select(
+      (col("o_orderkey") % 16).as("shard"),
+      concat_ws("|", col("o_orderkey").cast("string"),
+        col("price").cast("string"), col("is_deleted")).as("payload"),
+      lit(w).as("w"))
+    val all = canon(base, 1L)
+      .unionByName(canon(base.join(touched, Seq("o_orderkey"), "left_semi"), -1L))
+      .unionByName(canon(finalT.join(touched, Seq("o_orderkey"), "left_semi"), 1L))
+    all
+      .withColumn("__h",
+        conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long"))
+      .groupBy("shard")
+      .agg(sum("w").as("n_rows"), expr("bit_xor(__h)").as("xor_hash"))
+      .orderBy("shard")
+  }
+
   /** The broadcast-merge path bound to the same synthetic inputs — the
     * never-shuffle-the-base plan for the real monthly regime (small
     * change file vs huge base). Semantics are identical to

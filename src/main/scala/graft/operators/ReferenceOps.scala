@@ -656,6 +656,36 @@ object ReferenceOps {
       .orderBy("event_type")
   }
 
+  /** Session PATH mining (user-journey analysis): the top event-type
+    * sequences users follow within one session — where funnel
+    * hypotheses (rows 92/98) come from. Sessions are the same
+    * >30-minute-gap islands as `q_sessions`; within each, the path is
+    * the '>'-joined event-type sequence in (ts, event_id) order —
+    * reconstructed via `array_sort` over (ts, event_id, type) structs
+    * so the order is total and engine-reproducible. Paths aggregate
+    * once (session-sized lists, never user-sized), and the top-k is
+    * under a (count DESC, path) total order. */
+  def sessionPaths(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = ev.groupBy("user_id", "session")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Exponential-DECAY trending score — "what's hot now": each day's
     * events weigh 2^(−age-in-days), so yesterday counts half of
     * today. Base-2 decay is deliberate: 2^(−k) is EXACT in double on

@@ -850,6 +850,53 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental fingerprint equals the direct fingerprint of the merged state") {
+    val incr = Cdc.fingerprintIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val finalT = CdcMerge.applied(Cdc.merged(spark, sf))
+      .select((col("o_orderkey") % 16).as("shard"),
+        col("o_orderkey").cast("string").as("k"),
+        col("price").cast("string").as("p"), col("is_deleted"))
+    val direct = Reconcile.fingerprint(finalT, Seq("shard"), Seq("k", "p", "is_deleted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(incr === direct)
+  }
+
+  test("session paths: order within session total, gap splits, top-k deterministic") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val ev = Seq(
+      // u1 session 1: view>click (same ts tie broken by event_id),
+      // then a 31-min gap → session 2: purchase
+      (1L, 1L, "view", t(0)), (1L, 2L, "click", t(0)), (1L, 3L, "purchase", t(1900)),
+      // u2: one session view>view
+      (2L, 4L, "view", t(0)), (2L, 5L, "view", t(60))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet("/tmp/graft_sp_events")
+    // route through the operator by pointing a temp dir at the fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val df = spark.read.parquet("/tmp/graft_sp_events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session", sum(col("new_s"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    val paths = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(paths === Array((1L, 1L, "view>click"), (1L, 2L, "purchase"),
+      (2L, 1L, "view>view")))
+    // and the registered query returns a deterministic top-k over sf
+    val top = ReferenceOps.sessionPaths(spark, sf).collect()
+    assert(top.length <= 20 && top.nonEmpty)
+    assert(top.map(_.getLong(1)).toSeq === top.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
   test("multi-pass blocking recovers a corruption inside one pass's blocking key") {
     // corrupt the LAST char: pass A (blocks on right-4) must miss it,
     // pass B (blocks on left-4) must recover it
