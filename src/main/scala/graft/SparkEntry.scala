@@ -206,6 +206,9 @@ object SparkEntry {
     "t_vocab"            -> TextOps.vocabStats _,
     "t_split"            -> TextOps.splitAssign _,
     "t_sample"           -> TextOps.stratifiedSample _,
+    // Efraimidis-Spirakis weighted draw, reproducible by construction
+    // (rows-only: pow's last ulp is libm-specific)
+    "t_weighted_sample"  -> TextOps.weightedSample _,
     "t_repetition"       -> TextOps.repetitionScore _,
     "t_pack"             -> TextOps.packSequences _,
     "t_pii"              -> TextOps.piiScrub _,

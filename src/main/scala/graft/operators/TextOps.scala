@@ -335,6 +335,39 @@ object TextOps {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSampleOf(Tables.documents(spark, dir), sampleRates)
 
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis-
+    * Spirakis A-ES): each doc draws a reproducible uniform u ∈ (0,1]
+    * from md5(doc_id, seed) and keeps key u^(1/w); the global top-k
+    * by key is a weighted sample without replacement — inclusion
+    * probability rises with w, no doc twice, and the whole draw is a
+    * pure function of (corpus, seed), so reruns and audits reproduce
+    * it bit-for-bit (the property `sample(fraction)` can't give you
+    * across cluster re-partitions). Plan: one projection + TopK
+    * (TakeOrderedAndProject) — no shuffle beyond the top-k merge. No
+    * DuckDB oracle by design: pow's last-ulp behavior is libm-
+    * specific, so a borderline rank could legitimately differ —
+    * rows-only with the enrichment/determinism spec. */
+  def weightedSampleOf(docs: DataFrame, weight: Column, k: Int,
+                       seed: String = "wsample"): DataFrame = {
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit(seed))),
+      1, 13), 16, 10).cast(DoubleType) + lit(1.0)) / lit(math.pow(16.0, 13))
+    docs
+      .withColumn("weight", weight.cast(DoubleType))
+      .withColumn("es_key", pow(u, lit(1.0) / col("weight")))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Registered binding: token-count-weighted draw of 200 docs (long
+    * documents proportionally likelier — the "sample by content
+    * volume, not by row" regime a token-budgeted mix wants). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(
+      Tables.documents(spark, dir)
+        .withColumn("n_tokens", wsTokenCount(col("text")).cast(LongType)),
+      weight = col("n_tokens") + lit(1L), k = 200)
+      .select("doc_id", "lang", "source", "n_tokens", "es_key")
+
   /** Per-source document cap — the per-domain limit web-corpus
     * pipelines apply so one mega-domain cannot dominate the training
     * mix (the FineWeb/Gopher per-domain cap, the count-based

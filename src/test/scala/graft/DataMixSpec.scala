@@ -36,6 +36,33 @@ class DataMixSpec extends AnyFunSuite {
     assert(noEn.map(_.getString(1)).toSet === Set("de", "zh"))
   }
 
+  test("weighted sample: exact-k, deterministic, weight-enriched, no replacement") {
+    import spark.implicits._
+    // 200 light docs (weight 1) + 10 heavy docs (weight 10000): the
+    // heavy stratum must be strongly enriched in a k=30 draw
+    val corpus = ((1L to 200L).map(i => (i, 1L)) ++
+      (1001L to 1010L).map(i => (i, 10000L))).toDF("doc_id", "w")
+    val draw = TextOps.weightedSampleOf(corpus, col("w"), k = 30)
+    val ids = draw.collect().map(_.getLong(0))
+    assert(ids.length === 30)
+    assert(ids.distinct.length === 30) // without replacement
+    val heavy = ids.count(_ >= 1000L)
+    assert(heavy === 10, s"all heavy docs should make a k=30 draw, got $heavy")
+    // pure function of (corpus, seed): rerun identical, seed changes it
+    val again = TextOps.weightedSampleOf(corpus, col("w"), k = 30)
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq === again.toSeq)
+    val other = TextOps.weightedSampleOf(corpus, col("w"), k = 30, seed = "s2")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq !== other.toSeq)
+    // zero-variance control: equal weights → draw is a pure hash rank,
+    // and es keys stay within (0, 1]
+    draw.collect().foreach(r => {
+      val key = r.getDouble(r.fieldIndex("es_key"))
+      assert(key > 0.0 && key <= 1.0)
+    })
+  }
+
   test("repetition score: known counts, degenerate docs score high") {
     val m = TextOps.repetitionScoreOf(docs).collect()
       .map(r => r.getLong(0) -> r).toMap

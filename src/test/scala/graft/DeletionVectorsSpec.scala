@@ -55,6 +55,41 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(rows(DeletionVectors.readMerged(spark, t)) === merged)
   }
 
+  test("right-to-be-forgotten: user purge via a resolved vector, checksum-proven") {
+    // GDPR-style purge composition: resolve the subject's row keys
+    // with one read, publish them as a deletion vector (the base is
+    // never rewritten), then PROVE the purge with the fingerprint —
+    // shards holding none of the subject's rows keep their checksum
+    // bit-for-bit, shards that did change.
+    val t = freshTable()
+    val rows = Seq(
+      (1L, 7L, "a", d), (2L, 7L, "b", d), (3L, 8L, "c", d),
+      (4L, 9L, "d", d), (5L, 7L, "e", d), (6L, 9L, "f", d))
+      .toDF("id", "user_id", "payload", "day")
+    Sinks.publishSnapshot(rows, "day", t)
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      operators.Reconcile.fingerprint(
+        df.select((col("id") % 2).as("shard"), col("id").cast("string").as("k"),
+          col("user_id").cast("string").as("u"), col("payload")),
+        Seq("shard"), Seq("k", "u", "payload"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = fp(DeletionVectors.readMerged(spark, t))
+    val subjectKeys = DeletionVectors.readMerged(spark, t)
+      .filter(col("user_id") === 7L).select("id")
+    DeletionVectors.publishDeletes(spark, t, subjectKeys, "id")
+    val after = DeletionVectors.readMerged(spark, t)
+    assert(after.filter(col("user_id") === 7L).count() === 0)
+    assert(ids(after) === Set(3L, 4L, 6L))
+    val fpAfter = fp(after)
+    // subject rows had ids 1,2,5 → both shards affected here; check
+    // counts dropped exactly and a re-publish of the same vector (via
+    // materialize) preserves the checksum
+    assert(fpAfter(0L)._1 === 2L && fpAfter(1L)._1 === 1L)
+    assert(fpAfter !== before)
+    DeletionVectors.materializeDeletes(spark, t, "day")
+    assert(fp(Sinks.readSnapshot(spark, t)) === fpAfter)
+  }
+
   test("delete-publish aborts against a concurrent claim, writing nothing") {
     val t = freshTable()
     publishBase(t)
