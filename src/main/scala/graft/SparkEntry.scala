@@ -99,6 +99,10 @@ object SparkEntry {
     "q_profile"          -> ReferenceOps.ordersProfile _,
     // per-type box-plot stats with Tukey-fence outlier counts
     "q_boxplot"          -> ReferenceOps.eventBoxplot _,
+    // equi-depth decile histogram: exact percentile edges, map-side
+    // bucket assignment against nine broadcast doubles
+    "q_equidepth_hist"   -> ((s: SparkSession, dir: String) =>
+      ReferenceOps.equiDepthHistogram(s, dir)),
     "q_event_pivot"      -> ReferenceOps.eventPivot _,
     "q_price_percentiles" -> ReferenceOps.pricePercentiles _,
     "q_price_pct_approx" -> ((s: SparkSession, dir: String) =>
@@ -886,6 +890,23 @@ object SparkEntry {
         |UNION ALL SELECT 'o_totalprice', n_rows, nu_p, di_p FROM a
         |UNION ALL SELECT 'o_orderdate', n_rows, nu_d, di_d FROM a
         |ORDER BY column_name""".stripMargin,
+
+    // decile edges via quantile_cont list; bucket = edges strictly
+    // below the value (list_filter mirrors Spark's filter lambda)
+    "q_equidepth_hist" ->
+      """WITH e AS (SELECT event_type,
+        |        quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges,
+        |        COUNT(*) AS n_total
+        |      FROM events GROUP BY 1),
+        |b AS (SELECT ev.event_type,
+        |        CAST(len(list_filter(e.edges, x -> x < ev.value)) AS BIGINT) AS bucket,
+        |        ev.value, e.n_total
+        |      FROM events ev JOIN e USING (event_type))
+        |SELECT event_type, bucket, COUNT(*) AS n_values,
+        |  MIN(value) AS lo, MAX(value) AS hi,
+        |  CAST(MAX(n_total) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE) AS share
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // R-7 quartiles are the same double expression in both engines;
     // Tukey fences reuse them verbatim

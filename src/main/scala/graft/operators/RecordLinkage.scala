@@ -101,13 +101,20 @@ object RecordLinkage {
   /** MULTI-PASS blocking — the documented recall repair for blocked
     * linkage, registered: a corruption inside one blocking fragment
     * escapes that pass, so production linkage runs several passes
-    * with INDEPENDENT keys and unions the verified pairs. Here pass A
-    * blocks on the name's last 4 chars and pass B on the first 9
-    * (`Customer#` + leading digits — the perturbation at position 12
-    * never touches either, but either alone is a realistic partial
-    * key); the union dedups on the pair identity so a pair surviving
-    * both passes emits once, keeping its best (min) distance. Cost =
-    * Σ passes' block work — still never |L|×|R|. */
+    * with different keys and unions the verified pairs. Pass A blocks
+    * on the name's last 4 chars, pass B on chars 13-16 (an interior
+    * digit fragment — different positions, same selectivity); the
+    * perturbation at position 12 touches neither, and the union
+    * dedups on pair identity so a pair surviving both passes emits
+    * once, keeping its best (min) distance. Cost = Σ passes' block
+    * work — never |L|×|R|.
+    *
+    * SELECTIVITY IS THE CONTRACT: a blocking key must actually
+    * partition the table. The tempting `left(name, 9)` here is the
+    * constant literal `Customer#` on every row — ONE block, a silent
+    * |L|×|R| cross join (measured: 477 s at sf0.1 vs ~1 s blocked).
+    * Block-size skew is exactly what [[ReferenceOps.keySkewProfile]]
+    * diagnoses; run it on a candidate key before shipping a pass. */
   def fuzzyLinkMultipass(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
     val off = NearDedup.plantedOffset(c, "c_custkey")
@@ -119,7 +126,8 @@ object RecordLinkage {
     val passA = fuzzyJoin(dirty, c, "d_name", "c_name",
       expr("right(d_name, 4)"), expr("right(c_name, 4)"), maxDist = 1)
     val passB = fuzzyJoin(dirty, c, "d_name", "c_name",
-      expr("left(d_name, 9)"), expr("left(c_name, 9)"), maxDist = 1)
+      expr("substring(d_name, 13, 4)"), expr("substring(c_name, 13, 4)"),
+      maxDist = 1)
     passA.unionByName(passB)
       .groupBy("d_id", "c_custkey")
       .agg(min(col("name_dist")).cast(LongType).as("name_dist"),
@@ -139,7 +147,7 @@ object RecordLinkage {
       |       FROM d JOIN c ON right(d.d_name, 4) = right(c.c_name, 4)
       |       WHERE levenshtein(d.d_name, c.c_name) <= 1),
       |pb AS (SELECT d.d_id, c.c_custkey, levenshtein(d.d_name, c.c_name) AS nd
-      |       FROM d JOIN c ON left(d.d_name, 9) = left(c.c_name, 9)
+      |       FROM d JOIN c ON substring(d.d_name, 13, 4) = substring(c.c_name, 13, 4)
       |       WHERE levenshtein(d.d_name, c.c_name) <= 1),
       |u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
       |SELECT d_id, c_custkey, CAST(MIN(nd) AS BIGINT) AS name_dist,

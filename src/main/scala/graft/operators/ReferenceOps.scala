@@ -656,6 +656,33 @@ object ReferenceOps {
       .orderBy("event_type")
   }
 
+  /** EQUI-DEPTH histogram — decile buckets per event type (the
+    * complement of the equi-WIDTH binned histogram, row 34: equal
+    * population per bucket, data-driven edges; what query optimizers
+    * and drift monitors actually store). Edges are the exact R-7
+    * percentiles (cross-engine bit-equal, see row 145); a value's
+    * bucket = how many edges lie strictly below it — a broadcast of
+    * nine doubles per type, counted map-side. Two fact passes (edges,
+    * assignment), both single-shuffle. */
+  def equiDepthHistogram(spark: SparkSession, dir: String,
+                         nBuckets: Int = 10): DataFrame = {
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val edges = ev.groupBy("event_type")
+      .agg(expr(s"percentile(value, array($ps))").as("edges"),
+        count(lit(1)).as("n_total"))
+    ev.join(broadcast(edges), "event_type")
+      .withColumn("bucket",
+        size(filter(col("edges"), e => e < col("value"))).cast(LongType))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_values"),
+        min("value").as("lo"), max("value").as("hi"),
+        max("n_total").as("n_total"))
+      .withColumn("share",
+        col("n_values").cast(DoubleType) / col("n_total").cast(DoubleType))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Session PATH mining (user-journey analysis): the top event-type
     * sequences users follow within one session — where funnel
     * hypotheses (rows 92/98) come from. Sessions are the same

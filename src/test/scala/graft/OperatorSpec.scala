@@ -966,6 +966,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram: buckets cover everything with near-equal depth") {
+    val rows = ReferenceOps.equiDepthHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, bs) =>
+      val total = bs.head._4
+      assert(bs.map(_._3).sum === total)          // full coverage
+      assert(bs.map(_._2).toSet.size === bs.length) // distinct buckets
+      // equal-depth within rounding + tie slack on a continuous column
+      bs.foreach { case (_, _, n, t) =>
+        assert(n <= t / 10 + t / 50 + 1, s"bucket too deep: $n of $t") }
+    }
+  }
+
   test("boxplot: quartile ordering and fence counts consistent") {
     ReferenceOps.eventBoxplot(spark, sf).collect().foreach { r =>
       val (n, q1, med, q3) =
