@@ -35,7 +35,12 @@ class PlanSpec extends AnyFunSuite {
       "s_ann_pq", "s_ann_ivf_pq",
       // the resample grid: generated hour spine × the tiny
       // distinct-series set — series-count rows, never event-count
-      "q_resample")
+      "q_resample",
+      // single-broadcast-row statistics crosses (the packed-broadcast
+      // idiom again): med/mad (anomaly), totals (skew profile,
+      // pareto — plus its 4-row threshold list), max-day (trending).
+      // Each is a 1×N nested loop against one reduced row, never N²
+      "q_anomaly", "q_skew_profile", "q_pareto", "q_trending")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
