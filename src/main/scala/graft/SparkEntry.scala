@@ -83,6 +83,10 @@ object SparkEntry {
     "q_pareto"           -> ReferenceOps.revenueConcentration _,
     // median+MAD robust outlier flags on daily event volume
     "q_anomaly"          -> ReferenceOps.anomalyDays _,
+    // growth curve: first-seen census + one running sum
+    "q_user_accretion"   -> ReferenceOps.userAccretion _,
+    // Flesch-Kincaid grade from three integer censuses
+    "t_readability"      -> TextOps.readability _,
     // join-key distribution diagnostic (run before salting a join)
     "q_skew_profile"     -> ((s: SparkSession, dir: String) =>
       ReferenceOps.keySkewProfile(s, dir)),
@@ -816,6 +820,28 @@ object SparkEntry {
         |           / CAST(lag(revenue) OVER (ORDER BY order_month) AS DOUBLE)
         | END AS growth_pct
         |FROM m ORDER BY order_month""".stripMargin,
+
+    // growth curve: first-seen reduction then one running sum
+    "q_user_accretion" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, COUNT(*) AS n_new_users FROM f GROUP BY 1)
+        |SELECT day, n_new_users,
+        |  CAST(SUM(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    // FK grade: fixed double expression over three integer censuses
+    "t_readability" ->
+      (s"""WITH c AS (SELECT doc_id, CAST($wsTok AS BIGINT) AS n_words,
+        |  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+        |    11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+        |  END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin),
 
     // median/MAD: exact-percentile halves/quarters are bit-equal
     // across engines; flag compares in exact doubles

@@ -797,6 +797,21 @@ object ReferenceOps {
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
   }
 
+  /** Cumulative user ACCRETION — the growth curve (daily new users +
+    * running total of everyone ever seen). Running DISTINCT COUNT is
+    * the naive formulation and is quadratic-ish in state; first-seen
+    * reduction makes it two bounded aggregates: min(day) per user,
+    * then a day census with one running sum over the calendar-sized
+    * result. */
+  def userAccretion(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+    val daily = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .orderBy("day")
+  }
+
   /** Robust ANOMALY detection on daily event volume — median + MAD
     * (median absolute deviation), the outlier-resistant alternative to
     * mean/stddev z-scores (one crazy day inflates a stddev and hides

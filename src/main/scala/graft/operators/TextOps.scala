@@ -50,6 +50,37 @@ object TextOps {
     when(length(wsTrim(text)) === 0, 0)
       .otherwise(size(split(wsTrim(text), "\\s+")))
 
+  /** READABILITY scoring — Flesch-Kincaid grade level from integer
+    * text censuses: words (the shared whitespace tokenizer),
+    * sentences (terminal-punctuation runs, row 100's boundary signal
+    * reduced to a count), syllables (vowel-group runs — the standard
+    * cheap estimator). The grade is one fixed double expression over
+    * three exact integers, so it is engine- and partitioning-proof;
+    * docs with no words score null (not a fake grade), and a missing
+    * terminator counts the trailing fragment as one sentence. One
+    * codegen projection, no shuffle. */
+  def readabilityOf(docs: DataFrame): DataFrame = {
+    val words = wsTokenCount(col("text")).cast(LongType)
+    val sentences = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast(LongType),
+      lit(1L))
+    val syllables =
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast(LongType)
+    docs.select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * (col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType)) +
+          lit(11.8) * (col("n_syllables").cast(DoubleType) /
+            col("n_words").cast(DoubleType)) - lit(15.59)))
+      .orderBy("doc_id")
+  }
+
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.documents(spark, dir))
+
   /** Token counting: whitespace tokens + BPE-ish subword pieces
     * (letter runs / digits / single punctuation, the shape of a GPT-2
     * pre-tokenizer). */

@@ -966,6 +966,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("user accretion: monotone growth summing to the distinct-user count") {
+    val rows = ReferenceOps.userAccretion(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sum === rows.last._2)
+    assert(rows.head._1 === rows.head._2)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    val distinctUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.last._2 === distinctUsers)
+  }
+
+  test("readability: known grade on a constructed doc, null on empty") {
+    val docs = Seq((1L, "Hello world. It is sunny."), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.readabilityOf(docs).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((5L, 2L, 7L)))
+    val fk = 0.39 * (5.0 / 2.0) + 11.8 * (7.0 / 5.0) - 15.59
+    assert(r1.getDouble(4) === fk)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(1) === 0L && r2.isNullAt(4))
+  }
+
   test("equi-depth histogram: buckets cover everything with near-equal depth") {
     val rows = ReferenceOps.equiDepthHistogram(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
