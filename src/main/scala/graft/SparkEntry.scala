@@ -151,6 +151,9 @@ object SparkEntry {
     // stream-stream interval join (batch binding; stream ≡ batch
     // pinned in StreamingSpec): last-hour click attribution pairs
     "q_attribution"      -> EventsPipeline.eventAttribution _,
+    // left-outer variant: unattributed clicks surface with null view
+    // (streaming: emitted when the watermark closes the window)
+    "q_attribution_outer" -> EventsPipeline.eventAttributionOuter _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -1135,6 +1138,16 @@ object SparkEntry {
         |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
         |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
         |FROM c JOIN v ON v.user_id = c.user_id
+        |  AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // outer attribution: unmatched clicks keep null view/gap
+    "q_attribution_outer" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM c LEFT JOIN v ON v.user_id = c.user_id
         |  AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
 

@@ -290,6 +290,28 @@ object EventsPipeline {
           .as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream variant: every click emits — matched
+    * pairs immediately, UNMATCHED clicks with a null view once the
+    * watermark proves no qualifying view can still arrive (the
+    * subtle Structured Streaming contract: outer nulls are
+    * watermark-driven, not instant — spec-pinned). The batch binding
+    * is a plain left join under the identical predicate and carries
+    * the oracle; "how many clicks had no preceding view" is the
+    * attribution-coverage metric this variant exists for. */
+  def attributionPairsOuter(views: DataFrame, clicks: DataFrame,
+                            withWatermark: Boolean = false): DataFrame = {
+    val v = if (withWatermark) views.withWatermark("view_ts", "1 hour") else views
+    val c = if (withWatermark) clicks.withWatermark("click_ts", "1 hour") else clicks
+    c.join(v,
+        col("view_user") === col("click_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") > col("click_ts") - expr("interval 1 hour"),
+        "left_outer")
+      .select(col("click_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
   /** Batch binding of the attribution join over the events table. */
   def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -300,5 +322,19 @@ object EventsPipeline {
       .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
     attributionPairs(views, clicks).orderBy("user_id", "click_id", "view_id")
+  }
+
+  /** Batch binding of the OUTER attribution join (coverage metric:
+    * clicks with no preceding view keep a null view/gap). */
+  def eventAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    attributionPairsOuter(views, clicks)
+      .orderBy("user_id", "click_id", "view_id")
   }
 }

@@ -525,6 +525,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === got)
   }
 
+  test("outer attribution: unmatched clicks emit with null view only after the watermark") {
+    implicit val sc = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventsPipeline.attributionPairsOuter(
+        vMem.toDF().toDF("view_user", "view_ts", "view_id"),
+        cMem.toDF().toDF("click_user", "click_ts", "click_id"),
+        withWatermark = true)
+      .writeStream.format("memory").queryName("attro_out").outputMode("append").start()
+    vMem.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+    cMem.addData((1L, ts("2024-01-01 10:30:00"), 200L),
+                 (2L, ts("2024-01-01 10:30:00"), 300L))
+    q.processAllAvailable()
+    val early = spark.table("attro_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the inner match emits immediately; u2's unmatched click must NOT
+    // have emitted yet — the watermark hasn't proven no view can come
+    assert(early.toSet === Set((1L, 200L)))
+    // advance BOTH watermarks well past 10:30 + 1h
+    vMem.addData((9L, ts("2024-01-01 14:00:00"), 900L))
+    cMem.addData((9L, ts("2024-01-01 14:00:00"), 901L))
+    q.processAllAvailable()
+    val rows = spark.table("attro_out")
+      .select("user_id", "click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    q.stop()
+    assert(rows.toSet.contains((2L, 300L, None)), rows.mkString(", "))
+    assert(rows.toSet.contains((1L, 200L, Some(100L))))
+  }
+
   test("streaming near-dedup batch write is idempotent under a foreachBatch retry") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("nearretry").toString + "/c"
