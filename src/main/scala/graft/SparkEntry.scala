@@ -70,6 +70,13 @@ object SparkEntry {
     "q_scd2"             -> Scd.cdcHistory _,
     // incremental fold of the newest snapshot into the open slice only
     "q_scd2_incr"        -> Scd.cdcHistoryIncremental _,
+    // point-in-time reconstruction: history as-of v1 ≡ snapshot s1
+    "q_scd2_asof"        -> Scd.cdcHistoryAsOf1 _,
+    // referential-integrity orphan census per nation
+    "q_orphans"          -> ReferenceOps.orphanCustomers _,
+    // two-level id-gap detection: bucketed (min,max,count) summary
+    // over the CDC base keyspace (multiples of 7 absent by design)
+    "q_id_gaps"          -> ReferenceOps.idGapSummary _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
@@ -737,6 +744,36 @@ object SparkEntry {
       "SELECT outcome, COUNT(*) AS n_rows FROM dec GROUP BY outcome ORDER BY outcome"),
 
     "q_cdc_replay" -> cdcReplaySql,
+
+    // the as-of read reconstructs the month-1 snapshot — the SAME s1
+    // the replay chain derives (one truth, two directions)
+    "q_scd2_asof" -> (cdcReplayChain +
+      """SELECT o_orderkey, CAST(price AS DOUBLE) AS price, is_deleted
+        |FROM s1 ORDER BY o_orderkey""".stripMargin),
+
+    // orphan census: anti join + right join back onto the census
+    "q_orphans" ->
+      """WITH o AS (SELECT DISTINCT o_custkey FROM orders),
+        |orph AS (SELECT c_nationkey, COUNT(*) AS n_orphans FROM customer c
+        |         WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)
+        |         GROUP BY 1),
+        |cen AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+        |SELECT cen.c_nationkey, COALESCE(orph.n_orphans, 0) AS n_orphans,
+        |  cen.n_customers
+        |FROM cen LEFT JOIN orph USING (c_nationkey)
+        |ORDER BY cen.c_nationkey""".stripMargin,
+
+    // bucketed gap summary: integer division buckets, keyed aggregate
+    "q_id_gaps" ->
+      """WITH b AS (SELECT o_orderkey // 4096 AS bucket, o_orderkey
+        |           FROM orders WHERE o_orderkey % 7 <> 0),
+        |s AS (SELECT bucket, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+        |        COUNT(*) AS n_present
+        |      FROM b GROUP BY 1)
+        |SELECT bucket, lo, hi, n_present,
+        |  hi - lo + 1 - n_present AS missing_inside
+        |FROM s WHERE hi - lo + 1 - n_present > 0
+        |ORDER BY missing_inside DESC, bucket LIMIT 20""".stripMargin,
 
     // Type-2 history over the same chained states: union the three
     // snapshots, keep change points (null-safe state compare or first

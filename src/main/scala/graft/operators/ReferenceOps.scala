@@ -797,6 +797,48 @@ object ReferenceOps {
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
   }
 
+  /** Referential-integrity ORPHAN check — customers with no orders,
+    * per nation (the verify-service read for foreign keys: row-13
+    * counts rows, this counts RELATIONSHIPS). One broadcast-able
+    * anti join + a dimension-sized census. */
+  def orphanCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_custkey").distinct()
+    val orphans = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    orphans.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orphans"))
+      .join(c.groupBy("c_nationkey").agg(count(lit(1)).as("n_customers")),
+        Seq("c_nationkey"), "right")
+      .select(col("c_nationkey"),
+        coalesce(col("n_orphans"), lit(0L)).as("n_orphans"),
+        col("n_customers"))
+      .orderBy("c_nationkey")
+  }
+
+  /** ID-sequence GAP detection, the scale-sane two-level form: an
+    * ingest-verification read ("did we lose a range of keys"). A
+    * global lag window would funnel every key through one partition;
+    * instead keys bucket by `div B` and each bucket reports
+    * (min, max, count, missing-inside) — an ordinary keyed aggregate
+    * at any scale. Buckets with `missing > 0` are where a drill-down
+    * (the lag formulation, now bounded to one bucket) would look. */
+  def idGapSummaryOf(keys: DataFrame, keyCol: String,
+                     bucketSize: Long = 4096): DataFrame =
+    keys
+      .select(expr(s"$keyCol div $bucketSize").as("bucket"), col(keyCol))
+      .groupBy("bucket")
+      .agg(min(keyCol).as("lo"), max(keyCol).as("hi"),
+        count(lit(1)).as("n_present"))
+      .withColumn("missing_inside", col("hi") - col("lo") + 1 - col("n_present"))
+      .filter(col("missing_inside") > 0)
+      .orderBy(col("missing_inside").desc, col("bucket"))
+      .limit(20)
+
+  /** Registered over the CDC base table's keyspace (multiples of 7
+    * removed by construction — the summary must localize them). */
+  def idGapSummary(spark: SparkSession, dir: String): DataFrame =
+    idGapSummaryOf(Cdc.baseTable(spark, dir).select("o_orderkey"), "o_orderkey")
+
   /** Cumulative user ACCRETION — the growth curve (daily new users +
     * running total of everyone ever seen). Running DISTINCT COUNT is
     * the naive formulation and is quadratic-ish in state; first-seen

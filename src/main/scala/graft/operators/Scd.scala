@@ -129,6 +129,28 @@ object Scd {
       stateCols = Seq("price", "is_deleted")))
   }
 
+  /** Point-in-time read — the INVERSE of the builder: reconstruct
+    * the dimension exactly as it stood at `version` from the history
+    * alone (`valid_from ≤ v < valid_to`, open = ∞). One partition-
+    * prunable filter, no join; this is why a warehouse keeps Type-2
+    * history instead of snapshots. */
+  def asOf(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+      (col("valid_to").isNull || col("valid_to") > version))
+
+  /** Registered: the history read as of version 1 must equal the
+    * month-1 snapshot itself — proven against the SAME chained-merge
+    * oracle state (`s1`), one truth, derivations in both directions. */
+  def cdcHistoryAsOf1(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = cdcSnapshots(spark, dir)
+    val hist = type2FromSnapshots(snaps, key = "o_orderkey",
+      stateCols = Seq("price", "is_deleted"))
+    asOf(hist, 1L)
+      .select(col("o_orderkey"),
+        col("price").cast(DoubleType).as("price"), col("is_deleted"))
+      .orderBy("o_orderkey")
+  }
+
   /** The incremental plan under the SAME oracle: bootstrap the
     * history from versions 0-1 with the batch builder, fold version 2
     * in with [[applyIncrement]] — one truth, two maintenance plans

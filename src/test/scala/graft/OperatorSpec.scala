@@ -966,6 +966,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 as-of reconstructs each historical snapshot from the history alone") {
+    val v0 = Seq((1L, 10L), (2L, 5L)).toDF("k", "v")
+    val v1 = Seq((1L, 11L), (2L, 5L), (3L, 7L)).toDF("k", "v")
+    val hist = Scd.type2FromSnapshots(Seq(v0, v1), "k", Seq("v"))
+    def state(ver: Long) = Scd.asOf(hist, ver).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state(0L) === Set((1L, 10L), (2L, 5L)))
+    assert(state(1L) === Set((1L, 11L), (2L, 5L), (3L, 7L)))
+  }
+
+  test("id gap summary localizes planted holes and is silent on dense ranges") {
+    val dense = (1L to 100L)
+    val holes = dense.filterNot(k => k == 37 || k == 38 || k == 90)
+    val out = ReferenceOps.idGapSummaryOf(holes.toDF("k"), "k", bucketSize = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(out === Map(0L -> 2L, 1L -> 1L)) // two missing in [1,50), one in [50,100)
+    assert(ReferenceOps.idGapSummaryOf(dense.toDF("k"), "k", 50L).count() === 0)
+  }
+
+  test("orphan census: counts bounded by the per-nation customer census") {
+    ReferenceOps.orphanCustomers(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(2))
+    }
+  }
+
   test("user accretion: monotone growth summing to the distinct-user count") {
     val rows = ReferenceOps.userAccretion(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
