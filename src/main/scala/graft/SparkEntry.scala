@@ -125,6 +125,8 @@ object SparkEntry {
     // built-in session_window (≥-gap semantics, own oracle)
     "q_session_window"   -> EventsPipeline.sessionWindowBatch _,
     "q_cube_revenue"     -> ReferenceOps.cubeRevenue _,
+    // arbitrary grouping sets (Spark 4 Dataset API) with grouping_id
+    "q_grouping_sets"    -> ReferenceOps.groupingSetsRevenue _,
     // market-basket pair mining: within-order self-join, basket-bounded
     "q_copurchase"       -> ((s: SparkSession, dir: String) =>
       ReferenceOps.coPurchasePairs(s, dir)),
@@ -860,6 +862,21 @@ object SparkEntry {
         |           / CAST(lag(revenue) OVER (ORDER BY order_month) AS DOUBLE)
         | END AS growth_pct
         |FROM m ORDER BY order_month""".stripMargin,
+
+    // grouping sets with the shared bitmask grouping_id convention
+    "q_grouping_sets" ->
+      """WITH pre AS (
+        |  SELECT c.c_nationkey AS nation, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev, COUNT(*) AS n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, order_month,
+        |  CAST(GROUPING(nation, order_month) AS BIGINT) AS gid,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |  CAST(SUM(n) AS BIGINT) AS n_orders
+        |FROM pre
+        |GROUP BY GROUPING SETS ((nation, order_month), (nation), (order_month), ())
+        |ORDER BY gid, nation, order_month""".stripMargin,
 
     // growth curve: first-seen reduction then one running sum
     "q_user_accretion" ->

@@ -797,6 +797,32 @@ object ReferenceOps {
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
   }
 
+  /** Arbitrary GROUPING SETS (the general form of ROLLUP/CUBE, rows
+    * 42/122, via Spark 4's Dataset `groupingSets` API): exactly the
+    * four subtotal combinations a dashboard wants — (nation, month),
+    * (nation), (month), () — none of the 2ᵏ−4 others CUBE would also
+    * compute. Same report-sized pre-aggregate underneath, so Expand
+    * multiplies report rows, never fact rows; `grouping_id` labels
+    * each stratum with the engine-shared bitmask convention. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+      dec2(col("o_totalprice")).as("price"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val pre = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("order_month"))
+      .agg(sum(col("price")).as("rev"), count(lit(1)).as("n"))
+    pre.groupingSets(
+        Seq(Seq(col("nation"), col("order_month")), Seq(col("nation")),
+          Seq(col("order_month")), Seq()),
+        col("nation"), col("order_month"))
+      .agg(grouping_id().as("gid"),
+        sum(col("rev")).cast(DoubleType).as("revenue"),
+        sum(col("n")).as("n_orders"))
+      .orderBy(col("gid"), col("nation"), col("order_month"))
+  }
+
   /** Referential-integrity ORPHAN check — customers with no orders,
     * per nation (the verify-service read for foreign keys: row-13
     * counts rows, this counts RELATIONSHIPS). One broadcast-able
