@@ -77,6 +77,9 @@ object SparkEntry {
     // two-level id-gap detection: bucketed (min,max,count) summary
     // over the CDC base keyspace (multiples of 7 absent by design)
     "q_id_gaps"          -> ReferenceOps.idGapSummary _,
+    // level 2: exact missing ranges inside one flagged bucket — the
+    // lag window is bounded to bucketSize rows by construction
+    "q_id_gap_drill"     -> ReferenceOps.idGapDrill _,
     "q_window_rank"      -> ReferenceOps.windowRank _,
     "q3_top_revenue"     -> ReferenceOps.topRevenue _,
     "q_rollup_revenue"   -> ReferenceOps.rollupRevenue _,
@@ -764,6 +767,14 @@ object SparkEntry {
         |  cen.n_customers
         |FROM cen LEFT JOIN orph USING (c_nationkey)
         |ORDER BY cen.c_nationkey""".stripMargin,
+
+    // bucket-1 drill: consecutive-key lead over ≤4096 rows
+    "q_id_gap_drill" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders
+        |           WHERE o_orderkey % 7 <> 0 AND o_orderkey // 4096 = 1),
+        |x AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+        |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS n_missing
+        |FROM x WHERE nxt > k + 1 ORDER BY gap_start""".stripMargin,
 
     // bucketed gap summary: integer division buckets, keyed aggregate
     "q_id_gaps" ->

@@ -865,6 +865,28 @@ object ReferenceOps {
   def idGapSummary(spark: SparkSession, dir: String): DataFrame =
     idGapSummaryOf(Cdc.baseTable(spark, dir).select("o_orderkey"), "o_orderkey")
 
+  /** Level 2 of the gap scheme: enumerate the exact missing RANGES
+    * inside one flagged bucket. The lag window that would be a
+    * single-partition funnel over the whole keyspace is now bounded
+    * to ≤ bucketSize rows by construction — which is the entire point
+    * of summarizing first. */
+  def idGapDrillOf(keys: DataFrame, keyCol: String, bucket: Long,
+                   bucketSize: Long = 4096): DataFrame = {
+    val w = Window.orderBy(keyCol)
+    keys.filter(expr(s"$keyCol div $bucketSize") === bucket)
+      .select(col(keyCol))
+      .withColumn("nxt", lead(col(keyCol), 1).over(w))
+      .filter(col("nxt") > col(keyCol) + 1)
+      .select((col(keyCol) + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col(keyCol) - 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
+  /** Registered drill into bucket 1 of the CDC base keyspace. */
+  def idGapDrill(spark: SparkSession, dir: String): DataFrame =
+    idGapDrillOf(Cdc.baseTable(spark, dir).select("o_orderkey"),
+      "o_orderkey", bucket = 1L)
+
   /** Cumulative user ACCRETION — the growth curve (daily new users +
     * running total of everyone ever seen). Running DISTINCT COUNT is
     * the naive formulation and is quadratic-ish in state; first-seen

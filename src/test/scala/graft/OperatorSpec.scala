@@ -983,6 +983,13 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
     assert(out === Map(0L -> 2L, 1L -> 1L)) // two missing in [1,50), one in [50,100)
     assert(ReferenceOps.idGapSummaryOf(dense.toDF("k"), "k", 50L).count() === 0)
+    // drill level recovers the exact ranges inside each flagged bucket
+    val drill0 = ReferenceOps.idGapDrillOf(holes.toDF("k"), "k", 0L, 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(drill0 === Array((37L, 38L, 2L)))
+    val drill1 = ReferenceOps.idGapDrillOf(holes.toDF("k"), "k", 1L, 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(drill1 === Array((90L, 90L, 1L)))
   }
 
   test("orphan census: counts bounded by the per-nation customer census") {
