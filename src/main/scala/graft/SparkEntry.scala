@@ -166,6 +166,8 @@ object SparkEntry {
     // left-outer variant: unattributed clicks surface with null view
     // (streaming: emitted when the watermark closes the window)
     "q_attribution_outer" -> EventsPipeline.eventAttributionOuter _,
+    // last-touch: rank-1 (latest) qualifying view per click
+    "q_attribution_last"  -> EventsPipeline.lastTouchAttribution _,
     "q_salted_join"      -> Skew.saltedLineitemJoin _,
     // z-order write → footer-pruned 2-D scan, vs a plain filter oracle
     "q_zorder_scan"      -> graft.sources.ZOrder.zorderScan _,
@@ -1205,6 +1207,19 @@ object SparkEntry {
         |FROM c JOIN v ON v.user_id = c.user_id
         |  AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // last-touch: min gap (= latest view), ties broken by view_id desc
+    "q_attribution_last" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |        epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |      FROM c JOIN v ON v.user_id = c.user_id
+        |        AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 1 HOUR),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY click_id
+        |        ORDER BY gap_us ASC, view_id DESC) AS rn FROM p)
+        |SELECT user_id, click_id, view_id, gap_us
+        |FROM r WHERE rn = 1 ORDER BY user_id, click_id""".stripMargin,
 
     // outer attribution: unmatched clicks keep null view/gap
     "q_attribution_outer" ->

@@ -324,6 +324,22 @@ object EventsPipeline {
     attributionPairs(views, clicks).orderBy("user_id", "click_id", "view_id")
   }
 
+  /** LAST-TOUCH attribution — the marketing read on top of the pair
+    * join: each click credits exactly its LATEST qualifying view
+    * (ties on view time broken by view_id — total order, so the
+    * credited view is engine-reproducible). One rank window over
+    * click-sized partitions (bounded by views-per-click), pruned to
+    * rank 1 by WindowGroupLimit before the shuffle grows. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("click_id")
+      .orderBy(col("gap_us").asc, col("view_id").desc)
+    eventAttribution(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "click_id")
+  }
+
   /** Batch binding of the OUTER attribution join (coverage metric:
     * clicks with no preceding view keep a null view/gap). */
   def eventAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
