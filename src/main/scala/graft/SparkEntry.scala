@@ -770,10 +770,18 @@ object SparkEntry {
         |FROM cen LEFT JOIN orph USING (c_nationkey)
         |ORDER BY cen.c_nationkey""".stripMargin,
 
-    // bucket-1 drill: consecutive-key lead over ≤4096 rows
+    // worst-bucket drill: summary picks the top gap bucket, then a
+    // consecutive-key lead over that one bucket (≤4096 rows)
     "q_id_gap_drill" ->
-      """WITH k AS (SELECT o_orderkey AS k FROM orders
-        |           WHERE o_orderkey % 7 <> 0 AND o_orderkey // 4096 = 1),
+      """WITH b AS (SELECT o_orderkey // 4096 AS bucket, o_orderkey AS k
+        |           FROM orders WHERE o_orderkey % 7 <> 0),
+        |top AS (SELECT bucket FROM (
+        |          SELECT bucket,
+        |            MAX(k) - MIN(k) + 1 - COUNT(*) AS missing_inside
+        |          FROM b GROUP BY 1) s
+        |        WHERE missing_inside > 0
+        |        ORDER BY missing_inside DESC, bucket LIMIT 1),
+        |k AS (SELECT k FROM b WHERE bucket = (SELECT bucket FROM top)),
         |x AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
         |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS n_missing
         |FROM x WHERE nxt > k + 1 ORDER BY gap_start""".stripMargin,

@@ -882,10 +882,32 @@ object ReferenceOps {
       .orderBy("gap_start")
   }
 
-  /** Registered drill into bucket 1 of the CDC base keyspace. */
+  /** Drill the TOP bucket of the level-1 summary — the composition a
+    * real verifier runs ("worst bucket, exact ranges") with no
+    * hard-coded bucket id, so it returns rows at ANY scale where any
+    * gap exists. The top-1 row is broadcast and semi-joined rather
+    * than collected: the plan stays one declarative DAG and the lag
+    * window remains bounded to one bucket (≤ bucketSize rows). */
+  def idGapDrillTopOf(keys: DataFrame, keyCol: String,
+                      bucketSize: Long = 4096): DataFrame = {
+    val top = idGapSummaryOf(keys, keyCol, bucketSize)
+      .limit(1).select("bucket")
+    val w = Window.orderBy(keyCol)
+    keys
+      .select(expr(s"$keyCol div $bucketSize").as("bucket"), col(keyCol))
+      .join(broadcast(top), Seq("bucket"))
+      .select(col(keyCol))
+      .withColumn("nxt", lead(col(keyCol), 1).over(w))
+      .filter(col("nxt") > col(keyCol) + 1)
+      .select((col(keyCol) + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col(keyCol) - 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
+  /** Registered drill into the worst bucket of the CDC base keyspace. */
   def idGapDrill(spark: SparkSession, dir: String): DataFrame =
-    idGapDrillOf(Cdc.baseTable(spark, dir).select("o_orderkey"),
-      "o_orderkey", bucket = 1L)
+    idGapDrillTopOf(Cdc.baseTable(spark, dir).select("o_orderkey"),
+      "o_orderkey")
 
   /** Cumulative user ACCRETION — the growth curve (daily new users +
     * running total of everyone ever seen). Running DISTINCT COUNT is
