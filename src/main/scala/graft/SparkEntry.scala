@@ -910,10 +910,16 @@ object SparkEntry {
 
     // FK grade: fixed double expression over three integer censuses
     "t_readability" ->
-      (s"""WITH c AS (SELECT doc_id, CAST($wsTok AS BIGINT) AS n_words,
-        |  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+      (s"""WITH tr AS (SELECT doc_id, text,
+        |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS trimmed
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST($wsTok AS BIGINT) AS n_words,
+        |  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |    + CASE WHEN length(trimmed) > 0
+        |            AND NOT regexp_matches(trimmed, '[.!?]$$')
+        |           THEN 1 ELSE 0 END, 1) AS n_sentences,
         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
-        | FROM documents)
+        | FROM tr)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |  CASE WHEN n_words > 0 THEN
         |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
@@ -946,13 +952,21 @@ object SparkEntry {
         |ORDER BY n_orders DESC, o_custkey LIMIT 20""".stripMargin,
 
     // 60-bit md5-prefix row hashes xor-folded per month: commutative,
-    // overflow-free, identical at any partitioning or engine
+    // overflow-free, identical at any partitioning or engine; each
+    // column is length-prefix encoded (len:value, NULL→'N') so the
+    // canonical string is injective — mirrors Reconcile.canonToken
     "q_fingerprint" ->
-      """WITH x AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      """WITH c AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |    CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(o_custkey AS VARCHAR) AS cu,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders),
+        |x AS (SELECT order_month,
         |    CAST(('0x' || substr(md5(
-        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-        |        || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM orders)
+        |      CAST(length(k) AS VARCHAR) || ':' || k || '|' ||
+        |      CAST(length(cu) AS VARCHAR) || ':' || cu || '|' ||
+        |      CAST(length(d) AS VARCHAR) || ':' || d), 1, 15)) AS BIGINT) AS h
+        |  FROM c)
         |SELECT order_month, COUNT(*) AS n_rows, bit_xor(h) AS xor_hash
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1352,10 +1366,16 @@ object SparkEntry {
         |        WHEN outcome = 'add_but_deleted_and_changed' THEN 'F'
         |        WHEN is_deleted = 'T' THEN 'T' ELSE 'F' END AS is_deleted
         |  FROM dec WHERE outcome <> 'delete_but_missing_and_ignored'),
-        |hv AS (SELECT o_orderkey % 16 AS shard,
-        |   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-        |     CAST(price AS VARCHAR) || '|' || is_deleted), 1, 15)) AS BIGINT) AS h
-        |  FROM fin)
+        |c AS (SELECT o_orderkey % 16 AS shard,
+        |   CAST(o_orderkey AS VARCHAR) AS k, CAST(price AS VARCHAR) AS p,
+        |   is_deleted AS dl
+        |  FROM fin),
+        |hv AS (SELECT shard,
+        |   CAST(('0x' || substr(md5(
+        |     CAST(length(k) AS VARCHAR) || ':' || k || '|' ||
+        |     CAST(length(p) AS VARCHAR) || ':' || p || '|' ||
+        |     CAST(length(dl) AS VARCHAR) || ':' || dl), 1, 15)) AS BIGINT) AS h
+        |  FROM c)
         |SELECT shard, COUNT(*) AS n_rows, bit_xor(h) AS xor_hash
         |FROM hv GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -1661,6 +1681,7 @@ object SparkEntry {
     // generated twin: the workload VALUES list is emitted by the same
     // code that builds the Spark-side DataFrame
     "s_search" -> graft.operators.Retrieval.searchOracle,
+    "s_search_bm25" -> graft.operators.Retrieval.searchBm25Oracle,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -1846,6 +1867,25 @@ object SparkEntry {
         |  CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_ratio
         |       * ok_bullet * ok_ellipsis * ok_stopwords AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted draw, rank surface: u is an exact dyadic rational
+    // (13 md5 hex chars / 2^52) on both engines; pow can differ by a
+    // final ulp, but adjacent keys are ~1e-8 apart so the ORDER (and
+    // hence the rank) is identical — only the rank is compared
+    "t_weighted_sample" ->
+      (s"""WITH d AS (SELECT doc_id, lang, source,
+        |    CAST($wsTok AS BIGINT) AS n_tokens FROM documents),
+        |k AS (SELECT *,
+        |    ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 13)) AS BIGINT)
+        |      + 1.0) / 4503599627370496.0) AS u FROM d),
+        |e AS (SELECT doc_id, lang, source, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      pow(u, 1.0 / CAST(n_tokens + 1 AS DOUBLE)) DESC, doc_id)
+        |      AS sample_rank
+        |  FROM k)
+        |SELECT doc_id, lang, source, n_tokens,
+        |  CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM e WHERE sample_rank <= 200 ORDER BY sample_rank""".stripMargin),
 
     // exact-k stratified sample: the salted-md5 permutation is a
     // uniform order both engines compute identically

@@ -145,8 +145,8 @@ object Cdc {
     val touched = changeSet(spark, dir).select("o_orderkey").distinct()
     def canon(df: DataFrame, w: Long): DataFrame = df.select(
       (col("o_orderkey") % 16).as("shard"),
-      concat_ws("|", col("o_orderkey").cast("string"),
-        col("price").cast("string"), col("is_deleted")).as("payload"),
+      Reconcile.canonical(Seq(col("o_orderkey").cast("string"),
+        col("price").cast("string"), col("is_deleted"))).as("payload"),
       lit(w).as("w"))
     val all = canon(base, 1L)
       .unionByName(canon(base.join(touched, Seq("o_orderkey"), "left_semi"), -1L))

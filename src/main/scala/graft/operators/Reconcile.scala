@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Database-vs-file reconciliation as a generic library API — the
@@ -62,20 +62,42 @@ object Reconcile {
       .select(col(key) +: compareCols.map(col) :+ col("fix_action"): _*)
   }
 
+  /** INJECTIVE canonical token for one column: NULL → the bare
+    * sentinel `N`; a value → `<charlen>:<value>`. A token stream
+    * joined with `|` parses unambiguously left-to-right (read the
+    * length, take exactly that many chars), so distinct rows can
+    * never share a canonical string — `('a',NULL)` vs `(NULL,'a')`
+    * and `('a|b','c')` vs `('a','b|c')` all encode differently.
+    * `N` cannot collide with a real value because value tokens
+    * always start with a digit-colon length prefix. The same form is
+    * one expression in ANSI SQL (`length(v) || ':' || v`), so DuckDB
+    * oracles mirror it exactly, including the NULL branch that a
+    * plain `||` chain would silently turn into a NULL hash. */
+  def canonToken(c: Column): Column =
+    when(c.isNull, lit("N"))
+      .otherwise(concat(length(c).cast("string"), lit(":"), c))
+
+  /** The full injective canonical string for a row projection —
+    * shared by `fingerprint` and the incremental XOR maintenance in
+    * Cdc so the homomorphism test compares identical encodings. */
+  def canonical(cols: Seq[Column]): Column =
+    concat_ws("|", cols.map(canonToken): _*)
+
   /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum
     * that turns the reference's verify counts into CONTENT equality:
     * two stores whose per-group (n_rows, xor_hash) match hold the
     * same rows, wherever and however partitioned. Each row hashes to
-    * a 60-bit integer (the first 15 hex chars of md5 over a
-    * `|`-joined canonical projection — columns pre-cast to strings by
-    * the CALLER so the canonical form is explicit); the group
+    * a 60-bit integer (the first 15 hex chars of md5 over the
+    * injective `canonToken` projection — columns pre-cast to strings
+    * by the CALLER so the canonical form is explicit); the group
     * checksum is `bit_xor`, which commutes and never overflows, so
     * ANY engine, partitioning, or row order reproduces it — exactly
     * the property a 1000-executor scan needs. Map-side projection +
     * one group-sized aggregate; nothing else moves. */
   def fingerprint(df: DataFrame, groupCols: Seq[String],
                   canonCols: Seq[String]): DataFrame = {
-    val h = conv(substring(md5(concat_ws("|", canonCols.map(col): _*)), 1, 15),
+    val h = conv(substring(
+      md5(concat_ws("|", canonCols.map(n => canonToken(col(n))): _*)), 1, 15),
       16, 10).cast("long")
     df.withColumn("__h", h)
       .groupBy(groupCols.map(col): _*)

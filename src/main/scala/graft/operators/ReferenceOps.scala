@@ -775,15 +775,25 @@ object ReferenceOps {
     * but only because the fixture dim is small); the no-Exchange
     * property is PlanSpec-pinned. Result-wise this is a plain
     * join+aggregate, so the DuckDB oracle reads the raw parquet. */
+  /** Table names and paths carry a tag derived from the DATA DIR so
+    * two concurrent sweeps (or two sessions on different scale
+    * factors) publish to disjoint tables instead of dropping each
+    * other's mid-query — "idempotent re-publish" now holds per input,
+    * not just serially. */
+  private def bucketTag(dir: String): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+
   def bucketJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_buckets"
+    val tag = bucketTag(dir)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_buckets_$tag"
     Sinks.writeBucketedTable(
       Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
-      "graft_b_orders", s"$tmp/orders", "o_custkey", buckets = 8)
+      s"graft_b_orders_$tag", s"$tmp/orders", "o_custkey", buckets = 8)
     Sinks.writeBucketedTable(
       Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
-      "graft_b_customer", s"$tmp/customer", "c_custkey", buckets = 8)
-    bucketedJoin(spark)
+      s"graft_b_customer_$tag", s"$tmp/customer", "c_custkey", buckets = 8)
+    bucketedJoin(spark, dir)
       .groupBy("c_nationkey")
       .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_orders"))
@@ -791,9 +801,10 @@ object ReferenceOps {
   }
 
   /** The co-located join itself (exposed for the plan pin). */
-  def bucketedJoin(spark: SparkSession): DataFrame = {
-    val o = spark.table("graft_b_orders")
-    val c = spark.table("graft_b_customer")
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = bucketTag(dir)
+    val o = spark.table(s"graft_b_orders_$tag")
+    val c = spark.table(s"graft_b_customer_$tag")
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
   }
 

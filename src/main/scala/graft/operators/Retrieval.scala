@@ -129,12 +129,17 @@ object Retrieval {
   }
 
   /** Registered `s_search_bm25`: the BM25 scorer on the same
-    * workload — rows-only (log idf), ordering properties spec-pinned
-    * against the integer sibling. */
+    * workload, hash-matched against a DuckDB twin. The ln idf can
+    * differ from libm by a final double ulp (measured: ≤1 ulp on
+    * this corpus), so the registered score is the FLOAT cast — the
+    * double-cast discipline: 29 discarded mantissa bits swallow the
+    * ulp while keeping a meaningful score surface; ranks were already
+    * ulp-proof (adjacent scores far apart, ties broken on doc_id). */
   def searchBm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     searchBm25Of(Tables.documents(spark, dir),
       queryWorkload.toDF("query_id", "qtext"), k = 10)
+      .withColumn("score", col("score").cast("float"))
   }
 
   /** Generated VALUES clause so the Spark workload and the oracle's
@@ -163,5 +168,36 @@ object Retrieval {
        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
        |  CAST(score AS BIGINT) AS score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** BM25 twin of [[searchOracle]] — same postings CTEs, the Okapi
+    * formula verbatim, and the float-cast score surface that absorbs
+    * the cross-libm ln ulp (see [[searchBm25]]). */
+  def searchBm25Oracle: String =
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |  WHERE length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0),
+       |t AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS term
+       |  FROM c),
+       |tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dc AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |q AS (SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '\\s+')) AS term
+       |    FROM (VALUES ${workloadValuesSql}) AS v(query_id, qtext))),
+       |qt AS (SELECT q.query_id, q.term, st.avgdl,
+       |    ln((st.n_docs - dc.df + 0.5) / (dc.df + 0.5) + 1.0) AS idf
+       |  FROM q JOIN dc USING (term) CROSS JOIN st),
+       |s AS (SELECT qt.query_id, tc.doc_id,
+       |    SUM(qt.idf * (tc.tf * (1.2 + 1.0)) /
+       |        (tc.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / qt.avgdl))) AS score
+       |  FROM tc JOIN dl USING (doc_id) JOIN qt USING (term)
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+       |  CAST(score AS REAL) AS score
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

@@ -56,13 +56,17 @@ object TextOps {
     * reduced to a count), syllables (vowel-group runs — the standard
     * cheap estimator). The grade is one fixed double expression over
     * three exact integers, so it is engine- and partitioning-proof;
-    * docs with no words score null (not a fake grade), and a missing
-    * terminator counts the trailing fragment as one sentence. One
+    * docs with no words score null (not a fake grade), an
+    * unterminated trailing fragment ("Hello. World") counts as its
+    * own sentence, and all-empty docs take the floor of 1. One
     * codegen projection, no shuffle. */
   def readabilityOf(docs: DataFrame): DataFrame = {
     val words = wsTokenCount(col("text")).cast(LongType)
+    val trimmed = wsTrim(col("text"))
     val sentences = greatest(
-      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast(LongType),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast(LongType)
+        + when(length(trimmed) > 0 && !trimmed.rlike("[.!?]$"), lit(1L))
+            .otherwise(lit(0L)),
       lit(1L))
     val syllables =
       size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
@@ -384,6 +388,10 @@ object TextOps {
       1, 13), 16, 10).cast(DoubleType) + lit(1.0)) / lit(math.pow(16.0, 13))
     docs
       .withColumn("weight", weight.cast(DoubleType))
+      // A-ES is defined only for w > 0: w = 0 degenerates to
+      // u^Infinity (0, or NaN at u == 1) and w < 0 inverts the
+      // ranking — exclude such rows rather than silently misrank them
+      .filter(col("weight") > 0)
       .withColumn("es_key", pow(u, lit(1.0) / col("weight")))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
@@ -391,13 +399,23 @@ object TextOps {
 
   /** Registered binding: token-count-weighted draw of 200 docs (long
     * documents proportionally likelier — the "sample by content
-    * volume, not by row" regime a token-budgeted mix wants). */
-  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    * volume, not by row" regime a token-budgeted mix wants). The
+    * registered surface is the RANK, not the raw es_key: pow differs
+    * from libm by 1 ulp on ~1% of rows, but adjacent keys sit ~1e-8
+    * apart (measured), so the salted-permutation ORDER is engine-
+    * proof and hash-matches a DuckDB oracle — the t_reservoir idiom.
+    * The window ranks only the k already-selected rows. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("es_key").desc, col("doc_id"))
     weightedSampleOf(
       Tables.documents(spark, dir)
         .withColumn("n_tokens", wsTokenCount(col("text")).cast(LongType)),
       weight = col("n_tokens") + lit(1L), k = 200)
-      .select("doc_id", "lang", "source", "n_tokens", "es_key")
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .select("doc_id", "lang", "source", "n_tokens", "sample_rank")
+      .orderBy("sample_rank")
+  }
 
   /** Per-source document cap — the per-domain limit web-corpus
     * pipelines apply so one mega-domain cannot dominate the training

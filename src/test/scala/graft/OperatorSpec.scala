@@ -833,6 +833,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(a(0)._3 !== b(0)._3); assert(a(1)._3 === b(1)._3)
   }
 
+  test("fingerprint canonicalization is injective across NULLs and delimiters") {
+    def fp(rows: Seq[(String, String)]): Long =
+      Reconcile.fingerprint(rows.toDF("c1", "c2").withColumn("g", lit("g")),
+          Seq("g"), Seq("c1", "c2"))
+        .collect().head.getLong(2)
+    // ('a',NULL) vs (NULL,'a'): concat_ws would have skipped the NULL
+    // and hashed both to md5('a')
+    assert(fp(Seq(("a", null))) !== fp(Seq((null, "a"))))
+    // ('a|b','c') vs ('a','b|c'): a bare '|' join can't tell these apart
+    assert(fp(Seq(("a|b", "c"))) !== fp(Seq(("a", "b|c"))))
+    // a value equal to the NULL sentinel is still distinct from NULL
+    assert(fp(Seq(("N", "x"))) !== fp(Seq((null, "x"))))
+    // and equal content still matches regardless of row order
+    assert(fp(Seq(("a", "b"), ("c", null))) === fp(Seq(("c", null), ("a", "b"))))
+  }
+
   test("anomaly flags are self-consistent with the reported med/mad") {
     ReferenceOps.anomalyDays(spark, sf).collect().foreach { r =>
       val (n, med, mad, flag) =
@@ -1010,7 +1026,8 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("readability: known grade on a constructed doc, null on empty") {
-    val docs = Seq((1L, "Hello world. It is sunny."), (2L, ""))
+    val docs = Seq((1L, "Hello world. It is sunny."), (2L, ""),
+        (3L, "Hello. World"), (4L, "no terminator at all \t "))
       .toDF("doc_id", "text")
     val out = TextOps.readabilityOf(docs).collect()
     val r1 = out.find(_.getLong(0) == 1L).get
@@ -1019,6 +1036,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(r1.getDouble(4) === fk)
     val r2 = out.find(_.getLong(0) == 2L).get
     assert(r2.getLong(1) === 0L && r2.isNullAt(4))
+    // an unterminated trailing fragment counts as its own sentence
+    assert(out.find(_.getLong(0) == 3L).get.getLong(2) === 2L)
+    // zero terminators: the whole doc is one sentence, not zero
+    assert(out.find(_.getLong(0) == 4L).get.getLong(2) === 1L)
   }
 
   test("equi-depth histogram: buckets cover everything with near-equal depth") {

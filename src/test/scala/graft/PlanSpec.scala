@@ -226,7 +226,7 @@ class PlanSpec extends AnyFunSuite {
     // co-located plan: SortMergeJoin fed by bucketed scans, no
     // shuffle anywhere in the join subtree
     operators.ReferenceOps.bucketJoinRevenue(spark, sf).collect()
-    val join = operators.ReferenceOps.bucketedJoin(spark)
+    val join = operators.ReferenceOps.bucketedJoin(spark, sf)
     val p = join.queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange"), s"bucketed join shuffled:\n$p")
