@@ -26,6 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference core (Land-Registry services & analysis) —
     "q_ingest_clean"     -> ReferenceOps.ingestClean _,
+    // zip lifecycle round-trip: publish monthly archives from orders,
+    // binaryFile scan → partition-wise unzip → target-entry select →
+    // CSV parse → per-month aggregate, hash-matched vs orders direct
+    "q_zip_ingest"       -> graft.sources.ZipSource.zipIngest _,
+    // corrupt-archive quarantine report (rows-only: JDK err strings)
+    "q_zip_quarantine"   -> graft.sources.ZipSource.zipQuarantine _,
     "q_subset_period"    -> ReferenceOps.subsetPeriod _,
     "q1_pricing_summary" -> ReferenceOps.pricingSummary _,
     "q_delay_histogram"  -> ReferenceOps.delayHistogram _,
@@ -651,6 +657,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND CAST(l_quantity AS INTEGER) > 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the zip round-trip must reproduce orders exactly: per-month
+    // count, exact-decimal revenue, and the 60-bit md5 XOR key fold
+    "q_zip_ingest" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |    CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT order_month, COUNT(*) AS n_rows,
+        |  CAST(SUM(price) AS DOUBLE) AS revenue,
+        |  bit_xor(CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)) AS key_xor
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_subset_period" ->
       """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,

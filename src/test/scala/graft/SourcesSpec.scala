@@ -721,6 +721,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(dump(graft.sources.Tables.events(spark, tzDir)) === dump(fromMicros))
   }
 
+  test("zip entries round-trip content and sha256; corrupt archives quarantine") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("zips").toString
+    def put(zos: ZipOutputStream, name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(s"$dir/good.zip"))
+    put(zos, "a.txt", "hello\nworld"); put(zos, "b.txt", "solo"); zos.close()
+    // garbage bytes: no zip signature anywhere
+    Files.write(new java.io.File(dir, "garbage.zip").toPath,
+      "not a zip at all".getBytes("UTF-8"))
+    // truncated: a real zip cut mid-stream
+    val full = Files.readAllBytes(new java.io.File(dir, "good.zip").toPath)
+    Files.write(new java.io.File(dir, "trunc.zip").toPath, full.take(30))
+    val ents = graft.sources.ZipSource.entries(spark, s"$dir/*.zip")
+    val ok = ents.filter(col("ok")).orderBy("entry").collect()
+    assert(ok.map(_.getAs[String]("entry")).toSeq === Seq("a.txt", "b.txt"))
+    val a = ok.head
+    assert(new String(a.getAs[Array[Byte]]("content"), "UTF-8") === "hello\nworld")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("hello\nworld".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    assert(a.getAs[String]("sha256") === sha)
+    val bad = ents.filter(!col("ok"))
+      .select(element_at(split(col("archive"), "/"), -1), col("err")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(bad.keySet === Set("garbage.zip", "trunc.zip"))
+    assert(bad.values.forall(_.nonEmpty))
+    // zip-bomb guard: a tiny cap quarantines the oversized entries
+    val capped = graft.sources.ZipSource.entries(spark, s"$dir/good.zip",
+      maxEntryBytes = 5)
+    assert(capped.filter(!col("ok")).count() === 1) // a.txt (11 bytes) trips it
+    assert(capped.filter(col("ok")).count() === 1)  // b.txt (4 bytes) survives
+  }
+
+  test("writeZips emits one archive per key plus a decoy; textLines round-trips") {
+    val dir = Files.createTempDirectory("zipw").toString
+    val rows = Seq(("2024-01", "k1,10.00"), ("2024-01", "k2,20.00"),
+      ("2024-02", "k3,30.00")).toDF("m", "line")
+    graft.sources.ZipSource.writeZips(rows, "m", "line", dir,
+      m => s"PPMS_update_$m.txt")
+    val ents = graft.sources.ZipSource.entries(spark, s"$dir/*.zip")
+    // every archive carries its data entry AND the decoy README
+    val names = ents.select("entry").as[String].collect().sorted
+    assert(names === Array("PPMS_update_2024-01.txt", "PPMS_update_2024-02.txt",
+      "README.txt", "README.txt"))
+    val lines = graft.sources.ZipSource.textLines(ents)
+      .filter(col("entry").startsWith("PPMS_update_"))
+      .select("line").as[String].collect().sorted
+    assert(lines === Array("k1,10.00", "k2,20.00", "k3,30.00"))
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()
