@@ -388,18 +388,75 @@ object ReferenceOps {
       .limit(topK)
   }
 
-  /** Customer spend quartiles — the NTILE cohort report ("which
-    * quartile does this customer's lifetime spend fall in"): one
-    * keyed aggregation to lifetime spend (decimal-exact), one global
-    * ntile window over the pre-aggregated customer list (report-sized
-    * input, so the single-partition window is bounded), then quartile
-    * summary stats. */
-  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(spark, dir)
+  /** Per-customer lifetime spend — the shared input of the quartile
+    * and Pareto reports. */
+  private def customerSpend(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(sum(dec2(col("o_totalprice"))).as("spend"), count(lit(1)).as("n_orders"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.withColumn("quartile", ntile(4).over(w).cast(LongType))
+
+  /** HIERARCHICAL global rank + running sum over (spend DESC,
+    * o_custkey) — the dimension-scale replacement for a global
+    * window: a `Window.orderBy` with no partition funnels the whole
+    * table through ONE reducer, fine for TPC-H customers but fatal
+    * when the "dimension" is web-scale (domains, users). Same
+    * decomposition as [[TextOps.tokenBudgetOf]], except the shard key
+    * must follow the VALUE order, so rows bucket by their spend's
+    * position in the broadcast [min, max] range (monotone in the sort
+    * key — floor/divide preserve order, equal spends share a bucket,
+    * residual ties break inside the bucket-local window). Bucket-
+    * local rank/sum run at bucket parallelism over the data; the only
+    * global window orders the BUCKET TOTALS (`nBuckets` rows). Offset
+    * + local value equals the single-window result exactly — the
+    * DuckDB oracles still compute the plain global window. */
+  private[operators] def rankedBySpendDesc(spend: DataFrame,
+                                           nBuckets: Int = 64): DataFrame = {
+    val stats = spend.agg(max(col("spend")).as("mx"), min(col("spend")).as("mn"))
+    val width = greatest((col("mx") - col("mn")).cast(DoubleType), lit(1e-9)) /
+      lit(nBuckets)
+    val b = spend.crossJoin(broadcast(stats))
+      .withColumn("bucket", least(
+        floor((col("mx") - col("spend")).cast(DoubleType) / width),
+        lit(nBuckets - 1L)).cast(LongType))
+      .drop("mx", "mn")
+    val wLoc = Window.partitionBy("bucket")
+      .orderBy(col("spend").desc, col("o_custkey"))
+    val local = b
+      .withColumn("rk_local", row_number().over(wLoc).cast(LongType))
+      .withColumn("cum_local", sum(col("spend"))
+        .over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("bucket")
+      .agg(count(lit(1)).as("b_n"), sum(col("spend")).as("b_spend"))
+      .withColumn("rk_off", coalesce(sum(col("b_n")).over(wOff), lit(0L)))
+      .withColumn("cum_off", sum(col("b_spend")).over(wOff))
+      .select("bucket", "rk_off", "cum_off")
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rk", col("rk_off") + col("rk_local"))
+      .withColumn("cum", when(col("cum_off").isNull, col("cum_local"))
+        .otherwise(col("cum_off") + col("cum_local")))
+      .drop("bucket", "rk_local", "cum_local", "rk_off", "cum_off")
+  }
+
+  /** Customer spend quartiles — the NTILE cohort report ("which
+    * quartile does this customer's lifetime spend fall in"): one
+    * keyed aggregation to lifetime spend (decimal-exact), the
+    * hierarchical global rank, then NTILE's bucket arithmetic applied
+    * to (rank, total count) directly — the standard first-(n mod k)-
+    * buckets-get-one-extra rule as a pure expression over two exact
+    * longs, bit-equal to the window function on any engine. */
+  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = customerSpend(spark, dir)
+    val totals = spend.agg(count(lit(1)).as("n_total"))
+    rankedBySpendDesc(spend).crossJoin(broadcast(totals))
+      .withColumn("quartile", expr(
+        """CASE WHEN rk <= (n_total % 4) * ((n_total div 4) + 1)
+          |     THEN ((rk - 1) div ((n_total div 4) + 1)) + 1
+          |     ELSE (n_total % 4) +
+          |          ((rk - (n_total % 4) * ((n_total div 4) + 1) - 1)
+          |            div (n_total div 4)) + 1
+          |END""".stripMargin).cast(LongType))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).cast(DoubleType).as("total_spend"),
@@ -984,19 +1041,15 @@ object ReferenceOps {
 
   /** Revenue CONCENTRATION (Pareto): how many top customers cover
     * 50/80/90/99% of lifetime revenue. The running share needs a
-    * global order — taken over the CUSTOMER aggregate (dimension-
-    * sized, the ntile/quartile precedent), never the fact table; the
-    * threshold test is `cum·100 ≥ total·t` in DECIMAL — integer-exact
-    * on both engines, no float share ever compared. */
+    * global order — taken over the CUSTOMER aggregate through the
+    * HIERARCHICAL rank (bucket-local windows + broadcast bucket
+    * offsets, see [[rankedBySpendDesc]]) so no reducer ever sees the
+    * whole dimension; the threshold test is `cum·100 ≥ total·t` in
+    * DECIMAL — integer-exact on both engines, no float share ever
+    * compared. */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(spark, dir)
-      .groupBy("o_custkey").agg(sum(dec2(col("o_totalprice"))).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = spend
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("spend").desc, col("o_custkey"))).cast(LongType))
-      .withColumn("cum", sum(col("spend")).over(w))
+    val spend = customerSpend(spark, dir).drop("n_orders")
+    val ranked = rankedBySpendDesc(spend)
     val totals = spend.agg(sum(col("spend")).as("total"),
       count(lit(1)).as("n_customers_total"))
     val thresholds = spark.range(1).select(

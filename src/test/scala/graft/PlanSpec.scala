@@ -198,6 +198,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("spend rank reports are hierarchical: no global window over the customer table") {
+    for (name <- Seq("q_spend_quartiles", "q_pareto")) {
+      val p = planOf(name)
+      // the per-customer window partitions by bucket — bucket-level
+      // parallelism instead of one reducer for the whole dimension
+      assert("windowspecdefinition\\(bucket#\\d+L?, spend#".r.findFirstIn(p).isDefined,
+        s"$name lost the bucket-local window:\n$p")
+      // a window ordered by spend with NO partition column would be the
+      // single-reducer global rank creeping back; the only unpartitioned
+      // window orders the bucket TOTALS (nBuckets rows)
+      assert("windowspecdefinition\\(spend#".r.findFirstIn(p).isEmpty,
+        s"$name global spend window crept back:\n$p")
+      assert("windowspecdefinition\\(bucket#\\d+L? ASC".r.findFirstIn(p).isDefined,
+        s"$name bucket-offset window missing:\n$p")
+    }
+  }
+
   test("quality model and repetition scoring use the native censuses") {
     assert(planOf("t_repetition").contains("repetitionstats"))
     val p = planOf("t_quality_model")
