@@ -31,6 +31,15 @@ object SchemaEvolution {
 
   private val metaName = "schema"
 
+  /** High-water mark of every id EVER minted, persisted with each
+    * version. Minting above the LIVE mapping's max would be wrong:
+    * drop the max-id column and the next add would re-mint the
+    * retired id, silently resurrecting the dropped column's history
+    * under the new column's name. Old versions also get pruned
+    * (`retainVersions`), so the mark cannot be recovered by scanning
+    * history — it must ride the metadata. */
+  private val maxIdMeta = "schema_maxid"
+
   /** Serialize: one `id<TAB>name<TAB>ddl` line per column. Names are
     * parquet field names (no tabs/newlines possible); the format needs
     * no parser beyond split. */
@@ -58,7 +67,8 @@ object SchemaEvolution {
                      renamedFrom: Map[String, String] = Map.empty,
                      retainVersions: Int = 2): Long = {
     val spark = df.sparkSession
-    val prev: Seq[ColMeta] = Sinks.currentVersion(spark, tablePath)
+    val liveVersion = Sinks.currentVersion(spark, tablePath)
+    val prev: Seq[ColMeta] = liveVersion
       .flatMap(v => schemaOf(spark, tablePath, v)).getOrElse(Seq.empty)
     val prevByName = prev.map(c => c.name -> c).toMap
     renamedFrom.foreach { case (nu, old) =>
@@ -66,7 +76,12 @@ object SchemaEvolution {
         s"renamedFrom: no column '$old' in the live schema to inherit for '$nu'")
       require(df.columns.contains(nu), s"renamedFrom: '$nu' not in the published frame")
     }
-    var nextId = prev.map(_.id).maxOption.getOrElse(0L)
+    // mint above every id EVER issued, not just the live ones —
+    // retired (dropped) ids must never come back (see maxIdMeta)
+    var nextId = liveVersion
+      .flatMap(v => Sinks.versionMeta(spark, tablePath, v).get(maxIdMeta))
+      .map(_.toLong)
+      .getOrElse(prev.map(_.id).maxOption.getOrElse(0L))
     val cols = df.schema.fields.toSeq.map { f =>
       val inherited = renamedFrom.get(f.name).flatMap(prevByName.get)
         .orElse(prevByName.get(f.name))
@@ -76,7 +91,7 @@ object SchemaEvolution {
       }
     }
     Sinks.publishSnapshot(df, dateCol, tablePath, retainVersions,
-      extraMeta = Map(metaName -> render(cols)))
+      extraMeta = Map(metaName -> render(cols), maxIdMeta -> nextId.toString))
   }
 
   /** Read committed `version` projected onto the schema of
