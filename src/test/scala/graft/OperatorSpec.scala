@@ -309,6 +309,27 @@ class OperatorSpec extends AnyFunSuite {
       s"IVFADC recall@10 $recall below floor (${(ivfpq.toSet & brute).size}/${brute.size})")
   }
 
+  test("ivf recall rises along the nProbe dial and is EXACT at full probe") {
+    val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = SimilarityOps.annIvf(spark, sf, nQueries = 5, k = 10,
+          kCells = 16, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val rHalf = recallAt(8); val rAll = recallAt(16)
+    // the dial is evidenced, not just present: floors at both ends of
+    // the curve, monotone between them
+    assert(r1 >= 0.6, s"recall@10 $r1 at nProbe=1 below floor")
+    assert(rHalf >= 0.9, s"recall@10 $rHalf at nProbe=kCells/2 below floor")
+    assert(rHalf >= r1, s"recall fell as probes grew: $r1 -> $rHalf")
+    // probing every cell covers every vector exactly once (cells
+    // partition the corpus), so the full-probe IVF answer must equal
+    // brute force — the correctness anchor of the whole index
+    assert(rAll === 1.0, s"full-probe IVF diverged from brute force: $rAll")
+  }
+
   test("ann banded-LSH meets the recall@10 floor vs brute-force top-k") {
     // the real test embeddings are near-isotropic (top-10 cosines
     // ~0.25-0.4) — the hardest case for hyperplane LSH — so clearing
