@@ -974,8 +974,12 @@ object TextOps {
     * id map is tiny and the mapping join is a broadcast — the corpus
     * itself is touched by two map-only passes (explode+count,
     * explode+lookup) and never shuffles on the mapping side. The
-    * rank window runs over vocab-sized input (post-limit), not the
-    * corpus. Emitted exploded (doc_id, pos, token, token_id) rather
+    * unpartitioned rank window runs over the post-`limit` table, so
+    * its single partition holds exactly `vocabSize` rows — a
+    * CONSTANT bound (32-100k ids in practice), independent of corpus
+    * size, unlike a dimension-sized global window (those use the
+    * hierarchical bucket rank, see ReferenceOps.rankedBySpendDesc).
+    * Emitted exploded (doc_id, pos, token, token_id) rather
     * than as an array column so the result is plain-SQL comparable;
     * a real export would `collect_list` over the same frame. */
   def tokenizeIdsOf(docs: DataFrame, vocabSize: Int = 64): DataFrame = {

@@ -38,9 +38,12 @@ class PlanSpec extends AnyFunSuite {
       "q_resample",
       // single-broadcast-row statistics crosses (the packed-broadcast
       // idiom again): med/mad (anomaly), totals (skew profile,
-      // pareto — plus its 4-row threshold list), max-day (trending).
-      // Each is a 1×N nested loop against one reduced row, never N²
-      "q_anomaly", "q_skew_profile", "q_pareto", "q_trending")
+      // pareto — plus its 4-row threshold list), max-day (trending),
+      // spend [min,max] + n_total (quartiles' hierarchical bucket
+      // rank). Each is a 1×N nested loop against one reduced row,
+      // never N²
+      "q_anomaly", "q_skew_profile", "q_pareto", "q_trending",
+      "q_spend_quartiles")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
