@@ -30,6 +30,13 @@ object SparkEntry {
     // binaryFile scan → partition-wise unzip → target-entry select →
     // CSV parse → per-month aggregate, hash-matched vs orders direct
     "q_zip_ingest"       -> graft.sources.ZipSource.zipIngest _,
+    // JSONL interchange round-trip: gzipped split-partitioned export →
+    // schema-first PERMISSIVE read (planted corrupt line quarantined)
+    // → text-XOR census, hash-matched vs the parquet corpus direct
+    "q_jsonl_roundtrip"  -> graft.sources.JsonlDocs.jsonlRoundTrip _,
+    // GDPR purge: deletion-vector erasure of an event-subject cohort,
+    // merged read census hash-matched vs the filtered raw events
+    "q_rtbf_purge"       -> graft.sources.DeletionVectors.rtbfPurgeResult _,
     // corrupt-archive quarantine report (rows-only: JDK err strings)
     "q_zip_quarantine"   -> graft.sources.ZipSource.zipQuarantine _,
     "q_subset_period"    -> ReferenceOps.subsetPeriod _,
@@ -657,6 +664,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND CAST(l_quantity AS INTEGER) > 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the JSONL round-trip must reproduce the corpus byte-exactly:
+    // text md5-XOR per (lang, source) — any escaping loss flips it
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(length(text)) AS n_chars,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS text_xor
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rtbf_purge" -> graft.sources.DeletionVectors.rtbfPurgeOracle,
 
     // the zip round-trip must reproduce orders exactly: per-month
     // count, exact-decimal revenue, and the 60-bit md5 XOR key fold

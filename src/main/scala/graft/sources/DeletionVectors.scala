@@ -252,6 +252,46 @@ object DeletionVectors {
       |FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey % 5 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  private val rtbfFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_rtbf_purge` — the RIGHT-TO-BE-FORGOTTEN
+    * composition as a query surface (DeletionVectorsSpec's
+    * checksum-proven spec, now DuckDB-verified): publish the event
+    * log as a snapshot, resolve every data subject in the erasure
+    * cohort (user_id ≡ 0 mod 97) with ONE read, publish their row
+    * keys as a deletion vector — the base is never rewritten, the
+    * legally-mandated delete costs O(|subject rows|) — then read
+    * merged and report the per-event-type census with a 60-bit XOR
+    * fingerprint over the surviving event ids. The oracle filters the
+    * raw events table directly, so a hash-match proves the purge
+    * removed EXACTLY the subjects' rows and left every other row
+    * byte-identical. */
+  def rtbfPurgeResult(spark: SparkSession, dir: String): DataFrame = {
+    val table = rtbfFixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("rtbf_q") + "/table"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+      Sinks.publishSnapshot(ev, "day", t)
+      val subjects = readMerged(spark, t)
+        .filter(col("user_id") % 97 === 0).select("event_id")
+      publishDeletes(spark, t, subjects, "event_id")
+      t
+    })
+    readMerged(spark, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr("bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as long))")
+          .as("event_xor"))
+      .orderBy("event_type")
+  }
+
+  def rtbfPurgeOracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  bit_xor(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS event_xor
+      |FROM events WHERE user_id % 97 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val morFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Two chained MoR upserts: commit A bumps every 9th key by 10,

@@ -600,4 +600,48 @@ object JsonlDocs {
     read(spark, path)
       .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
       .select("doc_id", "text", "lang", "source")
+
+  // — registered round-trip ——————————————————————————————————————————
+
+  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One JSONL export per data dir per JVM: the corpus written
+    * through the REAL export writer (split-partitioned, shard-
+    * distributed, gzipped) plus one planted corrupt line that the
+    * PERMISSIVE read must quarantine. */
+  private def jsonlFixture(spark: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val out = graft.util.Scratch.dir("jsonl")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          when(col("doc_id") % 10 === 0, "val").otherwise("train").as("split"),
+          (col("doc_id") % 4).as("shard"))
+      Sinks.writeCorpusJsonl(docs, out)
+      val bad = new java.io.FileOutputStream(s"$out/split=train/zz_corrupt.json")
+      bad.write("{\"doc_id\": this is not json\n".getBytes("UTF-8")); bad.close()
+      out
+    })
+
+  /** Registered `q_jsonl_roundtrip`: corpus → gzipped partitioned
+    * JSONL → schema-first PERMISSIVE read → per-(lang, source)
+    * aggregate of count, total text chars, and the 60-bit md5 XOR of
+    * the text itself. The DuckDB oracle computes the same aggregate
+    * from the parquet corpus directly, so a hash-match proves the
+    * JSON encode/decode round-trip is BYTE-identical for every
+    * document (escapes, unicode, embedded newlines) — with the
+    * planted corrupt line quarantined by the reader, unable to
+    * perturb the result. Order-independent aggregates only: no sort,
+    * any partitioning. */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fx = jsonlFixture(spark, dir)
+    readClean(spark, fx)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as long))")
+          .as("text_xor"))
+      .orderBy("lang", "source")
+  }
 }
