@@ -54,6 +54,9 @@ object SparkEntry {
     // declarative expectation gate: one scan, one reduce row, a
     // planted red check proving the failure path is hash-checked too
     "q_quality_gate"     -> QualityGate.ordersGate _,
+    // gate-then-publish round trip: good feed publishes, corrupted
+    // twin is refused by the same gate; live-table census hash-matched
+    "q_gated_publish"    -> QualityGate.gatedPublishResult _,
     // blocked fuzzy record linkage: candidates share a blocking key,
     // codegen levenshtein verifies
     "q_fuzzy_link"       -> RecordLinkage.fuzzyLink _,
@@ -1339,6 +1342,8 @@ object SparkEntry {
     // VERBATIM — one truth, expert API and planner rewrite
     "q_range_join" -> rangeJoinOracle,
     "q_range_join_auto" -> rangeJoinOracle,
+
+    "q_gated_publish" -> QualityGate.gatedPublishOracle,
 
     // expectation gate: conditional counts + per-key extra-occurrence
     // sum, all integers; the planted at_most check reads red

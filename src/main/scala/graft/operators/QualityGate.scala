@@ -112,4 +112,49 @@ object QualityGate {
       atMost("o_totalprice", 1000L) // planted red: most orders exceed it
     ))
   }
+
+  private val gatedFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_gated_publish` — gate-then-publish as a verified
+    * round trip: the clean orders feed passes its expectations and
+    * publishes; a CORRUPTED twin (every 3rd key nulled) is then
+    * offered through the same gate, which must throw and write
+    * NOTHING. The registered read censuses the live table
+    * (per-month count, exact-decimal revenue, key XOR) against the
+    * DuckDB oracle on raw orders — a hash-match proves both halves
+    * of the contract at once: the good feed published intact, and
+    * the bad feed never became (or perturbed) the live version. */
+  def gatedPublishResult(spark: SparkSession, dir: String): DataFrame = {
+    val table = gatedFixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("gated_q") + "/table"
+      val good = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        to_date(col("o_orderdate")).as("day"))
+      val checks = Seq(notNull("o_orderkey"), unique("o_orderkey"),
+        nonNegative("price"))
+      gatedPublish(good, checks, "day", t)
+      val bad = good.withColumn("o_orderkey",
+        when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_orderkey")))
+      try {
+        gatedPublish(bad, checks, "day", t)
+        throw new IllegalStateException("red gate published a bad feed")
+      } catch { case _: ExpectationsFailed => () }
+      t
+    })
+    graft.sources.Sinks.readSnapshot(spark, table)
+      .groupBy(date_format(col("day"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("revenue"),
+        expr("bit_xor(cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) as long))")
+          .as("key_xor"))
+      .orderBy("order_month")
+  }
+
+  def gatedPublishOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }
