@@ -57,6 +57,9 @@ object SparkEntry {
     // gate-then-publish round trip: good feed publishes, corrupted
     // twin is refused by the same gate; live-table census hash-matched
     "q_gated_publish"    -> QualityGate.gatedPublishResult _,
+    // fixed-point integer PageRank over the customer→supplier graph:
+    // exact LONG arithmetic, hash-matched vs a 3-iteration SQL unroll
+    "q_graph_rank"       -> GraphRank.supplierRank _,
     // blocked fuzzy record linkage: candidates share a blocking key,
     // codegen levenshtein verifies
     "q_fuzzy_link"       -> RecordLinkage.fuzzyLink _,
@@ -1344,6 +1347,7 @@ object SparkEntry {
     "q_range_join_auto" -> rangeJoinOracle,
 
     "q_gated_publish" -> QualityGate.gatedPublishOracle,
+    "q_graph_rank" -> GraphRank.supplierRankOracle,
 
     // expectation gate: conditional counts + per-key extra-occurrence
     // sum, all integers; the planted at_most check reads red

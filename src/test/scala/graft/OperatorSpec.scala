@@ -309,6 +309,24 @@ class OperatorSpec extends AnyFunSuite {
       s"IVFADC recall@10 $recall below floor (${(ivfpq.toSet & brute).size}/${brute.size})")
   }
 
+  test("fixed-point pagerank matches the hand-computed model exactly") {
+    // a→c, b→c, c→d: sources settle at base mass, c collects two
+    // equal contributions, d rides one hop behind c
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphRank.pageRankOf(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r1: c = 150000 + 850000·(2e6) div 1e6 = 1850000; d = 1000000
+    // r2: c = 150000 + 850000·(3e5) div 1e6 = 405000; d = 1722500
+    // r3: c = 405000 (sources steady); d = 150000 + 850000·405000 div 1e6
+    assert(got === Map("a" -> 150000L, "b" -> 150000L,
+      "c" -> 405000L, "d" -> 494250L))
+    // and bit-identical on a rerun at different parallelism — the
+    // whole point of the integer formulation
+    val again = GraphRank.pageRankOf(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("ivf recall rises along the nProbe dial and is EXACT at full probe") {
     val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 5, k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
