@@ -142,4 +142,82 @@ object Pipeline {
         "n_database_only" -> c.getLong(1),
         "n_file_only" -> c.getLong(2))
   }
+
+  // — registered end-to-end binding ——————————————————————————————————
+
+  private val e2eFixtures = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  /** Render rows as pp-schema CSV lines (all fields quoted,
+    * headerless — the reference's actual file format) to one file. */
+  private def writePpCsv(rows: DataFrame, keyCol: String, priceCol: String,
+                         dateCol: String, opCol: String, path: String): Unit = {
+    val line = concat_ws(",",
+      Seq(format_string("\"{%09d}\"", col(keyCol)),
+        concat(lit("\""), col(priceCol).cast("long").cast("string"), lit("\"")),
+        concat(lit("\""), date_format(col(dateCol), "yyyy-MM-dd HH:mm"), lit("\"")),
+        lit("\"SW1A 1AA\""), lit("\"F\""), lit("\"N\""), lit("\"L\""),
+        lit("\"1\""), lit("\"\""), lit("\"HIGH STREET\""), lit("\"\""),
+        lit("\"LONDON\""), lit("\"LONDON\""), lit("\"GREATER LONDON\""),
+        lit("\"A\""), concat(lit("\""), col(opCol), lit("\""))): _*)
+    rows.select(line.as("value")).coalesce(1).write.mode("overwrite").text(path)
+  }
+
+  /** Registered `q_pipeline_e2e`: the WHOLE reference DAG
+    * as one run — a pp-complete file rendered from `orders`
+    * initializes the snapshot store, the decision log archives it,
+    * a monthly update file (every 7th key price-bumped via C, every
+    * 29th deleted via D, offset twins added via A) merges broadcast,
+    * re-offering the SAME file garbage-collects (content-hash dedup),
+    * maintenance compacts, and verify reconciles the live view
+    * against the original file. The output is the run's operation
+    * ledger — the stats the reference writes to its Postgres log
+    * tables. Every ledger value is pure modular arithmetic over the
+    * orders keyspace, so the DuckDB oracle derives the whole run in
+    * CLOSED FORM and a hash-match proves the orchestration end to
+    * end: merge outcome counts, content-hash idempotence on the
+    * re-offer, compaction's version bump, and the reconcile counts
+    * (changed rows on both only-sides, adds db-only, deletes
+    * file-only). */
+  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = e2eFixtures.computeIfAbsent(dir, _ => {
+      val tmp = graft.util.Scratch.dir("pipeline_q")
+      val table = s"$tmp/table"
+      val o = graft.sources.Tables.orders(spark, dir).select(
+        col("o_orderkey").as("k"),
+        col("o_totalprice").cast("long").as("price"),
+        to_date(col("o_orderdate")).as("d"))
+      writePpCsv(o.withColumn("op", lit("A")), "k", "price", "d", "op",
+        s"$tmp/complete.csv")
+      val changes = o
+        .withColumn("op",
+          when(col("k") % 29 === 0, "D")
+            .when(col("k") % 7 === 0, "C")
+            .when(col("k") % 13 === 0, "A"))
+        .filter(col("op").isNotNull)
+        .withColumn("k", when(col("op") === "A", col("k") + 10000000L)
+          .otherwise(col("k")))
+        .withColumn("price", when(col("op") === "C", col("price") + 7L)
+          .otherwise(col("price")))
+      writePpCsv(changes, "k", "price", "d", "op", s"$tmp/update.csv")
+      val b = Seq.newBuilder[(String, Long)]
+      b += "initial_rows" -> initialize(spark, s"$tmp/complete.csv", table)
+      val (dec1, h1) = decideAndLog(spark, s"$tmp/log",
+        "update.csv", PricePaidCsv.normalized(spark, s"$tmp/update.csv"))
+      b += "decision_first_offer_archive" -> (if (dec1 == "archive") 1L else 0L)
+      applyMonthly(spark, s"$tmp/update.csv", table).foreach {
+        case (k, v) => b += s"op_$k" -> v
+      }
+      val (dec2, h2) = decideAndLog(spark, s"$tmp/log",
+        "update.csv", PricePaidCsv.normalized(spark, s"$tmp/update.csv"))
+      b += "decision_reoffer_gc" -> (if (dec2 == "garbage_collect" && h1 == h2) 1L else 0L)
+      b += "maintained_version" -> maintain(spark, table)
+      b += "live_rows" -> current(spark, table).count()
+      verifyAndFix(spark, s"$tmp/complete.csv", table).foreach {
+        case (k, v) => b += s"verify_$k" -> v
+      }
+      b.result()
+    })
+    stats.toDF("stat", "value").orderBy("stat")
+  }
 }

@@ -60,6 +60,9 @@ object SparkEntry {
     // fixed-point integer PageRank over the customer→supplier graph:
     // exact LONG arithmetic, hash-matched vs a 3-iteration SQL unroll
     "q_graph_rank"       -> GraphRank.supplierRank _,
+    // the whole reference DAG in one run (rows-only operation ledger:
+    // init → decide → merge → re-offer GC → compact → verify)
+    "q_pipeline_e2e"     -> Pipeline.pipelineE2E _,
     // blocked fuzzy record linkage: candidates share a blocking key,
     // codegen levenshtein verifies
     "q_fuzzy_link"       -> RecordLinkage.fuzzyLink _,
@@ -1348,6 +1351,30 @@ object SparkEntry {
 
     "q_gated_publish" -> QualityGate.gatedPublishOracle,
     "q_graph_rank" -> GraphRank.supplierRankOracle,
+
+    // the e2e DAG's operation ledger is pure modular arithmetic over
+    // the orders keyspace: every count derives in closed form
+    "q_pipeline_e2e" ->
+      """WITH t AS (SELECT o_orderkey AS k FROM orders),
+        |m AS (SELECT COUNT(*) AS total,
+        |    COUNT(CASE WHEN k % 29 = 0 THEN 1 END) AS dels,
+        |    COUNT(CASE WHEN k % 7 = 0 AND k % 29 <> 0 THEN 1 END) AS chg,
+        |    COUNT(CASE WHEN k % 13 = 0 AND k % 7 <> 0 AND k % 29 <> 0 THEN 1 END) AS adds
+        |  FROM t)
+        |SELECT stat, value FROM (
+        |  SELECT 'decision_first_offer_archive' AS stat, CAST(1 AS BIGINT) AS value FROM m
+        |  UNION ALL SELECT 'decision_reoffer_gc', CAST(1 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'initial_rows', CAST(total AS BIGINT) FROM m
+        |  UNION ALL SELECT 'live_rows', CAST(total - dels + adds AS BIGINT) FROM m
+        |  UNION ALL SELECT 'maintained_version', CAST(3 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_add_and_added', CAST(adds AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_change_and_changed', CAST(chg AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_delete_and_deleted', CAST(dels AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_unchanged', CAST(total - chg - dels AS BIGINT) FROM m
+        |  UNION ALL SELECT 'verify_n_both', CAST(total - chg - dels AS BIGINT) FROM m
+        |  UNION ALL SELECT 'verify_n_database_only', CAST(adds + chg AS BIGINT) FROM m
+        |  UNION ALL SELECT 'verify_n_file_only', CAST(chg + dels AS BIGINT) FROM m
+        |) ORDER BY stat""".stripMargin,
 
     // expectation gate: conditional counts + per-key extra-occurrence
     // sum, all integers; the planted at_most check reads red
