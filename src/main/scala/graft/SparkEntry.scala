@@ -60,9 +60,13 @@ object SparkEntry {
     // fixed-point integer PageRank over the customer→supplier graph:
     // exact LONG arithmetic, hash-matched vs a 3-iteration SQL unroll
     "q_graph_rank"       -> GraphRank.supplierRank _,
-    // the whole reference DAG in one run (rows-only operation ledger:
+    // the whole reference DAG in one run (closed-form-oracled ledger:
     // init → decide → merge → re-offer GC → compact → verify)
     "q_pipeline_e2e"     -> Pipeline.pipelineE2E _,
+    // stateful per-key content dedup drained AvailableNow: reduces to
+    // first-occurrence-per-(user, sha), the oracle's rank-1 window
+    "q_stream_dedup_events" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsPipeline.eventDedupBatch(s, dir)),
     // blocked fuzzy record linkage: candidates share a blocking key,
     // codegen levenshtein verifies
     "q_fuzzy_link"       -> RecordLinkage.fuzzyLink _,
@@ -728,6 +732,17 @@ object SparkEntry {
 
     "q_file_decision" -> (fileDecisionCte +
       "SELECT user_id, event_id, sha256sum, data_decision FROM dec ORDER BY user_id, event_id"),
+
+    // stateful dedup drained in one event-time-ordered batch ≡ keep
+    // the first (ts, event_id) occurrence of every (user, sha)
+    "q_stream_dedup_events" ->
+      """WITH e AS (SELECT user_id, event_id, ts, sha256(props) AS sha FROM events),
+        |r AS (SELECT user_id, event_id, sha,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, sha
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM e)
+        |SELECT user_id, event_id, sha AS sha256sum
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin,
     // the streaming state operator, one-batch-drained, answers to the
     // SAME truth as the batch lag window
     "q_stream_decision" -> (fileDecisionCte +

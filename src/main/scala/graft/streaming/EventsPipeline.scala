@@ -221,20 +221,29 @@ object EventsPipeline {
     * decision service's "have I seen this file content before"
     * memory, as a streaming state operator. Batch equivalent:
     * first-occurrence filter (TextOps.dedupHash). */
-  def streamingDedup(events: DataFrame): DataFrame = {
+  def streamingDedup(events: DataFrame,
+                     orderWithinBatch: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.streaming.GroupState
     val spark = events.sparkSession
     import spark.implicits._
     events
       .select(col("user_id").as("key"), sha2(col("props"), 256).as("sha"),
-        col("event_id"))
-      .as[(Long, String, Long)]
+        col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Vector[String], (Long, Long, String)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, String, Long)], state: GroupState[Vector[String]]) =>
+        (key: Long, rows0: Iterator[(Long, String, Long, Long)], state: GroupState[Vector[String]]) =>
+          // ARRIVAL order by default (the live contract: dedup keeps
+          // whatever came first off the wire); event-time order when
+          // requested — the replay/backfill contract, where "first"
+          // must mean first by (ts, event_id) regardless of file
+          // layout, which is also what makes the drained-batch run
+          // deterministic enough to hash-check against a SQL oracle
+          val rows = if (orderWithinBatch) rows0.toSeq.sortBy(r => (r._4, r._3))
+                     else rows0.toSeq
           // state is BOUNDED: the newest maxDedupState hashes per key,
           // FIFO-evicted — exact dedup within the retention horizon,
           // which is what keeps state-store size flat on an unbounded
@@ -246,7 +255,7 @@ object EventsPipeline {
           val seenSet = scala.collection.mutable.HashSet.from(seen)
           var fifo = seen
           val out = Vector.newBuilder[(Long, Long, String)]
-          rows.foreach { case (k, sha, id) =>
+          rows.foreach { case (k, sha, id, _) =>
             if (!seenSet.contains(sha)) {
               out += ((k, id, sha))
               seenSet += sha
@@ -261,6 +270,31 @@ object EventsPipeline {
           out.result().iterator
       }
       .toDF("user_id", "event_id", "sha256sum")
+  }
+
+  /** Registered driver query for the stateful event-dedup service:
+    * the events table replayed through `streamingDedup` (file source
+    * → flatMapGroupsWithState → checkpointed parquet sink) in one
+    * AvailableNow pass, event-time ordered within the drained batch.
+    * With every per-key sha set under the FIFO bound at this scale,
+    * the state path reduces to first-occurrence-per-(user, sha) —
+    * which is exactly the rank-1 SQL the oracle runs. Cross-batch
+    * carry-over and FIFO eviction are spec-covered (StreamingSpec). */
+  def eventDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("events_dedup_q")
+    val events = Tables.events(spark, dir)
+    events.coalesce(4).write.parquet(s"$tmp/in")
+    streamingDedup(
+        spark.readStream.schema(events.schema).parquet(s"$tmp/in"),
+        orderWithinBatch = true)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$tmp/out")
+      .awaitTermination()
+    spark.read.parquet(s"$tmp/out").orderBy("user_id", "event_id")
   }
 
   /** STREAM-STREAM interval join — last-hour click attribution: each
