@@ -338,6 +338,10 @@ object SparkEntry {
     // two-batch fold equality and planted rejection are spec-pinned)
     "d_stream_near_dedup" -> ((s: SparkSession, dir: String) =>
       graft.streaming.CorpusStream.nearDedupBatch(s, dir)),
+    // band-index maintenance lifecycle: fold per-trigger partitions,
+    // identical distinct content, index still rejects/admits (rows-only)
+    "d_band_compaction"  -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CorpusStream.bandCompactionResult(s, dir)),
     // the STREAMING CDC updater drained end-to-end (file source →
     // foreachBatch merge → versioned snapshot), hash-checked vs the
     // batch decision-matrix oracle

@@ -387,4 +387,54 @@ object CorpusStream {
       .select("doc_id", "text", "lang", "source")
       .orderBy("doc_id")
   }
+
+  /** Registered `d_band_compaction` (rows-only — minhash band hashes
+    * have no SQL twin; every output is a deterministic LONG the
+    * driver rows-checks and the ledger makes self-evident): the
+    * band-index MAINTENANCE lifecycle. Two admitted batches leave two
+    * per-trigger index partitions; `compactBandIndex` must fold them
+    * into the single `batch=-1` partition with the distinct
+    * (doc_id, band, bh) content IDENTICAL — and the index must still
+    * WORK: a near-copy of an admitted document offered after
+    * compaction is rejected, a fresh document admitted. */
+  def bandCompactionResult(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.util.Scratch.dir("band_compact_q")
+    val corpus = s"$tmp/corpus"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val off = graft.operators.NearDedup.plantedOffset(docs, "doc_id")
+    admitNearBatch(docs.filter(col("doc_id") % 2 === 0), corpus, 0L, 0.5)
+    admitNearBatch(docs.filter(col("doc_id") % 2 === 1), corpus, 1L, 0.5)
+    val bands = () => spark.read.parquet(s"$corpus/_bands")
+      .select("doc_id", "band", "bh").distinct()
+    val dirsOf = () => {
+      val fs = new org.apache.hadoop.fs.Path(s"$corpus/_bands")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$corpus/_bands"))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("batch=")).toLong
+    }
+    val before = bands().count(); val dirsBefore = dirsOf()
+    compactBandIndex(spark, corpus)
+    val after = bands().count(); val dirsAfter = dirsOf()
+    // post-compaction probe: one near-copy (must reject), one fresh doc
+    val admitted = docs.filter(length(col("text")) >= 200)
+      .orderBy("doc_id").limit(1)
+    val probe = admitted
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" trailing remark")).as("text"),
+        col("lang"), col("source"))
+      .unionByName(Seq((off * 2, "an entirely fresh document about nothing else",
+        "en", "probe")).toDF("doc_id", "text", "lang", "source"))
+    admitNearBatch(probe, corpus, 2L, 0.5)
+    val admitted2 = spark.read.parquet(corpus).filter(col("batch") === 2L).count()
+    Seq(
+      ("band_dirs_before", dirsBefore),
+      ("band_dirs_after", dirsAfter),
+      ("band_rows_before", before),
+      ("band_rows_after", after),
+      ("band_rows_identical", if (before == after) 1L else 0L),
+      ("post_compact_probe_admitted", admitted2))
+      .toDF("metric", "value").orderBy("metric")
+  }
 }
