@@ -43,7 +43,10 @@ object GraphRank {
                  dampingPpm: Long = 850000L): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
     val basePpm = 1000000L - dampingPpm
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE: every iteration (and the node /
+    // out-degree builds) joins it, and without the checkpoint the
+    // caller's edge-derivation plan would re-execute per round
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
