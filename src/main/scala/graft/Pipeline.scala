@@ -189,13 +189,17 @@ object Pipeline {
         to_date(col("o_orderdate")).as("d"))
       writePpCsv(o.withColumn("op", lit("A")), "k", "price", "d", "op",
         s"$tmp/complete.csv")
+      // add-twin keys must be ABSENT from the base at ANY scale factor
+      // (the oracle's closed form assumes every A lands as add_and_added),
+      // so the offset derives from the actual keyspace, never a constant
+      val addOffset = o.agg(max(col("k"))).head().getLong(0) + 1L
       val changes = o
         .withColumn("op",
           when(col("k") % 29 === 0, "D")
             .when(col("k") % 7 === 0, "C")
             .when(col("k") % 13 === 0, "A"))
         .filter(col("op").isNotNull)
-        .withColumn("k", when(col("op") === "A", col("k") + 10000000L)
+        .withColumn("k", when(col("op") === "A", col("k") + addOffset)
           .otherwise(col("k")))
         .withColumn("price", when(col("op") === "C", col("price") + 7L)
           .otherwise(col("price")))

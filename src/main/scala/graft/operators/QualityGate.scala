@@ -143,11 +143,11 @@ object QualityGate {
       t
     })
     graft.sources.Sinks.readSnapshot(spark, table)
+      .withColumn("__h", Reconcile.xorHash60(col("o_orderkey").cast("string")))
       .groupBy(date_format(col("day"), "yyyy-MM").as("order_month"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price")).cast("double").as("revenue"),
-        expr("bit_xor(cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) as long))")
-          .as("key_xor"))
+        expr("bit_xor(__h)").as("key_xor"))
       .orderBy("order_month")
   }
 

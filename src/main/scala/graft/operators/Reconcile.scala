@@ -70,9 +70,13 @@ object Reconcile {
     * and `('a|b','c')` vs `('a','b|c')` all encode differently.
     * `N` cannot collide with a real value because value tokens
     * always start with a digit-colon length prefix. The same form is
-    * one expression in ANSI SQL (`length(v) || ':' || v`), so DuckDB
-    * oracles mirror it exactly, including the NULL branch that a
-    * plain `||` chain would silently turn into a NULL hash. */
+    * one expression in ANSI SQL — `length(v) || ':' || v`, with
+    * `CASE WHEN v IS NULL THEN 'N' ELSE … END` when the column is
+    * nullable. The shipped q_fingerprint / q_fingerprint_incr oracles
+    * use the bare form because their canonical columns are provably
+    * non-null (cast key / price / flag); an oracle over NULLABLE
+    * columns MUST add the CASE, or DuckDB's `||` nulls the whole
+    * concatenation and bit_xor silently skips the row's hash. */
   def canonToken(c: Column): Column =
     when(c.isNull, lit("N"))
       .otherwise(concat(length(c).cast("string"), lit(":"), c))
@@ -82,6 +86,14 @@ object Reconcile {
     * Cdc so the homomorphism test compares identical encodings. */
   def canonical(cols: Seq[Column]): Column =
     concat_ws("|", cols.map(canonToken): _*)
+
+  /** The 60-bit md5-prefix row hash every XOR checksum in the library
+    * folds (`fingerprint`, the zip/JSONL/purge/publish round-trip
+    * censuses): first 15 hex chars of md5, as a LONG. One definition,
+    * so the Spark side can never drift from the DuckDB oracle form
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`. */
+  def xorHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum
     * that turns the reference's verify counts into CONTENT equality:

@@ -938,10 +938,12 @@ object ReferenceOps {
     * single-partition funnel over the whole keyspace is now bounded
     * to ≤ bucketSize rows by construction — which is the entire point
     * of summarizing first. */
-  def idGapDrillOf(keys: DataFrame, keyCol: String, bucket: Long,
-                   bucketSize: Long = 4096): DataFrame = {
+  /** The shared gap enumeration over an ALREADY bucket-bounded key
+    * set: lead window (safe — the caller guarantees ≤ bucketSize
+    * rows), consecutive-gap filter, exact missing ranges. */
+  private def gapRangesOf(bucketKeys: DataFrame, keyCol: String): DataFrame = {
     val w = Window.orderBy(keyCol)
-    keys.filter(expr(s"$keyCol div $bucketSize") === bucket)
+    bucketKeys
       .select(col(keyCol))
       .withColumn("nxt", lead(col(keyCol), 1).over(w))
       .filter(col("nxt") > col(keyCol) + 1)
@@ -949,6 +951,10 @@ object ReferenceOps {
         (col("nxt") - col(keyCol) - 1).as("n_missing"))
       .orderBy("gap_start")
   }
+
+  def idGapDrillOf(keys: DataFrame, keyCol: String, bucket: Long,
+                   bucketSize: Long = 4096): DataFrame =
+    gapRangesOf(keys.filter(expr(s"$keyCol div $bucketSize") === bucket), keyCol)
 
   /** Drill the TOP bucket of the level-1 summary — the composition a
     * real verifier runs ("worst bucket, exact ranges") with no
@@ -960,16 +966,11 @@ object ReferenceOps {
                       bucketSize: Long = 4096): DataFrame = {
     val top = idGapSummaryOf(keys, keyCol, bucketSize)
       .limit(1).select("bucket")
-    val w = Window.orderBy(keyCol)
-    keys
-      .select(expr(s"$keyCol div $bucketSize").as("bucket"), col(keyCol))
-      .join(broadcast(top), Seq("bucket"))
-      .select(col(keyCol))
-      .withColumn("nxt", lead(col(keyCol), 1).over(w))
-      .filter(col("nxt") > col(keyCol) + 1)
-      .select((col(keyCol) + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
-        (col("nxt") - col(keyCol) - 1).as("n_missing"))
-      .orderBy("gap_start")
+    gapRangesOf(
+      keys
+        .select(expr(s"$keyCol div $bucketSize").as("bucket"), col(keyCol))
+        .join(broadcast(top), Seq("bucket")),
+      keyCol)
   }
 
   /** Registered drill into the worst bucket of the CDC base keyspace. */

@@ -279,10 +279,11 @@ object DeletionVectors {
       t
     })
     readMerged(spark, table)
+      .withColumn("__h",
+        graft.operators.Reconcile.xorHash60(col("event_id").cast("string")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
-        expr("bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as long))")
-          .as("event_xor"))
+        expr("bit_xor(__h)").as("event_xor"))
       .orderBy("event_type")
   }
 

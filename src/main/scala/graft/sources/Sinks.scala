@@ -637,11 +637,11 @@ object JsonlDocs {
     import org.apache.spark.sql.functions._
     val fx = jsonlFixture(spark, dir)
     readClean(spark, fx)
+      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("text")))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("n_chars"),
-        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as long))")
-          .as("text_xor"))
+        expr("bit_xor(__h)").as("text_xor"))
       .orderBy("lang", "source")
   }
 }

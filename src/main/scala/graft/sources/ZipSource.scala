@@ -66,8 +66,14 @@ object ZipSource {
                   buf.write(chunk, 0, n); total += n; n = zin.read(chunk)
                 }
                 if (total > maxEntryBytes)
-                  ZipEntryRow(path, e.getName, total, "", Array.emptyByteArray,
-                    ok = false, err = "entry exceeds maxEntryBytes")
+                  // report the DECLARED decompressed size when the zip
+                  // header carries one; the partial read count would
+                  // understate a zip bomb as roughly the cap value
+                  ZipEntryRow(path, e.getName,
+                    if (e.getSize >= 0) e.getSize else total,
+                    "", Array.emptyByteArray,
+                    ok = false, err = s"entry exceeds maxEntryBytes " +
+                      s"(read $total${if (e.getSize < 0) "+, size undeclared" else ""})")
                 else {
                   val content = buf.toByteArray
                   ZipEntryRow(path, e.getName, content.length.toLong,
@@ -184,12 +190,12 @@ object ZipSource {
           .as("order_month"),
         split(col("line"), ",").getItem(0).as("k"),
         split(col("line"), ",").getItem(1).cast(DecimalType(18, 2)).as("price"))
-    parsed.groupBy("order_month")
+    parsed
+      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("k")))
+      .groupBy("order_month")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price")).cast(DoubleType).as("revenue"),
-        expr("bit_xor(" +
-          "cast(conv(substring(md5(k), 1, 15), 16, 10) as long))")
-          .as("key_xor"))
+        expr("bit_xor(__h)").as("key_xor"))
       .orderBy("order_month")
   }
 

@@ -222,7 +222,8 @@ object EventsPipeline {
     * memory, as a streaming state operator. Batch equivalent:
     * first-occurrence filter (TextOps.dedupHash). */
   def streamingDedup(events: DataFrame,
-                     orderWithinBatch: Boolean = false): DataFrame = {
+                     orderWithinBatch: Boolean = false,
+                     maxState: Int = maxDedupState): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.streaming.GroupState
     val spark = events.sparkSession
@@ -244,7 +245,7 @@ object EventsPipeline {
           // deterministic enough to hash-check against a SQL oracle
           val rows = if (orderWithinBatch) rows0.toSeq.sortBy(r => (r._4, r._3))
                      else rows0.toSeq
-          // state is BOUNDED: the newest maxDedupState hashes per key,
+          // state is BOUNDED: the newest maxState hashes per key,
           // FIFO-evicted — exact dedup within the retention horizon,
           // which is what keeps state-store size flat on an unbounded
           // stream. (An unbounded Set would grow for the life of the
@@ -260,7 +261,7 @@ object EventsPipeline {
               out += ((k, id, sha))
               seenSet += sha
               fifo = fifo :+ sha
-              if (fifo.length > maxDedupState) {
+              if (fifo.length > maxState) {
                 seenSet -= fifo.head
                 fifo = fifo.tail
               }
@@ -283,10 +284,22 @@ object EventsPipeline {
   def eventDedupBatch(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.util.Scratch.dir("events_dedup_q")
     val events = Tables.events(spark, dir)
-    events.coalesce(4).write.parquet(s"$tmp/in")
+    // one file → one AvailableNow micro-batch, so the within-batch
+    // event-time sort covers the whole corpus; multi-file drains could
+    // split a user's events across batches and "first by ts" would
+    // depend on file order rather than the sort
+    events.coalesce(1).write.parquet(s"$tmp/in")
+    // size the FIFO horizon ABOVE the corpus (the q_stream_dedup_bounded
+    // discipline): with no eviction possible, the state path is exactly
+    // first-occurrence-per-(user, sha) at ANY scale factor — the oracle
+    // equivalence holds by construction, not by an unchecked assumption
+    // about per-user cardinality. One cheap aggregate on the fixture.
+    val bound = events
+      .groupBy("user_id").agg(countDistinct(sha2(col("props"), 256)).as("n"))
+      .agg(max(col("n"))).head().getLong(0).toInt + 1
     streamingDedup(
         spark.readStream.schema(events.schema).parquet(s"$tmp/in"),
-        orderWithinBatch = true)
+        orderWithinBatch = true, maxState = bound)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
