@@ -799,6 +799,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad === 1)
   }
 
+  test("jsonl and zip round-trips survive randomized adversarial content") {
+    import graft.sources.{JsonlDocs, Sinks, ZipSource}
+    val rnd = new scala.util.Random(7)
+    // printable-BMP random strings peppered with the characters that
+    // break naive encoders: quotes, backslashes, newlines, tabs,
+    // delimiters, JSON/zip syntax, multi-byte unicode. (Lone
+    // surrogates are excluded — they cannot survive UTF-8 by design.)
+    val spice = Array('"', '\\', '\n', '\t', ',', '|', '{', '}', '[', ']',
+      ':', 'é', '中', '€', ' ', '​')
+    def randText(): String = {
+      val n = rnd.nextInt(60)
+      val sb = new StringBuilder
+      for (_ <- 0 until n)
+        sb.append(
+          if (rnd.nextBoolean()) spice(rnd.nextInt(spice.length))
+          else (0x20 + rnd.nextInt(0x5f)).toChar)
+      sb.toString
+    }
+    val docs = (1L to 120L).map(i => (i, randText(), "xx", "fuzz",
+      if (i % 3 == 0) "val" else "train", i % 4))
+      .toDF("doc_id", "text", "lang", "source", "split", "shard")
+    val expected = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    // JSONL: write partitioned gzip, read back, every text byte-equal
+    val jd = Files.createTempDirectory("jsonl_fuzz").toString
+    Sinks.writeCorpusJsonl(docs, jd)
+    val backJ = JsonlDocs.readClean(spark, jd)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(backJ === expected)
+    // ZIP: one-line-per-doc entries keyed by shard; newlines inside a
+    // text would shear the line framing, so this path (like any
+    // line-oriented interchange) carries hex-armored payloads (NOT
+    // Spark's base64, which emits MIME-chunked output with embedded
+    // newlines — exactly the shear this test exists to catch)
+    val zd = Files.createTempDirectory("zip_fuzz").toString
+    val lines = docs.select(col("shard").cast("string").as("f"),
+      concat_ws(",", col("doc_id").cast("string"),
+        hex(col("text").cast("binary"))).as("line"))
+    ZipSource.writeZips(lines, "f", "line", zd, s => s"part_$s.txt")
+    val backZ = ZipSource.textLines(
+        ZipSource.entries(spark, s"$zd/*.zip"))
+      .filter(col("entry").startsWith("part_"))
+      .select(split(col("line"), ",").getItem(0).cast("long").as("doc_id"),
+        unhex(split(col("line"), ",").getItem(1)).cast("string").as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(backZ === expected)
+  }
+
   test("decode is deterministic and frame sampling explodes every Nth frame") {
     val meta1 = Media.mediaMeta(spark, sf).collect()
     val meta2 = Media.mediaMeta(spark, sf).collect()
