@@ -30,6 +30,10 @@ object SparkEntry {
     // binaryFile scan → partition-wise unzip → target-entry select →
     // CSV parse → per-month aggregate, hash-matched vs orders direct
     "q_zip_ingest"       -> graft.sources.ZipSource.zipIngest _,
+    // the same round trip through the DataSource V2 connector
+    // (format("graft-zip"): one InputPartition per archive, column
+    // pruning skips payload materialization) — one oracle, two sources
+    "q_zip_dsv2"         -> graft.sources.ZipSource.zipIngestDsv2 _,
     // JSONL interchange round-trip: gzipped split-partitioned export →
     // schema-first PERMISSIVE read (planted corrupt line quarantined)
     // → text-XOR census, hash-matched vs the parquet corpus direct
@@ -669,7 +673,10 @@ object SparkEntry {
     m + ("d_decontaminate_bloom" -> m("d_decontaminate")) +
       // incremental SCD2 maintenance is result-identical to the batch
       // rebuild by construction — one truth, two maintenance plans
-      ("q_scd2_incr" -> m("q_scd2"))
+      ("q_scd2_incr" -> m("q_scd2")) +
+      // the DataSource V2 connector reads the same archives the
+      // binaryFile plan does — one truth, two source implementations
+      ("q_zip_dsv2" -> m("q_zip_ingest"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

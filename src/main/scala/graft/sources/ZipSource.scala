@@ -199,6 +199,30 @@ object ZipSource {
       .orderBy("order_month")
   }
 
+  /** Registered `q_zip_dsv2`: the SAME round-trip aggregate as
+    * [[zipIngest]] read through the DataSource V2 connector
+    * (`format("graft-zip")`, one InputPartition per archive, pruned
+    * columns) instead of the binaryFile+mapPartitions plan — both
+    * implementations answer to the one DuckDB oracle. */
+  def zipIngestDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val fx = monthlyZipFixture(spark, dir)
+    val ents = spark.read.format("graft-zip").load(s"$fx/*.zip")
+    val parsed = textLines(ents)
+      .filter(col("entry").rlike("^PPMS_update_\\d{4}-\\d{2}\\.txt$"))
+      .select(
+        regexp_extract(col("entry"), "PPMS_update_(\\d{4}-\\d{2})\\.txt", 1)
+          .as("order_month"),
+        split(col("line"), ",").getItem(0).as("k"),
+        split(col("line"), ",").getItem(1).cast(DecimalType(18, 2)).as("price"))
+    parsed
+      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("k")))
+      .groupBy("order_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast(DoubleType).as("revenue"),
+        expr("bit_xor(__h)").as("key_xor"))
+      .orderBy("order_month")
+  }
+
   /** Registered `q_zip_quarantine` (rows-only: the err string is
     * JDK-specific): the corrupt-archive report — basename and size of
     * every archive the scan could not read. Exactly one planted row

@@ -756,6 +756,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(capped.filter(col("ok")).count() === 1)  // b.txt (4 bytes) survives
   }
 
+  test("graft-zip DSv2 source matches the binaryFile plan and prunes payload work") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("zips_dsv2").toString
+    def put(zos: ZipOutputStream, name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val z1 = new ZipOutputStream(new java.io.FileOutputStream(s"$dir/a.zip"))
+    put(z1, "x.txt", "alpha\nbeta"); put(z1, "y.txt", "gamma"); z1.close()
+    val z2 = new ZipOutputStream(new java.io.FileOutputStream(s"$dir/b.zip"))
+    put(z2, "z.txt", "delta"); z2.close()
+    Files.write(new java.io.File(dir, "bad.zip").toPath,
+      "garbage".getBytes("UTF-8"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(element_at(split(col("archive"), "/"), -1).as("a"),
+        col("entry"), col("n_bytes"), col("sha256"),
+        hex(col("content")).as("hx"), col("ok"), col("err").isNotNull)
+      .collect().map(_.toString).sorted.toSeq
+    // full-schema parity with the function-form source, quarantine included
+    val v2 = spark.read.format("graft-zip").load(s"$dir/*.zip")
+    assert(norm(v2) === norm(graft.sources.ZipSource.entries(spark, s"$dir/*.zip")))
+    // one input partition per archive — archives are the unit of parallelism
+    assert(v2.rdd.getNumPartitions === 3)
+    // column pruning reaches the scan: a metadata-only projection reads
+    // no payload fields, visible in the scan description
+    val meta = v2.select("archive", "entry", "ok")
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-zip") && plan.contains("[archive,entry,ok]"),
+      s"pruned scan not visible:\n$plan")
+    assert(meta.filter(col("ok")).count() === 3)
+    // short name also resolves through SQL DDL (DataSourceRegister)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zips_v2 " +
+      s"USING `graft-zip` OPTIONS (path '$dir/*.zip')")
+    assert(spark.table("zips_v2").filter(!col("ok")).count() === 1)
+  }
+
   test("writeZips emits one archive per key plus a decoy; textLines round-trips") {
     val dir = Files.createTempDirectory("zipw").toString
     val rows = Seq(("2024-01", "k1,10.00"), ("2024-01", "k2,20.00"),
