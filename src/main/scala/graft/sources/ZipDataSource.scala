@@ -74,8 +74,12 @@ private[sources] class ZipTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class ZipScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = ZipDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve OUR field order (readers emit positionally); empty
     // projections (count(*)) keep one cheap column
@@ -84,15 +88,42 @@ private[sources] class ZipScanBuilder(options: CaseInsensitiveStringMap)
       case s if s.isEmpty => StructType(Seq(ZipDataSource.schema("archive")))
       case s => s
     }
-  override def build(): Scan = new ZipScan(options, required)
+
+  /** String predicates on `entry` / `archive` push into the scan:
+    * archive predicates prune whole InputPartitions at planning,
+    * entry predicates skip non-matching entries BEFORE their payload
+    * is read — "select the target entry" (the reference's
+    * wrong-month-sibling rule) costs a directory-record compare, not
+    * a decompression. Every pushed filter is also RETAINED (returned
+    * from pushFilters), so Spark re-applies them and the result is
+    * bit-identical to the unpushed plan (including dropping
+    * quarantine rows whose empty entry name fails the predicate) —
+    * the source only PREFILTERS IO, it never owns truth. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def pushable(f: Filter): Boolean = f match {
+      case EqualTo(a, _: String) => a == "entry" || a == "archive"
+      case StringStartsWith(a, _) => a == "entry" || a == "archive"
+      case StringEndsWith(a, _) => a == "entry" || a == "archive"
+      case StringContains(a, _) => a == "entry" || a == "archive"
+      case _ => false
+    }
+    pushed = filters.filter(pushable)
+    filters // all retained: the source prefilters IO, Spark keeps truth
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZipScan(options, required, pushed)
 }
 
 private[sources] class ZipScan(options: CaseInsensitiveStringMap,
-                               required: StructType) extends Scan with Batch {
+                               required: StructType,
+                               pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-zip ${options.get("path")} [${required.fieldNames.mkString(",")}]"
+    s"graft-zip ${options.get("path")} [${required.fieldNames.mkString(",")}]" +
+      (if (pushed.nonEmpty) s" pushed: ${pushed.mkString(", ")}" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val glob = Option(options.get("path")).getOrElse(
@@ -103,6 +134,9 @@ private[sources] class ZipScan(options: CaseInsensitiveStringMap,
     val fs = p.getFileSystem(conf)
     val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     statuses.filter(_.isFile).sortBy(_.getPath.toString)
+      // archive predicates prune whole archives here (Spark
+      // re-applies the filter, so pruning is IO-only)
+      .filter(s => ZipFilterEval.matches(pushed, "archive", s.getPath.toString))
       .map(s => ZipPartition(s.getPath.toString, s.getLen): InputPartition)
       .toArray
   }
@@ -114,8 +148,23 @@ private[sources] class ZipScan(options: CaseInsensitiveStringMap,
     // factory (the standard connector pattern)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    ZipReaderFactory(required.fieldNames, maxEntry, conf)
+    ZipReaderFactory(required.fieldNames, maxEntry, conf,
+      pushed.filter(ZipFilterEval.references(_, "entry")))
   }
+}
+
+/** Tiny evaluator for the pushable string-predicate subset. */
+private[sources] object ZipFilterEval {
+  import org.apache.spark.sql.sources._
+  def references(f: Filter, attr: String): Boolean = f.references.contains(attr)
+  def matches(filters: Array[Filter], attr: String, value: String): Boolean =
+    filters.filter(references(_, attr)).forall {
+      case EqualTo(`attr`, v: String)    => value == v
+      case StringStartsWith(`attr`, v)   => value.startsWith(v)
+      case StringEndsWith(`attr`, v)     => value.endsWith(v)
+      case StringContains(`attr`, v)     => value.contains(v)
+      case _                             => true // unknown: let Spark decide
+    }
 }
 
 private[sources] case class ZipPartition(path: String, len: Long)
@@ -123,11 +172,12 @@ private[sources] case class ZipPartition(path: String, len: Long)
 
 private[sources] case class ZipReaderFactory(
     fields: Array[String], maxEntryBytes: Long,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    entryFilters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZipPartitionReader(partition.asInstanceOf[ZipPartition],
-      fields, maxEntryBytes, conf.value)
+      fields, maxEntryBytes, conf.value, entryFilters)
 }
 
 /** Streams one archive. Payload work is demand-driven by the pruned
@@ -136,7 +186,8 @@ private[sources] case class ZipReaderFactory(
   * (closeEntry) without decompressing a byte. */
 private[sources] class ZipPartitionReader(
     part: ZipPartition, fields: Array[String], maxEntryBytes: Long,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    entryFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val path = part.path
   private val needContent = fields.contains("content")
@@ -152,8 +203,14 @@ private[sources] class ZipPartitionReader(
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       try {
         var e = zin.getNextEntry
+        var sawEntry = false
         while (e != null) {
-          if (!e.isDirectory) {
+          if (!e.isDirectory) sawEntry = true
+          // pushed entry predicates: a non-matching entry is skipped
+          // before any payload byte is read (getNextEntry advances
+          // past the undecompressed data)
+          if (!e.isDirectory &&
+              ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
             if (!readPayload) {
               out += row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
             } else {
@@ -185,9 +242,12 @@ private[sources] class ZipPartitionReader(
           }
           e = zin.getNextEntry
         }
-        if (out.isEmpty)
+        if (!sawEntry)
           // archive-level quarantine reports the ARCHIVE size (the
-          // ZipSource.entries convention)
+          // ZipSource.entries convention). Keyed on sawEntry, not
+          // out.isEmpty: an archive whose entries were all SKIPPED by
+          // a pushed predicate is healthy, and fabricating a
+          // quarantine row here would diverge from the unpushed plan
           out += row("", part.len, "", Array.emptyByteArray, ok = false,
             "no entries in archive")
       } catch { case ex: Exception =>

@@ -790,6 +790,19 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zips_v2 " +
       s"USING `graft-zip` OPTIONS (path '$dir/*.zip')")
     assert(spark.table("zips_v2").filter(!col("ok")).count() === 1)
+    // entry predicates PUSH into the scan (skipping payloads at the
+    // source) and are retained, so results equal the unpushed plan
+    val filtered = v2.filter(col("entry") === "x.txt")
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("pushed:") && fplan.contains("EqualTo(entry,x.txt)"),
+      s"entry filter not pushed:\n$fplan")
+    assert(filtered.select("entry").as[String].collect().toSeq === Seq("x.txt"))
+    // archive predicates prune whole InputPartitions at planning
+    val oneArchive = v2.filter(col("archive").endsWith("a.zip"))
+    assert(oneArchive.rdd.getNumPartitions === 1)
+    assert(oneArchive.count() === 2)
+    // a pushed predicate matching NOTHING fabricates no quarantine rows
+    assert(v2.filter(col("entry") === "absent.txt").count() === 0)
   }
 
   test("writeZips emits one archive per key plus a decoy; textLines round-trips") {
