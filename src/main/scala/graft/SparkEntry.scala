@@ -34,6 +34,9 @@ object SparkEntry {
     // (format("graft-zip"): one InputPartition per archive, column
     // pruning skips payload materialization) — one oracle, two sources
     "q_zip_dsv2"         -> graft.sources.ZipSource.zipIngestDsv2 _,
+    // the archive feed drained as a STREAM (custom MicroBatchStream,
+    // name-monotone offsets, 7 archives per trigger) — same oracle
+    "q_zip_stream"       -> graft.sources.ZipSource.zipIngestStream _,
     // JSONL interchange round-trip: gzipped split-partitioned export →
     // schema-first PERMISSIVE read (planted corrupt line quarantined)
     // → text-XOR census, hash-matched vs the parquet corpus direct
@@ -676,7 +679,9 @@ object SparkEntry {
       ("q_scd2_incr" -> m("q_scd2")) +
       // the DataSource V2 connector reads the same archives the
       // binaryFile plan does — one truth, two source implementations
-      ("q_zip_dsv2" -> m("q_zip_ingest"))
+      ("q_zip_dsv2" -> m("q_zip_ingest")) +
+      // ...and the streaming drain of the same feed makes it three
+      ("q_zip_stream" -> m("q_zip_ingest"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

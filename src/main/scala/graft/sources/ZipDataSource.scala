@@ -67,7 +67,7 @@ private[sources] class ZipTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-zip:${options.get("path")}"
   override def schema(): StructType = ZipDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ZipScanBuilder(new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava))
@@ -125,21 +125,29 @@ private[sources] class ZipScan(options: CaseInsensitiveStringMap,
     s"graft-zip ${options.get("path")} [${required.fieldNames.mkString(",")}]" +
       (if (pushed.nonEmpty) s" pushed: ${pushed.mkString(", ")}" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Matching archives (glob + pushed archive predicates), sorted by
+    * path — shared by the batch planner and the streaming offsets. */
+  private[sources] def listArchives(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val glob = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-zip: .load(path) required"))
     val p = new Path(glob)
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    statuses.filter(_.isFile).sortBy(_.getPath.toString)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).sortBy(_.getPath.toString)
       // archive predicates prune whole archives here (Spark
       // re-applies the filter, so pruning is IO-only)
       .filter(s => ZipFilterEval.matches(pushed, "archive", s.getPath.toString))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listArchives()
       .map(s => ZipPartition(s.getPath.toString, s.getLen): InputPartition)
       .toArray
-  }
+
+  private[sources] def streamReaderFactory(): PartitionReaderFactory =
+    createReaderFactory()
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val maxEntry = Option(options.get("maxEntryBytes"))
@@ -150,6 +158,124 @@ private[sources] class ZipScan(options: CaseInsensitiveStringMap,
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     ZipReaderFactory(required.fieldNames, maxEntry, conf,
       pushed.filter(ZipFilterEval.references(_, "entry")))
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZipMicroBatchStream(options, this)
+}
+
+/** STREAMING zip ingestion — `spark.readStream.format("graft-zip")`:
+  * the reference's actual arrival regime (a new monthly archive lands
+  * in the feed directory; the pipeline picks it up) as a first-class
+  * Structured Streaming source.
+  *
+  * Offset contract: archive NAMES must be arrival-monotone
+  * (lexicographically increasing — the monthly convention
+  * `PPMS_update_YYYY-MM.zip` already is). An offset is simply the
+  * last processed name; a micro-batch is every archive in
+  * (startName, endName], one InputPartition each. This is the Kafka
+  * discipline applied to a drop directory: restart-safe from the
+  * checkpoint alone, no side log of seen files — and a late archive
+  * sorting BEFORE the watermark name is ignored exactly like a
+  * too-old Kafka offset (documented; feeds that cannot guarantee
+  * monotone names need the file-log decision path, row 9). */
+private[sources] class ZipMicroBatchStream(options: CaseInsensitiveStringMap,
+                                           scan: ZipScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def allNames(): Seq[(String, Long)] = scan.listArchives()
+    .map(s => (s.getPath.toString, s.getLen))
+
+  private var availableNowCap: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    // AvailableNow contract: fix the end of the world ONCE, so the
+    // drain terminates even while new archives keep landing
+    availableNowCap = Some(allNames().map(_._1).maxOption.getOrElse(""))
+
+  override def initialOffset(): Offset = ZipOffset("")
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    Option(options.get("maxFilesPerTrigger"))
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  /** Admission-controlled end offset: at most `maxFilesPerTrigger`
+    * archives per micro-batch (the monthly replay can be sequenced
+    * one archive per trigger, like the CDC stream's file drops),
+    * never past the AvailableNow cap. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+    val s = start.asInstanceOf[ZipOffset].lastName
+    val names0 = allNames().map(_._1).filter(_ > s).sorted
+    val names = availableNowCap match {
+      case Some(cap) => names0.filter(_ <= cap)
+      case None => names0
+    }
+    val taken = limit match {
+      case mf: ReadMaxFiles => names.take(mf.maxFiles())
+      case _ => names
+    }
+    ZipOffset(taken.lastOption.getOrElse(s))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+  override def deserializeOffset(json: String): Offset = ZipOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ZipOffset].lastName
+    val e = end.asInstanceOf[ZipOffset].lastName
+    allNames()
+      .filter { case (n, _) => n > s && n <= e }
+      .sortBy(_._1)
+      .map { case (n, len) => ZipPartition(n, len): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.streamReaderFactory()
+}
+
+/** The offset: last processed archive name (names arrival-monotone).
+  * Hand-rolled JSON with backslash/quote escaping — paths are the
+  * only payload and round-trip through the checkpoint verbatim. */
+private[sources] case class ZipOffset(lastName: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val esc = lastName.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c    => c.toString
+    }
+    s"""{"lastName":"$esc"}"""
+  }
+}
+
+private[sources] object ZipOffset {
+  def fromJson(json: String): ZipOffset = {
+    val m = """\{"lastName":"(.*)"\}""".r
+    json match {
+      case m(v) =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i < v.length) {
+          if (v(i) == '\\' && i + 1 < v.length) { sb.append(v(i + 1)); i += 2 }
+          else { sb.append(v(i)); i += 1 }
+        }
+        ZipOffset(sb.toString)
+      case _ => throw new IllegalArgumentException(s"bad zip offset: $json")
+    }
   }
 }
 

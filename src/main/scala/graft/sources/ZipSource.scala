@@ -223,6 +223,43 @@ object ZipSource {
       .orderBy("order_month")
   }
 
+  /** Registered `q_zip_stream`: the archive feed drained as a STREAM
+    * — `readStream.format("graft-zip")` over the same monthly fixture
+    * with `maxFilesPerTrigger = 7`, so the AvailableNow drain
+    * sequences the feed across MANY micro-batches under checkpointed
+    * name offsets (the reference's real regime: archives land over
+    * months, the pipeline catches up batch by batch). The parquet
+    * sink's accumulated rows run the same parse + aggregate, against
+    * the SAME oracle: batch scan, DSv2 scan and stream drain answer
+    * to one truth. */
+  def zipIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    val fx = monthlyZipFixture(spark, dir)
+    val tmp = graft.util.Scratch.dir("zip_stream_q")
+    spark.readStream.format("graft-zip")
+      .option("maxFilesPerTrigger", "7")
+      .load(s"$fx/*.zip")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$tmp/out")
+      .awaitTermination()
+    val parsed = textLines(spark.read.parquet(s"$tmp/out"))
+      .filter(col("entry").rlike("^PPMS_update_\\d{4}-\\d{2}\\.txt$"))
+      .select(
+        regexp_extract(col("entry"), "PPMS_update_(\\d{4}-\\d{2})\\.txt", 1)
+          .as("order_month"),
+        split(col("line"), ",").getItem(0).as("k"),
+        split(col("line"), ",").getItem(1).cast(DecimalType(18, 2)).as("price"))
+    parsed
+      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("k")))
+      .groupBy("order_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast(DoubleType).as("revenue"),
+        expr("bit_xor(__h)").as("key_xor"))
+      .orderBy("order_month")
+  }
+
   /** Registered `q_zip_quarantine` (rows-only: the err string is
     * JDK-specific): the corrupt-archive report — basename and size of
     * every archive the scan could not read. Exactly one planted row

@@ -570,4 +570,39 @@ class StreamingSpec extends AnyFunSuite {
     CorpusStream.admitNearBatch(batch, out, 0L, 0.5)
     assert(spark.read.parquet(out).count() === 2)
   }
+
+  test("graft-zip stream picks up newly landed archives from the checkpoint") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("zip_stream").toString
+    val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    def drop(name: String, entry: String, body: String): Unit = {
+      val zos = new ZipOutputStream(new java.io.FileOutputStream(s"$dir/$name"))
+      zos.putNextEntry(new ZipEntry(entry))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    }
+    def drain(): Unit =
+      spark.readStream.format("graft-zip")
+        .option("maxFilesPerTrigger", "1")
+        .load(s"$dir/*.zip")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    drop("feed_001.zip", "a.txt", "alpha")
+    drop("feed_002.zip", "b.txt", "beta")
+    drain()
+    val first = spark.read.parquet(out).select("entry").as[String].collect().sorted
+    assert(first === Array("a.txt", "b.txt"))
+    // a new archive lands; the SAME checkpoint resumes past the old
+    // offset and processes ONLY the new file
+    drop("feed_003.zip", "c.txt", "gamma")
+    drain()
+    val second = spark.read.parquet(out).select("entry").as[String].collect().sorted
+    assert(second === Array("a.txt", "b.txt", "c.txt"))
+    // draining again with nothing new appends nothing (offset stable)
+    drain()
+    assert(spark.read.parquet(out).count() === 3)
+  }
 }
