@@ -396,6 +396,10 @@ object SparkEntry {
     "d_semdedup"         -> ((s: SparkSession, dir: String) => SimilarityOps.semDedup(s, dir)),
     "m_media_meta"       -> graft.multimodal.Media.mediaMeta _,
     "m_media_frames"     -> graft.multimodal.Media.mediaFrames _,
+    // shot-boundary detection: per-transition luminance-histogram
+    // distances + cut flags over multi-shot clips (rows-only; planted
+    // shot boundaries recovered exactly, spec-pinned)
+    "m_media_scenes"     -> graft.multimodal.Media.mediaScenes _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _,
     // planted truncated payloads routed to the audited side output
     "m_media_quarantine" -> graft.multimodal.Media.mediaQuarantine _,

@@ -915,4 +915,120 @@ object Media {
   def mediaDedupVideo(spark: SparkSession, dir: String): DataFrame =
     videoNearDupOf(cachedFixture(s"video|$dir", spark)(
       videoTableWithNearDups(spark, dir)))
+
+  // — SHOT SEGMENTATION (scene-cut detection) ————————————————————————
+
+  /** Shots per synthetic clip and frames per shot: 2-4 shots × 3
+    * frames, id-derived — every clip has at least one true cut. */
+  private[graft] def shotsFor(id: Long): Int = (2 + id % 3).toInt
+  private[graft] val framesPerShot = 3
+
+  /** Deterministic multi-SHOT clip: within a shot the background is a
+    * constant gray and only a small block moves (histogram-invariant
+    * motion); at each shot boundary the background jumps to a gray
+    * THREE luminance bins away (67 mod 16 = 3, never 0), so planted
+    * cuts are cleanly separable from motion by construction. */
+  private[graft] def syntheticShotGif(id: Long): Array[Byte] = {
+    val w = 32; val h = 24
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (s <- 0 until shotsFor(id); f <- 0 until framesPerShot) {
+        val gray = (((id * 37 + s * 67) % 16) * 16 + 8).toInt
+        val frame = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+        val g = frame.createGraphics()
+        g.setColor(new java.awt.Color(gray, gray, gray))
+        g.fillRect(0, 0, w, h)
+        g.setColor(java.awt.Color.WHITE)
+        g.fillRect(((id + (s * framesPerShot + f) * 5) % (w - 8)).toInt,
+          ((id + (s * framesPerShot + f) * 3) % (h - 8)).toInt, 8, 8)
+        g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** 16-bin luminance histogram — position-blind, so within-shot
+    * motion (same pixels, new places) scores ~zero distance while a
+    * background change moves most of the frame across bins. */
+  private def lumaHist16(img: BufferedImage): Array[Long] = {
+    val hist = new Array[Long](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(luma / 16) += 1
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  final case class SceneCut(media_id: Long, frame_idx: Long,
+                            dist_ppm: Long, is_cut: Boolean)
+
+  /** Shot-boundary detection over video payloads: decode every frame
+    * (one GIF reader per payload, partition-amortized), histogram it,
+    * and flag transitions whose L1 histogram distance exceeds
+    * `cutThresholdPpm` of the maximum (2 × pixels). The standard
+    * first pass of video curation — frame SAMPLING (row 30) should be
+    * per-shot, not per-clip, or a 3-shot clip contributes 3 near-
+    * identical frames from one shot and none from the others.
+    * Integer ppm distances: deterministic at any parallelism.
+    * Undecodable payloads contribute no rows (the quarantine path
+    * owns them, same contract as resize). */
+  def sceneCutsOf(media: DataFrame, cutThresholdPpm: Long = 200000L): Dataset[SceneCut] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          try {
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+            val reader = ImageIO.getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              val hists = (0 until n).map(i => lumaHist16(reader.read(i)))
+              val pixels = if (n > 0)
+                reader.read(0).getWidth.toLong * reader.read(0).getHeight else 1L
+              (1 until n).map { i =>
+                val l1 = hists(i).zip(hists(i - 1))
+                  .map { case (a, b) => math.abs(a - b) }.sum
+                val ppm = l1 * 1000000L / (2L * pixels)
+                SceneCut(id, i.toLong, ppm, ppm > cutThresholdPpm)
+              }
+            } finally { reader.dispose(); iis.close() }
+          } catch { case _: Exception => Seq.empty }
+        }
+      }
+  }
+
+  /** Registered `m_media_scenes` (rows-only — histograms ride the JDK
+    * GIF decode): per-transition cut flags over the multi-shot clip
+    * table, plus the planted-boundary recovery spec. */
+  def mediaScenes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = cachedFixture(s"shots|$dir", spark) {
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "video", syntheticShotGif(id))))
+        .toDF("media_id", "kind", "payload")
+    }
+    sceneCutsOf(table).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
 }

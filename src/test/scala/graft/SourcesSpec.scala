@@ -81,6 +81,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(clean.head().getAs[String]("transaction_unique_id") === "{T1}")
   }
 
+  test("scene cuts recover exactly the planted shot boundaries; motion is silent") {
+    val ids = Seq(3L, 6L, 7L, 11L)
+    val clips = ids.map(id => (id, "video", Media.syntheticShotGif(id)))
+      .toDF("media_id", "kind", "payload")
+    val cuts = Media.sceneCutsOf(clips).collect()
+      .groupBy(_.media_id)
+    for (id <- ids) {
+      val shots = Media.shotsFor(id)
+      val fps = Media.framesPerShot
+      // planted boundaries: first frame of every shot after the first
+      val expected = (1 until shots).map(s => (s * fps).toLong).toSet
+      val got = cuts(id).filter(_.is_cut).map(_.frame_idx).toSet
+      assert(got === expected, s"clip $id: cuts $got, planted $expected")
+      // within-shot transitions exist and score (near) zero: the
+      // histogram is position-blind, so pure motion cannot alarm
+      val quiet = cuts(id).filter(c => !expected.contains(c.frame_idx))
+      assert(quiet.nonEmpty && quiet.forall(_.dist_ppm < 50000L),
+        s"clip $id: motion frames not quiet: ${quiet.mkString(",")}")
+      // and a corrupt payload contributes nothing rather than failing
+    }
+    val bad = Seq((99L, "video", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    assert(Media.sceneCutsOf(bad).count() === 0)
+  }
+
   test("media table carries binary payloads with kinds; decode emits typed metadata") {
     val m = Media.mediaTable(spark, sf)
     assert(m.schema("payload").dataType.typeName === "binary")
