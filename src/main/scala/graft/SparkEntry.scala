@@ -400,6 +400,9 @@ object SparkEntry {
     // distances + cut flags over multi-shot clips (rows-only; planted
     // shot boundaries recovered exactly, spec-pinned)
     "m_media_scenes"     -> graft.multimodal.Media.mediaScenes _,
+    // one representative frame per detected shot (the shot-aware
+    // replacement for every-Nth sampling; rows-only)
+    "m_media_shot_frames" -> graft.multimodal.Media.mediaShotFrames _,
     "m_media_resize"     -> graft.multimodal.Media.mediaResize _,
     // planted truncated payloads routed to the audited side output
     "m_media_quarantine" -> graft.multimodal.Media.mediaQuarantine _,

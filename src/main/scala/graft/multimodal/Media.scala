@@ -1015,6 +1015,50 @@ object Media {
       }
   }
 
+  /** Per-SHOT representative frame selection — the composition the
+    * scene detector exists for: instead of every-Nth sampling (row
+    * 30, shot-blind), each detected shot contributes its MIDDLE frame
+    * — one maximally-representative frame per shot, none of a long
+    * shot's redundancy, no shot skipped. Frame→shot assignment is a
+    * running cut-count window partitioned per clip (bounded by frames
+    * per clip); the representative is `(start+end) div 2`, integer
+    * and deterministic. Returns (media_id, shot_id, shot_start,
+    * shot_len, rep_frame_idx). */
+  def shotRepresentativeFrames(media: DataFrame,
+                               cutThresholdPpm: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = sceneCutsOf(media, cutThresholdPpm).toDF()
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val transitions = cuts
+      .withColumn("shot_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(w))
+      .select(col("media_id"), col("frame_idx"), col("shot_id"))
+    // frame 0 opens shot 0 in every clip (it has no transition row)
+    val frames = transitions.unionByName(
+      cuts.select("media_id").distinct()
+        .select(col("media_id"), lit(0L).as("frame_idx"), lit(0L).as("shot_id")))
+    frames.groupBy("media_id", "shot_id")
+      .agg(min(col("frame_idx")).as("shot_start"),
+        count(lit(1)).as("shot_len"),
+        ((min(col("frame_idx")) + max(col("frame_idx"))) / 2)
+          .cast(org.apache.spark.sql.types.LongType).as("rep_frame_idx"))
+      .orderBy("media_id", "shot_id")
+  }
+
+  /** Registered `m_media_shot_frames` (rows-only): one representative
+    * frame per detected shot over the multi-shot clip table. */
+  def mediaShotFrames(spark: SparkSession, dir: String): DataFrame =
+    shotRepresentativeFrames(cachedFixture(s"shots|$dir", spark) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "video", syntheticShotGif(id))))
+        .toDF("media_id", "kind", "payload")
+    })
+
   /** Registered `m_media_scenes` (rows-only — histograms ride the JDK
     * GIF decode): per-transition cut flags over the multi-shot clip
     * table, plus the planted-boundary recovery spec. */

@@ -104,6 +104,20 @@ class SourcesSpec extends AnyFunSuite {
     val bad = Seq((99L, "video", Array[Byte](1, 2, 3)))
       .toDF("media_id", "kind", "payload")
     assert(Media.sceneCutsOf(bad).count() === 0)
+    // per-shot sampling: exactly one representative frame per planted
+    // shot, each inside its shot's frame range
+    val reps = Media.shotRepresentativeFrames(clips).collect()
+      .groupBy(_.getLong(0))
+    for (id <- ids) {
+      val fps = Media.framesPerShot
+      val r = reps(id).sortBy(_.getLong(1))
+      assert(r.length === Media.shotsFor(id), s"clip $id shot count")
+      r.zipWithIndex.foreach { case (row, s) =>
+        val (start, len, rep) = (row.getLong(2), row.getLong(3), row.getLong(4))
+        assert(start === s * fps && len === fps, s"clip $id shot $s bounds")
+        assert(rep >= start && rep < start + len, s"clip $id shot $s rep")
+      }
+    }
   }
 
   test("media table carries binary payloads with kinds; decode emits typed metadata") {
