@@ -918,6 +918,20 @@ object Media {
 
   // — SHOT SEGMENTATION (scene-cut detection) ————————————————————————
 
+  /** The multi-shot clip table, one fixture per dir per JVM — shared
+    * by the scene-cut and per-shot-sampling registrations so they can
+    * never drift apart. */
+  private def shotClipTable(spark: SparkSession, dir: String): DataFrame =
+    cachedFixture(s"shots|$dir", spark) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "video", syntheticShotGif(id))))
+        .toDF("media_id", "kind", "payload")
+    }
+
   /** Shots per synthetic clip and frames per shot: 2-4 shots × 3
     * frames, id-derived — every clip has at least one true cut. */
   private[graft] def shotsFor(id: Long): Int = (2 + id % 3).toInt
@@ -1001,8 +1015,8 @@ object Media {
               reader.setInput(iis)
               val n = reader.getNumImages(true)
               val hists = (0 until n).map(i => lumaHist16(reader.read(i)))
-              val pixels = if (n > 0)
-                reader.read(0).getWidth.toLong * reader.read(0).getHeight else 1L
+              // every pixel lands in exactly one bin — no extra decode
+              val pixels = if (n > 0) math.max(hists(0).sum, 1L) else 1L
               (1 until n).map { i =>
                 val l1 = hists(i).zip(hists(i - 1))
                   .map { case (a, b) => math.abs(a - b) }.sum
@@ -1034,9 +1048,13 @@ object Media {
       .withColumn("shot_id",
         sum(when(col("is_cut"), 1L).otherwise(0L)).over(w))
       .select(col("media_id"), col("frame_idx"), col("shot_id"))
-    // frame 0 opens shot 0 in every clip (it has no transition row)
+    // frame 0 opens shot 0 in every DECODABLE clip — seeded from the
+    // media table (header decode only), not from the transition rows:
+    // a one-frame clip has no transitions and would otherwise vanish
+    // from the sample entirely
     val frames = transitions.unionByName(
-      cuts.select("media_id").distinct()
+      decodeMetaTagged(media.filter(col("kind") === "video"))
+        .filter(col("decode_ok") && col("n_frames") >= 1)
         .select(col("media_id"), lit(0L).as("frame_idx"), lit(0L).as("shot_id")))
     frames.groupBy("media_id", "shot_id")
       .agg(min(col("frame_idx")).as("shot_start"),
@@ -1049,30 +1067,12 @@ object Media {
   /** Registered `m_media_shot_frames` (rows-only): one representative
     * frame per detected shot over the multi-shot clip table. */
   def mediaShotFrames(spark: SparkSession, dir: String): DataFrame =
-    shotRepresentativeFrames(cachedFixture(s"shots|$dir", spark) {
-      import spark.implicits._
-      Tables.documents(spark, dir)
-        .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("media_id"))
-        .as[Long]
-        .mapPartitions(_.map(id => (id, "video", syntheticShotGif(id))))
-        .toDF("media_id", "kind", "payload")
-    })
+    shotRepresentativeFrames(shotClipTable(spark, dir))
 
   /** Registered `m_media_scenes` (rows-only — histograms ride the JDK
     * GIF decode): per-transition cut flags over the multi-shot clip
     * table, plus the planted-boundary recovery spec. */
-  def mediaScenes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val table = cachedFixture(s"shots|$dir", spark) {
-      Tables.documents(spark, dir)
-        .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("media_id"))
-        .as[Long]
-        .mapPartitions(_.map(id => (id, "video", syntheticShotGif(id))))
-        .toDF("media_id", "kind", "payload")
-    }
-    sceneCutsOf(table).toDF()
+  def mediaScenes(spark: SparkSession, dir: String): DataFrame =
+    sceneCutsOf(shotClipTable(spark, dir)).toDF()
       .orderBy("media_id", "frame_idx")
-  }
 }

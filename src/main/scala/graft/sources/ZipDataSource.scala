@@ -28,12 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     instead of first materializing whole archives as binaryFile
   *     rows — the 2 GB binary-column ceiling no longer applies to the
   *     archive, only to single entries.
-  *   - **Column pruning that changes IO**: prune `content` and the
-  *     reader never buffers entry payloads; prune `sha256` too and it
-  *     skips decompression entirely where possible — a metadata
-  *     census of a petabyte of archives reads directory records, not
-  *     data. The pruned schema is visible in the scan (`readSchema`),
-  *     exactly like parquet's.
+  *   - **Column pruning that changes IO**: prune `content` and entry
+  *     payloads are never buffered (bytes stream through an
+  *     incremental digest when `sha256` survives, or are discarded
+  *     chunk-wise); results — including the `ok`/`err` quarantine
+  *     verdicts — are projection-independent. Honest limit:
+  *     ZipInputStream still INFLATES skipped data to reach the next
+  *     local header, so pruning saves memory and allocation, not
+  *     decompression CPU; the decompression-free metadata census
+  *     needs central-directory reads (java.util.zip.ZipFile over a
+  *     seekable copy), the documented upgrade path. The pruned
+  *     schema is visible in the scan (`readSchema`), like parquet's.
   *   - Catalog-ready: `USING `graft-zip`` DDL works (DataSourceRegister).
   *
   * Same quarantine contract as ZipSource: a corrupt / truncated /
@@ -90,15 +95,17 @@ private[sources] class ZipScanBuilder(options: CaseInsensitiveStringMap)
     }
 
   /** String predicates on `entry` / `archive` push into the scan:
-    * archive predicates prune whole InputPartitions at planning,
-    * entry predicates skip non-matching entries BEFORE their payload
-    * is read — "select the target entry" (the reference's
-    * wrong-month-sibling rule) costs a directory-record compare, not
-    * a decompression. Every pushed filter is also RETAINED (returned
-    * from pushFilters), so Spark re-applies them and the result is
-    * bit-identical to the unpushed plan (including dropping
-    * quarantine rows whose empty entry name fails the predicate) —
-    * the source only PREFILTERS IO, it never owns truth. */
+    * archive predicates prune whole InputPartitions at planning
+    * (those archives are never opened), entry predicates skip
+    * non-matching entries before any buffering/hashing — "select the
+    * target entry" (the reference's wrong-month-sibling rule) without
+    * materializing the siblings (their bytes are still inflated in
+    * passing; see the class doc's honest limit). Every pushed filter
+    * is also RETAINED (returned from pushFilters), so Spark
+    * re-applies them and the result is bit-identical to the unpushed
+    * plan (including dropping quarantine rows whose empty entry name
+    * fails the predicate) — the source only PREFILTERS IO, it never
+    * owns truth. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def pushable(f: Filter): Boolean = f match {
       case EqualTo(a, _: String) => a == "entry" || a == "archive"
@@ -247,33 +254,27 @@ private[sources] class ZipMicroBatchStream(options: CaseInsensitiveStringMap,
     scan.streamReaderFactory()
 }
 
-/** The offset: last processed archive name (names arrival-monotone).
-  * Hand-rolled JSON with backslash/quote escaping — paths are the
-  * only payload and round-trip through the checkpoint verbatim. */
+/** The offset: last processed archive name (names arrival-monotone),
+  * HEX-armored in the checkpoint JSON — a path is arbitrary bytes
+  * (newlines and quotes are legal POSIX filenames), and any
+  * escape-based encoding eventually meets the character it forgot;
+  * hex round-trips every name verbatim and keeps the offset a single
+  * token a regex can parse after a restart. */
 private[sources] case class ZipOffset(lastName: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
-    val esc = lastName.flatMap {
-      case '\\' => "\\\\"
-      case '"'  => "\\\""
-      case c    => c.toString
-    }
-    s"""{"lastName":"$esc"}"""
+    val hex = lastName.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    s"""{"lastNameHex":"$hex"}"""
   }
 }
 
 private[sources] object ZipOffset {
   def fromJson(json: String): ZipOffset = {
-    val m = """\{"lastName":"(.*)"\}""".r
+    val m = """\{"lastNameHex":"([0-9a-f]*)"\}""".r
     json match {
       case m(v) =>
-        val sb = new StringBuilder
-        var i = 0
-        while (i < v.length) {
-          if (v(i) == '\\' && i + 1 < v.length) { sb.append(v(i + 1)); i += 2 }
-          else { sb.append(v(i)); i += 1 }
-        }
-        ZipOffset(sb.toString)
+        ZipOffset(new String(
+          v.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8"))
       case _ => throw new IllegalArgumentException(s"bad zip offset: $json")
     }
   }
@@ -306,10 +307,24 @@ private[sources] case class ZipReaderFactory(
       fields, maxEntryBytes, conf.value, entryFilters)
 }
 
-/** Streams one archive. Payload work is demand-driven by the pruned
-  * schema: `content` absent → entry bytes are never retained;
-  * `sha256` and `n_bytes` also absent → the entry stream is skipped
-  * (closeEntry) without decompressing a byte. */
+/** Streams one archive PULL-BASED: one entry is processed per
+  * `next()` call, so peak memory is one entry (or one 64 KB chunk
+  * when `content` is pruned), never the decompressed archive — a
+  * `LIMIT 1` stops after one entry. Payload work is demand-driven by
+  * the pruned schema: `content` absent → bytes stream through an
+  * incremental digest and are never retained; the zip-bomb cap and
+  * `ok`/`err` stay FAITHFUL under any projection (the payload walk
+  * also runs when `ok`/`err` are required, so pruning can never flip
+  * a quarantine verdict — "pruning only changes IO" is a results
+  * contract). A pruned-away entry is skipped without BUFFERING its
+  * bytes; note the honest limit: ZipInputStream still inflates
+  * skipped data to reach the next local header — true
+  * decompression-free skipping needs the central directory
+  * (java.util.zip.ZipFile over a local/seekable copy), the
+  * documented upgrade path for petabyte metadata censuses.
+  * Open/listing failures quarantine like corrupt bytes: a file
+  * deleted between planning and read yields an `ok=false` row,
+  * never a dead stream. */
 private[sources] class ZipPartitionReader(
     part: ZipPartition, fields: Array[String], maxEntryBytes: Long,
     conf: org.apache.hadoop.conf.Configuration,
@@ -319,69 +334,84 @@ private[sources] class ZipPartitionReader(
   private val needContent = fields.contains("content")
   private val needSha = fields.contains("sha256")
   private val needSize = fields.contains("n_bytes")
-  private val readPayload = needContent || needSha || needSize
+  // ok/err must be computed faithfully whenever observable, and Spark
+  // includes filter references in the required columns — so the
+  // payload walk runs for them too (it decides the oversize verdict)
+  private val readPayload = needContent || needSha || needSize ||
+    fields.contains("ok") || fields.contains("err")
 
-  private val rows: Iterator[InternalRow] = {
+  private var zin: ZipInputStream = null
+  private var openErr: String = null
+  try {
     val p = new Path(path)
-    val in = p.getFileSystem(conf).open(p)
+    zin = new ZipInputStream(new java.io.BufferedInputStream(
+      p.getFileSystem(conf).open(p)))
+  } catch { case ex: Exception =>
+    openErr = s"unopenable archive: ${ex.getClass.getSimpleName}"
+  }
+
+  private var sawEntry = false
+  private var finished = false
+  private var current: InternalRow = _
+
+  /** Advance to the next emitted row; null when exhausted. One entry
+    * per call — the pull contract. */
+  private def fetch(): InternalRow = {
+    if (finished) return null
+    if (openErr != null) {
+      finished = true
+      return row("", part.len, "", Array.emptyByteArray, ok = false, openErr)
+    }
     try {
-      val zin = new ZipInputStream(new java.io.BufferedInputStream(in))
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      try {
-        var e = zin.getNextEntry
-        var sawEntry = false
-        while (e != null) {
-          if (!e.isDirectory) sawEntry = true
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          sawEntry = true
           // pushed entry predicates: a non-matching entry is skipped
-          // before any payload byte is read (getNextEntry advances
-          // past the undecompressed data)
-          if (!e.isDirectory &&
-              ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
-            if (!readPayload) {
-              out += row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
-            } else {
-              val buf = new java.io.ByteArrayOutputStream()
-              val chunk = new Array[Byte](64 * 1024)
-              var total = 0L
-              var n = zin.read(chunk)
-              while (n >= 0 && total <= maxEntryBytes) {
-                if (needContent || needSha) buf.write(chunk, 0, n)
-                total += n; n = zin.read(chunk)
-              }
-              if (total > maxEntryBytes)
-                out += row(e.getName,
-                  if (e.getSize >= 0) e.getSize else total, "",
-                  Array.emptyByteArray, ok = false,
-                  "entry exceeds maxEntryBytes")
-              else {
-                val content = if (needContent || needSha) buf.toByteArray
-                              else Array.emptyByteArray
-                val sha = if (needSha)
-                  java.security.MessageDigest.getInstance("SHA-256")
-                    .digest(content).map(x => f"$x%02x").mkString
-                  else ""
-                out += row(e.getName, total, sha,
-                  if (needContent) content else Array.emptyByteArray,
-                  ok = true, "")
-              }
+          // without buffering (its bytes are still inflated by the
+          // stream to reach the next header — see class doc)
+          if (ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
+            if (!readPayload)
+              return row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
+            val buf = if (needContent) new java.io.ByteArrayOutputStream() else null
+            val md = if (needSha)
+              java.security.MessageDigest.getInstance("SHA-256") else null
+            val chunk = new Array[Byte](64 * 1024)
+            var total = 0L
+            var n = zin.read(chunk)
+            while (n >= 0 && total <= maxEntryBytes) {
+              if (buf != null) buf.write(chunk, 0, n)
+              if (md != null) md.update(chunk, 0, n)
+              total += n; n = zin.read(chunk)
             }
+            if (total > maxEntryBytes)
+              return row(e.getName,
+                if (e.getSize >= 0) e.getSize else total, "",
+                Array.emptyByteArray, ok = false, "entry exceeds maxEntryBytes")
+            val sha = if (md != null)
+              md.digest().map(x => f"$x%02x").mkString else ""
+            return row(e.getName, total, sha,
+              if (buf != null) buf.toByteArray else Array.emptyByteArray,
+              ok = true, "")
           }
-          e = zin.getNextEntry
         }
-        if (!sawEntry)
-          // archive-level quarantine reports the ARCHIVE size (the
-          // ZipSource.entries convention). Keyed on sawEntry, not
-          // out.isEmpty: an archive whose entries were all SKIPPED by
-          // a pushed predicate is healthy, and fabricating a
-          // quarantine row here would diverge from the unpushed plan
-          out += row("", part.len, "", Array.emptyByteArray, ok = false,
-            "no entries in archive")
-      } catch { case ex: Exception =>
-        out += row("", part.len, "", Array.emptyByteArray, ok = false,
-          s"unreadable archive: ${ex.getClass.getSimpleName}")
-      } finally zin.close()
-      out.iterator
-    } finally { /* stream closed via zin */ }
+        e = zin.getNextEntry
+      }
+      finished = true
+      if (!sawEntry)
+        // archive-level quarantine reports the ARCHIVE size (the
+        // ZipSource.entries convention). Keyed on sawEntry, not
+        // emitted-row count: an archive whose entries were all
+        // SKIPPED by a pushed predicate is healthy, and fabricating
+        // a quarantine row would diverge from the unpushed plan
+        row("", part.len, "", Array.emptyByteArray, ok = false,
+          "no entries in archive")
+      else null
+    } catch { case ex: Exception =>
+      finished = true
+      row("", part.len, "", Array.emptyByteArray, ok = false,
+        s"unreadable archive: ${ex.getClass.getSimpleName}")
+    }
   }
 
   private def row(entry: String, nBytes: Long, sha: String,
@@ -398,9 +428,10 @@ private[sources] class ZipPartitionReader(
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  private var current: InternalRow = _
-  override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
+  override def next(): Boolean = {
+    current = fetch()
+    current != null
+  }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (zin != null) zin.close()
 }

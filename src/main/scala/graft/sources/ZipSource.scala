@@ -169,44 +169,14 @@ object ZipSource {
       out
     })
 
-  /** Registered `q_zip_ingest`: the archive lifecycle end-to-end —
-    * publish monthly zips from `orders`, scan them back through
-    * `binaryFile` + the partition-wise unzip, SELECT the target entry
-    * per archive (the decoy README is skipped by name, as the
-    * reference skips its wrong-month sibling), parse the CSV lines,
-    * and aggregate per month taken FROM THE ENTRY NAME. The DuckDB
-    * oracle computes the same aggregate from `orders` directly, so a
-    * hash-match proves zip write → scan → extract → parse lost and
-    * altered nothing — with the planted corrupt archive quarantined
-    * in-path (it contributes no entries and cannot perturb the
-    * result). Sums ride DECIMAL and keys fold through the 60-bit
-    * md5 XOR, both order-independent, so no sort anywhere. */
-  def zipIngest(spark: SparkSession, dir: String): DataFrame = {
-    val fx = monthlyZipFixture(spark, dir)
-    val parsed = textLines(entries(spark, s"$fx/*.zip"))
-      .filter(col("entry").rlike("^PPMS_update_\\d{4}-\\d{2}\\.txt$"))
-      .select(
-        regexp_extract(col("entry"), "PPMS_update_(\\d{4}-\\d{2})\\.txt", 1)
-          .as("order_month"),
-        split(col("line"), ",").getItem(0).as("k"),
-        split(col("line"), ",").getItem(1).cast(DecimalType(18, 2)).as("price"))
-    parsed
-      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("k")))
-      .groupBy("order_month")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("price")).cast(DoubleType).as("revenue"),
-        expr("bit_xor(__h)").as("key_xor"))
-      .orderBy("order_month")
-  }
-
-  /** Registered `q_zip_dsv2`: the SAME round-trip aggregate as
-    * [[zipIngest]] read through the DataSource V2 connector
-    * (`format("graft-zip")`, one InputPartition per archive, pruned
-    * columns) instead of the binaryFile+mapPartitions plan — both
-    * implementations answer to the one DuckDB oracle. */
-  def zipIngestDsv2(spark: SparkSession, dir: String): DataFrame = {
-    val fx = monthlyZipFixture(spark, dir)
-    val ents = spark.read.format("graft-zip").load(s"$fx/*.zip")
+  /** The shared round-trip verification aggregate: select the target
+    * monthly entries by name (past the decoy, the reference's
+    * wrong-month-sibling rule), parse the CSV lines, and reduce to
+    * the per-month count / exact-decimal revenue / key-XOR census —
+    * ONE definition for all three read paths (batch scan, DSv2
+    * connector, streaming drain), so they cannot drift from the one
+    * oracle they share. */
+  private def monthlyAggregate(ents: DataFrame): DataFrame = {
     val parsed = textLines(ents)
       .filter(col("entry").rlike("^PPMS_update_\\d{4}-\\d{2}\\.txt$"))
       .select(
@@ -222,6 +192,30 @@ object ZipSource {
         expr("bit_xor(__h)").as("key_xor"))
       .orderBy("order_month")
   }
+
+  /** Registered `q_zip_ingest`: the archive lifecycle end-to-end —
+    * publish monthly zips from `orders`, scan them back through
+    * `binaryFile` + the partition-wise unzip, SELECT the target entry
+    * per archive (the decoy README is skipped by name, as the
+    * reference skips its wrong-month sibling), parse the CSV lines,
+    * and aggregate per month taken FROM THE ENTRY NAME. The DuckDB
+    * oracle computes the same aggregate from `orders` directly, so a
+    * hash-match proves zip write → scan → extract → parse lost and
+    * altered nothing — with the planted corrupt archive quarantined
+    * in-path (it contributes no entries and cannot perturb the
+    * result). Sums ride DECIMAL and keys fold through the 60-bit
+    * md5 XOR, both order-independent, so no sort anywhere. */
+  def zipIngest(spark: SparkSession, dir: String): DataFrame =
+    monthlyAggregate(entries(spark, s"${monthlyZipFixture(spark, dir)}/*.zip"))
+
+  /** Registered `q_zip_dsv2`: the SAME round-trip aggregate as
+    * [[zipIngest]] read through the DataSource V2 connector
+    * (`format("graft-zip")`, one InputPartition per archive, pruned
+    * columns) instead of the binaryFile+mapPartitions plan — both
+    * implementations answer to the one DuckDB oracle. */
+  def zipIngestDsv2(spark: SparkSession, dir: String): DataFrame =
+    monthlyAggregate(spark.read.format("graft-zip")
+      .load(s"${monthlyZipFixture(spark, dir)}/*.zip"))
 
   /** Registered `q_zip_stream`: the archive feed drained as a STREAM
     * — `readStream.format("graft-zip")` over the same monthly fixture
@@ -244,20 +238,7 @@ object ZipSource {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start(s"$tmp/out")
       .awaitTermination()
-    val parsed = textLines(spark.read.parquet(s"$tmp/out"))
-      .filter(col("entry").rlike("^PPMS_update_\\d{4}-\\d{2}\\.txt$"))
-      .select(
-        regexp_extract(col("entry"), "PPMS_update_(\\d{4}-\\d{2})\\.txt", 1)
-          .as("order_month"),
-        split(col("line"), ",").getItem(0).as("k"),
-        split(col("line"), ",").getItem(1).cast(DecimalType(18, 2)).as("price"))
-    parsed
-      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("k")))
-      .groupBy("order_month")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("price")).cast(DoubleType).as("revenue"),
-        expr("bit_xor(__h)").as("key_xor"))
-      .orderBy("order_month")
+    monthlyAggregate(spark.read.parquet(s"$tmp/out"))
   }
 
   /** Registered `q_zip_quarantine` (rows-only: the err string is
