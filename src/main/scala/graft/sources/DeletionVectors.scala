@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object DeletionVectors {
 
-  private val metaName = "dv"          // → file `_graft_dv` in the version dir
+  private[sources] val metaName = "dv" // → file `_graft_dv` in the version dir
   private val dvSubdir = "_dv"
   private val deltaSubdir = "_delta"
 

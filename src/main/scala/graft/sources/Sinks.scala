@@ -439,9 +439,26 @@ object Sinks {
     require(maxAttempts >= 1, "maxAttempts must be positive")
     var lastRace: ConcurrentSnapshotUpdate = null
     (1 to maxAttempts).foreach { _ =>
-      val compacting = currentVersion(spark, tablePath).getOrElse(
+      val compacting0 = currentVersion(spark, tablePath).getOrElse(
         throw new java.io.FileNotFoundException(
           s"no published snapshot at $tablePath (no commit marker in _manifests)"))
+      // a deletion-vector / MoR commit has no data files of its own —
+      // its version dir holds only the vector and delta. Maintenance
+      // must FOLD THE CHAIN first (the Delta/Hudi "compaction is
+      // materialization" contract) and then bin-pack the folded data
+      // version; compacting the raw DV dir would publish an EMPTY
+      // live version. Discovered by MorPropertySpec's random walk.
+      val compacting =
+        if (versionMeta(spark, tablePath, compacting0)
+              .contains(DeletionVectors.metaName)) {
+          try DeletionVectors.materializeDeletes(spark, tablePath, dateCol,
+            retainVersions = retainVersions)
+          catch { case e: ConcurrentSnapshotUpdate =>
+            lastRace = e
+            -1L // someone else committed meanwhile — re-read and retry
+          }
+        } else compacting0
+      if (compacting >= 0) {
       val vdir = new org.apache.hadoop.fs.Path(s"$tablePath/${versionDirName(compacting)}")
       val fs = hadoopFs(spark, vdir)
       val monthDirs = fs.listStatus(vdir).toSeq
@@ -492,6 +509,7 @@ object Sinks {
         statsCols = carried.get(FileStats.metaName)
           .map(FileStats.colsOf).getOrElse(Nil))
       catch { case e: ConcurrentSnapshotUpdate => lastRace = e } // re-read and retry
+      }
     }
     throw lastRace
   }
