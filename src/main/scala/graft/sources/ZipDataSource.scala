@@ -317,11 +317,19 @@ private[sources] case class ZipReaderFactory(
   * also runs when `ok`/`err` are required, so pruning can never flip
   * a quarantine verdict — "pruning only changes IO" is a results
   * contract). A pruned-away entry is skipped without BUFFERING its
-  * bytes; note the honest limit: ZipInputStream still inflates
-  * skipped data to reach the next local header — true
-  * decompression-free skipping needs the central directory
-  * (java.util.zip.ZipFile over a local/seekable copy), the
-  * documented upgrade path for petabyte metadata censuses.
+  * bytes.
+  *
+  * TWO read strategies, picked by where the archive lives:
+  *   - LOCAL (`file:` / schemeless): `java.util.zip.ZipFile` over the
+  *     CENTRAL DIRECTORY — entry names and declared sizes come from
+  *     directory records, so a metadata census or a pushed
+  *     entry-predicate miss inflates NOTHING, and the zip-bomb
+  *     verdict reads the declared size without touching entry data.
+  *   - REMOTE (any other scheme): `ZipInputStream` over the Hadoop
+  *     stream; honest limit: skipped entries are still inflated in
+  *     passing to reach the next local header (no seeking on a
+  *     stream), so pruning there saves memory/allocation, not
+  *     decompression CPU.
   * Open/listing failures quarantine like corrupt bytes: a file
   * deleted between planning and read yields an `ok=false` row,
   * never a dead stream. */
@@ -340,12 +348,24 @@ private[sources] class ZipPartitionReader(
   private val readPayload = needContent || needSha || needSize ||
     fields.contains("ok") || fields.contains("err")
 
+  private val localUri = {
+    val u = new Path(path).toUri
+    if (u.getScheme == null || u.getScheme == "file") Option(u.getPath) else None
+  }
   private var zin: ZipInputStream = null
+  private var zf: java.util.zip.ZipFile = null
+  private var zfEntries: java.util.Enumeration[_ <: java.util.zip.ZipEntry] = null
   private var openErr: String = null
   try {
-    val p = new Path(path)
-    zin = new ZipInputStream(new java.io.BufferedInputStream(
-      p.getFileSystem(conf).open(p)))
+    localUri match {
+      case Some(local) =>
+        zf = new java.util.zip.ZipFile(new java.io.File(local))
+        zfEntries = zf.entries()
+      case None =>
+        val p = new Path(path)
+        zin = new ZipInputStream(new java.io.BufferedInputStream(
+          p.getFileSystem(conf).open(p)))
+    }
   } catch { case ex: Exception =>
     openErr = s"unopenable archive: ${ex.getClass.getSimpleName}"
   }
@@ -353,6 +373,46 @@ private[sources] class ZipPartitionReader(
   private var sawEntry = false
   private var finished = false
   private var current: InternalRow = _
+
+  /** The capped payload walk shared by both strategies: stream the
+    * entry through the optional buffer/digest, quarantining past the
+    * byte cap. Closes nothing — the caller owns the stream. */
+  private def readEntry(in: java.io.InputStream, name: String,
+                        declared: Long): InternalRow = {
+    val buf = if (needContent) new java.io.ByteArrayOutputStream() else null
+    val md = if (needSha)
+      java.security.MessageDigest.getInstance("SHA-256") else null
+    val chunk = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = in.read(chunk)
+    while (n >= 0 && total <= maxEntryBytes) {
+      if (buf != null) buf.write(chunk, 0, n)
+      if (md != null) md.update(chunk, 0, n)
+      total += n; n = in.read(chunk)
+    }
+    if (total > maxEntryBytes)
+      row(name, if (declared >= 0) declared else total, "",
+        Array.emptyByteArray, ok = false, "entry exceeds maxEntryBytes")
+    else {
+      val sha = if (md != null) md.digest().map(x => f"$x%02x").mkString else ""
+      row(name, total, sha,
+        if (buf != null) buf.toByteArray else Array.emptyByteArray,
+        ok = true, "")
+    }
+  }
+
+  private def exhausted(): InternalRow = {
+    finished = true
+    if (!sawEntry)
+      // archive-level quarantine reports the ARCHIVE size (the
+      // ZipSource.entries convention). Keyed on sawEntry, not
+      // emitted-row count: an archive whose entries were all
+      // SKIPPED by a pushed predicate is healthy, and fabricating
+      // a quarantine row would diverge from the unpushed plan
+      row("", part.len, "", Array.emptyByteArray, ok = false,
+        "no entries in archive")
+    else null
+  }
 
   /** Advance to the next emitted row; null when exhausted. One entry
     * per call — the pull contract. */
@@ -363,50 +423,42 @@ private[sources] class ZipPartitionReader(
       return row("", part.len, "", Array.emptyByteArray, ok = false, openErr)
     }
     try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory) {
-          sawEntry = true
-          // pushed entry predicates: a non-matching entry is skipped
-          // without buffering (its bytes are still inflated by the
-          // stream to reach the next header — see class doc)
-          if (ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
-            if (!readPayload)
-              return row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
-            val buf = if (needContent) new java.io.ByteArrayOutputStream() else null
-            val md = if (needSha)
-              java.security.MessageDigest.getInstance("SHA-256") else null
-            val chunk = new Array[Byte](64 * 1024)
-            var total = 0L
-            var n = zin.read(chunk)
-            while (n >= 0 && total <= maxEntryBytes) {
-              if (buf != null) buf.write(chunk, 0, n)
-              if (md != null) md.update(chunk, 0, n)
-              total += n; n = zin.read(chunk)
+      if (zf != null) {
+        // central-directory walk: a non-matching or metadata-only
+        // entry inflates NOTHING
+        while (zfEntries.hasMoreElements) {
+          val e = zfEntries.nextElement()
+          if (!e.isDirectory) {
+            sawEntry = true
+            if (ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
+              if (!readPayload)
+                return row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
+              if (e.getSize >= 0 && e.getSize > maxEntryBytes)
+                // declared-size verdict: the bomb is never inflated
+                return row(e.getName, e.getSize, "", Array.emptyByteArray,
+                  ok = false, "entry exceeds maxEntryBytes")
+              val in = zf.getInputStream(e)
+              try return readEntry(in, e.getName, e.getSize)
+              finally in.close()
             }
-            if (total > maxEntryBytes)
-              return row(e.getName,
-                if (e.getSize >= 0) e.getSize else total, "",
-                Array.emptyByteArray, ok = false, "entry exceeds maxEntryBytes")
-            val sha = if (md != null)
-              md.digest().map(x => f"$x%02x").mkString else ""
-            return row(e.getName, total, sha,
-              if (buf != null) buf.toByteArray else Array.emptyByteArray,
-              ok = true, "")
           }
         }
-        e = zin.getNextEntry
+        exhausted()
+      } else {
+        var e = zin.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory) {
+            sawEntry = true
+            if (ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
+              if (!readPayload)
+                return row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
+              return readEntry(zin, e.getName, e.getSize)
+            }
+          }
+          e = zin.getNextEntry
+        }
+        exhausted()
       }
-      finished = true
-      if (!sawEntry)
-        // archive-level quarantine reports the ARCHIVE size (the
-        // ZipSource.entries convention). Keyed on sawEntry, not
-        // emitted-row count: an archive whose entries were all
-        // SKIPPED by a pushed predicate is healthy, and fabricating
-        // a quarantine row would diverge from the unpushed plan
-        row("", part.len, "", Array.emptyByteArray, ok = false,
-          "no entries in archive")
-      else null
     } catch { case ex: Exception =>
       finished = true
       row("", part.len, "", Array.emptyByteArray, ok = false,
@@ -433,5 +485,8 @@ private[sources] class ZipPartitionReader(
     current != null
   }
   override def get(): InternalRow = current
-  override def close(): Unit = if (zin != null) zin.close()
+  override def close(): Unit = {
+    if (zin != null) zin.close()
+    if (zf != null) zf.close()
+  }
 }
