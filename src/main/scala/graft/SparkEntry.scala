@@ -705,11 +705,24 @@ object SparkEntry {
     // text md5-XOR per (lang, source) — any escaping loss flips it
     "q_jsonl_roundtrip" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(length(text)) AS n_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS text_xor
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rtbf_purge" -> graft.sources.DeletionVectors.rtbfPurgeOracle,
+
+    // the quarantine LEDGER is deterministic even though the raw JDK
+    // error strings are not: the fixture plants one archive per
+    // corruption class with FIXED bytes (25-byte garbage; a real zip
+    // cut at byte 100; a STORED entry declaring exactly 2 MiB against
+    // the query's 1 MiB cap), so a constant twin pins class + size
+    "q_zip_quarantine" ->
+      """SELECT * FROM (VALUES
+        |  ('PPMS_update_corrupt.zip', '', CAST(25 AS BIGINT), 'no_entries'),
+        |  ('PPMS_update_oversized.zip', 'BULK_dump.bin', CAST(2097152 AS BIGINT), 'oversized_entry'),
+        |  ('PPMS_update_truncated.zip', '', CAST(100 AS BIGINT), 'unreadable'))
+        |  AS t(archive, entry, n_bytes, kind)
+        |ORDER BY archive""".stripMargin,
 
     // the zip round-trip must reproduce orders exactly: per-month
     // count, exact-decimal revenue, and the 60-bit md5 XOR key fold
@@ -1831,7 +1844,7 @@ object SparkEntry {
     "t_sample" ->
       """SELECT doc_id, lang, bucket, keep_rate FROM (
         | SELECT doc_id, lang,
-        |  CAST(concat('0x', substr(md5(text || 'sample'), 1, 4)) AS INTEGER) % 100 AS bucket,
+        |  CAST(CAST(concat('0x', substr(md5(text || 'sample'), 1, 4)) AS INTEGER) % 100 AS BIGINT) AS bucket,
         |  CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 60 ELSE 100 END AS keep_rate
         | FROM documents) t
         |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin,
@@ -2267,7 +2280,7 @@ object SparkEntry {
       """SELECT doc_id, bucket,
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (
-        | SELECT doc_id, CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket
+        | SELECT doc_id, CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS BIGINT) AS bucket
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 

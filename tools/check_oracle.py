@@ -21,6 +21,25 @@ def load_spark(outdir, name):
         return None
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
+def type_sig(col):
+    """Canonical type signature for the driver's typed-hash comparison.
+
+    Typed (non-object) columns use the pandas dtype kind+width; object
+    columns use the Python class of the first non-null cell (str,
+    Decimal, date, bytes, ndarray, ...). Timestamp unit (ns/us) is
+    collapsed — the parquet physical unit differs between writers but
+    both decode to the same logical TIMESTAMP.
+    """
+    dt = col.dtype
+    if str(dt).startswith("datetime64"):
+        return "timestamp"
+    if dt != object:
+        return str(dt)
+    nn = col.dropna()
+    if len(nn) == 0:
+        return "object:empty"
+    return f"object:{type(nn.iloc[0]).__name__}"
+
 def norm(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
@@ -59,12 +78,15 @@ def main(sfdir, outdir):
         bad = []
         for c in s.columns:
             sv, dv = s[c], d[c]
-            # representation gate (mirrors the driver's hash, which is
-            # sensitive to dtype: Decimal('1.00') vs float64 1.0 compare
-            # equal numerically but hash differently) — a float column on
-            # one side must be a float column on the other
-            if (sv.dtype.kind == 'f') != (dv.dtype.kind == 'f'):
-                bad.append((c, f"dtype mismatch spark={sv.dtype} duck={dv.dtype} "
+            # typed-representation gate (mirrors the driver's hash, which
+            # is sensitive to the full type, not just the value): a LONG
+            # column on one side must be a LONG on the other — DuckDB
+            # HUGEINT (SUM of ints), INT32-vs-INT64, DATE-vs-TIMESTAMP,
+            # Decimal-vs-float all hash differently at the driver even
+            # when every cell compares equal, so fail them here first
+            st, dt = type_sig(sv), type_sig(dv)
+            if st != dt:
+                bad.append((c, f"type mismatch spark={st} duck={dt} "
                                "(driver hash would fail even if values match)"))
                 continue
             try:
