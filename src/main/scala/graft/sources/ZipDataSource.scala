@@ -32,13 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     payloads are never buffered (bytes stream through an
   *     incremental digest when `sha256` survives, or are discarded
   *     chunk-wise); results — including the `ok`/`err` quarantine
-  *     verdicts — are projection-independent. Honest limit:
-  *     ZipInputStream still INFLATES skipped data to reach the next
-  *     local header, so pruning saves memory and allocation, not
-  *     decompression CPU; the decompression-free metadata census
-  *     needs central-directory reads (java.util.zip.ZipFile over a
-  *     seekable copy), the documented upgrade path. The pruned
-  *     schema is visible in the scan (`readSchema`), like parquet's.
+  *     verdicts — are projection-independent. Parsable archives are
+  *     read through their CENTRAL DIRECTORY ([[SeekableZip]], any
+  *     Hadoop scheme): a metadata census or a pushed entry-predicate
+  *     miss inflates nothing at all, and consumed entries are
+  *     reached by seek. Only structurally damaged archives fall back
+  *     to the sequential inflate walk (where skipped data is still
+  *     decompressed in passing — the cost of quarantining instead of
+  *     failing). The pruned schema is visible in the scan
+  *     (`readSchema`), like parquet's.
   *   - Catalog-ready: `USING `graft-zip`` DDL works (DataSourceRegister).
   *
   * Same quarantine contract as ZipSource: a corrupt / truncated /
@@ -185,8 +187,12 @@ private[sources] class ZipScan(options: CaseInsensitiveStringMap,
   * discipline applied to a drop directory: restart-safe from the
   * checkpoint alone, no side log of seen files — and a late archive
   * sorting BEFORE the watermark name is ignored exactly like a
-  * too-old Kafka offset (documented; feeds that cannot guarantee
-  * monotone names need the file-log decision path, row 9). */
+  * too-old Kafka offset. The contract is also ENFORCED, not just
+  * documented: each listing is diffed against the last, so a name
+  * that first appears at or below the committed offset is detected
+  * and logged (or fails the stream with `onLateName=fail`); feeds
+  * that cannot guarantee monotone names need the file-log decision
+  * path, row 9. */
 private[sources] class ZipMicroBatchStream(options: CaseInsensitiveStringMap,
                                            scan: ZipScan)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -197,6 +203,45 @@ private[sources] class ZipMicroBatchStream(options: CaseInsensitiveStringMap,
     .map(s => (s.getPath.toString, s.getLen))
 
   private var availableNowCap: Option[String] = None
+
+  // Late-arrival guard: the offset contract requires arrival-monotone
+  // names, but nothing in a drop directory ENFORCES it — an archive
+  // landing with a name inside an already-committed (start, end]
+  // range would silently change a replayed batch (an exactly-once
+  // violation), and a name below the watermark is skipped forever.
+  // Each listing is therefore diffed against every name seen in any
+  // EARLIER listing of this instance: a name at or below the
+  // committed offset that was never listed before is a detected late
+  // arrival (a name that was listed above the offset and then aged
+  // below it as batches committed is the normal case, not late).
+  // `onLateName=warn` (default) logs to stderr as a visible signal;
+  // `onLateName=fail` kills the stream loudly — the right setting
+  // for feeds that claim the monotone contract rather than merely
+  // hoping for it. The first listing after a restart only baselines
+  // (already-processed and late names are indistinguishable without
+  // a side log — feeds that need that distinction need the file-log
+  // decision path, row 9).
+  private val onLateName =
+    Option(options.get("onLateName")).getOrElse("warn")
+  private var seenNames: Option[Set[String]] = None
+
+  private def guardLateNames(listing: Seq[String], committed: String): Unit = {
+    val all = listing.toSet
+    seenNames match {
+      case Some(seen) =>
+        val late = all.filter(n => n <= committed && !seen.contains(n))
+        if (late.nonEmpty) {
+          val msg = s"graft-zip: ${late.size} archive(s) appeared at or " +
+            s"below the committed offset '$committed' — late, non-monotone " +
+            s"arrival(s) that this stream will NOT process: " +
+            late.toSeq.sorted.mkString(", ")
+          if (onLateName == "fail") throw new IllegalStateException(msg)
+          System.err.println(s"WARN $msg")
+        }
+        seenNames = Some(seen ++ all)
+      case None => seenNames = Some(all)
+    }
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     // AvailableNow contract: fix the end of the world ONCE, so the
@@ -221,7 +266,9 @@ private[sources] class ZipMicroBatchStream(options: CaseInsensitiveStringMap,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
     val s = start.asInstanceOf[ZipOffset].lastName
-    val names0 = allNames().map(_._1).filter(_ > s).sorted
+    val listing = allNames().map(_._1)
+    guardLateNames(listing, s)
+    val names0 = listing.filter(_ > s).sorted
     val names = availableNowCap match {
       case Some(cap) => names0.filter(_ <= cap)
       case None => names0
@@ -319,17 +366,23 @@ private[sources] case class ZipReaderFactory(
   * contract). A pruned-away entry is skipped without BUFFERING its
   * bytes.
   *
-  * TWO read strategies, picked by where the archive lives:
-  *   - LOCAL (`file:` / schemeless): `java.util.zip.ZipFile` over the
-  *     CENTRAL DIRECTORY — entry names and declared sizes come from
-  *     directory records, so a metadata census or a pushed
-  *     entry-predicate miss inflates NOTHING, and the zip-bomb
-  *     verdict reads the declared size without touching entry data.
-  *   - REMOTE (any other scheme): `ZipInputStream` over the Hadoop
-  *     stream; honest limit: skipped entries are still inflated in
-  *     passing to reach the next local header (no seeking on a
-  *     stream), so pruning there saves memory/allocation, not
-  *     decompression CPU.
+  * TWO read strategies, picked by whether the archive PARSES, not by
+  * where it lives:
+  *   - CENTRAL DIRECTORY (any scheme): [[SeekableZip]] reads the
+  *     archive's table of contents from the file tail through
+  *     Hadoop's seekable `FSDataInputStream` — entry names and
+  *     declared sizes come from directory records, so a metadata
+  *     census or a pushed entry-predicate miss inflates NOTHING, the
+  *     zip-bomb verdict reads the declared size without touching
+  *     entry data, and a consumed entry is reached by seek, never by
+  *     inflating its predecessors. This is the one code path for
+  *     `file:`, `hdfs:`, `s3a:`, and any other mounted scheme.
+  *   - STREAMING FALLBACK: an archive whose central directory does
+  *     not parse (garbage bytes, truncation, structural damage) is
+  *     re-walked sequentially with `ZipInputStream` — reproducing
+  *     the binaryFile plan's quarantine classification exactly
+  *     (garbage → "no entries in archive", mid-stream damage →
+  *     "unreadable archive").
   * Open/listing failures quarantine like corrupt bytes: a file
   * deleted between planning and read yields an `ok=false` row,
   * never a dead stream. */
@@ -348,23 +401,19 @@ private[sources] class ZipPartitionReader(
   private val readPayload = needContent || needSha || needSize ||
     fields.contains("ok") || fields.contains("err")
 
-  private val localUri = {
-    val u = new Path(path).toUri
-    if (u.getScheme == null || u.getScheme == "file") Option(u.getPath) else None
-  }
   private var zin: ZipInputStream = null
-  private var zf: java.util.zip.ZipFile = null
-  private var zfEntries: java.util.Enumeration[_ <: java.util.zip.ZipEntry] = null
+  private var cdIter: Iterator[SeekableZip.CdEntry] = null
+  private var seekIn: org.apache.hadoop.fs.FSDataInputStream = null
   private var openErr: String = null
   try {
-    localUri match {
-      case Some(local) =>
-        zf = new java.util.zip.ZipFile(new java.io.File(local))
-        zfEntries = zf.entries()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    SeekableZip.centralDirectory(fs, p, part.len) match {
+      case Some(entries) =>
+        cdIter = entries.iterator
+        seekIn = fs.open(p)
       case None =>
-        val p = new Path(path)
-        zin = new ZipInputStream(new java.io.BufferedInputStream(
-          p.getFileSystem(conf).open(p)))
+        zin = new ZipInputStream(new java.io.BufferedInputStream(fs.open(p)))
     }
   } catch { case ex: Exception =>
     openErr = s"unopenable archive: ${ex.getClass.getSimpleName}"
@@ -423,22 +472,22 @@ private[sources] class ZipPartitionReader(
       return row("", part.len, "", Array.emptyByteArray, ok = false, openErr)
     }
     try {
-      if (zf != null) {
+      if (cdIter != null) {
         // central-directory walk: a non-matching or metadata-only
-        // entry inflates NOTHING
-        while (zfEntries.hasMoreElements) {
-          val e = zfEntries.nextElement()
+        // entry inflates NOTHING, on any filesystem scheme
+        while (cdIter.hasNext) {
+          val e = cdIter.next()
           if (!e.isDirectory) {
             sawEntry = true
-            if (ZipFilterEval.matches(entryFilters, "entry", e.getName)) {
+            if (ZipFilterEval.matches(entryFilters, "entry", e.name)) {
               if (!readPayload)
-                return row(e.getName, 0L, "", Array.emptyByteArray, ok = true, "")
-              if (e.getSize >= 0 && e.getSize > maxEntryBytes)
+                return row(e.name, 0L, "", Array.emptyByteArray, ok = true, "")
+              if (e.uncompressedSize > maxEntryBytes)
                 // declared-size verdict: the bomb is never inflated
-                return row(e.getName, e.getSize, "", Array.emptyByteArray,
+                return row(e.name, e.uncompressedSize, "", Array.emptyByteArray,
                   ok = false, "entry exceeds maxEntryBytes")
-              val in = zf.getInputStream(e)
-              try return readEntry(in, e.getName, e.getSize)
+              val in = SeekableZip.entryStream(seekIn, e)
+              try return readEntry(in, e.name, e.uncompressedSize)
               finally in.close()
             }
           }
@@ -487,6 +536,6 @@ private[sources] class ZipPartitionReader(
   override def get(): InternalRow = current
   override def close(): Unit = {
     if (zin != null) zin.close()
-    if (zf != null) zf.close()
+    if (seekIn != null) seekIn.close()
   }
 }

@@ -134,6 +134,12 @@ object ZipSource {
         }
         it.foreach { case (file, line) =>
           if (file != current) {
+            // the group key is DATA, interpolated into a path: a key
+            // carrying a separator or dot-dot would write outside
+            // outDir — reject loudly, whatever the caller promised
+            require(file.nonEmpty && !file.contains('/') &&
+              !file.contains('\\') && !file.contains("..") && file != ".",
+              s"writeZips: group key '${file.take(80)}' is not a safe file name")
             close(); current = file; first = true
             zos = new ZipOutputStream(new BufferedOutputStream(
               new FileOutputStream(s"$outDir/$file.zip")))
@@ -163,9 +169,35 @@ object ZipSource {
           .as("line"))
       writeZips(lines, "order_month", "line", out,
         m => s"PPMS_update_$m.txt")
-      // planted corrupt archive: must quarantine, not kill the scan
+      // three planted corruption classes — each must quarantine, not
+      // kill the scan, and each lands in a distinct deterministic
+      // class of the q_zip_quarantine ledger:
+      // 1. garbage bytes (no zip structure at all) → no_entries
       val bad = new FileOutputStream(s"$out/PPMS_update_corrupt.zip")
       bad.write("this is not a zip archive".getBytes("UTF-8")); bad.close()
+      // 2. a real archive cut at byte 100 (mid-deflate-stream; past
+      // the first local header, before its data ends) → unreadable
+      val firstZip = new java.io.File(out).listFiles()
+        .filter(_.getName.matches("\\d{4}-\\d{2}\\.zip")).minBy(_.getName)
+      val firstBytes = java.nio.file.Files.readAllBytes(firstZip.toPath)
+      require(firstBytes.length >= 100, s"fixture zip too small to truncate")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/PPMS_update_truncated.zip"),
+        firstBytes.take(100))
+      // 3. a valid archive whose single STORED entry declares exactly
+      // 2 MiB — over the quarantine query's 1 MiB cap (oversized_entry
+      // there, by declared size) but clean under the round-trip
+      // queries' default cap, where its non-monthly entry name is
+      // filtered out; STORED so the size rides the local header and
+      // every read path sees the declared value
+      val big = Array.fill[Byte](2 * 1024 * 1024)('x')
+      val crc = new java.util.zip.CRC32(); crc.update(big)
+      val oz = new ZipOutputStream(new BufferedOutputStream(
+        new FileOutputStream(s"$out/PPMS_update_oversized.zip")))
+      val oe = new ZipEntry("BULK_dump.bin")
+      oe.setMethod(ZipEntry.STORED); oe.setSize(big.length.toLong)
+      oe.setCrc(crc.getValue)
+      oz.putNextEntry(oe); oz.write(big); oz.closeEntry(); oz.close()
       out
     })
 
@@ -241,16 +273,26 @@ object ZipSource {
     monthlyAggregate(spark.read.parquet(s"$tmp/out"))
   }
 
-  /** Registered `q_zip_quarantine` (rows-only: the err string is
-    * JDK-specific): the corrupt-archive report — basename and size of
-    * every archive the scan could not read. Exactly one planted row
-    * per fixture. */
+  /** Registered `q_zip_quarantine` (HASH-ORACLED): the classed
+    * corrupt-archive ledger — basename, entry, size, and failure
+    * CLASS of everything the scan (1 MiB entry cap) could not read.
+    * The raw `err` strings are engine-private (they quote JDK
+    * exception class names), but the LEDGER is fully deterministic:
+    * the fixture plants one archive per corruption class with fixed
+    * bytes, so a constant DuckDB twin pins all three rows —
+    * no_entries (25 garbage bytes), unreadable (a real zip cut at
+    * byte 100), oversized_entry (a STORED entry declaring 2 MiB
+    * against the 1 MiB cap; the declared size is reported, the bomb
+    * is never fully buffered). */
   def zipQuarantine(spark: SparkSession, dir: String): DataFrame = {
     val fx = monthlyZipFixture(spark, dir)
-    entries(spark, s"$fx/*.zip")
+    entries(spark, s"$fx/*.zip", maxEntryBytes = 1L << 20)
       .filter(!col("ok"))
       .select(element_at(split(col("archive"), "/"), -1).as("archive"),
-        col("n_bytes"), col("err"))
+        col("entry"), col("n_bytes"),
+        when(col("err").startsWith("no entries"), "no_entries")
+          .when(col("err").startsWith("entry exceeds"), "oversized_entry")
+          .otherwise("unreadable").as("kind"))
       .orderBy("archive")
   }
 }

@@ -944,4 +944,166 @@ class SourcesSpec extends AnyFunSuite {
       .join(Media.decodeMeta(Media.mediaTable(spark, sf)).toDF(), "media_id")
     assert(byId.filter(col("mx") >= col("n_frames")).count() === 0)
   }
+
+  test("central-directory census inflates nothing: corrupted payload bytes are invisible to metadata reads") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // a valid archive ...
+    val dir = Files.createTempDirectory("zip_cd").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(s"$dir/a.zip"))
+    zos.putNextEntry(new ZipEntry("keep.txt"))
+    zos.write(("payload " * 50).getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("skip.txt"))
+    zos.write(("other " * 50).getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    // ... whose ENTRY DATA is then vandalized in place (the central
+    // directory at the tail stays intact). Any plan that inflates
+    // payloads now fails on these entries — so a clean metadata
+    // census over this file PROVES the scan read only directory
+    // records through the seekable stream, on any FS scheme.
+    val raf = new java.io.RandomAccessFile(s"$dir/a.zip", "rw")
+    raf.seek(40); raf.write(Array.fill[Byte](60)(0x5a)); raf.close()
+    // NOTE the projection: archive+entry only — including `ok` would
+    // (by documented contract) force the payload walk so pruning can
+    // never flip a quarantine verdict
+    val v2 = spark.read.format("graft-zip").load(s"$dir/a.zip")
+    assert(v2.select("archive", "entry").orderBy("entry")
+      .select("entry").as[String].collect().toSeq ===
+      Seq("keep.txt", "skip.txt"))
+    // a pushed entry-predicate miss also never touches the damage
+    assert(v2.filter(col("entry") === "absent.txt")
+      .select("archive", "entry").count() === 0)
+    // whereas actually CONSUMING a vandalized payload surfaces it:
+    // the inflate fails and the archive-level quarantine row reports
+    // it (never a dead task)
+    val full = v2.select("entry", "sha256", "ok", "err").collect()
+    assert(full.exists(r => !r.getAs[Boolean]("ok")),
+      s"corrupt payload read should quarantine: ${full.mkString("; ")}")
+  }
+
+  test("seekable zip parses hand-built zip64 structures") {
+    // java's ZipOutputStream only emits zip64 when sizes demand it, so
+    // assemble a minimal zip64 archive by hand: one STORED entry whose
+    // CD record defers size+offset to a 0x0001 extra field, closed by
+    // an EOCD64 record + locator + sentinel-bearing classic EOCD
+    val body = "zip64 payload".getBytes("UTF-8")
+    val name = "big.bin".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32((v >>> 32) & 0xffffffffL) }
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    // local header @0
+    w32(0x04034b50L); w16(45); w16(0); w16(0) /*stored*/; w16(0); w16(0)
+    w32(crc.getValue); w32(body.length.toLong); w32(body.length.toLong)
+    w16(name.length); w16(0); bos.write(name); bos.write(body)
+    val cdStart = bos.size()
+    // central directory record: sizes + offset deferred to zip64 extra
+    w32(0x02014b50L); w16(45); w16(45); w16(0); w16(0) /*stored*/
+    w16(0); w16(0); w32(crc.getValue)
+    w32(0xffffffffL); w32(0xffffffffL) // csize/usize -> extra
+    w16(name.length); w16(8 * 3 + 4); w16(0); w16(0); w16(0); w32(0)
+    w32(0xffffffffL) // local header offset -> extra
+    bos.write(name)
+    w16(0x0001); w16(8 * 3); w64(body.length.toLong); w64(body.length.toLong); w64(0L)
+    val cdLen = bos.size() - cdStart
+    val eocd64 = bos.size()
+    // zip64 EOCD record
+    w32(0x06064b50L); w64(44L); w16(45); w16(45); w32(0); w32(0)
+    w64(1L); w64(1L); w64(cdLen.toLong); w64(cdStart.toLong)
+    // zip64 EOCD locator
+    w32(0x07064b50L); w32(0); w64(eocd64.toLong); w32(1)
+    // classic EOCD, all sentinels
+    w32(0x06054b50L); w16(0); w16(0); w16(0xffff); w16(0xffff)
+    w32(0xffffffffL); w32(0xffffffffL); w16(0)
+    val dir = Files.createTempDirectory("zip64").toString
+    Files.write(new java.io.File(dir, "z64.zip").toPath, bos.toByteArray)
+    val rows = spark.read.format("graft-zip").load(s"$dir/z64.zip")
+      .select("entry", "n_bytes", "sha256", "ok").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("entry") === "big.bin")
+    assert(rows.head.getAs[Boolean]("ok"))
+    assert(rows.head.getAs[Long]("n_bytes") === body.length.toLong)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body).map(x => f"$x%02x").mkString
+    assert(rows.head.getAs[String]("sha256") === sha)
+  }
+
+  test("writeZips rejects group keys that escape the output directory") {
+    val dir = Files.createTempDirectory("zipsafe").toString
+    val rows = Seq(("../evil", "a,1")).toDF("m", "line")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.ZipSource.writeZips(rows, "m", "line", dir,
+        m => s"PPMS_update_$m.txt")
+    }
+    assert(ex.getMessage.contains("not a safe file name") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a safe file name")))
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".zip")))
+  }
+
+  test("quarantine ledger classes all three planted corruption modes deterministically") {
+    val led = graft.sources.ZipSource.zipQuarantine(spark, sf)
+      .select("archive", "entry", "n_bytes", "kind").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(led.toSeq === Seq(
+      ("PPMS_update_corrupt.zip", "", 25L, "no_entries"),
+      ("PPMS_update_oversized.zip", "BULK_dump.bin", 2097152L, "oversized_entry"),
+      ("PPMS_update_truncated.zip", "", 100L, "unreadable")))
+  }
+
+  test("zip stream detects late non-monotone arrivals and can fail fast") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("zip_late").toString
+    def drop(nm: String): Unit = {
+      val z = new ZipOutputStream(new java.io.FileOutputStream(s"$dir/$nm"))
+      z.putNextEntry(new ZipEntry("e.txt")); z.write("x".getBytes)
+      z.closeEntry(); z.close()
+    }
+    def drain(ckpt: String, onLate: String): Unit =
+      spark.readStream.format("graft-zip")
+        .option("maxFilesPerTrigger", "1")
+        .option("onLateName", onLate)
+        .load(s"$dir/*.zip")
+        .writeStream.option("checkpointLocation", ckpt).format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$dir/out_${ckpt.hashCode.toHexString}")
+        .awaitTermination()
+    drop("feed_005.zip")
+    drain(s"$dir/c1", "fail") // baseline run: no prior listing, no failure
+    // RESTART semantics: a below-offset name present at instance start
+    // is baselined, not failed (already-processed and late names are
+    // indistinguishable without a side log — documented contract)
+    drop("feed_001.zip")
+    drain(s"$dir/c1", "fail") // must NOT fail
+    // LIVE-INSTANCE case: landing a below-offset name between
+    // micro-batches of one running stream must be detected by the
+    // next listing and (onLateName=fail) kill the stream loudly.
+    val dir2 = Files.createTempDirectory("zip_late2").toString
+    def drop2(nm: String): Unit = {
+      val z = new ZipOutputStream(new java.io.FileOutputStream(s"$dir2/$nm"))
+      z.putNextEntry(new ZipEntry("e.txt")); z.write("x".getBytes)
+      z.closeEntry(); z.close()
+    }
+    drop2("feed_100.zip"); drop2("feed_200.zip"); drop2("feed_300.zip")
+    val q = spark.readStream.format("graft-zip")
+      .option("maxFilesPerTrigger", "1")
+      .option("onLateName", "fail")
+      .load(s"$dir2/*.zip")
+      .writeStream.option("checkpointLocation", s"$dir2/ckpt").format("parquet")
+      .start(s"$dir2/out")
+    try {
+      // wait until at least one batch committed, then land a late name
+      val deadline = System.currentTimeMillis() + 30000
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      drop2("feed_000.zip") // sorts below everything already committed
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(30000)
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(chain(ex).exists(_.contains("below the committed offset")),
+        s"expected late-name failure, got: ${chain(ex).mkString(" | ")}")
+    } finally if (q.isActive) q.stop()
+  }
 }
