@@ -31,6 +31,9 @@ import graft.sources.Tables
   * damping multiply stays inside a LONG while Σ in-contributions per
   * node < ~10^13 micro-units (~10^7-node graphs at default mass);
   * beyond that, widen the multiply to DECIMAL(38,0) — same algebra.
+  * The bound is ENFORCED in-plan (a codegen'd raise_error guard on
+  * each iteration's in_sum), so an oversized graph fails loudly
+  * instead of silently wrapping the multiply in non-ANSI mode.
   */
 object GraphRank {
 
@@ -40,7 +43,13 @@ object GraphRank {
     * (no out-edges) simply contribute nothing — standard practice
     * for ranking use. */
   def pageRankOf(edges: DataFrame, iters: Int = 3,
-                 dampingPpm: Long = 850000L): DataFrame = {
+                 dampingPpm: Long = 850000L): DataFrame =
+    pageRankImpl(edges, iters, dampingPpm, Long.MaxValue)
+
+  /** [[pageRankOf]] with the overflow numerator injectable so the
+    * guard is unit-testable without a 10^13-mass graph. */
+  private[graft] def pageRankImpl(edges: DataFrame, iters: Int,
+                                  dampingPpm: Long, headroom: Long): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
     val basePpm = 1000000L - dampingPpm
     // materialize the edge list ONCE: every iteration (and the node /
@@ -57,10 +66,19 @@ object GraphRank {
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      // headroom guard, evaluated in-plan (codegen'd, no extra job):
+      // in non-ANSI mode the damping multiply would WRAP silently once
+      // Σ in-contributions per node exceeds Long.MaxValue/dampingPpm
+      // (~10^13 micro-units at the default) — corrupt ranks on a
+      // too-big graph must be a loud failure, not a quiet one
+      val maxSafeInSum = headroom / math.max(dampingPpm, 1L)
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(basePpm)
-            + expr(s"($dampingPpm * coalesce(in_sum, 0L)) div 1000000"))
+            + expr(s"($dampingPpm * (CASE WHEN coalesce(in_sum, 0L) > ${maxSafeInSum}L " +
+              s"THEN raise_error('pageRankOf: in_sum overflows LONG at dampingPpm=$dampingPpm " +
+              s"— widen the damping multiply to DECIMAL(38,0) for graphs this large') " +
+              s"ELSE coalesce(in_sum, 0L) END)) div 1000000"))
             .as("rank"))
         .localCheckpoint()
     }

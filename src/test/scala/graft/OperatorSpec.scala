@@ -327,6 +327,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("pagerank fails loudly when in_sum exceeds the damping headroom") {
+    // injectable numerator stands in for Long.MaxValue: with headroom
+    // 10^12, maxSafe in_sum = 10^12/850000 ≈ 1.18e6 — node c's 2e6
+    // first-round in-sum trips the guard on a three-edge graph
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      GraphRank.pageRankImpl(edges, 3, 850000L, 1000000000000L).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("overflows LONG")),
+      s"expected overflow guard, got: ${chain(ex).mkString(" | ")}")
+    // and untripped headroom is untouched algebra: same results
+    val got = GraphRank.pageRankImpl(edges, 3, 850000L, Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 150000L, "b" -> 150000L,
+      "c" -> 405000L, "d" -> 494250L))
+  }
+
   test("ivf recall rises along the nProbe dial and is EXACT at full probe") {
     val brute = SimilarityOps.annBruteForce(spark, sf, nQueries = 5, k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
