@@ -112,6 +112,21 @@ object DeletionVectors {
     publishDeletes(spark, tablePath, touched, keyCol, deltaRows = Some(changes))
   }
 
+  /** The chain's base DATA version: `version` itself when it carries
+    * data, else where its parent pointers bottom out. DV/MoR commits
+    * carry no publish metadata of their own (vector + delta + parent
+    * only), so anything version-scoped — the evolved-schema id
+    * mapping above all — lives at the base data version and must be
+    * resolved THROUGH the chain: a reader that stopped at a DV
+    * version would conclude the table has no schema history. */
+  private[sources] def baseDataVersion(spark: SparkSession, tablePath: String,
+                                       version: Long): Long = {
+    var v = version
+    var meta = versionDvMeta(spark, tablePath, v)
+    while (meta.isDefined) { v = meta.get._1; meta = versionDvMeta(spark, tablePath, v) }
+    v
+  }
+
   /** (parent, keyCol) when `version` is a DV version, None when it
     * carries data. */
   private def versionDvMeta(spark: SparkSession, tablePath: String,
@@ -206,9 +221,24 @@ object DeletionVectors {
     * wrong data); size `retainVersions` to the materialization
     * cadence if DV-era history must stay readable. */
   def materializeDeletes(spark: SparkSession, tablePath: String, dateCol: String,
-                         retainVersions: Int = 2): Long =
+                         retainVersions: Int = 2): Long = {
+    // the fold is content-neutral, so the BASE data version's publish
+    // metadata (the evolved-schema id mapping above all) must ride
+    // onto the materialized version — without this, materializing an
+    // evolved table's deletes would strip its id map and break every
+    // as-of read (caught by the cross-feature lakehouse walk). The
+    // file-stats manifest describes the old files, so it is recomputed
+    // for the new layout rather than carried.
+    val live = Sinks.currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
+    val carried = Sinks.versionMeta(spark, tablePath,
+      baseDataVersion(spark, tablePath, live))
     Sinks.publishSnapshot(readMerged(spark, tablePath), dateCol, tablePath,
-      retainVersions = retainVersions, colocateMonths = true)
+      retainVersions = retainVersions, colocateMonths = true,
+      extraMeta = carried - FileStats.metaName,
+      statsCols = carried.get(FileStats.metaName)
+        .map(FileStats.colsOf).getOrElse(Nil))
+  }
 
   // — registered binding ———————————————————————————————————————————
 

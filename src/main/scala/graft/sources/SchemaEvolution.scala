@@ -46,17 +46,22 @@ object SchemaEvolution {
   private def render(cols: Seq[ColMeta]): String =
     cols.map(c => s"${c.id}\t${c.name}\t${c.ddl}").mkString("\n")
 
-  /** The id mapping committed with `version`, if that version was
-    * published through [[publishEvolved]] (or inherited it through a
-    * metadata-carrying maintenance pass — see
-    * [[Sinks.compactSnapshot]]). */
+  /** The id mapping governing `version`, if its chain was published
+    * through [[publishEvolved]] (or inherited the mapping through a
+    * metadata-carrying maintenance pass — see [[Sinks.compactSnapshot]]
+    * and [[DeletionVectors.materializeDeletes]]). A DV/MoR commit
+    * carries no publish metadata of its own, so the mapping resolves
+    * at the chain's BASE data version — deletes and upserts leave the
+    * schema exactly as the data they amend declared it. */
   def schemaOf(spark: SparkSession, tablePath: String, version: Long): Option[Seq[ColMeta]] =
-    Sinks.versionMeta(spark, tablePath, version).get(metaName).map { content =>
-      content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val Array(id, name, ddl) = line.split("\t", 3)
-        ColMeta(id.toLong, name, ddl)
+    Sinks.versionMeta(spark, tablePath,
+        DeletionVectors.baseDataVersion(spark, tablePath, version))
+      .get(metaName).map { content =>
+        content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+          val Array(id, name, ddl) = line.split("\t", 3)
+          ColMeta(id.toLong, name, ddl)
+        }
       }
-    }
 
   /** Publish `df` as the next version WITH its id mapping. Ids carry
     * over by name from the live version's mapping; `renamedFrom` maps
@@ -77,8 +82,12 @@ object SchemaEvolution {
       require(df.columns.contains(nu), s"renamedFrom: '$nu' not in the published frame")
     }
     // mint above every id EVER issued, not just the live ones —
-    // retired (dropped) ids must never come back (see maxIdMeta)
+    // retired (dropped) ids must never come back (see maxIdMeta).
+    // Resolved through any live DV/MoR chain, like the mapping: a
+    // publish on top of an unmaterialized delete must not restart the
+    // id counter and silently re-mint retired ids.
     var nextId = liveVersion
+      .map(v => DeletionVectors.baseDataVersion(spark, tablePath, v))
       .flatMap(v => Sinks.versionMeta(spark, tablePath, v).get(maxIdMeta))
       .map(_.toLong)
       .getOrElse(prev.map(_.id).maxOption.getOrElse(0L))
@@ -101,7 +110,25 @@ object SchemaEvolution {
     * as-of mapping and vanishes from the projection — history reads
     * never fail on schema drift in either direction. */
   def readSnapshotAs(spark: SparkSession, tablePath: String, version: Long,
-                     asOfVersion: Option[Long] = None): DataFrame = {
+                     asOfVersion: Option[Long] = None): DataFrame =
+    projectAs(spark, tablePath, version, asOfVersion,
+      Sinks.readSnapshotAt(spark, tablePath, version))
+
+  /** [[readSnapshotAs]] over the MERGE-ON-READ state: `version`'s
+    * deletion/upsert chain is resolved first
+    * ([[DeletionVectors.readMergedAt]]), then the merged rows project
+    * onto the as-of schema by id — the read a table that is both
+    * evolving and MoR-amended serves its consumers. The chain's
+    * mapping resolves at its base data version (deltas are validated
+    * against the base's physical columns at publish, so the base
+    * mapping governs every merged row). */
+  def readMergedAs(spark: SparkSession, tablePath: String, version: Long,
+                   asOfVersion: Option[Long] = None): DataFrame =
+    projectAs(spark, tablePath, version, asOfVersion,
+      DeletionVectors.readMergedAt(spark, tablePath, version))
+
+  private def projectAs(spark: SparkSession, tablePath: String, version: Long,
+                        asOfVersion: Option[Long], phys: DataFrame): DataFrame = {
     val asOf = asOfVersion.orElse(Sinks.currentVersion(spark, tablePath)).getOrElse(
       throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
     val target = schemaOf(spark, tablePath, asOf).getOrElse(
@@ -111,7 +138,6 @@ object SchemaEvolution {
     val atV: Map[Long, ColMeta] = schemaOf(spark, tablePath, version).getOrElse(
       throw new java.io.FileNotFoundException(
         s"version $version of $tablePath has no schema mapping")).map(c => c.id -> c).toMap
-    val phys = Sinks.readSnapshotAt(spark, tablePath, version)
     val projection: Seq[Column] = target.map { c =>
       atV.get(c.id) match {
         case Some(old) if old.ddl == c.ddl => col(old.name).as(c.name)
