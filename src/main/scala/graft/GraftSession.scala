@@ -22,6 +22,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // testdata generations have shipped events.ts as parquet
+      // TIMESTAMP(NANOS), which Spark's reader rejects outright; this
+      // legacy conf reads nanos as LONG (a no-op for MICROS files) and
+      // Tables.eventsFromRaw normalizes either encoding. Session-level
+      // BY DESIGN: the one place the choice is made, instead of a
+      // loader mutating the conf of a session it doesn't own.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

@@ -359,6 +359,9 @@ object SparkEntry {
     "q_time_travel"      -> SnapshotDiff.timeTravelResult _,
     // CDF: the v2→v3 diff = exactly what month 2 did to the table
     "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
+    // id-resolved change feed across a rename + DV chain: the rename
+    // must NOT flood the feed (row 78 × row 97 integration)
+    "q_snapshot_diff_evolved" -> SnapshotDiff.snapshotDiffEvolvedResult _,
     // CDF ROUND-TRIP: apply that feed back onto v2 and land on v3,
     // hash-checked against the chained replay oracle (not our own diff)
     "q_cdf_apply"        -> SnapshotDiff.cdfApplyResult _,
@@ -1739,6 +1742,12 @@ object SparkEntry {
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |   OR a.price <> b.price OR a.is_deleted <> b.is_deleted
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the id-resolved evolved diff must contain EXACTLY the planted
+    // deletes/updates/inserts — one spurious rename-induced row (what a
+    // name-based diff would emit for every row) breaks the hash
+    "q_snapshot_diff_evolved" ->
+      graft.operators.SnapshotDiff.snapshotDiffEvolvedOracle,
 
     // the incrementally-maintained monthly aggregate must equal a full
     // GROUP BY over the final chained replay state (count + exact

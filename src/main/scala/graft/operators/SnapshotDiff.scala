@@ -217,4 +217,93 @@ object SnapshotDiff {
         col("old_is_deleted"), col("new_is_deleted"))
       .orderBy("o_orderkey")
   }
+
+  /** Change feed between two committed versions of an EVOLVED (and
+    * possibly MoR-amended) table: both sides resolve their deletion
+    * chains and project onto `toVersion`'s schema BY ID
+    * ([[graft.sources.SchemaEvolution.readMergedAs]]) before diffing.
+    * A renamed column therefore diffs as ITSELF — value changes only
+    * — where the name-based [[diffOf]] would flood the feed with a
+    * spurious delete+insert of every row; a column added after
+    * `fromVersion` surfaces as null→value updates; a dropped column
+    * vanishes from the comparison. The diff itself stays the one
+    * full-outer keyed shuffle. */
+  def diffVersionsAs(spark: SparkSession, tablePath: String,
+                     fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+    val target = graft.sources.SchemaEvolution.schemaOf(spark, tablePath, toVersion)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"version $toVersion of $tablePath has no schema mapping"))
+    val compare = target.map(_.name).filterNot(_ == key)
+    diffOf(
+      graft.sources.SchemaEvolution.readMergedAs(spark, tablePath,
+        fromVersion, Some(toVersion)),
+      graft.sources.SchemaEvolution.readMergedAs(spark, tablePath,
+        toVersion, Some(toVersion)),
+      key, compare)
+  }
+
+  private val evolvedDiffFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_snapshot_diff_evolved`: the id-resolved change feed
+    * across a version gap that contains BOTH a rename and a DV chain —
+    * v1 publishes (k, price, day) evolved; a deletion vector drops
+    * every 19th key; v3 renames price→amount while bumping every 7th
+    * surviving key by 1.50 and inserting an offset twin of every 23rd.
+    * The feed [[diffVersionsAs]] emits must be EXACTLY the planted
+    * deletes/updates/inserts — the hash oracle recomputes it from
+    * `orders` directly, so one spurious rename-induced row breaks the
+    * match. */
+  def snapshotDiffEvolvedResult(spark: SparkSession, dir: String): DataFrame = {
+    val table = evolvedDiffFixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("snapshot_diff_evo_q") + "/table"
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          to_date(col("o_orderdate")).as("day"))
+      graft.sources.SchemaEvolution.publishEvolved(base, "day", t,
+        retainVersions = 10)
+      graft.sources.DeletionVectors.publishDeletes(spark, t,
+        base.filter(col("k") % 19 === 0).select("k"), "k")
+      val survivors = base.filter(col("k") % 19 =!= 0)
+      val renamedBumped = survivors
+        .select(col("k"),
+          when(col("k") % 7 === 0,
+            col("price") + lit(new java.math.BigDecimal("1.50")))
+            .otherwise(col("price")).as("amount"),
+          col("day"))
+      val inserts = survivors.filter(col("k") % 23 === 0)
+        .select((col("k") + 30000000L).as("k"), col("price").as("amount"),
+          col("day"))
+      graft.sources.SchemaEvolution.publishEvolved(
+        renamedBumped.unionByName(inserts), "day", t,
+        renamedFrom = Map("amount" -> "price"), retainVersions = 10)
+      t
+    })
+    diffVersionsAs(spark, table, fromVersion = 1L,
+      toVersion = Sinks.currentVersion(spark, table).get, key = "k")
+      .select(col("k"), col("change_type"),
+        col("old_amount").cast(DoubleType).as("old_amount"),
+        col("new_amount").cast(DoubleType).as("new_amount"),
+        col("old_day"), col("new_day"))
+      .orderBy("k")
+  }
+
+  def snapshotDiffEvolvedOracle: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+      |    CAST(o_orderdate AS DATE) AS day FROM orders)
+      |SELECT k, 'delete' AS change_type,
+      |  CAST(amount AS DOUBLE) AS old_amount, CAST(NULL AS DOUBLE) AS new_amount,
+      |  day AS old_day, CAST(NULL AS DATE) AS new_day
+      |FROM o WHERE k % 19 = 0
+      |UNION ALL
+      |SELECT k, 'update', CAST(amount AS DOUBLE),
+      |  CAST(amount + 1.50 AS DOUBLE), day, day
+      |FROM o WHERE k % 19 <> 0 AND k % 7 = 0
+      |UNION ALL
+      |SELECT k + 30000000, 'insert', CAST(NULL AS DOUBLE),
+      |  CAST(amount AS DOUBLE), CAST(NULL AS DATE), day
+      |FROM o WHERE k % 19 <> 0 AND k % 23 = 0
+      |ORDER BY k""".stripMargin
 }

@@ -159,11 +159,15 @@ object DeletionVectors {
       key = Some(k)
       val vdir = s"$tablePath/${Sinks.versionDirName(v)}"
       val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
+      // read the exact single files the publish wrote: passing the
+      // underscore-prefixed DIRS would make Spark's file index warn
+      // "all paths were ignored" on every chain link (underscore paths
+      // are ignorable by convention; explicit files are not)
       val delta =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$deltaSubdir")))
-          Some(spark.read.parquet(s"$vdir/$deltaSubdir"))
+          Some(spark.read.parquet(s"$vdir/$deltaSubdir/rows.parquet"))
         else None
-      links = (v, spark.read.parquet(s"$vdir/$dvSubdir"), delta) :: links
+      links = (v, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta) :: links
       if (!committed(parent)) throw new java.io.FileNotFoundException(
         s"deletion-vector version $v of $tablePath points at parent $parent, " +
         "which is not readable (pruned?) — materialize before pruning")

@@ -21,13 +21,23 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
     * TIMESTAMP(MICROS) across testdata generations. NANOS is rejected
-    * by Spark's vectorized reader, so the legacy conf reads it as long
-    * (a no-op for MICROS files); [[eventsFromRaw]] then normalizes
-    * either encoding to session-TZ TIMESTAMP at microsecond precision. */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-  }
+    * by Spark's vectorized reader unless
+    * `spark.sql.legacy.parquet.nanosAsLong` reads it as long (a no-op
+    * for MICROS files); [[eventsFromRaw]] then normalizes either
+    * encoding to session-TZ TIMESTAMP at microsecond precision. The
+    * conf is set where the session is BUILT ([[graft.GraftSession]])
+    * — this loader no longer mutates a session it doesn't own; a
+    * foreign session without the conf gets an actionable error on
+    * NANOS files instead of a silent global flip. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try load(spark, dir, "events")
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getMessage).exists(_.contains("NANOS")) =>
+      throw new IllegalStateException(
+        s"$dir/events.parquet carries TIMESTAMP(NANOS); build the session " +
+        "with spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does) " +
+        "so Tables.eventsFromRaw can normalize it", e)
+    }
 
   def eventsFromRaw(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
     case LongType =>

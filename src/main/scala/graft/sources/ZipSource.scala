@@ -257,7 +257,10 @@ object ZipSource {
     * months, the pipeline catches up batch by batch). The parquet
     * sink's accumulated rows run the same parse + aggregate, against
     * the SAME oracle: batch scan, DSv2 scan and stream drain answer
-    * to one truth. */
+    * to one truth. Timing note: the checkpointed multi-batch drain is
+    * deliberately re-run per invocation — the drain IS the read path
+    * this query times (the archive fixture itself is JVM-cached); a
+    * cached drain result would time a parquet read instead. */
   def zipIngestStream(spark: SparkSession, dir: String): DataFrame = {
     val fx = monthlyZipFixture(spark, dir)
     val tmp = graft.util.Scratch.dir("zip_stream_q")
@@ -286,13 +289,19 @@ object ZipSource {
     * is never fully buffered). */
   def zipQuarantine(spark: SparkSession, dir: String): DataFrame = {
     val fx = monthlyZipFixture(spark, dir)
-    entries(spark, s"$fx/*.zip", maxEntryBytes = 1L << 20)
-      .filter(!col("ok"))
+    quarantineLedger(entries(spark, s"$fx/*.zip", maxEntryBytes = 1L << 20))
+  }
+
+  /** The classed quarantine ledger of any entry frame (binaryFile plan
+    * or the `graft-zip` connector — both share the schema and the
+    * builder-authored err prefixes, so the ledger is read-path
+    * independent; parity is spec-pinned). */
+  def quarantineLedger(ents: DataFrame): DataFrame =
+    ents.filter(!col("ok"))
       .select(element_at(split(col("archive"), "/"), -1).as("archive"),
         col("entry"), col("n_bytes"),
         when(col("err").startsWith("no entries"), "no_entries")
           .when(col("err").startsWith("entry exceeds"), "oversized_entry")
           .otherwise("unreadable").as("kind"))
       .orderBy("archive")
-  }
 }

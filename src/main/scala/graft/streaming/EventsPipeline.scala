@@ -280,7 +280,11 @@ object EventsPipeline {
     * With every per-key sha set under the FIFO bound at this scale,
     * the state path reduces to first-occurrence-per-(user, sha) —
     * which is exactly the rank-1 SQL the oracle runs. Cross-batch
-    * carry-over and FIFO eviction are spec-covered (StreamingSpec). */
+    * carry-over and FIFO eviction are spec-covered (StreamingSpec).
+    * Timing note: unlike the fixture-cached media/timeline bindings,
+    * this query deliberately times the FULL lifecycle per invocation
+    * (fixture drop + stream drain) — the drained replay IS the
+    * operator under test, not setup in front of it. */
   def eventDedupBatch(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.util.Scratch.dir("events_dedup_q")
     val events = Tables.events(spark, dir)

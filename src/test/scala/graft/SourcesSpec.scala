@@ -1048,6 +1048,17 @@ class SourcesSpec extends AnyFunSuite {
       ("PPMS_update_corrupt.zip", "", 25L, "no_entries"),
       ("PPMS_update_oversized.zip", "BULK_dump.bin", 2097152L, "oversized_entry"),
       ("PPMS_update_truncated.zip", "", 100L, "unreadable")))
+    // read-path independence: the DSv2 connector (central-directory
+    // reads + streaming fallback for damaged archives) must class the
+    // same three plants into the SAME ledger rows
+    val fx = graft.sources.ZipSource.monthlyZipFixture(spark, sf)
+    val v2led = graft.sources.ZipSource.quarantineLedger(
+        spark.read.format("graft-zip")
+          .option("maxEntryBytes", (1L << 20).toString)
+          .load(s"$fx/*.zip"))
+      .select("archive", "entry", "n_bytes", "kind").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(v2led.toSeq === led.toSeq)
   }
 
   test("zip stream detects late non-monotone arrivals and can fail fast") {
