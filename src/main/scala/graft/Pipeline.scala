@@ -148,9 +148,9 @@ object Pipeline {
   private val e2eFixtures = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
 
   /** Render rows as pp-schema CSV lines (all fields quoted,
-    * headerless — the reference's actual file format) to one file. */
-  private def writePpCsv(rows: DataFrame, keyCol: String, priceCol: String,
-                         dateCol: String, opCol: String, path: String): Unit = {
+    * headerless — the reference's actual file format). */
+  private def ppCsvLines(rows: DataFrame, keyCol: String, priceCol: String,
+                         dateCol: String, opCol: String): DataFrame = {
     val line = concat_ws(",",
       Seq(format_string("\"{%09d}\"", col(keyCol)),
         concat(lit("\""), col(priceCol).cast("long").cast("string"), lit("\"")),
@@ -159,8 +159,13 @@ object Pipeline {
         lit("\"1\""), lit("\"\""), lit("\"HIGH STREET\""), lit("\"\""),
         lit("\"LONDON\""), lit("\"LONDON\""), lit("\"GREATER LONDON\""),
         lit("\"A\""), concat(lit("\""), col(opCol), lit("\""))): _*)
-    rows.select(line.as("value")).coalesce(1).write.mode("overwrite").text(path)
+    rows.select(line.as("value"))
   }
+
+  private def writePpCsv(rows: DataFrame, keyCol: String, priceCol: String,
+                         dateCol: String, opCol: String, path: String): Unit =
+    ppCsvLines(rows, keyCol, priceCol, dateCol, opCol)
+      .coalesce(1).write.mode("overwrite").text(path)
 
   /** Registered `q_pipeline_e2e`: the WHOLE reference DAG
     * as one run — a pp-complete file rendered from `orders`
@@ -220,6 +225,87 @@ object Pipeline {
       verifyAndFix(spark, s"$tmp/complete.csv", table).foreach {
         case (k, v) => b += s"verify_$k" -> v
       }
+      b.result()
+    })
+    stats.toDF("stat", "value").orderBy("stat")
+  }
+
+  private val zipE2eFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  /** Registered `q_pipeline_zip_e2e`: the reference's ACTUAL monthly
+    * delivery seam run end-to-end — the update lands as a ZIP ARCHIVE
+    * (target entry beside a decoy sibling, the wrong-month-zip rule of
+    * `minio_extract_s3_zip_files.py`; a corrupt archive in the same
+    * feed), extraction goes through the `graft-zip` DataSource V2
+    * connector with the target entry SELECTED BY NAME, the extracted
+    * file feeds the data-decision log, the monthly merge applies it,
+    * and re-offering the same archive garbage-collects on content
+    * hash. The ledger is pure modular arithmetic over the orders
+    * keyspace plus fixture constants (one quarantined archive, two
+    * healthy entries, one target), so the DuckDB oracle derives the
+    * whole run in closed form — a hash-match proves archive delivery,
+    * entry selection, extraction, decision dedup, and merge compose
+    * without losing a row. */
+  def pipelineZipE2E(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = zipE2eFixtures.computeIfAbsent(dir, _ => {
+      val tmp = graft.util.Scratch.dir("pipeline_zip_q")
+      val table = s"$tmp/table"
+      val feed = s"$tmp/feed"
+      val o = graft.sources.Tables.orders(spark, dir).select(
+        col("o_orderkey").as("k"),
+        col("o_totalprice").cast("long").as("price"),
+        to_date(col("o_orderdate")).as("d"))
+      writePpCsv(o.withColumn("op", lit("A")), "k", "price", "d", "op",
+        s"$tmp/complete.csv")
+      val addOffset = o.agg(max(col("k"))).head().getLong(0) + 1L
+      val changes = o
+        .withColumn("op",
+          when(col("k") % 29 === 0, "D")
+            .when(col("k") % 7 === 0, "C")
+            .when(col("k") % 13 === 0, "A"))
+        .filter(col("op").isNotNull)
+        .withColumn("k", when(col("op") === "A", col("k") + addOffset)
+          .otherwise(col("k")))
+        .withColumn("price", when(col("op") === "C", col("price") + 7L)
+          .otherwise(col("price")))
+      // the monthly update DELIVERED AS AN ARCHIVE: writeZips plants
+      // the decoy README beside the target entry; a corrupt archive
+      // lands in the same feed and must quarantine in-path
+      graft.sources.ZipSource.writeZips(
+        ppCsvLines(changes, "k", "price", "d", "op")
+          .withColumn("m", lit("2024-05")),
+        "m", "value", feed, m => s"PPMS_update_$m.txt")
+      val bad = new java.io.FileOutputStream(s"$feed/PPMS_update_bad.zip")
+      bad.write("not an archive".getBytes("UTF-8")); bad.close()
+
+      val b = Seq.newBuilder[(String, Long)]
+      b += "initial_rows" -> initialize(spark, s"$tmp/complete.csv", table)
+      // extraction through the connector: quarantine + decoy visible,
+      // target selected by (pushed) entry name
+      val ents = spark.read.format("graft-zip").load(s"$feed/*.zip")
+      b += "extract_quarantined" -> ents.filter(!col("ok")).count()
+      b += "extract_entries_total" -> ents.filter(col("ok")).count()
+      val target = ents.filter(col("ok") &&
+        col("entry") === "PPMS_update_2024-05.txt")
+      b += "extract_target_entries" -> target.count()
+      graft.sources.ZipSource.textLines(target)
+        .select(col("line").as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/extracted")
+      val parsed = () => PricePaidCsv.normalized(spark, s"$tmp/extracted")
+      val (dec1, h1) = decideAndLog(spark, s"$tmp/log",
+        "PPMS_update_2024-05.zip", parsed())
+      b += "decision_first_offer_archive" -> (if (dec1 == "archive") 1L else 0L)
+      applyMonthly(spark, s"$tmp/extracted", table).foreach {
+        case (k, v) => b += s"op_$k" -> v
+      }
+      // the SAME archive re-offered: re-extract through the connector
+      // and the content-hash decision must garbage-collect
+      val (dec2, h2) = decideAndLog(spark, s"$tmp/log",
+        "PPMS_update_2024-05.zip", parsed())
+      b += "decision_reoffer_gc" -> (if (dec2 == "garbage_collect" && h1 == h2) 1L else 0L)
+      b += "live_rows" -> current(spark, table).count()
       b.result()
     })
     stats.toDF("stat", "value").orderBy("stat")

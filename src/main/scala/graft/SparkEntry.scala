@@ -70,6 +70,9 @@ object SparkEntry {
     // the whole reference DAG in one run (closed-form-oracled ledger:
     // init → decide → merge → re-offer GC → compact → verify)
     "q_pipeline_e2e"     -> Pipeline.pipelineE2E _,
+    // the same DAG with the monthly update DELIVERED AS A ZIP ARCHIVE
+    // (connector extraction + decision dedup in-path — rows 41 × 162)
+    "q_pipeline_zip_e2e" -> Pipeline.pipelineZipE2E _,
     // stateful per-key content dedup drained AvailableNow: reduces to
     // first-occurrence-per-(user, sha), the oracle's rank-1 window
     "q_stream_dedup_events" -> ((s: SparkSession, dir: String) =>
@@ -1428,6 +1431,31 @@ object SparkEntry {
         |  UNION ALL SELECT 'verify_n_both', CAST(total - chg - dels AS BIGINT) FROM m
         |  UNION ALL SELECT 'verify_n_database_only', CAST(adds + chg AS BIGINT) FROM m
         |  UNION ALL SELECT 'verify_n_file_only', CAST(chg + dels AS BIGINT) FROM m
+        |) ORDER BY stat""".stripMargin,
+
+    // the archive-delivered DAG: the same closed form plus the
+    // extraction constants (1 corrupt quarantined, 2 healthy entries
+    // of which 1 is the decoy, 1 target selected) — no maintain step
+    // here (covered by q_pipeline_e2e), so no version stat
+    "q_pipeline_zip_e2e" ->
+      """WITH t AS (SELECT o_orderkey AS k FROM orders),
+        |m AS (SELECT COUNT(*) AS total,
+        |    COUNT(CASE WHEN k % 29 = 0 THEN 1 END) AS dels,
+        |    COUNT(CASE WHEN k % 7 = 0 AND k % 29 <> 0 THEN 1 END) AS chg,
+        |    COUNT(CASE WHEN k % 13 = 0 AND k % 7 <> 0 AND k % 29 <> 0 THEN 1 END) AS adds
+        |  FROM t)
+        |SELECT stat, value FROM (
+        |  SELECT 'decision_first_offer_archive' AS stat, CAST(1 AS BIGINT) AS value FROM m
+        |  UNION ALL SELECT 'decision_reoffer_gc', CAST(1 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'extract_entries_total', CAST(2 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'extract_quarantined', CAST(1 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'extract_target_entries', CAST(1 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'initial_rows', CAST(total AS BIGINT) FROM m
+        |  UNION ALL SELECT 'live_rows', CAST(total - dels + adds AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_add_and_added', CAST(adds AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_change_and_changed', CAST(chg AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_delete_and_deleted', CAST(dels AS BIGINT) FROM m
+        |  UNION ALL SELECT 'op_unchanged', CAST(total - chg - dels AS BIGINT) FROM m
         |) ORDER BY stat""".stripMargin,
 
     // expectation gate: conditional counts + per-key extra-occurrence
