@@ -463,4 +463,127 @@ object CorpusStream {
 
   private val bandFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // ——— streaming gated ingest ————————————————————————————————————————
+
+  /** Streaming GATED ingest: every micro-batch runs the declarative
+    * expectation set ([[graft.operators.QualityGate]]) before landing —
+    * a green batch appends to the corpus (idempotent batch-id
+    * partition), a red batch lands UNDER QUARANTINE with its
+    * violation report and never touches the corpus. The streaming
+    * sibling of `gatedPublish`: the reference's verify step moved in
+    * front of the write, at micro-batch granularity — one bad feed
+    * drop cannot poison a continuously-ingesting corpus, and the
+    * quarantine keeps the evidence (rows + report) for the operator
+    * who has to chase the upstream bug. Gate cost is one conditional-
+    * count aggregation per batch (batch-sized, not corpus-sized). */
+  def runGatedIngest(spark: SparkSession, inputDir: String, corpusPath: String,
+                     checkpoint: String,
+                     checks: Seq[graft.operators.QualityGate.Check],
+                     availableNow: Boolean = false,
+                     maxFilesPerTrigger: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docs = ingestJsonl(spark, inputDir, maxFilesPerTrigger)
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true) // two consumers: gate + write
+        val red = graft.operators.QualityGate.validate(b, checks)
+          .filter(!col("pass"))
+          .select("check_name", "violations").collect()
+        if (red.isEmpty)
+          b.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+        else {
+          val sess = b.sparkSession
+          import sess.implicits._
+          // rows FIRST, report second: a crash in between leaves rows
+          // without a report (re-gated on retry), never a report
+          // claiming rows that are not there
+          b.write.mode("overwrite")
+            .parquet(s"$corpusPath/_quarantine/batch=$batchId/rows")
+          red.toSeq.map(r => (r.getString(0), r.getLong(1)))
+            .toDF("check_name", "violations")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$corpusPath/_quarantine/batch=$batchId/report")
+        }
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** Registered `q_stream_gated_ingest` (hash-oracled): drop A carries
+    * the even-doc_id half of `documents` (clean), drop B the odd half
+    * with every (id % 5 == 0) text EMPTIED and one duplicated doc_id —
+    * two planted expectation violations. The drain must admit batch A
+    * whole, quarantine batch B whole with the exact violation counts,
+    * and the admitted corpus census (count + text XOR) must match the
+    * even half byte-for-byte — DuckDB derives every ledger value from
+    * `documents` in closed form. Timing note: the drain is the timed
+    * surface by design (the eventDedupBatch precedent). */
+  def gatedIngestResult(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.util.Scratch.dir("gated_stream_q")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val oddBase = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, lit("")).otherwise(col("text")))
+    // the duplicate: smallest odd id NOT ≡0 mod 5, repeated verbatim
+    val dup = oddBase.filter(col("doc_id") % 5 =!= 0)
+      .orderBy("doc_id").limit(1)
+    val odd = oddBase.unionByName(dup)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def drop(d: DataFrame, name: String, ts: Long): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(s"$tmp/stage_$name")
+      d.coalesce(1).write.json(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".json"))
+        .getOrElse(throw new java.io.FileNotFoundException(s"no json part in $stage"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+      val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/$name.json")
+      if (!fs.rename(part, dst))
+        throw new java.io.IOException(s"rename $part -> $dst failed")
+      fs.setTimes(dst, ts, -1)
+    }
+    val t0 = System.currentTimeMillis()
+    drop(even, "a", t0)
+    drop(odd, "b", t0 + 60000L)
+    import graft.operators.QualityGate
+    runGatedIngest(spark, s"$tmp/in", s"$tmp/corpus", s"$tmp/ckpt",
+      Seq(QualityGate.notNull("doc_id"),
+        QualityGate.unique("doc_id"),
+        QualityGate.ScalarCheck("min_len:text", length(col("text")) < 1)),
+      availableNow = true, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val admitted = spark.read.parquet(s"$tmp/corpus")
+    val admittedBatches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/corpus"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch=")).toLong
+    val qroot = new org.apache.hadoop.fs.Path(s"$tmp/corpus/_quarantine")
+    val qDirs = if (fs.exists(qroot))
+      fs.listStatus(qroot).filter(_.isDirectory).map(_.getPath.toString).toSeq
+      else Seq.empty
+    val qBatches = qDirs.size.toLong
+    val qRows = qDirs.map(d => spark.read.parquet(s"$d/rows"))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+    val report = qDirs.map(d => spark.read.parquet(s"$d/report"))
+      .reduceOption(_ unionByName _)
+      .map(_.select("check_name", "violations").as[(String, Long)].collect().toMap)
+      .getOrElse(Map.empty[String, Long])
+    val census = admitted
+      .withColumn("__h", graft.operators.Reconcile.xorHash60(col("text")))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x")).head()
+    Seq(
+      ("admitted_batches", admittedBatches),
+      ("admitted_docs", census.getLong(0)),
+      ("admitted_text_xor", census.getLong(1)),
+      ("quarantined_batches", qBatches),
+      ("quarantined_docs", qRows.count()),
+      ("violations_min_len_text", report.getOrElse("min_len:text", 0L)),
+      ("violations_unique_doc_id", report.getOrElse("unique:doc_id", 0L)))
+      .toDF("metric", "value").orderBy("metric")
+  }
 }

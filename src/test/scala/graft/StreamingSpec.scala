@@ -605,4 +605,54 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(spark.read.parquet(out).count() === 3)
   }
+
+  test("gated ingest: green batches land, a red batch quarantines whole with its report") {
+    import graft.operators.QualityGate
+    val dir = java.nio.file.Files.createTempDirectory("gated_stream").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    val corpus = s"$dir/corpus"
+    def drop(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(in, name))
+      lines.foreach(w.println); w.close()
+    }
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s"}"""
+    drop("a.jsonl", Seq(doc(1, "alpha"), doc(2, "beta")))
+    // red: doc_id 3 repeats AND one empty text — two distinct violations
+    drop("b.jsonl", Seq(doc(3, "gamma"), doc(3, "delta"), doc(4, "")))
+    // green again: the quarantined batch must not poison later admissions
+    drop("c.jsonl", Seq(doc(5, "epsilon")))
+    CorpusStream.runGatedIngest(spark, in, corpus, s"$dir/ckpt",
+      Seq(QualityGate.unique("doc_id"),
+        QualityGate.ScalarCheck("min_len:text", length(col("text")) < 1)),
+      availableNow = true, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val admitted = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted === Array(1L, 2L, 5L)) // batch b excluded WHOLE
+    val qroot = new java.io.File(s"$corpus/_quarantine")
+    val qBatches = qroot.listFiles().filter(_.isDirectory)
+    assert(qBatches.length === 1)
+    val q = qBatches.head.toString
+    val qRows = spark.read.parquet(s"$q/rows")
+      .select("doc_id").as[Long].collect().sorted
+    assert(qRows === Array(3L, 3L, 4L)) // evidence rows kept verbatim
+    val report = spark.read.parquet(s"$q/report")
+      .as[(String, Long)].collect().toMap
+    assert(report === Map("unique:doc_id" -> 1L, "min_len:text" -> 1L))
+  }
+
+  test("gated ingest: an all-green feed writes no quarantine directory at all") {
+    import graft.operators.QualityGate
+    val dir = java.nio.file.Files.createTempDirectory("gated_green").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(in, "a.jsonl"))
+    w.println("""{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s"}""")
+    w.close()
+    CorpusStream.runGatedIngest(spark, in, s"$dir/corpus", s"$dir/ckpt",
+      Seq(QualityGate.notNull("doc_id")), availableNow = true)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$dir/corpus").count() === 1)
+    assert(!new java.io.File(s"$dir/corpus/_quarantine").exists())
+  }
 }
