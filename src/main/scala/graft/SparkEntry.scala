@@ -242,6 +242,9 @@ object SparkEntry {
     // exact-pair variant (PPJoin edges + planted near-dups) so the
     // full clean composition hash-matches a recursive-CTE oracle
     "d_clean_corpus"     -> NearDedup.cleanCorpusExact _,
+    // cluster-aware split: near-dup components share one split key,
+    // closing the train/test leak the per-doc hash split leaves open
+    "t_split_safe"       -> NearDedup.clusterSplit _,
     // lexical retrieval: broadcast query-term weights over the
     // inverted index; integer scorer carries the oracle, BM25 is the
     // production scorer (rows-only: log idf)
@@ -339,10 +342,17 @@ object SparkEntry {
     "t_reservoir"        -> TextOps.reservoirSample _,
     "d_dedup_priority"   -> TextOps.dedupPriority _,
     "t_pair_counts"      -> TextOps.pairCounts _,
+    // PMI over the same census: float-cast score (the BM25 discipline),
+    // integer (cf, pair) row identity
+    "t_collocations"     -> TextOps.collocations _,
     // the STREAMING ingest-dedup plan drained in one AvailableNow pass —
     // source → flatMapGroupsWithState → checkpointed sink, hash-checked vs SQL
     "q_stream_dedup"     -> ((s: SparkSession, dir: String) =>
       graft.streaming.CorpusStream.ingestDedupBatch(s, dir)),
+    // per-micro-batch expectation gate: green batches land, red ones
+    // quarantine with their report — hash-checked closed-form ledger
+    "q_stream_gated_ingest" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CorpusStream.gatedIngestResult(s, dir)),
     // the streaming NEAR-dedup tier: foreachBatch composition of the
     // batch operators, the admitted corpus as state (rows-only — the
     // two-batch fold equality and planted rejection are spec-pinned)
@@ -1733,6 +1743,39 @@ object SparkEntry {
          |WHERE l.cluster_id IS NULL OR l.cluster_id = q.doc_id
          |ORDER BY q.doc_id""".stripMargin,
 
+    // the leakage-safe split: the d_clean_corpus component machinery
+    // (3-gram Jaccard 0.5 pairs → recursive-CTE min-label components)
+    // on the RAW corpus, then every member buckets by the md5 of its
+    // component-minimum document's text (t_split's key, anchor-applied)
+    "t_split_safe" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM common
+        |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |           FROM reach GROUP BY src),
+        |anchored AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS anchor_id
+        |             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        |b AS (SELECT a.doc_id, a.anchor_id,
+        |        CAST(CAST(concat('0x', substr(md5(t.text), 1, 4)) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |      FROM anchored a JOIN documents t ON t.doc_id = a.anchor_id)
+        |SELECT doc_id, anchor_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // the full five-stage export under ONE oracle: quality filter →
     // exact-Jaccard pairs → recursive-CTE connected components →
     // benchmark decontamination → stratified sample → content-hash
@@ -1794,6 +1837,24 @@ object SparkEntry {
     "q_cdf_apply" -> cdcReplaySql,
 
     "q_stream_dedup" -> streamDedupSql,
+
+    // gated ingest ledger in closed form: drop A = even half (clean,
+    // admitted whole), drop B = odd half with every (id%5==0) text
+    // emptied plus one duplicated id (red, quarantined whole)
+    "q_stream_gated_ingest" ->
+      """WITH ev AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |od AS (SELECT * FROM documents WHERE doc_id % 2 = 1)
+        |SELECT metric, value FROM (
+        |  SELECT 'admitted_batches' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'admitted_docs', (SELECT COUNT(*) FROM ev)
+        |  UNION ALL SELECT 'admitted_text_xor',
+        |    (SELECT bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) FROM ev)
+        |  UNION ALL SELECT 'quarantined_batches', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'quarantined_docs', (SELECT COUNT(*) + 1 FROM od)
+        |  UNION ALL SELECT 'violations_min_len_text',
+        |    (SELECT COUNT(*) FROM od WHERE doc_id % 5 = 0)
+        |  UNION ALL SELECT 'violations_unique_doc_id', CAST(1 AS BIGINT)
+        |) ORDER BY metric""".stripMargin,
     // the bounded-state plan is held to the SAME truth: its horizon is
     // sized above the corpus, so eviction can't change the answer
     "q_stream_dedup_bounded" -> streamDedupSql,
@@ -1815,6 +1876,31 @@ object SparkEntry {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cf,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         |FROM bg GROUP BY pair ORDER BY cf DESC, pair LIMIT 100""".stripMargin,
+
+    // PMI on the same tokenization: the same ln-sum term order as the
+    // Spark side, FLOAT-cast score (s_search_bm25 ulp discipline),
+    // row set decided by the integer (cf, pair) ordering alone
+    "t_collocations" ->
+      """WITH c AS (SELECT text FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+        |w AS (SELECT regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM c),
+        |tok AS (SELECT unnest(ws) AS token FROM w),
+        |uni AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+        |nt AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
+        |bg AS (SELECT ws[i] AS t1, ws[i+1] AS t2, ws[i] || ' ' || ws[i+1] AS pair
+        |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |             FROM w WHERE len(ws) >= 2)),
+        |bi AS (SELECT pair, MIN(t1) AS t1, MIN(t2) AS t2, COUNT(*) AS cf FROM bg GROUP BY pair),
+        |bt AS (SELECT CAST(SUM(cf) AS DOUBLE) AS b FROM bi)
+        |SELECT pair, CAST(cf AS BIGINT) AS cf,
+        |  CAST(ua.c1 AS BIGINT) AS ca, CAST(ub.c1 AS BIGINT) AS cb,
+        |  CAST(ln(CAST(cf AS DOUBLE)) - ln(bt.b)
+        |     - ln(CAST(ua.c1 AS DOUBLE)) - ln(CAST(ub.c1 AS DOUBLE))
+        |     + 2 * ln(nt.n) AS FLOAT) AS pmi
+        |FROM bi JOIN uni ua ON ua.token = bi.t1
+        |        JOIN uni ub ON ub.token = bi.t2
+        |CROSS JOIN nt CROSS JOIN bt
+        |ORDER BY cf DESC, pair LIMIT 100""".stripMargin,
 
     "d_decontam_semantic" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),

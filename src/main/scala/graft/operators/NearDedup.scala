@@ -393,6 +393,53 @@ object NearDedup {
       exactPairs = true)
   }
 
+  /** Cluster-aware (LEAKAGE-SAFE) train/val/test split. The
+    * content-hash split ([[TextOps.splitAssignOf]]) keys each document
+    * independently, so two NEAR-duplicates can land on opposite sides
+    * of the train/test line — the classic evaluation leak (an eval
+    * document whose near-copy was trained on scores as memorization,
+    * not generalization). Here the split key is the duplicate
+    * CLUSTER's anchor: exact 3-gram Jaccard pairs ([[ngramJaccardOf]]
+    * — the deterministic PPJoin path, so the whole composition is
+    * oracle-able; the MinHash+LSH candidate generator feeds the same
+    * components at 100 TB) → min-label connected components → every
+    * member buckets by the md5 of its component-minimum document's
+    * TEXT. All members of a cluster land in the same split by
+    * construction; singletons reduce to the content-hash split
+    * exactly. Cost beyond the pair generation both paths already
+    * share: one component resolution (cluster-sized) + two id-keyed
+    * joins — no new corpus-sized shuffle shape. Content-keyed like
+    * its per-doc sibling: the assignment survives re-ids and
+    * incremental growth (a new near-copy of an old anchor joins the
+    * anchor's split instead of re-rolling the cluster). */
+  def clusterSplitOf(docs: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardOf(docs, jaccardThreshold)
+    val clusters = duplicateClusters(pairs.select("id_a", "id_b"))
+    val anchored = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("anchor_id"))
+    // the anchor's CONTENT decides the bucket (same first-16-md5-bits
+    // key as splitAssignOf, so a singleton's split is bit-identical
+    // to the per-doc path)
+    val anchorBucket = docs.select(col("doc_id").as("anchor_id"),
+      (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(LongType) % 100)
+        .as("bucket"))
+    anchored.join(anchorBucket, "anchor_id")
+      .select(col("doc_id"), col("anchor_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered `t_split_safe`: the leakage-safe split over the raw
+    * corpus at the cleanCorpus pair threshold (0.5) — hash-matched
+    * against a DuckDB twin whose components are a recursive CTE (the
+    * d_clean_corpus machinery) and whose bucketing is t_split's. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitOf(Tables.documents(spark, dir))
+
   /** Winnowing-fingerprint near-dup (MOSS scheme, Schleimer et al.
     * SIGMOD'03 — the same `WinnowFingerprint` expression as
     * t_fingerprint): documents sharing a high fraction of winnowed

@@ -313,6 +313,58 @@ object TextOps {
   def pairCounts(spark: SparkSession, dir: String): DataFrame =
     pairCountsOf(Tables.documents(spark, dir))
 
+  /** PMI COLLOCATION mining — the statistical upgrade of the raw
+    * bigram census ([[pairCountsOf]]): pointwise mutual information
+    * `ln( P(a,b) / (P(a)·P(b)) )` separates true collocations
+    * ("machine learning") from pairs that co-occur only because both
+    * words are frequent ("of the") — the standard signal for
+    * tokenizer-vocabulary design and phrase-aware dedup keys.
+    * Computed as `ln cf − ln B − ln ca − ln cb + 2·ln N` (cf bigram
+    * count, ca/cb unigram counts, B/N the bigram/token totals) from
+    * one tokenization pass: unigram and bigram aggregations both
+    * shuffle vocabulary-sized tables, the totals ride along as
+    * single-row broadcasts, and the two unigram joins key the
+    * bigram table by its endpoint tokens — no corpus-sized shuffle
+    * beyond the census [[pairCountsOf]] already pays. The score
+    * surface is the FLOAT cast (the s_search_bm25 discipline: ≤5
+    * summed ln ulps vanish in 29 discarded mantissa bits); row
+    * identity stays on the integer (cf, pair) ordering so float
+    * never decides membership. */
+  def collocationsOf(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val nonEmpty = docs.filter(length(wsTrim(col("text"))) > 0)
+    val toks = split(lower(wsTrim(col("text"))), "\\s+")
+    val uni = nonEmpty.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val nTotal = uni.agg(sum("c1").as("n_tokens"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (x, y) => concat_ws(" ", x, y))
+    val bi = nonEmpty.select(explode(bigrams).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cf"))
+      .withColumn("t1", substring_index(col("pair"), " ", 1))
+      .withColumn("t2", substring_index(col("pair"), " ", -1))
+    val bTotal = bi.agg(sum("cf").as("n_bigrams"))
+    bi
+      .join(uni.select(col("token").as("t1"), col("c1").as("ca")), "t1")
+      .join(uni.select(col("token").as("t2"), col("c1").as("cb")), "t2")
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(bTotal))
+      .select(col("pair"), col("cf"), col("ca"), col("cb"),
+        (log(col("cf").cast(DoubleType)) - log(col("n_bigrams").cast(DoubleType))
+          - log(col("ca").cast(DoubleType)) - log(col("cb").cast(DoubleType))
+          + lit(2.0) * log(col("n_tokens").cast(DoubleType)))
+          .cast("float").as("pmi"))
+      .orderBy(col("cf").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Registered `t_collocations`: top-100-by-frequency bigrams with
+    * their PMI, hash-matched against a DuckDB twin computing the same
+    * log-sum on the same census. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(Tables.documents(spark, dir))
+
   /** Deterministic content-hash train/val/test split (80/10/10): keyed
     * on the text itself (first 16 md5 bits), so the assignment
     * survives re-ids, re-partitioning, and incremental corpus growth —

@@ -201,6 +201,63 @@ class DataMixSpec extends AnyFunSuite {
     assert(top === Seq("a b", "b a"))
   }
 
+  test("cluster split: near-dup members share one split; singletons equal the per-doc split") {
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "alpha beta gamma delta epsilon zeta eta"), // 4/5 shingles shared → paired
+      (30L, "one two three four completely different words"),
+      (40L, "yet another unrelated document body here")
+    ).toDF("doc_id", "text")
+    val out = NearDedup.clusterSplitOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the pair anchors on its minimum id and shares one bucket+split
+    assert(out(10L)._1 === 10L && out(20L)._1 === 10L)
+    assert(out(10L) === out(20L).copy(_1 = 10L))
+    // the near-dup member's key is the ANCHOR's content: doc 20 gets
+    // doc 10's per-doc assignment, whatever its own text hashes to
+    val perDoc = TextOps.splitAssignOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert((out(20L)._2, out(20L)._3) === perDoc(10L))
+    // singletons anchor on themselves and reduce to the per-doc split
+    for (id <- Seq(30L, 40L)) {
+      assert(out(id)._1 === id)
+      assert((out(id)._2, out(id)._3) === perDoc(id))
+    }
+  }
+
+  test("cluster split: a transitive near-dup chain unifies through components, never straddles") {
+    // A ~ B and B ~ C but A !~ C directly: components, not pairwise
+    // propagation, must carry the split key across the chain
+    val base = (1 to 12).map(i => s"token$i").mkString(" ")
+    val mid = (3 to 14).map(i => s"token$i").mkString(" ")   // 10 tokens shared with base
+    val far = (5 to 16).map(i => s"token$i").mkString(" ")   // 10 with mid, 8 with base
+    val d = Seq((1L, base), (2L, mid), (3L, far),
+      (4L, "entirely separate corpus material unrelated to chains")).toDF("doc_id", "text")
+    val pairs = NearDedup.ngramJaccardOf(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), s"fixture drifted: $pairs")
+    val out = NearDedup.clusterSplitOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size === 1)
+    assert(out(4L)._1 === 4L)
+  }
+
+  test("PMI collocations: hand-computed log-ratio on a tiny census") {
+    val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    // tokens: a×3 b×2 c×1, N=6; bigrams: "a b"×2 "b a"×1 "a c"×1, B=4
+    val out = TextOps.collocationsOf(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getFloat(4)))).toMap
+    assert(out.keySet === Set("a b", "b a", "a c"))
+    assert(out("a b")._1 === 2L && out("a b")._2 === 3L && out("a b")._3 === 2L)
+    // pmi("a b") = ln(2·6²/(4·3·2)) = ln 3; "b a" → ln 1.5; "a c" → ln 3
+    assert(math.abs(out("a b")._4 - math.log(3.0)) < 1e-6)
+    assert(math.abs(out("b a")._4 - math.log(1.5)) < 1e-6)
+    assert(math.abs(out("a c")._4 - math.log(3.0)) < 1e-6)
+  }
+
   test("domain cap keeps the N earliest docs per source with their ranks") {
     val d = Seq(
       (1L, "s1"), (2L, "s1"), (5L, "s1"),

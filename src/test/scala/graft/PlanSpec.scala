@@ -43,7 +43,11 @@ class PlanSpec extends AnyFunSuite {
       // rank). Each is a 1×N nested loop against one reduced row,
       // never N²
       "q_anomaly", "q_skew_profile", "q_pareto", "q_trending",
-      "q_spend_quartiles")
+      "q_spend_quartiles",
+      // PMI totals: the token and bigram grand totals (one reduced
+      // row each) cross onto the vocabulary-sized bigram table —
+      // 1×|vocab| nested loops; the unigram joins stay equi-joins
+      "t_collocations")
 
   test("no unintended cartesian products in any registered query") {
     for (name <- SparkEntry.queries.keys if !intentionalCross(name)
