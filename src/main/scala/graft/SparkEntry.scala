@@ -64,6 +64,9 @@ object SparkEntry {
     // gate-then-publish round trip: good feed publishes, corrupted
     // twin is refused by the same gate; live-table census hash-matched
     "q_gated_publish"    -> QualityGate.gatedPublishResult _,
+    // multi-table atomic commit: a member publish without its group
+    // marker (the crash window) never moves the pair readers see
+    "q_group_publish"    -> graft.sources.Sinks.groupPublishResult _,
     // fixed-point integer PageRank over the customer→supplier graph:
     // exact LONG arithmetic, hash-matched vs a 3-iteration SQL unroll
     "q_graph_rank"       -> GraphRank.supplierRank _,
@@ -1417,6 +1420,25 @@ object SparkEntry {
     "q_range_join_auto" -> rangeJoinOracle,
 
     "q_gated_publish" -> QualityGate.gatedPublishOracle,
+
+    // all four (phase, table) censuses in closed form: the torn phase
+    // must still see the phase-1 halves, the committed phase the
+    // quartered pair — if the group marker ever leaked a half-publish,
+    // the torn/a row would hash as the quarter instead
+    "q_group_publish" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders),
+        |x AS (SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM k),
+        |c AS (
+        |  SELECT 'torn' AS phase, 'a' AS table_name, COUNT(*) AS n, bit_xor(h) AS key_xor FROM x WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'torn', 'b', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 1
+        |  UNION ALL
+        |  SELECT 'committed', 'a', COUNT(*), bit_xor(h) FROM x WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT 'committed', 'b', COUNT(*), bit_xor(h) FROM x WHERE k % 4 = 1)
+        |SELECT phase, table_name, CAST(n AS BIGINT) AS n_rows, key_xor
+        |FROM c ORDER BY phase, table_name""".stripMargin,
+
     "q_graph_rank" -> GraphRank.supplierRankOracle,
 
     // the e2e DAG's operation ledger is pure modular arithmetic over

@@ -585,6 +585,171 @@ object Sinks {
       .partitionBy(splitCol)
       .option("compression", "gzip")
       .json(path)
+
+  // ——— multi-table ATOMIC group commit ———————————————————————————————
+  //
+  //   groupPath/_commits/g00000002   the group marker: its CONTENT maps
+  //                                  tablePath → committed version
+  //   groupPath/_commits/_claims/    group-number claims (same
+  //                                  conditional-create protocol as
+  //                                  snapshot versions)
+  //
+  // Single-table publishes are transactional per TABLE; a pipeline that
+  // publishes a decision table AND its archive log (or a corpus AND its
+  // band index) needs both to move together — a reader joining a fresh
+  // decision snapshot against a stale archive sees a state no writer
+  // ever produced. The group commit is one level of indirection: each
+  // table publishes normally (its own claim + marker), then ONE group
+  // marker names the exact (table → version) vector. Pair-readers
+  // resolve versions ONLY through the newest group marker, so a crash
+  // after some table publishes but before the group marker leaves them
+  // on the previous consistent vector — the half-published versions are
+  // committed but unreferenced, aging out through table retention.
+  //
+  // The marker has content (the version vector), so bare create-and-
+  // write is not enough — a reader could list the name before the
+  // bytes land. It is staged as `.tmp_g<n>` (a name the reader regex
+  // never matches) and RENAMED to its final fresh name: rename to a
+  // NEW name is atomic on POSIX and HDFS (one namespace op; contrast
+  // the overwrite-rename of a `_CURRENT` file, which is delete+rename
+  // with a no-manifest window — the same argument as the version
+  // markers above). Racing group publishers are serialized by the
+  // claim, so the destination name is owned before staging. The same
+  // object-store caveat as [[tryClaim]] applies.
+
+  private val groupRe = "g(\\d{8})".r
+
+  /** Atomically publish one consistent version VECTOR across several
+    * snapshot tables. Each `(tablePath, df, dateCol)` publishes as a
+    * normal [[publishSnapshot]] (own claim, own marker, own
+    * retention); the group then commits the mapping in one marker.
+    * Returns the committed tablePath → version vector.
+    *
+    * `retainVersions` must be ≥ `retainGroups`: a retained group
+    * marker that names a pruned table version would fail its reads —
+    * table retention is the grace window group history lives in. */
+  def publishGroup(tables: Seq[(String, DataFrame, String)], groupPath: String,
+                   retainGroups: Int = 2, retainVersions: Int = 2,
+                   statsCols: Map[String, Seq[String]] = Map.empty): Map[String, Long] = {
+    require(tables.nonEmpty, "empty table group")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "a table appears twice in the group")
+    require(retainVersions >= retainGroups,
+      s"retainVersions ($retainVersions) must cover retainGroups ($retainGroups): " +
+      "group markers outliving their table versions would name unreadable history")
+    val spark = tables.head._2.sparkSession
+    val cdir = new org.apache.hadoop.fs.Path(groupPath, "_commits")
+    val fs = hadoopFs(spark, cdir)
+    // publish every member table FIRST — all work that can fail
+    // happens before the group becomes visible
+    val vector = tables.map { case (tablePath, df, dateCol) =>
+      tablePath -> publishSnapshot(df, dateCol, tablePath,
+        retainVersions = retainVersions,
+        statsCols = statsCols.getOrElse(tablePath, Nil))
+    }
+    // own the group number, stage the vector, rename into visibility
+    val existing = if (!fs.exists(cdir)) Seq.empty[Long]
+      else fs.listStatus(cdir).toSeq.flatMap(_.getPath.getName match {
+        case groupRe(n) => Some(n.toLong)
+        case _          => None
+      })
+    val n = claimNumber(fs, new org.apache.hadoop.fs.Path(cdir, "_claims"),
+      (existing :+ 0L).max + 1, "c")
+    val tmp = new org.apache.hadoop.fs.Path(cdir, f".tmp_g$n%08d")
+    val out = fs.create(tmp, true)
+    try out.write(vector.map { case (t, v) => s"$t\t$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(cdir, f"g$n%08d")
+    if (!fs.rename(tmp, marker))
+      throw new ConcurrentSnapshotUpdate(
+        s"group commit rename to $marker failed despite an owned claim")
+    // prune group history past the grace window (markers only — table
+    // versions age through their own retention)
+    existing.sorted.reverse.drop(retainGroups - 1).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(cdir, f"g$g%08d"), false)
+    }
+    vector.toMap
+  }
+
+  /** The live committed version vector of a table group (empty if no
+    * group was ever committed). */
+  def currentGroup(spark: org.apache.spark.sql.SparkSession,
+                   groupPath: String): Map[String, Long] = {
+    val cdir = new org.apache.hadoop.fs.Path(groupPath, "_commits")
+    val fs = hadoopFs(spark, cdir)
+    if (!fs.exists(cdir)) return Map.empty
+    val newest = fs.listStatus(cdir).toSeq.flatMap(_.getPath.getName match {
+      case groupRe(n) => Some(n.toLong)
+      case _          => None
+    }).maxOption
+    newest.fold(Map.empty[String, Long]) { n =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(cdir, f"g$n%08d"))
+      val content = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+        out.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      content.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(t, v) = line.split("\t")
+        t -> v.toLong
+      }.toMap
+    }
+  }
+
+  /** Read one member table at the version the LIVE GROUP names —
+    * never the table's own newest version, which may belong to a
+    * group commit that hasn't happened (or never will). */
+  def readGroupTable(spark: org.apache.spark.sql.SparkSession, groupPath: String,
+                     tablePath: String): DataFrame = {
+    val vector = currentGroup(spark, groupPath)
+    val v = vector.getOrElse(tablePath,
+      throw new java.io.FileNotFoundException(
+        s"$tablePath is not part of the committed group at $groupPath " +
+        s"(members: ${vector.keys.toSeq.sorted.mkString(", ")})"))
+    readSnapshotAt(spark, tablePath, v)
+  }
+
+  /** Registered `q_group_publish` (hash-oracled): the torn-publish
+    * contract exercised end to end. Phase 1 group-commits the
+    * (even-key, odd-key) orders pair; then table A advances ALONE —
+    * exactly the state a crash between a member publish and the group
+    * marker leaves behind — and the "torn"-phase censuses prove group
+    * readers still resolve the phase-1 vector for BOTH tables. Phase 2
+    * group-commits the halved pair and the "committed" censuses
+    * advance together. All four (phase, table) censuses are closed-form
+    * row counts + 60-bit key XORs over `orders` — DuckDB derives every
+    * cell without seeing a snapshot. */
+  def groupPublishResult(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("group_q")
+    val grp = s"$tmp/grp"; val pa = s"$tmp/table_a"; val pb = s"$tmp/table_b"
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val a1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val b1 = orders.filter(col("o_orderkey") % 2 === 1)
+    publishGroup(Seq((pa, a1, "o_orderdate"), (pb, b1, "o_orderdate")), grp)
+    // the torn window: a member advances without its group marker
+    publishSnapshot(a1.filter(col("o_orderkey") % 4 === 0), "o_orderdate", pa)
+    def census(phase: String, table: String): DataFrame =
+      readGroupTable(spark, grp, if (table == "a") pa else pb)
+        .select(graft.operators.Reconcile.xorHash60(
+          col("o_orderkey").cast("string")).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"))
+        .select(lit(phase).as("phase"), lit(table).as("table_name"),
+          col("n_rows"), col("key_xor"))
+    val torn = census("torn", "a").unionByName(census("torn", "b"))
+      .localCheckpoint(true) // pin the torn reads before phase 2 moves the group
+    publishGroup(Seq(
+      (pa, a1.filter(col("o_orderkey") % 4 === 0), "o_orderdate"),
+      (pb, b1.filter(col("o_orderkey") % 4 === 1), "o_orderdate")), grp)
+    torn
+      .unionByName(census("committed", "a"))
+      .unionByName(census("committed", "b"))
+      .orderBy("phase", "table_name")
+  }
 }
 
 /** Read-side for JSONL corpora — the standard LLM training-data

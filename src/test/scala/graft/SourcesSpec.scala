@@ -301,6 +301,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(dirs === Set("v00000002", "v00000003"))
   }
 
+  test("group publish: a member advancing alone never moves the committed vector") {
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("vgroup").toString
+    val (grp, ta, tb) = (s"$root/grp", s"$root/a", s"$root/b")
+    def df(v: Long) = Seq((v, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("val", "transaction_date")
+    val v1 = Sinks.publishGroup(Seq((ta, df(1), "transaction_date"),
+      (tb, df(2), "transaction_date")), grp)
+    assert(v1 === Map(ta -> 1L, tb -> 2L) || v1 === Map(ta -> 1L, tb -> 1L))
+    assert(Sinks.currentGroup(spark, grp) === v1)
+    // the crash window: table a commits a member version, no group marker
+    Sinks.publishSnapshot(df(99), "transaction_date", ta)
+    // the table's OWN readers see the new version (single-table truth)…
+    assert(Sinks.readSnapshot(spark, ta).select("val").as[Long].head() === 99L)
+    // …but the GROUP still serves the committed pair, both tables
+    assert(Sinks.currentGroup(spark, grp) === v1)
+    assert(Sinks.readGroupTable(spark, grp, ta).select("val").as[Long].head() === 1L)
+    assert(Sinks.readGroupTable(spark, grp, tb).select("val").as[Long].head() === 2L)
+    // the next full group commit advances both atomically
+    val v2 = Sinks.publishGroup(Seq((ta, df(10), "transaction_date"),
+      (tb, df(20), "transaction_date")), grp)
+    assert(Sinks.readGroupTable(spark, grp, ta).select("val").as[Long].head() === 10L)
+    assert(Sinks.readGroupTable(spark, grp, tb).select("val").as[Long].head() === 20L)
+    assert(v2(ta) > v1(ta) && v2(tb) > v1(tb))
+    // a non-member path refuses instead of guessing a version
+    intercept[java.io.FileNotFoundException] {
+      Sinks.readGroupTable(spark, grp, s"$root/nope")
+    }
+    // staged tmp markers never linger; group retention bounds markers
+    val cdir = new java.io.File(s"$grp/_commits")
+    assert(cdir.listFiles().map(_.getName).count(_.startsWith(".tmp")) === 0)
+    assert(cdir.listFiles().map(_.getName).count(_.matches("g\\d{8}")) === 2)
+  }
+
+  test("group publish: retention shorter than group history is rejected up front") {
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("vgroup2").toString
+    val d = Seq((1L, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("val", "transaction_date")
+    intercept[IllegalArgumentException] {
+      Sinks.publishGroup(Seq((s"$root/a", d, "transaction_date")), s"$root/grp",
+        retainGroups = 3, retainVersions = 2)
+    }
+    // nothing half-committed: no group dir, no table version
+    assert(!new java.io.File(s"$root/grp/_commits").exists())
+  }
+
   test("time travel reads retained history; pruned and uncommitted versions refuse") {
     import graft.sources.Sinks
     val table = Files.createTempDirectory("vtravel").toString + "/t"
