@@ -248,6 +248,9 @@ object SparkEntry {
     // cluster-aware split: near-dup components share one split key,
     // closing the train/test leak the per-doc hash split leaves open
     "t_split_safe"       -> NearDedup.clusterSplit _,
+    // its growth path: new batches inherit frozen base anchors through
+    // a one-sided-prefix probe of the base shingle index
+    "t_split_safe_incr"  -> NearDedup.clusterSplitIncr _,
     // lexical retrieval: broadcast query-term weights over the
     // inverted index; integer scorer carries the oracle, BM25 is the
     // production scorer (rows-only: log idf)
@@ -1797,6 +1800,81 @@ object SparkEntry {
         |SELECT doc_id, anchor_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the incremental tier, frozen-history semantics: base components
+    // + anchors via one recursive CTE, batch components via a second,
+    // cross pairs link a batch component to its MINIMUM base anchor
+    // (inherit) or it rolls a fresh anchor from its minimum member
+    "t_split_safe_incr" ->
+      """WITH RECURSIVE
+        |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT o FROM off), text || ' with a brief trailing remark appended'
+        |  FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 50 = 25 AND length(text) >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT o FROM off), text || ' plus an unrelated closing line'
+        |  FROM documents WHERE doc_id % 10 = 7 AND doc_id % 20 = 17 AND length(text) >= 200),
+        |wb AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM base),
+        |pb AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM wb WHERE len(ws) >= 3),
+        |shb AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pb),
+        |szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
+        |cmb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |        FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prb AS (SELECT id_a, id_b FROM cmb
+        |        JOIN szb sa ON sa.doc_id = id_a JOIN szb sb2 ON sb2.doc_id = id_b
+        |        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb2.n - n_common) >= 0.5),
+        |eb AS (SELECT id_a AS src, id_b AS dst FROM prb UNION ALL SELECT id_b, id_a FROM prb),
+        |rb(src, dst) AS (
+        |  SELECT src, dst FROM eb
+        |  UNION
+        |  SELECT r.src, e.dst FROM rb r JOIN eb e ON e.src = r.dst),
+        |lb AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM rb GROUP BY src),
+        |base_assign AS (SELECT b.doc_id, COALESCE(l.cluster_id, b.doc_id) AS anchor_id
+        |                FROM base b LEFT JOIN lb l ON b.doc_id = l.doc_id),
+        |base_key AS (SELECT DISTINCT a.anchor_id,
+        |    CAST(CAST(concat('0x', substr(md5(t.text), 1, 4)) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |  FROM base_assign a JOIN base t ON t.doc_id = a.anchor_id),
+        |wn AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM batch),
+        |pn AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM wn WHERE len(ws) >= 3),
+        |shn AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pn),
+        |szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+        |cmx AS (SELECT b.doc_id AS id_base, n.doc_id AS id_new, COUNT(*) AS n_common
+        |        FROM shb b JOIN shn n ON b.shingle = n.shingle GROUP BY 1, 2),
+        |prx AS (SELECT id_base, id_new FROM cmx
+        |        JOIN szb sa ON sa.doc_id = id_base JOIN szn sb2 ON sb2.doc_id = id_new
+        |        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb2.n - n_common) >= 0.5),
+        |cmn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prn AS (SELECT id_a, id_b FROM cmn
+        |        JOIN szn sa ON sa.doc_id = id_a JOIN szn sb2 ON sb2.doc_id = id_b
+        |        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb2.n - n_common) >= 0.5),
+        |en AS (SELECT id_a AS src, id_b AS dst FROM prn UNION ALL SELECT id_b, id_a FROM prn),
+        |rn(src, dst) AS (
+        |  SELECT src, dst FROM en
+        |  UNION
+        |  SELECT r.src, e.dst FROM rn r JOIN en e ON e.src = r.dst),
+        |ln2 AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM rn GROUP BY src),
+        |member AS (SELECT n.doc_id, COALESCE(l.cluster_id, n.doc_id) AS comp_id
+        |           FROM batch n LEFT JOIN ln2 l ON n.doc_id = l.doc_id),
+        |linked AS (SELECT m.comp_id, MIN(ba.anchor_id) AS base_anchor
+        |           FROM prx x JOIN base_assign ba ON ba.doc_id = x.id_base
+        |           JOIN member m ON m.doc_id = x.id_new GROUP BY m.comp_id),
+        |fresh_key AS (SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |  FROM batch),
+        |out AS (SELECT m.doc_id,
+        |    COALESCE(lk.base_anchor, m.comp_id) AS anchor_id,
+        |    CASE WHEN lk.base_anchor IS NOT NULL THEN bk.bucket ELSE fk.bucket END AS bucket
+        |  FROM member m
+        |  LEFT JOIN linked lk ON lk.comp_id = m.comp_id
+        |  LEFT JOIN base_key bk ON bk.anchor_id = lk.base_anchor
+        |  LEFT JOIN fresh_key fk ON fk.doc_id = m.comp_id)
+        |SELECT doc_id, anchor_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM out ORDER BY doc_id""".stripMargin,
 
     // the full five-stage export under ONE oracle: quality filter →
     // exact-Jaccard pairs → recursive-CTE connected components →

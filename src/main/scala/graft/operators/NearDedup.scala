@@ -440,6 +440,168 @@ object NearDedup {
   def clusterSplit(spark: SparkSession, dir: String): DataFrame =
     clusterSplitOf(Tables.documents(spark, dir))
 
+  /** CROSS-corpus exact n-gram Jaccard: every (base, batch) pair at
+    * or above the threshold — the deterministic pair generator of the
+    * incremental tier ([[incrementalNearOf]] is its MinHash sibling;
+    * this one is oracle-able). The batch side probes a FULL base
+    * shingle index through a ONE-SIDED prefix filter: jaccard ≥ t
+    * forces |A∩B| ≥ t·|A| (since |B| ≥ |A∩B|), so if the first
+    * |A|−⌈t·|A|⌉+1 shingles of a probe all miss a base doc, the
+    * remaining ⌈t·|A|⌉−1 cannot reach the bound — lossless for ANY
+    * prefix choice, no global canonical order needed (the order
+    * requirement is a two-sided-prefix artifact). Size-ratio bound
+    * applied at the candidate join (t·|B| ≤ |A| ≤ |B|/t), exact
+    * verification on the full sets. Work is probe-prefix × posting
+    * collisions — the base is indexed once and never self-joined. */
+  /** The PERSISTABLE standing state of the cross tier: one row per
+    * base doc with its sorted shingle set — build once, store beside
+    * the corpus, probe on every drop (the exact-tier analog of
+    * [[bandTableOf]]). */
+  def shingleSetsOf(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy("doc_id")
+      .agg(array_sort(collect_set(col("shingle"))).as("s"))
+      .withColumn("nsh", size(col("s")).cast(LongType))
+
+  def ngramJaccardCrossOf(base: DataFrame, batch: DataFrame,
+                          threshold: Double): DataFrame =
+    ngramJaccardCrossPrebuilt(shingleSetsOf(base), batch, threshold)
+
+  /** [[ngramJaccardCrossOf]] against an already-built base index
+    * ([[shingleSetsOf]], typically read back from storage): the
+    * per-drop cost is the batch's own shingling + the probe — the
+    * base corpus is never re-shingled. */
+  def ngramJaccardCrossPrebuilt(baseSets: DataFrame, batch: DataFrame,
+                                threshold: Double): DataFrame = {
+    val p = math.round(threshold * 1000000L)
+    require(math.abs(p / 1e6 - threshold) < 1e-9,
+      s"threshold $threshold must be representable with 6 decimals")
+    val prefixLen = expr(
+      s"cast(nsh - ((nsh * ${p}L + 999999L) div 1000000L) + 1 as int)")
+    val b = baseSets
+      .select(col("doc_id").as("id_base"), col("s").as("s_b"), col("nsh").as("n_b"))
+    val n = shingleSetsOf(batch)
+      .withColumn("prefix", slice(col("s"), lit(1), prefixLen))
+      .select(col("doc_id").as("id_new"), col("s").as("s_n"), col("nsh").as("n_n"),
+        col("prefix"))
+    val probe = n.select(col("id_new"), col("n_n"), explode(col("prefix")).as("shingle"))
+    val baseIdx = b.select(col("id_base"), col("n_b"), explode(col("s_b")).as("shingle"))
+    val cand = probe.join(baseIdx,
+        probe("shingle") === baseIdx("shingle") &&
+        col("n_b") * 1000000L >= col("n_n") * p &&
+        col("n_n") * 1000000L >= col("n_b") * p)
+      .select("id_base", "id_new").distinct()
+    cand
+      .join(b, "id_base")
+      .join(n.select("id_new", "s_n", "n_n"), "id_new")
+      .withColumn("n_common", size(array_intersect(col("s_b"), col("s_n"))).cast(LongType))
+      .filter(col("n_common").cast(DoubleType) /
+        (col("n_b") + col("n_n") - col("n_common")) >= threshold)
+      .select("id_base", "id_new")
+      .orderBy("id_base", "id_new")
+  }
+
+  /** INCREMENTAL leakage-safe split: assign a NEW batch of documents
+    * without recomputing the corpus-wide components — the growth path
+    * of [[clusterSplitOf]] (a 100 TB corpus re-resolving all history
+    * per daily drop would pay the full pair generation every day).
+    * Batch components form over intra-batch pairs only; a component
+    * touching ANY base document (via [[ngramJaccardCrossOf]]) inherits
+    * the minimum linked base ANCHOR's frozen (bucket, split) — so a
+    * new near-copy of trained-on material can never land in an eval
+    * split — and a base-free component rolls a fresh anchor from its
+    * minimum member's content, exactly the full path's rule.
+    * FROZEN-HISTORY semantics, stated: base assignments never change;
+    * a batch doc bridging two base anchors inherits the minimum and
+    * does NOT merge them (a full recompute would — re-run
+    * [[clusterSplitOf]] when history may be rewritten). Work per
+    * batch: batch-sized pair generation + one base-index probe. */
+  def clusterSplitIncrOf(baseDocs: DataFrame, baseAssign: DataFrame,
+                         batch: DataFrame,
+                         jaccardThreshold: Double = 0.5): DataFrame =
+    clusterSplitIncrPrebuilt(shingleSetsOf(baseDocs), baseAssign, batch,
+      jaccardThreshold)
+
+  /** [[clusterSplitIncrOf]] against the persisted base index — the
+    * form a daily pipeline runs. */
+  def clusterSplitIncrPrebuilt(baseSets: DataFrame, baseAssign: DataFrame,
+                               batch: DataFrame,
+                               jaccardThreshold: Double = 0.5): DataFrame = {
+    val cross = ngramJaccardCrossPrebuilt(baseSets, batch, jaccardThreshold)
+    val intra = ngramJaccardOf(batch, jaccardThreshold)
+    val member = batch.select("doc_id")
+      .join(duplicateClusters(intra.select("id_a", "id_b")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("comp_id"))
+    val linked = cross
+      .join(baseAssign.select(col("doc_id").as("id_base"),
+        col("anchor_id").as("base_anchor")), "id_base")
+      .join(member.select(col("doc_id").as("id_new"), col("comp_id")), "id_new")
+      .groupBy("comp_id").agg(min("base_anchor").as("base_anchor"))
+    val anchored = member.join(linked, Seq("comp_id"), "left")
+    // one row per base anchor: members share their anchor's key by
+    // the full path's construction
+    val baseKey = baseAssign
+      .select(col("anchor_id").as("base_anchor"), col("bucket"), col("split"))
+      .distinct()
+    val inherited = anchored.filter(col("base_anchor").isNotNull)
+      .join(baseKey, "base_anchor")
+      .select(col("doc_id"), col("base_anchor").as("anchor_id"),
+        col("bucket"), col("split"))
+    val freshKey = batch.select(col("doc_id").as("comp_id"),
+      (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(LongType) % 100)
+        .as("bucket"))
+    val fresh = anchored.filter(col("base_anchor").isNull)
+      .join(freshKey, "comp_id")
+      .select(col("doc_id"), col("comp_id").as("anchor_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    inherited.unionByName(fresh).orderBy("doc_id")
+  }
+
+  /** Registered `t_split_safe_incr`: base = the corpus minus every
+    * tenth doc; batch = the held-out tenth PLUS planted perturbed
+    * copies of base docs (must INHERIT their originals' anchors) and
+    * planted copies of batch docs (must form NEW components) — both
+    * planting rules mirrored by the DuckDB twin, so the inherit, the
+    * fresh, and the singleton paths are all non-vacuously hashed.
+    * Per-JVM fixture (the media/timeline precedent): the base
+    * ASSIGNMENT is the standing state an incremental tier maintains —
+    * recomputing it per invocation would time the full path this
+    * operator exists to avoid — so it materializes once per source
+    * dir and the query times the incremental assignment itself. */
+  def clusterSplitIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val off = plantedOffset(docs, "doc_id")
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val fixture = splitBaseFixtures.computeIfAbsent(dir, _ => {
+      val p = graft.util.Scratch.dir("split_base")
+      clusterSplitOf(base).write.parquet(s"$p/assign")
+      shingleSetsOf(base).write.parquet(s"$p/index")
+      p
+    })
+    def planted(src: DataFrame, shift: Long, suffix: String) = src
+      .filter(length(col("text")) >= 200)
+      .select((col("doc_id") + lit(shift)).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .select(docs.columns.map(col): _*)
+    // four consumers (probe sets, intra pairs, membership, fresh keys):
+    // materialize the planted union once (the corpus-export lesson)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+      .unionByName(planted(base.filter(col("doc_id") % 50 === 25), off,
+        " with a brief trailing remark appended"))
+      .unionByName(planted(
+        docs.filter(col("doc_id") % 10 === 7 && col("doc_id") % 20 === 17),
+        2L * off, " plus an unrelated closing line"))
+      .localCheckpoint(true)
+    clusterSplitIncrPrebuilt(spark.read.parquet(s"$fixture/index"),
+      spark.read.parquet(s"$fixture/assign"), batch)
+  }
+
+  private val splitBaseFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Winnowing-fingerprint near-dup (MOSS scheme, Schleimer et al.
     * SIGMOD'03 — the same `WinnowFingerprint` expression as
     * t_fingerprint): documents sharing a high fraction of winnowed

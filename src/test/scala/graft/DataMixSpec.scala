@@ -244,6 +244,44 @@ class DataMixSpec extends AnyFunSuite {
     assert(out(4L)._1 === 4L)
   }
 
+  test("incremental split: inherit via any member, bridge takes the min anchor, fresh rolls its own") {
+    def toks(r: Range) = r.map(i => s"tok$i").mkString(" ")
+    val base = Seq(
+      (1L, toks(1 to 12)),  // cluster {1,2}, anchor 1
+      (2L, toks(1 to 13)),
+      (3L, toks(21 to 32)), // base singleton anchor 3
+      (4L, toks(41 to 52))  // untouched base singleton
+    ).toDF("doc_id", "text")
+    val baseAssign = NearDedup.clusterSplitOf(base, 0.4)
+    val batch = Seq(
+      (101L, toks(2 to 14)),                       // near doc 2 → inherits ANCHOR 1
+      (103L, toks(1 to 12) + " " + toks(21 to 32)), // bridges {1,2} and {3} → min anchor 1
+      (104L, toks(61 to 72)),                      // fresh pair with 105
+      (105L, toks(61 to 73)),
+      (106L, toks(81 to 92))                       // batch singleton
+    ).toDF("doc_id", "text")
+    val out = NearDedup.clusterSplitIncrOf(base, baseAssign, batch, 0.4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val ba = baseAssign.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(ba(1L)._1 === 1L && ba(2L)._1 === 1L && ba(3L)._1 === 3L)
+    // inherit: through a non-anchor member, the ANCHOR's frozen key
+    assert(out(101L) === ba(1L))
+    // bridge: linked to both components, takes the minimum base anchor;
+    // history stays frozen (3 keeps its own assignment in the base)
+    assert(out(103L) === ba(1L))
+    // fresh component: anchored at its minimum member, keyed by that
+    // member's content — both land together
+    assert(out(104L)._1 === 104L && out(105L)._1 === 104L)
+    assert(out(104L) === out(105L))
+    val perDoc = TextOps.splitAssignOf(batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert((out(104L)._2, out(104L)._3) === perDoc(104L))
+    // singleton: itself, per-doc key
+    assert(out(106L)._1 === 106L)
+    assert((out(106L)._2, out(106L)._3) === perDoc(106L))
+  }
+
   test("PMI collocations: hand-computed log-ratio on a tiny census") {
     val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
     // tokens: a×3 b×2 c×1, N=6; bigrams: "a b"×2 "b a"×1 "a c"×1, B=4
