@@ -306,6 +306,9 @@ object SparkEntry {
     "d_para_dedup"       -> Markup.paraDedup _,
     // sentence segmentation: sentinel-marked boundaries, no lookbehind
     "t_sentences"        -> Markup.sentences _,
+    // code-switch detection: per-sentence langid rolled to a mixture
+    // profile; planted second-language splices prove the flag fires
+    "t_langid_mixed"     -> Markup.langMixture _,
     // sentence-tier dedup: the rank idiom at sentence granularity,
     // with the CCNet-style short-sentence guard
     "d_sentence_dedup"   -> Markup.sentenceDedup _,
@@ -2555,6 +2558,7 @@ object SparkEntry {
     "t_normalize"    -> graft.operators.Markup.normalizeOracle,
     "d_para_dedup"   -> graft.operators.Markup.paraDedupOracle,
     "t_sentences"    -> graft.operators.Markup.sentencesOracle,
+    "t_langid_mixed" -> graft.operators.Markup.langMixtureOracle,
     "d_sentence_dedup" -> graft.operators.Markup.sentenceDedupOracle,
 
     // web-curation tier (operators/WebOps.scala): C4 line filtering,

@@ -344,6 +344,96 @@ object Markup {
        |FROM se WHERE length(sentence) > 0 ORDER BY doc_id, sent_idx""".stripMargin
   }
 
+  // — Code-switch (mixed-language) detection ———————————————————————
+
+  /** The planted second-language sentence of the registered
+    * code-switch query — ONE Scala constant feeds both the Spark
+    * splice and the generated SQL twin. */
+  private[operators] val codeSwitchSplice =
+    ". Der hund und die katze ist nicht ein tier von der mit das und."
+
+  /** CODE-SWITCH detection: per-SENTENCE language ID rolled up to a
+    * document mixture profile — a document whose sentences disagree
+    * on language is poison for a monolingual training corpus, and
+    * document-level langid (one argmax over the whole text) cannot
+    * see it: the dominant language drowns the spliced one. Pipeline:
+    * sentence segmentation ([[sentencesOf]]) → the row-123 stopword
+    * scorer per sentence (no mid-pipeline sort) → one count per
+    * (doc, lang), one rank-1 window over language-count rows (bounded
+    * by the dictionary size per doc, never sentence-count), one
+    * per-doc aggregate. All-integer outputs; ties on sentence count
+    * break on language code for a total, engine-reproducible order. */
+  def langMixtureOf(docs: DataFrame): DataFrame = {
+    val lab = TextOps.langScoredOf(
+        sentencesOf(docs).select(col("doc_id"), col("sentence").as("text")))
+      .select(col("doc_id"), col("detected_lang").as("lang"))
+    val cnt = lab.groupBy("doc_id", "lang").agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy("doc_id").orderBy(col("c").desc, col("lang"))
+    val dom = cnt.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("main_lang"), col("c").as("main_count"))
+    val agg = lab.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sentences"),
+      countDistinct(when(col("lang") =!= "unknown", col("lang"))).as("n_langs"))
+    agg.join(dom, "doc_id")
+      .select(col("doc_id"), col("n_sentences"), col("n_langs"),
+        col("main_lang"), col("main_count"),
+        when(col("n_langs") >= 2, 1L).otherwise(0L).as("is_mixed"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered `t_langid_mixed`: every fifth document gets
+    * [[codeSwitchSplice]] appended (a strongly German sentence behind
+    * a sentence boundary), so the corpus carries real code-switched
+    * documents — and German base documents prove the flag is about
+    * MIXTURE, not the splice (their n_langs stays 1). */
+  def langMixture(spark: SparkSession, dir: String): DataFrame =
+    langMixtureOf(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(codeSwitchSplice)))
+          .otherwise(col("text")).as("text")))
+
+  /** Generated twin of [[langMixture]]: splice, segmentation steps,
+    * and stopword alternations all derive from the same Scala values
+    * as the Spark plan (the markup-twin discipline), so neither the
+    * dictionaries nor the boundary rules can drift. */
+  def langMixtureOracle: String = {
+    val planted =
+      s"CASE WHEN doc_id % 5 = 0 THEN text || ${sqlLit(codeSwitchSplice)} ELSE text END"
+    val marked = sqlSteps(planted, sentenceSteps)
+    val scores = TextOps.langDicts.map { case (lang, words) =>
+      s"CAST(len(regexp_extract_all(lower(sentence), " +
+        s"'\\b(${words.mkString("|")})\\b')) AS BIGINT) AS score_$lang"
+    }.mkString(",\n       |    ")
+    s"""WITH sp AS (SELECT doc_id, string_split($marked, chr(1)) AS ss FROM documents),
+       |se AS (SELECT doc_id, regexp_replace(ss[i], ${sqlLit("^\\s+|\\s+$")}, '', 'g') AS sentence
+       |       FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i FROM sp)),
+       |sent AS (SELECT doc_id, sentence FROM se WHERE length(sentence) > 0),
+       |sc AS (SELECT doc_id,
+       |    $scores,
+       |    CAST(length(regexp_replace(sentence, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+       |  FROM sent),
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN score_zh > 0 THEN 'zh'
+       |         WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+       |         WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+       |         WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+       |         WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+       |         ELSE 'es' END AS lang
+       |  FROM sc),
+       |cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+       |dom AS (SELECT doc_id, lang AS main_lang, c AS main_count,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM cnt),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_sentences,
+       |    COUNT(DISTINCT CASE WHEN lang <> 'unknown' THEN lang END) AS n_langs
+       |  FROM lab GROUP BY doc_id)
+       |SELECT a.doc_id, CAST(a.n_sentences AS BIGINT) AS n_sentences,
+       |  CAST(a.n_langs AS BIGINT) AS n_langs, d.main_lang,
+       |  CAST(d.main_count AS BIGINT) AS main_count,
+       |  CAST(CASE WHEN a.n_langs >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM agg a JOIN dom d ON d.doc_id = a.doc_id AND d.rn = 1
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   // — Sentence-level dedup ——————————————————————————————————————————
 
   /** Sentence-level exact dedup — the tier between paragraph dedup

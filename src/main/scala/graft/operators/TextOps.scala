@@ -172,7 +172,13 @@ object TextOps {
     * tokenization pass (native WordSetScores expression — count
     * semantics identical to the \b-regex formulation, pinned by
     * spec). */
-  def langIdOf(docs: DataFrame): DataFrame = {
+  def langIdOf(docs: DataFrame): DataFrame =
+    langScoredOf(docs).orderBy("doc_id")
+
+  /** [[langIdOf]] without the presentation sort — the form other
+    * operators compose (per-SENTENCE labeling in the code-switch
+    * detector must not pay a global sort mid-pipeline). */
+  def langScoredOf(docs: DataFrame): DataFrame = {
     val scores = graft.functions.native.word_set_scores(
       lower(col("text")), langDicts.map(_._2))
     val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).cast(LongType)
@@ -190,7 +196,6 @@ object TextOps {
           .when(best === 0, "unknown")
           .when(en === best, "en").when(de === best, "de")
           .when(fr === best, "fr").otherwise("es").as("detected_lang"))
-      .orderBy("doc_id")
   }
 
   /** Corpus vocabulary statistics: top terms by collection frequency

@@ -157,6 +157,31 @@ class MarkupSpec extends AnyFunSuite {
     assert(sents("First.\nSecond.") === Seq("First.", "Second."))
   }
 
+  test("code-switch detection: spliced docs flag mixed; same-language splices stay clean") {
+    import graft.operators.Markup
+    val en = "the cat and the dog went to the house of the king and it was cold in there"
+    val de = "der hund und die katze ist nicht ein tier und das ist von der art mit allem"
+    val d = Seq(
+      (1L, s"$en. $de"),     // EN doc with a German sentence → mixed, main en (tie? en 1 sent, de 1 sent → count tie breaks on lang code: 'de' < 'en' → main de!)
+      (2L, s"$en. $en. $de"), // majority en, one German sentence → mixed, main en
+      (3L, s"$de. $de"),     // German both sentences → NOT mixed
+      (4L, "qwzx vbnm asdf") // no stopwords → unknown, not mixed
+    ).toDF("doc_id", "text")
+    val out = Markup.langMixtureOf(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: 2 sentences, 2 languages, equal counts → tie breaks on
+    // language code ('de' < 'en'), deterministic by construction
+    assert(out(1L) === ((2L, 2L, "de", 1L, 1L)))
+    // doc 2: en majority carries main_lang; still mixed
+    assert(out(2L) === ((3L, 2L, "en", 2L, 1L)))
+    // doc 3: two German sentences — mixture is about LANGUAGES, not
+    // sentence count
+    assert(out(3L) === ((2L, 1L, "de", 2L, 0L)))
+    // doc 4: unknown never counts toward n_langs, never flags
+    assert(out(4L) === ((1L, 0L, "unknown", 1L, 0L)))
+  }
+
   test("registered markup queries have scale-sane plans") {
     // extraction + normalization are pure projections: no exchange at
     // all before the presentation orderBy's range partitioning
