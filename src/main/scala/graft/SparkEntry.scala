@@ -177,6 +177,9 @@ object SparkEntry {
     // JSON payload extraction in the projection (schema-on-read tail)
     "q_event_props"      -> ReferenceOps.eventPropsAgg _,
     "q_sessions"         -> ReferenceOps.sessionize _,
+    // the STREAMING sessionizer drained AvailableNow: O(users) state,
+    // cross-batch stitching spec-pinned; shares q_sessions' oracle
+    "q_stream_sessions"  -> EventsPipeline.sessionizeBatch _,
     // gaps-and-islands interval union: merged activity coverage spans
     "q_interval_merge"   -> Intervals.userActivitySpans _,
     // hourly grid + gap fill + forward fill: generated spine, so
@@ -654,6 +657,20 @@ object SparkEntry {
       |FROM dec d JOIN orders o ON d.o_orderkey = o.o_orderkey
       |WHERE outcome <> 'delete_but_missing_and_ignored'
       |ORDER BY d.o_orderkey""".stripMargin
+
+  // one truth for the batch lag-window sessionizer AND its streaming
+  // stateful twin (q_sessions / q_stream_sessions)
+  private val sessionsSql =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events),
+      |s AS (SELECT user_id,
+      |        CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM x)
+      |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
+      |       COUNT(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // one truth for both streaming-dedup state layouts (exact and
   // FIFO-bounded-above-the-corpus): min-doc_id-per-text admission
@@ -1267,17 +1284,10 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "q_sessions" ->
-      """WITH x AS (SELECT user_id, event_id, ts,
-        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |      FROM events),
-        |s AS (SELECT user_id,
-        |        CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
-        |             THEN 1 ELSE 0 END AS new_session
-        |      FROM x)
-        |SELECT user_id, COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions,
-        |       COUNT(*) AS n_events
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sessions" -> sessionsSql,
+    // the streaming drain is held to the SAME truth: with the whole
+    // series in one batch the state path reduces to the lag window
+    "q_stream_sessions" -> sessionsSql,
 
     // gaps-and-islands: running max(end) over preceding rows, a start
     // strictly past it opens an island; touching intervals merge

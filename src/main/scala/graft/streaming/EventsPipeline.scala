@@ -217,6 +217,67 @@ object EventsPipeline {
     spark.read.parquet(s"$tmp/out").orderBy("user_id", "event_id")
   }
 
+  /** Stateful streaming SESSIONIZATION — the row-35 gap rule (a
+    * >30-minute silence opens a new session) as live state instead of
+    * a lag window: per key the state is one (last_ts, session_count)
+    * pair, so memory is O(users), not O(events), and a session
+    * spanning a micro-batch boundary stitches through the carried
+    * last_ts instead of double-counting. Emits one row per event with
+    * its running session index; within a batch events order by
+    * (ts, event_id) — the batch window's exact sort — so a whole
+    * series in one batch reduces to the lag-window plan and the
+    * streaming drain shares q_sessions' oracle verbatim (one truth,
+    * two plans, the q_stream_decision discipline). */
+  def streamingSessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id").as("key"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (lastTs, nSessions) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (k, id, ts) =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapUs) nSessions += 1
+            lastTs = ts
+            (k, id, nSessions)
+          }
+          state.update((lastTs, nSessions))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "session_idx")
+  }
+
+  /** Registered `q_stream_sessions`: the events table drained through
+    * the stateful sessionizer in one AvailableNow pass, then folded to
+    * the per-user (n_sessions, n_events) report — held to q_sessions'
+    * DuckDB oracle VERBATIM. Cross-batch session stitching is
+    * spec-covered (StreamingSpec). */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("events_sessions_q")
+    val events = Tables.events(spark, dir)
+    events.coalesce(4).write.parquet(s"$tmp/in")
+    streamingSessionize(
+        spark.readStream.schema(events.schema).parquet(s"$tmp/in"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$tmp/out")
+      .awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .groupBy("user_id")
+      .agg(max(col("session_idx")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Stateful exactly-once dedup by content hash per key — the
     * decision service's "have I seen this file content before"
     * memory, as a streaming state operator. Batch equivalent:

@@ -109,6 +109,47 @@ class StreamingSpec extends AnyFunSuite {
       4L -> "garbage_collect", 5L -> "archive"))
   }
 
+  test("streaming sessionization stitches sessions across micro-batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsPipeline.streamingSessionize(df)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    // batch 1: two sessions for user 1 (31-min gap), one for user 2
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "e", 0.0, "p"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "e", 0.0, "p"),
+      (3L, ts("2024-01-01 10:41:00"), 1L, "e", 0.0, "p"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "e", 0.0, "p"))
+    q.processAllAvailable()
+    // batch 2: user 1 continues session 2 WITHIN the gap (must NOT
+    // open a new one across the boundary), then a >30-min silence
+    // opens session 3; user 2's next event is within its gap
+    mem.addData(
+      (5L, ts("2024-01-01 10:55:00"), 1L, "e", 0.0, "p"),
+      (6L, ts("2024-01-01 11:40:00"), 1L, "e", 0.0, "p"),
+      (7L, ts("2024-01-01 10:20:00"), 2L, "e", 0.0, "p"))
+    q.processAllAvailable()
+    val out = spark.table("sess_out")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    q.stop()
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
+      5L -> 2L, 6L -> 3L, 4L -> 1L, 7L -> 1L))
+    // exactly-30-min gap stays in-session (strict >, the lag-window rule)
+    val mem2 = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df2 = mem2.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q2 = EventsPipeline.streamingSessionize(df2)
+      .writeStream.format("memory").queryName("sess_out2").outputMode("append").start()
+    mem2.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "e", 0.0, "p"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "e", 0.0, "p"))
+    q2.processAllAvailable()
+    val out2 = spark.table("sess_out2")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    q2.stop()
+    assert(out2 === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("stream persists to a parquet sink with checkpointing and is readable") {
     implicit val sc = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("stream_out").toString
