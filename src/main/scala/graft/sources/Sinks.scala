@@ -627,7 +627,14 @@ object Sinks {
     *
     * `retainVersions` must be ≥ `retainGroups`: a retained group
     * marker that names a pruned table version would fail its reads —
-    * table retention is the grace window group history lives in. */
+    * table retention is the grace window group history lives in. The
+    * same applies to DIRECT member publishes between group commits:
+    * enough solo publishes age a group-referenced version out of the
+    * member's retention, after which [[readGroupTable]] refuses with
+    * the available range ([[readSnapshotAt]]'s contract) rather than
+    * serving debris — size the member retention to cover the solo
+    * cadence, or route all member publishes through the group. The
+    * walk spec pins both behaviors. */
   def publishGroup(tables: Seq[(String, DataFrame, String)], groupPath: String,
                    retainGroups: Int = 2, retainVersions: Int = 2,
                    statsCols: Map[String, Seq[String]] = Map.empty): Map[String, Long] = {
@@ -657,8 +664,13 @@ object Sinks {
       (existing :+ 0L).max + 1, "c")
     val tmp = new org.apache.hadoop.fs.Path(cdir, f".tmp_g$n%08d")
     val out = fs.create(tmp, true)
-    try out.write(vector.map { case (t, v) => s"$t\t$v" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // member tables nested under the group store record GROUP-RELATIVE
+    // paths, so the whole tree is relocatable (copy/rename the store,
+    // markers stay valid); outside tables record their absolute path
+    try out.write(vector.map { case (t, v) =>
+      val key = if (t.startsWith(groupPath + "/")) t.substring(groupPath.length + 1) else t
+      s"$key\t$v"
+    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val marker = new org.apache.hadoop.fs.Path(cdir, f"g$n%08d")
     if (!fs.rename(tmp, marker))
@@ -694,7 +706,10 @@ object Sinks {
       } finally in.close()
       content.split("\n").filter(_.nonEmpty).map { line =>
         val Array(t, v) = line.split("\t")
-        t -> v.toLong
+        // group-relative member → resolve against THIS groupPath (the
+        // relocatability contract); absolute/scheme-qualified → as-is
+        val abs = if (t.startsWith("/") || t.contains("://")) t else s"$groupPath/$t"
+        abs -> v.toLong
       }.toMap
     }
   }
@@ -724,32 +739,45 @@ object Sinks {
     * cell without seeing a snapshot. */
   def groupPublishResult(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame = {
-    val tmp = graft.util.Scratch.dir("group_q")
-    val grp = s"$tmp/grp"; val pa = s"$tmp/table_a"; val pb = s"$tmp/table_b"
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderdate", "o_totalprice")
     val a1 = orders.filter(col("o_orderkey") % 2 === 0)
     val b1 = orders.filter(col("o_orderkey") % 2 === 1)
-    publishGroup(Seq((pa, a1, "o_orderdate"), (pb, b1, "o_orderdate")), grp)
-    // the torn window: a member advances without its group marker
-    publishSnapshot(a1.filter(col("o_orderkey") % 4 === 0), "o_orderdate", pa)
-    def census(phase: String, table: String): DataFrame =
-      readGroupTable(spark, grp, if (table == "a") pa else pb)
+    // per-JVM fixture (the q_gated_publish precedent — both contract
+    // halves built once, the query READS them): phase 1 publishes the
+    // pair, table A advances alone (the torn window), the torn-phase
+    // group reads are CENSUSED AND PERSISTED while the group still
+    // names phase 1 (they cannot be recomputed afterwards — that is
+    // the point of the test), then phase 2 group-commits; member
+    // tables nest under the group (relative markers, relocatable)
+    def census(grp: String, phase: String, table: String): DataFrame =
+      readGroupTable(spark, grp, s"$grp/t$table")
         .select(graft.operators.Reconcile.xorHash60(
           col("o_orderkey").cast("string")).as("h"))
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"))
         .select(lit(phase).as("phase"), lit(table).as("table_name"),
           col("n_rows"), col("key_xor"))
-    val torn = census("torn", "a").unionByName(census("torn", "b"))
-      .localCheckpoint(true) // pin the torn reads before phase 2 moves the group
-    publishGroup(Seq(
-      (pa, a1.filter(col("o_orderkey") % 4 === 0), "o_orderdate"),
-      (pb, b1.filter(col("o_orderkey") % 4 === 1), "o_orderdate")), grp)
-    torn
-      .unionByName(census("committed", "a"))
-      .unionByName(census("committed", "b"))
+    val fixture = groupFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("group_fx")
+      val grp = s"$f/grp"
+      publishGroup(Seq((s"$grp/ta", a1, "o_orderdate"),
+        (s"$grp/tb", b1, "o_orderdate")), grp)
+      publishSnapshot(a1.filter(col("o_orderkey") % 4 === 0), "o_orderdate", s"$grp/ta")
+      census(grp, "torn", "a").unionByName(census(grp, "torn", "b"))
+        .coalesce(1).write.parquet(s"$f/torn")
+      publishGroup(Seq(
+        (s"$grp/ta", a1.filter(col("o_orderkey") % 4 === 0), "o_orderdate"),
+        (s"$grp/tb", b1.filter(col("o_orderkey") % 4 === 1), "o_orderdate")), grp)
+      f
+    })
+    spark.read.parquet(s"$fixture/torn")
+      .unionByName(census(s"$fixture/grp", "committed", "a"))
+      .unionByName(census(s"$fixture/grp", "committed", "b"))
       .orderBy("phase", "table_name")
   }
+
+  private val groupFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
 
 /** Read-side for JSONL corpora — the standard LLM training-data

@@ -335,6 +335,77 @@ class SourcesSpec extends AnyFunSuite {
     assert(cdir.listFiles().map(_.getName).count(_.matches("g\\d{8}")) === 2)
   }
 
+  test("group store random walk: committed vectors always serve; pruned references refuse loudly") {
+    import graft.sources.Sinks
+    val rnd = new scala.util.Random(20260814L)
+    val root = Files.createTempDirectory("vgroupwalk").toString
+    val (grp, ta, tb) = (s"$root/grp", s"$root/a", s"$root/b")
+    def df(v: Long) = Seq((v, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("val", "transaction_date")
+    // plain-Scala model: the live group vector (version, value) per
+    // table, and each table's RETAINED committed versions (top-2, the
+    // publish default) — interleaved solo publishes can age a
+    // group-referenced version out, and the contract is an explicit
+    // refusal (readSnapshotAt), never silently serving debris
+    var committed: Option[((Long, Long), (Long, Long))] = None
+    val live = Map(ta -> scala.collection.mutable.Map.empty[Long, Long],
+                   tb -> scala.collection.mutable.Map.empty[Long, Long])
+    def retain(t: String): Unit = {
+      val keep = live(t).keys.toSeq.sorted.reverse.take(2).toSet
+      live(t).keys.toSeq.foreach(v => if (!keep.contains(v)) live(t).remove(v))
+    }
+    var tick = 0L
+    def next(): Long = { tick += 1; tick }
+    for (step <- 1 to 40) {
+      rnd.nextInt(4) match {
+        case 0 => // full group publish
+          val (va, vb) = (next(), next())
+          val vec = Sinks.publishGroup(Seq((ta, df(va), "transaction_date"),
+            (tb, df(vb), "transaction_date")), grp)
+          live(ta)(vec(ta)) = va; retain(ta)
+          live(tb)(vec(tb)) = vb; retain(tb)
+          committed = Some(((vec(ta), va), (vec(tb), vb)))
+        case 1 | 2 => // torn member publish (the crash window)
+          val t = if (rnd.nextBoolean()) ta else tb
+          val v = next()
+          val n = Sinks.publishSnapshot(df(v), "transaction_date", t)
+          live(t)(n) = v; retain(t)
+        case 3 => // read through the group, checked against the model
+          committed match {
+            case None =>
+              assert(Sinks.currentGroup(spark, grp) === Map.empty)
+            case Some(((vA, valA), (vB, valB))) =>
+              assert(Sinks.currentGroup(spark, grp) === Map(ta -> vA, tb -> vB),
+                s"step $step: vector drifted")
+              for ((t, v, value) <- Seq((ta, vA, valA), (tb, vB, valB))) {
+                if (live(t).contains(v))
+                  assert(Sinks.readGroupTable(spark, grp, t)
+                    .select("val").as[Long].head() === value, s"step $step: $t")
+                else intercept[java.io.FileNotFoundException] {
+                  Sinks.readGroupTable(spark, grp, t).collect()
+                }
+              }
+          }
+      }
+    }
+  }
+
+  test("group store is relocatable: nested members resolve wherever the tree lands") {
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("vgroupmove").toString
+    val grp = s"$root/grp"
+    val d = Seq((42L, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("val", "transaction_date")
+    Sinks.publishGroup(Seq((s"$grp/member", d, "transaction_date")), grp)
+    // markers hold group-RELATIVE member paths, so moving the whole
+    // tree leaves every reference valid at the new location
+    val moved = s"$root/relocated"
+    assert(new java.io.File(grp).renameTo(new java.io.File(moved)))
+    assert(Sinks.currentGroup(spark, moved) === Map(s"$moved/member" -> 1L))
+    assert(Sinks.readGroupTable(spark, moved, s"$moved/member")
+      .select("val").as[Long].head() === 42L)
+  }
+
   test("group publish: retention shorter than group history is rejected up front") {
     import graft.sources.Sinks
     val root = Files.createTempDirectory("vgroup2").toString
