@@ -259,6 +259,9 @@ object SparkEntry {
     // production scorer (rows-only: log idf)
     "s_search"           -> Retrieval.search _,
     "s_search_bm25"      -> Retrieval.searchBm25 _,
+    // contrastive triplets off the integer scorer: positive, hard
+    // ranks 4-8, and a hash-order "uniform" easy negative
+    "s_triplets"         -> Retrieval.tripletMining _,
     // PQ ANN: 8-byte codes + ADC table lookups + exact re-rank — the
     // memory scale path beside IVF's IO path (rows-only, recall-pinned)
     "s_ann_pq"           -> ((s: SparkSession, dir: String) => SimilarityOps.annPq(s, dir)),
@@ -2039,6 +2042,7 @@ object SparkEntry {
     // code that builds the Spark-side DataFrame
     "s_search" -> graft.operators.Retrieval.searchOracle,
     "s_search_bm25" -> graft.operators.Retrieval.searchBm25Oracle,
+    "s_triplets"    -> graft.operators.Retrieval.tripletOracle,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -73,6 +73,97 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** CONTRASTIVE TRIPLET MINING — the training-data product of the
+    * retrieval stack: for each query a positive (its top-ranked
+    * document), HARD negatives (documents ranked close behind — they
+    * match terms yet lost the ranking, exactly the confusable cases a
+    * reranker/embedding model learns most from), and one EASY negative
+    * (a document sharing NO query term — the "uniform draw" of
+    * contrastive recipes, made reproducible by taking the minimum
+    * md5(text) among non-matching docs: hash order is the
+    * deterministic stand-in for random). Built on the integer-exact
+    * scorer ([[searchOf]]), so every triplet is bit-reproducible and
+    * the whole mining run hash-matches an oracle — a float-scored
+    * miner could never pin its negatives. Plan shape: the ranked list
+    * is the searchOf plan; the easy draw anti-joins the corpus against
+    * the match set per query (a 1×|workload| broadcast cross — the
+    * packed-broadcast idiom — then one keyed aggregation). */
+  def tripletMiningOf(docs: DataFrame, queries: DataFrame,
+                      hardFrom: Int = 4, hardTo: Int = 8): DataFrame = {
+    val ranked = searchOf(docs, queries, k = hardTo)
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("positive_id"))
+    val hard = ranked.filter(col("rank") >= hardFrom && col("rank") <= hardTo)
+      .select(col("query_id"), lit("hard").as("kind"),
+        col("doc_id").as("negative_id"), col("rank").as("neg_rank"))
+    val tf = postingsOf(docs)
+    val qt = queries
+      .select(col("query_id"),
+        explode(split(lower(TextOps.wsTrim(col("qtext"))), "\\s+")).as("term"))
+      .distinct()
+    val matches = tf.join(broadcast(qt), "term")
+      .select("query_id", "doc_id").distinct()
+    // duplicate texts share an md5, so the draw orders by (hash, id)
+    // — total, engine-reproducible
+    val easy = tokens(docs, "text")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .crossJoin(broadcast(queries.select("query_id")))
+      .join(matches, Seq("query_id", "doc_id"), "left_anti")
+      .groupBy("query_id")
+      .agg(min(struct(col("h"), col("doc_id"))).as("m"))
+      .select(col("query_id"), lit("easy").as("kind"),
+        col("m.doc_id").as("negative_id"), lit(0L).as("neg_rank"))
+    pos.join(hard.unionByName(easy), "query_id")
+      .select("query_id", "kind", "positive_id", "negative_id", "neg_rank")
+      .orderBy("query_id", "neg_rank", "negative_id")
+  }
+
+  /** Registered `s_triplets`: the three-query workload mined into
+    * (positive, hard ranks 4-8, easy) triplets, hash-matched against
+    * the searchOracle CTEs extended with the same anti-join draw. */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tripletMiningOf(Tables.documents(spark, dir),
+      queryWorkload.toDF("query_id", "qtext"))
+  }
+
+  def tripletOracle: String =
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |  WHERE length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) > 0),
+       |t AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS term
+       |  FROM c),
+       |tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dc AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM c),
+       |q AS (SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '\\s+')) AS term
+       |    FROM (VALUES ${workloadValuesSql}) AS v(query_id, qtext))),
+       |s AS (SELECT q.query_id, tc.doc_id,
+       |    SUM(tc.tf * (n.n_docs - dc.df)) AS score
+       |  FROM q JOIN tc USING (term) JOIN dc USING (term) CROSS JOIN n
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM s),
+       |pos AS (SELECT query_id, doc_id AS positive_id FROM r WHERE rank = 1),
+       |hard AS (SELECT query_id, 'hard' AS kind, doc_id AS negative_id,
+       |         rank AS neg_rank FROM r WHERE rank BETWEEN 4 AND 8),
+       |m AS (SELECT DISTINCT query_id, doc_id FROM q JOIN tc USING (term)),
+       |nm AS (SELECT qq.query_id, d.doc_id, md5(d.text) AS h
+       |       FROM c d CROSS JOIN (SELECT DISTINCT query_id FROM q) qq
+       |       ANTI JOIN m ON m.query_id = qq.query_id AND m.doc_id = d.doc_id),
+       |easy AS (SELECT query_id, 'easy' AS kind, doc_id AS negative_id,
+       |         CAST(0 AS BIGINT) AS neg_rank
+       |         FROM (SELECT query_id, doc_id,
+       |                 row_number() OVER (PARTITION BY query_id ORDER BY h, doc_id) AS rn
+       |               FROM nm) WHERE rn = 1)
+       |SELECT CAST(p.query_id AS BIGINT) AS query_id, x.kind, p.positive_id,
+       |  x.negative_id, x.neg_rank
+       |FROM pos p JOIN (SELECT * FROM hard UNION ALL SELECT * FROM easy) x
+       |  ON x.query_id = p.query_id
+       |ORDER BY query_id, neg_rank, negative_id""".stripMargin
+
   /** Okapi BM25 (k1 = 1.2, b = 0.75) — the production lexical scorer:
     * saturating tf, length normalization against the corpus mean, and
     * the (transcendental) log idf, which is why this variant is

@@ -27,6 +27,10 @@ class PlanSpec extends AnyFunSuite {
       // a 1×|query terms| nested loop; the corpus-side joins stay
       // broadcast HASH joins (pinned in RetrievalSpec)
       "s_search", "s_search_bm25",
+      // triplet mining's easy-negative draw crosses the corpus keys
+      // against the broadcast 3-row query list before the anti-join —
+      // 1×|workload|, never corpus²; the scorer joins stay hash
+      "s_triplets",
       // PQ: the ADC scan crosses the corpus codes against the
       // broadcast per-query lookup tables (the brute-force-scorer
       // idiom — nQueries rows, never corpus²); IVFADC adds the

@@ -74,4 +74,28 @@ class RetrievalSpec extends AnyFunSuite {
       assert(sql.contains(s"($id, '$q')"))
     }
   }
+
+  test("triplet mining: positive is rank 1, hard negatives the chosen band, easy never matches") {
+    val qs = Seq((1L, "apple")).toDF("query_id", "qtext")
+    // hard band 2..3 on this tiny corpus: matching docs are {1, 2};
+    // rank 1 = doc 1 (tf 2), rank 2 = doc 2 — the one hard negative
+    val out = Retrieval.tripletMiningOf(docs, qs, hardFrom = 2, hardTo = 3).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val hard = out.filter(_._1 == "hard")
+    assert(hard === Array(("hard", 1L, 2L, 2L)))
+    // the easy negative shares NO term with the query: drawn from
+    // {3, 4, 5, 6?} — 6 is empty text, excluded by the corpus filter;
+    // the draw is the minimum (md5(text), doc_id) among {3, 4, 5}
+    val easy = out.filter(_._1 == "easy")
+    assert(easy.length === 1)
+    val (_, pos, negId, negRank) = easy.head
+    assert(pos === 1L && negRank === 0L)
+    assert(Set(3L, 4L, 5L).contains(negId))
+    val expected = Seq(3L -> "cherry durian cherry", 4L -> "banana banana banana fig",
+      5L -> "unrelated words only here")
+      .map { case (id, t) => (java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString, id) }
+      .min._2
+    assert(negId === expected)
+  }
 }
