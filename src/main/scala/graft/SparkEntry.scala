@@ -61,6 +61,9 @@ object SparkEntry {
     // declarative expectation gate: one scan, one reduce row, a
     // planted red check proving the failure path is hash-checked too
     "q_quality_gate"     -> QualityGate.ordersGate _,
+    // the gate's FK check: planted bad keys count, planted NULLs pass
+    // the ref check (SQL semantics) while not_null counts them
+    "q_quality_gate_ref" -> QualityGate.ordersRefGate _,
     // gate-then-publish round trip: good feed publishes, corrupted
     // twin is refused by the same gate; live-table census hash-matched
     "q_gated_publish"    -> QualityGate.gatedPublishResult _,
@@ -1532,6 +1535,20 @@ object SparkEntry {
         |  UNION ALL SELECT 'in_set:o_orderpriority', bad_pri FROM s
         |  UNION ALL SELECT 'matches:o_orderpriority', bad_fmt FROM s
         |  UNION ALL SELECT 'at_most:o_totalprice', am FROM s)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS pass
+        |FROM r ORDER BY check_name""".stripMargin,
+
+    // the FK check in closed form: negated custkeys (every 1000th key)
+    // can never hit customer; nulled ones (key % 1000 = 1) PASS the
+    // ref check by SQL FK semantics and fall to not_null instead
+    "q_quality_gate_ref" ->
+      """WITH r AS (
+        |  SELECT 'not_null:o_custkey' AS check_name,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1000 = 1) AS violations
+        |  UNION ALL SELECT 'ref:o_custkey',
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1000 = 0)
+        |  UNION ALL SELECT 'unique:o_orderkey', 0)
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM r ORDER BY check_name""".stripMargin,

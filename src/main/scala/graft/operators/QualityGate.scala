@@ -27,6 +27,19 @@ object QualityGate {
   final case class ScalarCheck(name: String, violation: Column) extends Check
   /** Violations = extra occurrences beyond the first per key. */
   final case class UniqueCheck(name: String, cols: Seq[String]) extends Check
+  /** Violations = rows whose non-null key tuple misses `ref` — SQL
+    * foreign-key semantics (a NULL key passes; pair with [[notNull]]
+    * to forbid it). The reference side reduces to DISTINCT keys and
+    * the probe is one keyed anti-join: broadcast when the key set is
+    * dimension-sized, shuffle-on-key otherwise — never a corpus scan
+    * per check. */
+  final case class RefCheck(name: String, cols: Seq[String],
+                            ref: DataFrame, refCols: Seq[String]) extends Check {
+    require(cols.size == refCols.size && cols.nonEmpty, "key arity mismatch")
+  }
+
+  def refIntegrity(col0: String, ref: DataFrame, refCol: String): Check =
+    RefCheck(s"ref:$col0", Seq(col0), ref, Seq(refCol))
 
   def notNull(col0: String): Check =
     ScalarCheck(s"not_null:$col0", col(col0).isNull)
@@ -64,6 +77,15 @@ object QualityGate {
         .agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(col("n") - 1L), lit(0L)).as("violations"))
         .select(lit(u.name).as("check_name"), col("violations"))
+    }
+    checks.collect { case r: RefCheck => r }.foreach { r =>
+      val keys = r.ref.select(r.refCols.zip(r.cols)
+        .map { case (rc, c) => col(rc).as(c) }: _*).distinct()
+      parts += df
+        .filter(r.cols.map(col(_).isNotNull).reduce(_ && _))
+        .join(keys, r.cols, "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(r.name).as("check_name"), col("violations"))
     }
     parts.result().reduce(_ unionByName _)
       .select(col("check_name"), col("violations").cast("long").as("violations"),
@@ -111,6 +133,26 @@ object QualityGate {
       matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
       atMost("o_totalprice", 1000L) // planted red: most orders exceed it
     ))
+  }
+
+  /** Registered `q_quality_gate_ref`: the gate's REFERENTIAL-INTEGRITY
+    * check over a deliberately damaged orders feed — every 1000th key
+    * gets its custkey negated (can never hit `customer`, the red
+    * path), the next key gets it NULLED (must pass the ref check —
+    * SQL FK semantics — while the paired not_null check counts it),
+    * and the untouched keys prove the natural feed is referentially
+    * whole. Closed-form oracle: both planted classes are modular
+    * counts over `orders`. */
+  def ordersRefGate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).withColumn("o_custkey",
+      when(col("o_orderkey") % 1000 === 0, -col("o_custkey"))
+        .when(col("o_orderkey") % 1000 === 1,
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+        .otherwise(col("o_custkey")))
+    validate(o, Seq(
+      notNull("o_custkey"),
+      unique("o_orderkey"),
+      refIntegrity("o_custkey", Tables.customer(spark, dir), "c_custkey")))
   }
 
   private val gatedFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -171,6 +171,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(clean.forall(_.getBoolean(2)))
   }
 
+  test("referential check: missing keys count, NULL keys pass, composite keys honored") {
+    import graft.operators.QualityGate._
+    val ref = Seq((1L, "x"), (2L, "y")).toDF("rk", "rc")
+    val df = Seq(
+      (Some(1L), "x"),  // present pair
+      (Some(1L), "z"),  // rk exists but pair (1, z) does not → composite violation
+      (Some(9L), "x"),  // missing key
+      (None, "x"))      // NULL key: SQL FK semantics — passes
+      .toDF("k", "c")
+    val single = validate(df, Seq(refIntegrity("k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(single === Map("ref:k" -> 1L)) // only 9 is missing; NULL passed
+    val composite = validate(df,
+      Seq(RefCheck("ref:k,c", Seq("k", "c"), ref, Seq("rk", "rc"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(composite === Map("ref:k,c" -> 2L)) // (1, z) and (9, x)
+  }
+
   test("gated publish refuses a red feed before writing; a green feed publishes") {
     import graft.operators.QualityGate
     import graft.operators.QualityGate._
