@@ -70,6 +70,9 @@ object SparkEntry {
     // multi-table atomic commit: a member publish without its group
     // marker (the crash window) never moves the pair readers see
     "q_group_publish"    -> graft.sources.Sinks.groupPublishResult _,
+    // the snapshot store as a first-class DSv2 read path: live +
+    // versionAsOf through format("graft-table"), parquet-delegated
+    "q_snapshot_dsv2"    -> graft.sources.GraftTableDataSource.snapshotDsv2Result _,
     // fixed-point integer PageRank over the customer→supplier graph:
     // exact LONG arithmetic, hash-matched vs a 3-iteration SQL unroll
     "q_graph_rank"       -> GraphRank.supplierRank _,
@@ -1462,6 +1465,19 @@ object SparkEntry {
         |FROM c ORDER BY phase, table_name""".stripMargin,
 
     "q_graph_rank" -> GraphRank.supplierRankOracle,
+
+    // both connector reads in closed form: live = the quartered v2,
+    // versionAsOf 1 = the even half
+    "q_snapshot_dsv2" ->
+      """WITH x AS (SELECT o_orderkey AS k,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'live' AS phase, COUNT(*) AS n, bit_xor(h) AS key_xor FROM x WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT 'as_of_1', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0)
+        |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
+        |FROM c ORDER BY phase""".stripMargin,
 
     // the e2e DAG's operation ledger is pure modular arithmetic over
     // the orders keyspace: every count derives in closed form

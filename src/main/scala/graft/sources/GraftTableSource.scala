@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.catalog.TableProvider
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the versioned snapshot store —
+  * `spark.read.format("graft-table").load(storeRoot)` (and the
+  * `USING graft-table` DDL, via DataSourceRegister) as the first-class
+  * read path beside the [[Sinks.readSnapshot]] library calls:
+  *
+  *   - Commit-marker resolution: the scan binds to the newest
+  *     COMMITTED version directory (never a bare `v…` dir a crashed
+  *     or mid-write publisher left), exactly [[Sinks.readSnapshot]]'s
+  *     rule; once a DataFrame is created its plan is pinned to that
+  *     immutable directory, so concurrent publishes can't disturb a
+  *     running scan.
+  *   - Time travel: `.option("versionAsOf", n)` reads a retained
+  *     historical version, with [[Sinks.readSnapshotAt]]'s
+  *     refuse-don't-guess contract (an uncommitted or pruned version
+  *     fails with the available range).
+  *   - Everything below the version resolution DELEGATES to Spark's
+  *     own parquet `FileTable` ([[ParquetTable]] over the resolved
+  *     directory): predicate pushdown, column pruning, partition
+  *     discovery of the month layout (`txn_month=…` becomes a real
+  *     partition column with partition pruning), vectorized reads and
+  *     whole-stage codegen all behave exactly as a plain parquet scan
+  *     — the connector adds the transactional binding, not a reader.
+  *     (ParquetTable lives under `execution.datasources.v2` but is a
+  *     public case class — the same standard-extension packaging line
+  *     the native expressions use.)
+  *
+  * Registered `q_snapshot_dsv2` reads a two-version store through the
+  * connector — the live version AND `versionAsOf` the first — and
+  * hash-matches both censuses against closed-form DuckDB on `orders`.
+  */
+class GraftTableDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+    val spark = SparkSession.active
+    val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-table needs a path: the snapshot store root (the directory holding v…/ and _manifests/)"))
+    val dir = Option(options.get("versionAsOf")).map(_.toLong) match {
+      case Some(v) =>
+        val available = Sinks.listVersions(spark, root)
+        if (!available.contains(v))
+          throw new java.io.FileNotFoundException(
+            s"snapshot version $v of $root is not readable " +
+            s"(committed + retained: ${available.mkString("[", ", ", "]")}) — " +
+            "it was never committed, or retention pruned it")
+        s"$root/${Sinks.versionDirName(v)}"
+      case None => Sinks.currentVersionDir(spark, root)
+    }
+    ParquetTable(s"graft-table:$dir", spark, options, Seq(dir), None,
+      classOf[ParquetFileFormat])
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    (resolve(options): Table).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftTableDataSource {
+  /** Registered `q_snapshot_dsv2` (hash-oracled): a store publishing
+    * the even-key orders half (v1) then its quartered subset (v2,
+    * live), read back ENTIRELY through the connector — the live scan
+    * and a `versionAsOf` 1 scan — censused as closed-form row counts
+    * + 60-bit key XORs over `orders`. The store builds once per JVM
+    * (immutable afterwards); the query times the connector reads. */
+  def snapshotDsv2Result(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val table = fixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("tbl_dsv2") + "/t"
+      Sinks.publishSnapshot(evens, "o_orderdate", t)
+      Sinks.publishSnapshot(evens.filter(col("o_orderkey") % 4 === 0),
+        "o_orderdate", t)
+      t
+    })
+    def census(phase: String, df: DataFrame): DataFrame =
+      df.select(graft.operators.Reconcile.xorHash60(
+          col("o_orderkey").cast("string")).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("key_xor"))
+    census("live", spark.read.format("graft-table").load(table))
+      .unionByName(census("as_of_1",
+        spark.read.format("graft-table").option("versionAsOf", "1").load(table)))
+      .orderBy("phase")
+  }
+
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+}

@@ -390,6 +390,39 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("graft-table connector: live + versionAsOf reads, DDL, pushdown, refusal") {
+    import graft.sources.Sinks
+    val table = Files.createTempDirectory("tbl_dsv2").toString + "/t"
+    def df(vals: Seq[Long]) = vals.map(v => (v, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("val", "transaction_date")
+    Sinks.publishSnapshot(df(Seq(1L, 2L, 3L)), "transaction_date", table)
+    Sinks.publishSnapshot(df(Seq(10L, 20L)), "transaction_date", table)
+    // live read resolves the newest COMMITTED version
+    val live = spark.read.format("graft-table").load(table)
+    assert(live.select("val").as[Long].collect().sorted === Array(10L, 20L))
+    // time travel with the refuse-don't-guess contract
+    val v1 = spark.read.format("graft-table").option("versionAsOf", "1").load(table)
+    assert(v1.select("val").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-table").option("versionAsOf", "9").load(table)
+    }
+    // a reader resolved BEFORE a publish stays pinned to its version
+    Sinks.publishSnapshot(df(Seq(99L)), "transaction_date", table)
+    assert(live.select("val").as[Long].collect().sorted === Array(10L, 20L))
+    // parquet delegation: filters push into the scan, columns prune,
+    // and the month partition column materializes for pruning
+    val plan = spark.read.format("graft-table").load(table)
+      .filter(col("val") > 15L).select("val")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(val), GreaterThan(val,15)"), plan)
+    assert(spark.read.format("graft-table").load(table)
+      .columns.contains("txn_month"))
+    // catalog DDL round trip
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_tbl " +
+      s"USING `graft-table` OPTIONS (path '$table')")
+    assert(spark.sql("SELECT count(*) FROM graft_tbl").head().getLong(0) === 1L)
+  }
+
   test("group store is relocatable: nested members resolve wherever the tree lands") {
     import graft.sources.Sinks
     val root = Files.createTempDirectory("vgroupmove").toString
