@@ -419,6 +419,23 @@ class DataMixSpec extends AnyFunSuite {
     assert(incr === full)
   }
 
+  test("cross jaccard equals the full exact self-join restricted to cross pairs") {
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val base = docs2.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs2.filter(col("doc_id") % 5 === 0)
+    val cross = NearDedup.ngramJaccardCrossOf(base, batch, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the PPJoin self-join over the union, cross-role pairs only,
+    // reoriented (base, batch) — the one-sided prefix filter must be
+    // LOSSLESS, not merely high-recall
+    val full = NearDedup.ngramJaccardOf(docs2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (b, a) else (a, b) }.toSet
+    assert(cross === full)
+    assert(cross.nonEmpty, "vacuous fixture: no cross-split near-pairs in the corpus")
+  }
+
   test("bloom decontamination is result-identical to the exact plan on real data") {
     val docs2 = graft.sources.Tables.documents(spark, sf)
     val exact = NearDedup.decontaminateOf(
