@@ -73,6 +73,10 @@ object SparkEntry {
     // the snapshot store as a first-class DSv2 read path: live +
     // versionAsOf through format("graft-table"), parquet-delegated
     "q_snapshot_dsv2"    -> graft.sources.GraftTableDataSource.snapshotDsv2Result _,
+    // git-style branches over the store: three-way merge (disjoint
+    // key classes, zero conflicts) then a marker-only fast-forward —
+    // both censused against one closed-form oracle over orders
+    "q_branch_merge"     -> graft.sources.Branches.branchMergeResult _,
     // fixed-point integer PageRank over the customer→supplier graph:
     // exact LONG arithmetic, hash-matched vs a 3-iteration SQL unroll
     "q_graph_rank"       -> GraphRank.supplierRank _,
@@ -1465,6 +1469,42 @@ object SparkEntry {
         |FROM c ORDER BY phase, table_name""".stripMargin,
 
     "q_graph_rank" -> GraphRank.supplierRankOracle,
+
+    // both branch-merge phases in closed form: the three-way merge is
+    // (class-7 branch update) + (class-3 main update) + (class-5
+    // delete) + (class-2-derived inserts keyed past max(k)); the
+    // fast-forward phase flips class 1 of the merged state
+    "q_branch_merge" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS m FROM base),
+        |merged AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 7 THEN 'B' WHEN k % 10 = 3 THEN 'M'
+        |         ELSE status END AS status,
+        |    CASE WHEN k % 10 = 7 THEN CAST(price + CAST('11.11' AS DECIMAL(4,2)) AS DECIMAL(18,2))
+        |         WHEN k % 10 = 3 THEN CAST(price + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM base WHERE k % 10 <> 5
+        |  UNION ALL
+        |  SELECT m + k, 'N', CAST(100.00 + (k % 50) AS DECIMAL(18,2))
+        |  FROM base, mx WHERE k % 10 = 2),
+        |ff AS (
+        |  SELECT k, CASE WHEN k % 10 = 1 THEN 'F' ELSE status END AS status, price
+        |  FROM merged),
+        |c AS (
+        |  SELECT 'merged' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(price) AS DOUBLE) AS sum_price,
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT)) AS row_xor
+        |  FROM merged GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'ff', k % 10, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT))
+        |  FROM ff GROUP BY 2)
+        |SELECT phase, bucket, CAST(n AS BIGINT) AS n_rows, sum_price, row_xor
+        |FROM c ORDER BY phase, bucket""".stripMargin,
 
     // both connector reads in closed form: live = the quartered v2,
     // versionAsOf 1 = the even half

@@ -1,0 +1,410 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotDiff
+
+/** Conflict found by a three-way [[Branches.mergeBranch]] under the
+  * `fail` policy: both main and the branch changed the same key since
+  * the branch base, and not to the same state. */
+class BranchMergeConflict(msg: String) extends java.io.IOException(msg)
+
+/** GIT-STYLE BRANCHES over the versioned snapshot store — the
+  * lakehouse workflow (Nessie / LakeFS "data as code") the reference
+  * approximates by hand: its monthly updater effectively prepares next
+  * month's state "on the side" and swaps it in
+  * (`land_registry_monthly_update_database_upload.py` builds the
+  * changed rows before any consumer sees them). A branch makes that
+  * side-state first-class: publish experiments or staged updates on an
+  * isolated ref, validate them, then merge — fast-forward when main
+  * has not moved, three-way when it has.
+  *
+  * Layout (extends [[Sinks]]' claim/marker protocol; nothing about the
+  * main read path changes):
+  *
+  *   tablePath/_branches/<name>/base       branch-off version (digits);
+  *                                         conditional create = branch
+  *                                         uniqueness
+  *   tablePath/_branches/<name>/m????????  branch commit markers —
+  *                                         same NAME-IS-VERSION scheme
+  *                                         as `_manifests`
+  *
+  * Version NUMBERS stay global: a branch publish claims through the
+  * same `_claims` conditional-create as main, so branch and main
+  * writers can never collide on a directory, and a branch version dir
+  * is just another immutable `v????????` — invisible to main readers
+  * because only `_manifests` markers make a version live on main.
+  * Main's retention prune only ever deletes `_manifests`-marked
+  * versions, so branch-only versions are never swept from under a
+  * branch reader. Consequences, stated honestly:
+  *
+  *  - the branch BASE is a main version and ages out through main's
+  *    `retainVersions` like any other — a three-way merge needs the
+  *    base readable and fails loudly if retention already pruned it.
+  *    Branch lifetimes must fit the retention window (or publish with
+  *    a window sized for the branching workflow).
+  *  - FAST-FORWARD merge is one conditional marker create — zero data
+  *    movement at any scale, the same O(1) commit as a publish.
+  *  - merges follow [[Sinks.compactSnapshot]]'s concurrency stance:
+  *    the three-way publish carries `expectedVersion = mainHead + 1`,
+  *    so a concurrent main publisher makes the merge ABORT before
+  *    writing (retry against the new head) rather than bury the
+  *    publisher's commit; the fast-forward path verifies after its
+  *    marker lands that no foreign marker slipped into the gap and
+  *    fails loudly on the (slow-publisher) race it cannot prevent.
+  */
+object Branches {
+
+  private val markerRe = "m(\\d{8})".r
+  private val versionDirRe = "v(\\d{8})".r
+
+  private def branchesRoot(tablePath: String) = s"$tablePath/_branches"
+
+  private def branchPath(tablePath: String, name: String): org.apache.hadoop.fs.Path = {
+    // the writeZips precedent: a ref name is a single path segment,
+    // never a traversal
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+      name != "." && name != "..",
+      s"branch name must be a single path segment, got '$name'")
+    new org.apache.hadoop.fs.Path(branchesRoot(tablePath), name)
+  }
+
+  /** Create `name` at the current main head and return the base
+    * version. The `base` file is a conditional create, so creating an
+    * existing branch fails (atomically) instead of re-pointing it. */
+  def createBranch(spark: SparkSession, tablePath: String, name: String): Long = {
+    val base = Sinks.currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"cannot branch $tablePath: no published snapshot to branch from"))
+    val bdir = branchPath(tablePath, name)
+    val fs = Sinks.hadoopFs(spark, bdir)
+    fs.mkdirs(bdir)
+    val baseFile = new org.apache.hadoop.fs.Path(bdir, "base")
+    val created =
+      if (fs.getScheme == "file") {
+        val p = java.nio.file.Paths.get(baseFile.toUri.getPath)
+        try { java.nio.file.Files.write(p, base.toString.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { val out = fs.create(baseFile, false)
+          try out.write(base.toString.getBytes("UTF-8")) finally out.close(); true }
+        catch { case _: java.io.IOException if fs.exists(baseFile) => false }
+      }
+    if (!created) throw new java.io.IOException(
+      s"branch '$name' already exists at $tablePath")
+    // head starts at base: a marker for the base version
+    fs.create(new org.apache.hadoop.fs.Path(bdir, f"m$base%08d"), false).close()
+    base
+  }
+
+  /** The version this branch branched off. */
+  def branchBase(spark: SparkSession, tablePath: String, name: String): Long = {
+    val baseFile = new org.apache.hadoop.fs.Path(branchPath(tablePath, name), "base")
+    val fs = Sinks.hadoopFs(spark, baseFile)
+    if (!fs.exists(baseFile)) throw new java.io.FileNotFoundException(
+      s"no branch '$name' at $tablePath")
+    val in = fs.open(baseFile)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, n, "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  /** The branch head: newest branch commit marker, if the branch exists. */
+  def branchHead(spark: SparkSession, tablePath: String, name: String): Option[Long] = {
+    val bdir = branchPath(tablePath, name)
+    val fs = Sinks.hadoopFs(spark, bdir)
+    if (!fs.exists(bdir)) None
+    else fs.listStatus(bdir).toSeq.flatMap(_.getPath.getName match {
+      case markerRe(n) => Some(n.toLong)
+      case _           => None
+    }).maxOption
+  }
+
+  /** Read the branch head state — same immutable-version-dir pinning
+    * as [[Sinks.readSnapshot]]. */
+  def readBranch(spark: SparkSession, tablePath: String, name: String): DataFrame = {
+    val head = branchHead(spark, tablePath, name).getOrElse(
+      throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath"))
+    readVersionDir(spark, tablePath, head)
+  }
+
+  /** Read ANY version directory that still exists — branch versions
+    * have no `_manifests` marker, so [[Sinks.readSnapshotAt]]'s
+    * committed-versions check would refuse them; existence of the dir
+    * plus a marker in SOME ref namespace is the branch-world contract. */
+  private def readVersionDir(spark: SparkSession, tablePath: String, v: Long): DataFrame = {
+    val vdir = new org.apache.hadoop.fs.Path(tablePath, Sinks.versionDirName(v))
+    val fs = Sinks.hadoopFs(spark, vdir)
+    if (!fs.exists(vdir)) throw new java.io.FileNotFoundException(
+      s"version $v of $tablePath is gone (retention pruned it?)")
+    spark.read.parquet(vdir.toString)
+  }
+
+  /** Publish `df` as the branch's next commit. The version number is
+    * claimed through the SAME `_claims` space as main publishes, the
+    * data lands in an ordinary immutable version dir, and only the
+    * branch's marker namespace advances — main readers cannot observe
+    * any of it. Returns the branch's new head version. */
+  def publishToBranch(df: DataFrame, dateCol: String, tablePath: String,
+                      name: String,
+                      writerOptions: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val bdir = branchPath(tablePath, name)
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = Sinks.hadoopFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bdir, "base")))
+      throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath")
+    // same claim-scan base as publishSnapshot: past every version dir
+    // that exists, committed or branch-only
+    val existing: Seq[Long] = fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case versionDirRe(n) => Some(n.toLong)
+        case _               => None
+      }
+    }.flatten
+    val claimsDir = new org.apache.hadoop.fs.Path(root, "_claims")
+    val next = Sinks.claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
+    Sinks.writeMonthlySnapshot(df, dateCol, s"$tablePath/${Sinks.versionDirName(next)}",
+      writerOptions)
+    fs.create(new org.apache.hadoop.fs.Path(bdir, f"m$next%08d"), false).close()
+    next
+  }
+
+  /** The three-way divergence of a branch against main: branch-side
+    * and main-side change feeds since the base (both change-sized —
+    * one keyed full-outer join each, see [[SnapshotDiff.diffOf]]) and
+    * the CONFLICTS between them — keys BOTH sides changed, minus keys
+    * both sides drove to the identical state (same change type, all
+    * new values null-safe equal — Git's "both added the same line").
+    * Exposed for dry-run tooling; [[mergeBranch]] consumes it. */
+  def divergence(spark: SparkSession, tablePath: String, name: String,
+                 key: String, compareCols: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = branchBase(spark, tablePath, name)
+    val bHead = branchHead(spark, tablePath, name).getOrElse(
+      throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath"))
+    val mHead = Sinks.currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
+    val baseDf = readVersionDir(spark, tablePath, base)
+    val theirs = SnapshotDiff.diffOf(baseDf, readVersionDir(spark, tablePath, bHead),
+      key, compareCols)
+    val ours = SnapshotDiff.diffOf(baseDf, readVersionDir(spark, tablePath, mHead),
+      key, compareCols)
+    val sameState = compareCols.map(c =>
+        col(s"t.new_$c") <=> col(s"o.new_$c")).reduce(_ && _) &&
+      col(s"t.change_type") === col(s"o.change_type")
+    val conflicts = theirs.as("t").join(ours.as("o"), col(s"t.$key") === col(s"o.$key"))
+      .filter(!sameState)
+      .select(col(s"t.$key").as(key),
+        col(s"t.change_type").as("branch_change"),
+        col(s"o.change_type").as("main_change"))
+    (theirs, ours, conflicts)
+  }
+
+  /** MERGE the branch into main and return the new main head.
+    *
+    *  - branch head == base: nothing to merge; returns main head.
+    *  - main head == base (main never moved): FAST-FORWARD — one
+    *    conditional create of `_manifests/m<branchHead>`; the branch's
+    *    immutable version dir simply BECOMES the live main version,
+    *    zero bytes rewritten. Afterwards the marker list is re-checked:
+    *    a foreign marker inside (base, branchHead) means a slow
+    *    concurrent publisher committed into the gap — detected and
+    *    raised (the one race conditional creates cannot close; see the
+    *    class doc), never silently buried.
+    *  - diverged: three-way row merge. Keys changed only on the branch
+    *    take the branch state; keys changed only on main keep main's;
+    *    keys changed on BOTH to different states are conflicts —
+    *    `onConflict = "fail"` (default) raises [[BranchMergeConflict]]
+    *    with a count and sample, `"ours"` keeps main, `"theirs"` takes
+    *    the branch. The merged state is main + the branch feed applied
+    *    ([[SnapshotDiff.applyDiff]] — change-sized work over one keyed
+    *    join), published with `expectedVersion = mainHead + 1` so a
+    *    racing main publisher aborts the merge instead of being
+    *    shadowed (the compaction OCC precedent).
+    *
+    * The merge commits on MAIN only; the branch ref stays where it was
+    * (delete it with [[deleteBranch]] when done, or keep publishing to
+    * it and merge again later — its base does not move). */
+  def mergeBranch(spark: SparkSession, tablePath: String, name: String,
+                  key: String, compareCols: Seq[String], dateCol: String,
+                  onConflict: String = "fail",
+                  retainVersions: Int = 2): Long = {
+    require(Set("fail", "ours", "theirs")(onConflict),
+      s"onConflict must be fail|ours|theirs, got '$onConflict'")
+    // the merged state is rebuilt from (key, compareCols) alone — the
+    // publish's partition column must be among them or it would vanish
+    require((key +: compareCols).contains(dateCol),
+      s"dateCol '$dateCol' must be the key or a compare column to survive the merge")
+    val base = branchBase(spark, tablePath, name)
+    val bHead = branchHead(spark, tablePath, name).get
+    val mHead = Sinks.currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
+    if (bHead == base) return mHead // branch never moved: nothing to merge
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = Sinks.hadoopFs(spark, root)
+    if (mHead == base) {
+      // fast-forward: the branch version dir becomes live via one marker
+      if (!Sinks.tryClaim(fs, new org.apache.hadoop.fs.Path(root, "_manifests"),
+          bHead, "m"))
+        throw new ConcurrentSnapshotUpdate(
+          s"fast-forward of '$name' onto $tablePath: marker m$bHead already exists")
+      // detection of the slow-publisher race: any foreign marker that
+      // landed strictly inside (base, bHead) is now shadowed by ours
+      val interleaved = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "_manifests")).toSeq.flatMap(
+        _.getPath.getName match {
+          case markerRe(n) => Some(n.toLong)
+          case _           => None
+        }).filter(v => v > base && v < bHead)
+      if (interleaved.nonEmpty)
+        throw new ConcurrentSnapshotUpdate(
+          s"fast-forward of '$name' onto $tablePath raced a concurrent publish " +
+          s"(markers ${interleaved.mkString(",")} inside ($base, $bHead)); the " +
+          "branch content is committed but does NOT include those versions — " +
+          "merge their changes forward before trusting the head")
+      bHead
+    } else {
+      val (theirs, _, conflicts) = divergence(spark, tablePath, name, key, compareCols)
+      val feed = onConflict match {
+        case "theirs" => theirs
+        case "ours"   => theirs.join(conflicts.select(key), Seq(key), "left_anti")
+        case "fail" =>
+          // one bounded action: count + a small sample for the message
+          val sample = conflicts.limit(6).collect()
+          if (sample.nonEmpty) {
+            val n = conflicts.count()
+            throw new BranchMergeConflict(
+              s"merge of '$name' into $tablePath: $n conflicting key(s), e.g. " +
+              sample.take(5).map(r => s"${r.get(0)}(${r.getString(1)}/${r.getString(2)})")
+                .mkString(", ") +
+              " — resolve with onConflict=ours|theirs or rebase the branch")
+          }
+          theirs
+      }
+      val mainDf = readVersionDir(spark, tablePath, mHead)
+      val merged = SnapshotDiff.applyDiff(mainDf, feed, key, compareCols)
+      Sinks.publishSnapshot(merged, dateCol, tablePath,
+        retainVersions = retainVersions, expectedVersion = Some(mHead + 1))
+    }
+  }
+
+  // ---- Registered surface ----------------------------------------------
+
+  /** `q_branch_merge`: both merge paths exercised end-to-end and
+    * censused against one CLOSED-FORM DuckDB oracle over `orders`.
+    * Scenario (the reference's staged-monthly-update workflow):
+    * publish the base → branch `staged` → the branch updates key class
+    * 7, deletes class 5 and inserts new keys derived from class 2
+    * (offset by max(key), collision-free at any sf — the e2e
+    * precedent) → MAIN independently updates class 3 (diverged, but
+    * disjoint classes: zero conflicts by construction) → THREE-WAY
+    * merge → census; then branch `ff` flips class 1 while main holds
+    * still → FAST-FORWARD merge (marker-only commit) → census. Both
+    * censuses are per-bucket (count, exact decimal price sum surfaced
+    * as DOUBLE, 60-bit key|status XOR) — every cell derivable from
+    * `orders` by modular arithmetic without seeing a snapshot. Fixture
+    * builds once per JVM (the group-publish precedent); the merged
+    * census is taken while the merge is live and PERSISTED (the ff
+    * commit advances the head past it). */
+  def branchMergeResult(spark: SparkSession, dir: String): DataFrame = {
+    def census(st: DataFrame, phase: String): DataFrame = st
+      .select((col("o_orderkey") % 10).cast("long").as("bucket"), col("price"),
+        graft.operators.Reconcile.xorHash60(
+          concat_ws("|", col("o_orderkey").cast("string"), col("status"))).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("price").cast("double").as("sum_price"),
+        expr("bit_xor(h)").as("row_xor"))
+      .select(lit(phase).as("phase"), col("bucket"), col("n_rows"),
+        col("sum_price"), col("row_xor"))
+    val fixture = branchFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("branch_fx")
+      val tbl = s"$f/tbl"
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderstatus").cast("string").as("status"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      // retention must keep the branch base readable through the walk
+      Sinks.publishSnapshot(base, "odate", tbl, retainVersions = 6)
+      createBranch(spark, tbl, "staged")
+      // one bounded driver value: the insert-key offset (scale-proof)
+      val maxKey = base.agg(max("o_orderkey")).head().getLong(0)
+      val inserts = base.filter(col("o_orderkey") % 10 === 2).select(
+        (col("o_orderkey") + lit(maxKey)).as("o_orderkey"),
+        col("odate"), lit("N").as("status"),
+        expr("CAST(100.00 + (o_orderkey % 50) AS DECIMAL(18,2))").as("price"))
+      val branchSt = base.filter(col("o_orderkey") % 10 =!= 5)
+        .withColumn("status",
+          when(col("o_orderkey") % 10 === 7, lit("B")).otherwise(col("status")))
+        .withColumn("price", expr(
+          "CAST(CASE WHEN o_orderkey % 10 = 7 THEN price + CAST('11.11' AS DECIMAL(4,2)) " +
+          "ELSE price END AS DECIMAL(18,2))"))
+        .unionByName(inserts)
+      publishToBranch(branchSt, "odate", tbl, "staged")
+      val mainSt = base
+        .withColumn("status",
+          when(col("o_orderkey") % 10 === 3, lit("M")).otherwise(col("status")))
+        .withColumn("price", expr(
+          "CAST(CASE WHEN o_orderkey % 10 = 3 THEN price + CAST('5.00' AS DECIMAL(3,2)) " +
+          "ELSE price END AS DECIMAL(18,2))"))
+      Sinks.publishSnapshot(mainSt, "odate", tbl, retainVersions = 6)
+      mergeBranch(spark, tbl, "staged", "o_orderkey",
+        Seq("odate", "status", "price"), "odate", retainVersions = 6)
+      census(Sinks.readSnapshot(spark, tbl), "merged")
+        .coalesce(1).write.parquet(s"$f/merged")
+      createBranch(spark, tbl, "ff")
+      val ffSt = Sinks.readSnapshot(spark, tbl)
+        .select("o_orderkey", "odate", "status", "price")
+        .withColumn("status",
+          when(col("o_orderkey") % 10 === 1, lit("F")).otherwise(col("status")))
+      publishToBranch(ffSt, "odate", tbl, "ff")
+      mergeBranch(spark, tbl, "ff", "o_orderkey",
+        Seq("odate", "status", "price"), "odate", retainVersions = 6)
+      census(Sinks.readSnapshot(spark, tbl), "ff")
+        .coalesce(1).write.parquet(s"$f/ff")
+      f
+    })
+    spark.read.parquet(s"$fixture/merged")
+      .unionByName(spark.read.parquet(s"$fixture/ff"))
+      .orderBy("phase", "bucket")
+  }
+
+  private val branchFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Delete the branch ref and garbage-collect its UNMERGED version
+    * dirs: versions the branch marked that no `_manifests` marker ever
+    * adopted (a fast-forwarded or otherwise merged head has one and is
+    * live main history — never touched). Ref dir goes first, so a
+    * concurrent reader resolving the branch fails on the missing ref
+    * rather than on vanishing data mid-scan. */
+  def deleteBranch(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val bdir = branchPath(tablePath, name)
+    val fs = Sinks.hadoopFs(spark, bdir)
+    if (!fs.exists(bdir)) return
+    val branchVersions = fs.listStatus(bdir).toSeq.flatMap(_.getPath.getName match {
+      case markerRe(n) => Some(n.toLong)
+      case _           => None
+    })
+    val root = new org.apache.hadoop.fs.Path(
+      bdir.getParent.getParent.toString) // tablePath
+    val mainMarked: Set[Long] = {
+      val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+      if (!fs.exists(mdir)) Set.empty
+      else fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+        case markerRe(n) => Some(n.toLong)
+        case _           => None
+      }).toSet
+    }
+    fs.delete(bdir, true)
+    branchVersions.filterNot(mainMarked).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, Sinks.versionDirName(v)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, f"_claims/c$v%08d"), false)
+    }
+  }
+}

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Branches, BranchMergeConflict, Sinks}
+
+/** Branch semantics over the versioned snapshot store: isolation,
+  * fast-forward as a marker-only commit, three-way merge outcomes per
+  * conflict policy, Git's both-sides-identical non-conflict, and
+  * branch deletion GC that never touches merged history. */
+class BranchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def state(rows: (Long, String, Long)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("k", "v", "d").withColumn("d", to_date(concat(lit("2024-01-0"), col("d"))))
+
+  private def snap(tbl: String): Map[Long, String] =
+    Sinks.readSnapshot(spark, tbl).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private val cmp = Seq("v", "d")
+
+  private def freshTable(): String = {
+    val tbl = graft.util.Scratch.dir("branch_spec") + "/t"
+    Sinks.publishSnapshot(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+    tbl
+  }
+
+  test("branch publishes are invisible to main; reads are isolated") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    val mainBefore = Sinks.currentVersion(spark, tbl).get
+    Branches.publishToBranch(state((1L, "A", 1), (2L, "b", 1)), "d", tbl, "x")
+    assert(Sinks.currentVersion(spark, tbl).get == mainBefore)
+    assert(snap(tbl) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    val br = Branches.readBranch(spark, tbl, "x").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(br == Map(1L -> "A", 2L -> "b"))
+  }
+
+  test("fast-forward merge commits the branch version dir itself — no copy") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    val head = Branches.publishToBranch(
+      state((1L, "A", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    val merged = Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d")
+    // marker-only: the live main version IS the branch's version number
+    assert(merged == head)
+    assert(Sinks.currentVersion(spark, tbl).contains(head))
+    assert(snap(tbl)(1L) == "A")
+  }
+
+  test("merging a branch that never moved is a no-op") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "idle")
+    val before = Sinks.currentVersion(spark, tbl).get
+    assert(Branches.mergeBranch(spark, tbl, "idle", "k", cmp, "d") == before)
+  }
+
+  test("diverged merge: disjoint edits from both sides land; conflicts fail loudly") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    // branch: update k=1, delete k=2, insert k=4
+    Branches.publishToBranch(
+      state((1L, "A", 1), (3L, "c", 2), (4L, "d4", 2)), "d", tbl, "x")
+    // main moves independently: update k=3
+    Sinks.publishSnapshot(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "C", 2)), "d", tbl, retainVersions = 8)
+    Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d", retainVersions = 8)
+    assert(snap(tbl) == Map(1L -> "A", 3L -> "C", 4L -> "d4"))
+  }
+
+  test("conflicting key: fail raises with count, ours keeps main, theirs takes branch") {
+    def diverge(): String = {
+      val tbl = freshTable()
+      Branches.createBranch(spark, tbl, "x")
+      Branches.publishToBranch(
+        state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+      Sinks.publishSnapshot(
+        state((1L, "MAIN", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+      tbl
+    }
+    val t1 = diverge()
+    val e = intercept[BranchMergeConflict] {
+      Branches.mergeBranch(spark, t1, "x", "k", cmp, "d", retainVersions = 8)
+    }
+    assert(e.getMessage.contains("1 conflicting key"))
+    val t2 = diverge()
+    Branches.mergeBranch(spark, t2, "x", "k", cmp, "d", onConflict = "ours",
+      retainVersions = 8)
+    assert(snap(t2)(1L) == "MAIN")
+    val t3 = diverge()
+    Branches.mergeBranch(spark, t3, "x", "k", cmp, "d", onConflict = "theirs",
+      retainVersions = 8)
+    assert(snap(t3)(1L) == "BR")
+  }
+
+  test("both sides making the IDENTICAL change is not a conflict") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    Branches.publishToBranch(
+      state((1L, "same", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    Sinks.publishSnapshot(
+      state((1L, "same", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+    Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d", retainVersions = 8)
+    assert(snap(tbl)(1L) == "same")
+  }
+
+  test("delete-vs-update IS a conflict; theirs resurrects, ours keeps the delete") {
+    def diverge(): String = {
+      val tbl = freshTable()
+      Branches.createBranch(spark, tbl, "x")
+      // branch updates k=1; main deletes it
+      Branches.publishToBranch(
+        state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+      Sinks.publishSnapshot(
+        state((2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+      tbl
+    }
+    intercept[BranchMergeConflict] {
+      Branches.mergeBranch(spark, diverge(), "x", "k", cmp, "d", retainVersions = 8)
+    }
+    val t2 = diverge()
+    Branches.mergeBranch(spark, t2, "x", "k", cmp, "d", onConflict = "theirs",
+      retainVersions = 8)
+    assert(snap(t2).get(1L).contains("BR"))
+    val t3 = diverge()
+    Branches.mergeBranch(spark, t3, "x", "k", cmp, "d", onConflict = "ours",
+      retainVersions = 8)
+    assert(!snap(t3).contains(1L))
+  }
+
+  test("createBranch is conditional: a second create of the same name fails") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "dup")
+    intercept[java.io.IOException] { Branches.createBranch(spark, tbl, "dup") }
+    intercept[IllegalArgumentException] {
+      Branches.createBranch(spark, tbl, "../escape")
+    }
+  }
+
+  test("deleteBranch GCs unmerged branch versions but never merged history") {
+    val tbl = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ff-merged branch: its version becomes main history, survives delete
+    Branches.createBranch(spark, tbl, "kept")
+    val mergedV = Branches.publishToBranch(
+      state((1L, "A", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "kept")
+    Branches.mergeBranch(spark, tbl, "kept", "k", cmp, "d")
+    Branches.deleteBranch(spark, tbl, "kept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tbl, f"v$mergedV%08d")))
+    assert(snap(tbl)(1L) == "A")
+    // abandoned branch: its unmerged version dir is swept
+    Branches.createBranch(spark, tbl, "scrap")
+    val scrapV = Branches.publishToBranch(
+      state((9L, "z", 1)), "d", tbl, "scrap")
+    Branches.deleteBranch(spark, tbl, "scrap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, f"v$scrapV%08d")))
+    assert(Branches.branchHead(spark, tbl, "scrap").isEmpty)
+  }
+
+  test("three-way merge publishes with OCC: a racing claim aborts the merge") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    Branches.publishToBranch(
+      state((1L, "A", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    Sinks.publishSnapshot(
+      state((1L, "a", 1), (2L, "B", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+    // simulate a concurrent publisher owning mainHead+1
+    val mHead = Sinks.currentVersion(spark, tbl).get
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stolen = new org.apache.hadoop.fs.Path(tbl, f"_claims/c${mHead + 1}%08d")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stolen.getParent.toUri.getPath))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(stolen.toUri.getPath))
+    intercept[graft.sources.ConcurrentSnapshotUpdate] {
+      Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d", retainVersions = 8)
+    }
+    // main state untouched by the aborted merge
+    assert(snap(tbl)(2L) == "B")
+  }
+}
