@@ -292,6 +292,83 @@ object Branches {
     }
   }
 
+  /** REBASE the branch onto the current main head: replay the branch's
+    * change feed since its base onto main's CURRENT state as a new
+    * branch commit, then advance the branch base to the main head —
+    * after which [[mergeBranch]] is a pure marker-only fast-forward
+    * (as long as main holds still). This is the resolution path the
+    * conflict message points at: rebase, re-validate on the branch,
+    * merge clean.
+    *
+    * Conflict policy matches [[mergeBranch]] AND Git's rebase seats:
+    * `"ours"` is main (the side being rebased ONTO — the conflicting
+    * branch change is dropped), `"theirs"` is the branch. Returns the
+    * branch's new head version.
+    *
+    * Concurrency contract, stated honestly: a branch ref has ONE
+    * writer (the Git model — nobody rebases a branch from two clients
+    * at once), so the base advance is a plain overwrite, not a
+    * conditional create. Crash between the replayed publish and the
+    * base advance leaves base stale with the replayed head live on the
+    * branch; the stale-base divergence then re-reports main's own
+    * changes as branch changes, which are identical-state against
+    * main's feed and therefore merge as NON-conflicts — a redundant
+    * but correct three-way merge, never a wrong state. */
+  def rebaseBranch(spark: SparkSession, tablePath: String, name: String,
+                   key: String, compareCols: Seq[String], dateCol: String,
+                   onConflict: String = "fail"): Long = {
+    require(Set("fail", "ours", "theirs")(onConflict),
+      s"onConflict must be fail|ours|theirs, got '$onConflict'")
+    require((key +: compareCols).contains(dateCol),
+      s"dateCol '$dateCol' must be the key or a compare column to survive the rebase")
+    val base = branchBase(spark, tablePath, name)
+    val bHead = branchHead(spark, tablePath, name).get
+    val mHead = Sinks.currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
+    if (mHead == base) return bHead // already based on main's head
+    val bdir = branchPath(tablePath, name)
+    val fs = Sinks.hadoopFs(spark, bdir)
+    if (bHead == base) {
+      // no branch commits to replay: just advance the ref. mHead is a
+      // committed main version, so deleteBranch can never GC it.
+      fs.create(new org.apache.hadoop.fs.Path(bdir, f"m$mHead%08d"), false).close()
+      overwriteBase(fs, bdir, mHead)
+      return mHead
+    }
+    val (theirs, _, conflicts) = divergence(spark, tablePath, name, key, compareCols)
+    val feed = onConflict match {
+      case "theirs" => theirs
+      case "ours"   => theirs.join(conflicts.select(key), Seq(key), "left_anti")
+      case "fail" =>
+        val sample = conflicts.limit(6).collect()
+        if (sample.nonEmpty) {
+          val n = conflicts.count()
+          throw new BranchMergeConflict(
+            s"rebase of '$name' onto $tablePath head $mHead: $n conflicting key(s), e.g. " +
+            sample.take(5).map(r => s"${r.get(0)}(${r.getString(1)}/${r.getString(2)})")
+              .mkString(", ") +
+            " — resolve with onConflict=ours|theirs")
+        }
+        theirs
+    }
+    val rebased = SnapshotDiff.applyDiff(
+      readVersionDir(spark, tablePath, mHead), feed, key, compareCols)
+    // publish the replayed state FIRST, then advance the base — the
+    // reverse order would leave a window where base > head (a diff in
+    // the wrong direction); this order's window is the crash case the
+    // doc comment proves redundant-but-correct
+    val v = publishToBranch(rebased, dateCol, tablePath, name)
+    overwriteBase(fs, bdir, mHead)
+    v
+  }
+
+  /** Single-writer ref advance (see [[rebaseBranch]]'s contract). */
+  private def overwriteBase(fs: org.apache.hadoop.fs.FileSystem,
+                            bdir: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(bdir, "base"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   // ---- Registered surface ----------------------------------------------
 
   /** `q_branch_merge`: both merge paths exercised end-to-end and

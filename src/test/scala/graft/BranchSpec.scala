@@ -162,6 +162,72 @@ class BranchSpec extends AnyFunSuite {
     assert(Branches.branchHead(spark, tbl, "scrap").isEmpty)
   }
 
+  test("rebase replays branch changes onto a moved main; merge then fast-forwards") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    // branch: update k=1, insert k=4; main independently updates k=3
+    Branches.publishToBranch(
+      state((1L, "A", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d4", 2)), "d", tbl, "x")
+    Sinks.publishSnapshot(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "C", 2)), "d", tbl, retainVersions = 8)
+    val mHead = Sinks.currentVersion(spark, tbl).get
+    val newHead = Branches.rebaseBranch(spark, tbl, "x", "k", cmp, "d")
+    // base advanced to main's head; branch state carries BOTH edits
+    assert(Branches.branchBase(spark, tbl, "x") == mHead)
+    assert(Branches.branchHead(spark, tbl, "x").contains(newHead))
+    val br = Branches.readBranch(spark, tbl, "x").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(br == Map(1L -> "A", 2L -> "b", 3L -> "C", 4L -> "d4"))
+    // main untouched by the rebase
+    assert(snap(tbl) == Map(1L -> "a", 2L -> "b", 3L -> "C"))
+    // and the merge is now a pure fast-forward: marker-only, same version
+    assert(Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d",
+      retainVersions = 8) == newHead)
+    assert(snap(tbl) == br)
+  }
+
+  test("rebase conflicts: fail raises; ours keeps main's state; theirs the branch's") {
+    def diverge(): String = {
+      val tbl = freshTable()
+      Branches.createBranch(spark, tbl, "x")
+      Branches.publishToBranch(
+        state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+      Sinks.publishSnapshot(
+        state((1L, "MAIN", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+      tbl
+    }
+    val t1 = diverge()
+    val e = intercept[BranchMergeConflict] {
+      Branches.rebaseBranch(spark, t1, "x", "k", cmp, "d")
+    }
+    assert(e.getMessage.contains("rebase") && e.getMessage.contains("1 conflicting key"))
+    def branchV(tbl: String): String =
+      Branches.readBranch(spark, tbl, "x").filter(col("k") === 1)
+        .select("v").head().getString(0)
+    val t2 = diverge()
+    Branches.rebaseBranch(spark, t2, "x", "k", cmp, "d", onConflict = "ours")
+    assert(branchV(t2) == "MAIN")
+    val t3 = diverge()
+    Branches.rebaseBranch(spark, t3, "x", "k", cmp, "d", onConflict = "theirs")
+    assert(branchV(t3) == "BR")
+  }
+
+  test("rebase of an unmoved branch just advances the ref; no-op when main held still") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "idle")
+    val b0 = Branches.branchBase(spark, tbl, "idle")
+    // main held still: no-op, head stays at base
+    assert(Branches.rebaseBranch(spark, tbl, "idle", "k", cmp, "d") == b0)
+    Sinks.publishSnapshot(
+      state((1L, "a2", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+    val mHead = Sinks.currentVersion(spark, tbl).get
+    assert(Branches.rebaseBranch(spark, tbl, "idle", "k", cmp, "d") == mHead)
+    assert(Branches.branchBase(spark, tbl, "idle") == mHead)
+    // the adopted head is main history: deleting the branch must not GC it
+    Branches.deleteBranch(spark, tbl, "idle")
+    assert(snap(tbl)(1L) == "a2")
+  }
+
   test("three-way merge publishes with OCC: a racing claim aborts the merge") {
     val tbl = freshTable()
     Branches.createBranch(spark, tbl, "x")
