@@ -69,6 +69,27 @@ object Branches {
     new org.apache.hadoop.fs.Path(branchesRoot(tablePath), name)
   }
 
+  /** Versions marked by ANY ref under `_branches` — the claim-space
+    * numbers an OCC main publisher must look PAST: a settled branch
+    * version consumed a global number but is not, and will never
+    * become (short of a fast-forward merge), a concurrent MAIN
+    * commit. Consumed by [[Sinks.publishSnapshot]]'s exact-version
+    * path and [[DeletionVectors.publishDeletes]]; without the skip, a
+    * branch publish would make every subsequent parent+1 OCC commit
+    * on main abort spuriously. */
+  private[sources] def branchMarkedVersions(spark: SparkSession,
+                                            tablePath: String): Set[Long] = {
+    val root = new org.apache.hadoop.fs.Path(branchesRoot(tablePath))
+    val fs = Sinks.hadoopFs(spark, root)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { b =>
+      fs.listStatus(b.getPath).toSeq.flatMap(_.getPath.getName match {
+        case markerRe(n) => Some(n.toLong)
+        case _           => None
+      })
+    }.toSet
+  }
+
   /** Create `name` at the current main head and return the base
     * version. The `base` file is a conditional create, so creating an
     * existing branch fails (atomically) instead of re-pointing it. */
@@ -147,16 +168,40 @@ object Branches {
     * claimed through the SAME `_claims` space as main publishes, the
     * data lands in an ordinary immutable version dir, and only the
     * branch's marker namespace advances — main readers cannot observe
-    * any of it. Returns the branch's new head version. */
+    * any of it. Returns the branch's new head version.
+    *
+    * SCHEMA metadata rides along: the id mapping governing the ref
+    * head (or, after a rebase, `metaFromVersion`) is carried onto the
+    * branch version — resolved through any DV chain at the source —
+    * so an EVOLVED table's branch commits keep their id lineage and a
+    * fast-forward never puts a mapping-less version live. Branch
+    * publishes cannot CHANGE schema (names must match the carried
+    * mapping; evolve on main, then rebase) — without this guard a
+    * renamed branch frame would ship under a stale mapping and every
+    * as-of read through it would lie. */
   def publishToBranch(df: DataFrame, dateCol: String, tablePath: String,
                       name: String,
-                      writerOptions: Map[String, String] = Map.empty): Long = {
+                      writerOptions: Map[String, String] = Map.empty,
+                      metaFromVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val bdir = branchPath(tablePath, name)
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = Sinks.hadoopFs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(bdir, "base")))
       throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath")
+    val metaSrc = metaFromVersion.orElse(branchHead(spark, tablePath, name))
+    val carried: Map[String, String] = metaSrc match {
+      case Some(v) => Sinks.versionMeta(spark, tablePath,
+        DeletionVectors.baseDataVersion(spark, tablePath, v)) - FileStats.metaName
+      case None => Map.empty
+    }
+    carried.get(SchemaEvolution.schemaMetaName).foreach { content =>
+      val names = SchemaEvolution.parseSchema(content).map(_.name).toSet
+      require(df.columns.toSet == names,
+        s"branch '$name' publish columns ${df.columns.sorted.mkString(",")} must match " +
+        s"the governing schema ${names.toSeq.sorted.mkString(",")} — branch publishes " +
+        "cannot change schema; evolve on main, then rebase")
+    }
     // same claim-scan base as publishSnapshot: past every version dir
     // that exists, committed or branch-only
     val existing: Seq[Long] = fs.listStatus(root).toSeq.collect {
@@ -167,10 +212,40 @@ object Branches {
     }.flatten
     val claimsDir = new org.apache.hadoop.fs.Path(root, "_claims")
     val next = Sinks.claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
-    Sinks.writeMonthlySnapshot(df, dateCol, s"$tablePath/${Sinks.versionDirName(next)}",
-      writerOptions)
+    val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
+    Sinks.writeMonthlySnapshot(df, dateCol, vdir, writerOptions)
+    carried.foreach { case (mname, content) =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$mname"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
     fs.create(new org.apache.hadoop.fs.Path(bdir, f"m$next%08d"), false).close()
     next
+  }
+
+  /** Chain- and schema-resolved state of `v` for merge arithmetic:
+    * committed versions resolve their full DV/MoR chain
+    * ([[DeletionVectors.readMergedAt]] — a raw read of a vector-only
+    * version dir would find no data files at all); branch-only
+    * versions are plain data dirs by construction. When `target` is
+    * an evolved mapping, the state projects onto it BY ID, so every
+    * side of a three-way diff speaks main's CURRENT names even when
+    * the branch predates a rename. */
+  private def mergeState(spark: SparkSession, tablePath: String, v: Long,
+                         target: Option[Seq[SchemaEvolution.ColMeta]]): DataFrame = {
+    val phys =
+      if (Sinks.listVersions(spark, tablePath).contains(v))
+        DeletionVectors.readMergedAt(spark, tablePath, v)
+      else readVersionDir(spark, tablePath, v)
+    target match {
+      case Some(t) =>
+        val atV = SchemaEvolution.schemaOf(spark, tablePath, v).getOrElse(
+          throw new IllegalStateException(
+            s"version $v of $tablePath has no schema mapping but the merge " +
+            "target does — it predates evolution and cannot be id-resolved"))
+        SchemaEvolution.projectByIds(phys, atV, t)
+      case None => phys
+    }
   }
 
   /** The three-way divergence of a branch against main: branch-side
@@ -179,7 +254,11 @@ object Branches {
     * the CONFLICTS between them — keys BOTH sides changed, minus keys
     * both sides drove to the identical state (same change type, all
     * new values null-safe equal — Git's "both added the same line").
-    * Exposed for dry-run tooling; [[mergeBranch]] consumes it. */
+    * All three states are chain-resolved and id-projected onto main's
+    * current schema first ([[mergeState]]), so a rename on main while
+    * the branch was open diffs as itself and a DV/MoR-amended head
+    * diffs by its MERGED rows. Exposed for dry-run tooling;
+    * [[mergeBranch]] consumes it. */
   def divergence(spark: SparkSession, tablePath: String, name: String,
                  key: String, compareCols: Seq[String])
       : (DataFrame, DataFrame, DataFrame) = {
@@ -188,10 +267,11 @@ object Branches {
       throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath"))
     val mHead = Sinks.currentVersion(spark, tablePath).getOrElse(
       throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
-    val baseDf = readVersionDir(spark, tablePath, base)
-    val theirs = SnapshotDiff.diffOf(baseDf, readVersionDir(spark, tablePath, bHead),
+    val target = SchemaEvolution.schemaOf(spark, tablePath, mHead)
+    val baseDf = mergeState(spark, tablePath, base, target)
+    val theirs = SnapshotDiff.diffOf(baseDf, mergeState(spark, tablePath, bHead, target),
       key, compareCols)
-    val ours = SnapshotDiff.diffOf(baseDf, readVersionDir(spark, tablePath, mHead),
+    val ours = SnapshotDiff.diffOf(baseDf, mergeState(spark, tablePath, mHead, target),
       key, compareCols)
     val sameState = compareCols.map(c =>
         col(s"t.new_$c") <=> col(s"o.new_$c")).reduce(_ && _) &&
@@ -268,6 +348,8 @@ object Branches {
           "merge their changes forward before trusting the head")
       bHead
     } else {
+      val target = SchemaEvolution.schemaOf(spark, tablePath, mHead)
+      requireFullPayload(target, key, compareCols, "merge")
       val (theirs, _, conflicts) = divergence(spark, tablePath, name, key, compareCols)
       val feed = onConflict match {
         case "theirs" => theirs
@@ -285,12 +367,37 @@ object Branches {
           }
           theirs
       }
-      val mainDf = readVersionDir(spark, tablePath, mHead)
+      val mainDf = mergeState(spark, tablePath, mHead, target)
       val merged = SnapshotDiff.applyDiff(mainDf, feed, key, compareCols)
+      // the merged publish is content-rebuilding but schema-neutral,
+      // so main's id mapping (and the maxid high-water mark) must ride
+      // onto it — the materializeDeletes precedent; file stats are
+      // recomputed for the new layout rather than carried
+      val carried = Sinks.versionMeta(spark, tablePath,
+        DeletionVectors.baseDataVersion(spark, tablePath, mHead))
       Sinks.publishSnapshot(merged, dateCol, tablePath,
-        retainVersions = retainVersions, expectedVersion = Some(mHead + 1))
+        retainVersions = retainVersions, expectedVersion = Some(mHead + 1),
+        extraMeta = carried - FileStats.metaName,
+        statsCols = carried.get(FileStats.metaName)
+          .map(FileStats.colsOf).getOrElse(Nil))
     }
   }
+
+  /** A three-way merge/rebase rebuilds FULL row images from
+    * `(key, compareCols)` — on an evolved table those must cover the
+    * live schema exactly, or the rebuilt publish would silently drop
+    * (or invent) columns its carried id mapping still declares. */
+  private def requireFullPayload(target: Option[Seq[SchemaEvolution.ColMeta]],
+                                 key: String, compareCols: Seq[String],
+                                 what: String): Unit =
+    target.foreach { t =>
+      val declared = t.map(_.name).toSet
+      val given = (key +: compareCols).toSet
+      require(given == declared,
+        s"evolved-table $what rebuilds full rows: key+compareCols " +
+        s"${given.toSeq.sorted.mkString(",")} must equal the live schema " +
+        s"${declared.toSeq.sorted.mkString(",")}")
+    }
 
   /** REBASE the branch onto the current main head: replay the branch's
     * change feed since its base onto main's CURRENT state as a new
@@ -335,6 +442,8 @@ object Branches {
       overwriteBase(fs, bdir, mHead)
       return mHead
     }
+    val target = SchemaEvolution.schemaOf(spark, tablePath, mHead)
+    requireFullPayload(target, key, compareCols, "rebase")
     val (theirs, _, conflicts) = divergence(spark, tablePath, name, key, compareCols)
     val feed = onConflict match {
       case "theirs" => theirs
@@ -352,12 +461,16 @@ object Branches {
         theirs
     }
     val rebased = SnapshotDiff.applyDiff(
-      readVersionDir(spark, tablePath, mHead), feed, key, compareCols)
+      mergeState(spark, tablePath, mHead, target), feed, key, compareCols)
     // publish the replayed state FIRST, then advance the base — the
     // reverse order would leave a window where base > head (a diff in
     // the wrong direction); this order's window is the crash case the
-    // doc comment proves redundant-but-correct
-    val v = publishToBranch(rebased, dateCol, tablePath, name)
+    // doc comment proves redundant-but-correct. The replayed state
+    // speaks main's CURRENT names, so it carries mHead's id mapping,
+    // not the stale ref head's — after this the branch IS in the
+    // evolved schema
+    val v = publishToBranch(rebased, dateCol, tablePath, name,
+      metaFromVersion = Some(mHead))
     overwriteBase(fs, bdir, mHead)
     v
   }

@@ -56,7 +56,13 @@ object DeletionVectors {
     }
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = Sinks.hadoopFs(spark, root)
-    val next = parent + 1
+    // parent+1 OCC, but the predicate is "no MAIN commit since parent":
+    // settled BRANCH versions consumed numbers from the shared claim
+    // space without ever being main commits, so walk past them before
+    // the single conditional create (the publishSnapshot discipline)
+    val branchMarked = Branches.branchMarkedVersions(spark, tablePath)
+    var next = parent + 1
+    while (branchMarked.contains(next)) next += 1
     if (!Sinks.tryClaim(fs, new org.apache.hadoop.fs.Path(root, "_claims"), next, "c"))
       throw new ConcurrentSnapshotUpdate(
         s"delete-publish of $tablePath expected version $next but its claim is " +

@@ -31,6 +31,17 @@ object SchemaEvolution {
 
   private val metaName = "schema"
 
+  /** The `extraMeta` key the id mapping rides under — exposed so the
+    * branch publish path can carry and validate it. */
+  private[sources] def schemaMetaName: String = metaName
+
+  /** Parse a serialized mapping (the [[render]] inverse). */
+  private[sources] def parseSchema(content: String): Seq[ColMeta] =
+    content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(id, name, ddl) = line.split("\t", 3)
+      ColMeta(id.toLong, name, ddl)
+    }
+
   /** High-water mark of every id EVER minted, persisted with each
     * version. Minting above the LIVE mapping's max would be wrong:
     * drop the max-id column and the next add would re-mint the
@@ -56,12 +67,7 @@ object SchemaEvolution {
   def schemaOf(spark: SparkSession, tablePath: String, version: Long): Option[Seq[ColMeta]] =
     Sinks.versionMeta(spark, tablePath,
         DeletionVectors.baseDataVersion(spark, tablePath, version))
-      .get(metaName).map { content =>
-        content.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-          val Array(id, name, ddl) = line.split("\t", 3)
-          ColMeta(id.toLong, name, ddl)
-        }
-      }
+      .get(metaName).map(parseSchema)
 
   /** Publish `df` as the next version WITH its id mapping. Ids carry
     * over by name from the live version's mapping; `renamedFrom` maps
@@ -135,11 +141,23 @@ object SchemaEvolution {
       throw new java.io.FileNotFoundException(
         s"version $asOf of $tablePath has no schema mapping " +
         "(published without SchemaEvolution.publishEvolved)"))
-    val atV: Map[Long, ColMeta] = schemaOf(spark, tablePath, version).getOrElse(
+    val atV = schemaOf(spark, tablePath, version).getOrElse(
       throw new java.io.FileNotFoundException(
-        s"version $version of $tablePath has no schema mapping")).map(c => c.id -> c).toMap
+        s"version $version of $tablePath has no schema mapping"))
+    projectByIds(phys, atV, target)
+  }
+
+  /** Project a physical state whose columns `atV` describes onto the
+    * `target` mapping BY ID: present ids select under the target name
+    * (lossless type widenings only), absent ids null-fill, ids the
+    * target lacks vanish. The projection core of every as-of read;
+    * also the branch-merge path's way of bringing a branch state
+    * published under pre-evolution names into main's current schema. */
+  private[sources] def projectByIds(phys: DataFrame, atV: Seq[ColMeta],
+                                    target: Seq[ColMeta]): DataFrame = {
+    val byId: Map[Long, ColMeta] = atV.map(c => c.id -> c).toMap
     val projection: Seq[Column] = target.map { c =>
-      atV.get(c.id) match {
+      byId.get(c.id) match {
         case Some(old) if old.ddl == c.ddl => col(old.name).as(c.name)
         case Some(old) =>
           // TYPE evolution: follow the as-of schema, but only through

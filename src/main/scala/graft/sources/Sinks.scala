@@ -316,13 +316,23 @@ object Sinks {
     val claimsDir = new org.apache.hadoop.fs.Path(root, "_claims")
     val next = expectedVersion match {
       // exact-version publish: ONE conditional create of that claim —
-      // an abort burns nothing (no walk-up claim, no data)
+      // an abort burns nothing (no walk-up claim, no data). The OCC
+      // predicate is "no MAIN commit since e-1", not number density:
+      // settled BRANCH versions consumed numbers from the shared claim
+      // space without ever being main commits, so the expectation
+      // walks past them before its single conditional create. (An
+      // in-flight branch publisher that claimed but has not yet marked
+      // still aborts this publish — spurious but safe; retry after it
+      // settles.)
       case Some(e) =>
-        if (!tryClaim(fs, claimsDir, e, "c"))
+        val branchMarked = Branches.branchMarkedVersions(spark, tablePath)
+        var n = e
+        while (branchMarked.contains(n)) n += 1
+        if (!tryClaim(fs, claimsDir, n, "c"))
           throw new ConcurrentSnapshotUpdate(
-            s"publish of $tablePath expected version $e but its claim is already " +
+            s"publish of $tablePath expected version $n but its claim is already " +
             "taken (a concurrent publisher owns it); no data was written")
-        e
+        n
       case None => claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
     }
     writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions,

@@ -228,6 +228,97 @@ class BranchSpec extends AnyFunSuite {
     assert(snap(tbl)(1L) == "a2")
   }
 
+  test("merge resolves a DV/MoR chain at main's head — and a chained base") {
+    val tbl = freshTable()
+    Branches.createBranch(spark, tbl, "x")
+    // branch: update k=1
+    Branches.publishToBranch(
+      state((1L, "A", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    // main moves as a CHAIN, never a rewrite: DV-delete k=2, then
+    // MoR-upsert k=3 — the live "state" exists only merged
+    sources.DeletionVectors.publishDeletes(spark, tbl, Seq(2L).toDF("k"), "k")
+    sources.DeletionVectors.publishUpsert(spark, tbl,
+      state((3L, "C3", 2)), "k", spark.emptyDataFrame.select(lit(0L).as("k")).limit(0))
+    Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d", retainVersions = 8)
+    assert(snap(tbl) == Map(1L -> "A", 3L -> "C3"))
+    // and a branch whose BASE is itself a chain version diffs correctly
+    Branches.createBranch(spark, tbl, "y")
+    sources.DeletionVectors.publishDeletes(spark, tbl, Seq(3L).toDF("k"), "k")
+    Branches.publishToBranch(state((1L, "A", 1), (3L, "C3", 2), (9L, "ins", 2)),
+      "d", tbl, "y")
+    Branches.mergeBranch(spark, tbl, "y", "k", cmp, "d", retainVersions = 8)
+    assert(snap(tbl) == Map(1L -> "A", 9L -> "ins"))
+  }
+
+  private def evolvedTable(): String = {
+    val tbl = graft.util.Scratch.dir("branch_spec_ev") + "/t"
+    sources.SchemaEvolution.publishEvolved(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, retainVersions = 8)
+    tbl
+  }
+
+  test("merge across a rename on main is id-resolved; mapping rides the merged version") {
+    val tbl = evolvedTable()
+    Branches.createBranch(spark, tbl, "x")
+    // branch edits k=1 under the OLD name v
+    Branches.publishToBranch(
+      state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    // main renames v -> w (same id), bumps k=3
+    sources.SchemaEvolution.publishEvolved(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "C", 2)).withColumnRenamed("v", "w"),
+      "d", tbl, renamedFrom = Map("w" -> "v"), retainVersions = 8)
+    val idOfW = sources.SchemaEvolution.schemaOf(spark, tbl,
+      Sinks.currentVersion(spark, tbl).get).get.find(_.name == "w").get.id
+    // evolved merges rebuild full rows: partial compareCols refuse
+    intercept[IllegalArgumentException] {
+      Branches.mergeBranch(spark, tbl, "x", "k", Seq("w"), "d", retainVersions = 8)
+    }
+    Branches.mergeBranch(spark, tbl, "x", "k", Seq("w", "d"), "d", retainVersions = 8)
+    val live = Sinks.currentVersion(spark, tbl).get
+    val got = Sinks.readSnapshot(spark, tbl).select("k", "w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "BR", 2L -> "b", 3L -> "C"))
+    // the merged version still maps w to the ORIGINAL id
+    val sc = sources.SchemaEvolution.schemaOf(spark, tbl, live)
+    assert(sc.exists(_.exists(c => c.name == "w" && c.id == idOfW)))
+    // and an as-of read of pre-rename history through the live schema works
+    val v1 = sources.SchemaEvolution.readSnapshotAs(spark, tbl, 1L)
+    assert(v1.columns.contains("w"))
+  }
+
+  test("rebase across a rename lands the branch in the evolved schema; merge fast-forwards") {
+    val tbl = evolvedTable()
+    Branches.createBranch(spark, tbl, "x")
+    Branches.publishToBranch(
+      state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    sources.SchemaEvolution.publishEvolved(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "C", 2)).withColumnRenamed("v", "w"),
+      "d", tbl, renamedFrom = Map("w" -> "v"), retainVersions = 8)
+    Branches.rebaseBranch(spark, tbl, "x", "k", Seq("w", "d"), "d")
+    // the branch now speaks the evolved schema, values replayed
+    val br = Branches.readBranch(spark, tbl, "x")
+    assert(br.columns.contains("w") && !br.columns.contains("v"))
+    val bHead = Branches.branchHead(spark, tbl, "x").get
+    assert(sources.SchemaEvolution.schemaOf(spark, tbl, bHead)
+      .exists(_.exists(_.name == "w")))
+    val ffV = Branches.mergeBranch(spark, tbl, "x", "k", Seq("w", "d"), "d",
+      retainVersions = 8)
+    assert(ffV == bHead) // marker-only fast-forward
+    val got = Sinks.readSnapshot(spark, tbl).select("k", "w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "BR", 2L -> "b", 3L -> "C"))
+  }
+
+  test("branch publishes cannot change schema on an evolved table") {
+    val tbl = evolvedTable()
+    Branches.createBranch(spark, tbl, "x")
+    val e = intercept[IllegalArgumentException] {
+      Branches.publishToBranch(
+        state((1L, "a", 1)).withColumnRenamed("v", "sneaky"), "d", tbl, "x")
+    }
+    assert(e.getMessage.contains("cannot change schema"))
+  }
+
   test("three-way merge publishes with OCC: a racing claim aborts the merge") {
     val tbl = freshTable()
     Branches.createBranch(spark, tbl, "x")
