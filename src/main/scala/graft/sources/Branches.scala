@@ -145,11 +145,19 @@ object Branches {
   }
 
   /** Read the branch head state — same immutable-version-dir pinning
-    * as [[Sinks.readSnapshot]]. */
+    * as [[Sinks.readSnapshot]]. A head that is a COMMITTED main
+    * version (a fresh branch's ref still points at its base, and a
+    * rebase of an unmoved branch points at main's head) may be
+    * DV/MoR-amended — those resolve through their chain
+    * ([[DeletionVectors.readMergedAt]]); a raw read of a vector-only
+    * version dir would find no data rows at all. Branch-only versions
+    * are plain data dirs by construction. */
   def readBranch(spark: SparkSession, tablePath: String, name: String): DataFrame = {
     val head = branchHead(spark, tablePath, name).getOrElse(
       throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath"))
-    readVersionDir(spark, tablePath, head)
+    if (Sinks.listVersions(spark, tablePath).contains(head))
+      DeletionVectors.readMergedAt(spark, tablePath, head)
+    else readVersionDir(spark, tablePath, head)
   }
 
   /** Read ANY version directory that still exists — branch versions
