@@ -1515,7 +1515,9 @@ object SparkEntry {
         |c AS (
         |  SELECT 'live' AS phase, COUNT(*) AS n, bit_xor(h) AS key_xor FROM x WHERE k % 4 = 0
         |  UNION ALL
-        |  SELECT 'as_of_1', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0)
+        |  SELECT 'as_of_1', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'branch', COUNT(*), bit_xor(h) FROM x WHERE k % 8 = 0)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
         |FROM c ORDER BY phase""".stripMargin,
 

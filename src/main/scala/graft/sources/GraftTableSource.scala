@@ -28,6 +28,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     historical version, with [[Sinks.readSnapshotAt]]'s
   *     refuse-don't-guess contract (an uncommitted or pruned version
   *     fails with the available range).
+  *   - Branch reads: `.option("branch", name)` binds to the ref's
+  *     head version dir — branch-only versions are plain data dirs by
+  *     construction ([[Branches.publishToBranch]]); a head that is a
+  *     committed main version (fresh branch, post-rebase ref) passes
+  *     the same chain guard as every other resolution. Mutually
+  *     exclusive with `versionAsOf` (a branch has its own history
+  *     axis; pick one).
+  *   - Chain guard, refuse-don't-guess: a DV/MoR-AMENDED version's
+  *     state exists only merged — an anti-join this parquet
+  *     delegation cannot express. Underscore-prefixed `_dv` payloads
+  *     are invisible to a parquet scan, so without the guard a chain
+  *     head would silently serve unmerged (or zero) rows; instead the
+  *     connector fails loudly and points at
+  *     [[DeletionVectors.readMergedAt]] (reading) and
+  *     [[DeletionVectors.materializeDeletes]] (folding the chain into
+  *     a connector-readable data version).
   *   - Everything below the version resolution DELEGATES to Spark's
   *     own parquet `FileTable` ([[ParquetTable]] over the resolved
   *     directory): predicate pushdown, column pruning, partition
@@ -40,8 +56,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the native expressions use.)
   *
   * Registered `q_snapshot_dsv2` reads a two-version store through the
-  * connector — the live version AND `versionAsOf` the first — and
-  * hash-matches both censuses against closed-form DuckDB on `orders`.
+  * connector — the live version, `versionAsOf` the first, and a
+  * branch head — and hash-matches all three censuses against
+  * closed-form DuckDB on `orders`.
   */
 class GraftTableDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
@@ -50,16 +67,40 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-table needs a path: the snapshot store root (the directory holding v…/ and _manifests/)"))
-    val dir = Option(options.get("versionAsOf")).map(_.toLong) match {
-      case Some(v) =>
+    val branchOpt = Option(options.get("branch"))
+    val asOfOpt = Option(options.get("versionAsOf"))
+    require(branchOpt.isEmpty || asOfOpt.isEmpty,
+      "graft-table: 'branch' and 'versionAsOf' are mutually exclusive — a branch has " +
+      "its own history axis; read the ref head via branch, or main history via versionAsOf")
+    // the refuse-don't-guess chain guard (see class doc)
+    def guarded(v: Long): String = {
+      val base = DeletionVectors.baseDataVersion(spark, root, v)
+      if (base != v) throw new UnsupportedOperationException(
+        s"version $v of $root is DV/MoR-amended (its chain bottoms out at data version " +
+        s"$base) — its state exists only merged, which this parquet delegation cannot " +
+        "express. Read it with DeletionVectors.readMergedAt, or fold the chain into a " +
+        "plain data version with DeletionVectors.materializeDeletes first; serving the " +
+        "unmerged directory would silently drop the chain's deletes and upserts")
+      s"$root/${Sinks.versionDirName(v)}"
+    }
+    val dir = (branchOpt, asOfOpt) match {
+      case (Some(b), _) =>
+        val head = Branches.branchHead(spark, root, b).getOrElse(
+          throw new java.io.FileNotFoundException(s"no branch '$b' at $root"))
+        guarded(head)
+      case (_, Some(vs)) =>
+        val v = vs.toLong
         val available = Sinks.listVersions(spark, root)
         if (!available.contains(v))
           throw new java.io.FileNotFoundException(
             s"snapshot version $v of $root is not readable " +
             s"(committed + retained: ${available.mkString("[", ", ", "]")}) — " +
             "it was never committed, or retention pruned it")
-        s"$root/${Sinks.versionDirName(v)}"
-      case None => Sinks.currentVersionDir(spark, root)
+        guarded(v)
+      case _ =>
+        guarded(Sinks.currentVersion(spark, root).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"no published snapshot at $root")))
     }
     ParquetTable(s"graft-table:$dir", spark, options, Seq(dir), None,
       classOf[ParquetFileFormat])
@@ -76,10 +117,14 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
 object GraftTableDataSource {
   /** Registered `q_snapshot_dsv2` (hash-oracled): a store publishing
     * the even-key orders half (v1) then its quartered subset (v2,
-    * live), read back ENTIRELY through the connector — the live scan
-    * and a `versionAsOf` 1 scan — censused as closed-form row counts
-    * + 60-bit key XORs over `orders`. The store builds once per JVM
-    * (immutable afterwards); the query times the connector reads. */
+    * live), plus a branch `staged` holding the eighth-key subset, read
+    * back ENTIRELY through the connector — the live scan, a
+    * `versionAsOf` 1 scan, and a `branch` scan — censused as
+    * closed-form row counts + 60-bit key XORs over `orders`. The
+    * branch publish lands BEFORE the live census, doubling as the
+    * isolation claim: a ref publish must not disturb what main serves.
+    * The store builds once per JVM (immutable afterwards); the query
+    * times the connector reads. */
   def snapshotDsv2Result(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderdate", "o_totalprice")
@@ -89,6 +134,9 @@ object GraftTableDataSource {
       Sinks.publishSnapshot(evens, "o_orderdate", t)
       Sinks.publishSnapshot(evens.filter(col("o_orderkey") % 4 === 0),
         "o_orderdate", t)
+      Branches.createBranch(spark, t, "staged")
+      Branches.publishToBranch(evens.filter(col("o_orderkey") % 8 === 0),
+        "o_orderdate", t, "staged")
       t
     })
     def census(phase: String, df: DataFrame): DataFrame =
@@ -99,6 +147,8 @@ object GraftTableDataSource {
     census("live", spark.read.format("graft-table").load(table))
       .unionByName(census("as_of_1",
         spark.read.format("graft-table").option("versionAsOf", "1").load(table)))
+      .unionByName(census("branch",
+        spark.read.format("graft-table").option("branch", "staged").load(table)))
       .orderBy("phase")
   }
 

@@ -421,6 +421,41 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_tbl " +
       s"USING `graft-table` OPTIONS (path '$table')")
     assert(spark.sql("SELECT count(*) FROM graft_tbl").head().getLong(0) === 1L)
+    // branch reads bind to the ref head; main stays what it was
+    graft.sources.Branches.createBranch(spark, table, "side")
+    graft.sources.Branches.publishToBranch(df(Seq(7L, 8L)), "transaction_date",
+      table, "side")
+    assert(spark.read.format("graft-table").option("branch", "side").load(table)
+      .select("val").as[Long].collect().sorted === Array(7L, 8L))
+    assert(spark.read.format("graft-table").load(table)
+      .select("val").as[Long].collect().sorted === Array(99L))
+    intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-table").option("branch", "nope").load(table)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("branch", "side")
+        .option("versionAsOf", "1").load(table)
+    }
+    // chain guard: a DV-amended head refuses rather than silently
+    // serving the unmerged directory — for the live read AND a fresh
+    // branch whose ref still points at the amended main head
+    Sinks.publishSnapshot(df(Seq(98L, 99L)), "transaction_date", table,
+      retainVersions = 12)
+    graft.sources.DeletionVectors.publishDeletes(spark, table,
+      Seq(99L).toDF("val"), "val")
+    val refusal = intercept[UnsupportedOperationException] {
+      spark.read.format("graft-table").load(table)
+    }
+    assert(refusal.getMessage.contains("readMergedAt"))
+    graft.sources.Branches.createBranch(spark, table, "atchain")
+    intercept[UnsupportedOperationException] {
+      spark.read.format("graft-table").option("branch", "atchain").load(table)
+    }
+    // folding the chain restores connector readability
+    graft.sources.DeletionVectors.materializeDeletes(spark, table,
+      "transaction_date", retainVersions = 12)
+    assert(spark.read.format("graft-table").load(table)
+      .select("val").as[Long].collect() === Array(98L))
   }
 
   test("group store is relocatable: nested members resolve wherever the tree lands") {
