@@ -316,7 +316,21 @@ object Branches {
     *
     * The merge commits on MAIN only; the branch ref stays where it was
     * (delete it with [[deleteBranch]] when done, or keep publishing to
-    * it and merge again later — its base does not move). */
+    * it and merge again later — its base does not move).
+    *
+    * Columns ADDED on main while the branch was open: the merge is
+    * row-image, not cell-wise. The branch's id-projected state
+    * NULL-FILLS columns it never knew, and the publish that populated
+    * the new column made every key a main-side update — so every
+    * branch-changed key surfaces as an update/update CONFLICT (fail
+    * raises; "theirs" takes the branch row WITH the null; "ours"
+    * keeps main's populated row, dropping the branch's edit). The
+    * branch diverged before the column existed and has no cell to
+    * offer — no resolution can keep both the branch's edit and main's
+    * new cell; rebase the branch after the add and re-publish with
+    * the column populated when that outcome matters. Spec-pinned in
+    * BranchSpec; the branch walk pins the null-free interactions
+    * (renames and drops mid-branch). */
   def mergeBranch(spark: SparkSession, tablePath: String, name: String,
                   key: String, compareCols: Seq[String], dateCol: String,
                   onConflict: String = "fail",

@@ -319,6 +319,62 @@ class BranchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot change schema"))
   }
 
+  test("column added on main mid-branch: branch-changed keys conflict; theirs null-fills") {
+    val tbl = evolvedTable()
+    Branches.createBranch(spark, tbl, "x")
+    // branch edits k=1 under the pre-add schema
+    Branches.publishToBranch(
+      state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl, "x")
+    // main adds w, populated — which rewrites EVERY row, so every key
+    // is a main-side update and the branch's k=1 edit is a conflict
+    sources.SchemaEvolution.publishEvolved(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "c", 2))
+        .withColumn("w", concat(lit("w"), col("k"))),
+      "d", tbl, retainVersions = 8)
+    val e = intercept[BranchMergeConflict] {
+      Branches.mergeBranch(spark, tbl, "x", "k", Seq("v", "w", "d"), "d",
+        retainVersions = 8)
+    }
+    assert(e.getMessage.contains("1 conflicting key"))
+    // row-image semantics (documented in mergeBranch): under "theirs"
+    // the branch's whole row wins for k=1, and the branch diverged
+    // before w existed — NULL w; keys the branch left alone keep
+    // main's populated w
+    Branches.mergeBranch(spark, tbl, "x", "k", Seq("v", "w", "d"), "d",
+      onConflict = "theirs", retainVersions = 8)
+    val got = Sinks.readSnapshot(spark, tbl).select("k", "v", "w").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      1L -> (("BR", None)),
+      2L -> (("b", Some("w2"))),
+      3L -> (("c", Some("w3")))))
+    // the prescribed remedy: rebase under "theirs" (branch lands in
+    // the evolved schema, w null for its changed keys), re-publish
+    // with w populated, merge fast-forwards with full cells
+    val tbl2 = evolvedTable()
+    Branches.createBranch(spark, tbl2, "y")
+    Branches.publishToBranch(
+      state((1L, "BR", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl2, "y")
+    sources.SchemaEvolution.publishEvolved(
+      state((1L, "a", 1), (2L, "b", 1), (3L, "c", 2))
+        .withColumn("w", concat(lit("w"), col("k"))),
+      "d", tbl2, retainVersions = 8)
+    Branches.rebaseBranch(spark, tbl2, "y", "k", Seq("v", "w", "d"), "d",
+      onConflict = "theirs")
+    val reb = Branches.readBranch(spark, tbl2, "y")
+    assert(reb.filter(col("k") === 1L).select("w").head().isNullAt(0))
+    Branches.publishToBranch(
+      reb.withColumn("w", coalesce(col("w"), concat(lit("w"), col("k"))))
+        .select("k", "v", "d", "w"),
+      "d", tbl2, "y")
+    Branches.mergeBranch(spark, tbl2, "y", "k", Seq("v", "w", "d"), "d",
+      retainVersions = 8)
+    val healed = Sinks.readSnapshot(spark, tbl2).select("k", "v", "w").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(healed == Map(
+      1L -> (("BR", "w1")), 2L -> (("b", "w2")), 3L -> (("c", "w3"))))
+  }
+
   test("three-way merge publishes with OCC: a racing claim aborts the merge") {
     val tbl = freshTable()
     Branches.createBranch(spark, tbl, "x")
