@@ -1517,7 +1517,9 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'as_of_1', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0
         |  UNION ALL
-        |  SELECT 'branch', COUNT(*), bit_xor(h) FROM x WHERE k % 8 = 0)
+        |  SELECT 'branch', COUNT(*), bit_xor(h) FROM x WHERE k % 8 = 0
+        |  UNION ALL
+        |  SELECT 'tagged', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
         |FROM c ORDER BY phase""".stripMargin,
 

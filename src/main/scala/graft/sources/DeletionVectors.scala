@@ -133,6 +133,18 @@ object DeletionVectors {
     v
   }
 
+  /** Every version in `version`'s parent chain, the version itself
+    * and the base data version included — the pin set a tag on a
+    * chain head must hold against retention ([[Tags.pinnedVersions]]). */
+  private[sources] def chainVersions(spark: SparkSession, tablePath: String,
+                                     version: Long): Seq[Long] = {
+    var v = version
+    var out = List(v)
+    var meta = versionDvMeta(spark, tablePath, v)
+    while (meta.isDefined) { v = meta.get._1; out ::= v; meta = versionDvMeta(spark, tablePath, v) }
+    out
+  }
+
   /** (parent, keyCol) when `version` is a DV version, None when it
     * carries data. */
   private def versionDvMeta(spark: SparkSession, tablePath: String,

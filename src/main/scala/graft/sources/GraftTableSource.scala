@@ -32,9 +32,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     head version dir — branch-only versions are plain data dirs by
   *     construction ([[Branches.publishToBranch]]); a head that is a
   *     committed main version (fresh branch, post-rebase ref) passes
-  *     the same chain guard as every other resolution. Mutually
-  *     exclusive with `versionAsOf` (a branch has its own history
-  *     axis; pick one).
+  *     the same chain guard as every other resolution.
+  *   - Tag reads: `.option("tag", name)` binds to the version a
+  *     [[Tags]] ref pins — pinned versions survive retention, so the
+  *     connector read stays valid however old the tag grows.
+  *     `branch` / `versionAsOf` / `tag` are mutually exclusive (each
+  *     names one point to read).
   *   - Chain guard, refuse-don't-guess: a DV/MoR-AMENDED version's
   *     state exists only merged — an anti-join this parquet
   *     delegation cannot express. Underscore-prefixed `_dv` payloads
@@ -56,8 +59,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the native expressions use.)
   *
   * Registered `q_snapshot_dsv2` reads a two-version store through the
-  * connector — the live version, `versionAsOf` the first, and a
-  * branch head — and hash-matches all three censuses against
+  * connector — the live version, `versionAsOf` the first, a branch
+  * head, and a tag — and hash-matches all four censuses against
   * closed-form DuckDB on `orders`.
   */
 class GraftTableDataSource extends TableProvider with DataSourceRegister {
@@ -69,9 +72,10 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
       "graft-table needs a path: the snapshot store root (the directory holding v…/ and _manifests/)"))
     val branchOpt = Option(options.get("branch"))
     val asOfOpt = Option(options.get("versionAsOf"))
-    require(branchOpt.isEmpty || asOfOpt.isEmpty,
-      "graft-table: 'branch' and 'versionAsOf' are mutually exclusive — a branch has " +
-      "its own history axis; read the ref head via branch, or main history via versionAsOf")
+    val tagOpt = Option(options.get("tag"))
+    require(Seq(branchOpt, asOfOpt, tagOpt).count(_.isDefined) <= 1,
+      "graft-table: 'branch', 'versionAsOf' and 'tag' are mutually exclusive — each " +
+      "names one point to read; pick one")
     // the refuse-don't-guess chain guard (see class doc)
     def guarded(v: Long): String = {
       val base = DeletionVectors.baseDataVersion(spark, root, v)
@@ -83,12 +87,12 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
         "unmerged directory would silently drop the chain's deletes and upserts")
       s"$root/${Sinks.versionDirName(v)}"
     }
-    val dir = (branchOpt, asOfOpt) match {
-      case (Some(b), _) =>
+    val dir = (branchOpt, asOfOpt, tagOpt) match {
+      case (Some(b), _, _) =>
         val head = Branches.branchHead(spark, root, b).getOrElse(
           throw new java.io.FileNotFoundException(s"no branch '$b' at $root"))
         guarded(head)
-      case (_, Some(vs)) =>
+      case (_, Some(vs), _) =>
         val v = vs.toLong
         val available = Sinks.listVersions(spark, root)
         if (!available.contains(v))
@@ -97,6 +101,8 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
             s"(committed + retained: ${available.mkString("[", ", ", "]")}) — " +
             "it was never committed, or retention pruned it")
         guarded(v)
+      case (_, _, Some(t)) =>
+        guarded(Tags.tagVersion(spark, root, t))
       case _ =>
         guarded(Sinks.currentVersion(spark, root).getOrElse(
           throw new java.io.FileNotFoundException(
@@ -117,12 +123,14 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
 object GraftTableDataSource {
   /** Registered `q_snapshot_dsv2` (hash-oracled): a store publishing
     * the even-key orders half (v1) then its quartered subset (v2,
-    * live), plus a branch `staged` holding the eighth-key subset, read
-    * back ENTIRELY through the connector — the live scan, a
-    * `versionAsOf` 1 scan, and a `branch` scan — censused as
-    * closed-form row counts + 60-bit key XORs over `orders`. The
-    * branch publish lands BEFORE the live census, doubling as the
-    * isolation claim: a ref publish must not disturb what main serves.
+    * live), plus a branch `staged` holding the eighth-key subset and
+    * a tag `milestone` pinning v1, read back ENTIRELY through the
+    * connector — the live scan, a `versionAsOf` 1 scan, a `branch`
+    * scan and a `tag` scan — censused as closed-form row counts +
+    * 60-bit key XORs over `orders`. The branch publish lands BEFORE
+    * the live census, doubling as the isolation claim: a ref publish
+    * must not disturb what main serves; the tag census must equal the
+    * as-of census cell-for-cell (two read paths, one pinned truth).
     * The store builds once per JVM (immutable afterwards); the query
     * times the connector reads. */
   def snapshotDsv2Result(spark: SparkSession, dir: String): DataFrame = {
@@ -137,6 +145,7 @@ object GraftTableDataSource {
       Branches.createBranch(spark, t, "staged")
       Branches.publishToBranch(evens.filter(col("o_orderkey") % 8 === 0),
         "o_orderdate", t, "staged")
+      Tags.createTag(spark, t, "milestone", Some(1L))
       t
     })
     def census(phase: String, df: DataFrame): DataFrame =
@@ -149,6 +158,8 @@ object GraftTableDataSource {
         spark.read.format("graft-table").option("versionAsOf", "1").load(table)))
       .unionByName(census("branch",
         spark.read.format("graft-table").option("branch", "staged").load(table)))
+      .unionByName(census("tagged",
+        spark.read.format("graft-table").option("tag", "milestone").load(table)))
       .orderBy("phase")
   }
 

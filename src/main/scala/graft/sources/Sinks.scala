@@ -373,7 +373,11 @@ object Sinks {
         case manifestRe(n) => Some(n.toLong)
         case _             => None
       })
-    committed.sorted.reverse.drop(retainVersions).foreach { v =>
+    // tag pins survive the window: a tagged version (and its full
+    // DV/MoR chain) keeps marker AND dir — reproducibility must not
+    // depend on sizing the window for the oldest consumer
+    val pinned = Tags.pinnedVersions(spark, tablePath)
+    committed.sorted.reverse.drop(retainVersions).filterNot(pinned).foreach { v =>
       // marker FIRST: readers must stop resolving v before its data
       // disappears; a crash in between leaves an unmarked dir, which
       // readers already ignore
