@@ -73,6 +73,9 @@ object SparkEntry {
     // the snapshot store as a first-class DSv2 read path: live +
     // versionAsOf through format("graft-table"), parquet-delegated
     "q_snapshot_dsv2"    -> graft.sources.GraftTableDataSource.snapshotDsv2Result _,
+    // crash-debris vacuum: abandoned dirs + orphan claims reclaimed,
+    // committed and branch-marked versions untouched — constant ledger
+    "q_vacuum"           -> graft.sources.Sinks.vacuumResult _,
     // git-style branches over the store: three-way merge (disjoint
     // key classes, zero conflicts) then a marker-only fast-forward —
     // both censused against one closed-form oracle over orders
@@ -1522,6 +1525,20 @@ object SparkEntry {
         |  SELECT 'tagged', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
         |FROM c ORDER BY phase""".stripMargin,
+
+    // the vacuum fixture's claim arithmetic is fully deterministic:
+    // v1+v2 published, branch claims 3, abandoned dirs 4+5, orphan
+    // claim 6 — the ledger and the survivors are constants
+    "q_vacuum" ->
+      """SELECT * FROM (VALUES
+        |  ('abandoned_dir', CAST(4 AS BIGINT)),
+        |  ('abandoned_dir', CAST(5 AS BIGINT)),
+        |  ('orphan_claim', CAST(6 AS BIGINT)),
+        |  ('survivor_branch', CAST(3 AS BIGINT)),
+        |  ('survivor_committed', CAST(1 AS BIGINT)),
+        |  ('survivor_committed', CAST(2 AS BIGINT)))
+        |  AS t(entry, version)
+        |ORDER BY entry, version""".stripMargin,
 
     // the e2e DAG's operation ledger is pure modular arithmetic over
     // the orders keyspace: every count derives in closed form

@@ -401,6 +401,157 @@ object Sinks {
     next
   }
 
+  /** VACUUM abandoned write debris — the maintenance op the publish
+    * prune deliberately does NOT do. Prune only ever touches MARKED
+    * versions, because an unmarked dir is indistinguishable from a
+    * concurrent publisher still writing; that safety leaves two kinds
+    * of debris growing forever at 100 TB write rates: version dirs a
+    * crashed publisher claimed and part-wrote but never marked (real
+    * bytes), and bare claim files from `expectedVersion`-aborted or
+    * crashed publishers that never wrote a dir (inodes above the
+    * keep-floor sweep). Vacuum removes both, guarded by age: an entry
+    * is debris only if NO ref marks it (neither `_manifests` nor any
+    * `_branches` namespace) AND nothing under it was modified within
+    * `olderThanMs`. The age guard is the operator contract (Delta
+    * VACUUM's): choose it longer than any writer could possibly run —
+    * a publisher alive but silent past the horizon would lose its
+    * in-flight dir (and then fail loudly at its own marker step,
+    * never silently corrupt a committed state, since vacuum touches
+    * nothing marked).
+    *
+    * Returns the reclaimed entries as `(version, kind)` —
+    * `abandoned_dir` / `orphan_claim` — the ledger an operations
+    * dashboard records. O(versions) metadata work; the only data I/O
+    * is the deletes themselves. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+             olderThanMs: Long = 24L * 3600 * 1000): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val marked: Set[Long] = {
+      val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+      val main = if (!fs.exists(mdir)) Set.empty[Long]
+        else fs.listStatus(mdir).flatMap(_.getPath.getName match {
+          case manifestRe(n) => Some(n.toLong)
+          case _             => None
+        }).toSet
+      main ++ Branches.branchMarkedVersions(spark, tablePath)
+    }
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
+    }
+    val dirs: Seq[Long] = fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case versionRe(n) => Some(n.toLong)
+        case _            => None
+      }
+    }.flatten
+    val vacuumedDirs = dirs.filterNot(marked)
+      .filter(v => newestMtime(new org.apache.hadoop.fs.Path(root, versionDirName(v))) < cutoff)
+      .sorted.map { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, f"_claims/c$v%08d"), false)
+        v -> "abandoned_dir"
+      }
+    val dirSet = dirs.toSet -- vacuumedDirs.map(_._1)
+    val cdir = new org.apache.hadoop.fs.Path(root, "_claims")
+    val vacuumedClaims = (if (!fs.exists(cdir)) Seq.empty[(Long, String)]
+      else fs.listStatus(cdir).toSeq.flatMap { s =>
+        s.getPath.getName match {
+          case claimRe(n) if !dirSet(n.toLong) && !marked(n.toLong) &&
+              s.getModificationTime < cutoff =>
+            fs.delete(s.getPath, false)
+            Some(n.toLong -> "orphan_claim")
+          case _ => None
+        }
+      }).sortBy(_._1)
+    vacuumedDirs ++ vacuumedClaims
+  }
+
+  /** The crash seam vacuum exists for, exposed for specs and the
+    * registered fixture: claim the next number and write its version
+    * dir WITHOUT ever marking it — exactly what a publisher that died
+    * between data write and marker create leaves behind. Returns the
+    * abandoned version number. */
+  private[graft] def plantAbandonedVersion(df: DataFrame, dateCol: String,
+                                           tablePath: String): Long = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    val existing: Seq[Long] = fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case versionRe(n) => Some(n.toLong)
+        case _            => None
+      }
+    }.flatten
+    val v = claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_claims"),
+      (existing :+ 0L).max + 1, "c")
+    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(v)}", Map.empty)
+    v
+  }
+
+  /** The other half of the crash seam: a claim with no dir at all (a
+    * publisher that died between claim and first byte, or an
+    * `expectedVersion` abort above the keep-floor sweep). */
+  private[graft] def plantOrphanClaim(spark: org.apache.spark.sql.SparkSession,
+                                      tablePath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    val existing: Seq[Long] = fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case versionRe(n) => Some(n.toLong)
+        case _            => None
+      }
+    }.flatten
+    claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_claims"),
+      (existing :+ 0L).max + 1, "c")
+  }
+
+  /** Registered `q_vacuum` (hash-oracled): the full crash-debris
+    * lifecycle against a constant oracle. The fixture (once per JVM)
+    * publishes v1+v2, opens a branch whose publish claims v3, plants
+    * two abandoned dirs (v4, v5 — claimed and written, never marked)
+    * and one orphan claim (c6, never written), then vacuums with NO
+    * age floor (the fixture's debris is deterministic; the age guard
+    * itself is spec-pinned in VacuumSpec). The ledger is the vacuum
+    * result PLUS the survivors — committed history and the branch
+    * version must come through untouched — so every row is a
+    * closed-form constant. */
+  def vacuumResult(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = vacuumFixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("vacuum_fx") + "/t"
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      publishSnapshot(base, "o_orderdate", t, retainVersions = 4)
+      publishSnapshot(base.filter(col("o_orderkey") % 2 === 0), "o_orderdate", t,
+        retainVersions = 4)
+      Branches.createBranch(spark, t, "side")
+      Branches.publishToBranch(base.filter(col("o_orderkey") % 4 === 0),
+        "o_orderdate", t, "side")
+      plantAbandonedVersion(base.limit(100), "o_orderdate", t)
+      plantAbandonedVersion(base.limit(100), "o_orderdate", t)
+      plantOrphanClaim(spark, t)
+      t
+    })
+    val ledger = vacuumLedgers.computeIfAbsent(tbl, _ =>
+      vacuum(spark, tbl, olderThanMs = -1000L))
+    val survivors =
+      listVersions(spark, tbl).map(v => ("survivor_committed", v)) ++
+      Branches.branchHead(spark, tbl, "side").map(v => ("survivor_branch", v))
+    (ledger.map { case (v, kind) => (kind, v) } ++ survivors)
+      .toDF("entry", "version").orderBy("entry", "version")
+  }
+
+  private val vacuumFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val vacuumLedgers =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
+
   /** Small-file compaction for the versioned snapshot store — the
     * maintenance pass every append-heavy table needs at scale: many
     * small files (one per shuffle task per month, accumulating with
@@ -869,4 +1020,5 @@ object JsonlDocs {
         expr("bit_xor(__h)").as("text_xor"))
       .orderBy("lang", "source")
   }
+
 }
