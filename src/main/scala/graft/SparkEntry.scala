@@ -76,6 +76,9 @@ object SparkEntry {
     // crash-debris vacuum: abandoned dirs + orphan claims reclaimed,
     // committed and branch-marked versions untouched — constant ledger
     "q_vacuum"           -> graft.sources.Sinks.vacuumResult _,
+    // write-audit-publish: a bad feed dies at the audit (main isolated,
+    // census-proven), the corrected feed fast-forwards live
+    "q_wap"              -> graft.sources.Wap.wapResult _,
     // git-style branches over the store: three-way merge (disjoint
     // key classes, zero conflicts) then a marker-only fast-forward —
     // both censused against one closed-form oracle over orders
@@ -1539,6 +1542,25 @@ object SparkEntry {
         |  ('survivor_committed', CAST(2 AS BIGINT)))
         |  AS t(entry, version)
         |ORDER BY entry, version""".stripMargin,
+
+    // both WAP outcomes in closed form: the planted class-4 negation
+    // count, the untouched base census after the failed audit, and the
+    // class-7-flipped census after the fast-forward publish
+    "q_wap" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS s
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'fail:non_negative:price' AS entry,
+        |    (SELECT COUNT(*) FROM o WHERE k % 10 = 4) AS n, 0 AS detail
+        |  UNION ALL
+        |  SELECT 'isolated_after_fail', (SELECT COUNT(*) FROM o),
+        |    (SELECT bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)) FROM o)
+        |  UNION ALL
+        |  SELECT 'final', (SELECT COUNT(*) FROM o),
+        |    (SELECT bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+        |       CASE WHEN k % 10 = 7 THEN 'W' ELSE s END), 1, 15)) AS BIGINT)) FROM o))
+        |SELECT entry, CAST(n AS BIGINT) AS n, CAST(detail AS BIGINT) AS detail
+        |FROM c ORDER BY entry""".stripMargin,
 
     // the e2e DAG's operation ledger is pure modular arithmetic over
     // the orders keyspace: every count derives in closed form

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.QualityGate
+import graft.sources.{Branches, Sinks, Wap}
+
+/** Write-audit-publish lifecycle: green fast-forward, red isolation
+  * with the branch left for inspection, retry-supersedes, and the
+  * three-way path when main moves mid-cycle. */
+class WapSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def state(rows: (Long, String, Long)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("k", "v", "d").withColumn("d", to_date(concat(lit("2024-01-0"), col("d"))))
+
+  private def snap(tbl: String): Map[Long, String] =
+    Sinks.readSnapshot(spark, tbl).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private val checks = Seq(QualityGate.notNull("v"), QualityGate.unique("k"))
+  private val cmp = Seq("v", "d")
+
+  private def fresh(): String = {
+    val tbl = graft.util.Scratch.dir("wap_spec") + "/t"
+    Sinks.publishSnapshot(state((1L, "a", 1), (2L, "b", 1)), "d", tbl,
+      retainVersions = 8)
+    tbl
+  }
+
+  test("green feed fast-forwards; the audit ref is dropped after publish") {
+    val tbl = fresh()
+    val v = Wap.writeAuditPublish(state((1L, "A", 1), (2L, "b", 1)), "d", tbl,
+      checks, "k", cmp, retainVersions = 8)
+    assert(Sinks.currentVersion(spark, tbl).contains(v))
+    assert(snap(tbl) == Map(1L -> "A", 2L -> "b"))
+    intercept[java.io.FileNotFoundException] {
+      Branches.branchBase(spark, tbl, "wap_audit")
+    }
+  }
+
+  test("red feed dies at the audit: main isolated, branch left at the bad commit; retry supersedes") {
+    val tbl = fresh()
+    val e = intercept[QualityGate.ExpectationsFailed] {
+      Wap.writeAuditPublish(state((1L, null, 1), (2L, "b", 1), (2L, "dup", 1)),
+        "d", tbl, checks, "k", cmp, retainVersions = 8)
+    }
+    assert(e.report.toMap == Map("not_null:v" -> 1L, "unique:k" -> 1L))
+    // main never saw it
+    assert(snap(tbl) == Map(1L -> "a", 2L -> "b"))
+    // the bad commit is inspectable on the ref
+    assert(Branches.readBranch(spark, tbl, "wap_audit").count() === 3L)
+    // retry with the corrected frame on the SAME ref supersedes and publishes
+    val v = Wap.writeAuditPublish(state((1L, "A", 1), (2L, "b", 1)), "d", tbl,
+      checks, "k", cmp, retainVersions = 8)
+    assert(Sinks.currentVersion(spark, tbl).contains(v))
+    assert(snap(tbl) == Map(1L -> "A", 2L -> "b"))
+  }
+
+  test("main moving mid-cycle falls back to the three-way merge") {
+    val tbl = fresh()
+    Branches.createBranch(spark, tbl, "wap_audit")
+    // the feed stages from the old head...
+    Branches.publishToBranch(state((1L, "A", 1), (2L, "b", 1)), "d", tbl, "wap_audit")
+    // ...and main independently inserts k=3 before the publish step
+    Sinks.publishSnapshot(state((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)), "d", tbl,
+      retainVersions = 8)
+    val v = Wap.writeAuditPublish(state((1L, "A", 1), (2L, "b", 1)), "d", tbl,
+      checks, "k", cmp, retainVersions = 8)
+    assert(Sinks.currentVersion(spark, tbl).contains(v))
+    // disjoint changes from both sides land
+    assert(snap(tbl) == Map(1L -> "A", 2L -> "b", 3L -> "c"))
+  }
+}
