@@ -79,6 +79,9 @@ object SparkEntry {
     // write-audit-publish: a bad feed dies at the audit (main isolated,
     // census-proven), the corrected feed fast-forwards live
     "q_wap"              -> graft.sources.Wap.wapResult _,
+    // O(changes) branch staging: DV + MoR chain links on a ref, then a
+    // chain-adopting fast-forward — no base rewrite at any point
+    "q_branch_mor"       -> graft.sources.Branches.branchMorResult _,
     // git-style branches over the store: three-way merge (disjoint
     // key classes, zero conflicts) then a marker-only fast-forward —
     // both censused against one closed-form oracle over orders
@@ -1561,6 +1564,37 @@ object SparkEntry {
         |       CASE WHEN k % 10 = 7 THEN 'W' ELSE s END), 1, 15)) AS BIGINT)) FROM o))
         |SELECT entry, CAST(n AS BIGINT) AS n, CAST(detail AS BIGINT) AS detail
         |FROM c ORDER BY entry""".stripMargin,
+
+    // the staged-chain workflow in closed form: the delete link is the
+    // base minus class 5; the live head further flips class 7 (+11.11)
+    // and inserts class-2-derived keys offset by max(key)
+    "q_branch_mor" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS m FROM base),
+        |linkdel AS (SELECT k, status, price FROM base WHERE k % 10 <> 5),
+        |live AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 7 THEN 'B' ELSE status END AS status,
+        |    CASE WHEN k % 10 = 7 THEN CAST(price + CAST('11.11' AS DECIMAL(4,2)) AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM base WHERE k % 10 <> 5
+        |  UNION ALL
+        |  SELECT m + k, 'N', CAST(100.00 + (k % 50) AS DECIMAL(18,2))
+        |  FROM base, mx WHERE k % 10 = 2),
+        |c AS (
+        |  SELECT 'link_delete' AS phase, k % 10 AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(price) AS DOUBLE) AS sum_price,
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT)) AS row_xor
+        |  FROM linkdel GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'live', k % 10, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT))
+        |  FROM live GROUP BY 2)
+        |SELECT phase, bucket, CAST(n AS BIGINT) AS n_rows, sum_price, row_xor
+        |FROM c ORDER BY phase, bucket""".stripMargin,
 
     // the e2e DAG's operation ledger is pure modular arithmetic over
     // the orders keyspace: every count derives in closed form

@@ -144,32 +144,44 @@ object Branches {
     }).maxOption
   }
 
-  /** Read the branch head state — same immutable-version-dir pinning
-    * as [[Sinks.readSnapshot]]. A head that is a COMMITTED main
-    * version (a fresh branch's ref still points at its base, and a
-    * rebase of an unmoved branch points at main's head) may be
-    * DV/MoR-amended — those resolve through their chain
-    * ([[DeletionVectors.readMergedAt]]); a raw read of a vector-only
-    * version dir would find no data rows at all. Branch-only versions
-    * are plain data dirs by construction. */
+  /** Claim the next free number from the shared `_claims` space past
+    * every version dir that exists, committed or branch-only — the
+    * walk-up every branch-side publish uses (single-writer-per-ref,
+    * so no OCC abort). */
+  private[sources] def claimBranchVersion(spark: SparkSession,
+                                          tablePath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = Sinks.hadoopFs(spark, root)
+    val existing: Seq[Long] = fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case versionDirRe(n) => Some(n.toLong)
+        case _               => None
+      }
+    }.flatten
+    Sinks.claimNumber(fs, new org.apache.hadoop.fs.Path(root, "_claims"),
+      (existing :+ 0L).max + 1, "c")
+  }
+
+  /** Advance `name`'s head to `v` (a marker create in the ref's own
+    * namespace — invisible to main readers). */
+  private[sources] def markBranchVersion(spark: SparkSession, tablePath: String,
+                                         name: String, v: Long): Unit = {
+    val bdir = branchPath(tablePath, name)
+    val fs = Sinks.hadoopFs(spark, bdir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bdir, "base")))
+      throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath")
+    fs.create(new org.apache.hadoop.fs.Path(bdir, f"m$v%08d"), false).close()
+  }
+
+  /** Read the branch head state, DV/MoR chain resolved — a head may be
+    * the ref's base (a main version, possibly itself a chain), a plain
+    * branch data dir, or a branch-staged MoR link
+    * ([[DeletionVectors.publishDeletesToBranch]]); `readMergedAt`
+    * resolves all three (it reads anything marked by any ref). */
   def readBranch(spark: SparkSession, tablePath: String, name: String): DataFrame = {
     val head = branchHead(spark, tablePath, name).getOrElse(
       throw new java.io.FileNotFoundException(s"no branch '$name' at $tablePath"))
-    if (Sinks.listVersions(spark, tablePath).contains(head))
-      DeletionVectors.readMergedAt(spark, tablePath, head)
-    else readVersionDir(spark, tablePath, head)
-  }
-
-  /** Read ANY version directory that still exists — branch versions
-    * have no `_manifests` marker, so [[Sinks.readSnapshotAt]]'s
-    * committed-versions check would refuse them; existence of the dir
-    * plus a marker in SOME ref namespace is the branch-world contract. */
-  private def readVersionDir(spark: SparkSession, tablePath: String, v: Long): DataFrame = {
-    val vdir = new org.apache.hadoop.fs.Path(tablePath, Sinks.versionDirName(v))
-    val fs = Sinks.hadoopFs(spark, vdir)
-    if (!fs.exists(vdir)) throw new java.io.FileNotFoundException(
-      s"version $v of $tablePath is gone (retention pruned it?)")
-    spark.read.parquet(vdir.toString)
+    DeletionVectors.readMergedAt(spark, tablePath, head)
   }
 
   /** Publish `df` as the branch's next commit. The version number is
@@ -210,16 +222,7 @@ object Branches {
         s"the governing schema ${names.toSeq.sorted.mkString(",")} — branch publishes " +
         "cannot change schema; evolve on main, then rebase")
     }
-    // same claim-scan base as publishSnapshot: past every version dir
-    // that exists, committed or branch-only
-    val existing: Seq[Long] = fs.listStatus(root).toSeq.collect {
-      case s if s.isDirectory => s.getPath.getName match {
-        case versionDirRe(n) => Some(n.toLong)
-        case _               => None
-      }
-    }.flatten
-    val claimsDir = new org.apache.hadoop.fs.Path(root, "_claims")
-    val next = Sinks.claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
+    val next = claimBranchVersion(spark, tablePath)
     val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
     Sinks.writeMonthlySnapshot(df, dateCol, vdir, writerOptions)
     carried.foreach { case (mname, content) =>
@@ -227,24 +230,21 @@ object Branches {
         new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$mname"), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    fs.create(new org.apache.hadoop.fs.Path(bdir, f"m$next%08d"), false).close()
+    markBranchVersion(spark, tablePath, name, next)
     next
   }
 
   /** Chain- and schema-resolved state of `v` for merge arithmetic:
-    * committed versions resolve their full DV/MoR chain
-    * ([[DeletionVectors.readMergedAt]] — a raw read of a vector-only
-    * version dir would find no data files at all); branch-only
-    * versions are plain data dirs by construction. When `target` is
-    * an evolved mapping, the state projects onto it BY ID, so every
-    * side of a three-way diff speaks main's CURRENT names even when
-    * the branch predates a rename. */
+    * every side resolves its full DV/MoR chain
+    * ([[DeletionVectors.readMergedAt]], which reads anything marked
+    * by any ref — a raw read of a vector-only version dir would find
+    * no data files at all). When `target` is an evolved mapping, the
+    * state projects onto it BY ID, so every side of a three-way diff
+    * speaks main's CURRENT names even when the branch predates a
+    * rename. */
   private def mergeState(spark: SparkSession, tablePath: String, v: Long,
                          target: Option[Seq[SchemaEvolution.ColMeta]]): DataFrame = {
-    val phys =
-      if (Sinks.listVersions(spark, tablePath).contains(v))
-        DeletionVectors.readMergedAt(spark, tablePath, v)
-      else readVersionDir(spark, tablePath, v)
+    val phys = DeletionVectors.readMergedAt(spark, tablePath, v)
     target match {
       case Some(t) =>
         val atV = SchemaEvolution.schemaOf(spark, tablePath, v).getOrElse(
@@ -349,19 +349,30 @@ object Branches {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = Sinks.hadoopFs(spark, root)
     if (mHead == base) {
-      // fast-forward: the branch version dir becomes live via one marker
-      if (!Sinks.tryClaim(fs, new org.apache.hadoop.fs.Path(root, "_manifests"),
-          bHead, "m"))
-        throw new ConcurrentSnapshotUpdate(
-          s"fast-forward of '$name' onto $tablePath: marker m$bHead already exists")
-      // detection of the slow-publisher race: any foreign marker that
+      // fast-forward: the branch head becomes live via marker creates.
+      // A branch-staged MoR head chains over branch-only parent links —
+      // adopting only the head would leave main history with parents no
+      // `_manifests` marker makes readable — so every chain link above
+      // the base is adopted too, OLDEST FIRST: each prefix a concurrent
+      // reader may momentarily resolve is a consistent state the branch
+      // itself passed through, and the head marker completes the
+      // adoption. A plain (full-frame) head has no links: one create.
+      val chainLinks = DeletionVectors.chainVersions(spark, tablePath, bHead)
+        .filter(v => v > base && v < bHead).sorted
+      (chainLinks :+ bHead).foreach { v =>
+        if (!Sinks.tryClaim(fs, new org.apache.hadoop.fs.Path(root, "_manifests"),
+            v, "m"))
+          throw new ConcurrentSnapshotUpdate(
+            s"fast-forward of '$name' onto $tablePath: marker m$v already exists")
+      }
+      // detection of the slow-publisher race: any FOREIGN marker that
       // landed strictly inside (base, bHead) is now shadowed by ours
       val interleaved = fs.listStatus(
         new org.apache.hadoop.fs.Path(root, "_manifests")).toSeq.flatMap(
         _.getPath.getName match {
           case markerRe(n) => Some(n.toLong)
           case _           => None
-        }).filter(v => v > base && v < bHead)
+        }).filter(v => v > base && v < bHead && !chainLinks.contains(v))
       if (interleaved.nonEmpty)
         throw new ConcurrentSnapshotUpdate(
           s"fast-forward of '$name' onto $tablePath raced a concurrent publish " +
@@ -587,6 +598,66 @@ object Branches {
   }
 
   private val branchFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_branch_mor` (hash-oracled): the O(changes) staging
+    * workflow end-to-end against one closed-form `orders` oracle —
+    * base publish (v1) → branch `stage` → DV-DELETE key class 5 as a
+    * chain link (v2) → MoR-UPSERT class 7 (+11.11, status 'B') plus
+    * class-2-derived inserts as a second link (v3) → chain-adopting
+    * FAST-FORWARD (markers only; the staged link dirs BECOME main
+    * history, zero rewrite) → census of the adopted intermediate
+    * delete link (provably real history) and of the live merged head.
+    * Per-bucket count, exact price sum as DOUBLE, 60-bit key|status
+    * XOR — every cell modular arithmetic over `orders`. Fixture once
+    * per JVM; the query times the merged reads. */
+  def branchMorResult(spark: SparkSession, dir: String): DataFrame = {
+    def census(st: DataFrame, phase: String): DataFrame = st
+      .select((col("o_orderkey") % 10).cast("long").as("bucket"), col("price"),
+        graft.operators.Reconcile.xorHash60(
+          concat_ws("|", col("o_orderkey").cast("string"), col("status"))).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("price").cast("double").as("sum_price"),
+        expr("bit_xor(h)").as("row_xor"))
+      .select(lit(phase).as("phase"), col("bucket"), col("n_rows"),
+        col("sum_price"), col("row_xor"))
+    val fixture = morFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("branch_mor_fx")
+      val tbl = s"$f/tbl"
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderstatus").cast("string").as("status"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      Sinks.publishSnapshot(base, "odate", tbl, retainVersions = 8) // v1
+      createBranch(spark, tbl, "stage")
+      DeletionVectors.publishDeletesToBranch(spark, tbl, "stage",
+        base.filter(col("o_orderkey") % 10 === 5).select("o_orderkey"),
+        "o_orderkey") // v2: vector only
+      val maxKey = base.agg(max("o_orderkey")).head().getLong(0)
+      val changes = base.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("status", lit("B"))
+        .withColumn("price", expr(
+          "CAST(price + CAST('11.11' AS DECIMAL(4,2)) AS DECIMAL(18,2))"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 2).select(
+          (col("o_orderkey") + lit(maxKey)).as("o_orderkey"),
+          col("odate"), lit("N").as("status"),
+          expr("CAST(100.00 + (o_orderkey % 50) AS DECIMAL(18,2))").as("price")))
+      DeletionVectors.publishUpsertToBranch(spark, tbl, "stage", changes,
+        "o_orderkey",
+        spark.emptyDataFrame.select(lit(0L).as("o_orderkey")).limit(0)) // v3
+      mergeBranch(spark, tbl, "stage", "o_orderkey",
+        Seq("odate", "status", "price"), "odate", retainVersions = 8) // ff: adopts v2+v3
+      census(DeletionVectors.readMergedAt(spark, tbl, 2L), "link_delete")
+        .unionByName(census(DeletionVectors.readMerged(spark, tbl), "live"))
+        .coalesce(1).write.parquet(s"$f/census")
+      f
+    })
+    spark.read.parquet(s"$fixture/census").orderBy("phase", "bucket")
+  }
+
+  private val morFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Delete the branch ref and garbage-collect its UNMERGED version

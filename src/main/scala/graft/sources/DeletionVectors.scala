@@ -67,7 +67,19 @@ object DeletionVectors {
       throw new ConcurrentSnapshotUpdate(
         s"delete-publish of $tablePath expected version $next but its claim is " +
         "already taken (a concurrent publisher owns it); no data was written")
+    writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows)
+    fs.create(new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d"), false).close()
+    next
+  }
+
+  /** The link body both publish paths share: vector, optional delta,
+    * and the parent-pointer metadata into an already-claimed version
+    * dir. The caller owns the claim and the marker. */
+  private def writeLink(spark: SparkSession, tablePath: String, next: Long,
+                        parent: Long, deleteKeys: DataFrame, keyCol: String,
+                        deltaRows: Option[DataFrame]): Unit = {
     val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
+    val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
     Sinks.writeSingleParquetFile(deleteKeys.distinct(),
       s"$vdir/_staging_dv", s"$vdir/$dvSubdir/keys.parquet")
     deltaRows.foreach { d =>
@@ -79,8 +91,54 @@ object DeletionVectors {
     try meta.write(s"parent=$parent\nkey=$keyCol\ndelta=${deltaRows.isDefined}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally meta.close()
-    fs.create(new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d"), false).close()
+  }
+
+  /** DV delete as a BRANCH commit — the O(changes) staging path:
+    * where [[Branches.publishToBranch]] stages a full frame, this
+    * stages only the vector (and optionally a delta), chained onto
+    * the branch head exactly as [[publishDeletes]] chains onto main.
+    * The branch head may be the ref's base (a main version, possibly
+    * itself a chain) — the link's parent pointer is ref-agnostic.
+    * Single-writer-per-ref contract (the rebase stance), so the claim
+    * is a walk-up, not an OCC abort. Returns the branch's new head. */
+  def publishDeletesToBranch(spark: SparkSession, tablePath: String,
+                             branch: String, deleteKeys: DataFrame, keyCol: String,
+                             deltaRows: Option[DataFrame] = None): Long = {
+    require(deleteKeys.columns.toSeq == Seq(keyCol),
+      s"deleteKeys must be exactly ($keyCol), got ${deleteKeys.columns.mkString(",")}")
+    val parent = Branches.branchHead(spark, tablePath, branch).getOrElse(
+      throw new java.io.FileNotFoundException(s"no branch '$branch' at $tablePath"))
+    versionDvMeta(spark, tablePath, parent).foreach { case (_, k) =>
+      require(k == keyCol, s"existing deletion chain keys on '$k', not '$keyCol'")
+    }
+    val next = Branches.claimBranchVersion(spark, tablePath)
+    writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows)
+    Branches.markBranchVersion(spark, tablePath, branch, next)
     next
+  }
+
+  /** Merge-on-read upsert as a BRANCH commit (see [[publishUpsert]]
+    * for the semantics; see [[publishDeletesToBranch]] for the ref
+    * mechanics). Validation runs against the branch's MERGED state. */
+  def publishUpsertToBranch(spark: SparkSession, tablePath: String,
+                            branch: String, changes: DataFrame, keyCol: String,
+                            deleteKeys: DataFrame,
+                            validate: Boolean = true): Long = {
+    require(changes.columns.contains(keyCol), s"changes must carry $keyCol")
+    if (validate) {
+      val expected = Branches.readBranch(spark, tablePath, branch)
+        .columns.toSet - "txn_month"
+      require(changes.columns.toSet == expected,
+        s"delta schema ${changes.columns.sorted.mkString(",")} must match the " +
+        s"branch's merged ${expected.toSeq.sorted.mkString(",")}")
+      val dups = changes.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0,
+        s"one image per $keyCol per commit — deduplicate the batch first")
+    }
+    val touched = changes.select(col(keyCol)).unionByName(deleteKeys).distinct()
+    publishDeletesToBranch(spark, tablePath, branch, touched, keyCol,
+      deltaRows = Some(changes))
   }
 
   /** Merge-on-read UPSERT (the Delta MERGE / Hudi MOR commit): one
@@ -161,13 +219,17 @@ object DeletionVectors {
     * the chain was pruned (never serves a base missing its deletes or
     * deletes missing their base). */
   def readMergedAt(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
-    val committed = Sinks.listVersions(spark, tablePath).toSet
+    // readable = marked by ANY ref: main's `_manifests` or a branch
+    // namespace (branch MoR links chain over the shared version space;
+    // a GC'd branch's numbers drop out of this set and refuse again)
+    val readable = Sinks.listVersions(spark, tablePath).toSet ++
+      Branches.branchMarkedVersions(spark, tablePath)
     var v = version
     var key: Option[String] = None
     // (version, vector, delta-if-any), newest link first
     var links = List.empty[(Long, DataFrame, Option[DataFrame])]
     var meta = {
-      if (!committed(v)) throw new java.io.FileNotFoundException(
+      if (!readable(v)) throw new java.io.FileNotFoundException(
         s"version $v of $tablePath is not readable")
       versionDvMeta(spark, tablePath, v)
     }
@@ -186,7 +248,7 @@ object DeletionVectors {
           Some(spark.read.parquet(s"$vdir/$deltaSubdir/rows.parquet"))
         else None
       links = (v, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta) :: links
-      if (!committed(parent)) throw new java.io.FileNotFoundException(
+      if (!readable(parent)) throw new java.io.FileNotFoundException(
         s"deletion-vector version $v of $tablePath points at parent $parent, " +
         "which is not readable (pruned?) — materialize before pruning")
       v = parent

@@ -63,6 +63,40 @@ object Wap {
     v
   }
 
+  /** The INCREMENTAL cycle — the 100 TB shape: where
+    * [[writeAuditPublish]] stages a full frame, this stages only the
+    * batch ([[DeletionVectors.publishUpsertToBranch]] — one MoR chain
+    * link, O(changes) bytes), audits the branch's MERGED state, and
+    * publishes. With main unmoved the publish is the chain-adopting
+    * fast-forward: marker creates only, the staged link dirs BECOME
+    * main history — a full audit-gated ingest cycle that never
+    * rewrites the base. A red audit leaves the staged link on the ref;
+    * retry with the corrected batch chains over it (the superseding
+    * link wins on its keys) or drop the ref and restage. */
+  def writeAuditPublishDelta(spark: SparkSession, tablePath: String,
+                             changes: DataFrame, deleteKeys: DataFrame,
+                             checks: Seq[QualityGate.Check],
+                             key: String, compareCols: Seq[String],
+                             dateCol: String,
+                             branch: String = "wap_audit",
+                             retainVersions: Int = 2,
+                             dropBranchOnPublish: Boolean = true): Long = {
+    val exists = try { Branches.branchBase(spark, tablePath, branch); true }
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!exists) Branches.createBranch(spark, tablePath, branch)
+    DeletionVectors.publishUpsertToBranch(spark, tablePath, branch,
+      changes, key, deleteKeys)
+    val staged = Branches.readBranch(spark, tablePath, branch).drop("txn_month")
+    val red = QualityGate.validate(staged, checks).filter(!col("pass"))
+      .select("check_name", "violations").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (red.nonEmpty) throw new QualityGate.ExpectationsFailed(red)
+    val v = Branches.mergeBranch(spark, tablePath, branch, key, compareCols,
+      dateCol, retainVersions = retainVersions)
+    if (dropBranchOnPublish) Branches.deleteBranch(spark, tablePath, branch)
+    v
+  }
+
   /** Registered `q_wap` (hash-oracled): both WAP outcomes against one
     * closed-form `orders` oracle. The fixture publishes a base, then
     * (1) stages a BAD feed — key class 4's prices negated — whose

@@ -375,6 +375,53 @@ class BranchSpec extends AnyFunSuite {
       1L -> (("BR", "w1")), 2L -> (("b", "w2")), 3L -> (("c", "w3"))))
   }
 
+  test("MoR staging on a branch: O(changes) commits, merged reads, chain-adopting ff") {
+    val tbl = freshTable() // base = v1: (1,a) (2,b) (3,c)
+    val noDel = spark.emptyDataFrame.select(lit(0L).as("k")).limit(0)
+    Branches.createBranch(spark, tbl, "x")
+    // stage a delete and an upsert as chain links — never a full frame
+    sources.DeletionVectors.publishDeletesToBranch(spark, tbl, "x",
+      Seq(2L).toDF("k"), "k")
+    sources.DeletionVectors.publishUpsertToBranch(spark, tbl, "x",
+      state((1L, "A", 1), (9L, "i", 2)), "k", noDel)
+    // the branch reads merged; main is untouched
+    val br = Branches.readBranch(spark, tbl, "x").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(br == Map(1L -> "A", 3L -> "c", 9L -> "i"))
+    assert(snap(tbl) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // main never moved → fast-forward adopts the WHOLE chain (links 2+3)
+    val v = Branches.mergeBranch(spark, tbl, "x", "k", cmp, "d", retainVersions = 8)
+    assert(v === 3L)
+    assert(Sinks.listVersions(spark, tbl).sorted === Seq(1L, 2L, 3L))
+    val live = sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == Map(1L -> "A", 3L -> "c", 9L -> "i"))
+    // the adopted intermediate link is real, readable main history
+    val prefix = sources.DeletionVectors.readMergedAt(spark, tbl, 2L)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prefix == Map(1L -> "a", 3L -> "c"))
+    // three-way path: a staged MoR branch merges over a moved main
+    Branches.createBranch(spark, tbl, "y")
+    sources.DeletionVectors.publishUpsertToBranch(spark, tbl, "y",
+      state((3L, "C3", 2)), "k", noDel)
+    sources.DeletionVectors.publishUpsert(spark, tbl,
+      state((4L, "m", 1)), "k", noDel) // main inserts k=4 via its own MoR
+    Branches.mergeBranch(spark, tbl, "y", "k", cmp, "d", retainVersions = 8)
+    val merged = sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "A", 3L -> "C3", 4L -> "m", 9L -> "i"))
+    // an unmerged staged chain GCs with its ref; merged history never
+    Branches.createBranch(spark, tbl, "z")
+    val zLink = sources.DeletionVectors.publishDeletesToBranch(spark, tbl, "z",
+      Seq(1L).toDF("k"), "k")
+    Branches.deleteBranch(spark, tbl, "z")
+    intercept[java.io.FileNotFoundException] {
+      sources.DeletionVectors.readMergedAt(spark, tbl, zLink).collect()
+    }
+    assert(sources.DeletionVectors.readMerged(spark, tbl)
+      .count() === 4L)
+  }
+
   test("three-way merge publishes with OCC: a racing claim aborts the merge") {
     val tbl = freshTable()
     Branches.createBranch(spark, tbl, "x")

@@ -155,7 +155,8 @@ class BranchWalkSpec extends AnyFunSuite {
             val base = Branches.createBranch(spark, table, name)
             branch = Some(Br(name, base, cols, rows, rows, 0))
             checkBranch(branch.get, step)
-          case Some(br) => // branch publish under the GOVERNING schema (odd mults)
+          case Some(br) => // branch commit under the GOVERNING schema (odd mults):
+            // a FULL frame or an O(changes) MoR staging link, drawn evenly
             val ups = br.bRows.keys.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.2)
               .map(k => k -> (2L * step + 1))
             val ins = (1 to rnd.nextInt(3)).map { _ =>
@@ -168,7 +169,14 @@ class BranchWalkSpec extends AnyFunSuite {
               ((ups ++ ins).map { case (k, v) => k -> Some(v) } ++
                 dels.map(_ -> None)).toMap)
             if (nb.nonEmpty) {
-              Branches.publishToBranch(frame(br.gCols, nb), "day", table, br.name)
+              if (rnd.nextBoolean())
+                Branches.publishToBranch(frame(br.gCols, nb), "day", table, br.name)
+              else if ((ups ++ ins).nonEmpty)
+                DeletionVectors.publishUpsertToBranch(spark, table, br.name,
+                  frame(br.gCols, (ups ++ ins).toMap), "k", dels.toDF("k"))
+              else
+                DeletionVectors.publishDeletesToBranch(spark, table, br.name,
+                  dels.toDF("k"), "k")
               branch = Some(br.copy(bRows = nb, commits = br.commits + 1))
               checkBranch(branch.get, step)
             }

@@ -58,6 +58,34 @@ class WapSpec extends AnyFunSuite {
     assert(snap(tbl) == Map(1L -> "A", 2L -> "b"))
   }
 
+  test("incremental WAP stages one MoR link and fast-forwards the chain — base never rewritten") {
+    val tbl = fresh() // v1: (1,a) (2,b)
+    val noDel = spark.emptyDataFrame.select(lit(0L).as("k")).limit(0)
+    val v = Wap.writeAuditPublishDelta(spark, tbl,
+      state((1L, "A", 1), (3L, "n", 2)), noDel, checks, "k", cmp, "d",
+      retainVersions = 8)
+    assert(v === 2L) // the staged link itself became live: no rewrite
+    assert(Sinks.currentVersion(spark, tbl).contains(2L))
+    val live = graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == Map(1L -> "A", 2L -> "b", 3L -> "n"))
+    // red delta: the staged link fails the audit, main's merged state
+    // holds; the retry must correct the bad key (it chains OVER the
+    // bad link, superseding its image)
+    intercept[QualityGate.ExpectationsFailed] {
+      Wap.writeAuditPublishDelta(spark, tbl, state((5L, null, 1)), noDel,
+        checks, "k", cmp, "d", retainVersions = 8)
+    }
+    assert(graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .count() === 3L)
+    val v2 = Wap.writeAuditPublishDelta(spark, tbl, state((5L, "ok", 1)), noDel,
+      checks, "k", cmp, "d", retainVersions = 8)
+    assert(Sinks.currentVersion(spark, tbl).contains(v2))
+    val healed = graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(healed == Map(1L -> "A", 2L -> "b", 3L -> "n", 5L -> "ok"))
+  }
+
   test("main moving mid-cycle falls back to the three-way merge") {
     val tbl = fresh()
     Branches.createBranch(spark, tbl, "wap_audit")
