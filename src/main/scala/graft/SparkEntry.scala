@@ -82,6 +82,9 @@ object SparkEntry {
     // O(changes) branch staging: DV + MoR chain links on a ref, then a
     // chain-adopting fast-forward — no base rewrite at any point
     "q_branch_mor"       -> graft.sources.Branches.branchMorResult _,
+    // continuous WAP: per-micro-batch stage→audit→fast-forward, with
+    // the poison batch quarantined whole and its staged link erased
+    "q_wap_stream"       -> graft.sources.Wap.wapStreamResult _,
     // git-style branches over the store: three-way merge (disjoint
     // key classes, zero conflicts) then a marker-only fast-forward —
     // both censused against one closed-form oracle over orders
@@ -1595,6 +1598,29 @@ object SparkEntry {
         |  FROM live GROUP BY 2)
         |SELECT phase, bucket, CAST(n AS BIGINT) AS n_rows, sum_price, row_xor
         |FROM c ORDER BY phase, bucket""".stripMargin,
+
+    // the continuous-WAP ledger in closed form: the poison class-3
+    // batch quarantines whole (its not_null count = the class size),
+    // the final merged state is class-0 originals plus class-2 'A's
+    "q_wap_stream" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS s
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, s FROM o WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, 'A' FROM o WHERE k % 10 = 2),
+        |c AS (
+        |  SELECT 'final' AS entry, COUNT(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)) AS x
+        |  FROM fin
+        |  UNION ALL
+        |  SELECT 'quarantine:not_null:status',
+        |    (SELECT COUNT(*) FROM o WHERE k % 10 = 3), 0
+        |  UNION ALL
+        |  SELECT 'quarantine_rows',
+        |    (SELECT COUNT(*) FROM o WHERE k % 10 = 3), 0)
+        |SELECT entry, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x
+        |FROM c ORDER BY entry""".stripMargin,
 
     // the e2e DAG's operation ledger is pure modular arithmetic over
     // the orders keyspace: every count derives in closed form

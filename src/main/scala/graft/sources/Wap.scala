@@ -97,6 +97,81 @@ object Wap {
     v
   }
 
+  /** CONTINUOUS write-audit-publish — the WAP cycle at micro-batch
+    * granularity over a keyed upsert feed: each batch stages as ONE
+    * branch MoR link (O(batch) bytes), the audit runs against the
+    * branch's merged state, and a green batch fast-forwards into main
+    * (marker creates only — the staged link dir becomes main history).
+    * A red batch is QUARANTINED whole (rows first, then the violation
+    * report — the gated-ingest crash order) and its staged link is
+    * erased with the ref, so the NEXT batch stages against clean state
+    * instead of chaining onto poison; one bad drop can never stall or
+    * corrupt a continuously-ingesting table. The ref is dropped and
+    * recreated per cycle (two metadata ops) so every green publish is
+    * a pure fast-forward.
+    *
+    * Retry anatomy, stated honestly: foreachBatch may replay a batch
+    * after a crash. Replay after the merge re-stages the same images
+    * as a second link (identical content supersedes itself) and the
+    * merge falls back to the three-way path — a REBUILDING publish of
+    * the identical state: redundant work, never a wrong state (the
+    * rebase crash-window argument). `batch` must be key-deduplicated
+    * (the MoR one-image-per-key contract); the violation report rides
+    * per batch under `tablePath/_quarantine/batch=<id>/`. Green cycles
+    * are pure fast-forwards, so the live chain GROWS one link per
+    * batch — fold it on a cadence with
+    * [[DeletionVectors.materializeDeletes]] (the standing MoR
+    * guidance: merged-read cost is O(chain)). */
+  def runWapIngest(stream: DataFrame, tablePath: String,
+                   checkpoint: String,
+                   checks: Seq[QualityGate.Check],
+                   key: String, compareCols: Seq[String], dateCol: String,
+                   branch: String = "wap_stream",
+                   retainVersions: Int = 2,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true) // consumers: stage + quarantine
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          val exists = try { Branches.branchBase(spark, tablePath, branch); true }
+            catch { case _: java.io.FileNotFoundException => false }
+          if (!exists) Branches.createBranch(spark, tablePath, branch)
+          // validate=false: the publish guards (schema parity, dup keys)
+          // each cost a driver job per batch, and the AUDIT right below
+          // is this pipeline's guard — the streaming-applier precedent
+          // (CdcStream); the batch contract (key-deduplicated) is the
+          // caller's, stated in the doc
+          DeletionVectors.publishUpsertToBranch(spark, tablePath, branch, b, key,
+            b.select(key).limit(0), validate = false)
+          val staged = Branches.readBranch(spark, tablePath, branch).drop("txn_month")
+          val red = QualityGate.validate(staged, checks).filter(!col("pass"))
+            .select("check_name", "violations").collect()
+          if (red.isEmpty) {
+            Branches.mergeBranch(spark, tablePath, branch, key, compareCols,
+              dateCol, retainVersions = retainVersions)
+          } else {
+            import spark.implicits._
+            b.write.mode("overwrite")
+              .parquet(s"$tablePath/_quarantine/batch=$batchId/rows")
+            red.toSeq.map(r => (r.getString(0), r.getLong(1)))
+              .toDF("check_name", "violations")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$tablePath/_quarantine/batch=$batchId/report")
+          }
+          // drop the ref either way: green so the next cycle is a pure
+          // fast-forward from the new head, red so the poison link GCs
+          Branches.deleteBranch(spark, tablePath, branch)
+        }
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Registered `q_wap` (hash-oracled): both WAP outcomes against one
     * closed-form `orders` oracle. The fixture publishes a base, then
     * (1) stages a BAD feed — key class 4's prices negated — whose
@@ -156,5 +231,74 @@ object Wap {
   }
 
   private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_wap_stream` (hash-oracled): the CONTINUOUS cycle,
+    * drained AvailableNow over two planted single-file drops — class-2
+    * inserts with status 'A' (clean) and class-3 inserts with NULL
+    * status (poison) — one micro-batch each (`maxFilesPerTrigger` 1),
+    * against a table initialized with the class-0 subset. Whichever
+    * order the file source picks, the ledger is the same: the poison
+    * batch quarantines whole with the exact `not_null:status` count
+    * and the final merged state is class-0 ∪ class-2('A') — every cell
+    * closed-form over `orders`. The drop files build once per JVM; the
+    * DRAIN is the timed surface by design (the gated-ingest
+    * precedent: the stream is the operator under test). */
+  def wapStreamResult(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_orderdate").cast("date").as("odate"),
+      col("o_orderstatus").cast("string").as("status"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val in = streamFixtures.computeIfAbsent(dir, _ => {
+      val d = graft.util.Scratch.dir("wap_stream_in")
+      base.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("status", lit("A"))
+        .coalesce(1).write.parquet(s"$d/dropA")
+      base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("status", lit(null).cast("string"))
+        .coalesce(1).write.parquet(s"$d/dropB")
+      // one flat dir: the file source batches per file
+      val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(d))
+      Seq("dropA", "dropB").foreach { sub =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/$sub"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(s"$d/$sub.parquet")))
+      }
+      d
+    })
+    val scratch = graft.util.Scratch.dir("wap_stream_q")
+    val tbl = s"$scratch/t"
+    // colocated months: one file per month instead of tasks × months —
+    // every WAP cycle re-reads this base through its merged reads, so
+    // the drain pays file-count on each of them (the q_stream_cdc
+    // lesson)
+    Sinks.publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", tbl,
+      retainVersions = 1000, colocateMonths = true)
+    val checks = Seq(QualityGate.notNull("status"), QualityGate.unique("o_orderkey"))
+    runWapIngest(
+      spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet"),
+      tbl, s"$scratch/ckpt", checks,
+      "o_orderkey", Seq("odate", "status", "price"), "odate",
+      retainVersions = 1000, availableNow = true).awaitTermination()
+    val reports = spark.read.parquet(s"$tbl/_quarantine/batch=*/report")
+      .select(concat(lit("quarantine:"), col("check_name")).as("entry"),
+        col("violations").as("n"))
+      .withColumn("x", lit(0L))
+    val qrows = spark.read.parquet(s"$tbl/_quarantine/batch=*/rows")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("quarantine_rows").as("entry"), col("n"), lit(0L).as("x"))
+    val fin = DeletionVectors.readMerged(spark, tbl)
+      .select(graft.operators.Reconcile.xorHash60(
+        concat_ws("|", col("o_orderkey").cast("string"), col("status"))).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      .select(lit("final").as("entry"), col("n"), col("x"))
+    reports.unionByName(qrows).unionByName(fin).orderBy("entry")
+  }
+
+  private val streamFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -86,6 +86,48 @@ class WapSpec extends AnyFunSuite {
     assert(healed == Map(1L -> "A", 2L -> "b", 3L -> "n", 5L -> "ok"))
   }
 
+  test("continuous WAP: green batches fast-forward, the poison batch quarantines and its link erases") {
+    val tbl = fresh() // v1: (1,a) (2,b)
+    val in = graft.util.Scratch.dir("wap_stream_spec_in")
+    val ckpt = graft.util.Scratch.dir("wap_stream_spec_ck")
+    def drop(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$in/_stage_$name"
+      rows.coalesce(1).write.parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(s => fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(s"$in/$name.parquet")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    drop("a", state((3L, "n", 2)))
+    drop("b", state((4L, null, 1)))
+    def drain(): Unit = graft.sources.Wap.runWapIngest(
+      spark.readStream.schema(state((0L, "x", 1)).schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet"),
+      tbl, ckpt, checks, "k", cmp, "d", retainVersions = 100,
+      availableNow = true).awaitTermination()
+    drain()
+    val live = graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == Map(1L -> "a", 2L -> "b", 3L -> "n"))
+    // the poison batch is quarantined whole with its report
+    assert(spark.read.parquet(s"$tbl/_quarantine/batch=*/rows").count() === 1L)
+    assert(spark.read.parquet(s"$tbl/_quarantine/batch=*/report")
+      .select("check_name").as[String].collect().toSet === Set("not_null:v"))
+    // no ref left behind (green dropped it; red erased the poison link)
+    intercept[java.io.FileNotFoundException] {
+      Branches.branchBase(spark, tbl, "wap_stream")
+    }
+    // the pipeline keeps ingesting after the poison: a later drop lands
+    drop("c", state((5L, "z", 1)))
+    drain()
+    val healed = graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(healed == Map(1L -> "a", 2L -> "b", 3L -> "n", 5L -> "z"))
+  }
+
   test("main moving mid-cycle falls back to the three-way merge") {
     val tbl = fresh()
     Branches.createBranch(spark, tbl, "wap_audit")
