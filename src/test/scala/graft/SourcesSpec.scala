@@ -456,6 +456,14 @@ class SourcesSpec extends AnyFunSuite {
       "transaction_date", retainVersions = 12)
     assert(spark.read.format("graft-table").load(table)
       .select("val").as[Long].collect() === Array(98L))
+    // pure-SQL users reach refs through DDL OPTIONS — no graft imports
+    graft.sources.Tags.createTag(spark, table, "rel", Some(2L)) // v2 = (10, 20)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_branch " +
+      s"USING `graft-table` OPTIONS (path '$table', branch 'side')")
+    assert(spark.sql("SELECT count(*) FROM graft_branch").head().getLong(0) === 2L)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_tag " +
+      s"USING `graft-table` OPTIONS (path '$table', tag 'rel')")
+    assert(spark.sql("SELECT sum(val) FROM graft_tag").head().getLong(0) === 30L)
   }
 
   test("group store is relocatable: nested members resolve wherever the tree lands") {

@@ -70,6 +70,51 @@ class TagSpec extends AnyFunSuite {
     }
   }
 
+  test("tag-retention walk: 60 publishes under a 2-version window, random tag/untag — pins hold exactly") {
+    val tbl = fresh()
+    val rnd = new scala.util.Random(1414213)
+    var tagged = Map.empty[String, (Long, Long)] // name -> (version, its val)
+    var tagN = 0
+    Sinks.publishSnapshot(df(0L), "transaction_date", tbl, retainVersions = 2)
+    for (step <- 1 to 60) {
+      val v = Sinks.publishSnapshot(df(step.toLong), "transaction_date", tbl,
+        retainVersions = 2)
+      if (rnd.nextDouble() < 0.25) { // pin the version just published
+        tagN += 1
+        val name = s"t$tagN"
+        Tags.createTag(spark, tbl, name, Some(v))
+        tagged += name -> ((v, step.toLong))
+      }
+      if (tagged.nonEmpty && rnd.nextDouble() < 0.15) { // release a random pin
+        val name = tagged.keys.toSeq.sorted.apply(rnd.nextInt(tagged.size))
+        Tags.deleteTag(spark, tbl, name)
+        tagged -= name
+      }
+      // invariant at every step: committed = pinned ∪ newest window
+      val committed = Sinks.listVersions(spark, tbl).toSet
+      val all = (1L to v).toSet
+      val window = all.toSeq.sorted.reverse.take(2).toSet
+      val pinned = tagged.values.map(_._1).toSet
+      // released pins below the window prune on the NEXT publish, not
+      // eagerly — so committed may lag by the tags released this step;
+      // it must always COVER pins + window and never exceed what was
+      // ever pinned-or-recent
+      assert((pinned ++ window).subsetOf(committed),
+        s"step $step: a pin or the live window was pruned")
+      // every pinned version still reads as the exact state it froze
+      for ((name, (pv, pval)) <- tagged)
+        assert(Tags.readTag(spark, tbl, name)
+          .select("val").as[Long].head() === pval,
+          s"step $step: tag $name diverged")
+    }
+    // after releasing everything, two more publishes shrink the store
+    // back to the bare window
+    tagged.keys.foreach(Tags.deleteTag(spark, tbl, _))
+    Sinks.publishSnapshot(df(98L), "transaction_date", tbl, retainVersions = 2)
+    Sinks.publishSnapshot(df(99L), "transaction_date", tbl, retainVersions = 2)
+    assert(Sinks.listVersions(spark, tbl).size === 2)
+  }
+
   test("a tag on a chain head pins the WHOLE DV/MoR chain against retention") {
     val tbl = fresh()
     Sinks.publishSnapshot(df(1L, 2L, 3L), "transaction_date", tbl, retainVersions = 2)
