@@ -1506,6 +1506,10 @@ object SparkEntry {
         |ff AS (
         |  SELECT k, CASE WHEN k % 10 = 1 THEN 'F' ELSE status END AS status, price
         |  FROM merged),
+        |rb AS (
+        |  SELECT k, CASE WHEN k % 10 = 9 THEN 'R' WHEN k % 10 = 8 THEN 'Z'
+        |    ELSE status END AS status, price
+        |  FROM ff),
         |c AS (
         |  SELECT 'merged' AS phase, k % 10 AS bucket, COUNT(*) AS n,
         |    CAST(SUM(price) AS DOUBLE) AS sum_price,
@@ -1514,7 +1518,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ff', k % 10, COUNT(*), CAST(SUM(price) AS DOUBLE),
         |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT))
-        |  FROM ff GROUP BY 2)
+        |  FROM ff GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'rebased', k % 10, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT))
+        |  FROM rb GROUP BY 2)
         |SELECT phase, bucket, CAST(n AS BIGINT) AS n_rows, sum_price, row_xor
         |FROM c ORDER BY phase, bucket""".stripMargin,
 

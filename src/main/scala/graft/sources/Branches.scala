@@ -526,13 +526,16 @@ object Branches {
     * precedent) → MAIN independently updates class 3 (diverged, but
     * disjoint classes: zero conflicts by construction) → THREE-WAY
     * merge → census; then branch `ff` flips class 1 while main holds
-    * still → FAST-FORWARD merge (marker-only commit) → census. Both
-    * censuses are per-bucket (count, exact decimal price sum surfaced
-    * as DOUBLE, 60-bit key|status XOR) — every cell derivable from
-    * `orders` by modular arithmetic without seeing a snapshot. Fixture
-    * builds once per JVM (the group-publish precedent); the merged
-    * census is taken while the merge is live and PERSISTED (the ff
-    * commit advances the head past it). */
+    * still → FAST-FORWARD merge (marker-only commit) → census; then
+    * branch `rb` flips class 9 while main flips class 8 → REBASE
+    * (replays the branch feed onto the moved main) → ff merge of the
+    * replayed commit → census. All three censuses are per-bucket
+    * (count, exact decimal price sum surfaced as DOUBLE, 60-bit
+    * key|status XOR) — every cell derivable from `orders` by modular
+    * arithmetic without seeing a snapshot. Fixture builds once per
+    * JVM (the group-publish precedent); each census is taken while
+    * its state is live and PERSISTED (the next phase advances the
+    * head past it). */
   def branchMergeResult(spark: SparkSession, dir: String): DataFrame = {
     def census(st: DataFrame, phase: String): DataFrame = st
       .select((col("o_orderkey") % 10).cast("long").as("bucket"), col("price"),
@@ -590,10 +593,30 @@ object Branches {
         Seq("odate", "status", "price"), "odate", retainVersions = 6)
       census(Sinks.readSnapshot(spark, tbl), "ff")
         .coalesce(1).write.parquet(s"$f/ff")
+      // REBASE phase: branch flips class 9 while main independently
+      // flips class 8 (disjoint — zero conflicts); the rebase replays
+      // the class-9 change onto main's moved state and the follow-up
+      // merge is a pure fast-forward of the replayed commit
+      createBranch(spark, tbl, "rb")
+      val ffLive = Sinks.readSnapshot(spark, tbl)
+        .select("o_orderkey", "odate", "status", "price")
+      publishToBranch(ffLive.withColumn("status",
+        when(col("o_orderkey") % 10 === 9, lit("R")).otherwise(col("status"))),
+        "odate", tbl, "rb")
+      Sinks.publishSnapshot(ffLive.withColumn("status",
+        when(col("o_orderkey") % 10 === 8, lit("Z")).otherwise(col("status"))),
+        "odate", tbl, retainVersions = 6)
+      rebaseBranch(spark, tbl, "rb", "o_orderkey",
+        Seq("odate", "status", "price"), "odate")
+      mergeBranch(spark, tbl, "rb", "o_orderkey",
+        Seq("odate", "status", "price"), "odate", retainVersions = 6)
+      census(Sinks.readSnapshot(spark, tbl), "rebased")
+        .coalesce(1).write.parquet(s"$f/rebased")
       f
     })
     spark.read.parquet(s"$fixture/merged")
       .unionByName(spark.read.parquet(s"$fixture/ff"))
+      .unionByName(spark.read.parquet(s"$fixture/rebased"))
       .orderBy("phase", "bucket")
   }
 
