@@ -133,7 +133,14 @@ object Branches {
     } finally in.close()
   }
 
-  /** The branch head: newest branch commit marker, if the branch exists. */
+  /** The branch head: newest branch commit marker, if the branch
+    * exists. A branch whose `base` file exists but whose initial head
+    * marker is missing — the crash window of [[createBranch]], which
+    * writes them as two separate creates — is treated as head == base
+    * (the state the crashed create was about to record), so merge /
+    * rebase / publish on a half-created branch behave exactly as on a
+    * fresh one instead of throwing on a missing marker or silently
+    * publishing without carried schema metadata. */
   def branchHead(spark: SparkSession, tablePath: String, name: String): Option[Long] = {
     val bdir = branchPath(tablePath, name)
     val fs = Sinks.hadoopFs(spark, bdir)
@@ -141,7 +148,10 @@ object Branches {
     else fs.listStatus(bdir).toSeq.flatMap(_.getPath.getName match {
       case markerRe(n) => Some(n.toLong)
       case _           => None
-    }).maxOption
+    }).maxOption.orElse {
+      val baseFile = new org.apache.hadoop.fs.Path(bdir, "base")
+      if (fs.exists(baseFile)) Some(branchBase(spark, tablePath, name)) else None
+    }
   }
 
   /** Claim the next free number from the shared `_claims` space past
@@ -366,19 +376,36 @@ object Branches {
             s"fast-forward of '$name' onto $tablePath: marker m$v already exists")
       }
       // detection of the slow-publisher race: any FOREIGN marker that
-      // landed strictly inside (base, bHead) is now shadowed by ours
-      val interleaved = fs.listStatus(
+      // landed strictly inside (base, bHead) is now shadowed by ours,
+      // and any foreign marker ABOVE bHead is an OCC publisher that
+      // walked past the (then branch-only) numbers and committed a
+      // state built on the stale pre-merge head — it now shadows THIS
+      // merge. Both are detected and raised, never silently buried;
+      // this check is the ff side of the mutual detection pair with
+      // [[Sinks.claimExpectedVersion]]'s post-claim / pre-marker
+      // re-checks (whichever commitment act lands second, that side's
+      // re-list sees the other's marker).
+      val allMarkers = fs.listStatus(
         new org.apache.hadoop.fs.Path(root, "_manifests")).toSeq.flatMap(
         _.getPath.getName match {
           case markerRe(n) => Some(n.toLong)
           case _           => None
-        }).filter(v => v > base && v < bHead && !chainLinks.contains(v))
+        })
+      val interleaved = allMarkers
+        .filter(v => v > base && v < bHead && !chainLinks.contains(v))
       if (interleaved.nonEmpty)
         throw new ConcurrentSnapshotUpdate(
           s"fast-forward of '$name' onto $tablePath raced a concurrent publish " +
           s"(markers ${interleaved.mkString(",")} inside ($base, $bHead)); the " +
           "branch content is committed but does NOT include those versions — " +
           "merge their changes forward before trusting the head")
+      val above = allMarkers.filter(_ > bHead)
+      if (above.nonEmpty)
+        throw new ConcurrentSnapshotUpdate(
+          s"fast-forward of '$name' onto $tablePath is committed but main " +
+          s"commit(s) ${above.sorted.mkString(",")} landed above it — if that " +
+          "publisher built on the pre-merge head its state does not include this " +
+          "branch's content; verify and re-merge forward before trusting the head")
       bHead
     } else {
       val target = SchemaEvolution.schemaOf(spark, tablePath, mHead)

@@ -58,16 +58,22 @@ object DeletionVectors {
     val fs = Sinks.hadoopFs(spark, root)
     // parent+1 OCC, but the predicate is "no MAIN commit since parent":
     // settled BRANCH versions consumed numbers from the shared claim
-    // space without ever being main commits, so walk past them before
-    // the single conditional create (the publishSnapshot discipline)
-    val branchMarked = Branches.branchMarkedVersions(spark, tablePath)
-    var next = parent + 1
-    while (branchMarked.contains(next)) next += 1
-    if (!Sinks.tryClaim(fs, new org.apache.hadoop.fs.Path(root, "_claims"), next, "c"))
-      throw new ConcurrentSnapshotUpdate(
-        s"delete-publish of $tablePath expected version $next but its claim is " +
-        "already taken (a concurrent publisher owns it); no data was written")
+    // space without ever being main commits, so walk past them — but
+    // only while they stay branch-only, and re-check after the claim
+    // (see [[Sinks.claimExpectedVersion]] for the fast-forward-
+    // shadowing race both guards close)
+    val next = Sinks.claimExpectedVersion(spark, tablePath, parent + 1,
+      "delete-publish")
     writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows)
+    // pre-marker re-check (the publishSnapshot discipline): a ff merge
+    // landing during the link write must abort this commit, not be
+    // shadowed by it
+    val landed = Sinks.mainMarkedVersions(spark, tablePath).filter(_ > parent)
+    if (landed.nonEmpty)
+      throw new ConcurrentSnapshotUpdate(
+        s"delete-publish of $tablePath expected to commit as version ${parent + 1} " +
+        s"but main commit(s) ${landed.toSeq.sorted.mkString(",")} landed while the " +
+        "link was being written; nothing was committed — retry against the new head")
     fs.create(new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d"), false).close()
     next
   }

@@ -66,7 +66,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftTableDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
+  /** One resolution per (options) per provider instance: Spark calls
+    * `inferSchema` and then `getTable` on the same provider — two
+    * independent head resolutions would let a publish landing between
+    * them bind the scan to a DIFFERENT version directory than the
+    * schema was inferred from (schema of v2, files of v3 after a
+    * column-evolving publish). Memoizing pins both calls to the one
+    * directory resolved first; a fresh `load()` builds a fresh
+    * provider, so the cache never staleness-leaks across reads. */
+  private val pinned =
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], ParquetTable]()
+
   private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+    import scala.jdk.CollectionConverters._
+    pinned.computeIfAbsent(options.asCaseSensitiveMap().asScala.toMap,
+      _ => doResolve(options))
+  }
+
+  private def doResolve(options: CaseInsensitiveStringMap): ParquetTable = {
     val spark = SparkSession.active
     val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-table needs a path: the snapshot store root (the directory holding v…/ and _manifests/)"))

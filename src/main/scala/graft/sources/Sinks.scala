@@ -146,6 +146,65 @@ object Sinks {
     n
   }
 
+  /** All committed main-marker numbers (the raw `_manifests` listing,
+    * no dir-existence intersection — see [[listVersions]] for the
+    * readable subset). */
+  private[sources] def mainMarkedVersions(spark: org.apache.spark.sql.SparkSession,
+                                          tablePath: String): Set[Long] = {
+    val mdir = new org.apache.hadoop.fs.Path(tablePath, "_manifests")
+    val fs = hadoopFs(spark, mdir)
+    if (!fs.exists(mdir)) Set.empty
+    else fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+      case manifestRe(n) => Some(n.toLong)
+      case _             => None
+    }).toSet
+  }
+
+  /** One ATOMIC exact-version claim for an OCC publisher expecting to
+    * commit as `expected` (built on main state `expected - 1`): skips
+    * numbers a settled BRANCH consumed — but ONLY while they are not
+    * main commits — claims the first eligible number, then re-reads
+    * `_manifests` and aborts if ANY main marker >= `expected` exists.
+    *
+    * Why both guards: a fast-forward merge turns a branch-marked
+    * number into a live MAIN commit without consuming a new claim.
+    * The old "skip every branch-marked number" walk would step PAST
+    * that merged commit, claim the next number, and let the caller
+    * commit a state built on the stale pre-merge head — silently
+    * shadowing the merge. With the main-marker intersection the walk
+    * stops AT a ff-merged number (whose claim the branch publish
+    * already consumed → the conditional create loses → clean abort),
+    * and the post-claim re-list catches a merge that lands between the
+    * caller's head read and the claim. The final window (a ff whose
+    * markers all land after this re-list but before the caller's own
+    * marker) is closed by [[publishSnapshot]]'s pre-marker re-check
+    * and, from the other side, by the fast-forward path's own
+    * head-verification ([[Branches.mergeBranch]]); an N≥3-writer
+    * pile-up inside that sub-second window degrades to the documented
+    * object-store caveat — run coordination there. */
+  private[graft] def claimExpectedVersion(spark: org.apache.spark.sql.SparkSession,
+                                          tablePath: String, expected: Long,
+                                          what: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    val branchMarked = Branches.branchMarkedVersions(spark, tablePath)
+    val mainMarked = mainMarkedVersions(spark, tablePath)
+    var n = expected
+    while (branchMarked.contains(n) && !mainMarked.contains(n)) n += 1
+    if (!tryClaim(fs, new org.apache.hadoop.fs.Path(root, "_claims"), n, "c"))
+      throw new ConcurrentSnapshotUpdate(
+        s"$what of $tablePath expected version $n but its claim is already " +
+        "taken (a concurrent publisher owns it); no data was written")
+    val landed = mainMarkedVersions(spark, tablePath).filter(_ >= expected)
+    if (landed.nonEmpty)
+      throw new ConcurrentSnapshotUpdate(
+        s"$what of $tablePath expected to commit as version $expected but main " +
+        s"commit(s) ${landed.toSeq.sorted.mkString(",")} landed since the head was " +
+        "read (a concurrent publish or fast-forward merge); no data was written — " +
+        "re-read the live version and retry")
+    n
+  }
+
   /** The live (committed) version number: the newest commit marker. */
   def currentVersion(spark: org.apache.spark.sql.SparkSession, tablePath: String): Option[Long] = {
     val mdir = new org.apache.hadoop.fs.Path(tablePath, "_manifests")
@@ -320,19 +379,12 @@ object Sinks {
       // predicate is "no MAIN commit since e-1", not number density:
       // settled BRANCH versions consumed numbers from the shared claim
       // space without ever being main commits, so the expectation
-      // walks past them before its single conditional create. (An
-      // in-flight branch publisher that claimed but has not yet marked
-      // still aborts this publish — spurious but safe; retry after it
-      // settles.)
-      case Some(e) =>
-        val branchMarked = Branches.branchMarkedVersions(spark, tablePath)
-        var n = e
-        while (branchMarked.contains(n)) n += 1
-        if (!tryClaim(fs, claimsDir, n, "c"))
-          throw new ConcurrentSnapshotUpdate(
-            s"publish of $tablePath expected version $n but its claim is already " +
-            "taken (a concurrent publisher owns it); no data was written")
-        n
+      // walks past them — but only while they stay branch-only; see
+      // [[claimExpectedVersion]] for the fast-forward-shadowing race
+      // this guards. (An in-flight branch publisher that claimed but
+      // has not yet marked still aborts this publish — spurious but
+      // safe; retry after it settles.)
+      case Some(e) => claimExpectedVersion(spark, tablePath, e, "publish")
       case None => claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
     }
     writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions,
@@ -358,6 +410,20 @@ object Sinks {
         new org.apache.hadoop.fs.Path(root, s"${versionDirName(next)}/$metaPrefix$name"), true)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    }
+    // OCC pre-marker re-check: the data write above can take minutes —
+    // a fast-forward merge landing during it would be shadowed by our
+    // marker. One cheap listing right before the commit shrinks that
+    // window to listing→create; the abandoned dir+claim left by this
+    // abort is ordinary vacuumable crash debris.
+    expectedVersion.foreach { e =>
+      val landed = mainMarkedVersions(spark, tablePath).filter(_ >= e)
+      if (landed.nonEmpty)
+        throw new ConcurrentSnapshotUpdate(
+          s"publish of $tablePath expected to commit as version $e but main " +
+          s"commit(s) ${landed.toSeq.sorted.mkString(",")} landed while its data " +
+          "was being written; the staged version was NOT committed (unmarked " +
+          "debris, vacuumable) — re-read the live version and retry")
     }
     // commit marker: a NEW file name under _manifests — version encoded
     // in the name, so there is no content to race on
@@ -845,6 +911,18 @@ object Sinks {
     // versions age through their own retention)
     existing.sorted.reverse.drop(retainGroups - 1).foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(cdir, f"g$g%08d"), false)
+    }
+    // group-claim sweep (the keepFloor discipline of [[publishSnapshot]]):
+    // every claim strictly below the oldest RETAINED group marker is
+    // unreachable debris — without this, each group commit leaks one
+    // inode forever (table-level vacuum never looks inside `_commits`)
+    val keepFloor = (existing.sorted.reverse.take(retainGroups - 1) :+ n).min
+    val gclaims = new org.apache.hadoop.fs.Path(cdir, "_claims")
+    if (fs.exists(gclaims)) fs.listStatus(gclaims).foreach { s =>
+      s.getPath.getName match {
+        case claimRe(c) if c.toLong < keepFloor => fs.delete(s.getPath, false)
+        case _                                  => ()
+      }
     }
     vector.toMap
   }

@@ -72,6 +72,27 @@ object Tags {
     if (!created) throw new java.io.IOException(
       s"tag '$name' already exists at $tablePath (tags are immutable; " +
       "delete and recreate to re-point)")
+    // the create races a concurrent publish's retention prune: the
+    // prune reads pinnedVersions ONCE, so a tag created after that
+    // listing but before the marker/dir deletes finish can point at a
+    // version the prune is removing — the committed-version check
+    // above passed a moment before the delete. Re-verify the pin took:
+    // the version AND its whole DV/MoR chain must still be readable;
+    // if not, release the half-taken pin and fail loudly (the caller
+    // retries against the new live version) rather than leave a tag
+    // whose reads fail forever and whose "pins against retention"
+    // guarantee is silently void.
+    val chain = DeletionVectors.chainVersions(spark, tablePath, v)
+    val readable = Sinks.listVersions(spark, tablePath).toSet
+    val gone = chain.filterNot(readable)
+    if (gone.nonEmpty) {
+      fs.delete(tp, false)
+      throw new ConcurrentSnapshotUpdate(
+        s"tag '$name' on version $v of $tablePath did not take: chain version(s) " +
+        s"${gone.sorted.mkString(",")} were pruned by a concurrent publish's " +
+        "retention sweep before the pin landed — the tag was released; re-tag a " +
+        "still-retained version")
+    }
     v
   }
 
