@@ -30,6 +30,9 @@ object GraftSession {
       // loader mutating the conf of a session it doesn't own.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // SQL front door of the versioned snapshot store: path-addressed
+      // identifiers (MERGE INTO graft.`/path` …) resolve to GraftTable
+      .config("spark.sql.catalog.graft", classOf[sources.GraftCatalog].getName)
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -73,6 +73,12 @@ object SparkEntry {
     // the snapshot store as a first-class DSv2 read path: live +
     // versionAsOf through format("graft-table"), parquet-delegated
     "q_snapshot_dsv2"    -> graft.sources.GraftTableDataSource.snapshotDsv2Result _,
+    // the store's WRITE surface: DataFrame bootstrap, SQL INSERT INTO
+    // as an O(batch) MoR append link, INSERT OVERWRITE full replace
+    "q_dsv2_write"       -> graft.sources.GraftTable.sqlWriteResult _,
+    // SQL MERGE INTO / DELETE / UPDATE routed to DV+MoR commits via
+    // SupportsRowLevelOperations; census reads the 3-link chain merged
+    "q_merge_sql"        -> graft.sources.GraftTable.mergeSqlResult _,
     // crash-debris vacuum: abandoned dirs + orphan claims reclaimed,
     // committed and branch-marked versions untouched — constant ledger
     "q_vacuum"           -> graft.sources.Sinks.vacuumResult _,
@@ -1542,6 +1548,50 @@ object SparkEntry {
         |  SELECT 'tagged', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
         |FROM c ORDER BY phase""".stripMargin,
+
+    // the write lifecycle in closed form: evens bootstrap, the k%4=1
+    // class SQL-inserted (MoR append link), k%8=0 overwrite
+    "q_dsv2_write" ->
+      """WITH x AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'bootstrap' AS phase, COUNT(*) AS n, bit_xor(h) AS key_xor FROM x WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'inserted', COUNT(*), bit_xor(h) FROM x WHERE k % 2 = 0 OR k % 4 = 1
+        |  UNION ALL
+        |  SELECT 'overwritten', COUNT(*), bit_xor(h) FROM x WHERE k % 8 = 0)
+        |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
+        |FROM c ORDER BY phase""".stripMargin,
+
+    // the SQL MERGE/DELETE/UPDATE chain in closed form: class-7
+    // updates (+11.11, 'B'), class-5 deletes, class-2-derived inserts
+    // offset by max(key); then class-3 of the merged state deleted;
+    // then class-1 prices +5.00
+    "q_merge_sql" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS m FROM base),
+        |merged AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 7 THEN 'B' ELSE status END AS status,
+        |    CASE WHEN k % 10 = 7 THEN CAST(price + CAST('11.11' AS DECIMAL(4,2)) AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM base WHERE k % 10 <> 5
+        |  UNION ALL
+        |  SELECT m + k, 'N', CAST(100.00 + (k % 50) AS DECIMAL(18,2))
+        |  FROM base, mx WHERE k % 10 = 2),
+        |afterdel AS (SELECT * FROM merged WHERE k % 10 <> 3),
+        |final AS (SELECT k, status,
+        |    CASE WHEN k % 10 = 1 THEN CAST(price + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM afterdel)
+        |SELECT k % 10 AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || status), 1, 15)) AS BIGINT)) AS row_xor
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the vacuum fixture's claim arithmetic is fully deterministic:
     // v1+v2 published, branch claims 3, abandoned dirs 4+5, orphan

@@ -209,6 +209,13 @@ object DeletionVectors {
     out
   }
 
+  /** The delete-chain key of `version` (None when it is a plain data
+    * version) — later links and SQL row-level operations must agree
+    * with it. */
+  private[sources] def chainKeyOf(spark: SparkSession, tablePath: String,
+                                  version: Long): Option[String] =
+    versionDvMeta(spark, tablePath, version).map(_._2)
+
   /** (parent, keyCol) when `version` is a DV version, None when it
     * carries data. */
   private def versionDvMeta(spark: SparkSession, tablePath: String,

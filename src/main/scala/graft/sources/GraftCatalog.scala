@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** PATH-ADDRESSED TableCatalog for the versioned snapshot store — the
+  * SQL front door that makes `MERGE INTO` / `UPDATE` / `DELETE` /
+  * `INSERT INTO` reach the lakehouse without the Scala API (the
+  * Delta-Lake `delta.`/path/`` idiom). Registered by
+  * [[graft.GraftSession]] as
+  *
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *
+  * so SQL like
+  *
+  *   MERGE INTO graft.`/data/stores/orders` t USING changes c
+  *     ON t.o_orderkey = c.o_orderkey
+  *     WHEN MATCHED AND c.op = 'D' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *
+  * resolves to a [[GraftTable]] in catalog mode: payload schema
+  * (derived `txn_month` hidden, so write frames round-trip), DV/MoR
+  * chain heads served MERGED, and row-level operations routed to
+  * O(changes) MoR commits ([[GraftTable]]'s class doc has the write
+  * semantics).
+  *
+  * Identifier = path: the backquoted identifier IS the store root
+  * (multipart identifiers join with '/'; a relative path resolves
+  * against the catalog's `root` option,
+  * `spark.sql.catalog.graft.root = /warehouse`). The store is
+  * self-describing (versions + commit markers + published schema
+  * metadata), so the catalog holds NO state of its own: a table
+  * "exists" iff its store has a committed version, and CREATE/DROP
+  * are publish/retention operations, not catalog DDL — `createTable`
+  * points at the bootstrap write path, `dropTable` refuses (deleting
+  * 100 TB of committed history is an operator action, not a SQL
+  * side-effect), `TIMESTAMP AS OF`-style reads use the explicit
+  * `VERSION AS OF` (forwarded to [[Sinks.readSnapshotAt]]'s
+  * refuse-don't-guess contract).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+  private var rootOpt: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootOpt = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathOf(ident: Identifier): String = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    if (joined.startsWith("/") || joined.contains("://")) joined
+    else rootOpt.fold(throw new IllegalArgumentException(
+      s"graft catalog identifier '$joined' is a relative path but the catalog has no " +
+      s"root — use an absolute path (MERGE INTO $catalogName.`/abs/path` …) or set " +
+      s"spark.sql.catalog.$catalogName.root"))(r => s"$r/$joined")
+  }
+
+  /** A listing-free catalog: stores are addressed, not enumerated. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (Sinks.currentVersion(spark, path).isEmpty) throw new NoSuchTableException(ident)
+    GraftTable.forCatalog(spark, path, Map.empty)
+  }
+
+  /** `SELECT … FROM graft.`/path` VERSION AS OF n` — the SQL spelling
+    * of [[Sinks.readSnapshotAt]]. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    GraftTable.forCatalog(spark, pathOf(ident), Map("versionasof" -> version))
+
+  override def tableExists(ident: Identifier): Boolean =
+    Sinks.currentVersion(spark, pathOf(ident)).isDefined
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"the graft store at ${pathOf(ident)} is self-describing — bootstrap it with a " +
+      "first publish instead of DDL: df.write.format(\"graft-table\")" +
+      ".option(\"dateCol\", …).mode(\"overwrite\").save(path), or Sinks.publishSnapshot")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema changes go through the evolution publish " +
+      "(SchemaEvolution.publishEvolved), which keeps the stable column-id mapping " +
+      "as-of reads depend on — not through catalog DDL")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"refusing to drop committed snapshot history at ${pathOf(ident)} from SQL; " +
+      "retention (publish retainVersions) and Sinks.vacuum are the store's " +
+      "lifecycle operators")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "a graft table IS its path; relocate the directory tree (markers are " +
+      "path-relative) instead of renaming through the catalog")
+}

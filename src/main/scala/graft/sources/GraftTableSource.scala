@@ -73,64 +73,21 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
     * schema was inferred from (schema of v2, files of v3 after a
     * column-evolving publish). Memoizing pins both calls to the one
     * directory resolved first; a fresh `load()` builds a fresh
-    * provider, so the cache never staleness-leaks across reads. */
+    * provider, so the cache never staleness-leaks across reads.
+    *
+    * Resolution, the chain guard, parquet delegation and the WRITE
+    * surface all live in [[GraftTable.forProvider]] since round 12. */
   private val pinned =
-    new java.util.concurrent.ConcurrentHashMap[Map[String, String], ParquetTable]()
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], GraftTable]()
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolve(options: CaseInsensitiveStringMap): GraftTable = {
     import scala.jdk.CollectionConverters._
     pinned.computeIfAbsent(options.asCaseSensitiveMap().asScala.toMap,
-      _ => doResolve(options))
-  }
-
-  private def doResolve(options: CaseInsensitiveStringMap): ParquetTable = {
-    val spark = SparkSession.active
-    val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
-      "graft-table needs a path: the snapshot store root (the directory holding v…/ and _manifests/)"))
-    val branchOpt = Option(options.get("branch"))
-    val asOfOpt = Option(options.get("versionAsOf"))
-    val tagOpt = Option(options.get("tag"))
-    require(Seq(branchOpt, asOfOpt, tagOpt).count(_.isDefined) <= 1,
-      "graft-table: 'branch', 'versionAsOf' and 'tag' are mutually exclusive — each " +
-      "names one point to read; pick one")
-    // the refuse-don't-guess chain guard (see class doc)
-    def guarded(v: Long): String = {
-      val base = DeletionVectors.baseDataVersion(spark, root, v)
-      if (base != v) throw new UnsupportedOperationException(
-        s"version $v of $root is DV/MoR-amended (its chain bottoms out at data version " +
-        s"$base) — its state exists only merged, which this parquet delegation cannot " +
-        "express. Read it with DeletionVectors.readMergedAt, or fold the chain into a " +
-        "plain data version with DeletionVectors.materializeDeletes first; serving the " +
-        "unmerged directory would silently drop the chain's deletes and upserts")
-      s"$root/${Sinks.versionDirName(v)}"
-    }
-    val dir = (branchOpt, asOfOpt, tagOpt) match {
-      case (Some(b), _, _) =>
-        val head = Branches.branchHead(spark, root, b).getOrElse(
-          throw new java.io.FileNotFoundException(s"no branch '$b' at $root"))
-        guarded(head)
-      case (_, Some(vs), _) =>
-        val v = vs.toLong
-        val available = Sinks.listVersions(spark, root)
-        if (!available.contains(v))
-          throw new java.io.FileNotFoundException(
-            s"snapshot version $v of $root is not readable " +
-            s"(committed + retained: ${available.mkString("[", ", ", "]")}) — " +
-            "it was never committed, or retention pruned it")
-        guarded(v)
-      case (_, _, Some(t)) =>
-        guarded(Tags.tagVersion(spark, root, t))
-      case _ =>
-        guarded(Sinks.currentVersion(spark, root).getOrElse(
-          throw new java.io.FileNotFoundException(
-            s"no published snapshot at $root")))
-    }
-    ParquetTable(s"graft-table:$dir", spark, options, Seq(dir), None,
-      classOf[ParquetFileFormat])
+      _ => GraftTable.forProvider(SparkSession.active, options))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    (resolve(options): Table).schema()
+    resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =

@@ -443,13 +443,15 @@ class SourcesSpec extends AnyFunSuite {
       retainVersions = 12)
     graft.sources.DeletionVectors.publishDeletes(spark, table,
       Seq(99L).toDF("val"), "val")
+    // (since round 12 the refusal raises at scan build, not load —
+    // loading a chained table must stay possible so WRITES to it work)
     val refusal = intercept[UnsupportedOperationException] {
-      spark.read.format("graft-table").load(table)
+      spark.read.format("graft-table").load(table).count()
     }
     assert(refusal.getMessage.contains("readMergedAt"))
     graft.sources.Branches.createBranch(spark, table, "atchain")
     intercept[UnsupportedOperationException] {
-      spark.read.format("graft-table").option("branch", "atchain").load(table)
+      spark.read.format("graft-table").option("branch", "atchain").load(table).count()
     }
     // folding the chain restores connector readability
     graft.sources.DeletionVectors.materializeDeletes(spark, table,

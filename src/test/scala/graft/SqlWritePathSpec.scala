@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeletionVectors, Sinks}
+
+/** The DSv2 WRITE surface and SQL row-level operations of the
+  * snapshot store: DataFrame bootstrap/append/overwrite through
+  * `format("graft-table")`, INSERT INTO / INSERT OVERWRITE / MERGE
+  * INTO / UPDATE / DELETE through the path-addressed `graft` catalog,
+  * branch-routed writes, and the O(changes) MoR commit shape of every
+  * append and row-level operation. */
+class SqlWritePathSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def df(rows: (Long, String, Double)*) =
+    rows.toDF("k", "s", "p")
+      .withColumn("d", to_date(lit("2024-03-15")))
+      .select("k", "d", "s", "p")
+
+  private def stateOf(t: String): Map[Long, (String, Double)] =
+    spark.sql(s"SELECT k, s, p FROM graft.`$t`").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  test("bootstrap + append through the DataFrame writer") {
+    val t = graft.util.Scratch.dir("sqlw_df") + "/t"
+    // bootstrap: first publish through the provider write path
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    assert(Sinks.currentVersion(spark, t).contains(1L))
+    assert(spark.read.format("graft-table").load(t).count() == 2)
+    // append: an O(batch) MoR link — version 2 is a chain commit, the
+    // base version dir is untouched
+    df((3L, "c", 3.0)).write.format("graft-table").mode("append").save(t)
+    assert(Sinks.currentVersion(spark, t).contains(2L))
+    assert(Sinks.versionMeta(spark, t, 2L).contains("dv"), "append must be a MoR link")
+    val merged = DeletionVectors.readMerged(spark, t)
+    assert(merged.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // the catalog read serves the chain head MERGED
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0), 3L -> ("c", 3.0)))
+    // overwrite folds back to a plain full-replace version
+    df((9L, "z", 9.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    assert(stateOf(t) == Map(9L -> ("z", 9.0)))
+    assert(spark.read.format("graft-table").load(t)
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("INSERT INTO appends as a MoR link; INSERT OVERWRITE full-replaces") {
+    val t = graft.util.Scratch.dir("sqlw_ins") + "/t"
+    df((1L, "a", 1.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 2L AS k, DATE'2024-03-16' AS d, " +
+      "'b' AS s, 2.5D AS p")
+    assert(Sinks.versionMeta(spark, t, 2L).contains("dv"))
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 2L -> ("b", 2.5)))
+    spark.sql(s"INSERT OVERWRITE graft.`$t` SELECT 7L AS k, DATE'2024-03-17' AS d, " +
+      "'w' AS s, 7.0D AS p")
+    assert(stateOf(t) == Map(7L -> ("w", 7.0)))
+    // the overwrite is a plain data version again (no chain)
+    assert(!Sinks.versionMeta(spark, t,
+      Sinks.currentVersion(spark, t).get).contains("dv"))
+  }
+
+  test("MERGE INTO routes to one MoR commit: update + delete + insert") {
+    val t = graft.util.Scratch.dir("sqlw_merge") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "e", 4.0))
+      .write.format("graft-table").option("dateCol", "d").mode("overwrite").save(t)
+    df((1L, "A", 11.0), (3L, "DEL", 0.0), (5L, "n", 5.0))
+      .withColumn("op", when(col("s") === "DEL", "D").otherwise("U"))
+      .createOrReplaceTempView("sqlw_changes")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING sqlw_changes c ON tgt.k = c.k
+         |WHEN MATCHED AND c.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET s = c.s, p = c.p, d = c.d
+         |WHEN NOT MATCHED THEN INSERT (k, d, s, p) VALUES (c.k, c.d, c.s, c.p)
+         |""".stripMargin)
+    // exactly ONE new version, and it is a MoR link (base untouched)
+    assert(Sinks.currentVersion(spark, t).contains(2L))
+    assert(Sinks.versionMeta(spark, t, 2L).contains("dv"), "MERGE must commit as MoR")
+    assert(stateOf(t) == Map(
+      1L -> ("A", 11.0), 2L -> ("b", 2.0), 4L -> ("e", 4.0), 5L -> ("n", 5.0)))
+    // a second MERGE scans the CHAIN HEAD (merged V1 scan) and chains on
+    df((2L, "B2", 22.0), (6L, "f", 6.0)).withColumn("op", lit("U"))
+      .createOrReplaceTempView("sqlw_changes2")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING sqlw_changes2 c ON tgt.k = c.k
+         |WHEN MATCHED THEN UPDATE SET s = c.s, p = c.p, d = c.d
+         |WHEN NOT MATCHED THEN INSERT (k, d, s, p) VALUES (c.k, c.d, c.s, c.p)
+         |""".stripMargin)
+    assert(Sinks.currentVersion(spark, t).contains(3L))
+    assert(stateOf(t) == Map(
+      1L -> ("A", 11.0), 2L -> ("B2", 22.0), 4L -> ("e", 4.0),
+      5L -> ("n", 5.0), 6L -> ("f", 6.0)))
+  }
+
+  test("DELETE FROM and UPDATE become vector/upsert links") {
+    val t = graft.util.Scratch.dir("sqlw_rowops") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .write.format("graft-table").option("dateCol", "d").mode("overwrite").save(t)
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 2")
+    assert(Sinks.versionMeta(spark, t, 2L).contains("dv"))
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 3L -> ("c", 3.0)))
+    spark.sql(s"UPDATE graft.`$t` SET p = p + 10.0 WHERE k = 3")
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 3L -> ("c", 13.0)))
+    // three versions total: base + delete link + update link
+    assert(Sinks.currentVersion(spark, t).contains(3L))
+    // materialization folds the SQL-written chain back to one scan
+    DeletionVectors.materializeDeletes(spark, t, "d", retainVersions = 4)
+    assert(spark.read.format("graft-table").load(t)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("VERSION AS OF reads through the catalog; writes can target a branch") {
+    val t = graft.util.Scratch.dir("sqlw_asof") + "/t"
+    df((1L, "a", 1.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    df((2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 1")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(spark.sql(s"SELECT k FROM graft.`$t`").as[Long].collect().toSeq == Seq(2L))
+    // branch-routed write: staged on the ref, invisible to main
+    graft.sources.Branches.createBranch(spark, t, "stage")
+    df((8L, "s", 8.0)).write.format("graft-table")
+      .option("branch", "stage").mode("append").save(t)
+    assert(spark.sql(s"SELECT k FROM graft.`$t`").as[Long].collect().toSeq == Seq(2L))
+    assert(graft.sources.Branches.readBranch(spark, t, "stage")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 8L))
+  }
+
+  test("append schema mismatch and empty-store reads fail loudly") {
+    val t = graft.util.Scratch.dir("sqlw_err") + "/t"
+    intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-table").load(t).collect()
+    }
+    df((1L, "a", 1.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    val bad = Seq((2L, "x")).toDF("k", "wrong")
+    val e = intercept[Exception] {
+      bad.write.format("graft-table").mode("append").save(t)
+    }
+    assert(e.getMessage.contains("must match the table's"))
+  }
+}
