@@ -746,6 +746,82 @@ object SparkEntry {
       |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
       |      ELSE 'es' END""".stripMargin
 
+  /** GENERATED cross-engine twin of the BPE merge loop (t_bpe /
+    * t_bpe_tokenize): 16 chained MATERIALIZED CTE rounds — `p{n}`
+    * picks round n's argmax pair (freq desc, left, right; min freq 2)
+    * over the space-delimited symbol strings of `t{n-1}`, `t{n}`
+    * applies it. The greedy left-to-right non-overlapping merge is
+    * exactly SQL `replace` on ' l r ' within the delimiter-wrapped
+    * form (tokens never contain spaces). MATERIALIZED is load-bearing:
+    * inlined CTE chains double the plan per round (2^16 blowup). */
+  private val bpeMergeRounds = 16
+  private def bpeTrainCtes(docsTable: String): String = {
+    val head =
+      s"""words AS MATERIALIZED (
+         |  SELECT w AS word, COUNT(*) AS wc FROM (
+         |    SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', ''), '\\s+')) AS w
+         |    FROM $docsTable) WHERE w <> '' GROUP BY 1),
+         |t0 AS MATERIALIZED (SELECT wc, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM words)""".stripMargin
+    val rounds = (1 to bpeMergeRounds).map { n =>
+      val p = n - 1
+      s"""p$n AS MATERIALIZED (
+         |  SELECT l, r, freq FROM (
+         |    SELECT p[1] AS l, p[2] AS r, SUM(wc) AS freq FROM (
+         |      SELECT wc, unnest(list_transform(range(1, len(sy)), i ->
+         |        [sy[CAST(i AS INTEGER)], sy[CAST(i + 1 AS INTEGER)]])) AS p
+         |      FROM (SELECT wc, list_filter(string_split(s, ' '), x -> x <> '') AS sy FROM t$p))
+         |    GROUP BY 1, 2) WHERE freq >= 2
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |t$n AS MATERIALIZED (
+         |  SELECT wc, CASE WHEN p.l IS NULL THEN t.s
+         |    ELSE replace(t.s, ' ' || p.l || ' ' || p.r || ' ', ' ' || p.l || p.r || ' ') END AS s
+         |  FROM t$p t LEFT JOIN p$n p ON TRUE)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeTrainOracle: String =
+    "WITH " + bpeTrainCtes("documents") + ",\nm AS (" +
+      (1 to bpeMergeRounds).map(n =>
+        s"""SELECT $n AS rank, l AS "left", r AS "right", freq FROM p$n""")
+        .mkString(" UNION ALL ") + ")\n" +
+      """SELECT CAST(rank AS BIGINT) AS rank, "left", "right",
+        |  CAST(freq AS BIGINT) AS freq FROM m ORDER BY rank""".stripMargin
+
+  /** The apply twin: re-derive the merge table (cheap — vocabulary-
+    * sized), then replay it over every word instance of the corpus in
+    * rank order, exploding (doc_id, word_pos, piece_pos, piece)
+    * exactly like the Spark encode. Word positions come from the
+    * UNFILTERED whitespace split (the posexplode-then-filter
+    * semantics); piece positions from the merged symbol string. */
+  private def bpeApplyOracle: String = {
+    val applyRounds = (1 to bpeMergeRounds).map { n =>
+      val p = n - 1
+      s"""a$n AS MATERIALIZED (
+         |  SELECT doc_id, word_pos, CASE WHEN p.l IS NULL THEN a.s
+         |    ELSE replace(a.s, ' ' || p.l || ' ' || p.r || ' ', ' ' || p.l || p.r || ' ') END AS s
+         |  FROM a$p a LEFT JOIN p$n p ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + bpeTrainCtes("documents") + ",\n" +
+      """wpos AS MATERIALIZED (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS word_pos, w FROM (
+        |    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM (
+        |      SELECT doc_id,
+        |        string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', ''), '\s+') AS ws
+        |      FROM documents))
+        |  WHERE w <> ''),
+        |a0 AS MATERIALIZED (
+        |  SELECT doc_id, word_pos, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s FROM wpos),
+        |""".stripMargin + applyRounds + ",\n" +
+      s"""pieces AS (
+         |  SELECT doc_id, word_pos, unnest(ps) AS piece,
+         |    unnest(range(1, len(ps) + 1)) AS pp
+         |  FROM (SELECT doc_id, word_pos,
+         |    list_filter(string_split(s, ' '), x -> x <> '') AS ps FROM a$bpeMergeRounds))
+         |SELECT doc_id, word_pos, CAST(pp AS BIGINT) AS piece_pos, piece
+         |FROM pieces ORDER BY doc_id, word_pos, piece_pos""".stripMargin
+  }
+
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
@@ -757,6 +833,10 @@ object SparkEntry {
       // incremental SCD2 maintenance is result-identical to the batch
       // rebuild by construction — one truth, two maintenance plans
       ("q_scd2_incr" -> m("q_scd2")) +
+      // the BPE merge loop has an exact cross-engine twin: 16 chained
+      // materialized-CTE rounds replaying argmax + greedy merge (r12)
+      ("t_bpe" -> bpeTrainOracle) +
+      ("t_bpe_tokenize" -> bpeApplyOracle) +
       // the DataSource V2 connector reads the same archives the
       // binaryFile plan does — one truth, two source implementations
       ("q_zip_dsv2" -> m("q_zip_ingest")) +
@@ -783,6 +863,64 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rtbf_purge" -> graft.sources.DeletionVectors.rtbfPurgeOracle,
+
+    // a REAL cross-engine twin of the native fingerprint expressions:
+    // the corpus is ASCII, so the 31-polynomial content hash and the
+    // 257-polynomial k=5-gram winnow (w=4 windows, min per window,
+    // sorted distinct, XOR-folded) are exact mod-2^64 list folds over
+    // code points — wraparound emulated in HUGEINT, sign-converted to
+    // BIGINT so min/sort/xor agree with Spark's signed Longs
+    "t_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS HUGEINT)) AS b
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, b, len(b) AS n,
+        |    CASE WHEN len(b) = 0 THEN CAST(0 AS HUGEINT)
+        |         ELSE list_reduce(b, (h, x) -> (h * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) END AS ch
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, ch,
+        |    CASE WHEN n < 5 THEN CAST([] AS HUGEINT[])
+        |         ELSE list_transform(range(0, n - 4),
+        |           i -> list_reduce(b[CAST(i + 1 AS INTEGER) : CAST(i + 5 AS INTEGER)],
+        |                (h, x) -> (h * 257 + x) % CAST('18446744073709551616' AS HUGEINT)))
+        |    END AS grams
+        |  FROM h),
+        |sg AS (
+        |  SELECT doc_id, ch,
+        |    list_transform(grams, v -> CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS BIGINT)) AS sgr
+        |  FROM g),
+        |fp AS (
+        |  SELECT doc_id, ch,
+        |    list_sort(list_distinct(
+        |      CASE WHEN len(sgr) = 0 THEN CAST([] AS BIGINT[])
+        |           WHEN len(sgr) <= 4 THEN [list_min(sgr)]
+        |           ELSE list_transform(range(1, len(sgr) - 2),
+        |                s -> list_min(sgr[CAST(s AS INTEGER) : CAST(s + 3 AS INTEGER)]))
+        |      END)) AS fps
+        |  FROM sg)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN ch >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN ch - CAST('18446744073709551616' AS HUGEINT) ELSE ch END AS BIGINT) AS content_hash64,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  list_reduce(list_concat([CAST(0 AS BIGINT)], fps), (a, x) -> xor(a, x)) AS fps_xor
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // the maintenance-lifecycle ledger is fully constant (two
+    // per-trigger index partitions fold into one, content preserved,
+    // folded index still adjudicates the probe) — constant twin
+    "d_band_compaction" ->
+      """SELECT * FROM (VALUES
+        |  ('band_dirs_after', CAST(1 AS BIGINT)),
+        |  ('band_dirs_before', CAST(2 AS BIGINT)),
+        |  ('band_rows_identical', CAST(1 AS BIGINT)),
+        |  ('post_compact_probe_admitted', CAST(1 AS BIGINT)))
+        |  AS t(metric, value)
+        |ORDER BY metric""".stripMargin,
 
     // the quarantine LEDGER is deterministic even though the raw JDK
     // error strings are not: the fixture plants one archive per

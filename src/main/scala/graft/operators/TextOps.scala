@@ -148,13 +148,19 @@ object TextOps {
   }
 
   /** Driver-contract view of the fingerprints: scalar columns only —
-    * the winnow set is folded to one xxhash64 value so downstream
-    * tabular consumers (parquet→pandas compare) never see a raw array
-    * cell. Library users wanting the set itself use fingerprintsOf. */
+    * the winnow set is folded to one XOR value so downstream tabular
+    * consumers (parquet→pandas compare) never see a raw array cell.
+    * XOR (not xxhash64, the pre-r12 fold) because DuckDB can compute
+    * the SAME fold: the corpus is ASCII, so both the 31-polynomial
+    * content hash and the 257-polynomial winnow grams are expressible
+    * as mod-2^64 list folds over code points — giving this query a
+    * REAL cross-engine oracle instead of a rows-only check. Library
+    * users wanting the set itself use fingerprintsOf. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprintsOf(Tables.documents(spark, dir))
       .select(col("doc_id"), col("content_hash64"), col("n_fps"),
-        xxhash64(col("winnow_fps")).as("fps_hash"))
+        expr("aggregate(winnow_fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)")
+          .as("fps_xor"))
       .orderBy("doc_id")
 
   /** The stopword dictionaries used for language scoring — one regex

@@ -451,12 +451,16 @@ object CorpusStream {
         "en", "probe")).toDF("doc_id", "text", "lang", "source"))
     admitNearBatch(probe, corpus, 2L, 0.5)
     val admitted2 = spark.read.parquet(corpus).filter(col("batch") === 2L).count()
+    // every ledger row is a CLOSED-FORM CONSTANT (the q_zip_quarantine
+    // pattern, prescribed by the r11 verdict): the raw band-row counts
+    // are minhash-derived and have no SQL twin, so the ledger carries
+    // their LOAD-BEARING relations instead — fold preserved content
+    // exactly (identical=1 over a nonempty index) and the folded index
+    // still adjudicates (near-copy rejected, fresh doc admitted → 1)
     Seq(
       ("band_dirs_before", dirsBefore),
       ("band_dirs_after", dirsAfter),
-      ("band_rows_before", before),
-      ("band_rows_after", after),
-      ("band_rows_identical", if (before == after) 1L else 0L),
+      ("band_rows_identical", if (before == after && after > 0) 1L else 0L),
       ("post_compact_probe_admitted", admitted2))
       .toDF("metric", "value").orderBy("metric")
   }
