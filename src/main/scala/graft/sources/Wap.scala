@@ -121,20 +121,43 @@ object Wap {
     * are pure fast-forwards, so the live chain GROWS one link per
     * batch — fold it on a cadence with
     * [[DeletionVectors.materializeDeletes]] (the standing MoR
-    * guidance: merged-read cost is O(chain)). */
+    * guidance: merged-read cost is O(chain)).
+    *
+    * The audit is INCREMENTAL by default (`auditMerged = false`): it
+    * validates the BATCH DELTA, not the branch's merged state — the
+    * O(batch) shape a per-micro-batch gate must have at 100 TB (a
+    * merged-state audit re-reads the full table every trigger, which
+    * the r11 bench surfaced as the heaviest registered drain). This
+    * is sound by induction for the checks a continuous gate uses:
+    * row-local predicates (not-null, non-negative, pattern) hold on
+    * the merged state iff they held on every admitted batch (an
+    * upsert only ever replaces a row with an audited image), and
+    * `unique(key)` is STRUCTURAL here — the MoR vector removes the
+    * old image of every key the batch touches, and the batch itself
+    * is key-deduplicated by contract, so the merged state cannot
+    * acquire duplicate keys. Set `auditMerged = true` only for
+    * genuinely set-global expectations on OTHER columns (a uniqueness
+    * claim across rows the batch never touched), and accept the
+    * full-state read per trigger that it costs; WapSpec pins both
+    * modes to the same ledger on the registered fixture. */
   def runWapIngest(stream: DataFrame, tablePath: String,
                    checkpoint: String,
                    checks: Seq[QualityGate.Check],
                    key: String, compareCols: Seq[String], dateCol: String,
                    branch: String = "wap_stream",
                    retainVersions: Int = 2,
-                   availableNow: Boolean = false)
+                   availableNow: Boolean = false,
+                   auditMerged: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val b = batch.toDF().localCheckpoint(true) // consumers: stage + quarantine
+        // NO localCheckpoint: a file-source micro-batch is deterministic
+        // and file-sized, so the 2-3 consumers (emptiness probe, staged
+        // link write, quarantine) re-read one small parquet instead of
+        // paying a materialization job per trigger
+        val b = batch.toDF()
         if (!b.isEmpty) {
           val spark = b.sparkSession
           val exists = try { Branches.branchBase(spark, tablePath, branch); true }
@@ -147,8 +170,14 @@ object Wap {
           // caller's, stated in the doc
           DeletionVectors.publishUpsertToBranch(spark, tablePath, branch, b, key,
             b.select(key).limit(0), validate = false)
-          val staged = Branches.readBranch(spark, tablePath, branch).drop("txn_month")
-          val red = QualityGate.validate(staged, checks).filter(!col("pass"))
+          // incremental audit: the batch delta IS what the staged link
+          // adds — O(batch) instead of a full merged-state read per
+          // trigger (see the class doc for the induction argument)
+          val audited =
+            if (auditMerged)
+              Branches.readBranch(spark, tablePath, branch).drop("txn_month")
+            else b
+          val red = QualityGate.validate(audited, checks).filter(!col("pass"))
             .select("check_name", "violations").collect()
           if (red.isEmpty) {
             Branches.mergeBranch(spark, tablePath, branch, key, compareCols,
@@ -272,11 +301,23 @@ object Wap {
     val scratch = graft.util.Scratch.dir("wap_stream_q")
     val tbl = s"$scratch/t"
     // colocated months: one file per month instead of tasks × months —
-    // every WAP cycle re-reads this base through its merged reads, so
-    // the drain pays file-count on each of them (the q_stream_cdc
-    // lesson)
-    Sinks.publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", tbl,
-      retainVersions = 1000, colocateMonths = true)
+    // the final census and any merged fallback pay file-count (the
+    // q_stream_cdc lesson). The base STORE builds once per JVM (the
+    // band-compaction precedent) and each invocation file-copies the
+    // tree: the stream mutates its table, so runs need fresh state,
+    // but re-running the month-shuffle publish per run priced a whole
+    // Spark job into a drain whose operator under test is the stream
+    val baseStore = baseStoreFixtures.computeIfAbsent(dir, _ => {
+      val b = graft.util.Scratch.dir("wap_stream_base") + "/t"
+      Sinks.publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", b,
+        retainVersions = 1000, colocateMonths = true)
+      b
+    })
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(baseStore)
+    val dstP = new org.apache.hadoop.fs.Path(tbl)
+    org.apache.hadoop.fs.FileUtil.copy(
+      srcP.getFileSystem(conf), srcP, dstP.getFileSystem(conf), dstP, false, conf)
     val checks = Seq(QualityGate.notNull("status"), QualityGate.unique("o_orderkey"))
     runWapIngest(
       spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1")
@@ -300,5 +341,7 @@ object Wap {
   }
 
   private val streamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val baseStoreFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -128,6 +128,40 @@ class WapSpec extends AnyFunSuite {
     assert(healed == Map(1L -> "a", 2L -> "b", 3L -> "n", 5L -> "z"))
   }
 
+  test("merged-state audit mode reaches the same ledger as the incremental default") {
+    // the incremental audit is an optimization with an induction
+    // argument (row-local checks + structural key uniqueness) — this
+    // pins that auditMerged = true adjudicates the same drops the same
+    // way: clean admitted, poison quarantined with the same count
+    val tbl = fresh()
+    val in = graft.util.Scratch.dir("wap_stream_merged_in")
+    val ckpt = graft.util.Scratch.dir("wap_stream_merged_ck")
+    def drop(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$in/_stage_$name"
+      rows.coalesce(1).write.parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(s => fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(s"$in/$name.parquet")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    drop("a", state((3L, "n", 2)))
+    drop("b", state((4L, null, 1)))
+    graft.sources.Wap.runWapIngest(
+      spark.readStream.schema(state((0L, "x", 1)).schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet"),
+      tbl, ckpt, checks, "k", cmp, "d", retainVersions = 100,
+      availableNow = true, auditMerged = true).awaitTermination()
+    val live = graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == Map(1L -> "a", 2L -> "b", 3L -> "n"))
+    assert(spark.read.parquet(s"$tbl/_quarantine/batch=*/rows").count() === 1L)
+    assert(spark.read.parquet(s"$tbl/_quarantine/batch=*/report")
+      .select("check_name").as[String].collect().toSet === Set("not_null:v"))
+  }
+
   test("main moving mid-cycle falls back to the three-way merge") {
     val tbl = fresh()
     Branches.createBranch(spark, tbl, "wap_audit")
