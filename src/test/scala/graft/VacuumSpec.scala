@@ -42,6 +42,63 @@ class VacuumSpec extends AnyFunSuite {
       retainVersions = 4) === 4L)
   }
 
+  test("taggers racing publishes and vacuum: every tag that took stays readable") {
+    // the r11 advice race, now driven concurrently: createTag's
+    // conditional create races the retention prune inside every
+    // publish (and a vacuum sweeping crash debris alongside). The
+    // contract under test is refuse-don't-guess: createTag either
+    // TAKES (and the pin then holds against every later prune) or
+    // raises — a returned tag must never dangle at a pruned version.
+    val tbl = graft.util.Scratch.dir("vacuum_tag_race") + "/t"
+    Sinks.publishSnapshot(df(0L), "transaction_date", tbl, retainVersions = 2)
+    val taken = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val publisher = new Thread(() => {
+      try (1 to 25).foreach { i =>
+        // aggressive retention: the prune chases the taggers hard
+        Sinks.publishSnapshot(df(i.toLong), "transaction_date", tbl,
+          retainVersions = 2)
+      } finally stop.set(true)
+    })
+    def safeLoop(body: Int => Unit): Thread = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        try body(i)
+        catch {
+          case _: graft.sources.ConcurrentSnapshotUpdate => () // refused loudly: fine
+          case _: java.io.IOException => ()                    // name taken: fine
+          case e: Throwable => errors.add(e)
+        }
+        i += 1
+      }
+    })
+    val tagger = safeLoop { i =>
+      val v = Tags.createTag(spark, tbl, s"rt$i") // current head
+      taken.add(s"rt$i" -> v)
+      ()
+    }
+    val sweeper = safeLoop { _ =>
+      // sane horizon: vacuum must coexist with live writers (it only
+      // ever touches unmarked, AGED entries — nothing here qualifies)
+      Sinks.vacuum(spark, tbl, olderThanMs = 3600L * 1000)
+      ()
+    }
+    publisher.start(); tagger.start(); sweeper.start()
+    publisher.join(120000); tagger.join(120000); sweeper.join(120000)
+    assert(errors.isEmpty, s"unexpected: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val pins = taken.asScala.toSeq
+    assert(pins.nonEmpty, "the race fixture must land at least one tag")
+    // EVERY tag that took is still resolvable and readable — the pin
+    // protected its version through all subsequent prunes
+    pins.foreach { case (name, v) =>
+      assert(Tags.tagVersion(spark, tbl, name) === v)
+      assert(Tags.readTag(spark, tbl, name).count() >= 1L, s"tag $name at $v unreadable")
+      assert(Sinks.listVersions(spark, tbl).contains(v))
+    }
+  }
+
   test("the age guard holds fresh debris: a young abandoned dir survives vacuum") {
     val tbl = graft.util.Scratch.dir("vacuum_spec_age") + "/t"
     Sinks.publishSnapshot(df(1L), "transaction_date", tbl)
