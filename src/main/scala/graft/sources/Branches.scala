@@ -341,6 +341,21 @@ object Branches {
     * the column populated when that outcome matters. Spec-pinned in
     * BranchSpec; the branch walk pins the null-free interactions
     * (renames and drops mid-branch). */
+
+  /** Classify main markers above a just-fast-forwarded head: a DV/MoR
+    * commit whose parent chain walks THROUGH `bHead` provably built on
+    * the post-merge state — a legitimate successor that includes this
+    * merge in its history, not a shadow. Everything else (a plain
+    * rebuild, or a link chained past the then-branch-only numbers onto
+    * the stale pre-merge head) cannot be proven to include the merged
+    * content and is reported as a shadow. Unresolvable provenance
+    * (e.g. a version still settling) classifies conservatively. */
+  private[graft] def ffShadows(spark: SparkSession, tablePath: String,
+                               bHead: Long, allMarkers: Seq[Long]): Seq[Long] =
+    allMarkers.filter(_ > bHead).filter { v =>
+      try !DeletionVectors.chainVersions(spark, tablePath, v).contains(bHead)
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
   def mergeBranch(spark: SparkSession, tablePath: String, name: String,
                   key: String, compareCols: Seq[String], dateCol: String,
                   onConflict: String = "fail",
@@ -399,13 +414,24 @@ object Branches {
           s"(markers ${interleaved.mkString(",")} inside ($base, $bHead)); the " +
           "branch content is committed but does NOT include those versions — " +
           "merge their changes forward before trusting the head")
-      val above = allMarkers.filter(_ > bHead)
-      if (above.nonEmpty)
+      // provenance before raising: a DV/MoR commit above bHead whose
+      // parent chain walks THROUGH bHead provably built on the
+      // post-merge head — a legitimate, consistent successor, not a
+      // shadow — so a publisher landing in the sub-second window after
+      // our markers must not turn a successful merge into a reported
+      // failure (callers like runWapIngest would fail and replay a
+      // batch whose state had in fact advanced). Only commits whose
+      // history does NOT include this merge (a plain rebuild, or a
+      // link chained past the then-branch-only numbers onto the stale
+      // pre-merge head) raise.
+      val shadows = ffShadows(spark, tablePath, bHead, allMarkers)
+      if (shadows.nonEmpty)
         throw new ConcurrentSnapshotUpdate(
           s"fast-forward of '$name' onto $tablePath is committed but main " +
-          s"commit(s) ${above.sorted.mkString(",")} landed above it — if that " +
-          "publisher built on the pre-merge head its state does not include this " +
-          "branch's content; verify and re-merge forward before trusting the head")
+          s"commit(s) ${shadows.sorted.mkString(",")} landed above it without this " +
+          "merge in their parent chain — if that publisher built on the pre-merge " +
+          "head its state does not include this branch's content; verify and " +
+          "re-merge forward before trusting the head")
       bHead
     } else {
       val target = SchemaEvolution.schemaOf(spark, tablePath, mHead)

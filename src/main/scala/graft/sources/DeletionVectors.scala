@@ -42,14 +42,29 @@ object DeletionVectors {
     * — before writing anything — if another publisher claimed the
     * number first. Never prunes (a DV's whole chain must stay
     * readable until materialization). Returns the committed version. */
+  /** `expectedParent`: when set, the publish ABORTS — before writing
+    * anything — unless the live head is exactly this version. Callers
+    * whose delta was DECIDED against a scanned version (the SQL
+    * row-level operations) pass the version they scanned, so the
+    * parent check is enforced inside this publish rather than as a
+    * caller-side check-then-act whose window a foreign publish could
+    * slip through: a stale decision can then never chain onto a head
+    * it never saw. */
   def publishDeletes(spark: SparkSession, tablePath: String,
                      deleteKeys: DataFrame, keyCol: String,
-                     deltaRows: Option[DataFrame] = None): Long = {
+                     deltaRows: Option[DataFrame] = None,
+                     expectedParent: Option[Long] = None): Long = {
     require(deleteKeys.columns.toSeq == Seq(keyCol),
       s"deleteKeys must be exactly ($keyCol), got ${deleteKeys.columns.mkString(",")}")
     val parent = Sinks.currentVersion(spark, tablePath).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no published snapshot at $tablePath to delete from"))
+    expectedParent.foreach { e =>
+      if (parent != e) throw new ConcurrentSnapshotUpdate(
+        s"delete-publish of $tablePath was decided against version $e but the " +
+        s"live version is now $parent; nothing was committed — re-run the " +
+        "operation against the new state")
+    }
     // the chain must share one key: a mixed-key union can't anti-join
     versionDvMeta(spark, tablePath, parent).foreach { case (_, k) =>
       require(k == keyCol, s"existing deletion chain keys on '$k', not '$keyCol'")
@@ -166,7 +181,8 @@ object DeletionVectors {
   def publishUpsert(spark: SparkSession, tablePath: String,
                     changes: DataFrame, keyCol: String,
                     deleteKeys: DataFrame,
-                    validate: Boolean = true): Long = {
+                    validate: Boolean = true,
+                    expectedParent: Option[Long] = None): Long = {
     require(changes.columns.contains(keyCol), s"changes must carry $keyCol")
     if (validate) {
       val expected = readMerged(spark, tablePath).columns.toSet - "txn_month"
@@ -179,7 +195,8 @@ object DeletionVectors {
         s"one image per $keyCol per commit — deduplicate the batch first")
     }
     val touched = changes.select(col(keyCol)).unionByName(deleteKeys).distinct()
-    publishDeletes(spark, tablePath, touched, keyCol, deltaRows = Some(changes))
+    publishDeletes(spark, tablePath, touched, keyCol, deltaRows = Some(changes),
+      expectedParent = expectedParent)
   }
 
   /** The chain's base DATA version: `version` itself when it carries

@@ -559,15 +559,12 @@ private[sources] class GraftDeltaWrite(spark: SparkSession, root: String,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       try {
-        // the head this operation SCANNED must still be live: a
-        // concurrent publish between scan and commit would make the
-        // staged delta a decision taken against stale state
-        val cur = Sinks.currentVersion(spark, root)
-        if (!cur.contains(pinnedVersion))
-          throw new ConcurrentSnapshotUpdate(
-            s"row-level operation on $root scanned version $pinnedVersion but the " +
-            s"live version is now ${cur.getOrElse(-1L)} — nothing was committed; " +
-            "re-run the statement against the new state")
+        // the head this operation SCANNED must still be live: the pin
+        // is threaded INTO the publish (expectedParent), so the parent
+        // check happens inside the claim discipline rather than as a
+        // caller-side check-then-act whose window a foreign publish
+        // could slip through and silently chain stale decisions onto
+        // a head this statement never saw
         val msgs = messages.collect { case m: GraftDeltaMessage => m }
         val rowFiles = msgs.flatMap(_.rowsFile).toSeq
         val idFiles = msgs.flatMap(_.idsFile).toSeq
@@ -580,9 +577,10 @@ private[sources] class GraftDeltaWrite(spark: SparkSession, root: String,
           val dels = if (deleteKeys == null) changes.select(col(keyCol)).limit(0)
                      else deleteKeys
           DeletionVectors.publishUpsert(spark, root, changes, keyCol, dels,
-            validate = false)
+            validate = false, expectedParent = Some(pinnedVersion))
         } else if (deleteKeys != null) {
-          DeletionVectors.publishDeletes(spark, root, deleteKeys, keyCol)
+          DeletionVectors.publishDeletes(spark, root, deleteKeys, keyCol,
+            expectedParent = Some(pinnedVersion))
         } // an empty delta (no row matched) commits nothing
         ()
       } finally cleanup()

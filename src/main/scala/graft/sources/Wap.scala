@@ -135,11 +135,15 @@ object Wap {
     * `unique(key)` is STRUCTURAL here — the MoR vector removes the
     * old image of every key the batch touches, and the batch itself
     * is key-deduplicated by contract, so the merged state cannot
-    * acquire duplicate keys. Set `auditMerged = true` only for
-    * genuinely set-global expectations on OTHER columns (a uniqueness
-    * claim across rows the batch never touched), and accept the
-    * full-state read per trigger that it costs; WapSpec pins both
-    * modes to the same ledger on the registered fixture. */
+    * acquire duplicate keys. The induction does NOT cover set-global
+    * expectations on OTHER columns (a uniqueness claim across rows
+    * the batch never touched), so those are detected and audited
+    * against the branch's MERGED state automatically, every trigger,
+    * even under the incremental default — the gate never silently
+    * weakens for them; only the row-local remainder runs O(batch).
+    * Set `auditMerged = true` to force the full merged-state audit
+    * for every check; WapSpec pins both modes to the same ledger on
+    * the registered fixture. */
   def runWapIngest(stream: DataFrame, tablePath: String,
                    checkpoint: String,
                    checks: Seq[QualityGate.Check],
@@ -172,12 +176,25 @@ object Wap {
             b.select(key).limit(0), validate = false)
           // incremental audit: the batch delta IS what the staged link
           // adds — O(batch) instead of a full merged-state read per
-          // trigger (see the class doc for the induction argument)
-          val audited =
-            if (auditMerged)
-              Branches.readBranch(spark, tablePath, branch).drop("txn_month")
-            else b
-          val red = QualityGate.validate(audited, checks).filter(!col("pass"))
+          // trigger (see the class doc for the induction argument).
+          // Checks the induction does NOT cover — uniqueness on any
+          // column set other than the merge key is genuinely
+          // set-global — always audit the merged state, so the
+          // incremental default is never a silently weaker gate.
+          val setGlobal: Seq[QualityGate.Check] = checks.collect {
+            case u: QualityGate.UniqueCheck if u.cols != Seq(key) => u
+          }
+          val batchLocal = checks.filterNot(setGlobal.contains)
+          def mergedState =
+            Branches.readBranch(spark, tablePath, branch).drop("txn_month")
+          val reports = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+          if (auditMerged) reports += QualityGate.validate(mergedState, checks)
+          else {
+            if (batchLocal.nonEmpty) reports += QualityGate.validate(b, batchLocal)
+            if (setGlobal.nonEmpty) reports += QualityGate.validate(mergedState, setGlobal)
+          }
+          val red = reports.result().reduce(_ unionByName _)
+            .filter(!col("pass"))
             .select("check_name", "violations").collect()
           if (red.isEmpty) {
             Branches.mergeBranch(spark, tablePath, branch, key, compareCols,

@@ -36,6 +36,52 @@ class ShadowRaceSpec extends AnyFunSuite {
     tbl
   }
 
+  test("ffShadows provenance: a successor chained through the merged head is no shadow; a rebuild is") {
+    val tbl = freshTable() // v1
+    // branch MoR link + fast-forward: head becomes a chain commit (v3)
+    Branches.createBranch(spark, tbl, "ff")
+    DeletionVectors.publishUpsertToBranch(spark, tbl, "ff",
+      state((9L, "n", 2)), "k", state().select("k").limit(0))
+    Branches.mergeBranch(spark, tbl, "ff", "k", cmp, "d", retainVersions = 8)
+    val bHead = Sinks.currentVersion(spark, tbl).get
+    // a publisher that built ON the merged head: its chain walks
+    // through bHead — a legitimate successor, not a shadow
+    DeletionVectors.publishUpsert(spark, tbl, state((1L, "A", 1)), "k",
+      state().select("k").limit(0), validate = false)
+    val succ = Sinks.currentVersion(spark, tbl).get
+    assert(Branches.ffShadows(spark, tbl, bHead,
+      Sinks.listVersions(spark, tbl)) === Seq.empty,
+      "a post-merge chained commit must not be reported as a shadow")
+    // a plain rebuilding publish above the head has no provenance that
+    // includes the merge — classified conservatively as a shadow
+    Sinks.publishSnapshot(state((7L, "z", 1)), "d", tbl, retainVersions = 8)
+    val rebuilt = Sinks.currentVersion(spark, tbl).get
+    assert(Branches.ffShadows(spark, tbl, bHead,
+      Sinks.listVersions(spark, tbl)) === Seq(rebuilt))
+    assert(succ < rebuilt)
+  }
+
+  test("upsert decided against a stale head aborts before writing (expectedParent)") {
+    val tbl = freshTable() // v1
+    val pinned = Sinks.currentVersion(spark, tbl).get
+    // a foreign publish moves the head after the decision was taken
+    Sinks.publishSnapshot(state((5L, "e", 1)), "d", tbl, retainVersions = 8)
+    val before = Sinks.listVersions(spark, tbl).sorted
+    intercept[ConcurrentSnapshotUpdate] {
+      DeletionVectors.publishUpsert(spark, tbl, state((1L, "A", 1)), "k",
+        state().select("k").limit(0), validate = false,
+        expectedParent = Some(pinned))
+    }
+    assert(Sinks.listVersions(spark, tbl).sorted === before, "nothing committed")
+    // the retry, decided against the LIVE head, lands
+    DeletionVectors.publishUpsert(spark, tbl, state((1L, "A", 1)), "k",
+      state().select("k").limit(0), validate = false,
+      expectedParent = Sinks.currentVersion(spark, tbl))
+    assert(DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(5L -> "e", 1L -> "A"))
+  }
+
   test("exact-version publish aborts when its number was fast-forwarded live") {
     val tbl = freshTable()
     Branches.createBranch(spark, tbl, "x")

@@ -130,6 +130,42 @@ class SqlWritePathSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 8L))
   }
 
+  test("two racing MERGEs: at most one commits per head, the loser aborts cleanly and a retry lands") {
+    val t = graft.util.Scratch.dir("sqlw_race") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite").save(t)
+    df((1L, "X", 11.0)).createOrReplaceTempView("race_c1")
+    df((2L, "Y", 22.0)).createOrReplaceTempView("race_c2")
+    def stmt(view: String) =
+      s"""MERGE INTO graft.`$t` tgt USING $view c ON tgt.k = c.k
+         |WHEN MATCHED THEN UPDATE SET s = c.s, p = c.p, d = c.d
+         |WHEN NOT MATCHED THEN INSERT (k, d, s, p) VALUES (c.k, c.d, c.s, c.p)
+         |""".stripMargin
+    def isOcc(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.isInstanceOf[graft.sources.ConcurrentSnapshotUpdate]) return true
+        c = c.getCause
+      }
+      false
+    }
+    // race the two statements; each either commits or aborts with OCC —
+    // never a torn/partial merge, never a silent chain onto a moved head
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val outcomes = Await.result(
+      Future.sequence(Seq("race_c1", "race_c2").map(v => Future {
+        try { spark.sql(stmt(v)); None }
+        catch { case e: Throwable if isOcc(e) => Some(v) }
+      })), 5.minutes).toList
+    // the loser (if the race was real and not serialized) retries cleanly
+    outcomes.flatten.foreach(v => spark.sql(stmt(v)))
+    assert(stateOf(t) == Map(1L -> ("X", 11.0), 2L -> ("Y", 22.0)),
+      s"both merges must land (aborted: ${outcomes.flatten.mkString(",")})")
+    assert(outcomes.flatten.size <= 1, "at most one side of the race aborts")
+  }
+
   test("append schema mismatch and empty-store reads fail loudly") {
     val t = graft.util.Scratch.dir("sqlw_err") + "/t"
     intercept[java.io.FileNotFoundException] {

@@ -129,9 +129,12 @@ class TagSpec extends AnyFunSuite {
     assert(Sinks.listVersions(spark, tbl).sorted === Seq(1L, 2L, 3L, 5L))
     assert(Tags.readTag(spark, tbl, "chained")
       .select("val").as[Long].collect().sorted === Array(1L, 2L, 20L))
-    // the connector refuses the chain head (its state exists only merged)
+    // the connector refuses the chain head (its state exists only
+    // merged). Since r12 the refusal is raised at scan build, not at
+    // `.load()` — loading stays legal so that WRITES to a chained
+    // store work — so the pin intercepts at action time.
     intercept[UnsupportedOperationException] {
-      spark.read.format("graft-table").option("tag", "chained").load(tbl)
+      spark.read.format("graft-table").option("tag", "chained").load(tbl).collect()
     }
     // release: the whole chain prunes on the next publish
     Tags.deleteTag(spark, tbl, "chained")

@@ -128,6 +128,31 @@ class WapSpec extends AnyFunSuite {
     assert(healed == Map(1L -> "a", 2L -> "b", 3L -> "n", 5L -> "z"))
   }
 
+  test("a non-key unique check audits the MERGED state even under the incremental default") {
+    // unique("v") is set-global: each batch below is clean in isolation
+    // and only the merged state shows the duplicate, so a batch-delta
+    // audit alone would wave it through — the gate must detect the
+    // non-key uniqueness claim and audit the branch's merged state
+    val tbl = fresh() // v1: (1,a) (2,b)
+    val in = graft.util.Scratch.dir("wap_setglobal_in")
+    val ckpt = graft.util.Scratch.dir("wap_setglobal_ck")
+    def drop(name: String, rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    drop("a", state((3L, "a", 2))) // batch-unique on v; merged dups v="a"
+    drop("b", state((4L, "c", 1))) // genuinely green
+    graft.sources.Wap.runWapIngest(
+      spark.readStream.schema(state((0L, "x", 1)).schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/*.parquet"),
+      tbl, ckpt, checks :+ QualityGate.unique("v"), "k", cmp, "d",
+      retainVersions = 100, availableNow = true).awaitTermination()
+    val live = graft.sources.DeletionVectors.readMerged(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == Map(1L -> "a", 2L -> "b", 4L -> "c"),
+      "the merged-dup batch must quarantine; the green batch must land")
+    assert(spark.read.parquet(s"$tbl/_quarantine/batch=*/report")
+      .select("check_name").as[String].collect().toSet === Set("unique:v"))
+  }
+
   test("merged-state audit mode reaches the same ledger as the incremental default") {
     // the incremental audit is an optimization with an induction
     // argument (row-local checks + structural key uniqueness) — this
