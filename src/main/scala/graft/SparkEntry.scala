@@ -130,6 +130,7 @@ object SparkEntry {
     "q_reconcile_fixup"  -> ReferenceOps.reconcileFixUp _,
     "q_cdc_merge"        -> Cdc.mergeResult _,
     "q_cdc_merge_bcast"  -> Cdc.mergeResultBroadcast _,
+    "q_cdc_merge_sql"    -> Cdc.mergeResultSql _,
     "q_cdc_stats"        -> Cdc.mergeStats _,
     "q_cdc_replay"       -> Cdc.replayResult _,
     // SCD Type-2 dimension history from the chained CDC snapshots:
@@ -1051,6 +1052,10 @@ object SparkEntry {
     // same truth for the broadcast plan — identical semantics, different
     // physical strategy (the base never shuffles)
     "q_cdc_merge_bcast" -> cdcMergeSql,
+    // and the same truth a THIRD way: the decision matrix as ANSI
+    // MERGE INTO against the snapshot store — price/is_deleted cells
+    // hashed from the SQL-written chain head
+    "q_cdc_merge_sql" -> cdcMergeSql,
 
     "q_cdc_stats" -> (cdcCte +
       "SELECT outcome, COUNT(*) AS n_rows FROM dec GROUP BY outcome ORDER BY outcome"),

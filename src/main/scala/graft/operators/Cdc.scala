@@ -171,4 +171,52 @@ object Cdc {
       key = "o_orderkey", compareCols = Seq("price")))
       .withColumn("price", col("price").cast(DoubleType))
       .orderBy("o_orderkey")
+
+  private val sqlFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The SAME decision matrix routed through ANSI `MERGE INTO` against
+    * the snapshot store — and answering the SAME DuckDB oracle as
+    * `q_cdc_merge`, so the driver hash-compares the SQL row-level
+    * surface, the DataFrame full-outer plan and the broadcast plan to
+    * ONE relational truth. The matrix maps onto MERGE clauses exactly
+    * (soft deletes are UPDATEs of the `is_deleted` flag, never SQL
+    * DELETEs): a clause no row matches leaves the row untouched, which
+    * IS every `…_ignored` outcome; identical-row tests are the same
+    * null-safe `<=>` the reference's row comparison uses. The final
+    * state (price, is_deleted) is read back from the MERGE-written
+    * chain head — those hashed cells come from the SQL write path, not
+    * from the classification — and only the report-side `outcome`
+    * label is joined in from the shared classification plan.
+    * Fixture once per JVM; the query times the chain-merged census. */
+  def mergeResultSql(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = sqlFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("cdc_merge_sql")
+      val t = s"$f/t"
+      graft.sources.Sinks.publishSnapshot(
+        baseTable(spark, dir).withColumn("odate", lit(java.sql.Date.valueOf("2024-01-01"))),
+        "odate", t, retainVersions = 4)
+      changeSet(spark, dir).createOrReplaceTempView("cdc_sql_changes")
+      spark.sql(
+        s"""MERGE INTO graft.`$t` t USING cdc_sql_changes c
+           |ON t.o_orderkey = c.o_orderkey
+           |WHEN MATCHED AND t.is_deleted = 'T' AND c.record_op = 'A'
+           |  THEN UPDATE SET price = c.new_price, is_deleted = 'F'
+           |WHEN MATCHED AND t.is_deleted = 'F' AND c.record_op = 'D'
+           |  THEN UPDATE SET price = c.new_price, is_deleted = 'T'
+           |WHEN MATCHED AND t.is_deleted = 'F' AND c.record_op IN ('A', 'C')
+           |    AND NOT (t.price <=> c.new_price)
+           |  THEN UPDATE SET price = c.new_price
+           |WHEN NOT MATCHED AND c.record_op IN ('A', 'C')
+           |  THEN INSERT (o_orderkey, price, is_deleted, odate)
+           |    VALUES (coalesce(c.o_orderkey, 0L), c.new_price, 'F', DATE'2024-01-01')
+           |""".stripMargin)
+      f
+    })
+    val outcomes = merged(spark, dir).select(col("o_orderkey"), col("outcome"))
+    spark.sql(s"SELECT o_orderkey, price, is_deleted FROM graft.`$fixture/t`")
+      .withColumn("price", col("price").cast(DoubleType))
+      .join(outcomes, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
 }

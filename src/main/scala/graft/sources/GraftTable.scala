@@ -509,29 +509,94 @@ object GraftTable {
   }
 }
 
-/** Column-pruning ScanBuilder over the chain-merged DataFrame; the
-  * built scan is a [[V1Scan]] whose relation executes the merged
-  * plan's RDD — distributed end to end, driver never touches rows. */
+/** Column-pruning AND filter-pushing ScanBuilder over the chain-merged
+  * DataFrame; the built scan is a [[V1Scan]] whose relation executes
+  * the merged plan's RDD — distributed end to end, driver never
+  * touches rows.
+  *
+  * Filter pushdown is an OPTIMIZATION, never a correctness dependency:
+  * every accepted filter is applied to the MERGED state (semantically
+  * exact — a chain read's visible rows are the merged rows) and ALSO
+  * returned to Spark as residual, so Spark re-applies it above. Inside
+  * the merged plan, Catalyst pushes the predicate through the
+  * delta-union and the anti-join's streamed side down to the base
+  * parquet scan — at 100× scale a month-range SELECT over a chain head
+  * must prune the base scan's row groups, not read the full base and
+  * filter above the relation. The chain is by nature a recent
+  * not-yet-materialized tail, so the base scan dominates the read. */
 private[sources] class MergedScanBuilder(merged: DataFrame)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.sources._
 
   private var required: StructType = merged.schema
+  private var filtered: DataFrame = merged
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Name-based V1 filter → Column over the merged frame; None for
+    * shapes we don't translate (they still apply — as residual). */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(merged.col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(merged.col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(merged.col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(merged.col(a) >= lit(v))
+    case LessThan(a, v)           => Some(merged.col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(merged.col(a) <= lit(v))
+    case In(a, vs)                => Some(merged.col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(merged.col(a).isNull)
+    case IsNotNull(a)             => Some(merged.col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(merged.col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(merged.col(a).endsWith(v))
+    case StringContains(a, v)     => Some(merged.col(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case _         => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // apply every translatable predicate to the merged plan (Catalyst
+    // sinks it to the base scan); return ALL as residual — Spark keeps
+    // them above, so a translation corner can never drop rows
+    val taken = filters.flatMap(f => toColumn(f).map(f -> _))
+    taken.foreach { case (_, c) => filtered = filtered.filter(c) }
+    accepted = taken.map(_._1)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan = new V1Scan {
     private val pruned = required
+    private val df = filtered
     override def readSchema(): StructType = pruned
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
         override def schema: StructType = pruned
-        override def buildScan(): RDD[Row] =
-          merged.select(pruned.fieldNames.map(col).toSeq: _*).rdd
+        override def buildScan(): RDD[Row] = {
+          val plan = df.select(pruned.fieldNames.map(col).toSeq: _*)
+          MergedScanBuilder.lastScan.set(plan)
+          plan.rdd
+        }
       }.asInstanceOf[T]
   }
+}
+
+private[graft] object MergedScanBuilder {
+  /** The inner merged plan of the most recent catalog chain-head scan
+    * — a V1 relation embeds it as an opaque RDD, so the OUTER explain
+    * cannot show the base scan's PushedFilters; PlanSpec reads the
+    * inner plan through this seam instead. */
+  private[graft] val lastScan =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }
 
 /** The delta write of a SQL row-level operation: stage per-task
