@@ -414,6 +414,7 @@ object SparkEntry {
     // TIME TRAVEL: read retained version 2 after version 3 published —
     // same truth as q_stream_cdc, reached through readSnapshotAt
     "q_time_travel"      -> SnapshotDiff.timeTravelResult _,
+    "q_time_travel_ts"   -> SnapshotDiff.timeTravelTsResult _,
     // CDF: the v2→v3 diff = exactly what month 2 did to the table
     "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
     // id-resolved change feed across a rename + DV chain: the rename
@@ -2290,6 +2291,9 @@ object SparkEntry {
     // state, bit-exact — retention kept history, the pinned read
     // resolved it
     "q_time_travel" -> cdcSingleMergeSnapshotSql,
+    // the same month-1 truth resolved by TIMESTAMP AS OF instead of
+    // version number (commit-marker mtimes planted a minute apart)
+    "q_time_travel_ts" -> cdcSingleMergeSnapshotSql,
 
     // CDF: full-outer diff of the two chained replay states (both
     // fragments proven by q_cdc_replay / q_stream_cdc_multi)

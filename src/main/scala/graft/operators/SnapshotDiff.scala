@@ -198,6 +198,33 @@ object SnapshotDiff {
       .orderBy("o_orderkey")
   }
 
+  /** Registered `q_time_travel_ts`: the SAME month-1 state resolved by
+    * TIMESTAMP instead of version number — commit-marker mtimes are
+    * planted a minute apart and the read asks for a moment strictly
+    * between the month-1 and month-2 commits, through the connector's
+    * `timestampAsOf` option ([[Sinks.versionAsOfTimestamp]]'s
+    * newest-commit-at-or-before rule). Answers the SAME DuckDB oracle
+    * as `q_time_travel`: two resolution paths, one pinned history. */
+  def timeTravelTsResult(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.util.Scratch.dir("time_travel_ts_q")
+    val table = publishTimeline(spark, dir, tmp)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
+    // the shared timeline's default window retains v2 and v3 only (v1
+    // pruned) — plant the two retained commit times a minute apart
+    Seq(2L, 3L).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(table, f"_manifests/m$v%08d"),
+        t0 - (4L - v) * 60000L, -1)
+    }
+    spark.read.format("graft-table")
+      .option("timestampAsOf", (t0 - 90000L).toString) // between m2 and m3
+      .load(table)
+      .select(col("o_orderkey"), col("price").cast(DoubleType).as("price"),
+        col("transaction_date"), col("is_deleted"))
+      .orderBy("o_orderkey")
+  }
+
   /** Registered `q_snapshot_diff`: the change feed v2 → v3, i.e.
     * exactly what month 2 did to the table — re-added keys surface as
     * `insert`, price bumps and soft-delete flips as `update` (soft

@@ -41,9 +41,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * are publish/retention operations, not catalog DDL — `createTable`
   * points at the bootstrap write path, `dropTable` refuses (deleting
   * 100 TB of committed history is an operator action, not a SQL
-  * side-effect), `TIMESTAMP AS OF`-style reads use the explicit
-  * `VERSION AS OF` (forwarded to [[Sinks.readSnapshotAt]]'s
-  * refuse-don't-guess contract).
+  * side-effect), and both time-travel spellings resolve here:
+  * `VERSION AS OF` through [[Sinks.readSnapshotAt]]'s
+  * refuse-don't-guess contract, `TIMESTAMP AS OF` through
+  * [[Sinks.versionAsOfTimestamp]]'s newest-commit-at-or-before rule
+  * over commit-marker mtimes.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -81,6 +83,14 @@ class GraftCatalog extends TableCatalog {
     * of [[Sinks.readSnapshotAt]]. */
   override def loadTable(ident: Identifier, version: String): Table =
     GraftTable.forCatalog(spark, pathOf(ident), Map("versionasof" -> version))
+
+  /** `SELECT … FROM graft.`/path` TIMESTAMP AS OF '…'` — Spark hands
+    * the parsed timestamp as epoch MICROseconds; resolution is
+    * [[Sinks.versionAsOfTimestamp]]'s newest-commit-at-or-before rule
+    * over commit-marker mtimes, refuse-don't-guess at both ends. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    GraftTable.forCatalog(spark, pathOf(ident),
+      Map("timestampasof" -> (timestampMicros / 1000L).toString))
 
   override def tableExists(ident: Identifier): Boolean =
     Sinks.currentVersion(spark, pathOf(ident)).isDefined

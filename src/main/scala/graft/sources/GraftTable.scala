@@ -485,14 +485,15 @@ object GraftTable {
     val branchOpt = opts.get("branch")
     val asOfOpt = opts.get("versionasof")
     val tagOpt = opts.get("tag")
-    require(Seq(branchOpt, asOfOpt, tagOpt).count(_.isDefined) <= 1,
-      "graft-table: 'branch', 'versionAsOf' and 'tag' are mutually exclusive — each " +
-      "names one point to read; pick one")
-    (branchOpt, asOfOpt, tagOpt) match {
-      case (Some(b), _, _) =>
+    val tsOpt = opts.get("timestampasof")
+    require(Seq(branchOpt, asOfOpt, tagOpt, tsOpt).count(_.isDefined) <= 1,
+      "graft-table: 'branch', 'versionAsOf', 'tag' and 'timestampAsOf' are mutually " +
+      "exclusive — each names one point to read; pick one")
+    (branchOpt, asOfOpt, tagOpt, tsOpt) match {
+      case (Some(b), _, _, _) =>
         Some(Branches.branchHead(spark, root, b).getOrElse(
           throw new java.io.FileNotFoundException(s"no branch '$b' at $root")))
-      case (_, Some(vs), _) =>
+      case (_, Some(vs), _, _) =>
         val v = vs.toLong
         val available = Sinks.listVersions(spark, root)
         if (!available.contains(v))
@@ -501,12 +502,25 @@ object GraftTable {
             s"(committed + retained: ${available.mkString("[", ", ", "]")}) — " +
             "it was never committed, or retention pruned it")
         Some(v)
-      case (_, _, Some(t)) =>
+      case (_, _, Some(t), _) =>
         Some(Tags.tagVersion(spark, root, t))
+      case (_, _, _, Some(ts)) =>
+        Some(Sinks.versionAsOfTimestamp(spark, root, parseTsMillis(ts)))
       case _ =>
         Sinks.currentVersion(spark, root)
     }
   }
+
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd` or a full
+    * `yyyy-MM-dd HH:mm:ss[.f…]` timestamp (interpreted in the JVM
+    * default zone, matching java.sql parsing elsewhere). */
+  private[sources] def parseTsMillis(s: String): Long =
+    scala.util.Try(s.toLong)
+      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime))
+      .orElse(scala.util.Try(java.sql.Date.valueOf(s).getTime))
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf '$s' is neither epoch millis, 'yyyy-MM-dd', nor " +
+        "'yyyy-MM-dd HH:mm:ss[.f]'"))
 }
 
 /** Column-pruning AND filter-pushing ScanBuilder over the chain-merged

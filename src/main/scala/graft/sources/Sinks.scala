@@ -300,6 +300,47 @@ object Sinks {
     spark.read.parquet(s"$tablePath/${versionDirName(version)}")
   }
 
+  /** TIMESTAMP-based time travel: resolve the newest committed version
+    * whose COMMIT TIME is at or before `tsMillis` (`TIMESTAMP AS OF`
+    * in a lakehouse table format — "the table as the March report saw
+    * it"). Commit time is the commit marker's filesystem mtime: the
+    * marker create IS the atomic commit act, so its timestamp is the
+    * moment the version became visible — no separate clock to drift
+    * from the commit order. Refuse-don't-guess holds in both
+    * directions: a timestamp before the oldest RETAINED commit fails
+    * with the retained range (history past the retention window is
+    * pruned, not approximable), and a timestamp before the table
+    * existed fails rather than serving the oldest state. Resolution is
+    * bounded by retention exactly as version reads are; tag pins
+    * extend it (a pinned version keeps marker AND mtime). Ties inside
+    * one millisecond resolve to the highest version — commit order and
+    * mtime order agree beyond that. */
+  def versionAsOfTimestamp(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                           tsMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val fs = hadoopFs(spark, mdir)
+    if (!fs.exists(mdir))
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath (no commit marker in _manifests)")
+    val commits = fs.listStatus(mdir).toSeq.flatMap(s => s.getPath.getName match {
+      case manifestRe(n) => Some((n.toLong, s.getModificationTime))
+      case _             => None
+    }).filter { case (v, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, versionDirName(v)))
+    }
+    if (commits.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath (no commit marker in _manifests)")
+    val eligible = commits.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no committed version of $tablePath at or before timestamp $tsMillis — the " +
+        s"oldest retained commit is version ${commits.minBy(c => (c._2, c._1))._1} at " +
+        s"${commits.map(_._2).min}; earlier history was never committed or is pruned")
+    eligible.maxBy(c => (c._2, c._1))._1
+  }
+
   /** Writer options enabling a parquet BLOOM FILTER on each given
     * column: the point-lookup complement of min/max footer stats —
     * on a high-cardinality key (the reference's
