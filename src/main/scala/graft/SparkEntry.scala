@@ -415,6 +415,9 @@ object SparkEntry {
     // same truth as q_stream_cdc, reached through readSnapshotAt
     "q_time_travel"      -> SnapshotDiff.timeTravelResult _,
     "q_time_travel_ts"   -> SnapshotDiff.timeTravelTsResult _,
+    // STREAMING CHANGE FEED: readStream tails the store's commit
+    // history (offsets ARE version numbers) — O(changes) per MoR link
+    "q_table_feed"       -> graft.sources.GraftFeedSource.tableFeedResult _,
     // CDF: the v2→v3 diff = exactly what month 2 did to the table
     "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
     // id-resolved change feed across a rename + DV chain: the rename
@@ -2294,6 +2297,28 @@ object SparkEntry {
     // the same month-1 truth resolved by TIMESTAMP AS OF instead of
     // version number (commit-marker mtimes planted a minute apart)
     "q_time_travel_ts" -> cdcSingleMergeSnapshotSql,
+
+    // streaming change feed over the snapshot store: baseline publish,
+    // MoR upsert link, DV delete link — censused per (version, type)
+    "q_table_feed" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 1 AS v, 'snapshot' AS ct, k, p FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 2, 'upsert', k,
+        |    CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT 2, 'upsert', k, p FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT 3, 'delete', k, CAST(NULL AS DECIMAL(18,2)) FROM base WHERE k % 30 = 0)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |  COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
+        |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS price_sum
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // CDF: full-outer diff of the two chained replay states (both
     // fragments proven by q_cdc_replay / q_stream_cdc_multi)

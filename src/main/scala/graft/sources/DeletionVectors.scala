@@ -199,6 +199,22 @@ object DeletionVectors {
       expectedParent = expectedParent)
   }
 
+  /** The raw content of one MoR/DV link: (chain key, vector keys,
+    * optional delta rows) — None when `version` is a plain data
+    * version. O(changes) reads of the exact files the publish wrote;
+    * the change-feed streaming source tails history through this. */
+  private[sources] def linkOf(spark: SparkSession, tablePath: String,
+                              version: Long): Option[(String, DataFrame, Option[DataFrame])] =
+    versionDvMeta(spark, tablePath, version).map { case (_, key) =>
+      val vdir = s"$tablePath/${Sinks.versionDirName(version)}"
+      val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
+      val delta =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$deltaSubdir")))
+          Some(spark.read.parquet(s"$vdir/$deltaSubdir/rows.parquet"))
+        else None
+      (key, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta)
+    }
+
   /** The chain's base DATA version: `version` itself when it carries
     * data, else where its parent pointers bottom out. DV/MoR commits
     * carry no publish metadata of their own (vector + delta + parent

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.connector.catalog.TableProvider
 import org.apache.spark.sql.connector.expressions.Transform
@@ -63,7 +64,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * head, and a tag — and hash-matches all four censuses against
   * closed-form DuckDB on `orders`.
   */
-class GraftTableDataSource extends TableProvider with DataSourceRegister {
+class GraftTableDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft-table"
 
   /** One resolution per (options) per provider instance: Spark calls
@@ -92,6 +94,24 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     resolve(new CaseInsensitiveStringMap(properties))
+
+  // ——— streaming: the change-feed source (readStream side) ————————
+  // `spark.readStream.format("graft-table").load(root)` tails commit
+  // history — semantics, schema and the refuse-on-pruned contract in
+  // [[GraftFeedSource]]'s doc. V1 StreamSourceProvider is the right
+  // seam here: a micro-batch IS a DataFrame plan over the version
+  // range (delta files / version dirs), which the V1 `getBatch`
+  // returns directly instead of hand-planning V2 partition readers.
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), new GraftFeedSource(sqlContext.sparkSession, parameters).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftFeedSource(sqlContext.sparkSession, parameters)
 }
 
 object GraftTableDataSource {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeletionVectors, Sinks}
+
+/** The streaming change feed over the snapshot store: offsets are
+  * version numbers, MoR links emit O(changes) upsert/delete rows,
+  * plain versions emit 'snapshot' baselines, restarts resume from the
+  * committed version, and a feed that fell behind retention refuses
+  * loudly instead of skipping history. */
+class GraftFeedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("k", "s")
+    .withColumn("d", to_date(lit("2024-05-15"))).select("k", "d", "s")
+
+  private def drain(tbl: String, ckpt: String, out: String,
+                    startingVersion: Option[Long] = None): Unit = {
+    val reader = spark.readStream.format("graft-table")
+    startingVersion.foreach(v => reader.option("startingVersion", v.toString))
+    reader.load(tbl)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+
+  private def rowsOf(out: String): Seq[(Long, String, Long, String)] =
+    spark.read.parquet(out)
+      .select(col("k"), col("_change_type"), col("_commit_version"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+
+  test("the feed tails commits across restarts: snapshot, upserts, deletes") {
+    val base = graft.util.Scratch.dir("feed_spec")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a", 2L -> "b"), "d", tbl, retainVersions = 100)
+    // first drain sees the baseline as a 'snapshot'
+    drain(tbl, s"$base/ckpt", s"$base/out", startingVersion = Some(1L))
+    assert(rowsOf(s"$base/out").toSet ===
+      Set((1L, "snapshot", 1L, "a"), (2L, "snapshot", 1L, "b")))
+    // v2: MoR upsert (update k=1, insert k=3); v3: DV delete k=2
+    DeletionVectors.publishUpsert(spark, tbl, df(1L -> "A", 3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, tbl, Seq(2L).toDF("k"), "k")
+    // the SAME checkpoint resumes from the committed offset: only the
+    // two new links arrive, upserts with images, the delete key-only
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    assert(rowsOf(s"$base/out").toSet === Set(
+      (1L, "snapshot", 1L, "a"), (2L, "snapshot", 1L, "b"),
+      (1L, "upsert", 2L, "A"), (3L, "upsert", 2L, "c"),
+      (2L, "delete", 3L, null)))
+    // a full-replace publish arrives as a new 'snapshot' baseline
+    Sinks.publishSnapshot(df(9L -> "z"), "d", tbl, retainVersions = 100)
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    assert(rowsOf(s"$base/out").count(_ == ((9L, "snapshot", 4L, "z"))) === 1)
+  }
+
+  test("a feed that fell behind retention refuses instead of skipping history") {
+    val base = graft.util.Scratch.dir("feed_lag")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 1)
+    drain(tbl, s"$base/ckpt", s"$base/out", startingVersion = Some(1L))
+    // two more full replaces under retainVersions=1: v2 is pruned by
+    // the v3 publish before the feed ever saw it
+    Sinks.publishSnapshot(df(2L -> "b"), "d", tbl, retainVersions = 1)
+    Sinks.publishSnapshot(df(3L -> "c"), "d", tbl, retainVersions = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tbl, s"$base/ckpt", s"$base/out")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException] &&
+      c.getMessage.contains("retention pruned")), e.getMessage)
+  }
+
+  test("point-read options and empty stores are rejected up front") {
+    val base = graft.util.Scratch.dir("feed_opts")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 4)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table").option("tag", "x").load(tbl)
+    }
+    intercept[java.io.FileNotFoundException] {
+      spark.readStream.format("graft-table").load(s"$base/empty")
+    }
+  }
+}
