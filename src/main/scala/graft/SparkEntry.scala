@@ -418,6 +418,11 @@ object SparkEntry {
     // STREAMING CHANGE FEED: readStream tails the store's commit
     // history (offsets ARE version numbers) — O(changes) per MoR link
     "q_table_feed"       -> graft.sources.GraftFeedSource.tableFeedResult _,
+    // RESTORE: roll the live state back to a retained version as a
+    // new auditable commit; the bad intermediates stay readable
+    "q_restore"          -> graft.sources.Sinks.restoreResult _,
+    // DESCRIBE HISTORY: the commit log (versions, kinds, chain parents)
+    "q_history"          -> graft.sources.Sinks.historyResult _,
     // CDF: the v2→v3 diff = exactly what month 2 did to the table
     "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
     // id-resolved change feed across a rename + DV chain: the rename
@@ -2319,6 +2324,41 @@ object SparkEntry {
         |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
         |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS price_sum
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // restore lifecycle: live = class-0 verbatim (both links folded
+    // away); pre-restore = the chain head's merged state, still history
+    "q_restore" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |pre AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p
+        |  FROM base WHERE k % 10 = 0 AND k % 30 <> 0
+        |  UNION ALL
+        |  SELECT k, p FROM base WHERE k % 10 = 7),
+        |c AS (
+        |  SELECT 'live' AS phase, COUNT(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS x,
+        |    CAST(SUM(p) AS DOUBLE) AS s
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'pre_restore', COUNT(*),
+        |    bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)),
+        |    CAST(SUM(p) AS DOUBLE)
+        |  FROM pre)
+        |SELECT phase, CAST(n AS BIGINT) AS n_rows, x AS key_xor, s AS price_sum
+        |FROM c ORDER BY phase""".stripMargin,
+
+    // the commit log of the same lifecycle — a constant ledger
+    "q_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, kind,
+        |  CAST(parent AS BIGINT) AS parent, is_current
+        |FROM (VALUES (1, 'data', NULL, false), (2, 'upsert-link', 1, false),
+        |             (3, 'delete-link', 2, false), (4, 'data', NULL, true))
+        |  t(v, kind, parent, is_current)
+        |ORDER BY version""".stripMargin,
 
     // CDF: full-outer diff of the two chained replay states (both
     // fragments proven by q_cdc_replay / q_stream_cdc_multi)

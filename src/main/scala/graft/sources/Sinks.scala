@@ -300,6 +300,71 @@ object Sinks {
     spark.read.parquet(s"$tablePath/${versionDirName(version)}")
   }
 
+  /** RESTORE (Delta `RESTORE TABLE … TO VERSION AS OF` / Iceberg
+    * rollback): make a retained historical version the LIVE state
+    * again, as a NEW commit — history is append-only, so the restore
+    * is itself a versioned, auditable event (the bad intermediate
+    * versions stay readable until retention ages them out; nothing is
+    * rewound in place). Chain-resolved: restoring a DV/MoR chain head
+    * publishes its MERGED state, folding the chain exactly as
+    * [[DeletionVectors.materializeDeletes]] would. Version-scoped
+    * metadata of the restored state (the evolved-schema id mapping
+    * above all) rides onto the new version — the merge-publish
+    * precedent; file stats are recomputed for the new layout. OCC:
+    * commits as head+1 or aborts ([[ConcurrentSnapshotUpdate]]) if a
+    * concurrent publisher moved the head — a restore decided against
+    * a stale head must never shadow newer commits. Returns the new
+    * version number. */
+  def restoreSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                      version: Long, dateCol: String,
+                      retainVersions: Int = 2): Long = {
+    val head = currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath to restore"))
+    if (version == head) return head // restoring the live state is a no-op
+    val state = DeletionVectors.readMergedAt(spark, tablePath, version)
+    val df = if (state.columns.contains("txn_month")) state.drop("txn_month") else state
+    val carried = versionMeta(spark, tablePath,
+      DeletionVectors.baseDataVersion(spark, tablePath, version)) - FileStats.metaName
+    publishSnapshot(df, dateCol, tablePath, retainVersions = retainVersions,
+      expectedVersion = Some(head + 1), extraMeta = carried)
+  }
+
+  /** DESCRIBE HISTORY: the commit log as a small DataFrame — one row
+    * per committed, retained version: number, commit time (marker
+    * mtime — the atomic commit act's own timestamp), kind (`data` /
+    * `upsert-link` / `delete-link`), the chain parent for links, and
+    * the live flag. O(versions) driver-side metadata reads, bounded by
+    * the retention window exactly as [[vacuum]] is — never a data
+    * scan. */
+  def history(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val fs = hadoopFs(spark, mdir)
+    if (!fs.exists(mdir))
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath (no commit marker in _manifests)")
+    val head = currentVersion(spark, tablePath)
+    val rows = listVersions(spark, tablePath).map { v =>
+      val ts = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d")).getModificationTime
+      val dv = versionMeta(spark, tablePath, v).get(DeletionVectors.metaName).map {
+        content =>
+          content.linesIterator.map(_.split("=", 2))
+            .collect { case Array(k, x) => k -> x }.toMap
+      }
+      val kind = dv match {
+        case None                                   => "data"
+        case Some(m) if m.get("delta").contains("true") => "upsert-link"
+        case Some(_)                                => "delete-link"
+      }
+      (v, new java.sql.Timestamp(ts), kind,
+        dv.flatMap(_.get("parent").map(_.toLong)), head.contains(v))
+    }
+    import spark.implicits._
+    rows.toDF("version", "commit_time", "kind", "parent", "is_current")
+  }
+
   /** TIMESTAMP-based time travel: resolve the newest committed version
     * whose COMMIT TIME is at or before `tsMillis` (`TIMESTAMP AS OF`
     * in a lakehouse table format — "the table as the March report saw
@@ -1062,6 +1127,67 @@ object Sinks {
 
   private val groupFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lifecycleFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared restore/history fixture: v1 class-0 data publish, v2 MoR
+    * upsert link (class-20 bumps + class-7 inserts), v3 DV delete link
+    * (class-30), v4 = RESTORE to version 1 — the rollback of both
+    * links as a new auditable commit. Built once per JVM. */
+  private def lifecycleFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    lifecycleFixtures.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val f = graft.util.Scratch.dir("restore_fixture") + "/t"
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", f,
+        retainVersions = 100)
+      val updates = base.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("price",
+          expr("CAST(price + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))"))
+      DeletionVectors.publishUpsert(spark, f,
+        updates.unionByName(base.filter(col("o_orderkey") % 10 === 7)),
+        "o_orderkey", updates.select("o_orderkey").limit(0), validate = false)
+      DeletionVectors.publishDeletes(spark, f,
+        base.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), "o_orderkey")
+      restoreSnapshot(spark, f, 1L, "odate", retainVersions = 100)
+      f
+    })
+
+  /** Registered `q_restore` (hash-oracled): after the lifecycle
+    * above, the LIVE state must be class-0 verbatim (the restore
+    * folded both links away), while the pre-restore chain head (v3
+    * merged) stays readable as history — both censused closed-form
+    * over `orders`. */
+  def restoreResult(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = lifecycleFixture(spark, dir)
+    def census(phase: String, df: DataFrame): DataFrame =
+      df.withColumn("h", graft.operators.Reconcile.xorHash60(
+          col("o_orderkey").cast("string")))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"),
+          sum("price").cast("double").as("price_sum"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("key_xor"),
+          col("price_sum"))
+    census("live", readSnapshot(spark, t).drop("txn_month"))
+      .unionByName(census("pre_restore",
+        DeletionVectors.readMergedAt(spark, t, 3L)))
+      .orderBy("phase")
+  }
+
+  /** Registered `q_history` (hash-oracled, constant): the commit log
+    * of the same lifecycle — versions, kinds, chain parents, live
+    * flag. `commit_time` is real but volatile, so the registered
+    * output projects the deterministic columns; HistorySpec pins the
+    * time column's monotonicity. */
+  def historyResult(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    history(spark, lifecycleFixture(spark, dir))
+      .select(col("version"), col("kind"), col("parent"), col("is_current"))
+      .orderBy("version")
+  }
 }
 
 /** Read-side for JSONL corpora — the standard LLM training-data
