@@ -423,6 +423,9 @@ object SparkEntry {
     "q_restore"          -> graft.sources.Sinks.restoreResult _,
     // DESCRIBE HISTORY: the commit log (versions, kinds, chain parents)
     "q_history"          -> graft.sources.Sinks.historyResult _,
+    // CONTINUOUS REPLICATION: the change feed applied to a second
+    // store — O(changes) on both sides, state (not numbers) transfers
+    "q_table_mirror"     -> graft.streaming.TableMirror.tableMirrorResult _,
     // CDF: the v2→v3 diff = exactly what month 2 did to the table
     "q_snapshot_diff"    -> SnapshotDiff.snapshotDiffResult _,
     // id-resolved change feed across a rename + DV chain: the rename
@@ -2350,6 +2353,24 @@ object SparkEntry {
         |  FROM pre)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, x AS key_xor, s AS price_sum
         |FROM c ORDER BY phase""".stripMargin,
+
+    // the mirror's merged state == the source's merged state: the
+    // same arithmetic as q_restore's pre-restore phase
+    "q_table_mirror" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |pre AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p
+        |  FROM base WHERE k % 10 = 0 AND k % 30 <> 0
+        |  UNION ALL
+        |  SELECT k, p FROM base WHERE k % 10 = 7)
+        |SELECT 'mirror' AS phase, COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
+        |  CAST(SUM(p) AS DOUBLE) AS price_sum
+        |FROM pre""".stripMargin,
 
     // the commit log of the same lifecycle — a constant ledger
     "q_history" ->

@@ -79,6 +79,35 @@ class GraftFeedSpec extends AnyFunSuite {
       c.getMessage.contains("retention pruned")), e.getMessage)
   }
 
+  test("table mirror: state replicates across restarts, catch-up lands as MoR links") {
+    val base = graft.util.Scratch.dir("mirror_spec")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    Sinks.publishSnapshot(df(1L -> "a", 2L -> "b"), "d", src, retainVersions = 100)
+    def mirror(): Unit = graft.streaming.TableMirror.runTableMirror(
+      spark, src, dst, s"$base/ckpt", "k", "d",
+      retainVersions = 100, availableNow = true).awaitTermination()
+    mirror()
+    def stateOf(t: String): Map[Long, String] =
+      DeletionVectors.readMerged(spark, t).select("k", "s").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stateOf(dst) == Map(1L -> "a", 2L -> "b"))
+    // new source commits: an upsert link and a delete link
+    DeletionVectors.publishUpsert(spark, src, df(1L -> "A", 3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, src, Seq(2L).toDF("k"), "k")
+    mirror() // same checkpoint: only the two links transfer
+    assert(stateOf(dst) == Map(1L -> "A", 3L -> "c"))
+    assert(stateOf(dst) == stateOf(src), "mirror state == source state")
+    // the catch-up landed as CHAIN commits on the mirror, not rewrites
+    val head = Sinks.currentVersion(spark, dst).get
+    assert(Sinks.versionMeta(spark, dst, head).contains("dv"),
+      "catch-up must be an O(changes) MoR link")
+    // an idle drain moves nothing (no new source commits → no mirror commits)
+    mirror()
+    assert(Sinks.currentVersion(spark, dst).contains(head))
+  }
+
   test("point-read options and empty stores are rejected up front") {
     val base = graft.util.Scratch.dir("feed_opts")
     val tbl = s"$base/t"
