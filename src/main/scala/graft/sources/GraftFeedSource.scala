@@ -45,9 +45,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * are never pruned before materialization, so the common
   * append-mostly regime retains the whole tail). Multiple versions
   * landing between triggers batch together, each row tagged with its
-  * `_commit_version`. */
+  * `_commit_version`; `maxVersionsPerTrigger` caps how many a single
+  * trigger admits (catch-up admission control — a consumer starting
+  * thousands of versions behind must not plan one giant union). */
 class GraftFeedSource(spark: SparkSession, params: Map[String, String])
-  extends Source {
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val root = params.getOrElse("path", throw new IllegalArgumentException(
     "graft-table stream: .load(<storeRoot>) is required"))
@@ -68,18 +71,70 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
         "(or pass startingVersion to begin at a known number)")))
   require(startingVersion >= 1, "startingVersion must be a committed version number (>= 1)")
 
+  /** Admission control for catch-up storms: a consumer starting (or
+    * restarting) thousands of versions behind must not plan one giant
+    * union over the whole backlog — cap how many versions one trigger
+    * admits and let the engine drain the rest across triggers
+    * (AvailableNow keeps re-triggering until the latched end; the
+    * FileStreamSource maxFilesPerTrigger discipline). */
+  private val maxVersionsPerTrigger: Long =
+    params.get("maxversionspertrigger").map(_.toLong).getOrElse(Long.MaxValue)
+  require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
+
+  /** Trigger.AvailableNow latches the head at start; triggers then
+    * drain up to it in maxVersionsPerTrigger slices. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
   override def schema: StructType = StructType(payload.fields.toSeq :+
     StructField("_change_type", StringType, nullable = false) :+
     StructField("_commit_version", LongType, nullable = false))
 
-  override def getOffset: Option[Offset] =
-    Sinks.currentVersion(spark, root).filter(_ >= startingVersion).map(LongOffset(_))
+  // the engine drives this source through the admission-control path
+  // (latestOffset below); the legacy getOffset must not be reachable —
+  // it cannot express a read limit (the FileStreamSource stance)
+  override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
+    "getOffset is not called when SupportsAdmissionControl is implemented")
 
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v)        => v
-    case so: SerializedOffset => so.json.trim.toLong
-    case other                => other.json.trim.toLong
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    if (maxVersionsPerTrigger == Long.MaxValue)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    else
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(maxVersionsPerTrigger)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Sinks.currentVersion(spark, root)
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    Sinks.currentVersion(spark, root).filter(_ >= startingVersion)
+      .map(LongOffset(_)).orNull
+
+  override def latestOffset(startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(startOffset).map(versionOf).getOrElse(startingVersion - 1L)
+    val headLive = Sinks.currentVersion(spark, root).filter(_ >= startingVersion)
+    val head = availableNowEnd match {
+      case Some(latched) => headLive.map(math.min(_, latched))
+      case None          => headLive
+    }
+    head match {
+      case Some(h) if h > from =>
+        val admitted = limit match {
+          case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+            math.min(h, from + r.maxRows())
+          case _ => h
+        }
+        LongOffset(admitted)
+      case _ => null
+    }
   }
+
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case LongOffset(v)        => v
+      case so: SerializedOffset => so.json.trim.toLong
+      case other                => other.json.trim.toLong
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion - 1L)

@@ -79,6 +79,30 @@ class GraftFeedSpec extends AnyFunSuite {
       c.getMessage.contains("retention pruned")), e.getMessage)
   }
 
+  test("maxVersionsPerTrigger paces catch-up: one version per batch, same total content") {
+    val base = graft.util.Scratch.dir("feed_pace")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(2L -> "b"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, tbl, Seq(1L).toDF("k"), "k")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    spark.readStream.format("graft-table")
+      .option("startingVersion", "1").option("maxVersionsPerTrigger", "1").load(tbl)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batches.add(b.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val seen = batches.asScala.filter(_.nonEmpty).toSeq
+    assert(seen == Seq(Set(1L), Set(2L), Set(3L)),
+      s"each trigger must admit exactly one version in order, got $seen")
+  }
+
   test("table mirror: state replicates across restarts, catch-up lands as MoR links") {
     val base = graft.util.Scratch.dir("mirror_spec")
     val src = s"$base/src"
