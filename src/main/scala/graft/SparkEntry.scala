@@ -423,6 +423,9 @@ object SparkEntry {
     "q_restore"          -> graft.sources.Sinks.restoreResult _,
     // DESCRIBE HISTORY: the commit log (versions, kinds, chain parents)
     "q_history"          -> graft.sources.Sinks.historyResult _,
+    // AGE-BASED expiration: calendar-time retention with tag-pin and
+    // chain-closure protection — the keepLast/horizon ledger
+    "q_expire"           -> graft.sources.Sinks.expireResult _,
     // CONTINUOUS REPLICATION: the change feed applied to a second
     // store — O(changes) on both sides, state (not numbers) transfers
     "q_table_mirror"     -> graft.streaming.TableMirror.tableMirrorResult _,
@@ -2371,6 +2374,14 @@ object SparkEntry {
         |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
         |  CAST(SUM(p) AS DOUBLE) AS price_sum
         |FROM pre""".stripMargin,
+
+    // age-based expiration over the planted four-commit history:
+    // horizon expires the unprotected replace; the tag pins its chain
+    "q_expire" ->
+      """SELECT CAST(v AS BIGINT) AS version, status
+        |FROM (VALUES (1, 'kept:pinned'), (2, 'kept:pinned'),
+        |             (3, 'expired'), (4, 'kept:recent')) t(v, status)
+        |ORDER BY version""".stripMargin,
 
     // the commit log of the same lifecycle — a constant ledger
     "q_history" ->

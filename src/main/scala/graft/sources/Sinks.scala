@@ -365,6 +365,61 @@ object Sinks {
     rows.toDF("version", "commit_time", "kind", "parent", "is_current")
   }
 
+  /** AGE-BASED snapshot expiration (Iceberg `expireSnapshots` /
+    * Delta's retention horizon — the count-based `retainVersions`
+    * prune's calendar-time complement: "keep 90 days of history"
+    * instead of "keep 8 versions"). Expires committed versions whose
+    * COMMIT TIME (marker mtime) is older than `olderThanMs`, except:
+    *
+    *   - the newest `keepLast` versions (a table always keeps a live
+    *     tail, however old),
+    *   - tag-pinned versions and their DV/MoR chains (the
+    *     reproducibility contract retention already honors),
+    *   - the CHAIN CLOSURE of every kept version — a link's parents
+    *     stay readable while the link lives, so expiration can never
+    *     manufacture the pruned-parent refusal; the chain ages out
+    *     only when its newest link does.
+    *
+    * Marker-first deletion (readers stop resolving before data
+    * disappears — the publish-prune discipline), O(versions) metadata
+    * work. Returns the full classification ledger, one row per
+    * committed version: `expired`, `kept:recent`, `kept:last`,
+    * `kept:pinned`, or `kept:chain` (first matching reason). */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                      olderThanMs: Long, keepLast: Int = 1,
+                      nowMs: Long = System.currentTimeMillis()): Seq[(Long, String)] = {
+    require(keepLast >= 1, "keepLast must keep at least the live version")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    val committed = listVersions(spark, tablePath).sorted
+    if (committed.isEmpty) return Seq.empty
+    val horizon = nowMs - olderThanMs
+    def mtime(v: Long): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d")).getModificationTime
+    val last = committed.reverse.take(keepLast).toSet
+    val recent = committed.filter(mtime(_) > horizon).toSet
+    val pinned = Tags.pinnedVersions(spark, tablePath)
+    // chain-close every kept version: a link's parents live as long as
+    // the link does
+    val roots = last ++ recent ++ pinned
+    val kept = roots.flatMap(v =>
+      DeletionVectors.chainVersions(spark, tablePath, v))
+    val ledger = committed.map { v =>
+      val status =
+        if (recent(v)) "kept:recent"
+        else if (last(v)) "kept:last"
+        else if (pinned(v)) "kept:pinned"
+        else if (kept(v)) "kept:chain"
+        else "expired"
+      (v, status)
+    }
+    ledger.collect { case (v, "expired") => v }.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, versionDirName(v)), true)
+    }
+    ledger
+  }
+
   /** TIMESTAMP-based time travel: resolve the newest committed version
     * whose COMMIT TIME is at or before `tsMillis` (`TIMESTAMP AS OF`
     * in a lakehouse table format — "the table as the March report saw
@@ -1175,6 +1230,41 @@ object Sinks {
       .unionByName(census("pre_restore",
         DeletionVectors.readMergedAt(spark, t, 3L)))
       .orderBy("phase")
+  }
+
+  /** Registered `q_expire` (hash-oracled, constant): age-based
+    * expiration over a planted four-commit history — old data version,
+    * old MoR link, old full replace, fresh head — with a tag on the
+    * link. The horizon expires exactly the unprotected old replace:
+    * the tag pins its chain (link AND parent), keepLast holds the
+    * fresh head. Fresh store per invocation (expiration mutates);
+    * constant ledger vs a DuckDB VALUES oracle. */
+  def expireResult(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = graft.util.Scratch.dir("expire_q") + "/t"
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_orderdate").cast("date").as("odate"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", f,
+      retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, f,
+      base.filter(col("o_orderkey") % 20 === 0), "o_orderkey",
+      base.select("o_orderkey").limit(0), validate = false)
+    publishSnapshot(base.filter(col("o_orderkey") % 10 === 4), "odate", f,
+      retainVersions = 100)
+    publishSnapshot(base.filter(col("o_orderkey") % 10 === 6), "odate", f,
+      retainVersions = 100)
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(f))
+    val now = System.currentTimeMillis()
+    (1L to 3L).foreach(v => fs.setTimes(
+      new org.apache.hadoop.fs.Path(f, f"_manifests/m$v%08d"),
+      now - 3L * 24 * 3600 * 1000, -1))
+    Tags.createTag(spark, f, "audit", Some(2L))
+    import spark.implicits._
+    expireSnapshots(spark, f, olderThanMs = 24L * 3600 * 1000, keepLast = 1,
+      nowMs = now)
+      .toDF("version", "status").orderBy("version")
   }
 
   /** Registered `q_history` (hash-oracled, constant): the commit log

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{ConcurrentSnapshotUpdate, DeletionVectors, Sinks}
+import graft.sources.{ConcurrentSnapshotUpdate, DeletionVectors, Sinks, Tags}
 
 /** RESTORE and DESCRIBE HISTORY: rollback as a new auditable commit
   * (chain-resolved, metadata-carrying, OCC-guarded) and the commit log
@@ -56,6 +56,45 @@ class HistoryRestoreSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, tbl).columns.contains("s"),
       "restored content is the old schema, as published then")
     assert(v === 3L)
+  }
+
+  test("expireSnapshots: horizon + keepLast + tag pins + chain closure") {
+    val tbl = graft.util.Scratch.dir("expire_spec") + "/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 100)      // v1
+    DeletionVectors.publishUpsert(spark, tbl, df(2L -> "b"), "k",             // v2: link on v1
+      df().select("k").limit(0), validate = false)
+    Sinks.publishSnapshot(df(3L -> "c"), "d", tbl, retainVersions = 100)      // v3
+    DeletionVectors.publishUpsert(spark, tbl, df(4L -> "e"), "k",             // v4: link on v3
+      df().select("k").limit(0), validate = false)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    // v1..v3 are "old"; v4 (the live head, a LINK on old v3) is fresh
+    (1L to 3L).foreach(v => fs.setTimes(
+      new org.apache.hadoop.fs.Path(tbl, f"_manifests/m$v%08d"),
+      now - 10L * 24 * 3600 * 1000, -1))
+    Tags.createTag(spark, tbl, "keep", Some(2L)) // pins the v1←v2 chain
+    val ledger = Sinks.expireSnapshots(spark, tbl,
+      olderThanMs = 24L * 3600 * 1000, keepLast = 1, nowMs = now).toMap
+    // v3 is old and neither last nor pinned — but it is the CHAIN
+    // PARENT of the kept head v4, so expiration must not orphan it
+    assert(ledger === Map(1L -> "kept:pinned", 2L -> "kept:pinned",
+      3L -> "kept:chain", 4L -> "kept:recent"))
+    // nothing actually expired here; the store still reads everywhere
+    assert(DeletionVectors.readMerged(spark, tbl)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // drop the pin and push the horizon past everything but keepLast:
+    // the v1←v2 chain ages out TOGETHER; v3 stays as v4's parent
+    Tags.deleteTag(spark, tbl, "keep")
+    fs.setTimes(new org.apache.hadoop.fs.Path(tbl, "_manifests/m00000004"),
+      now - 10L * 24 * 3600 * 1000, -1)
+    val second = Sinks.expireSnapshots(spark, tbl,
+      olderThanMs = 24L * 3600 * 1000, keepLast = 1, nowMs = now).toMap
+    assert(second === Map(1L -> "expired", 2L -> "expired",
+      3L -> "kept:chain", 4L -> "kept:last"))
+    assert(Sinks.listVersions(spark, tbl).sorted === Seq(3L, 4L))
+    assert(DeletionVectors.readMerged(spark, tbl)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
   test("history lists versions, kinds, parents, live flag; commit times are monotone") {
