@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// PlanSpec reads the inner merged plan of catalog scans through a
+// capture seam that production JVMs keep switched off.
+Test / javaOptions += "-Dgraft.testing.captureScans=true"

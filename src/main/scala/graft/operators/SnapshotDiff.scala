@@ -206,24 +206,32 @@ object SnapshotDiff {
     * newest-commit-at-or-before rule). Answers the SAME DuckDB oracle
     * as `q_time_travel`: two resolution paths, one pinned history. */
   def timeTravelTsResult(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.util.Scratch.dir("time_travel_ts_q")
-    val table = publishTimeline(spark, dir, tmp)
-    val fs = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val t0 = System.currentTimeMillis()
-    // the shared timeline's default window retains v2 and v3 only (v1
-    // pruned) — plant the two retained commit times a minute apart
-    Seq(2L, 3L).foreach { v =>
-      fs.setTimes(new org.apache.hadoop.fs.Path(table, f"_manifests/m$v%08d"),
-        t0 - (4L - v) * 60000L, -1)
-    }
+    // OWN cached fixture, never the shared timeline: this query PLANTS
+    // commit times, and the fixture rule is that mutators get a fresh
+    // (here: private, built-once) copy — re-planting the shared
+    // timeline on every invocation would race the other four queries
+    // reading it. Times are planted ONCE inside computeIfAbsent (in the
+    // PAST, so later real commits sort after them) and the read moment
+    // derives from the planted values, not a fresh now().
+    val (table, readTs) = tsTimelines.computeIfAbsent(dir, _ => {
+      val t = buildTimeline(spark, dir, graft.util.Scratch.dir("time_travel_ts_q"))
+      val t0 = System.currentTimeMillis()
+      // the timeline's default window retains v2 and v3 only (v1
+      // pruned) — plant the two retained commit times a minute apart
+      Seq(2L, 3L).foreach(v =>
+        graft.sources.Sinks.plantCommitTime(spark, t, v, t0 - (4L - v) * 60000L))
+      (t, t0 - 90000L) // strictly between the planted m2 and m3 moments
+    })
     spark.read.format("graft-table")
-      .option("timestampAsOf", (t0 - 90000L).toString) // between m2 and m3
+      .option("timestampAsOf", readTs.toString)
       .load(table)
       .select(col("o_orderkey"), col("price").cast(DoubleType).as("price"),
         col("transaction_date"), col("is_deleted"))
       .orderBy("o_orderkey")
   }
+
+  private val tsTimelines =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Registered `q_snapshot_diff`: the change feed v2 → v3, i.e.
     * exactly what month 2 did to the table — re-added keys surface as

@@ -89,7 +89,7 @@ object DeletionVectors {
         s"delete-publish of $tablePath expected to commit as version ${parent + 1} " +
         s"but main commit(s) ${landed.toSeq.sorted.mkString(",")} landed while the " +
         "link was being written; nothing was committed — retry against the new head")
-    fs.create(new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d"), false).close()
+    Sinks.createCommitMarker(fs, new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d"))
     next
   }
 

@@ -70,6 +70,22 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
         s"no published snapshot at $root — a change feed needs a first commit " +
         "(or pass startingVersion to begin at a known number)")))
   require(startingVersion >= 1, "startingVersion must be a committed version number (>= 1)")
+  // refuse-don't-guess at construction: a startingVersion beyond the
+  // live head would make latestOffset filter every head forever — a
+  // typo'd number would look like a healthy EMPTY stream, the one
+  // failure mode worse than a loud one. head+1 stays legal ("only
+  // commits from the next publish on"); the other direction (a
+  // RETAINED-range check) deliberately stays in getBatch — a restarted
+  // stream's checkpoint may already be past a since-pruned
+  // startingVersion, and construction must not break a healthy resume.
+  params.get("startingversion").foreach { _ =>
+    val head = Sinks.currentVersion(spark, root).getOrElse(0L)
+    require(startingVersion <= head + 1,
+      s"startingVersion $startingVersion is beyond the live head " +
+      s"${if (head == 0) "(empty store)" else head.toString} of $root — the feed " +
+      "would idle forever waiting for a version nothing is about to commit; pass " +
+      s"a committed version or ${head + 1} (= tail only future commits)")
+  }
 
   /** Admission control for catch-up storms: a consumer starting (or
     * restarting) thousands of versions behind must not plan one giant

@@ -597,7 +597,7 @@ private[sources] class MergedScanBuilder(merged: DataFrame)
         override def schema: StructType = pruned
         override def buildScan(): RDD[Row] = {
           val plan = df.select(pruned.fieldNames.map(col).toSeq: _*)
-          MergedScanBuilder.lastScan.set(plan)
+          if (MergedScanBuilder.captureScans) MergedScanBuilder.lastScan.set(plan)
           plan.rdd
         }
       }.asInstanceOf[T]
@@ -608,7 +608,13 @@ private[graft] object MergedScanBuilder {
   /** The inner merged plan of the most recent catalog chain-head scan
     * — a V1 relation embeds it as an opaque RDD, so the OUTER explain
     * cannot show the base scan's PushedFilters; PlanSpec reads the
-    * inner plan through this seam instead. */
+    * inner plan through this seam instead. Production scans never
+    * touch it: the set() is gated behind a system property only the
+    * spec flips (checked once at class load), so concurrent queries
+    * don't race on a process-global reference and the JVM doesn't pin
+    * the most recent plan (and its session state) for its lifetime. */
+  private[graft] val captureScans: Boolean =
+    java.lang.Boolean.getBoolean("graft.testing.captureScans")
   private[graft] val lastScan =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }

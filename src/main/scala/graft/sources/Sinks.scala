@@ -106,6 +106,63 @@ object Sinks {
   private[sources] def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Create the commit marker for `version` with the commit time
+    * recorded IN ITS CONTENT (epoch millis). Filesystem mtimes do not
+    * survive store copies/migrations and are not settable on some
+    * object stores — the lakehouse formats persist commit timestamps
+    * in the log content for exactly this reason; after a `cp -r`
+    * migration, `TIMESTAMP AS OF`, history and expiration horizons
+    * must reflect COMMIT time, not copy time. The marker NAME is still
+    * what commits the version (its creation is the atomic act — a
+    * reader listing the name before the few content bytes land falls
+    * back to mtime, which at that instant IS the commit time). */
+  private[sources] def createCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                          marker: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(marker, false)
+    try out.write(System.currentTimeMillis().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The commit time of a committed version: the marker's recorded
+    * content timestamp, falling back to its filesystem mtime for
+    * markers without one (stores written before content timestamps
+    * existed, and fast-forward merge markers — [[Branches]] commits
+    * those through the bare conditional create). */
+  def commitTimeMs(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                   version: Long): Long = {
+    val marker = new org.apache.hadoop.fs.Path(tablePath, f"_manifests/m$version%08d")
+    commitTimeOf(hadoopFs(spark, marker), marker)
+  }
+
+  private[sources] def commitTimeOf(fs: org.apache.hadoop.fs.FileSystem,
+                                    marker: org.apache.hadoop.fs.Path): Long = {
+    val st = fs.getFileStatus(marker)
+    if (st.getLen > 0 && st.getLen <= 32) {
+      val in = fs.open(marker)
+      val content = try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, buf)
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      scala.util.Try(content.trim.toLong).getOrElse(st.getModificationTime)
+    } else st.getModificationTime
+  }
+
+  /** Fixture/spec seam: re-plant a committed version's RECORDED commit
+    * time (the content timestamp readers prefer). Overwrites a live
+    * marker's bytes, which only a deterministic single-writer fixture
+    * may do — production code must never rewrite a committed marker. */
+  private[graft] def plantCommitTime(spark: org.apache.spark.sql.SparkSession,
+                                     tablePath: String, version: Long,
+                                     tsMillis: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(tablePath, f"_manifests/m$version%08d")
+    val fs = hadoopFs(spark, marker)
+    val out = fs.create(marker, true)
+    try out.write(tsMillis.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** One ATOMIC conditional create of `dir/<prefix><n>`: true iff this
     * caller won the name. HDFS `create(overwrite = false)` is atomic
     * (namenode check), but Hadoop's LOCAL filesystem implements it as
@@ -331,12 +388,12 @@ object Sinks {
   }
 
   /** DESCRIBE HISTORY: the commit log as a small DataFrame — one row
-    * per committed, retained version: number, commit time (marker
-    * mtime — the atomic commit act's own timestamp), kind (`data` /
-    * `upsert-link` / `delete-link`), the chain parent for links, and
-    * the live flag. O(versions) driver-side metadata reads, bounded by
-    * the retention window exactly as [[vacuum]] is — never a data
-    * scan. */
+    * per committed, retained version: number, commit time (the
+    * marker's recorded timestamp — [[commitTimeMs]], copy-surviving),
+    * kind (`data` / `upsert-link` / `delete-link`), the chain parent
+    * for links, and the live flag. O(versions) driver-side metadata
+    * reads, bounded by the retention window exactly as [[vacuum]] is —
+    * never a data scan. */
   def history(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
@@ -346,8 +403,7 @@ object Sinks {
         s"no published snapshot at $tablePath (no commit marker in _manifests)")
     val head = currentVersion(spark, tablePath)
     val rows = listVersions(spark, tablePath).map { v =>
-      val ts = fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d")).getModificationTime
+      val ts = commitTimeMs(spark, tablePath, v)
       val dv = versionMeta(spark, tablePath, v).get(DeletionVectors.metaName).map {
         content =>
           content.linesIterator.map(_.split("=", 2))
@@ -394,10 +450,8 @@ object Sinks {
     val committed = listVersions(spark, tablePath).sorted
     if (committed.isEmpty) return Seq.empty
     val horizon = nowMs - olderThanMs
-    def mtime(v: Long): Long = fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(root, f"_manifests/m$v%08d")).getModificationTime
     val last = committed.reverse.take(keepLast).toSet
-    val recent = committed.filter(mtime(_) > horizon).toSet
+    val recent = committed.filter(commitTimeMs(spark, tablePath, _) > horizon).toSet
     val pinned = Tags.pinnedVersions(spark, tablePath)
     // chain-close every kept version: a link's parents live as long as
     // the link does
@@ -423,18 +477,19 @@ object Sinks {
   /** TIMESTAMP-based time travel: resolve the newest committed version
     * whose COMMIT TIME is at or before `tsMillis` (`TIMESTAMP AS OF`
     * in a lakehouse table format — "the table as the March report saw
-    * it"). Commit time is the commit marker's filesystem mtime: the
-    * marker create IS the atomic commit act, so its timestamp is the
-    * moment the version became visible — no separate clock to drift
-    * from the commit order. Refuse-don't-guess holds in both
+    * it"). Commit time is the marker's RECORDED timestamp
+    * ([[commitTimeMs]]): written by the atomic commit act itself, so
+    * it is the moment the version became visible AND it survives store
+    * copies/migrations, which filesystem mtimes do not (pre-timestamp
+    * markers fall back to mtime). Refuse-don't-guess holds in both
     * directions: a timestamp before the oldest RETAINED commit fails
     * with the retained range (history past the retention window is
     * pruned, not approximable), and a timestamp before the table
     * existed fails rather than serving the oldest state. Resolution is
     * bounded by retention exactly as version reads are; tag pins
-    * extend it (a pinned version keeps marker AND mtime). Ties inside
-    * one millisecond resolve to the highest version — commit order and
-    * mtime order agree beyond that. */
+    * extend it (a pinned version keeps marker AND timestamp). Ties
+    * inside one millisecond resolve to the highest version — commit
+    * order and recorded-time order agree beyond that. */
   def versionAsOfTimestamp(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                            tsMillis: Long): Long = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -444,7 +499,7 @@ object Sinks {
       throw new java.io.FileNotFoundException(
         s"no published snapshot at $tablePath (no commit marker in _manifests)")
     val commits = fs.listStatus(mdir).toSeq.flatMap(s => s.getPath.getName match {
-      case manifestRe(n) => Some((n.toLong, s.getModificationTime))
+      case manifestRe(n) => Some((n.toLong, commitTimeOf(fs, s.getPath)))
       case _             => None
     }).filter { case (v, _) =>
       fs.exists(new org.apache.hadoop.fs.Path(root, versionDirName(v)))
@@ -587,9 +642,9 @@ object Sinks {
           "debris, vacuumable) — re-read the live version and retry")
     }
     // commit marker: a NEW file name under _manifests — version encoded
-    // in the name, so there is no content to race on
+    // in the name (the atomic act), commit time in the content
     val marker = new org.apache.hadoop.fs.Path(root, f"_manifests/m$next%08d")
-    fs.create(marker, false).close()
+    createCommitMarker(fs, marker)
     // grace-window prune over COMMITTED versions only (those with a
     // marker): a bare version dir may be a concurrent publisher still
     // writing, and its number gives no way to tell — so unmarked dirs
@@ -1255,11 +1310,9 @@ object Sinks {
       retainVersions = 100)
     publishSnapshot(base.filter(col("o_orderkey") % 10 === 6), "odate", f,
       retainVersions = 100)
-    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(f))
     val now = System.currentTimeMillis()
-    (1L to 3L).foreach(v => fs.setTimes(
-      new org.apache.hadoop.fs.Path(f, f"_manifests/m$v%08d"),
-      now - 3L * 24 * 3600 * 1000, -1))
+    (1L to 3L).foreach(v =>
+      plantCommitTime(spark, f, v, now - 3L * 24 * 3600 * 1000))
     Tags.createTag(spark, f, "audit", Some(2L))
     import spark.implicits._
     expireSnapshots(spark, f, olderThanMs = 24L * 3600 * 1000, keepLast = 1,
@@ -1269,14 +1322,22 @@ object Sinks {
 
   /** Registered `q_history` (hash-oracled, constant): the commit log
     * of the same lifecycle — versions, kinds, chain parents, live
-    * flag. `commit_time` is real but volatile, so the registered
-    * output projects the deterministic columns; HistorySpec pins the
-    * time column's monotonicity. */
+    * flag — read through BOTH surfaces: the library call and the SQL
+    * verb (`CALL graft.system.history(…)`, [[GraftProcedures]]). Both
+    * phases answer the same VALUES oracle: two resolution paths, one
+    * ledger. `commit_time` is real but volatile, so the registered
+    * output projects the deterministic columns; HistoryRestoreSpec
+    * pins the time column's monotonicity. */
   def historyResult(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    history(spark, lifecycleFixture(spark, dir))
-      .select(col("version"), col("kind"), col("parent"), col("is_current"))
-      .orderBy("version")
+    val t = lifecycleFixture(spark, dir)
+    def shaped(df: DataFrame, via: String): DataFrame =
+      df.select(lit(via).as("via"), col("version"), col("kind"), col("parent"),
+        col("is_current"))
+    shaped(history(spark, t), "library")
+      .unionByName(shaped(
+        spark.sql(s"CALL graft.system.history(table => '$t')"), "sql"))
+      .orderBy("via", "version")
   }
 }
 

@@ -142,5 +142,14 @@ class GraftFeedSpec extends AnyFunSuite {
     intercept[java.io.FileNotFoundException] {
       spark.readStream.format("graft-table").load(s"$base/empty")
     }
+    // a startingVersion beyond the live head would idle forever — a
+    // typo must be a loud refusal, not a healthy-looking empty stream
+    val tooHigh = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table")
+        .option("startingVersion", "7").load(tbl)
+    }
+    assert(tooHigh.getMessage.contains("beyond the live head"), tooHigh.getMessage)
+    // head+1 stays legal: "tail only future commits"
+    spark.readStream.format("graft-table").option("startingVersion", "2").load(tbl)
   }
 }

@@ -66,13 +66,10 @@ class HistoryRestoreSpec extends AnyFunSuite {
     Sinks.publishSnapshot(df(3L -> "c"), "d", tbl, retainVersions = 100)      // v3
     DeletionVectors.publishUpsert(spark, tbl, df(4L -> "e"), "k",             // v4: link on v3
       df().select("k").limit(0), validate = false)
-    val fs = new org.apache.hadoop.fs.Path(tbl)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val now = System.currentTimeMillis()
     // v1..v3 are "old"; v4 (the live head, a LINK on old v3) is fresh
-    (1L to 3L).foreach(v => fs.setTimes(
-      new org.apache.hadoop.fs.Path(tbl, f"_manifests/m$v%08d"),
-      now - 10L * 24 * 3600 * 1000, -1))
+    (1L to 3L).foreach(v =>
+      Sinks.plantCommitTime(spark, tbl, v, now - 10L * 24 * 3600 * 1000))
     Tags.createTag(spark, tbl, "keep", Some(2L)) // pins the v1←v2 chain
     val ledger = Sinks.expireSnapshots(spark, tbl,
       olderThanMs = 24L * 3600 * 1000, keepLast = 1, nowMs = now).toMap
@@ -86,8 +83,7 @@ class HistoryRestoreSpec extends AnyFunSuite {
     // drop the pin and push the horizon past everything but keepLast:
     // the v1←v2 chain ages out TOGETHER; v3 stays as v4's parent
     Tags.deleteTag(spark, tbl, "keep")
-    fs.setTimes(new org.apache.hadoop.fs.Path(tbl, "_manifests/m00000004"),
-      now - 10L * 24 * 3600 * 1000, -1)
+    Sinks.plantCommitTime(spark, tbl, 4L, now - 10L * 24 * 3600 * 1000)
     val second = Sinks.expireSnapshots(spark, tbl,
       olderThanMs = 24L * 3600 * 1000, keepLast = 1, nowMs = now).toMap
     assert(second === Map(1L -> "expired", 2L -> "expired",
@@ -114,5 +110,32 @@ class HistoryRestoreSpec extends AnyFunSuite {
     Sinks.publishSnapshot(df(9L -> "z"), "d", tbl, retainVersions = 1)
     assert(Sinks.history(spark, tbl).select("version").as[Long].collect().toSeq
       == Seq(4L))
+  }
+
+  test("commit times survive a store copy: recorded in marker content, not mtimes") {
+    val base = graft.util.Scratch.dir("copy_times")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 100)
+    Sinks.publishSnapshot(df(2L -> "b"), "d", tbl, retainVersions = 100)
+    // an old store migrated here three days ago: plant a historical
+    // commit moment for v1, then COPY the whole tree (fresh mtimes)
+    val threeDaysAgo = System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+    Sinks.plantCommitTime(spark, tbl, 1L, threeDaysAgo)
+    val copy = s"$base/migrated"
+    val src = java.nio.file.Paths.get(tbl)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dst = java.nio.file.Paths.get(copy).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+      ()
+    }
+    // history, TIMESTAMP AS OF and expiration horizons on the COPY
+    // must see the recorded commit times, not the copy's mtimes
+    assert(Sinks.commitTimeMs(spark, copy, 1L) === threeDaysAgo)
+    assert(Sinks.versionAsOfTimestamp(spark, copy, threeDaysAgo + 1000L) === 1L)
+    val ledger = Sinks.expireSnapshots(spark, copy,
+      olderThanMs = 24L * 3600 * 1000, keepLast = 1).toMap
+    assert(ledger === Map(1L -> "expired", 2L -> "kept:recent"),
+      "the horizon must classify by recorded commit age on a migrated store")
   }
 }

@@ -21,14 +21,11 @@ class TimestampTravelSpec extends AnyFunSuite {
     val tbl = graft.util.Scratch.dir("ts_travel") + "/t"
     (1 to 3).foreach(i =>
       Sinks.publishSnapshot(df(i * 10L), "transaction_date", tbl, retainVersions = 8))
-    val fs = new org.apache.hadoop.fs.Path(tbl)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val t0 = System.currentTimeMillis()
     // plant in the PAST: later publishes in these tests commit at real
     // now, which must sort after every planted moment
-    (1L to 3L).foreach(v => fs.setTimes(
-      new org.apache.hadoop.fs.Path(tbl, f"_manifests/m$v%08d"),
-      t0 - (4L - v) * 60000L, -1))
+    (1L to 3L).foreach(v =>
+      Sinks.plantCommitTime(spark, tbl, v, t0 - (4L - v) * 60000L))
     (tbl, t0)
   }
 
