@@ -418,6 +418,13 @@ object SparkEntry {
     // STREAMING CHANGE FEED: readStream tails the store's commit
     // history (offsets ARE version numbers) — O(changes) per MoR link
     "q_table_feed"       -> graft.sources.GraftFeedSource.tableFeedResult _,
+    // the feed drained ACROSS a rename boundary: every historical
+    // version id-resolves onto the schema pinned at stream start
+    "q_table_feed_evolved" -> graft.sources.GraftFeedSource.tableFeedEvolvedResult _,
+    // FEED-DRIVEN incremental view maintenance: the monthly aggregate
+    // kept current from preimage-mode feed rows — signed deltas per
+    // link, re-key on snapshot baselines; stream ≡ full recompute
+    "q_incr_agg_stream"  -> graft.streaming.FeedView.incrAggStreamResult _,
     // RESTORE: roll the live state back to a retained version as a
     // new auditable commit; the bad intermediates stay readable
     "q_restore"          -> graft.sources.Sinks.restoreResult _,
@@ -2079,12 +2086,13 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_salted_join" ->
-      """SELECT l.l_orderkey, l.l_linenumber,
-        | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
-        | o.o_orderpriority
+      """SELECT l.l_orderkey % 64 AS bucket, COUNT(*) AS n_rows,
+        | bit_xor(CAST(('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || '|' ||
+        |   CAST(l.l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)) AS row_xor,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the z-order layout must never change results — plain filter truth
     "q_zorder_scan" ->
@@ -2331,6 +2339,53 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS price_sum
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the feed across the rename boundary: v1 snapshot and v2 link
+    // images surface under the PINNED name amount (id-resolved); the
+    // sums prove values rode the rename intact
+    "q_table_feed_evolved" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 1 AS v, 'snapshot' AS ct, k, p FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 2, 'upsert', k,
+        |    CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT 2, 'upsert', k, p FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT 3, 'snapshot', k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'snapshot', k, p FROM base WHERE k % 10 = 7)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |  COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
+        |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS amount_sum
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the stream-maintained monthly aggregate must equal the monthly
+    // census of the FINAL merged state (baseline re-key + signed
+    // deltas from the two links) — stream ≡ full recompute
+    "q_incr_agg_stream" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p, d
+        |  FROM base WHERE k % 10 = 0 AND k % 30 <> 0
+        |  UNION ALL
+        |  SELECT k, p, d FROM base WHERE k % 10 = 7)
+        |SELECT date_trunc('month', d) AS month, COUNT(*) AS n_live,
+        |  CAST(SUM(p) AS DOUBLE) AS sum_price
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // restore lifecycle: live = class-0 verbatim (both links folded
     // away); pre-restore = the chain head's merged state, still history
     "q_restore" ->
@@ -2383,14 +2438,16 @@ object SparkEntry {
         |             (3, 'expired'), (4, 'kept:recent')) t(v, status)
         |ORDER BY version""".stripMargin,
 
-    // the commit log of the same lifecycle — a constant ledger
+    // the commit log of the same lifecycle — a constant ledger, read
+    // through BOTH surfaces (library call and CALL graft.system.history)
     "q_history" ->
-      """SELECT CAST(v AS BIGINT) AS version, kind,
+      """WITH ledger(v, kind, parent, is_current) AS (VALUES
+        |  (1, 'data', NULL, false), (2, 'upsert-link', 1, false),
+        |  (3, 'delete-link', 2, false), (4, 'data', NULL, true))
+        |SELECT via, CAST(v AS BIGINT) AS version, kind,
         |  CAST(parent AS BIGINT) AS parent, is_current
-        |FROM (VALUES (1, 'data', NULL, false), (2, 'upsert-link', 1, false),
-        |             (3, 'delete-link', 2, false), (4, 'data', NULL, true))
-        |  t(v, kind, parent, is_current)
-        |ORDER BY version""".stripMargin,
+        |FROM ledger CROSS JOIN (VALUES ('library'), ('sql')) s(via)
+        |ORDER BY via, version""".stripMargin,
 
     // CDF: full-outer diff of the two chained replay states (both
     // fragments proven by q_cdc_replay / q_stream_cdc_multi)

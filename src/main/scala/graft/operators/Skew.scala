@@ -48,14 +48,31 @@ object Skew {
   /** The salted strategy on real tables — lineitem (large, skewed
     * side) against the urgent-orders middle table — registered so the
     * driver hash-compares the salted plan against a plain DuckDB join:
-    * salting must be invisible in the result at any salt factor. */
+    * salting must be invisible in the result at any salt factor.
+    *
+    * The registered SURFACE is a 64-bucket census of the join output
+    * (row count, 60-bit xor of every (orderkey, linenumber) pair, exact
+    * decimal price sum per bucket), not the raw rows: the xor still
+    * catches a single duplicated or lost row anywhere — the property
+    * salting must preserve — while the post-join work is one partial
+    * (map-side-combined) aggregation and a 64-row sort. The previous
+    * shape global-sorted the whole join output, and that UNBOUNDED sort
+    * — nothing to do with the join — was the engine's only measured
+    * >1.0 scaling exponent at sf0.1→sf1; the join itself is one
+    * equi-shuffle on (key, salt) at any scale. */
   def saltedLineitemJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"),
-      col("l_extendedprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price"))
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     saltedJoin(l, o, "l_orderkey")
-      .orderBy("l_orderkey", "l_linenumber")
+      .withColumn("h", Reconcile.xorHash60(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))))
+      .groupBy((col("l_orderkey") % 64).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("row_xor"),
+        sum("price").cast(DoubleType).as("price_sum"))
+      .orderBy("bucket")
   }
 }

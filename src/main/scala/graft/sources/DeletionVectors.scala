@@ -199,20 +199,21 @@ object DeletionVectors {
       expectedParent = expectedParent)
   }
 
-  /** The raw content of one MoR/DV link: (chain key, vector keys,
-    * optional delta rows) — None when `version` is a plain data
-    * version. O(changes) reads of the exact files the publish wrote;
-    * the change-feed streaming source tails history through this. */
+  /** The raw content of one MoR/DV link: (chain key, parent version,
+    * vector keys, optional delta rows) — None when `version` is a
+    * plain data version. O(changes) reads of the exact files the
+    * publish wrote; the change-feed streaming source tails history
+    * through this (and resolves preimages against the parent). */
   private[sources] def linkOf(spark: SparkSession, tablePath: String,
-                              version: Long): Option[(String, DataFrame, Option[DataFrame])] =
-    versionDvMeta(spark, tablePath, version).map { case (_, key) =>
+                              version: Long): Option[(String, Long, DataFrame, Option[DataFrame])] =
+    versionDvMeta(spark, tablePath, version).map { case (parent, key) =>
       val vdir = s"$tablePath/${Sinks.versionDirName(version)}"
       val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
       val delta =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$deltaSubdir")))
           Some(spark.read.parquet(s"$vdir/$deltaSubdir/rows.parquet"))
         else None
-      (key, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta)
+      (key, parent, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta)
     }
 
   /** The chain's base DATA version: `version` itself when it carries

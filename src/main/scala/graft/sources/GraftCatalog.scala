@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[Sinks.versionAsOfTimestamp]]'s newest-commit-at-or-before rule
   * over commit-marker mtimes.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var rootOpt: Option[String] = None
@@ -119,4 +120,23 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "a graft table IS its path; relocate the directory tree (markers are " +
       "path-relative) instead of renaming through the catalog")
+
+  // ——— maintenance verbs: CALL <catalog>.system.<verb>(…) ————————————
+  //
+  // The SQL spellings of DESCRIBE HISTORY / RESTORE / expiration live
+  // here as NAMED procedures ([[GraftProcedures]]) — the dropTable
+  // refusal above stands, because destroying history must be an
+  // explicit verb with its own ledger result, never a DDL side-effect.
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace: CALL $catalogName.system." +
+      s"${ident.name()}(…) — got namespace '${ident.namespace().mkString(".")}'")
+    GraftProcedures.forName(ident.name(), rootOpt)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 }

@@ -64,6 +64,33 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
   private val payload: StructType = StructType(
     DeletionVectors.readMerged(spark, root).drop("txn_month").schema.fields.toSeq)
 
+  /** The stable-id column mapping of the head the stream pinned its
+    * schema at (None when the table was never published through
+    * [[SchemaEvolution.publishEvolved]]). With a mapping, every
+    * HISTORICAL version the feed drains is projected onto the pinned
+    * schema BY ID — exactly as the batch diff resolves evolved gaps
+    * ([[graft.operators.SnapshotDiff.diffVersionsAs]]): a version
+    * published under a pre-rename name emits under the pinned name, a
+    * column added after it emits as typed nulls, one the pinned schema
+    * dropped vanishes. Without a mapping, a version whose physical
+    * columns don't cover the pinned schema REFUSES with the evolved
+    * version named — never an accidental mid-drain AnalysisException. */
+  private val targetMapping: Option[Seq[SchemaEvolution.ColMeta]] =
+    Sinks.currentVersion(spark, root)
+      .flatMap(SchemaEvolution.schemaOf(spark, root, _))
+
+  /** Opt-in full change images (`option("preimages", "true")` — the
+    * Delta-CDF shape): link versions emit `insert` /
+    * `update_preimage` / `update_postimage` / `delete` rows, deletes
+    * and preimages carrying the FULL old image resolved from the
+    * link's PARENT state. The default stays honest volume ('upsert'
+    * rows + key-only 'delete's): preimage resolution joins the link's
+    * touched keys against the parent chain read — bounded keyed work,
+    * but it reads parent-state bytes every trigger, which a 100 TB
+    * tail-reader must opt into knowingly, not get by default. */
+  private val preimages: Boolean =
+    params.get("preimages").exists(_.trim.equalsIgnoreCase("true"))
+
   private val startingVersion: Long = params.get("startingversion").map(_.toLong)
     .getOrElse(Sinks.currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(
@@ -171,30 +198,106 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     // the engine requires a streaming-flagged plan from a V1 source —
     // the same internalCreateDataFrame re-rooting FileStreamSource does
     org.apache.spark.sql.graftstream.StreamingFrame.toStreaming(
-      range.map(changeOf).reduce(_ unionByName _))
+      range.map(changeOf).reduce(_ unionByName _)
+        .select(schema.fieldNames.map(col).toSeq: _*))
   }
 
-  /** One version's feed rows — O(this version's bytes). */
+  /** Project one historical version's rows onto the stream's pinned
+    * schema: BY ID when the table carries stable-id mappings (the
+    * batch diff's resolution), else by name with a DELIBERATE refusal
+    * naming the evolved version when its columns don't cover the
+    * pinned schema. Physical columns the pinned schema lacks (added
+    * after stream start, under no mapping) are dropped — the feed's
+    * schema is fixed at start by contract. */
+  private def projectTo(df: DataFrame, v: Long): DataFrame = targetMapping match {
+    case Some(target) =>
+      val atV = SchemaEvolution.schemaOf(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"streaming change feed on $root: version $v has no stable-id schema " +
+          "mapping but the stream pinned an evolved schema — history published " +
+          "outside SchemaEvolution.publishEvolved cannot be id-resolved; restart " +
+          s"the stream with startingVersion past version $v"))
+      SchemaEvolution.projectByIds(df, atV, target)
+    case None =>
+      val missing = payload.fieldNames.filterNot(df.columns.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"streaming change feed on $root: version $v lacks column(s) " +
+        s"${missing.mkString(", ")} of the schema pinned at stream start — the " +
+        "table evolved mid-history without a stable-id mapping. Publish through " +
+        "SchemaEvolution.publishEvolved (id-resolved feeds survive renames/adds) " +
+        "or restart the stream with a startingVersion past the evolution boundary")
+      df.select(payload.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The pinned-schema name of version `v`'s chain key (the physical
+    * key the link's vector and delta carry) — id-resolved across a
+    * rename; refuses if the pinned schema dropped the key column. */
+  private def pinnedKeyName(v: Long, physKey: String): String = targetMapping match {
+    case None =>
+      require(payload.fieldNames.contains(physKey),
+        s"chain key '$physKey' of version $v is not a payload column")
+      physKey
+    case Some(target) =>
+      val atV = SchemaEvolution.schemaOf(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $root has no schema mapping (see projectTo)"))
+      val keyId = atV.find(_.name == physKey).getOrElse(throw new IllegalStateException(
+        s"chain key '$physKey' of version $v is not in its schema mapping")).id
+      target.find(_.id == keyId).map(_.name).getOrElse(throw new IllegalStateException(
+        s"streaming change feed on $root: the chain key '$physKey' (id $keyId) of " +
+        s"version $v was dropped from the schema pinned at stream start — keyed " +
+        "changes cannot be expressed without their key column"))
+  }
+
+  /** One version's feed rows — O(this version's bytes) by default;
+    * with `preimages`, plus the parent-state join that resolves full
+    * old images. */
   private def changeOf(v: Long): DataFrame =
     DeletionVectors.linkOf(spark, root, v) match {
-      case Some((key, vec, delta)) =>
-        require(payload.fieldNames.contains(key),
-          s"chain key '$key' of version $v is not a payload column")
-        val upserts = delta.map(d =>
-          stamp(d.select(payload.fieldNames.map(col).toSeq: _*), "upsert", v))
-        // keys in the vector but NOT superseded by a delta image were
-        // deleted outright: key column set, other payload columns null
-        val delKeys = delta.fold(vec)(d =>
-          vec.join(d.select(col(key)), Seq(key), "left_anti"))
-        val deletes = stamp(delKeys.select(payload.fields.toSeq.map { f =>
-          if (f.name == key) col(key).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*), "delete", v)
-        upserts.fold(deletes)(_ unionByName deletes)
+      case Some((physKey, parent, vec, delta)) =>
+        val keyName = pinnedKeyName(v, physKey)
+        val touched = vec.select(col(physKey).as(keyName))
+        if (!preimages) {
+          val upserts = delta.map(d => stamp(projectTo(d, v), "upsert", v))
+          // keys in the vector but NOT superseded by a delta image were
+          // deleted outright: key column set, other payload columns null
+          val delKeys = delta.fold(touched)(d =>
+            touched.join(projectTo(d, v).select(col(keyName)), Seq(keyName), "left_anti"))
+          val deletes = stamp(delKeys.select(payload.fields.toSeq.map { f =>
+            if (f.name == keyName) col(keyName).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*), "delete", v)
+          upserts.fold(deletes)(_ unionByName deletes)
+        } else {
+          // full-image mode: old images of every touched key come from
+          // the PARENT chain state — one keyed join against link-sized
+          // broadcast key sets, never an all-pairs term; refuse-on-
+          // pruned rides readMergedAt's own contract
+          val parentState = projectTo(
+            DeletionVectors.readMergedAt(spark, root, parent), parent)
+          val old = parentState.join(broadcast(touched), Seq(keyName), "left_semi")
+          delta.map(d => projectTo(d, v)) match {
+            case None => // pure delete link: every touched key had an image
+              stamp(old, "delete", v)
+            case Some(dt) =>
+              val dKeys = dt.select(col(keyName)).withColumn("__in_delta", lit(1))
+              val oldTagged = old.join(broadcast(dKeys), Seq(keyName), "left")
+              val pre = stamp(oldTagged.filter(col("__in_delta").isNotNull)
+                .drop("__in_delta"), "update_preimage", v)
+              val dels = stamp(oldTagged.filter(col("__in_delta").isNull)
+                .drop("__in_delta"), "delete", v)
+              val oldKeys = old.select(col(keyName)).withColumn("__had_old", lit(1))
+              val dTagged = dt.join(broadcast(oldKeys), Seq(keyName), "left")
+              val posts = stamp(dTagged.filter(col("__had_old").isNotNull)
+                .drop("__had_old"), "update_postimage", v)
+              val ins = stamp(dTagged.filter(col("__had_old").isNull)
+                .drop("__had_old"), "insert", v)
+              pre.unionByName(dels).unionByName(posts).unionByName(ins)
+          }
+        }
       case None =>
-        stamp(spark.read.parquet(s"$root/${Sinks.versionDirName(v)}")
-          .drop("txn_month")
-          .select(payload.fieldNames.map(col).toSeq: _*), "snapshot", v)
+        stamp(projectTo(spark.read.parquet(s"$root/${Sinks.versionDirName(v)}")
+          .drop("txn_month"), v), "snapshot", v)
     }
 
   private def stamp(df: DataFrame, kind: String, v: Long): DataFrame =
@@ -211,6 +314,8 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
 
 object GraftFeedSource {
   private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val evolvedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Registered `q_table_feed` (hash-oracled): tail a three-commit
@@ -259,6 +364,63 @@ object GraftFeedSource {
         expr("bit_xor(h)").as("key_xor"),
         sum(coalesce(col("price"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
           .cast("double").as("price_sum"))
+      .orderBy("commit_version", "change_type")
+  }
+
+  /** Registered `q_table_feed_evolved` (hash-oracled): the change feed
+    * drained across a SCHEMA EVOLUTION boundary — v1 publishes
+    * (o_orderkey, odate, price) with stable ids, v2 is a MoR upsert
+    * link in that schema, v3 renames price→amount (id preserved) while
+    * full-replacing with the merged state. The stream pins v3's schema;
+    * every historical version id-resolves onto it, so v1's snapshot
+    * rows and v2's link images all emit under `amount` — the census
+    * hash breaks if even one row surfaces under the dead name or
+    * null-fills a renamed column. Closed-form DuckDB oracle over
+    * `orders`; batching-independent like `q_table_feed`. */
+  def tableFeedEvolvedResult(spark: SparkSession, dir: String): DataFrame = {
+    val t = evolvedFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("table_feed_evo") + "/t"
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      SchemaEvolution.publishEvolved(base.filter(col("o_orderkey") % 10 === 0),
+        "odate", f, retainVersions = 100)
+      val updates = base.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("price",
+          expr("CAST(price + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))"))
+      DeletionVectors.publishUpsert(spark, f,
+        updates.unionByName(base.filter(col("o_orderkey") % 10 === 7)),
+        "o_orderkey", updates.select("o_orderkey").limit(0), validate = false)
+      // v3: the merged state, price RENAMED to amount (id carried)
+      val merged = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price", when(col("o_orderkey") % 20 === 0,
+            expr("CAST(price + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))"))
+          .otherwise(col("price")))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 7))
+        .withColumnRenamed("price", "amount")
+      SchemaEvolution.publishEvolved(merged, "odate", f,
+        renamedFrom = Map("amount" -> "price"), retainVersions = 100)
+      f
+    })
+    val out = graft.util.Scratch.dir("table_feed_evo_out")
+    spark.readStream.format("graft-table").option("startingVersion", "1").load(t)
+      .writeStream.option("checkpointLocation", s"$out/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("append").parquet(s"$out/rows")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$out/rows")
+      .withColumn("h",
+        graft.operators.Reconcile.xorHash60(col("o_orderkey").cast("string")))
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("key_xor"),
+        sum(coalesce(col("amount"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+          .cast("double").as("amount_sum"))
       .orderBy("commit_version", "change_type")
   }
 }

@@ -132,6 +132,119 @@ class GraftFeedSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(spark, dst).contains(head))
   }
 
+  test("the feed id-resolves history across a rename/add boundary") {
+    import graft.sources.SchemaEvolution
+    val base = graft.util.Scratch.dir("feed_evo")
+    val tbl = s"$base/t"
+    // v1: (k, d, s) with stable ids; v2: MoR upsert link in v1's schema;
+    // v3: s RENAMED to txt (id kept) + extra ADDED — the stream pins v3
+    SchemaEvolution.publishEvolved(df(1L -> "a", 2L -> "b"), "d", tbl,
+      retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(1L -> "A", 3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    SchemaEvolution.publishEvolved(
+      df(1L -> "A", 2L -> "b", 3L -> "c").withColumnRenamed("s", "txt")
+        .withColumn("extra", col("k") * 10),
+      "d", tbl, renamedFrom = Map("txt" -> "s"), retainVersions = 100)
+    spark.readStream.format("graft-table").option("startingVersion", "1").load(tbl)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("k"), col("_change_type"), col("_commit_version"), col("txt"),
+        col("extra"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    // v1 rows surface under the PINNED name txt (by id), extra null;
+    // v2 link images likewise; v3 reads as itself
+    assert(got === Set(
+      (1L, "snapshot", 1L, "a", -1L), (2L, "snapshot", 1L, "b", -1L),
+      (1L, "upsert", 2L, "A", -1L), (3L, "upsert", 2L, "c", -1L),
+      (1L, "snapshot", 3L, "A", 10L), (2L, "snapshot", 3L, "b", 20L),
+      (3L, "snapshot", 3L, "c", 30L)))
+  }
+
+  test("an unmapped mid-history evolution refuses loudly, naming the version") {
+    val base = graft.util.Scratch.dir("feed_evo_refuse")
+    val tbl = s"$base/t"
+    // plain publishes (no id mapping), schema drifts between them
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 100)
+    Sinks.publishSnapshot(df(2L -> "b").withColumnRenamed("s", "txt"), "d", tbl,
+      retainVersions = 100)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tbl, s"$base/ckpt", s"$base/out", startingVersion = Some(1L))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("version 1 lacks column(s) txt") &&
+      c.getMessage.contains("publishEvolved")), e.getMessage)
+  }
+
+  test("preimages mode emits Delta-CDF shapes with full old images") {
+    val base = graft.util.Scratch.dir("feed_pre")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a", 2L -> "b"), "d", tbl, retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(1L -> "A", 3L -> "c"), "k",
+      df().select("k").limit(0), validate = false) // v2: update 1, insert 3
+    DeletionVectors.publishDeletes(spark, tbl, Seq(2L).toDF("k"), "k") // v3
+    spark.readStream.format("graft-table")
+      .option("startingVersion", "1").option("preimages", "true").load(tbl)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(rowsOf(s"$base/out").toSet === Set(
+      (1L, "snapshot", 1L, "a"), (2L, "snapshot", 1L, "b"),
+      (1L, "update_preimage", 2L, "a"), (1L, "update_postimage", 2L, "A"),
+      (3L, "insert", 2L, "c"),
+      (2L, "delete", 3L, "b"))) // the delete carries its FULL old image
+  }
+
+  test("feed view: stream-maintained monthly aggregate ≡ recompute, replay-safe") {
+    val base = graft.util.Scratch.dir("feed_view_spec")
+    val tbl = s"$base/t"
+    def rows(rs: (Long, String, String)*) = rs.toDF("k", "ds", "ps")
+      .select(col("k"), to_date(col("ds")).as("d"),
+        col("ps").cast("decimal(18,2)").as("p"))
+    def agg(): Map[String, (Long, Double)] =
+      graft.streaming.FeedView.readAgg(spark, s"$base/state")
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    def drainView(): Unit = graft.streaming.FeedView.runFeedAgg(
+      spark, tbl, s"$base/state", s"$base/ckpt", dateCol = "d", priceCol = "p",
+      availableNow = true).awaitTermination()
+    Sinks.publishSnapshot(rows((1L, "2024-01-15", "10.00"), (2L, "2024-02-15", "20.00"),
+      (3L, "2024-01-20", "5.00")), "d", tbl, retainVersions = 100)
+    drainView()
+    assert(agg() == Map("2024-01-01" -> (2L, 15.0), "2024-02-01" -> (1L, 20.0)))
+    // v2: k=1 UPDATES and MOVES month (retire in old month, arrive in
+    // new — the preimage carries the old date); k=4 inserts
+    DeletionVectors.publishUpsert(spark, tbl,
+      rows((1L, "2024-02-10", "12.00"), (4L, "2024-03-01", "7.00")), "k",
+      rows().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, tbl, Seq(3L).toDF("k"), "k") // v3
+    drainView()
+    assert(agg() == Map("2024-02-01" -> (2L, 32.0), "2024-03-01" -> (1L, 7.0)),
+      "month move retires 2024-01 to zero (group dropped), delete retires k=3")
+    // replay safety: an idle re-drain from the same checkpoint folds
+    // nothing twice (signed deltas are NOT idempotent — the version
+    // ledger must gate them)
+    drainView()
+    assert(agg() == Map("2024-02-01" -> (2L, 32.0), "2024-03-01" -> (1L, 7.0)))
+    // a fresh snapshot baseline RE-KEYS the state outright
+    Sinks.publishSnapshot(rows((9L, "2024-05-01", "1.00")), "d", tbl,
+      retainVersions = 100)
+    drainView()
+    assert(agg() == Map("2024-05-01" -> (1L, 1.0)))
+  }
+
   test("point-read options and empty stores are rejected up front") {
     val base = graft.util.Scratch.dir("feed_opts")
     val tbl = s"$base/t"

@@ -166,6 +166,45 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(outcomes.flatten.size <= 1, "at most one side of the race aborts")
   }
 
+  test("CALL procedures: history / restore / expire_snapshots through SQL") {
+    val t = graft.util.Scratch.dir("sqlw_proc") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 3L AS k, DATE'2024-03-16' AS d, " +
+      "'c' AS s, 3.0D AS p") // v2: MoR link
+    // DESCRIBE HISTORY as a result set: versions, kinds, parents, live
+    val h = spark.sql(s"CALL graft.system.history(table => '$t')")
+      .orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq ==
+      Seq((1L, "data", -1L, false), (2L, "upsert-link", 1L, true)))
+    assert(h.forall(!_.isNullAt(1)), "commit_time populated")
+    // RESTORE through SQL: rollback to v1 as a NEW commit (v3)
+    val r = spark.sql(s"CALL graft.system.restore(table => '$t', version => 1, " +
+      "date_col => 'd', retain_versions => 100)").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 3L)))
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    // expire through SQL: nothing is old, so everything classifies kept
+    val led = spark.sql(s"CALL graft.system.expire_snapshots(table => '$t', " +
+      "older_than_ms => 86400000)").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(led == Map(1L -> "kept:recent", 2L -> "kept:recent", 3L -> "kept:recent"))
+    // destructive-DDL refusal stands alongside the named verbs
+    intercept[UnsupportedOperationException] { spark.sql(s"DROP TABLE graft.`$t`") }
+    // unknown verbs and foreign namespaces refuse loudly (Spark wraps
+    // the loader's message in FAILED_TO_LOAD_ROUTINE)
+    val noSuch = intercept[Exception] {
+      spark.sql(s"CALL graft.system.compact(table => '$t')")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(noSuch).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("no procedure") ||
+        c.getMessage.contains("FAILED_TO_LOAD_ROUTINE"))), noSuch.getMessage)
+    intercept[Exception] { spark.sql(s"CALL graft.other.history(table => '$t')") }
+  }
+
   test("append schema mismatch and empty-store reads fail loudly") {
     val t = graft.util.Scratch.dir("sqlw_err") + "/t"
     intercept[java.io.FileNotFoundException] {
