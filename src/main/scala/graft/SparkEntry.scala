@@ -425,6 +425,10 @@ object SparkEntry {
     // kept current from preimage-mode feed rows — signed deltas per
     // link, re-key on snapshot baselines; stream ≡ full recompute
     "q_incr_agg_stream"  -> graft.streaming.FeedView.incrAggStreamResult _,
+    // NATIVE STREAMING SINK: writeStream.format("graft-table") —
+    // bootstrap publish + one MoR link per micro-batch, batch-id
+    // ledger in version metadata for exactly-once restarts
+    "q_stream_sink"      -> graft.sources.GraftStreamSink.streamSinkResult _,
     // RESTORE: roll the live state back to a retained version as a
     // new auditable commit; the bad intermediates stay readable
     "q_restore"          -> graft.sources.Sinks.restoreResult _,
@@ -2385,6 +2389,22 @@ object SparkEntry {
         |SELECT date_trunc('month', d) AS month, COUNT(*) AS n_live,
         |  CAST(SUM(p) AS DOUBLE) AS sum_price
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sink-ingested store: every class-0 row exactly once in the
+    // merged state; 1 bootstrap data version + 2 upsert links
+    "q_stream_sink" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT 'state' AS phase, COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
+        |  CAST(SUM(p) AS DOUBLE) AS price_sum
+        |FROM base
+        |UNION ALL
+        |SELECT 'data', 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |UNION ALL
+        |SELECT 'upsert-link', 2, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |ORDER BY phase""".stripMargin,
 
     // restore lifecycle: live = class-0 verbatim (both links folded
     // away); pre-restore = the chain head's merged state, still history

@@ -53,7 +53,8 @@ object DeletionVectors {
   def publishDeletes(spark: SparkSession, tablePath: String,
                      deleteKeys: DataFrame, keyCol: String,
                      deltaRows: Option[DataFrame] = None,
-                     expectedParent: Option[Long] = None): Long = {
+                     expectedParent: Option[Long] = None,
+                     extraMeta: Map[String, String] = Map.empty): Long = {
     require(deleteKeys.columns.toSeq == Seq(keyCol),
       s"deleteKeys must be exactly ($keyCol), got ${deleteKeys.columns.mkString(",")}")
     val parent = Sinks.currentVersion(spark, tablePath).getOrElse(
@@ -79,7 +80,7 @@ object DeletionVectors {
     // shadowing race both guards close)
     val next = Sinks.claimExpectedVersion(spark, tablePath, parent + 1,
       "delete-publish")
-    writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows)
+    writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows, extraMeta)
     // pre-marker re-check (the publishSnapshot discipline): a ff merge
     // landing during the link write must abort this commit, not be
     // shadowed by it
@@ -98,7 +99,8 @@ object DeletionVectors {
     * dir. The caller owns the claim and the marker. */
   private def writeLink(spark: SparkSession, tablePath: String, next: Long,
                         parent: Long, deleteKeys: DataFrame, keyCol: String,
-                        deltaRows: Option[DataFrame]): Unit = {
+                        deltaRows: Option[DataFrame],
+                        extraMeta: Map[String, String] = Map.empty): Unit = {
     val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
     val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
     Sinks.writeSingleParquetFile(deleteKeys.distinct(),
@@ -112,6 +114,14 @@ object DeletionVectors {
     try meta.write(s"parent=$parent\nkey=$keyCol\ndelta=${deltaRows.isDefined}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally meta.close()
+    // caller-scoped link metadata (e.g. the streaming sink's batch-id
+    // ledger); the chain pointer key is reserved
+    (extraMeta - metaName).foreach { case (name, content) =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$name"), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** DV delete as a BRANCH commit — the O(changes) staging path:
@@ -182,7 +192,8 @@ object DeletionVectors {
                     changes: DataFrame, keyCol: String,
                     deleteKeys: DataFrame,
                     validate: Boolean = true,
-                    expectedParent: Option[Long] = None): Long = {
+                    expectedParent: Option[Long] = None,
+                    extraMeta: Map[String, String] = Map.empty): Long = {
     require(changes.columns.contains(keyCol), s"changes must carry $keyCol")
     if (validate) {
       val expected = readMerged(spark, tablePath).columns.toSet - "txn_month"
@@ -196,7 +207,7 @@ object DeletionVectors {
     }
     val touched = changes.select(col(keyCol)).unionByName(deleteKeys).distinct()
     publishDeletes(spark, tablePath, touched, keyCol, deltaRows = Some(changes),
-      expectedParent = expectedParent)
+      expectedParent = expectedParent, extraMeta = extraMeta)
   }
 
   /** The raw content of one MoR/DV link: (chain key, parent version,

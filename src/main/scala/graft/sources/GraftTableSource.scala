@@ -65,7 +65,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * closed-form DuckDB on `orders`.
   */
 class GraftTableDataSource extends TableProvider with DataSourceRegister
-  with org.apache.spark.sql.sources.StreamSourceProvider {
+  with org.apache.spark.sql.sources.StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-table"
 
   /** One resolution per (options) per provider instance: Spark calls
@@ -112,6 +113,18 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftFeedSource(sqlContext.sparkSession, parameters)
+
+  // ——— streaming: the continuous-ingestion sink (writeStream side) ——
+  // `df.writeStream.format("graft-table").start(root)` — append/update
+  // commit MoR links per micro-batch, complete full-replaces; batch-id
+  // ledger in version metadata makes restarts exactly-once. Semantics
+  // in [[GraftStreamSink]].
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftStreamSink(sqlContext.sparkSession, parameters, outputMode)
 }
 
 object GraftTableDataSource {

@@ -20,4 +20,15 @@ object StreamingFrame {
       .internalCreateDataFrame(classic.queryExecution.toRdd, df.schema,
         isStreaming = true)
   }
+
+  /** The sink-side inverse: a V1 `Sink.addBatch` receives a
+    * streaming-flagged DataFrame that refuses batch writers — re-root
+    * its physical plan as a plain batch frame (the ForeachBatchSink /
+    * FileStreamSink move) so the store's publish paths can write it. */
+  def toBatch(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.asInstanceOf[ClassicSession]
+      .internalCreateDataFrame(classic.queryExecution.toRdd, df.schema,
+        isStreaming = false)
+  }
 }
