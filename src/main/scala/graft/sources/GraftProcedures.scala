@@ -41,13 +41,16 @@ object GraftProcedures {
 
   /** Procedure names under the `system` namespace, for
     * `SHOW PROCEDURES` and the catalog's loader. */
-  val names: Seq[String] = Seq("history", "restore", "expire_snapshots")
+  val names: Seq[String] =
+    Seq("history", "restore", "expire_snapshots", "optimize", "vacuum")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "history"          => new HistoryProcedure(rootOpt)
       case "restore"          => new RestoreProcedure(rootOpt)
       case "expire_snapshots" => new ExpireProcedure(rootOpt)
+      case "optimize"         => new OptimizeProcedure(rootOpt)
+      case "vacuum"           => new VacuumProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -177,6 +180,103 @@ object GraftProcedures {
         olderThanMs = input.getLong(1), keepLast = input.getInt(2))
       result(out, ledger.toArray.map { case (v, status) =>
         new GenericInternalRow(Array[Any](v, utf8(status))): InternalRow
+      })
+    }
+  }
+
+  /** `CALL graft.system.optimize(table, date_col[, target_file_bytes]
+    * [, zorder][, hilbert])` — Delta's `OPTIMIZE [ZORDER BY …]` as a
+    * named verb over [[Sinks.compactSnapshot]]: fold any DV/MoR chain
+    * to a plain data version, bin-pack to the target file size, and
+    * (with `zorder`, a comma-separated column list) cluster the
+    * republish so post-compaction scans prune on any z-column's
+    * footer stats. OCC-guarded like every publish (compaction always
+    * YIELDS to a racing writer). Returns the before/after file-count
+    * and byte ledger an operations dashboard records. */
+  private final class OptimizeProcedure(rootOpt: Option[String])
+    extends GraftProcedure("optimize") {
+
+    override def description(): String =
+      "Compact a graft store's live version: fold the DV/MoR chain, bin-pack " +
+      "data files to a target size, optionally Z-ORDER/Hilbert-cluster on the " +
+      "given columns; commits as a new version and returns the file ledger"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("date_col", StringType).build(),
+      ProcedureParameter.in("target_file_bytes", LongType)
+        .defaultValue((128L << 20).toString).build(),
+      ProcedureParameter.in("zorder", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("hilbert", BooleanType).defaultValue("false").build())
+
+    private val out = StructType(Seq(
+      StructField("compacted_version", LongType, nullable = false),
+      StructField("committed_as", LongType, nullable = false),
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false),
+      StructField("bytes_after", LongType, nullable = false)))
+
+    /** Data files under one version dir (recursing into the month
+      * partition dirs) — ledger metadata, O(files) listing. */
+    private def dataFiles(table: String, v: Long): Seq[Long] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$table/${Sinks.versionDirName(v)}")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[Long] =
+        fs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getLen)
+          else Seq.empty
+        }
+      walk(dir)
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      val dateCol = input.getUTF8String(1).toString
+      val target = input.getLong(2)
+      val zorder = input.getUTF8String(3).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val hilbert = input.getBoolean(4)
+      val before = Sinks.currentVersion(spark, table).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no published snapshot at $table (no commit marker in _manifests)"))
+      val filesBefore = dataFiles(table, before).size.toLong
+      val committed = Sinks.compactSnapshot(spark, table, dateCol,
+        targetFileBytes = target, zorderCols = zorder, hilbertCurve = hilbert)
+      val after = dataFiles(table, committed)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        before, committed, filesBefore, after.size.toLong, after.sum))))
+    }
+  }
+
+  /** `CALL graft.system.vacuum(table[, older_than_ms])` — reclaim
+    * crash debris ([[Sinks.vacuum]]): version dirs that were claimed
+    * and written but never marked, and claims with no dir at all.
+    * Touches nothing marked (committed history, branches and tags are
+    * structurally out of reach); the age floor keeps an in-flight
+    * publisher's staging alive. Returns the reclaimed-entry ledger. */
+  private final class VacuumProcedure(rootOpt: Option[String])
+    extends GraftProcedure("vacuum") {
+
+    override def description(): String =
+      "Reclaim crash debris from a graft store: abandoned (claimed, written, " +
+      "never marked) version dirs and orphan claims older than the age floor; " +
+      "committed history is structurally untouchable. Returns the ledger"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue((24L * 3600 * 1000).toString).build())
+
+    private val out = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      val ledger = Sinks.vacuum(spark, table, olderThanMs = input.getLong(1))
+      result(out, ledger.toArray.map { case (v, kind) =>
+        new GenericInternalRow(Array[Any](v, utf8(kind))): InternalRow
       })
     }
   }

@@ -205,6 +205,42 @@ class SqlWritePathSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"CALL graft.other.history(table => '$t')") }
   }
 
+  test("CALL procedures: optimize / vacuum through SQL") {
+    val t = graft.util.Scratch.dir("sqlw_opt") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    df((3L, "c", 3.0)).write.format("graft-table").mode("append").save(t)
+    val preState = stateOf(t)
+    // OPTIMIZE through SQL: folds the v2 MoR chain, bin-packs, commits
+    // as a new version; the merged state is content-neutral
+    val led = spark.sql(s"CALL graft.system.optimize(table => '$t', " +
+      "date_col => 'd')").collect()
+    assert(led.length == 1)
+    val (compacted, committed, fb, fa, bytes) = (led(0).getLong(0),
+      led(0).getLong(1), led(0).getLong(2), led(0).getLong(3), led(0).getLong(4))
+    assert(compacted == 2L && committed > compacted)
+    assert(fb >= 1L && fa >= 1L && bytes > 0L)
+    assert(Sinks.currentVersion(spark, t).contains(committed))
+    assert(!Sinks.versionMeta(spark, t, committed).contains("dv"),
+      "optimize must land a plain folded data version, not another link")
+    assert(stateOf(t) == preState, "compaction is content-neutral")
+    // z-order variant: same contract, clustered layout
+    val led2 = spark.sql(s"CALL graft.system.optimize(table => '$t', " +
+      "date_col => 'd', zorder => 'k,p')").collect()
+    assert(led2(0).getLong(1) > committed && stateOf(t) == preState)
+    // VACUUM through SQL: reclaims planted crash debris (an abandoned
+    // written-never-marked dir + an orphan claim), never touches
+    // committed history
+    val abandoned = Sinks.plantAbandonedVersion(df((8L, "x", 8.0)), "d", t)
+    val orphan = Sinks.plantOrphanClaim(spark, t)
+    val vled = spark.sql(s"CALL graft.system.vacuum(table => '$t', " +
+      "older_than_ms => -1000)").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vled == Map(abandoned -> "abandoned_dir", orphan -> "orphan_claim"))
+    assert(stateOf(t) == preState, "vacuum touches nothing marked")
+  }
+
   test("append schema mismatch and empty-store reads fail loudly") {
     val t = graft.util.Scratch.dir("sqlw_err") + "/t"
     intercept[java.io.FileNotFoundException] {
