@@ -21,6 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner citizenship: the naive bounded-interval join rewrites to
     // the bucketed equi-join automatically (see plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // …and aggregates over a graft store answer from its registered
+    // feed-maintained materialized view when fresh (plans.MatViewRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MatViewRewrite)
+    // …and catalog chain-head reads splice their merged plan into the
+    // consuming query — the consumer's filters/pruning sink into the
+    // base parquet scan, real sizes reach the planner, and no
+    // V1-bridge codegen seam remains (plans.GraftScanInline). Runs
+    // after MatViewRewrite within each pass, so a fresh view wins.
+    ext.injectOptimizerRule(_ => graft.plans.GraftScanInline)
     ext.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - double dot product of two float vectors"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))

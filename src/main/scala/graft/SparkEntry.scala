@@ -252,6 +252,10 @@ object SparkEntry {
     "d_dedup_simhash"    -> ((s: SparkSession, dir: String) => NearDedup.simHashDedup(s, dir)),
     "d_ngram_jaccard"    -> ((s: SparkSession, dir: String) => NearDedup.ngramJaccard(s, dir)),
     "d_dedup_winnow"     -> ((s: SparkSession, dir: String) => NearDedup.winnowDedup(s, dir)),
+    // large-star/small-star connected components (O(log²) rounds on
+    // adversarial graphs) over deterministic PPJoin pairs — the scale
+    // path's labels hash-match a recursive-CTE oracle
+    "d_dup_clusters"     -> NearDedup.dupClustersStar _,
     // ExactSubstr census (Lee et al. 2022): repeated L-token spans
     // across documents — the tier document-level dedup cannot see
     "d_substr_dup"       -> ((s: SparkSession, dir: String) => NearDedup.substrDup(s, dir)),
@@ -425,6 +429,11 @@ object SparkEntry {
     // kept current from preimage-mode feed rows — signed deltas per
     // link, re-key on snapshot baselines; stream ≡ full recompute
     "q_incr_agg_stream"  -> graft.streaming.FeedView.incrAggStreamResult _,
+    // MAT-VIEW AUTO-REWRITE: a yearly rollup over the base store is
+    // answered FROM the feed-maintained monthly view by an optimizer
+    // rule (plan self-pinned: the base is never scanned); values
+    // hash-match the census computed from raw parquet
+    "q_mv_rewrite"       -> graft.streaming.FeedView.mvRewriteResult _,
     // NATIVE STREAMING SINK: writeStream.format("graft-table") —
     // bootstrap publish + one MoR link per micro-batch, batch-id
     // ledger in version metadata for exactly-once restarts
@@ -2144,6 +2153,32 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // the star-contraction components: d_ngram_jaccard's exact pair
+    // body at 0.8 → UNION-dedup'd recursive-CTE reachability → each
+    // node labels with its component minimum (LEAST folds the self
+    // node in). Same truth the large-star/small-star contraction
+    // computes in O(log²) distributed rounds
+    "d_dup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM pos),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM common
+        |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
     // the full corpus-clean composition: planted near-dups (offset
     // derived via the MAX(doc_id)+1 subquery, exactly as the Spark
     // side derives it) → quality filter → exact 3-gram Jaccard pairs
@@ -2387,6 +2422,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT k, p, d FROM base WHERE k % 10 = 7)
         |SELECT date_trunc('month', d) AS month, COUNT(*) AS n_live,
+        |  CAST(SUM(p) AS DOUBLE) AS sum_price
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the mat-view-rewritten yearly rollup must equal the yearly
+    // census of the FINAL merged state — the view answered for the
+    // base exactly (the Spark side's plan pin guarantees the view,
+    // not the store, produced these numbers)
+    "q_mv_rewrite" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p, d
+        |  FROM base WHERE k % 10 = 0 AND k % 30 <> 0
+        |  UNION ALL
+        |  SELECT k, p, d FROM base WHERE k % 10 = 7)
+        |SELECT CAST(year(d) AS BIGINT) AS yr, COUNT(*) AS n_live,
         |  CAST(SUM(p) AS DOUBLE) AS sum_price
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -341,6 +341,19 @@ object NearDedup {
       .select(col("u").as("doc_id"), coalesce(col("lbl"), col("u")).as("cluster_id"))
   }
 
+  /** Registered `d_dup_clusters`: the large-star/small-star component
+    * resolution ([[duplicateClustersStar]]) over deterministic PPJoin
+    * pair generation, hash-matched against a DuckDB oracle whose
+    * label propagation is a recursive CTE — the adversarial-graph
+    * scale path carrying the SAME oracle discipline as the default
+    * min-label pipeline (OperatorSpec additionally pins the two
+    * algorithms equal on random graphs and the round count at the
+    * logarithmic bound on a 200-link chain). */
+  def dupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardOf(Tables.documents(spark, dir), 0.8)
+    duplicateClustersStar(pairs.select("id_a", "id_b")).orderBy("doc_id")
+  }
+
   /** Training-corpus cleaning: quality-filter documents, then drop
     * every near-duplicate except its cluster's canonical (minimum
     * doc_id) — the composition a data pipeline runs before

@@ -91,12 +91,33 @@ class GraftTable private (
 
   private def isChain: Boolean = resolvedVersion.isDefined && parquetDelegate.isEmpty
 
+  /** (store path, bound version) when this table is an UNPINNED read
+    * of the main chain — the identity the mat-view rewrite
+    * ([[graft.plans.MatViewRewrite]]) matches on; None for
+    * branch/versionAsOf/tag/timestampAsOf reads (a maintained view
+    * reflects the live chain only). */
+  private[graft] def liveReadPoint: Option[(String, Long)] =
+    if (Seq("branch", "versionasof", "tag", "timestampasof").exists(opts.contains)) None
+    else resolvedVersion.map(v => (root, v))
+
   /** Chain-merged state, resolved lazily and once (the plan pins to
     * immutable version dirs, so caching is safe for this table's
     * lifetime — one load = one resolution, the provider/catalog
     * memoization contract). */
   private lazy val mergedDf: DataFrame =
     DeletionVectors.readMergedAt(spark, root, resolvedVersion.get)
+
+  /** A FRESH chain-merged plan for [[graft.plans.GraftScanInline]] to
+    * splice into the consuming query IN PLACE of this relation —
+    * defined exactly when the read would otherwise cross the V1
+    * bridge (catalog-mode chain head; plain heads delegate to the
+    * parquet table and provider-mode chain heads refuse at scan
+    * build). Rebuilt per call so two occurrences of the same relation
+    * in one plan (a self-join) inline with DISTINCT expression ids. */
+  private[graft] def inlineReadPlan: Option[DataFrame] =
+    if (resolvedVersion.isDefined && parquetDelegate.isEmpty && !monthVisible)
+      Some(DeletionVectors.readMergedAt(spark, root, resolvedVersion.get))
+    else None
 
   override def name(): String =
     s"graft-table:$root" + resolvedVersion.fold("")(v => s"@v$v")

@@ -138,17 +138,12 @@ object FeedView {
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Registered `q_incr_agg_stream` (hash-oracled): the monthly
-    * aggregate maintained through the STREAMING change feed over the
-    * three-commit lifecycle (class-0 baseline snapshot → re-key;
-    * class-20/class-7 upsert link and class-30 delete link → signed
-    * deltas), then compared against the closed-form monthly census of
-    * the FINAL merged state — stream-maintained ≡ full recompute, the
-    * same contract `q_incr_agg` pins for batch diffs. The source
-    * builds once per JVM; each invocation drains into a fresh state
-    * dir (the drain + folds are the timed surface). */
-  def incrAggStreamResult(spark: SparkSession, dir: String): DataFrame = {
-    val src = fixtures.computeIfAbsent(dir, _ => {
+  /** The shared three-commit source store (class-0 baseline snapshot,
+    * class-20/class-7 upsert link, class-30 delete link) — built once
+    * per JVM and read-only thereafter; `q_incr_agg_stream` and
+    * `q_mv_rewrite` both maintain views FROM it into fresh state. */
+  private def sourceFixture(spark: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(dir, _ => {
       val f = graft.util.Scratch.dir("feed_view_src") + "/t"
       val base = Tables.orders(spark, dir).select(
         col("o_orderkey").cast("long").as("o_orderkey"),
@@ -166,6 +161,78 @@ object FeedView {
         base.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), "o_orderkey")
       f
     })
+
+  /** The path of the newest committed aggregate state — what a
+    * mat-view registration points the rewrite at. */
+  def latestAggPath(spark: SparkSession, stateDir: String): String =
+    latestAgg(spark, stateDir).map(_._2).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no maintained aggregate at $stateDir — the feed view never folded a commit"))
+
+  /** Registered `q_mv_rewrite` (hash-oracled): the full
+    * maintain-register-rewrite composition. The feed view folds the
+    * three-commit lifecycle into the monthly aggregate, the aggregate
+    * registers as a materialized view of the source's LIVE version
+    * ([[graft.plans.MatViews]]), and the registered query — a YEARLY
+    * ROLLUP with count(*) and sum(price) through the graft catalog —
+    * is answered by [[graft.plans.MatViewRewrite]] FROM THE VIEW:
+    * the optimized plan is asserted to contain no graft relation (the
+    * base table is never read), and the result hash-matches DuckDB's
+    * yearly census of the final merged state computed from the raw
+    * parquet. At 100 TB this is a full-table scan replaced by a
+    * months-sized re-aggregation. */
+  def mvRewriteResult(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceFixture(spark, dir)
+    val scratch = graft.util.Scratch.dir("mv_rewrite_q")
+    runFeedAgg(spark, src, s"$scratch/state", s"$scratch/ckpt",
+      dateCol = "odate", priceCol = "price", availableNow = true)
+      .awaitTermination()
+    graft.plans.MatViews.register(spark, src,
+      latestAggPath(spark, s"$scratch/state"),
+      asOfVersion = Sinks.currentVersion(spark, src).getOrElse(
+        throw new IllegalStateException(s"no committed version at $src")),
+      groups = Seq("month" -> trunc(col("odate"), "month")),
+      countCol = Some("n_live"),
+      sums = Seq("sum_price" -> col("price")))
+    val q = spark.sql(
+      s"""SELECT CAST(year(trunc(odate, 'month')) AS BIGINT) AS yr,
+         |  COUNT(*) AS n_live, CAST(SUM(price) AS DOUBLE) AS sum_price
+         |FROM graft.`$src` GROUP BY 1 ORDER BY 1""".stripMargin)
+    // the registered surface self-pins the substitution: a plan that
+    // still reads the base store is the 100-TB full scan this operator
+    // exists to eliminate — refuse, don't silently degrade
+    val readsBase = q.queryExecution.optimizedPlan.exists {
+      // the base store can surface as a graft relation (pre/post
+      // pushdown) or — after GraftScanInline — as parquet scans under
+      // the store's own path; the pin must catch every spelling
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.sources.GraftTable]
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table.isInstanceOf[graft.sources.GraftTable]
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(src))
+          case _ => false
+        }
+      case _ => false
+    }
+    if (readsBase) throw new IllegalStateException(
+      "mat-view rewrite did not fire: the optimized plan still scans the base store")
+    q
+  }
+
+  /** Registered `q_incr_agg_stream` (hash-oracled): the monthly
+    * aggregate maintained through the STREAMING change feed over the
+    * three-commit lifecycle (class-0 baseline snapshot → re-key;
+    * class-20/class-7 upsert link and class-30 delete link → signed
+    * deltas), then compared against the closed-form monthly census of
+    * the FINAL merged state — stream-maintained ≡ full recompute, the
+    * same contract `q_incr_agg` pins for batch diffs. The source
+    * builds once per JVM; each invocation drains into a fresh state
+    * dir (the drain + folds are the timed surface). */
+  def incrAggStreamResult(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceFixture(spark, dir)
     val scratch = graft.util.Scratch.dir("feed_view_q")
     runFeedAgg(spark, src, s"$scratch/state", s"$scratch/ckpt",
       dateCol = "odate", priceCol = "price", availableNow = true)

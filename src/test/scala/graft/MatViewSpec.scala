@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MatViews
+import graft.sources.{DeletionVectors, Sinks}
+
+/** Materialized-view auto-rewrite ([[graft.plans.MatViewRewrite]]):
+  * aggregates over a registered graft store answer from the
+  * maintained view — exact grain, rollups, grain-determined filters —
+  * and every unsafe shape (stale view, pinned read, non-derivable
+  * aggregate, non-grain filter) leaves the plan alone. Results are
+  * asserted equal between the rewritten plan and the base-table
+  * truth in every case: the rewrite is an optimization, never a
+  * correctness dependency. */
+class MatViewSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Does the optimized plan still read the base store? After
+    * GraftScanInline the store surfaces as parquet scans under its own
+    * path (no graft relation survives optimization), so the detector
+    * checks BOTH spellings: a graft relation (pre/post pushdown) or a
+    * file scan rooted inside the store directory. */
+  private def readsBase(df: DataFrame, path: String): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.sources.GraftTable]
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table.isInstanceOf[graft.sources.GraftTable]
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(path))
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** A store with two months of keyed rows plus a MoR delete link,
+    * and its monthly (n_live, sum_price) view written as parquet. */
+  private def fixture(): (String, String) = {
+    val root = graft.util.Scratch.dir("mv_spec")
+    val t = s"$root/t"
+    val rows = (1L to 40L).map { i =>
+      (i, java.sql.Date.valueOf(if (i % 2 == 0) "2024-01-15" else "2024-02-15"),
+        java.math.BigDecimal.valueOf(i * 100L, 2))
+    }.toDF("k", "d", "p").withColumn("p", col("p").cast("decimal(18,2)"))
+    Sinks.publishSnapshot(rows, "d", t, retainVersions = 100)
+    DeletionVectors.publishDeletes(spark, t,
+      Seq(2L, 4L).toDF("k"), "k") // v2: live state loses two Jan rows
+    val view = s"$root/view"
+    spark.sql(s"SELECT * FROM graft.`$t`")
+      .groupBy(trunc(col("d"), "month").as("month"))
+      .agg(count(lit(1)).as("n_live"),
+        sum("p").cast("decimal(18,2)").as("sum_price"))
+      .coalesce(1).write.mode("overwrite").parquet(view)
+    (t, view)
+  }
+
+  test("exact grain, rollup and grain filter all answer from the view") {
+    val (t, view) = fixture()
+    try {
+      MatViews.register(spark, t, view, asOfVersion = 2L,
+        groups = Seq("month" -> trunc(col("d"), "month")),
+        countCol = Some("n_live"), sums = Seq("sum_price" -> col("p")))
+      // exact grain
+      val exact = spark.sql(s"SELECT trunc(d, 'month') AS month, COUNT(*) AS n, " +
+        s"SUM(p) AS s FROM graft.`$t` GROUP BY 1 ORDER BY 1")
+      assert(!readsBase(exact, t), s"exact grain must rewrite:\n${exact.queryExecution}")
+      // Jan = even k (sum 420) minus the deleted 2+4; Feb = odd k (sum 400)
+      assert(exact.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSeq ==
+        Seq(("2024-01-01", 18L, 414.0), ("2024-02-01", 20L, 400.0)))
+      // rollup to a coarser grain (yearly) + global total
+      val yearly = spark.sql(s"SELECT year(trunc(d, 'month')) AS yr, COUNT(*) AS n " +
+        s"FROM graft.`$t` GROUP BY 1")
+      assert(!readsBase(yearly, t), "rollup must rewrite")
+      assert(yearly.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+        Seq((2024, 38L)))
+      val global = spark.sql(s"SELECT COUNT(*) AS n, SUM(p) AS s FROM graft.`$t`")
+      assert(!readsBase(global, t), "global aggregate must rewrite")
+      assert(global.collect().map(r => (r.getLong(0),
+        r.getDecimal(1).doubleValue())).toSeq == Seq((38L, 814.0)))
+      // grain-determined filter commutes with the grouping
+      val filtered = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$t` " +
+        s"WHERE trunc(d, 'month') = DATE'2024-02-01'")
+      assert(!readsBase(filtered, t), "grain filter must rewrite")
+      assert(filtered.as[Long].collect().toSeq == Seq(20L))
+    } finally MatViews.unregister(t)
+  }
+
+  test("unsafe shapes read the base: stale view, pinned read, non-derivable bits") {
+    val (t, view) = fixture()
+    try {
+      MatViews.register(spark, t, view, asOfVersion = 2L,
+        groups = Seq("month" -> trunc(col("d"), "month")),
+        countCol = Some("n_live"), sums = Seq("sum_price" -> col("p")))
+      def q(sql: String): DataFrame = spark.sql(sql)
+      // non-grain filter must not commute
+      val f = q(s"SELECT COUNT(*) AS n FROM graft.`$t` WHERE k > 20")
+      assert(readsBase(f, t) && f.as[Long].head() == 20L)
+      // min/max and count(col) are not derivable from counts-and-sums
+      assert(readsBase(q(s"SELECT MAX(p) AS m FROM graft.`$t`"), t))
+      assert(readsBase(q(s"SELECT COUNT(p) AS n FROM graft.`$t`"), t))
+      // DISTINCT refuses
+      assert(readsBase(q(s"SELECT COUNT(DISTINCT p) AS n FROM graft.`$t`"), t))
+      // a differently-written group expression is best-effort: no match
+      assert(readsBase(q(s"SELECT year(d) AS y, COUNT(*) AS n FROM graft.`$t` GROUP BY 1"), t))
+      // version-pinned reads never match the live view
+      val pinned = spark.read.format("graft-table")
+        .option("versionAsOf", "1").load(t)
+        .groupBy(trunc(col("d"), "month")).agg(count(lit(1)).as("n"))
+      assert(readsBase(pinned, t), "a pinned read must not rewrite")
+      assert(pinned.select("n").as[Long].collect().sorted.toSeq == Seq(20L, 20L))
+      // stale: a new commit moves the head past the view
+      DeletionVectors.publishDeletes(spark, t, Seq(6L).toDF("k"), "k") // v3
+      val stale = q(s"SELECT COUNT(*) AS n FROM graft.`$t`")
+      assert(readsBase(stale, t), "a stale view must stop matching")
+      assert(stale.as[Long].head() == 37L)
+    } finally MatViews.unregister(t)
+  }
+}

@@ -278,9 +278,9 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // a chained store: base + one MoR link, read through the catalog —
-    // the merged-scan V1 fallback must sink a date-range predicate into
-    // the BASE scan (at 100× the base dominates; filtering above the
-    // relation re-reads every base byte)
+    // the inlined merged plan (plans.GraftScanInline) must sink a
+    // date-range predicate into the BASE scan (at 100× the base
+    // dominates; filtering above the relation re-reads every base byte)
     val t = graft.util.Scratch.dir("plan_pushdown") + "/t"
     val rows = (1L to 200L).map(i =>
       (i, java.sql.Date.valueOf(f"2024-${(i % 12 + 1)}%02d-15"), s"v$i"))
@@ -295,12 +295,76 @@ class PlanSpec extends AnyFunSuite {
     // correctness first: exactly the March rows, the chain link included
     assert(got.map(_.getLong(0)).toSet ===
       (1L to 200L).filter(_ % 12 == 2).toSet + 999L)
-    // the inner merged plan (embedded as an opaque RDD in the outer V1
-    // relation) must show the pushed range on its parquet scan
-    val inner = graft.sources.MergedScanBuilder.lastScan.get()
-    assert(inner != null, "the catalog read never built the merged scan")
-    val p = inner.queryExecution.executedPlan.toString
+    // the merged plan is INLINED into the consuming query (no V1-bridge
+    // RDD seam), so the OUTER physical plan itself must show the pushed
+    // range on the base parquet scan
+    val phys = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val p = phys.toString
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(d"),
       s"date range not pushed to the base scan:\n$p")
+    assert(phys.find(_.isInstanceOf[
+        org.apache.spark.sql.execution.RowDataSourceScanExec]).isEmpty,
+      s"the catalog read still crosses the V1 bridge:\n$p")
+  }
+
+  test("chain-head scans report statistics; small dimension heads auto-broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a SMALL chained store (base + MoR link) read through the catalog:
+    // without scan statistics Spark prices a V2 scan at
+    // defaultSizeInBytes (= never broadcast), so a dimension head
+    // would sort-merge against any fact side regardless of its size
+    val t = graft.util.Scratch.dir("plan_stats") + "/t"
+    val rows = (1L to 50L).map(i =>
+      (i, java.sql.Date.valueOf("2024-03-15"), s"v$i")).toDF("k", "d", "s")
+    graft.sources.Sinks.publishSnapshot(rows, "d", t, retainVersions = 4)
+    graft.sources.DeletionVectors.publishUpsert(spark, t,
+      Seq((999L, java.sql.Date.valueOf("2024-03-20"), "x")).toDF("k", "d", "s"),
+      "k", Seq.empty[Long].toDF("k"), validate = false)
+    // 1) the catalog read is PRICED: the inlined merged plan derives
+    // its size from the parquet relations (a stats-less V2 scan would
+    // surface defaultSizeInBytes = Long.MaxValue here)
+    val read = spark.sql(s"SELECT k, s FROM graft.`$t`")
+    val size = read.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size > 0 && size < BigInt(1 << 20),
+      s"chain-head read priced at $size — statistics not flowing")
+    // 2) joined against a clearly larger side, the CHAIN HEAD is the
+    // broadcast build side (both sides fit the threshold, so the
+    // planner builds on the smaller — only true if the head's size
+    // is known)
+    val fact = spark.range(0, 200000)
+      .select((col("id") % 50 + 1).as("k"), (col("id") * 2).as("m"))
+    val joined = fact.join(read, "k")
+    joined.collect()
+    // AQE nests the final plan in query stages; flatten across them
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    val nodes = flatten(joined.queryExecution.executedPlan)
+    val bhj = nodes.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"expected a broadcast hash join:\n${joined.queryExecution.executedPlan}")
+    val build = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => bhj.head.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.right
+    }
+    // the build side is the INLINED chain head — its parquet scans
+    // carry the store's path
+    assert(flatten(build).mkString("\n").contains("plan_stats"),
+      s"the chain head must be the broadcast build side:\n${bhj.head}")
   }
 }
