@@ -107,8 +107,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  private val dbg = java.lang.Boolean.getBoolean("graft.testing.mvDebug")
-  private def trace(msg: => String): Unit = if (dbg) println(s"[mv-rewrite] $msg")
+  /** Why a candidate did not rewrite — optimizer-rule diagnostics at
+    * debug level (the rule is best-effort, so "didn't fire" must be
+    * explainable without instrumenting production code). */
+  private def trace(msg: => String): Unit = logDebug(s"mat-view rewrite: $msg")
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (rel, subst, filters) = collectBase(agg.child).getOrElse {

@@ -90,6 +90,22 @@ object MatViews {
     registry.put(d.basePath, d)
   }
 
+  /** Re-point an existing registration at a newer maintained state —
+    * what a continuously-running view maintainer calls after each
+    * fold, so the rewrite stays LIVE as the source commits (between a
+    * source commit and its fold the version check makes the view
+    * stale and queries read the base; the advance re-arms it).
+    * Returns false when no registration exists for the base. */
+  def advance(basePath: String, viewPath: String, asOfVersion: Long): Boolean = {
+    val key = canonPath(basePath)
+    Option(registry.get(key)) match {
+      case Some(d) =>
+        registry.put(key, d.copy(viewPath = viewPath, asOfVersion = asOfVersion))
+        true
+      case None => false
+    }
+  }
+
   def unregister(basePath: String): Unit = registry.remove(canonPath(basePath))
 
   def clear(): Unit = registry.clear()

@@ -57,10 +57,19 @@ object FeedView {
   }
 
   /** Tail `sourceTable`'s change feed (preimages mode) and maintain
-    * the monthly (n_live, sum_price) aggregate under `stateDir`. */
+    * the monthly (n_live, sum_price) aggregate under `stateDir`.
+    *
+    * With `registerView = true` the maintainer ALSO keeps the
+    * aggregate registered for automatic query rewrite
+    * ([[graft.plans.MatViews]]): after each fold the registration
+    * advances to the newly-committed state and source version, so an
+    * aggregate query through the catalog is answered from the view
+    * whenever the maintainer is caught up — and falls back to the
+    * base read (by the rewrite's version check, not by anything this
+    * code does) in the window between a source commit and its fold. */
   def runFeedAgg(spark: SparkSession, sourceTable: String, stateDir: String,
                  checkpoint: String, dateCol: String, priceCol: String,
-                 availableNow: Boolean = false)
+                 availableNow: Boolean = false, registerView: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val monthOf = (c: org.apache.spark.sql.Column) => trunc(c, "month")
     val writer = spark.readStream.format("graft-table")
@@ -126,6 +135,15 @@ object FeedView {
                 case _                        => ()
               }
             }
+            if (registerView) {
+              val committed = f"$stateDir/a$v%08d"
+              if (!graft.plans.MatViews.advance(sourceTable, committed, v))
+                graft.plans.MatViews.register(spark, sourceTable, committed,
+                  asOfVersion = v,
+                  groups = Seq("month" -> monthOf(col(dateCol))),
+                  countCol = Some("n_live"),
+                  sums = Seq("sum_price" -> col(priceCol)))
+            }
           }
           ()
         }
@@ -184,16 +202,12 @@ object FeedView {
   def mvRewriteResult(spark: SparkSession, dir: String): DataFrame = {
     val src = sourceFixture(spark, dir)
     val scratch = graft.util.Scratch.dir("mv_rewrite_q")
+    // registerView: the maintainer itself keeps the rewrite armed —
+    // after the drain the registration points at the final fold
     runFeedAgg(spark, src, s"$scratch/state", s"$scratch/ckpt",
-      dateCol = "odate", priceCol = "price", availableNow = true)
+      dateCol = "odate", priceCol = "price", availableNow = true,
+      registerView = true)
       .awaitTermination()
-    graft.plans.MatViews.register(spark, src,
-      latestAggPath(spark, s"$scratch/state"),
-      asOfVersion = Sinks.currentVersion(spark, src).getOrElse(
-        throw new IllegalStateException(s"no committed version at $src")),
-      groups = Seq("month" -> trunc(col("odate"), "month")),
-      countCol = Some("n_live"),
-      sums = Seq("sum_price" -> col("price")))
     val q = spark.sql(
       s"""SELECT CAST(year(trunc(odate, 'month')) AS BIGINT) AS yr,
          |  COUNT(*) AS n_live, CAST(SUM(price) AS DOUBLE) AS sum_price

@@ -17,21 +17,30 @@ import graft.sources.Sinks
   * claim made measurable: it grows linearly with table size while
   * the view stays months-sized.
   *
-  * Usage: runMain graft.tools.MvEvidence <dataDir> <scratchDir>
+  * Usage: runMain graft.tools.MvEvidence <dataDir> <scratchDir> [factor]
+  * (`factor` key-stride-replicates orders before publishing, so the
+  * base side is large enough that per-query fixed overhead stops
+  * masking the scan — the quantity under test.)
   */
 object MvEvidence {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: MvEvidence <dataDir> <scratchDir>")
-    val Array(dataDir, scratch) = args
+    require(args.length >= 2, "usage: MvEvidence <dataDir> <scratchDir> [factor]")
+    val dataDir = args(0)
+    val scratch = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val store = s"$scratch/orders_store"
-    val orders = spark.read.parquet(s"$dataDir/orders.parquet").select(
+    val base0 = spark.read.parquet(s"$dataDir/orders.parquet").select(
       col("o_orderkey").cast("long").as("o_orderkey"),
       col("o_orderdate").cast("date").as("odate"),
       col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val stride = base0.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    val orders = base0.crossJoin(broadcast(spark.range(factor).toDF("__r")))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * lit(stride))
+      .drop("__r")
     Sinks.publishSnapshot(orders, "odate", store, retainVersions = 4)
     val view = s"$scratch/view"
     spark.sql(s"SELECT * FROM graft.`$store`")

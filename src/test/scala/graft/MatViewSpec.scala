@@ -92,6 +92,41 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatViews.unregister(t)
   }
 
+  test("the feed maintainer keeps the rewrite armed across source commits") {
+    val root = graft.util.Scratch.dir("mv_live")
+    val t = s"$root/t"
+    val rows = (1L to 20L).map { i =>
+      (i, java.sql.Date.valueOf("2024-01-15"),
+        java.math.BigDecimal.valueOf(i * 100L, 2))
+    }.toDF("k", "d", "p").withColumn("p", col("p").cast("decimal(18,2)"))
+    Sinks.publishSnapshot(rows, "d", t, retainVersions = 100)
+    def drain(): Unit = graft.streaming.FeedView.runFeedAgg(spark, t,
+      s"$root/state", s"$root/ckpt", dateCol = "d", priceCol = "p",
+      availableNow = true, registerView = true).awaitTermination()
+    def census() = spark.sql(s"SELECT COUNT(*) AS n, SUM(p) AS s FROM graft.`$t`")
+    try {
+      // caught up: the maintainer registered the fold → view-served
+      drain()
+      val a = census()
+      assert(!readsBase(a, t), "a caught-up maintainer must arm the rewrite")
+      assert(a.collect().map(r => (r.getLong(0),
+        r.getDecimal(1).doubleValue())).toSeq == Seq((20L, 210.0)))
+      // the source commits past the view: STALE by the version check —
+      // the same query silently reads the base and stays correct
+      DeletionVectors.publishDeletes(spark, t, Seq(1L).toDF("k"), "k")
+      val b = census()
+      assert(readsBase(b, t), "an unfolded commit must disarm the rewrite")
+      assert(b.collect().map(r => (r.getLong(0),
+        r.getDecimal(1).doubleValue())).toSeq == Seq((19L, 209.0)))
+      // the maintainer catches up: advance re-arms the rewrite
+      drain()
+      val c = census()
+      assert(!readsBase(c, t), "the fold must re-arm the rewrite")
+      assert(c.collect().map(r => (r.getLong(0),
+        r.getDecimal(1).doubleValue())).toSeq == Seq((19L, 209.0)))
+    } finally MatViews.unregister(t)
+  }
+
   test("unsafe shapes read the base: stale view, pinned read, non-derivable bits") {
     val (t, view) = fixture()
     try {
