@@ -438,6 +438,10 @@ object SparkEntry {
     // bootstrap publish + one MoR link per micro-batch, batch-id
     // ledger in version metadata for exactly-once restarts
     "q_stream_sink"      -> graft.sources.GraftStreamSink.streamSinkResult _,
+    // TABLE CHECK CONSTRAINTS: add refuses on existing violations;
+    // every write path refuses violating rows pre-marker; the ledger's
+    // final census makes each refusal visible in the arithmetic
+    "q_constraints"      -> graft.sources.Constraints.constraintsResult _,
     // RESTORE: roll the live state back to a retained version as a
     // new auditable commit; the bad intermediates stay readable
     "q_restore"          -> graft.sources.Sinks.restoreResult _,
@@ -2444,6 +2448,29 @@ object SparkEntry {
         |SELECT CAST(year(d) AS BIGINT) AS yr, COUNT(*) AS n_live,
         |  CAST(SUM(p) AS DOUBLE) AS sum_price
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the constraint-lifecycle ledger: refusals are constants, the
+    // final census is closed-form over the class-1 orders subset —
+    // +2 rows (the valid 1.50 insert and the post-drop -5.00 one),
+    // sum moved by exactly their decimal-exact contributions
+    "q_constraints" ->
+      """WITH base AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT * FROM (
+        |  SELECT 'add_ok' AS step, CAST(1 AS BIGINT) AS ok,
+        |         CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS sum_p
+        |  UNION ALL SELECT 'add_rejected_existing', 1, NULL, NULL
+        |  UNION ALL SELECT 'upsert_rejected', 1, NULL, NULL
+        |  UNION ALL SELECT 'upsert_rejected_head_pinned', 1, NULL, NULL
+        |  UNION ALL SELECT 'upsert_ok', 1, NULL, NULL
+        |  UNION ALL SELECT 'overwrite_rejected', 1, NULL, NULL
+        |  UNION ALL SELECT 'drop_unknown_rejected', 1, NULL, NULL
+        |  UNION ALL SELECT 'after_drop_ok', 1, NULL, NULL
+        |  UNION ALL SELECT 'final_state', 1,
+        |    (SELECT COUNT(*) + 2 FROM base),
+        |    CAST((SELECT SUM(p) FROM base)
+        |         - CAST('3.50' AS DECIMAL(18,2)) AS DOUBLE)
+        |) ORDER BY step""".stripMargin,
 
     // the sink-ingested store: every class-0 row exactly once in the
     // merged state; 1 bootstrap data version + 2 upsert links

@@ -240,6 +240,10 @@ object Branches {
         new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$mname"), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
+    // branch full-frame publishes enforce the TABLE's CHECK
+    // constraints pre-marker, like every other write path — a branch
+    // is merge-bound for main
+    Constraints.enforceOnWritten(spark, tablePath, next, "", s"branch '$name' publish")
     markBranchVersion(spark, tablePath, name, next)
     next
   }

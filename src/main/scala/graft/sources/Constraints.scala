@@ -1,0 +1,214 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+
+/** A write was refused because rows violate a table CHECK constraint.
+  * Nothing was committed; the refusing publish reclaims its own
+  * staged dir and claim before this surfaces (a crash mid-refusal
+  * degrades to ordinary vacuumable debris). */
+class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
+/** Table CHECK constraints — the Delta `ALTER TABLE ADD CONSTRAINT`
+  * surface for the snapshot store (reference anchor: the hand-rolled
+  * validation every `database_upload` service performs before it
+  * writes — here the TABLE carries the rule and every writer is
+  * bound by it, not just the disciplined ones).
+  *
+  * A constraint is a named boolean SQL expression stored as one file
+  * under `tablePath/_constraints/<name>` (content = the expression).
+  * Add/drop are single-file create/delete; the namespace rides the
+  * store like `_manifests` does, so constraints survive restores and
+  * replications that copy the tree.
+  *
+  * SEMANTICS (Delta's): a row violates when the expression evaluates
+  * to FALSE; NULL passes (constrain nullability with an explicit
+  * `IS NOT NULL`). `addConstraint` scans the CURRENT merged state
+  * first and refuses if existing rows violate — a committed table
+  * always satisfies its constraints, so readers never need to
+  * re-check and content-neutral rewrites (compaction) re-validate
+  * for free.
+  *
+  * ENFORCEMENT runs inside every publish path ([[Sinks
+  * .publishSnapshot]]; [[DeletionVectors.publishDeletes]] /
+  * `publishDeletesToBranch` when the link carries arriving rows —
+  * which is also the SQL INSERT/MERGE/UPDATE staged path and the
+  * streaming sink), AFTER the data write and BEFORE the marker: the
+  * check reads back only the constraint-referenced columns of the
+  * just-written files (a pruned columnar scan — never a second run
+  * of the caller's input plan), and a violation aborts with the
+  * marker never created, so readers cannot observe a constrained
+  * table in a violating state. Zero cost for unconstrained tables
+  * (one directory-existence probe). */
+object Constraints {
+
+  private val dirName = "_constraints"
+  private val nameRe = "[A-Za-z0-9_]{1,64}".r
+
+  private def dir(tablePath: String) =
+    new org.apache.hadoop.fs.Path(tablePath, dirName)
+
+  /** All constraints of a table: name → expression. */
+  def constraintsOf(spark: SparkSession, tablePath: String): Map[String, String] = {
+    val d = dir(tablePath)
+    val fs = Sinks.hadoopFs(spark, d)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).map { s =>
+      val in = fs.open(s.getPath)
+      val content =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      s.getPath.getName -> content
+    }.toMap
+  }
+
+  /** Violating rows of `df` under `checkExpr` — FALSE violates, NULL
+    * passes. */
+  private def violations(df: DataFrame, checkExpr: String): DataFrame =
+    df.filter(not(coalesce(expr(checkExpr), lit(true))))
+
+  /** Refuse (loudly, with samples) if any row of `df` violates any of
+    * `constraints`; reads only the columns the expressions reference
+    * when `df` is a file read. */
+  private[sources] def enforce(df: DataFrame, constraints: Map[String, String],
+                               tablePath: String, what: String): Unit =
+    constraints.foreach { case (name, ce) =>
+      val bad = violations(df, ce).limit(3).collect()
+      if (bad.nonEmpty) throw new ConstraintViolation(
+        s"$what of $tablePath violates CHECK constraint '$name' ($ce) — e.g. " +
+        s"${bad.mkString("; ")}. Nothing was committed; fix the rows or drop " +
+        "the constraint")
+    }
+
+  /** Enforce a table's constraints against newly WRITTEN files (the
+    * pre-marker check): reads back only what the expressions need.
+    * `claimedVersion` names the publish's own staged version: a
+    * DELIBERATE refusal reclaims its dir and claim before surfacing,
+    * so a violating writer never wedges the head+1 claim space (a
+    * crash mid-reclaim degrades to ordinary vacuumable debris).
+    * `subDir` narrows the read to the link's delta rows. */
+  private[sources] def enforceOnWritten(spark: SparkSession, tablePath: String,
+                                        claimedVersion: Long, subDir: String,
+                                        what: String): Unit = {
+    val cs = constraintsOf(spark, tablePath)
+    if (cs.isEmpty) return
+    val vdir = s"$tablePath/${Sinks.versionDirName(claimedVersion)}"
+    val read = if (subDir.isEmpty) vdir else s"$vdir/$subDir"
+    try enforce(spark.read.parquet(read), cs, tablePath, what)
+    catch { case e: ConstraintViolation =>
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = Sinks.hadoopFs(spark, root)
+      fs.delete(new org.apache.hadoop.fs.Path(vdir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        f"_claims/c$claimedVersion%08d"), false)
+      throw e
+    }
+  }
+
+  /** Add a CHECK constraint. Validates the name and the expression
+    * (must analyze as a boolean over the table's schema), then scans
+    * the CURRENT merged state — existing violations refuse the add,
+    * so a constrained table satisfies its constraints from the moment
+    * the constraint exists. Refuses to replace an existing name
+    * (drop first — silent redefinition is how two writers end up
+    * enforcing different rules). */
+  def addConstraint(spark: SparkSession, tablePath: String,
+                    name: String, checkExpr: String): Unit = {
+    require(nameRe.pattern.matcher(name).matches(),
+      s"constraint name '$name' must match ${nameRe.pattern} — it becomes a file name")
+    val current = DeletionVectors.readMerged(spark, tablePath)
+    val probe = violations(current, checkExpr) // analysis validates the expression
+    require(probe.schema != null) // force analysis before any file is written
+    val bad = probe.limit(3).collect()
+    if (bad.nonEmpty) throw new ConstraintViolation(
+      s"cannot add CHECK constraint '$name' ($checkExpr) to $tablePath: existing " +
+      s"rows violate it — e.g. ${bad.mkString("; ")}")
+    val d = dir(tablePath)
+    val fs = Sinks.hadoopFs(spark, d)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val f = new org.apache.hadoop.fs.Path(d, name)
+    val out = fs.create(f, false) // refuse-don't-replace
+    try out.write(checkExpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop a CHECK constraint; refuses if it does not exist (a typo'd
+    * drop must not look like success). */
+  def dropConstraint(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir(tablePath), name)
+    val fs = Sinks.hadoopFs(spark, f)
+    if (!fs.exists(f)) throw new IllegalArgumentException(
+      s"no CHECK constraint '$name' on $tablePath — " +
+      s"existing: ${constraintsOf(spark, tablePath).keys.toSeq.sorted.mkString(", ")}")
+    fs.delete(f, false)
+    ()
+  }
+
+  /** Registered `q_constraints` (hash-oracled): the full constraint
+    * lifecycle as a ledger. A fresh store publishes the class-1
+    * orders subset, then: a satisfiable constraint ADDS; an
+    * existing-data-violating one REFUSES; a violating upsert REFUSES
+    * pre-marker (head version pinned unchanged); a valid upsert
+    * LANDS; a violating full replace REFUSES; an unknown drop
+    * REFUSES; after the real drop the previously-refused row LANDS.
+    * The final row carries the state census (count, exact sum), so
+    * the ledger is closed-form over `orders` — every refusal's
+    * correctness is visible in the arithmetic (a leaked violating
+    * row, or a lost valid one, moves the sum). */
+  def constraintsResult(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val t = graft.util.Scratch.dir("constraints_q") + "/t"
+    val base = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Sinks.publishSnapshot(base, "d", t, retainVersions = 100)
+    val maxK = base.agg(max(col("k"))).head().getLong(0)
+    def row(k: Long, price: String): DataFrame = {
+      import spark.implicits._
+      Seq((k, java.sql.Date.valueOf("2024-03-15"), new java.math.BigDecimal(price)))
+        .toDF("k", "d", "price")
+        .select(col("k"), col("d"), col("price").cast("decimal(18,2)"))
+    }
+    def refused(body: => Unit): Long =
+      try { body; 0L } catch { case _: ConstraintViolation => 1L }
+    val noKeys = row(0L, "0").select("k").limit(0)
+
+    addConstraint(spark, t, "price_nonneg", "price >= 0")
+    val addOk = 1L
+    val addRejected = try {
+      addConstraint(spark, t, "price_million", "price >= 1000000"); 0L
+    } catch { case _: ConstraintViolation => 1L }
+    val headBefore = Sinks.currentVersion(spark, t).get
+    val upsertRejected = refused(
+      DeletionVectors.publishUpsert(spark, t, row(maxK + 1, "-5.00"), "k", noKeys))
+    val headPinned = if (Sinks.currentVersion(spark, t).get == headBefore) 1L else 0L
+    DeletionVectors.publishUpsert(spark, t, row(maxK + 1, "1.50"), "k", noKeys)
+    val upsertOk = 1L
+    val overwriteRejected = refused(
+      Sinks.publishSnapshot(row(maxK + 2, "-7.00"), "d", t, retainVersions = 100))
+    val dropUnknown = try { dropConstraint(spark, t, "no_such"); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    dropConstraint(spark, t, "price_nonneg")
+    DeletionVectors.publishUpsert(spark, t, row(maxK + 2, "-5.00"), "k", noKeys)
+    val afterDropOk = 1L
+
+    val fin = DeletionVectors.readMerged(spark, t)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum("price").cast("double").as("s")).head()
+    import spark.implicits._
+    Seq(
+      ("add_ok", addOk, None: Option[Long], None: Option[Double]),
+      ("add_rejected_existing", addRejected, None, None),
+      ("upsert_rejected", upsertRejected, None, None),
+      ("upsert_rejected_head_pinned", headPinned, None, None),
+      ("upsert_ok", upsertOk, None, None),
+      ("overwrite_rejected", overwriteRejected, None, None),
+      ("drop_unknown_rejected", dropUnknown, None, None),
+      ("after_drop_ok", afterDropOk, None, None),
+      ("final_state", 1L, Some(fin.getLong(0)), Some(fin.getDouble(1))))
+      .toDF("step", "ok", "n_rows", "sum_p").orderBy("step")
+  }
+}

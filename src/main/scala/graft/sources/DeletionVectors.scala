@@ -81,6 +81,14 @@ object DeletionVectors {
     val next = Sinks.claimExpectedVersion(spark, tablePath, parent + 1,
       "delete-publish")
     writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows, extraMeta)
+    // CHECK constraints (pre-marker): arriving rows — the SQL
+    // INSERT/MERGE/UPDATE staged path and the streaming sink included
+    // — validate against the table's constraints before the commit
+    // becomes observable; pure deletes carry nothing to check
+    deltaRows.foreach { _ =>
+      Constraints.enforceOnWritten(spark, tablePath, next, deltaSubdir,
+        "link-publish")
+    }
     // pre-marker re-check (the publishSnapshot discipline): a ff merge
     // landing during the link write must abort this commit, not be
     // shadowed by it
@@ -144,6 +152,13 @@ object DeletionVectors {
     }
     val next = Branches.claimBranchVersion(spark, tablePath)
     writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows)
+    // branch commits enforce the TABLE's constraints too: a branch is
+    // merge-bound for main, and a violating merge would otherwise be
+    // discovered only at merge time (or worse, fast-forwarded past)
+    deltaRows.foreach { _ =>
+      Constraints.enforceOnWritten(spark, tablePath, next, deltaSubdir,
+        s"branch '$branch' link-publish")
+    }
     Branches.markBranchVersion(spark, tablePath, branch, next)
     next
   }

@@ -91,7 +91,16 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
   private val preimages: Boolean =
     params.get("preimages").exists(_.trim.equalsIgnoreCase("true"))
 
+  require(!(params.contains("startingversion") && params.contains("startingtimestamp")),
+    "graft-table stream: startingVersion and startingTimestamp are mutually " +
+    "exclusive — each names one starting point; pick one")
+
   private val startingVersion: Long = params.get("startingversion").map(_.toLong)
+    // startingTimestamp (the Delta-CDF spelling): the first committed
+    // version at or after the instant, resolved against RECORDED
+    // commit times; refuse-don't-guess when everything predates it
+    .orElse(params.get("startingtimestamp").map(s =>
+      Sinks.firstVersionAtOrAfter(spark, root, GraftTable.parseTsMillis(s))))
     .getOrElse(Sinks.currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no published snapshot at $root — a change feed needs a first commit " +

@@ -42,7 +42,8 @@ object GraftProcedures {
   /** Procedure names under the `system` namespace, for
     * `SHOW PROCEDURES` and the catalog's loader. */
   val names: Seq[String] =
-    Seq("history", "restore", "expire_snapshots", "optimize", "vacuum")
+    Seq("history", "restore", "expire_snapshots", "optimize", "vacuum",
+      "add_constraint", "drop_constraint", "show_constraints")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -51,6 +52,9 @@ object GraftProcedures {
       case "expire_snapshots" => new ExpireProcedure(rootOpt)
       case "optimize"         => new OptimizeProcedure(rootOpt)
       case "vacuum"           => new VacuumProcedure(rootOpt)
+      case "add_constraint"   => new AddConstraintProcedure(rootOpt)
+      case "drop_constraint"  => new DropConstraintProcedure(rootOpt)
+      case "show_constraints" => new ShowConstraintsProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -278,6 +282,75 @@ object GraftProcedures {
       result(out, ledger.toArray.map { case (v, kind) =>
         new GenericInternalRow(Array[Any](v, utf8(kind))): InternalRow
       })
+    }
+  }
+
+  private val constraintOut = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("expr", StringType, nullable = false)))
+
+  private def constraintRows(table: String): Array[InternalRow] =
+    Constraints.constraintsOf(spark, table).toArray.sortBy(_._1).map {
+      case (n, e) => new GenericInternalRow(Array[Any](utf8(n), utf8(e))): InternalRow
+    }
+
+  /** `CALL graft.system.add_constraint(table, name, check_expr)` —
+    * Delta's `ALTER TABLE ADD CONSTRAINT`: refuses if existing rows
+    * violate, then binds EVERY writer ([[Constraints]]). Returns the
+    * table's constraints after the add. */
+  private final class AddConstraintProcedure(rootOpt: Option[String])
+    extends GraftProcedure("add_constraint") {
+
+    override def description(): String =
+      "Add a named CHECK constraint to a graft store: refuses if existing rows " +
+      "violate it; afterwards every write path refuses violating rows pre-commit"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("check_expr", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      Constraints.addConstraint(spark, table,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      result(constraintOut, constraintRows(table))
+    }
+  }
+
+  /** `CALL graft.system.drop_constraint(table, name)` — refuses on an
+    * unknown name (a typo'd drop must not look like success). */
+  private final class DropConstraintProcedure(rootOpt: Option[String])
+    extends GraftProcedure("drop_constraint") {
+
+    override def description(): String =
+      "Drop a named CHECK constraint from a graft store; refuses unknown names. " +
+      "Returns the remaining constraints"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      Constraints.dropConstraint(spark, table, input.getUTF8String(1).toString)
+      result(constraintOut, constraintRows(table))
+    }
+  }
+
+  /** `CALL graft.system.show_constraints(table)` — read-only listing. */
+  private final class ShowConstraintsProcedure(rootOpt: Option[String])
+    extends GraftProcedure("show_constraints") {
+
+    override def description(): String =
+      "List a graft store's CHECK constraints (name, expression)"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      result(constraintOut, constraintRows(table))
     }
   }
 }

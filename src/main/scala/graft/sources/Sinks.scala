@@ -516,6 +516,37 @@ object Sinks {
     eligible.maxBy(c => (c._2, c._1))._1
   }
 
+  /** The FIRST committed, still-readable version whose recorded commit
+    * time is at or after `tsMillis` — the change feed's
+    * `startingTimestamp` resolution (the forward-looking mirror of
+    * [[versionAsOfTimestamp]]'s newest-at-or-before). Refuses when
+    * every retained commit predates the timestamp: a typo'd future
+    * date must not look like a healthy idle stream ("tail only future
+    * commits" is spelled `startingVersion = head + 1`). */
+  def firstVersionAtOrAfter(spark: org.apache.spark.sql.SparkSession,
+                            tablePath: String, tsMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val fs = hadoopFs(spark, mdir)
+    if (!fs.exists(mdir))
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $tablePath (no commit marker in _manifests)")
+    val commits = fs.listStatus(mdir).toSeq.flatMap(s => s.getPath.getName match {
+      case manifestRe(n) => Some((n.toLong, commitTimeOf(fs, s.getPath)))
+      case _             => None
+    }).filter { case (v, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, versionDirName(v)))
+    }
+    val eligible = commits.filter(_._2 >= tsMillis)
+    if (eligible.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no committed version of $tablePath at or after timestamp $tsMillis — the " +
+        s"newest commit is ${if (commits.isEmpty) "absent" else
+          s"version ${commits.maxBy(c => (c._2, c._1))._1} at ${commits.map(_._2).max}"}; " +
+        "to tail only future commits pass startingVersion = head + 1")
+    eligible.minBy(c => (c._2, c._1))._1
+  }
+
   /** Writer options enabling a parquet BLOOM FILTER on each given
     * column: the point-lookup complement of min/max footer stats —
     * on a high-cardinality key (the reference's
@@ -627,6 +658,13 @@ object Sinks {
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    // CHECK constraints (pre-marker): read back ONLY the constraint
+    // columns of the files just written — never a second run of the
+    // caller's input plan. A violation aborts with the marker never
+    // created: readers cannot observe a constrained table violating,
+    // and the staged dir is ordinary vacuumable debris. Zero cost for
+    // unconstrained tables (one existence probe).
+    Constraints.enforceOnWritten(spark, tablePath, next, "", "publish")
     // OCC pre-marker re-check: the data write above can take minutes —
     // a fast-forward merge landing during it would be shadowed by our
     // marker. One cheap listing right before the commit shrinks that

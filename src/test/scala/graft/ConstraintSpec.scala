@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Branches, Constraints, ConstraintViolation, DeletionVectors, Sinks}
+
+/** Table CHECK constraints ([[graft.sources.Constraints]]): the
+  * Delta-style contract — FALSE violates, NULL passes, existing
+  * violations refuse the add, and EVERY write path (full publish,
+  * MoR link, SQL INSERT/MERGE, branch commits) refuses violating
+  * rows pre-marker, leaving the head version untouched. */
+class ConstraintSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def df(rows: (Long, String, java.lang.Double)*) =
+    rows.toDF("k", "s", "p")
+      .withColumn("d", to_date(lit("2024-03-15")))
+      .select("k", "d", "s", "p")
+
+  private def freshStore(): String = {
+    val t = graft.util.Scratch.dir("constraint_spec") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    t
+  }
+
+  test("null passes; false violates; add refuses on existing violations") {
+    val t = freshStore()
+    // a null p row is IN the table before the constraint arrives
+    df((3L, "c", null)).write.format("graft-table").mode("append").save(t)
+    // NULL passes the check, so the add succeeds over the null row
+    Constraints.addConstraint(spark, t, "p_pos", "p > 0")
+    assert(Constraints.constraintsOf(spark, t) == Map("p_pos" -> "p > 0"))
+    // another null row still lands (NULL passes)
+    df((4L, "dd", null)).write.format("graft-table").mode("append").save(t)
+    // FALSE refuses
+    intercept[ConstraintViolation] {
+      df((5L, "e", -1.0)).write.format("graft-table").mode("append").save(t)
+    }
+    // an add over now-violating data refuses (4 rows, two null p)
+    intercept[ConstraintViolation] {
+      Constraints.addConstraint(spark, t, "p_notnull", "p IS NOT NULL")
+    }
+    // duplicate name refuses at the file layer (drop first)
+    intercept[Exception] {
+      Constraints.addConstraint(spark, t, "p_pos", "p > 1")
+    }
+    // a malformed expression refuses at analysis, writing nothing
+    intercept[Exception] {
+      Constraints.addConstraint(spark, t, "bad", "no_such_col > 0")
+    }
+    assert(Constraints.constraintsOf(spark, t).keySet == Set("p_pos"))
+  }
+
+  test("SQL writes, branch commits and restores are all bound") {
+    val t = freshStore()
+    Constraints.addConstraint(spark, t, "p_pos", "p > 0")
+    val head = Sinks.currentVersion(spark, t).get
+    // SQL INSERT refuses; the head never moves; readers see no change
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` SELECT 9L AS k, DATE'2024-03-16' AS d, " +
+        "'x' AS s, -3.0D AS p")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ConstraintViolation]), e.toString)
+    assert(Sinks.currentVersion(spark, t).contains(head), "refusal must not commit")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0) == 2)
+    // SQL MERGE with a violating update refuses likewise
+    Seq((1L, -9.0)).toDF("k", "p").createOrReplaceTempView("bad_updates")
+    val m = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$t` tgt USING bad_updates u ON tgt.k = u.k " +
+        "WHEN MATCHED THEN UPDATE SET p = u.p")
+    }
+    assert(chain(m).exists(_.isInstanceOf[ConstraintViolation]), m.toString)
+    // valid SQL write lands
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 9L AS k, DATE'2024-03-16' AS d, " +
+      "'x' AS s, 3.0D AS p")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0) == 3)
+    // branch commits enforce the TABLE's constraints too
+    Branches.createBranch(spark, t, "wip")
+    intercept[ConstraintViolation] {
+      DeletionVectors.publishUpsertToBranch(spark, t, "wip",
+        df((7L, "g", -2.0)), "k", Seq.empty[Long].toDF("k"), validate = false)
+    }
+    intercept[ConstraintViolation] {
+      Branches.publishToBranch(df((7L, "g", -2.0)), "d", t, "wip")
+    }
+    // pure deletes carry nothing to check: they pass under constraints
+    DeletionVectors.publishDeletes(spark, t, Seq(9L).toDF("k"), "k")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0) == 2)
+  }
+}

@@ -265,4 +265,40 @@ class GraftFeedSpec extends AnyFunSuite {
     // head+1 stays legal: "tail only future commits"
     spark.readStream.format("graft-table").option("startingVersion", "2").load(tbl)
   }
+
+  test("startingTimestamp resolves to the first commit at or after the instant") {
+    val base = graft.util.Scratch.dir("feed_ts")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(2L -> "b"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishUpsert(spark, tbl, df(3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    // planted recorded commit times: v1 @ t0-3min, v2 @ t0-2min, v3 @ t0-1min
+    val t0 = System.currentTimeMillis()
+    (1L to 3L).foreach(v => Sinks.plantCommitTime(spark, tbl, v, t0 - (4L - v) * 60000L))
+    // an instant between v2 and v3 starts the drain AT v3
+    val cut = t0 - 90000L
+    val out = s"$base/out"
+    spark.readStream.format("graft-table")
+      .option("startingTimestamp", cut.toString).load(tbl)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) => b.write.mode("append").parquet(out) }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(rowsOf(out).toSet === Set((3L, "upsert", 3L, "c")))
+    // a future instant refuses loudly — never a healthy-looking idle
+    val future = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("startingTimestamp", (t0 + 3600000L).toString).load(tbl)
+    }
+    assert(future.getMessage.contains("at or after"), future.getMessage)
+    // the two starting points are mutually exclusive
+    val both = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("startingTimestamp", cut.toString)
+        .option("startingVersion", "1").load(tbl)
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+  }
 }

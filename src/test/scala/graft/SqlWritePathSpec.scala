@@ -241,6 +241,37 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(stateOf(t) == preState, "vacuum touches nothing marked")
   }
 
+  test("CALL procedures: constraint lifecycle through SQL") {
+    val t = graft.util.Scratch.dir("sqlw_ck") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    val added = spark.sql(s"CALL graft.system.add_constraint(table => '$t', " +
+      "name => 'p_pos', check_expr => 'p > 0')").collect()
+    assert(added.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("p_pos", "p > 0")))
+    // a violating SQL INSERT refuses through the constraint
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` SELECT 3L AS k, DATE'2024-03-16' AS d, " +
+        "'c' AS s, -1.0D AS p")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(
+      _.isInstanceOf[graft.sources.ConstraintViolation]), e.toString)
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    val shown = spark.sql(s"CALL graft.system.show_constraints(table => '$t')")
+      .collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("p_pos"))
+    val dropped = spark.sql(s"CALL graft.system.drop_constraint(table => '$t', " +
+      "name => 'p_pos')").collect()
+    assert(dropped.isEmpty)
+    // unbound again: the previously-refused row lands
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 3L AS k, DATE'2024-03-16' AS d, " +
+      "'c' AS s, -1.0D AS p")
+    assert(stateOf(t).keySet == Set(1L, 2L, 3L))
+  }
+
   test("append schema mismatch and empty-store reads fail loudly") {
     val t = graft.util.Scratch.dir("sqlw_err") + "/t"
     intercept[java.io.FileNotFoundException] {
