@@ -29,6 +29,15 @@ class ConstraintViolation(msg: String) extends RuntimeException(msg)
   * re-check and content-neutral rewrites (compaction) re-validate
   * for free.
   *
+  * HONEST WINDOW: `addConstraint`'s existing-data scan reads the
+  * merged state at one instant — a publish already past its own
+  * enforcement check when the add lands can commit rows the brand-new
+  * constraint would have refused (the classic add-vs-in-flight-write
+  * race; Delta closes it inside its transaction protocol). Practical
+  * stance: add constraints on a quiesced table, or run [[validate]]
+  * afterwards — it re-scans the live merged state against every
+  * constraint and refuses if anything slipped through the window.
+  *
   * ENFORCEMENT runs inside every publish path ([[Sinks
   * .publishSnapshot]]; [[DeletionVectors.publishDeletes]] /
   * `publishDeletesToBranch` when the link carries arriving rows —
@@ -131,6 +140,17 @@ object Constraints {
     val out = fs.create(f, false) // refuse-don't-replace
     try out.write(checkExpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Audit the LIVE merged state against every constraint — the
+    * post-hoc closure of the add-vs-in-flight-write window above, and
+    * an operations health probe. Throws [[ConstraintViolation]] with
+    * samples on the first violated constraint; a pass means the
+    * committed state satisfies everything currently declared. */
+  def validate(spark: SparkSession, tablePath: String): Unit = {
+    val cs = constraintsOf(spark, tablePath)
+    if (cs.nonEmpty)
+      enforce(DeletionVectors.readMerged(spark, tablePath), cs, tablePath, "state")
   }
 
   /** Drop a CHECK constraint; refuses if it does not exist (a typo'd

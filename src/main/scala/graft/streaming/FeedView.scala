@@ -180,13 +180,6 @@ object FeedView {
       f
     })
 
-  /** The path of the newest committed aggregate state — what a
-    * mat-view registration points the rewrite at. */
-  def latestAggPath(spark: SparkSession, stateDir: String): String =
-    latestAgg(spark, stateDir).map(_._2).getOrElse(
-      throw new java.io.FileNotFoundException(
-        s"no maintained aggregate at $stateDir — the feed view never folded a commit"))
-
   /** Registered `q_mv_rewrite` (hash-oracled): the full
     * maintain-register-rewrite composition. The feed view folds the
     * three-commit lifecycle into the monthly aggregate, the aggregate

@@ -92,5 +92,17 @@ class ConstraintSpec extends AnyFunSuite {
     // pure deletes carry nothing to check: they pass under constraints
     DeletionVectors.publishDeletes(spark, t, Seq(9L).toDF("k"), "k")
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0) == 2)
+    // the post-hoc audit passes on a clean state…
+    Constraints.validate(spark, t)
+    // …and catches a declared-but-violated state (the end state of the
+    // add-vs-in-flight window, simulated by dropping the constraint,
+    // landing a violator, and re-planting the constraint file directly)
+    Constraints.dropConstraint(spark, t, "p_pos")
+    df((8L, "h", -4.0)).write.format("graft-table").mode("append").save(t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$t/_constraints/p_pos"), false)
+    out.write("p > 0".getBytes("UTF-8")); out.close()
+    intercept[ConstraintViolation] { Constraints.validate(spark, t) }
   }
 }
