@@ -105,4 +105,55 @@ class ConstraintSpec extends AnyFunSuite {
     out.write("p > 0".getBytes("UTF-8")); out.close()
     intercept[ConstraintViolation] { Constraints.validate(spark, t) }
   }
+
+  test("random walk: the constraint holds at every committed state") {
+    val rnd = new scala.util.Random(314159)
+    val t = graft.util.Scratch.dir("constraint_walk") + "/t"
+    def frame(rows: Seq[(Long, Double)]) =
+      rows.toDF("k", "p").withColumn("d", to_date(lit("2024-02-15")))
+        .select("k", "d", "p")
+    var model: Map[Long, Double] = (1L to 20L).map(k => k -> k.toDouble).toMap
+    Sinks.publishSnapshot(frame(model.toSeq), "d", t, retainVersions = 100)
+    Constraints.addConstraint(spark, t, "p_pos", "p > 0")
+    for (_ <- 1 to 12) {
+      val head = Sinks.currentVersion(spark, t).get
+      rnd.nextInt(4) match {
+        case 0 => // valid upsert: lands, model follows
+          val k = rnd.nextInt(25).toLong + 1
+          val p = rnd.nextInt(100).toDouble + 1
+          DeletionVectors.publishUpsert(spark, t, frame(Seq(k -> p)), "k",
+            Seq.empty[Long].toDF("k"), validate = false)
+          model += k -> p
+        case 1 => // violating upsert: refuses, head pinned, model unmoved
+          val k = rnd.nextInt(25).toLong + 1
+          intercept[ConstraintViolation] {
+            DeletionVectors.publishUpsert(spark, t, frame(Seq(k -> -1.0)), "k",
+              Seq.empty[Long].toDF("k"), validate = false)
+          }
+          assert(Sinks.currentVersion(spark, t).contains(head))
+        case 2 => // delete: nothing to check, lands
+          val k = rnd.nextInt(25).toLong + 1
+          DeletionVectors.publishDeletes(spark, t, Seq(k).toDF("k"), "k")
+          model -= k
+        case 3 => // violating full replace: refuses, head pinned
+          intercept[ConstraintViolation] {
+            Sinks.publishSnapshot(frame(Seq(99L -> -9.0)), "d", t,
+              retainVersions = 100)
+          }
+          assert(Sinks.currentVersion(spark, t).contains(head))
+      }
+      // invariants after EVERY step: state == model, audit green
+      val got = DeletionVectors.readMerged(spark, t)
+        .select("k", "p").as[(Long, Double)].collect().toMap
+      assert(got == model, s"merged state diverged from the model")
+      Constraints.validate(spark, t)
+    }
+    // refusals along the walk never wedged the claim space: one more
+    // valid commit of each shape still lands
+    DeletionVectors.publishUpsert(spark, t, frame(Seq(50L -> 5.0)), "k",
+      Seq.empty[Long].toDF("k"), validate = false)
+    model += 50L -> 5.0
+    Sinks.publishSnapshot(frame(model.toSeq), "d", t, retainVersions = 100)
+    assert(DeletionVectors.readMerged(spark, t).count() == model.size)
+  }
 }

@@ -367,4 +367,29 @@ class PlanSpec extends AnyFunSuite {
     assert(flatten(build).mkString("\n").contains("plan_stats"),
       s"the chain head must be the broadcast build side:\n${bhj.head}")
   }
+
+  test("inlined chain heads survive self-joins and mixed live/pinned reads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = graft.util.Scratch.dir("plan_selfjoin") + "/t"
+    val rows = (1L to 30L).map(i =>
+      (i, java.sql.Date.valueOf("2024-03-15"), i * 1.0)).toDF("k", "d", "p")
+    graft.sources.Sinks.publishSnapshot(rows, "d", t, retainVersions = 100)
+    graft.sources.DeletionVectors.publishUpsert(spark, t,
+      Seq((31L, java.sql.Date.valueOf("2024-03-20"), 31.0)).toDF("k", "d", "p"),
+      "k", Seq.empty[Long].toDF("k"), validate = false) // v2: chain head
+    // SELF-JOIN through the catalog: each occurrence inlines a FRESH
+    // merged plan (distinct expression ids) — ambiguous-attribute
+    // breakage here is exactly what the per-occurrence rebuild prevents
+    val selfJoin = spark.sql(
+      s"SELECT a.k, b.k AS succ FROM graft.`$t` a JOIN graft.`$t` b ON b.k = a.k + 1")
+    assert(selfJoin.count() == 30L) // 1→2 … 30→31, the link row included
+    // live JOIN pinned: v2's head joined to the v1 state it grew from —
+    // the two reads bind different versions of the SAME store in one plan
+    val mixed = spark.sql(
+      s"SELECT live.k FROM graft.`$t` live LEFT ANTI JOIN " +
+      s"(SELECT k FROM graft.`$t` VERSION AS OF 1) old ON live.k = old.k")
+    assert(mixed.as[Long].collect().toSeq == Seq(31L),
+      "the anti-join of head vs v1 must isolate exactly the link's insert")
+  }
 }
