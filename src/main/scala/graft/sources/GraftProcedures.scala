@@ -43,7 +43,8 @@ object GraftProcedures {
     * `SHOW PROCEDURES` and the catalog's loader. */
   val names: Seq[String] =
     Seq("history", "restore", "expire_snapshots", "optimize", "vacuum",
-      "add_constraint", "drop_constraint", "show_constraints")
+      "add_constraint", "drop_constraint", "show_constraints",
+      "register_view", "unregister_view")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -55,6 +56,8 @@ object GraftProcedures {
       case "add_constraint"   => new AddConstraintProcedure(rootOpt)
       case "drop_constraint"  => new DropConstraintProcedure(rootOpt)
       case "show_constraints" => new ShowConstraintsProcedure(rootOpt)
+      case "register_view"    => new RegisterViewProcedure(rootOpt)
+      case "unregister_view"  => new UnregisterViewProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -351,6 +354,79 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = resolve(input.getUTF8String(0).toString, rootOpt)
       result(constraintOut, constraintRows(table))
+    }
+  }
+
+  /** `view_col:sql_expr` pairs separated by `;` — split at the FIRST
+    * colon, so expressions may contain colons themselves. */
+  private def parseBindings(s: String): Seq[(String, org.apache.spark.sql.Column)] =
+    s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { item =>
+      val i = item.indexOf(':')
+      require(i > 0, s"malformed binding '$item' — expected view_col:sql_expr")
+      item.substring(0, i).trim ->
+        org.apache.spark.sql.functions.expr(item.substring(i + 1).trim)
+    }
+
+  /** `CALL graft.system.register_view(table, view_path, as_of_version,
+    * groups[, count_col][, sums])` — the SQL spelling of
+    * [[graft.plans.MatViews.register]]: makes `view_path` (a parquet
+    * aggregate of the store's state at `as_of_version`) available for
+    * AUTOMATIC query rewrite. `groups`/`sums` are `view_col:sql_expr`
+    * pairs separated by `;` (e.g. `month:trunc(d, 'month')`); the
+    * rewrite itself stays version-checked — registering does nothing
+    * unsafe, a stale registration simply never fires. */
+  private final class RegisterViewProcedure(rootOpt: Option[String])
+    extends GraftProcedure("register_view") {
+
+    override def description(): String =
+      "Register a maintained parquet aggregate as a materialized view of a " +
+      "graft store for automatic query rewrite (fires only while the reading " +
+      "version equals as_of_version)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("view_path", StringType).build(),
+      ProcedureParameter.in("as_of_version", LongType).build(),
+      ProcedureParameter.in("groups", StringType).build(),
+      ProcedureParameter.in("count_col", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("sums", StringType).defaultValue("''").build())
+
+    private val out = StructType(Seq(
+      StructField("base", StringType, nullable = false),
+      StructField("view", StringType, nullable = false),
+      StructField("as_of_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      val view = input.getUTF8String(1).toString
+      val asOf = input.getLong(2)
+      val countCol = input.getUTF8String(4).toString.trim
+      graft.plans.MatViews.register(spark, table, view, asOf,
+        groups = parseBindings(input.getUTF8String(3).toString),
+        countCol = if (countCol.isEmpty) None else Some(countCol),
+        sums = parseBindings(input.getUTF8String(5).toString))
+      result(out, Array(new GenericInternalRow(
+        Array[Any](utf8(table), utf8(view), asOf))))
+    }
+  }
+
+  /** `CALL graft.system.unregister_view(table)` — remove the store's
+    * registration; subsequent aggregates read the base again. */
+  private final class UnregisterViewProcedure(rootOpt: Option[String])
+    extends GraftProcedure("unregister_view") {
+
+    override def description(): String =
+      "Remove a graft store's materialized-view registration; aggregate " +
+      "queries read the base table again"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      graft.plans.MatViews.unregister(table)
+      result(StructType(Seq(StructField("base", StringType, nullable = false))),
+        Array(new GenericInternalRow(Array[Any](utf8(table)))))
     }
   }
 }

@@ -127,6 +127,26 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatViews.unregister(t)
   }
 
+  test("registration through SQL: CALL register_view / unregister_view") {
+    val (t, view) = fixture()
+    try {
+      val reg = spark.sql(s"CALL graft.system.register_view(table => '$t', " +
+        s"view_path => '$view', as_of_version => 2, " +
+        "groups => 'month:trunc(d, ''month'')', count_col => 'n_live', " +
+        "sums => 'sum_price:p')").collect()
+      assert(reg.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((t, view, 2L)))
+      val q = spark.sql(s"SELECT COUNT(*) AS n, SUM(p) AS s FROM graft.`$t`")
+      assert(!readsBase(q, t), "SQL-registered view must arm the rewrite")
+      assert(q.collect().map(r => (r.getLong(0),
+        r.getDecimal(1).doubleValue())).toSeq == Seq((38L, 814.0)))
+      spark.sql(s"CALL graft.system.unregister_view(table => '$t')")
+      val back = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$t`")
+      assert(readsBase(back, t) && back.head().getLong(0) == 38L,
+        "unregistering must return aggregates to the base read")
+    } finally MatViews.unregister(t)
+  }
+
   test("unsafe shapes read the base: stale view, pinned read, non-derivable bits") {
     val (t, view) = fixture()
     try {
