@@ -2432,7 +2432,10 @@ object SparkEntry {
     // the mat-view-rewritten yearly rollup must equal the yearly
     // census of the FINAL merged state — the view answered for the
     // base exactly (the Spark side's plan pin guarantees the view,
-    // not the store, produced these numbers)
+    // not the store, produced these numbers). avg is exported in
+    // integer micro-units; the oracle reproduces Spark's decimal avg
+    // (HALF_UP at scale 6) with exact integer arithmetic in cents:
+    // round_half_up(S_cents*10^4 / n) = (S_cents*10^4*2 + n) // (2n)
     "q_mv_rewrite" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
@@ -2446,7 +2449,9 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT k, p, d FROM base WHERE k % 10 = 7)
         |SELECT CAST(year(d) AS BIGINT) AS yr, COUNT(*) AS n_live,
-        |  CAST(SUM(p) AS DOUBLE) AS sum_price
+        |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |  CAST((CAST(SUM(p) * 100 AS HUGEINT) * 10000 * 2 + COUNT(*))
+        |       // (2 * COUNT(*)) AS BIGINT) AS avg_micro
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the constraint-lifecycle ledger: refusals are constants, the

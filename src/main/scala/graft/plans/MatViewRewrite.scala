@@ -4,13 +4,11 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.LongType
-
-import graft.plans.MatViews.MatViewDef
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: answer an aggregate over a graft store FROM ITS
   * REGISTERED MATERIALIZED VIEW (SURVEY §2 rows 84/188 made a planner
@@ -23,13 +21,14 @@ import graft.plans.MatViews.MatViewDef
   * scans the full base table: at 100 TB that is the whole store read
   * to produce a months-sized answer the feed-maintained view
   * ([[graft.streaming.FeedView]]) already holds in KBs. When a view is
-  * registered for the store ([[MatViews.register]]) AND the query's
-  * bound version equals the version the view reflects, this rule
-  * replaces the aggregate with one over the view — including ROLLUPS
-  * to coarser grains (yearly from a monthly view re-aggregates ~12
-  * rows per year) and grain-determined filters (a predicate on the
-  * month commutes with the monthly grouping, so it moves to the
-  * view).
+  * registered for the store ([[MatViews.register]] — persisted under
+  * the TABLE's `_views` metadata, so any session's reads arm) AND the
+  * query's bound version equals the version the view reflects, this
+  * rule replaces the aggregate with one over the view — including
+  * ROLLUPS to coarser grains (yearly from a monthly view
+  * re-aggregates ~12 rows per year) and grain-determined filters (a
+  * predicate on the month commutes with the monthly grouping, so it
+  * moves to the view).
   *
   * Matched shape: Aggregate over a chain of deterministic
   * Project/Filter nodes over an UNPINNED DataSourceV2 read of the
@@ -41,30 +40,34 @@ import graft.plans.MatViews.MatViewDef
   *   - every filter conjunct must reduce likewise (grain-determined
   *     predicates commute with grouping; anything touching a non-grain
   *     column bails);
-  *   - every aggregate call must be a non-DISTINCT, unfiltered
-  *     count(constant) → sum(view count column), or sum(x) with x a
-  *     registered sum operand → sum(view sum column), cast back to
-  *     the original result type. min/max/avg/count(col) are not
-  *     derivable from a counts-and-sums view under deletes and
-  *     correctly refuse.
+  *   - every aggregate call must be non-DISTINCT and unfiltered, one
+  *     of: count(non-null constant) → sum(view count column);
+  *     sum(x) with x a registered sum operand → sum(view sum column)
+  *     cast back to the original result type; count(x) with x a
+  *     registered counts operand → sum(view non-null-count column);
+  *     avg(x) with BOTH a sum and a counts binding for x →
+  *     sum(sums)/sum(counts), built with the same division/overflow
+  *     expressions [[Average.evaluateExpression]] uses so decimal
+  *     results are bit-identical. count(NULL literal) refuses (COUNT
+  *     skips nulls — the right answer is 0, not the row count);
+  *     min/max stay non-derivable from a counts-and-sums view under
+  *     deletes and correctly refuse.
   *
   * Everything else — stale view (source committed past it),
   * version-pinned reads, unmatched expressions — leaves the plan
   * untouched: the rewrite is an optimization, never a correctness
   * dependency, and freshness is checked against the version the read
-  * ALREADY bound (no extra IO in the optimizer's hot path). Output
-  * attributes keep their original exprIds, so parents of the
-  * aggregate are unaffected. The rewritten plan contains no graft
-  * relation, which makes the rule self-terminating under the
-  * optimizer's fixed point. */
+  * ALREADY bound (no extra IO beyond one registration-file probe in
+  * the optimizer's hot path). Output attributes keep their original
+  * exprIds, so parents of the aggregate are unaffected. The rewritten
+  * plan contains no graft relation, which makes the rule
+  * self-terminating under the optimizer's fixed point. */
 object MatViewRewrite extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MatViews.isEmpty) return plan
+  override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
-  }
 
   /** Walk the aggregate's child chain of deterministic Project/Filter
     * nodes down to a DSv2 relation, composing a substitution that
@@ -121,23 +124,25 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
     val (path, version) = table.liveReadPoint.getOrElse {
       trace("pinned read"); return None }
-    val d = MatViews.lookup(path).getOrElse {
+    val spark = SparkSession.active
+    val d = MatViews.lookup(spark, path).getOrElse {
       trace(s"no view for $path"); return None }
     if (d.asOfVersion != version) {
       trace(s"stale: view@${d.asOfVersion} read@$version"); return None }
 
-    val spark = SparkSession.active
     val viewPlan = spark.read.parquet(d.viewPath).queryExecution.analyzed
     val viewAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
     // every registered column must exist in the view as stored
-    val needed = d.groups.map(_._1) ++ d.countCol.toSeq ++ d.sums.map(_._1)
+    val needed = (d.groups ++ d.sums ++ d.counts).map(_.viewCol) ++ d.countCol.toSeq
     if (!needed.forall(viewAttr.contains)) return None
 
     val groupByNorm: Map[Expression, Attribute] = d.groups.flatMap {
-      case (vc, norm) => viewAttr.get(vc).map(norm -> _) }.toMap
+      b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
     val sumByNorm: Map[Expression, Attribute] = d.sums.flatMap {
-      case (vc, norm) => viewAttr.get(vc).map(norm -> _) }.toMap
+      b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
+    val cntByNorm: Map[Expression, Attribute] = d.counts.flatMap {
+      b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
     val baseRefs = rel.outputSet
 
     val inline = (e: Expression) =>
@@ -159,20 +164,66 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       if (replaced.references.exists(baseRefs.contains)) None else Some(replaced)
     }
 
+    def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+
     /** One aggregate call rewritten against the view, or None. */
     def rewriteCall(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.foldable) =>
+        // count(*)/count(1): every live row counts — but a foldable
+        // NULL does NOT (COUNT skips nulls; the base answer is 0), so
+        // the guard requires non-null evaluation, not just foldability
+        case c: Count if c.children.forall(ch => ch.foldable && ch.eval() != null) =>
           d.countCol.flatMap(viewAttr.get).map { nc =>
             // count is non-null long; sum over an empty (global) view
             // is null — fold it back to count's zero
-            Coalesce(Seq(
-              Cast(Sum(nc).toAggregateExpression(), LongType), Literal(0L)))
+            Coalesce(Seq(Cast(sumOf(nc), LongType), Literal(0L)))
+          }
+        // count(x): the per-group NON-NULL operand count is maintained
+        // as its own view column — summing it is exact under deletes
+        // and all-null groups
+        case c: Count if c.children.size == 1 =>
+          cntByNorm.get(MatViews.normalize(c.children.head)).map { vc =>
+            Coalesce(Seq(Cast(sumOf(vc), LongType), Literal(0L)))
           }
         case s: Sum =>
           sumByNorm.get(MatViews.normalize(s.child)).map { vc =>
-            Cast(Sum(vc).toAggregateExpression(), ae.dataType)
+            Cast(sumOf(vc), ae.dataType)
+          }
+        // avg(x) = sum(view sums)/sum(view non-null counts) — exact
+        // when both bindings exist, deletes and all-null groups
+        // included, because the view's sum column is NULL exactly when
+        // its count column is 0 (the registration contract). The
+        // division is built with the SAME expressions Average's own
+        // evaluateExpression uses, at the same operand types, so
+        // decimal results are bit-identical to the base aggregate.
+        case a: Average =>
+          val norm = MatViews.normalize(a.child)
+          (sumByNorm.get(norm), cntByNorm.get(norm)) match {
+            case (Some(sumVc), Some(cntVc)) =>
+              val cnt = sumOf(cntVc)
+              a.child.dataType match {
+                // Average(decimal(p,s)) sums into decimal(p+10,s) —
+                // exactly Sum(view col decimal(p,s))'s result type, so
+                // requiring the view column to carry the operand's own
+                // type reproduces Average's internal operand types
+                case dt: DecimalType if sumVc.dataType == dt =>
+                  val resultType = ae.dataType.asInstanceOf[DecimalType]
+                  Some(If(EqualTo(cnt, Literal(0L)),
+                    Literal(null, resultType),
+                    DecimalDivideWithOverflowCheck(
+                      sumOf(sumVc), Cast(cnt, DecimalType(20, 0)),
+                      resultType, null, a.evalMode != EvalMode.ANSI)))
+                // non-decimal numerics average in DoubleType; the view
+                // sum is the EXACT per-group sum, so the division here
+                // is at least as precise as the base's double fold
+                case ByteType | ShortType | IntegerType | LongType |
+                     DoubleType | FloatType =>
+                  Some(Divide(Cast(sumOf(sumVc), DoubleType),
+                    Cast(cnt, DoubleType), EvalMode.LEGACY))
+                case _ => None
+              }
+            case _ => None
           }
         case _ => None
       }

@@ -19,6 +19,30 @@ import org.apache.spark.sql.catalyst.plans.logical.Project
   * stale numbers, and a time-travel/branch/tag read never matches at
   * all. Refuse-don't-guess, applied to plan substitution.
   *
+  * PERSISTENCE: a registration is TABLE metadata, not process state.
+  * It lives as one small file under `basePath/_views/registration`
+  * (the `_constraints` idiom — [[graft.sources.Constraints]]), so it
+  * survives JVM restarts and arms EVERY session's reads: the rewrite
+  * rule resolves registrations through [[lookup]], which reloads the
+  * file whenever its (mtime, length) changes and otherwise serves a
+  * per-JVM cache. The maintainer's per-fold [[advance]] rewrites the
+  * file in place (staged-then-rename — a reader racing the swap sees
+  * "no registration" for an instant and simply reads the base).
+  *
+  * REGISTRATION CONTRACT (what the rewrite's correctness rests on):
+  *   - the view holds exactly one row per live group — NO empty
+  *     groups: a base GROUP BY emits no row for a group whose rows
+  *     were all deleted, so a view retaining (count = 0) groups would
+  *     produce phantom rows in rewritten results. [[register]] probes
+  *     the count column for `<= 0` rows and refuses; [[advance]]
+  *     trusts the maintainer (FeedView filters `n_live > 0` on every
+  *     fold) and stays O(1).
+  *   - a `sums` column is NULL exactly when the group has no non-null
+  *     operand rows (base SUM semantics); its paired `counts` column
+  *     holds the per-group NON-NULL operand count — together these
+  *     make `sum`, `count(col)` and `avg` exactly derivable under
+  *     deletes, all-null groups included.
+  *
   * Matching is NAME-normalized structural equality: expressions are
   * compared with attribute references reduced to their lower-cased
   * column name ([[MatViews.normalize]]), so the registration's
@@ -29,24 +53,45 @@ import org.apache.spark.sql.catalyst.plans.logical.Project
   * rewrite is an optimization, never a correctness dependency. */
 object MatViews {
 
+  /** One registered column binding: the view column's name, the base
+    * expression it reflects as resolved SQL (the persisted form), and
+    * the name-normalized expression the rewrite matches on. */
+  final case class Binding(viewCol: String, sql: String, norm: Expression)
+
   /** One registered view: the maintained aggregate of `basePath`'s
     * live state as of `asOfVersion`, stored at `viewPath`, with
-    * grain `groups` (view column → normalized base expression),
-    * `countCol` holding per-group live-row counts, and `sums` (view
-    * column → normalized base sum operand). */
+    * grain `groups`, `countCol` holding per-group live-row counts,
+    * `sums` (view column → base sum operand) and `counts` (view
+    * column → base operand whose per-group NON-NULL count it holds —
+    * the piece that makes `avg`/`count(col)` derivable). */
   final case class MatViewDef(
       basePath: String,
       viewPath: String,
       asOfVersion: Long,
-      groups: Seq[(String, Expression)],
+      groups: Seq[Binding],
       countCol: Option[String],
-      sums: Seq[(String, Expression)])
+      sums: Seq[Binding],
+      counts: Seq[Binding])
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, MatViewDef]()
+  private val fileName = "registration"
+  private val dirName = "_views"
+
+  /** (mtime, length) of the registration file when the cached def was
+    * parsed — the staleness key. Content-addressed enough in practice:
+    * `asOfVersion` strictly advances, so consecutive states differ in
+    * content; a same-millisecond same-length foreign rewrite is
+    * self-healing at the next fold. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), MatViewDef)]()
 
   private[plans] def canonPath(p: String): String =
     p.replaceAll("/+$", "")
+
+  private def regFile(basePath: String) =
+    new org.apache.hadoop.fs.Path(canonPath(basePath), s"$dirName/$fileName")
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Attribute references reduced to lower-cased-name placeholders so
     * two resolutions of the same column compare equal, then Catalyst
@@ -68,26 +113,121 @@ object MatViews {
         s"mat-view registration expression did not analyze to a single column: $other")
     }
 
+  private def binding(spark: SparkSession, basePath: String,
+                      vc: String, c: Column): Binding = {
+    val r = resolved(spark, basePath, c)
+    val sql = r.sql
+    require(!sql.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+      s"mat-view registration expression for '$vc' serializes with control " +
+      s"characters — not persistable: $sql")
+    Binding(vc.toLowerCase(Locale.ROOT), sql, normalize(r))
+  }
+
+  private def serialize(d: MatViewDef): String = {
+    val sb = new StringBuilder
+    sb ++= "v1\n"
+    sb ++= s"view\t${d.viewPath}\n"
+    sb ++= s"version\t${d.asOfVersion}\n"
+    d.groups.foreach(b => sb ++= s"group\t${b.viewCol}\t${b.sql}\n")
+    d.countCol.foreach(c => sb ++= s"count_star\t$c\n")
+    d.sums.foreach(b => sb ++= s"sum\t${b.viewCol}\t${b.sql}\n")
+    d.counts.foreach(b => sb ++= s"count\t${b.viewCol}\t${b.sql}\n")
+    sb.result()
+  }
+
+  private def deserialize(spark: SparkSession, basePath: String,
+                          content: String): MatViewDef = {
+    var viewPath: Option[String] = None
+    var version: Option[Long] = None
+    val groups = Seq.newBuilder[Binding]
+    val sums = Seq.newBuilder[Binding]
+    val counts = Seq.newBuilder[Binding]
+    var countCol: Option[String] = None
+    def bind(parts: Array[String]): Binding =
+      binding(spark, basePath, parts(1),
+        org.apache.spark.sql.functions.expr(parts(2)))
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("v1"),
+      s"unrecognized mat-view registration format at $basePath/$dirName/$fileName " +
+      s"— first line '${lines.headOption.getOrElse("")}' (expected 'v1')")
+    lines.tail.foreach { line =>
+      val parts = line.split("\t", 3)
+      parts(0) match {
+        case "view"       => viewPath = Some(parts(1))
+        case "version"    => version = Some(parts(1).toLong)
+        case "group"      => groups += bind(parts)
+        case "count_star" => countCol = Some(parts(1))
+        case "sum"        => sums += bind(parts)
+        case "count"      => counts += bind(parts)
+        case other => throw new IllegalArgumentException(
+          s"unrecognized mat-view registration entry '$other' at $basePath")
+      }
+    }
+    MatViewDef(canonPath(basePath),
+      viewPath.getOrElse(throw new IllegalArgumentException(
+        s"mat-view registration at $basePath has no view path")),
+      version.getOrElse(throw new IllegalArgumentException(
+        s"mat-view registration at $basePath has no version")),
+      groups.result(), countCol, sums.result(), counts.result())
+  }
+
+  /** Staged-write-then-swap of the registration file. The instant
+    * between delete and rename reads as "no registration" — a racing
+    * query then takes the base scan, which is always correct. */
+  private def persist(spark: SparkSession, d: MatViewDef): Unit = {
+    val file = regFile(d.basePath)
+    val fs = fsOf(spark, file)
+    val dir = file.getParent
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new org.apache.hadoop.fs.Path(dir, s".staged_$fileName")
+    val out = fs.create(staged, true)
+    try out.write(serialize(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(file)) fs.delete(file, false)
+    if (!fs.rename(staged, file)) throw new java.io.IOException(
+      s"mat-view registration swap failed at $file")
+    val st = fs.getFileStatus(file)
+    cache.put(d.basePath, ((st.getModificationTime, st.getLen), d))
+  }
+
   /** Register `viewPath` as the maintained aggregate of `basePath`'s
     * state at `asOfVersion`. `groups` maps each view grain column to
     * the base expression it was grouped by; `countCol` names the view
     * column holding `count(*)` per group (if maintained); `sums` maps
-    * view columns to the base expressions they sum. Re-registering a
-    * base path replaces the previous definition (newest wins). */
+    * view columns to the base expressions they sum; `counts` maps
+    * view columns to base expressions whose per-group NON-NULL counts
+    * they hold (enables `count(col)` and, paired with the matching
+    * sum, exact `avg`). Re-registering a base path replaces the
+    * previous definition (newest wins). The registration persists
+    * under the TABLE (`_views/registration`), so it survives JVM
+    * restarts and arms every session that reads the store. */
   def register(spark: SparkSession, basePath: String, viewPath: String,
                asOfVersion: Long, groups: Seq[(String, Column)],
                countCol: Option[String] = None,
-               sums: Seq[(String, Column)] = Nil): Unit = {
+               sums: Seq[(String, Column)] = Nil,
+               counts: Seq[(String, Column)] = Nil): Unit = {
     require(groups.nonEmpty || countCol.isDefined || sums.nonEmpty,
       "a mat-view registration needs at least one grain column or aggregate")
     val d = MatViewDef(
       canonPath(basePath), viewPath, asOfVersion,
-      groups.map { case (vc, c) =>
-        vc.toLowerCase(Locale.ROOT) -> normalize(resolved(spark, basePath, c)) },
+      groups.map { case (vc, c) => binding(spark, basePath, vc, c) },
       countCol.map(_.toLowerCase(Locale.ROOT)),
-      sums.map { case (vc, c) =>
-        vc.toLowerCase(Locale.ROOT) -> normalize(resolved(spark, basePath, c)) })
-    registry.put(d.basePath, d)
+      sums.map { case (vc, c) => binding(spark, basePath, vc, c) },
+      counts.map { case (vc, c) => binding(spark, basePath, vc, c) })
+    // the no-empty-groups contract, probed at the register boundary:
+    // a view row with a non-positive live count would surface groups
+    // the base GROUP BY never emits. One small read of a groups-sized
+    // parquet — advance() (the per-fold hot path) skips it.
+    d.countCol.foreach { cc =>
+      import org.apache.spark.sql.functions.col
+      val empty = spark.read.parquet(viewPath).filter(col(cc) <= 0).limit(1).count()
+      if (empty > 0) throw new IllegalArgumentException(
+        s"refusing mat-view registration for $basePath: view $viewPath retains " +
+        s"group rows with $cc <= 0 — a base GROUP BY emits no row for an empty " +
+        "group, so the rewrite would produce phantom rows. Filter empty groups " +
+        "out of the maintained view (the FeedView fold's n_live > 0 filter)")
+    }
+    persist(spark, d)
   }
 
   /** Re-point an existing registration at a newer maintained state —
@@ -96,22 +236,60 @@ object MatViews {
     * source commit and its fold the version check makes the view
     * stale and queries read the base; the advance re-arms it).
     * Returns false when no registration exists for the base. */
-  def advance(basePath: String, viewPath: String, asOfVersion: Long): Boolean = {
-    val key = canonPath(basePath)
-    Option(registry.get(key)) match {
+  def advance(spark: SparkSession, basePath: String, viewPath: String,
+              asOfVersion: Long): Boolean =
+    lookup(spark, basePath) match {
       case Some(d) =>
-        registry.put(key, d.copy(viewPath = viewPath, asOfVersion = asOfVersion))
+        persist(spark, d.copy(viewPath = viewPath, asOfVersion = asOfVersion))
         true
       case None => false
     }
+
+  /** Remove the store's registration (file + cache); subsequent
+    * aggregates in every session read the base again. Idempotent. */
+  def unregister(basePath: String): Unit = {
+    val key = canonPath(basePath)
+    val file = regFile(key)
+    val fs = fsOf(SparkSession.active, file)
+    if (fs.exists(file)) fs.delete(file, false)
+    cache.remove(key)
+    ()
   }
 
-  def unregister(basePath: String): Unit = registry.remove(canonPath(basePath))
+  /** Drop the per-JVM cache only — persisted registrations re-arm on
+    * the next lookup. Test hygiene, not an unregister. */
+  def clear(): Unit = cache.clear()
 
-  def clear(): Unit = registry.clear()
-
-  private[plans] def isEmpty: Boolean = registry.isEmpty
-
-  private[plans] def lookup(basePath: String): Option[MatViewDef] =
-    Option(registry.get(canonPath(basePath)))
+  /** The registration arming `basePath`, resolved THROUGH the table's
+    * metadata: one getFileStatus per call (absent → None), the parsed
+    * definition cached per-JVM on the file's (mtime, length). This is
+    * what lets a registration made by another session — or a previous
+    * run of this one — arm this session's reads. */
+  private[graft] def lookup(spark: SparkSession, basePath: String): Option[MatViewDef] = {
+    val key = canonPath(basePath)
+    val file = regFile(key)
+    val fs = fsOf(spark, file)
+    val st =
+      try Some(fs.getFileStatus(file))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None =>
+        cache.remove(key)
+        None
+      case Some(s) =>
+        val stamp = (s.getModificationTime, s.getLen)
+        Option(cache.get(key)) match {
+          case Some((cached, d)) if cached == stamp => Some(d)
+          case _ =>
+            val in = fs.open(file)
+            val content =
+              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            val d = deserialize(spark, key, content)
+            cache.put(key, (stamp, d))
+            Some(d)
+        }
+    }
+  }
 }

@@ -44,7 +44,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("history", "restore", "expire_snapshots", "optimize", "vacuum",
       "add_constraint", "drop_constraint", "show_constraints",
-      "register_view", "unregister_view")
+      "register_view", "unregister_view", "show_views")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -58,6 +58,7 @@ object GraftProcedures {
       case "show_constraints" => new ShowConstraintsProcedure(rootOpt)
       case "register_view"    => new RegisterViewProcedure(rootOpt)
       case "unregister_view"  => new UnregisterViewProcedure(rootOpt)
+      case "show_views"       => new ShowViewsProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -389,7 +390,8 @@ object GraftProcedures {
       ProcedureParameter.in("as_of_version", LongType).build(),
       ProcedureParameter.in("groups", StringType).build(),
       ProcedureParameter.in("count_col", StringType).defaultValue("''").build(),
-      ProcedureParameter.in("sums", StringType).defaultValue("''").build())
+      ProcedureParameter.in("sums", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("counts", StringType).defaultValue("''").build())
 
     private val out = StructType(Seq(
       StructField("base", StringType, nullable = false),
@@ -404,9 +406,47 @@ object GraftProcedures {
       graft.plans.MatViews.register(spark, table, view, asOf,
         groups = parseBindings(input.getUTF8String(3).toString),
         countCol = if (countCol.isEmpty) None else Some(countCol),
-        sums = parseBindings(input.getUTF8String(5).toString))
+        sums = parseBindings(input.getUTF8String(5).toString),
+        counts = parseBindings(input.getUTF8String(6).toString))
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(table), utf8(view), asOf))))
+    }
+  }
+
+  /** `CALL graft.system.show_views(table)` — the store's persisted
+    * materialized-view registration (`_views/registration`) as a
+    * result set: one row per registered binding, so the arming state
+    * any session would resolve is inspectable from SQL. Read-only;
+    * empty result = nothing registered. */
+  private final class ShowViewsProcedure(rootOpt: Option[String])
+    extends GraftProcedure("show_views") {
+
+    override def description(): String =
+      "Show a graft store's persisted materialized-view registration: view " +
+      "path, reflected source version, and each grain/count/sum binding"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+
+    private val out = StructType(Seq(
+      StructField("view", StringType, nullable = false),
+      StructField("as_of_version", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("view_col", StringType, nullable = false),
+      StructField("base_expr", StringType, nullable = true)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      val rows = graft.plans.MatViews.lookup(spark, table).toSeq.flatMap { d =>
+        def row(kind: String, vc: String, e: Option[String]): InternalRow =
+          new GenericInternalRow(Array[Any](utf8(d.viewPath), d.asOfVersion,
+            utf8(kind), utf8(vc), e.map(utf8).orNull))
+        d.groups.map(b => row("group", b.viewCol, Some(b.sql))) ++
+          d.countCol.map(c => row("count_star", c, None)).toSeq ++
+          d.sums.map(b => row("sum", b.viewCol, Some(b.sql))) ++
+          d.counts.map(b => row("count", b.viewCol, Some(b.sql)))
+      }
+      result(out, rows.toArray)
     }
   }
 

@@ -93,31 +93,49 @@ object FeedView {
               if (!snap.isEmpty) // full replace: re-key from the baseline
                 snap.groupBy(monthOf(col(dateCol)).as("month"))
                   .agg(count(lit(1)).as("n_live"),
+                    count(col(priceCol)).as("cnt_price"),
                     sum(priceCol).cast("decimal(18,2)").as("sum_price"))
               else {
                 val prev = applied.map(a => spark.read.parquet(a._2)).getOrElse(
                   throw new IllegalStateException(
                     s"feed view at $stateDir: version $v is a change link but no " +
                     "baseline aggregate exists — the view folds a snapshot first"))
+                // signed deltas track the NON-NULL price count (dc)
+                // separately from the row count (dn): a null-priced row
+                // moves n_live but neither cnt_price nor sum_price, so
+                // the folded sum stays NULL for a group that has never
+                // seen a non-null price — exactly base SUM semantics
+                // (coalescing both operands to 0 would fold an all-null
+                // month to 0.00 while the base answer is NULL)
                 val retired = of.filter(col("_change_type")
                     .isin("update_preimage", "delete"))
                   .select(monthOf(col(dateCol)).as("month"),
-                    lit(-1L).as("dn"), (-col(priceCol)).as("dp"))
+                    lit(-1L).as("dn"),
+                    when(col(priceCol).isNull, 0L).otherwise(-1L).as("dc"),
+                    (-col(priceCol)).as("dp"))
                 val arrived = of.filter(col("_change_type")
                     .isin("update_postimage", "insert"))
                   .select(monthOf(col(dateCol)).as("month"),
-                    lit(1L).as("dn"), col(priceCol).as("dp"))
+                    lit(1L).as("dn"),
+                    when(col(priceCol).isNull, 0L).otherwise(1L).as("dc"),
+                    col(priceCol).as("dp"))
                 val deltas = retired.unionByName(arrived)
-                  .groupBy("month").agg(sum("dn").as("dn"), sum("dp").as("dp"))
+                  .groupBy("month").agg(sum("dn").as("dn"), sum("dc").as("dc"),
+                    sum("dp").as("dp"))
                 prev.join(deltas, Seq("month"), "full_outer")
                   .select(col("month"),
                     (coalesce(col("n_live"), lit(0L)) +
                       coalesce(col("dn"), lit(0L))).as("n_live"),
+                    (coalesce(col("cnt_price"), lit(0L)) +
+                      coalesce(col("dc"), lit(0L))).as("cnt_price"),
                     (coalesce(col("sum_price"),
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")) +
                       coalesce(col("dp"),
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
                       .cast("decimal(18,2)").as("sum_price"))
+                  .withColumn("sum_price",
+                    when(col("cnt_price") === 0L,
+                      lit(null).cast("decimal(18,2)")).otherwise(col("sum_price")))
                   .filter(col("n_live") > 0)
               }
             // group-sized state, committed by DIRECTORY RENAME to the
@@ -137,12 +155,13 @@ object FeedView {
             }
             if (registerView) {
               val committed = f"$stateDir/a$v%08d"
-              if (!graft.plans.MatViews.advance(sourceTable, committed, v))
+              if (!graft.plans.MatViews.advance(spark, sourceTable, committed, v))
                 graft.plans.MatViews.register(spark, sourceTable, committed,
                   asOfVersion = v,
                   groups = Seq("month" -> monthOf(col(dateCol))),
                   countCol = Some("n_live"),
-                  sums = Seq("sum_price" -> col(priceCol)))
+                  sums = Seq("sum_price" -> col(priceCol)),
+                  counts = Seq("cnt_price" -> col(priceCol)))
             }
           }
           ()
@@ -201,9 +220,14 @@ object FeedView {
       dateCol = "odate", priceCol = "price", availableNow = true,
       registerView = true)
       .awaitTermination()
+    // avg rides the same rewrite (sum/count bindings): exported in
+    // exact integer MICRO-units because Spark's decimal avg rounds
+    // HALF_UP at scale 6 while DuckDB divides in binary doubles — the
+    // micro-unit spelling makes both sides exact integers
     val q = spark.sql(
       s"""SELECT CAST(year(trunc(odate, 'month')) AS BIGINT) AS yr,
-         |  COUNT(*) AS n_live, CAST(SUM(price) AS DOUBLE) AS sum_price
+         |  COUNT(*) AS n_live, CAST(SUM(price) AS DOUBLE) AS sum_price,
+         |  CAST(AVG(price) * 1000000 AS BIGINT) AS avg_micro
          |FROM graft.`$src` GROUP BY 1 ORDER BY 1""".stripMargin)
     // the registered surface self-pins the substitution: a plan that
     // still reads the base store is the 100-TB full scan this operator

@@ -168,6 +168,51 @@ class GraftFeedSpec extends AnyFunSuite {
       (3L, "snapshot", 3L, "c", 30L)))
   }
 
+  test("preimages compose with evolution: old images surface under PINNED names") {
+    import graft.sources.SchemaEvolution
+    val base = graft.util.Scratch.dir("feed_evo_pre")
+    val tbl = s"$base/t"
+    // v1: (k, d, s) with stable ids; v2: upsert link (update 1, insert
+    // 3) in v1's names; v3: delete k=2; v4: s RENAMED to txt + extra
+    // ADDED — the stream pins v4's schema, preimages ON. Preimage
+    // resolution reads the link's PARENT state, which physically
+    // carries the PRE-rename column — the old images must nonetheless
+    // emit under the pinned names, resolved by id like everything else
+    SchemaEvolution.publishEvolved(df(1L -> "a", 2L -> "b"), "d", tbl,
+      retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(1L -> "A", 3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, tbl, Seq(2L).toDF("k"), "k")
+    SchemaEvolution.publishEvolved(
+      df(1L -> "A", 3L -> "c").withColumnRenamed("s", "txt")
+        .withColumn("extra", col("k") * 10),
+      "d", tbl, renamedFrom = Map("txt" -> "s"), retainVersions = 100)
+    spark.readStream.format("graft-table")
+      .option("startingVersion", "1").option("preimages", "true").load(tbl)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("k"), col("_change_type"), col("_commit_version"), col("txt"),
+        col("extra"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, "snapshot", 1L, "a", -1L), (2L, "snapshot", 1L, "b", -1L),
+      // v2: the update's OLD image ("a") rides the pinned name txt
+      (1L, "update_preimage", 2L, "a", -1L),
+      (1L, "update_postimage", 2L, "A", -1L),
+      (3L, "insert", 2L, "c", -1L),
+      // v3: the delete's FULL old image, rename-resolved
+      (2L, "delete", 3L, "b", -1L),
+      // v4: the evolved snapshot reads as itself
+      (1L, "snapshot", 4L, "A", 10L), (3L, "snapshot", 4L, "c", 30L)))
+  }
+
   test("an unmapped mid-history evolution refuses loudly, naming the version") {
     val base = graft.util.Scratch.dir("feed_evo_refuse")
     val tbl = s"$base/t"
@@ -215,6 +260,7 @@ class GraftFeedSpec extends AnyFunSuite {
         col("ps").cast("decimal(18,2)").as("p"))
     def agg(): Map[String, (Long, Double)] =
       graft.streaming.FeedView.readAgg(spark, s"$base/state")
+        .select("month", "n_live", "sum_price")
         .collect().map(r => r.getDate(0).toString ->
           (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
     def drainView(): Unit = graft.streaming.FeedView.runFeedAgg(

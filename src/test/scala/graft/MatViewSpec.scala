@@ -147,6 +147,105 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatViews.unregister(t)
   }
 
+  /** Fixture view extended with the per-operand non-null count column
+    * (`cnt_p`) that makes `count(p)` and `avg(p)` derivable. */
+  private def fixtureWithCounts(): (String, String) = {
+    val (t, _) = fixture()
+    val view = s"${t.stripSuffix("/t")}/view_cnt"
+    spark.sql(s"SELECT * FROM graft.`$t`")
+      .groupBy(trunc(col("d"), "month").as("month"))
+      .agg(count(lit(1)).as("n_live"), count(col("p")).as("cnt_p"),
+        sum("p").cast("decimal(18,2)").as("sum_price"))
+      .coalesce(1).write.mode("overwrite").parquet(view)
+    (t, view)
+  }
+
+  test("count(col) and avg derive from a counts-and-sums view, bit-exact") {
+    val (t, view) = fixtureWithCounts()
+    try {
+      MatViews.register(spark, t, view, asOfVersion = 2L,
+        groups = Seq("month" -> trunc(col("d"), "month")),
+        countCol = Some("n_live"), sums = Seq("sum_price" -> col("p")),
+        counts = Seq("cnt_p" -> col("p")))
+      // truth from the base merged state directly (never touches the
+      // catalog, so the rewrite cannot fire on the oracle side)
+      def pinnedTruth(agg: String) = DeletionVectors.readMergedAt(spark, t, 2L)
+        .groupBy(trunc(col("d"), "month").as("month")).agg(expr(agg).as("x"))
+        .orderBy("month")
+      val avgQ = spark.sql(s"SELECT trunc(d, 'month') AS month, AVG(p) AS x " +
+        s"FROM graft.`$t` GROUP BY 1 ORDER BY 1")
+      assert(!readsBase(avgQ, t), s"avg must rewrite:\n${avgQ.queryExecution}")
+      assert(avgQ.collect().toSeq == pinnedTruth("avg(p)").collect().toSeq,
+        "rewritten avg must be bit-identical to the base aggregate")
+      val cntQ = spark.sql(s"SELECT trunc(d, 'month') AS month, COUNT(p) AS x " +
+        s"FROM graft.`$t` GROUP BY 1 ORDER BY 1")
+      assert(!readsBase(cntQ, t), "count(col) must rewrite")
+      assert(cntQ.collect().toSeq == pinnedTruth("count(p)").collect().toSeq)
+      // global (no GROUP BY) avg + count(col) — empty-view Sum folds
+      val globalQ = spark.sql(s"SELECT AVG(p) AS a, COUNT(p) AS c FROM graft.`$t`")
+      assert(!readsBase(globalQ, t), "global avg must rewrite")
+      assert(globalQ.collect().toSeq ==
+        DeletionVectors.readMergedAt(spark, t, 2L)
+          .agg(avg("p").as("a"), count(col("p")).as("c")).collect().toSeq)
+      // count(NULL) must NOT become the row count (COUNT skips nulls)
+      val nullQ = spark.sql(s"SELECT COUNT(NULL) AS n FROM graft.`$t`")
+      assert(nullQ.as[Long].head() == 0L, "COUNT(NULL) is 0")
+      // avg of a non-registered operand refuses
+      assert(readsBase(spark.sql(s"SELECT AVG(k) AS a FROM graft.`$t`"), t))
+    } finally MatViews.unregister(t)
+  }
+
+  test("a registration persists in table metadata across a process boundary") {
+    val (t, view) = fixture()
+    try {
+      MatViews.register(spark, t, view, asOfVersion = 2L,
+        groups = Seq("month" -> trunc(col("d"), "month")),
+        countCol = Some("n_live"), sums = Seq("sum_price" -> col("p")))
+      assert(!readsBase(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$t`"), t))
+      // a fresh JVM has an empty cache — the registration must arm
+      // from the table's own _views metadata alone
+      MatViews.clear()
+      val q = spark.sql(s"SELECT trunc(d, 'month') AS month, COUNT(*) AS n, " +
+        s"SUM(p) AS s FROM graft.`$t` GROUP BY 1 ORDER BY 1")
+      assert(!readsBase(q, t),
+        "a persisted registration must re-arm after the cache is dropped " +
+        "(the restart-crossing contract)")
+      assert(q.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSeq ==
+        Seq(("2024-01-01", 18L, 414.0), ("2024-02-01", 20L, 400.0)))
+      // the registration is visible through the SQL surface
+      val shown = spark.sql(s"CALL graft.system.show_views(table => '$t')").collect()
+      assert(shown.map(r => (r.getString(2), r.getString(3))).toSet ==
+        Set(("group", "month"), ("count_star", "n_live"), ("sum", "sum_price")))
+      assert(shown.forall(r => r.getString(0) == view && r.getLong(1) == 2L))
+      // unregister removes the file: a fresh cache finds nothing
+      MatViews.unregister(t)
+      MatViews.clear()
+      assert(readsBase(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$t`"), t))
+      assert(spark.sql(s"CALL graft.system.show_views(table => '$t')").isEmpty)
+    } finally MatViews.unregister(t)
+  }
+
+  test("registration refuses a view that retains empty groups") {
+    val (t, _) = fixture()
+    val bad = s"${t.stripSuffix("/t")}/view_bad"
+    spark.sql(s"SELECT * FROM graft.`$t`")
+      .groupBy(trunc(col("d"), "month").as("month"))
+      .agg(count(lit(1)).as("n_live"), sum("p").cast("decimal(18,2)").as("sum_price"))
+      .unionByName(Seq((java.sql.Date.valueOf("2030-01-01"), 0L,
+        new java.math.BigDecimal(0))).toDF("month", "n_live", "sum_price")
+        .select(col("month"), col("n_live"), col("sum_price").cast("decimal(18,2)")))
+      .coalesce(1).write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      MatViews.register(spark, t, bad, asOfVersion = 2L,
+        groups = Seq("month" -> trunc(col("d"), "month")),
+        countCol = Some("n_live"), sums = Seq("sum_price" -> col("p")))
+    }
+    assert(e.getMessage.contains("phantom rows"))
+    assert(readsBase(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$t`"), t),
+      "a refused registration must leave nothing armed")
+  }
+
   test("unsafe shapes read the base: stale view, pinned read, non-derivable bits") {
     val (t, view) = fixture()
     try {
