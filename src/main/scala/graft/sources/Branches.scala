@@ -234,16 +234,19 @@ object Branches {
     }
     val next = claimBranchVersion(spark, tablePath)
     val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
-    Sinks.writeMonthlySnapshot(df, dateCol, vdir, writerOptions)
+    // branch full-frame publishes enforce the TABLE's CHECK
+    // constraints like every other write path (in-flight, one pass —
+    // [[Constraints.guard]]): a branch is merge-bound for main
+    Constraints.stagedWrite(spark, tablePath, next) {
+      Sinks.writeMonthlySnapshot(
+        Constraints.guard(df, tablePath, s"branch '$name' publish"),
+        dateCol, vdir, writerOptions)
+    }
     carried.foreach { case (mname, content) =>
       val out = fs.create(
         new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$mname"), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    // branch full-frame publishes enforce the TABLE's CHECK
-    // constraints pre-marker, like every other write path — a branch
-    // is merge-bound for main
-    Constraints.enforceOnWritten(spark, tablePath, next, "", s"branch '$name' publish")
     markBranchVersion(spark, tablePath, name, next)
     next
   }

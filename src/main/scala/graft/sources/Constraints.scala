@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat_ws, expr, filter, lit, not, raise_error, size, struct, to_json, when}
 
 /** A write was refused because rows violate a table CHECK constraint.
   * Nothing was committed; the refusing publish reclaims its own
@@ -38,17 +38,23 @@ class ConstraintViolation(msg: String) extends RuntimeException(msg)
   * afterwards — it re-scans the live merged state against every
   * constraint and refuses if anything slipped through the window.
   *
-  * ENFORCEMENT runs inside every publish path ([[Sinks
+  * ENFORCEMENT is IN-FLIGHT on every publish path ([[Sinks
   * .publishSnapshot]]; [[DeletionVectors.publishDeletes]] /
   * `publishDeletesToBranch` when the link carries arriving rows —
   * which is also the SQL INSERT/MERGE/UPDATE staged path and the
-  * streaming sink), AFTER the data write and BEFORE the marker: the
-  * check reads back only the constraint-referenced columns of the
-  * just-written files (a pruned columnar scan — never a second run
-  * of the caller's input plan), and a violation aborts with the
-  * marker never created, so readers cannot observe a constrained
-  * table in a violating state. Zero cost for unconstrained tables
-  * (one directory-existence probe). */
+  * streaming sink; [[Branches.publishToBranch]]): the input frame is
+  * wrapped with ONE row-level check projection evaluating every
+  * declared constraint ([[guard]] — the Delta invariant-checker
+  * idiom), so K constraints cost K boolean expressions inside the
+  * write pass itself — zero extra Spark jobs, no read-back of the
+  * just-written files, one pass over the data total. A violating row
+  * aborts the write mid-flight; [[stagedWrite]] then reclaims the
+  * claimed version dir and claim (for ANY deliberate failure, not
+  * just violations — a refused publish must never wedge the head+1
+  * claim space until vacuum) and surfaces a [[ConstraintViolation]],
+  * with the marker never created — readers cannot observe a
+  * constrained table in a violating state. Zero cost for
+  * unconstrained tables (one directory-existence probe). */
 object Constraints {
 
   private val dirName = "_constraints"
@@ -78,42 +84,104 @@ object Constraints {
     df.filter(not(coalesce(expr(checkExpr), lit(true))))
 
   /** Refuse (loudly, with samples) if any row of `df` violates any of
-    * `constraints`; reads only the columns the expressions reference
-    * when `df` is a file read. */
+    * `constraints` — ONE pass regardless of how many constraints are
+    * declared: a single projection evaluates every check expression
+    * into a (name, violated) struct array, and `limit(3)` over the
+    * rows violating ANY of them collects the samples. Reads only the
+    * columns the expressions reference when `df` is a file read. */
   private[sources] def enforce(df: DataFrame, constraints: Map[String, String],
-                               tablePath: String, what: String): Unit =
-    constraints.foreach { case (name, ce) =>
-      val bad = violations(df, ce).limit(3).collect()
-      if (bad.nonEmpty) throw new ConstraintViolation(
-        s"$what of $tablePath violates CHECK constraint '$name' ($ce) — e.g. " +
+                               tablePath: String, what: String): Unit = {
+    if (constraints.isEmpty) return
+    val checks = array(constraints.toSeq.sortBy(_._1).map { case (n, ce) =>
+      struct(lit(n).as("name"), not(coalesce(expr(ce), lit(true))).as("bad"))
+    }: _*)
+    val bad = df.withColumn("__graft_violated", filter(checks, c => c("bad")))
+      .filter(size(col("__graft_violated")) > 0).limit(3).collect()
+    if (bad.nonEmpty) {
+      val names = bad.flatMap(
+        _.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("__graft_violated")
+          .map(_.getString(0))).distinct.sorted
+      throw new ConstraintViolation(
+        s"$what of $tablePath violates CHECK constraint(s) " +
+        s"${names.map(n => s"'$n' (${constraints(n)})").mkString(", ")} — e.g. " +
         s"${bad.mkString("; ")}. Nothing was committed; fix the rows or drop " +
         "the constraint")
     }
-
-  /** Enforce a table's constraints against newly WRITTEN files (the
-    * pre-marker check): reads back only what the expressions need.
-    * `claimedVersion` names the publish's own staged version: a
-    * DELIBERATE refusal reclaims its dir and claim before surfacing,
-    * so a violating writer never wedges the head+1 claim space (a
-    * crash mid-reclaim degrades to ordinary vacuumable debris).
-    * `subDir` narrows the read to the link's delta rows. */
-  private[sources] def enforceOnWritten(spark: SparkSession, tablePath: String,
-                                        claimedVersion: Long, subDir: String,
-                                        what: String): Unit = {
-    val cs = constraintsOf(spark, tablePath)
-    if (cs.isEmpty) return
-    val vdir = s"$tablePath/${Sinks.versionDirName(claimedVersion)}"
-    val read = if (subDir.isEmpty) vdir else s"$vdir/$subDir"
-    try enforce(spark.read.parquet(read), cs, tablePath, what)
-    catch { case e: ConstraintViolation =>
-      val root = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = Sinks.hadoopFs(spark, root)
-      fs.delete(new org.apache.hadoop.fs.Path(vdir), true)
-      fs.delete(new org.apache.hadoop.fs.Path(root,
-        f"_claims/c$claimedVersion%08d"), false)
-      throw e
-    }
   }
+
+  /** The marker token the in-flight check embeds in its raised error;
+    * [[stagedWrite]] looks for it in the failure's cause chain to
+    * tell a refusal from an ordinary write failure. */
+  private val violationToken = "GRAFT_CHECK_CONSTRAINT: "
+
+  /** Wrap `df` with the table's CHECK constraints as an IN-FLIGHT
+    * row-level check (the Delta invariant-checker idiom): a single
+    * filter evaluates every declared expression per row during the
+    * write pass itself — K constraints never cost a second scan, let
+    * alone K of them. A violating row raises mid-write with the
+    * constraint's name and the row as JSON; passing rows flow through
+    * unchanged. No-op (the input frame itself) for unconstrained
+    * tables. Run the write under [[stagedWrite]] so the raise
+    * surfaces as [[ConstraintViolation]] with the stage reclaimed. */
+  private[sources] def guard(df: DataFrame, tablePath: String,
+                             what: String): DataFrame = {
+    val cs = constraintsOf(df.sparkSession, tablePath)
+    if (cs.isEmpty) return df
+    val ordered = cs.toSeq.sortBy(_._1)
+    val flags: Seq[(String, String, Column)] = ordered.map { case (n, ce) =>
+      (n, ce, not(coalesce(expr(ce), lit(true))))
+    }
+    val anyViolated = flags.map(_._3).reduce(_ || _)
+    val firstName = coalesce(flags.map { case (n, _, v) => when(v, lit(n)) }: _*)
+    val firstExpr = coalesce(flags.map { case (_, ce, v) => when(v, lit(ce)) }: _*)
+    val msg = concat_ws("", lit(violationToken), lit(s"$what of $tablePath "),
+      lit("violates CHECK constraint '"), firstName, lit("' ("), firstExpr,
+      lit(") on row "), to_json(struct(df.columns.map(col).toSeq: _*)),
+      lit(". Nothing was committed; fix the rows or drop the constraint"))
+    df.filter(when(anyViolated, raise_error(msg).cast("boolean"))
+      .otherwise(lit(true)))
+  }
+
+  /** First [[violationToken]]-marked message in the failure's cause
+    * chain — the raise travels wrapped in Spark's task/job failure
+    * envelopes, so the walk checks message TEXT, not exception type. */
+  private def violationMessage(e: Throwable): Option[String] = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var t: Throwable = e
+    while (t != null && seen.add(t)) {
+      val m = t.getMessage
+      if (m != null && m.contains(violationToken))
+        return Some(m.substring(m.indexOf(violationToken) + violationToken.length)
+          .takeWhile(_ != '\n'))
+      t = t.getCause
+    }
+    None
+  }
+
+  /** Run a claimed-version data write with refusal hygiene: ANY
+    * deliberate (NonFatal) failure — a [[guard]] violation raising
+    * mid-flight, an analysis error, a bad input frame — reclaims the
+    * staged version dir and its claim BEFORE surfacing, so a refused
+    * write never wedges the head+1 claim space until vacuum runs (a
+    * process crash still leaves ordinary vacuumable debris — nothing
+    * can reclaim from inside a dead JVM). A guard violation resurfaces
+    * as [[ConstraintViolation]]; everything else rethrows as itself. */
+  private[sources] def stagedWrite[T](spark: SparkSession, tablePath: String,
+                                      claimedVersion: Long)(write: => T): T =
+    try write
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val root = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = Sinks.hadoopFs(spark, root)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$tablePath/${Sinks.versionDirName(claimedVersion)}"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root,
+          f"_claims/c$claimedVersion%08d"), false)
+        violationMessage(e) match {
+          case Some(msg) => throw new ConstraintViolation(msg)
+          case None      => throw e
+        }
+    }
 
   /** Add a CHECK constraint. Validates the name and the expression
     * (must analyze as a boolean over the table's schema), then scans
@@ -124,8 +192,6 @@ object Constraints {
     * enforcing different rules). */
   def addConstraint(spark: SparkSession, tablePath: String,
                     name: String, checkExpr: String): Unit = {
-    require(nameRe.pattern.matcher(name).matches(),
-      s"constraint name '$name' must match ${nameRe.pattern} — it becomes a file name")
     val current = DeletionVectors.readMerged(spark, tablePath)
     val probe = violations(current, checkExpr) // analysis validates the expression
     require(probe.schema != null) // force analysis before any file is written
@@ -133,6 +199,21 @@ object Constraints {
     if (bad.nonEmpty) throw new ConstraintViolation(
       s"cannot add CHECK constraint '$name' ($checkExpr) to $tablePath: existing " +
       s"rows violate it — e.g. ${bad.mkString("; ")}")
+    persistValidated(spark, tablePath, name, checkExpr)
+  }
+
+  /** Persist an ALREADY-VALIDATED constraint file — the back half of
+    * [[addConstraint]], and the direct target of the SQL DDL path
+    * (`ALTER TABLE … ADD CONSTRAINT … CHECK`): Spark's own
+    * AddCheckConstraintExec has scanned existing data for violations
+    * before it calls the catalog, so a second scan here would double
+    * the DDL's cost for nothing. Refuses to replace an existing name
+    * (drop first — silent redefinition is how two writers end up
+    * enforcing different rules). */
+  private[sources] def persistValidated(spark: SparkSession, tablePath: String,
+                                        name: String, checkExpr: String): Unit = {
+    require(nameRe.pattern.matcher(name).matches(),
+      s"constraint name '$name' must match ${nameRe.pattern} — it becomes a file name")
     val d = dir(tablePath)
     val fs = Sinks.hadoopFs(spark, d)
     if (!fs.exists(d)) fs.mkdirs(d)

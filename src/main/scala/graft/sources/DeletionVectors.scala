@@ -80,14 +80,15 @@ object DeletionVectors {
     // shadowing race both guards close)
     val next = Sinks.claimExpectedVersion(spark, tablePath, parent + 1,
       "delete-publish")
-    writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows, extraMeta)
-    // CHECK constraints (pre-marker): arriving rows — the SQL
+    // CHECK constraints ride IN-FLIGHT on the arriving rows — the SQL
     // INSERT/MERGE/UPDATE staged path and the streaming sink included
-    // — validate against the table's constraints before the commit
-    // becomes observable; pure deletes carry nothing to check
-    deltaRows.foreach { _ =>
-      Constraints.enforceOnWritten(spark, tablePath, next, deltaSubdir,
-        "link-publish")
+    // ([[Constraints.guard]]: one row-level projection inside this
+    // write pass, no read-back job); pure deletes carry nothing to
+    // check. A violation aborts with the stage reclaimed and the
+    // marker never created ([[Constraints.stagedWrite]]).
+    Constraints.stagedWrite(spark, tablePath, next) {
+      writeLink(spark, tablePath, next, parent, deleteKeys, keyCol,
+        deltaRows.map(Constraints.guard(_, tablePath, "link-publish")), extraMeta)
     }
     // pre-marker re-check (the publishSnapshot discipline): a ff merge
     // landing during the link write must abort this commit, not be
@@ -151,13 +152,14 @@ object DeletionVectors {
       require(k == keyCol, s"existing deletion chain keys on '$k', not '$keyCol'")
     }
     val next = Branches.claimBranchVersion(spark, tablePath)
-    writeLink(spark, tablePath, next, parent, deleteKeys, keyCol, deltaRows)
-    // branch commits enforce the TABLE's constraints too: a branch is
-    // merge-bound for main, and a violating merge would otherwise be
-    // discovered only at merge time (or worse, fast-forwarded past)
-    deltaRows.foreach { _ =>
-      Constraints.enforceOnWritten(spark, tablePath, next, deltaSubdir,
-        s"branch '$branch' link-publish")
+    // branch commits enforce the TABLE's constraints too (in-flight,
+    // like main): a branch is merge-bound for main, and a violating
+    // merge would otherwise be discovered only at merge time (or
+    // worse, fast-forwarded past)
+    Constraints.stagedWrite(spark, tablePath, next) {
+      writeLink(spark, tablePath, next, parent, deleteKeys, keyCol,
+        deltaRows.map(Constraints.guard(_, tablePath,
+          s"branch '$branch' link-publish")))
     }
     Branches.markBranchVersion(spark, tablePath, branch, next)
     next

@@ -634,8 +634,15 @@ object Sinks {
       case Some(e) => claimExpectedVersion(spark, tablePath, e, "publish")
       case None => claimNumber(fs, claimsDir, (existing :+ 0L).max + 1, "c")
     }
-    writeMonthlySnapshot(df, dateCol, s"$tablePath/${versionDirName(next)}", writerOptions,
-      colocateMonths)
+    // CHECK constraints ride IN-FLIGHT: the frame is wrapped with one
+    // row-level check projection ([[Constraints.guard]]) evaluated
+    // during this very write pass — no read-back scan, no extra job —
+    // and a violation aborts with the stage reclaimed and the marker
+    // never created ([[Constraints.stagedWrite]])
+    Constraints.stagedWrite(spark, tablePath, next) {
+      writeMonthlySnapshot(Constraints.guard(df, tablePath, "publish"), dateCol,
+        s"$tablePath/${versionDirName(next)}", writerOptions, colocateMonths)
+    }
     // version-scoped metadata (e.g. the evolved-schema mapping) lands
     // INSIDE the version dir, before the marker: a committed version is
     // never observable without its metadata, and the `_graft_` prefix
@@ -658,13 +665,6 @@ object Sinks {
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // CHECK constraints (pre-marker): read back ONLY the constraint
-    // columns of the files just written — never a second run of the
-    // caller's input plan. A violation aborts with the marker never
-    // created: readers cannot observe a constrained table violating,
-    // and the staged dir is ordinary vacuumable debris. Zero cost for
-    // unconstrained tables (one existence probe).
-    Constraints.enforceOnWritten(spark, tablePath, next, "", "publish")
     // OCC pre-marker re-check: the data write above can take minutes —
     // a fast-forward merge landing during it would be shadowed by our
     // marker. One cheap listing right before the commit shrinks that

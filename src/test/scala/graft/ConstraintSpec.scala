@@ -106,6 +106,85 @@ class ConstraintSpec extends AnyFunSuite {
     intercept[ConstraintViolation] { Constraints.validate(spark, t) }
   }
 
+  /** Spark jobs triggered by `body`, via a listener (polled until the
+    * count stops moving — listener delivery is async). */
+  private def jobsDuring(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1
+      var stable = 0
+      while (stable < 3) { // three quiet polls = the bus has drained
+        Thread.sleep(100)
+        val now = counter.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      counter.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("enforcement is in-flight: 3 constraints add zero Spark jobs to a publish") {
+    // two stores, identical shape and data; one carries 3 constraints
+    val plain = freshStore()
+    val bound = freshStore()
+    Constraints.addConstraint(spark, bound, "p_pos", "p > 0")
+    Constraints.addConstraint(spark, bound, "k_pos", "k > 0")
+    Constraints.addConstraint(spark, bound, "s_nonempty", "length(s) > 0")
+    val rows = df((10L, "j", 10.0), (11L, "jj", 11.0))
+    val unconstrained = jobsDuring {
+      DeletionVectors.publishUpsert(spark, plain, rows, "k",
+        Seq.empty[Long].toDF("k"), validate = false); ()
+    }
+    val constrained = jobsDuring {
+      DeletionVectors.publishUpsert(spark, bound, rows, "k",
+        Seq.empty[Long].toDF("k"), validate = false); ()
+    }
+    assert(constrained == unconstrained,
+      s"in-flight enforcement must not add jobs: $constrained (3 constraints) " +
+      s"vs $unconstrained (none) — a read-back re-scan is back")
+    // and the guard still refuses: same shape, one violating row
+    intercept[ConstraintViolation] {
+      DeletionVectors.publishUpsert(spark, bound, df((12L, "x", -1.0)), "k",
+        Seq.empty[Long].toDF("k"), validate = false)
+    }
+    // the refusal names the violated constraint, not the others
+    val msg = intercept[ConstraintViolation] {
+      Sinks.publishSnapshot(df((13L, "", 5.0)), "d", bound, retainVersions = 100)
+    }.getMessage
+    assert(msg.contains("s_nonempty") && !msg.contains("p_pos"), msg)
+  }
+
+  test("ANY deliberate write failure reclaims the stage, not just violations") {
+    val t = freshStore()
+    Constraints.addConstraint(spark, t, "p_pos", "p > 0")
+    val head = Sinks.currentVersion(spark, t).get
+    // a NON-constraint runtime failure mid-write (ANSI cast of a
+    // non-numeric string) — before the r15 NonFatal reclaim this left
+    // a claimed-but-unmarked version wedging every head+1 publish
+    intercept[Exception] {
+      Sinks.publishSnapshot(
+        df((20L, "zz", 1.0)).withColumn("boom", expr("CAST(s AS INT)")),
+        "d", t, retainVersions = 100)
+    }
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claims = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_claims"))
+      .map(_.getPath.getName).toSet
+    assert(!claims.contains(f"c${head + 1}%08d"),
+      s"the failed write's claim must be reclaimed, found: $claims")
+    // head+1 is immediately claimable again — no vacuum needed
+    DeletionVectors.publishUpsert(spark, t, df((21L, "ok", 2.0)), "k",
+      Seq.empty[Long].toDF("k"), validate = false)
+    assert(Sinks.currentVersion(spark, t).contains(head + 1))
+  }
+
   test("random walk: the constraint holds at every committed state") {
     val rnd = new scala.util.Random(314159)
     val t = graft.util.Scratch.dir("constraint_walk") + "/t"
