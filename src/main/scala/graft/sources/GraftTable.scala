@@ -115,8 +115,19 @@ class GraftTable private (
     * build). Rebuilt per call so two occurrences of the same relation
     * in one plan (a self-join) inline with DISTINCT expression ids. */
   private[graft] def inlineReadPlan: Option[DataFrame] =
-    if (resolvedVersion.isDefined && parquetDelegate.isEmpty && !monthVisible)
+    if (inlineKey.isDefined)
       Some(DeletionVectors.readMergedAt(spark, root, resolvedVersion.get))
+    else None
+
+  /** Cheap eligibility + cache identity for [[graft.plans
+    * .GraftScanInline]]: Some((store path, bound version) key) exactly
+    * when [[inlineReadPlan]] would build a plan — version dirs are
+    * immutable, so within one optimizer run every occurrence of this
+    * key shares one resolved+optimized inner plan (re-aliased per
+    * occurrence), instead of paying a nested optimization each. */
+  private[graft] def inlineKey: Option[String] =
+    if (resolvedVersion.isDefined && parquetDelegate.isEmpty && !monthVisible)
+      Some(s"$root@v${resolvedVersion.get}")
     else None
 
   override def name(): String =

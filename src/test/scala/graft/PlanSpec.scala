@@ -392,4 +392,33 @@ class PlanSpec extends AnyFunSuite {
     assert(mixed.as[Long].collect().toSeq == Seq(31L),
       "the anti-join of head vs v1 must isolate exactly the link's insert")
   }
+
+  test("a self-join pays ONE nested chain optimization (per-run plan cache)") {
+    import spark.implicits._
+    val t = graft.util.Scratch.dir("plan_inline_cache") + "/t"
+    val rows = (1L to 30L).map(i =>
+      (i, java.sql.Date.valueOf("2024-03-15"), i * 1.0)).toDF("k", "d", "p")
+    graft.sources.Sinks.publishSnapshot(rows, "d", t, retainVersions = 100)
+    graft.sources.DeletionVectors.publishUpsert(spark, t,
+      Seq((31L, java.sql.Date.valueOf("2024-03-20"), 31.0)).toDF("k", "d", "p"),
+      "k", Seq.empty[Long].toDF("k"), validate = false) // v2: chain head
+    val q = spark.sql(
+      s"SELECT a.k, b.k AS succ FROM graft.`$t` a JOIN graft.`$t` b ON b.k = a.k + 1")
+    val before = graft.plans.GraftScanInline.innerOptimizations.get()
+    q.queryExecution.optimizedPlan // force ONE optimizer run
+    val paid = graft.plans.GraftScanInline.innerOptimizations.get() - before
+    assert(paid == 1L,
+      s"two occurrences of the same (path, version) must share one inner " +
+      s"optimization (re-aliased copy for the second), paid $paid")
+    // the re-aliased copy binds unambiguously and answers correctly
+    assert(q.count() == 30L)
+    // a THREE-way self-reference still pays one
+    val q3 = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$t` a, graft.`$t` b, graft.`$t` c " +
+      "WHERE b.k = a.k + 1 AND c.k = b.k + 1")
+    val b3 = graft.plans.GraftScanInline.innerOptimizations.get()
+    q3.queryExecution.optimizedPlan
+    assert(graft.plans.GraftScanInline.innerOptimizations.get() - b3 == 1L)
+    assert(q3.as[Long].head() == 29L)
+  }
 }
