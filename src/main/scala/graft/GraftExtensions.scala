@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the engine's own DDL (CREATE/DROP MATERIALIZED VIEW) rides a
+    // delegating parser — the DeltaSqlParser idiom; everything Spark's
+    // grammar already speaks passes through untouched
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     // planner citizenship: the naive bounded-interval join rewrites to
     // the bucketed equi-join automatically (see plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

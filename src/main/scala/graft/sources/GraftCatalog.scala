@@ -60,6 +60,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
+  /** Declares `ALTER TABLE … ADD/DROP CONSTRAINT` support so the
+    * analyzer routes Spark 4's native constraint DDL to
+    * [[alterTable]] (CHECK only — see there). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   private def pathOf(ident: Identifier): String = {
@@ -104,11 +113,42 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "first publish instead of DDL: df.write.format(\"graft-table\")" +
       ".option(\"dateCol\", …).mode(\"overwrite\").save(path), or Sinks.publishSnapshot")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema changes go through the evolution publish " +
-      "(SchemaEvolution.publishEvolved), which keeps the stable column-id mapping " +
-      "as-of reads depend on — not through catalog DDL")
+  /** The STANDARD SQL spelling of constraint maintenance —
+    * `ALTER TABLE graft.`/path` ADD CONSTRAINT c CHECK (expr)` and
+    * `… DROP CONSTRAINT c` — routed through Spark 4's native DSv2
+    * constraint DDL. Spark's AddCheckConstraintExec scans existing
+    * data for violations BEFORE calling here (the same
+    * refuse-if-violated contract [[Constraints.addConstraint]]
+    * enforces for the library path), so the add persists without a
+    * second scan. Everything non-constraint still refuses: schema
+    * changes go through the evolution publish
+    * ([[SchemaEvolution]]), which keeps the stable column-id mapping
+    * as-of reads depend on — not through catalog DDL. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    changes.foreach {
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Constraints.persistValidated(spark, path, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft tables support CHECK constraints only — got ${other.toDDL}; " +
+            "primary/foreign keys and UNIQUE are not enforceable on a " +
+            "snapshot store without an index structure it does not keep")
+        }
+      case drop: TableChange.DropConstraint =>
+        val known = Constraints.constraintsOf(spark, path).contains(drop.name())
+        if (known) Constraints.dropConstraint(spark, path, drop.name())
+        else if (!drop.ifExists()) throw new IllegalArgumentException(
+          s"no CHECK constraint '${drop.name()}' on $path — " +
+          "ALTER TABLE … DROP CONSTRAINT IF EXISTS tolerates unknown names")
+      case _ => throw new UnsupportedOperationException(
+        "schema changes go through the evolution publish " +
+        "(SchemaEvolution.publishEvolved), which keeps the stable column-id mapping " +
+        "as-of reads depend on — not through catalog DDL")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -272,6 +272,92 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(stateOf(t).keySet == Set(1L, 2L, 3L))
   }
 
+  test("standard DDL: ALTER TABLE ADD/DROP CONSTRAINT … CHECK") {
+    val t = graft.util.Scratch.dir("sqlw_ddl") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    // the ANSI spelling lands in the same _constraints namespace the
+    // procedures and the library maintain
+    spark.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT p_pos CHECK (p > 0)")
+    assert(graft.sources.Constraints.constraintsOf(spark, t).keySet == Set("p_pos"))
+    // …and binds every writer: a violating INSERT refuses pre-marker
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` SELECT 3L AS k, DATE'2024-03-16' AS d, " +
+        "'c' AS s, -1.0D AS p")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(
+      _.isInstanceOf[graft.sources.ConstraintViolation]), e.toString)
+    // ADD over violating existing data refuses (Spark's own exec scans
+    // the merged state before the catalog persists anything)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT p_big CHECK (p > 100)")
+    }
+    assert(graft.sources.Constraints.constraintsOf(spark, t).keySet == Set("p_pos"),
+      "a refused ADD must persist nothing")
+    // DROP: unknown refuses, IF EXISTS tolerates, real drop unbinds
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT no_such")
+    }
+    spark.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT IF EXISTS no_such")
+    spark.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT p_pos")
+    assert(graft.sources.Constraints.constraintsOf(spark, t).isEmpty)
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 3L AS k, DATE'2024-03-16' AS d, " +
+      "'c' AS s, -1.0D AS p")
+    assert(stateOf(t).keySet == Set(1L, 2L, 3L))
+  }
+
+  test("standard DDL: CREATE / DROP MATERIALIZED VIEW") {
+    val root = graft.util.Scratch.dir("sqlw_cmv")
+    val t = s"$root/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    val view = s"$root/view"
+    val made = spark.sql(s"CREATE MATERIALIZED VIEW '$view' AS " +
+      s"SELECT trunc(d, 'month') AS month, COUNT(*) AS n_live, " +
+      s"COUNT(p) AS cnt_p, SUM(p) AS sum_p FROM graft.`$t` GROUP BY 1").collect()
+    assert(made.map(r => (r.getString(0), r.getString(1))).toSeq == Seq((t, view)))
+    try {
+      // the registration armed the planner: count/sum/avg answer from
+      // the view (avg derives from the SUM+COUNT pair)
+      val q = spark.sql(s"SELECT COUNT(*) AS n, SUM(p) AS s, AVG(p) AS a " +
+        s"FROM graft.`$t`")
+      val readsBase = q.queryExecution.optimizedPlan.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(t))
+            case _ => false
+          }
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.isInstanceOf[graft.sources.GraftTable]
+        case _ => false
+      }
+      assert(!readsBase, s"CREATE MATERIALIZED VIEW must arm the rewrite:\n" +
+        s"${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq == Seq((3L, 6.0, 2.0)))
+      // a pinned FROM refuses at CREATE (the view reflects live only)
+      intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '$root/v2' AS SELECT COUNT(*) AS n " +
+          s"FROM graft.`$t` VERSION AS OF 1")
+      }
+      // an underivable aggregate refuses with the reason
+      val bad = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '$root/v3' AS " +
+          s"SELECT trunc(d, 'month') AS m, MAX(p) AS mx FROM graft.`$t` GROUP BY 1")
+      }
+      assert(bad.getMessage.contains("max"), bad.getMessage)
+    } finally {
+      spark.sql(s"DROP MATERIALIZED VIEW FOR '$t'")
+    }
+    // dropped: aggregates read the base again
+    assert(graft.plans.MatViews.lookup(spark, t).isEmpty)
+  }
+
   test("append schema mismatch and empty-store reads fail loudly") {
     val t = graft.util.Scratch.dir("sqlw_err") + "/t"
     intercept[java.io.FileNotFoundException] {
