@@ -434,6 +434,10 @@ object SparkEntry {
     // rule (plan self-pinned: the base is never scanned); values
     // hash-match the census computed from raw parquet
     "q_mv_rewrite"       -> graft.streaming.FeedView.mvRewriteResult _,
+    // MULTI-VIEW choice: two NAMED views (daily + monthly) created
+    // through CREATE MATERIALIZED VIEW DDL arm one store; each query
+    // is served by the grain that can answer it (plan self-pinned)
+    "q_mv_rewrite_multi" -> graft.streaming.FeedView.mvMultiResult _,
     // NATIVE STREAMING SINK: writeStream.format("graft-table") —
     // bootstrap publish + one MoR link per micro-batch, batch-id
     // ledger in version metadata for exactly-once restarts
@@ -2453,6 +2457,34 @@ object SparkEntry {
         |  CAST((CAST(SUM(p) * 100 AS HUGEINT) * 10000 * 2 + COUNT(*))
         |       // (2 * COUNT(*)) AS BIGINT) AS avg_micro
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the multi-view rewrite: daily counts only the daily view can
+    // serve, monthly sum+avg only the monthly one — both phases must
+    // equal the census of the final merged state (avg in micro-units,
+    // see q_mv_rewrite)
+    "q_mv_rewrite_multi" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p, d
+        |  FROM base WHERE k % 10 = 0 AND k % 30 <> 0
+        |  UNION ALL
+        |  SELECT k, p, d FROM base WHERE k % 10 = 7)
+        |SELECT * FROM (
+        |  SELECT 'day' AS phase, d AS dt, COUNT(*) AS n,
+        |    CAST(NULL AS DOUBLE) AS sum_price, CAST(NULL AS BIGINT) AS avg_micro
+        |  FROM fin GROUP BY d
+        |  UNION ALL
+        |  SELECT 'month' AS phase, date_trunc('month', d) AS dt, COUNT(*) AS n,
+        |    CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |    CAST((CAST(SUM(p) * 100 AS HUGEINT) * 10000 * 2 + COUNT(*))
+        |         // (2 * COUNT(*)) AS BIGINT) AS avg_micro
+        |  FROM fin GROUP BY 2)
+        |ORDER BY phase, dt""".stripMargin,
 
     // the constraint-lifecycle ledger: refusals are constants, the
     // final census is closed-form over the class-1 orders subset —

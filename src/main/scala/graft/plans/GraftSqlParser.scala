@@ -42,14 +42,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val createRe =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+(.+)$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'(?:\s+NAMED\s+([A-Za-z0-9_]+))?\s+AS\s+(.+)$""".r
   private val dropRe =
-    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+FOR\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+FOR\s+'([^']+)'(?:\s+NAMED\s+([A-Za-z0-9_]+))?\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case createRe(viewPath, query) => CreateMatViewCommand(viewPath.trim, query.trim)
-    case dropRe(basePath)          => DropMatViewCommand(basePath.trim)
-    case _                         => delegate.parsePlan(sqlText)
+    case createRe(viewPath, name, query) =>
+      CreateMatViewCommand(viewPath.trim,
+        Option(name).getOrElse(MatViews.defaultName), query.trim)
+    case dropRe(basePath, name) =>
+      DropMatViewCommand(basePath.trim, Option(name))
+    case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -70,9 +73,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 }
 
-/** `CREATE MATERIALIZED VIEW '<path>' AS <grouped aggregate>` —
-  * compute at the live version, persist, register for rewrite. */
-case class CreateMatViewCommand(viewPath: String, query: String)
+/** `CREATE MATERIALIZED VIEW '<path>' [NAMED n] AS <grouped
+  * aggregate>` — compute at the live version, persist, register for
+  * rewrite under `n` (several named views may arm one table at
+  * different grains). */
+case class CreateMatViewCommand(viewPath: String, name: String, query: String)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -154,20 +159,26 @@ case class CreateMatViewCommand(viewPath: String, query: String)
 
     df.coalesce(1).write.mode("overwrite").parquet(viewPath)
     MatViews.register(spark, basePath, viewPath, version, g,
-      countCol, sums.result(), counts.result())
+      countCol, sums.result(), counts.result(), name = name)
     Seq(Row(basePath, viewPath, version))
   }
 }
 
-/** `DROP MATERIALIZED VIEW FOR '<store_path>'` — unregister; the
-  * parquet stays (it is data; the registration armed the planner). */
-case class DropMatViewCommand(basePath: String) extends LeafRunnableCommand {
+/** `DROP MATERIALIZED VIEW FOR '<store_path>' [NAMED n]` —
+  * unregister the named view (or ALL of the store's views without
+  * NAMED); the parquet stays (it is data; the registration is what
+  * armed the planner). */
+case class DropMatViewCommand(basePath: String, name: Option[String])
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("base", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    MatViews.unregister(basePath)
+    name match {
+      case Some(n) => MatViews.unregister(basePath, n)
+      case None    => MatViews.unregister(basePath)
+    }
     Seq(Row(basePath))
   }
 }

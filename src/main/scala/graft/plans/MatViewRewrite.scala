@@ -125,11 +125,24 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val (path, version) = table.liveReadPoint.getOrElse {
       trace("pinned read"); return None }
     val spark = SparkSession.active
-    val d = MatViews.lookup(spark, path).getOrElse {
-      trace(s"no view for $path"); return None }
-    if (d.asOfVersion != version) {
-      trace(s"stale: view@${d.asOfVersion} read@$version"); return None }
+    // a table may carry several registered views (different grains):
+    // try every FRESH one in deterministic name order, first match
+    // wins — a candidate whose grain can't serve this query just
+    // falls through to the next (and finally to the base read)
+    val candidates = MatViews.lookupAll(spark, path)
+    if (candidates.isEmpty) { trace(s"no view for $path"); return None }
+    candidates.iterator.map { d =>
+      if (d.asOfVersion != version) {
+        trace(s"stale: view '${d.name}'@${d.asOfVersion} read@$version"); None
+      } else rewriteWith(spark, agg, rel, subst, filters, d)
+    }.collectFirst { case Some(p) => p }
+  }
 
+  private def rewriteWith(spark: SparkSession, agg: Aggregate,
+                          rel: DataSourceV2Relation,
+                          subst: Map[ExprId, Expression],
+                          filters: Seq[Expression],
+                          d: MatViews.MatViewDef): Option[LogicalPlan] = {
     val viewPlan = spark.read.parquet(d.viewPath).queryExecution.analyzed
     val viewAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
@@ -203,11 +216,17 @@ object MatViewRewrite extends Rule[LogicalPlan] {
             case (Some(sumVc), Some(cntVc)) =>
               val cnt = sumOf(cntVc)
               a.child.dataType match {
-                // Average(decimal(p,s)) sums into decimal(p+10,s) —
-                // exactly Sum(view col decimal(p,s))'s result type, so
-                // requiring the view column to carry the operand's own
-                // type reproduces Average's internal operand types
-                case dt: DecimalType if sumVc.dataType == dt =>
+                // decimal avg: the division runs AT the original
+                // result type (DecimalDivideWithOverflowCheck rounds
+                // the exact rational once, at resultType's scale), so
+                // any view sum column holding the EXACT sum at the
+                // operand's scale is bit-exact — the operand's own
+                // type (FeedView's layout) or the wider Sum result
+                // type (CREATE MATERIALIZED VIEW's layout) alike
+                case dt: DecimalType if (sumVc.dataType match {
+                    case s: DecimalType => s.scale == dt.scale
+                    case _              => false
+                  }) =>
                   val resultType = ae.dataType.asInstanceOf[DecimalType]
                   Some(If(EqualTo(cnt, Literal(0L)),
                     Literal(null, resultType),

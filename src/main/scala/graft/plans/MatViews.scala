@@ -20,14 +20,16 @@ import org.apache.spark.sql.catalyst.plans.logical.Project
   * all. Refuse-don't-guess, applied to plan substitution.
   *
   * PERSISTENCE: a registration is TABLE metadata, not process state.
-  * It lives as one small file under `basePath/_views/registration`
-  * (the `_constraints` idiom — [[graft.sources.Constraints]]), so it
-  * survives JVM restarts and arms EVERY session's reads: the rewrite
-  * rule resolves registrations through [[lookup]], which reloads the
-  * file whenever its (mtime, length) changes and otherwise serves a
-  * per-JVM cache. The maintainer's per-fold [[advance]] rewrites the
-  * file in place (staged-then-rename — a reader racing the swap sees
-  * "no registration" for an instant and simply reads the base).
+  * It lives as one small file per registration under
+  * `basePath/_views/<name>` (the `_constraints` idiom —
+  * [[graft.sources.Constraints]]; a table may carry SEVERAL views at
+  * different grains), so registrations survive JVM restarts and arm
+  * EVERY session's reads: the rewrite rule resolves them through
+  * [[lookupAll]], which reloads a file whenever its (mtime, length)
+  * changes and otherwise serves a per-JVM cache. The maintainer's
+  * per-fold [[advance]] rewrites its file in place
+  * (staged-then-rename — a reader racing the swap sees "no
+  * registration" for an instant and simply reads the base).
   *
   * REGISTRATION CONTRACT (what the rewrite's correctness rests on):
   *   - the view holds exactly one row per live group — NO empty
@@ -63,9 +65,12 @@ object MatViews {
     * grain `groups`, `countCol` holding per-group live-row counts,
     * `sums` (view column → base sum operand) and `counts` (view
     * column → base operand whose per-group NON-NULL count it holds —
-    * the piece that makes `avg`/`count(col)` derivable). */
+    * the piece that makes `avg`/`count(col)` derivable). `name`
+    * distinguishes registrations when a table carries SEVERAL views
+    * at different grains (one `_views/<name>` file each). */
   final case class MatViewDef(
       basePath: String,
+      name: String,
       viewPath: String,
       asOfVersion: Long,
       groups: Seq[Binding],
@@ -73,22 +78,27 @@ object MatViews {
       sums: Seq[Binding],
       counts: Seq[Binding])
 
-  private val fileName = "registration"
+  /** The unnamed-registration name — what single-view callers (the
+    * feed maintainer, the plain procedure spelling) read and write. */
+  val defaultName = "registration"
   private val dirName = "_views"
+  private val nameRe = "[A-Za-z0-9_]{1,64}".r
 
-  /** (mtime, length) of the registration file when the cached def was
-    * parsed — the staleness key. Content-addressed enough in practice:
-    * `asOfVersion` strictly advances, so consecutive states differ in
-    * content; a same-millisecond same-length foreign rewrite is
-    * self-healing at the next fold. */
+  /** (mtime, length) of a registration file when the cached def was
+    * parsed — the staleness key, per (base, name). Content-addressed
+    * enough in practice: `asOfVersion` strictly advances, so
+    * consecutive states differ in content; a same-millisecond
+    * same-length foreign rewrite is self-healing at the next fold. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), MatViewDef)]()
+
+  private def cacheKey(basePath: String, name: String) = s"$basePath\u0000$name"
 
   private[plans] def canonPath(p: String): String =
     p.replaceAll("/+$", "")
 
-  private def regFile(basePath: String) =
-    new org.apache.hadoop.fs.Path(canonPath(basePath), s"$dirName/$fileName")
+  private def regFile(basePath: String, name: String) =
+    new org.apache.hadoop.fs.Path(canonPath(basePath), s"$dirName/$name")
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -135,7 +145,7 @@ object MatViews {
     sb.result()
   }
 
-  private def deserialize(spark: SparkSession, basePath: String,
+  private def deserialize(spark: SparkSession, basePath: String, name: String,
                           content: String): MatViewDef = {
     var viewPath: Option[String] = None
     var version: Option[Long] = None
@@ -148,7 +158,7 @@ object MatViews {
         org.apache.spark.sql.functions.expr(parts(2)))
     val lines = content.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains("v1"),
-      s"unrecognized mat-view registration format at $basePath/$dirName/$fileName " +
+      s"unrecognized mat-view registration format at $basePath/$dirName/$name " +
       s"— first line '${lines.headOption.getOrElse("")}' (expected 'v1')")
     lines.tail.foreach { line =>
       val parts = line.split("\t", 3)
@@ -163,7 +173,7 @@ object MatViews {
           s"unrecognized mat-view registration entry '$other' at $basePath")
       }
     }
-    MatViewDef(canonPath(basePath),
+    MatViewDef(canonPath(basePath), name,
       viewPath.getOrElse(throw new IllegalArgumentException(
         s"mat-view registration at $basePath has no view path")),
       version.getOrElse(throw new IllegalArgumentException(
@@ -171,15 +181,15 @@ object MatViews {
       groups.result(), countCol, sums.result(), counts.result())
   }
 
-  /** Staged-write-then-swap of the registration file. The instant
+  /** Staged-write-then-swap of a registration file. The instant
     * between delete and rename reads as "no registration" — a racing
     * query then takes the base scan, which is always correct. */
   private def persist(spark: SparkSession, d: MatViewDef): Unit = {
-    val file = regFile(d.basePath)
+    val file = regFile(d.basePath, d.name)
     val fs = fsOf(spark, file)
     val dir = file.getParent
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val staged = new org.apache.hadoop.fs.Path(dir, s".staged_$fileName")
+    val staged = new org.apache.hadoop.fs.Path(dir, s".staged_${d.name}")
     val out = fs.create(staged, true)
     try out.write(serialize(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -187,7 +197,7 @@ object MatViews {
     if (!fs.rename(staged, file)) throw new java.io.IOException(
       s"mat-view registration swap failed at $file")
     val st = fs.getFileStatus(file)
-    cache.put(d.basePath, ((st.getModificationTime, st.getLen), d))
+    cache.put(cacheKey(d.basePath, d.name), ((st.getModificationTime, st.getLen), d))
   }
 
   /** Register `viewPath` as the maintained aggregate of `basePath`'s
@@ -197,19 +207,24 @@ object MatViews {
     * view columns to the base expressions they sum; `counts` maps
     * view columns to base expressions whose per-group NON-NULL counts
     * they hold (enables `count(col)` and, paired with the matching
-    * sum, exact `avg`). Re-registering a base path replaces the
-    * previous definition (newest wins). The registration persists
-    * under the TABLE (`_views/registration`), so it survives JVM
+    * sum, exact `avg`). A table may carry SEVERAL registrations at
+    * different grains — `name` distinguishes them (one
+    * `_views/<name>` file each; the rewrite tries every fresh one);
+    * re-registering a (base, name) replaces that definition. The
+    * registration persists under the TABLE, so it survives JVM
     * restarts and arms every session that reads the store. */
   def register(spark: SparkSession, basePath: String, viewPath: String,
                asOfVersion: Long, groups: Seq[(String, Column)],
                countCol: Option[String] = None,
                sums: Seq[(String, Column)] = Nil,
-               counts: Seq[(String, Column)] = Nil): Unit = {
+               counts: Seq[(String, Column)] = Nil,
+               name: String = defaultName): Unit = {
     require(groups.nonEmpty || countCol.isDefined || sums.nonEmpty,
       "a mat-view registration needs at least one grain column or aggregate")
+    require(nameRe.pattern.matcher(name).matches(),
+      s"mat-view name '$name' must match ${nameRe.pattern} — it becomes a file name")
     val d = MatViewDef(
-      canonPath(basePath), viewPath, asOfVersion,
+      canonPath(basePath), name, viewPath, asOfVersion,
       groups.map { case (vc, c) => binding(spark, basePath, vc, c) },
       countCol.map(_.toLowerCase(Locale.ROOT)),
       sums.map { case (vc, c) => binding(spark, basePath, vc, c) },
@@ -237,22 +252,33 @@ object MatViews {
     * stale and queries read the base; the advance re-arms it).
     * Returns false when no registration exists for the base. */
   def advance(spark: SparkSession, basePath: String, viewPath: String,
-              asOfVersion: Long): Boolean =
-    lookup(spark, basePath) match {
+              asOfVersion: Long, name: String = defaultName): Boolean =
+    lookup(spark, basePath, name) match {
       case Some(d) =>
         persist(spark, d.copy(viewPath = viewPath, asOfVersion = asOfVersion))
         true
       case None => false
     }
 
-  /** Remove the store's registration (file + cache); subsequent
-    * aggregates in every session read the base again. Idempotent. */
-  def unregister(basePath: String): Unit = {
+  /** Remove ONE named registration (file + cache); subsequent
+    * aggregates that matched it read the base again. Idempotent. */
+  def unregister(basePath: String, name: String): Unit = {
     val key = canonPath(basePath)
-    val file = regFile(key)
+    val file = regFile(key, name)
     val fs = fsOf(SparkSession.active, file)
     if (fs.exists(file)) fs.delete(file, false)
-    cache.remove(key)
+    cache.remove(cacheKey(key, name))
+    ()
+  }
+
+  /** Remove ALL of the store's registrations. Idempotent. */
+  def unregister(basePath: String): Unit = {
+    val key = canonPath(basePath)
+    val dir = new org.apache.hadoop.fs.Path(key, dirName)
+    val fs = fsOf(SparkSession.active, dir)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val prefix = cacheKey(key, "")
+    cache.keySet().removeIf(_.startsWith(prefix))
     ()
   }
 
@@ -260,25 +286,27 @@ object MatViews {
     * the next lookup. Test hygiene, not an unregister. */
   def clear(): Unit = cache.clear()
 
-  /** The registration arming `basePath`, resolved THROUGH the table's
-    * metadata: one getFileStatus per call (absent → None), the parsed
-    * definition cached per-JVM on the file's (mtime, length). This is
-    * what lets a registration made by another session — or a previous
-    * run of this one — arm this session's reads. */
-  private[graft] def lookup(spark: SparkSession, basePath: String): Option[MatViewDef] = {
+  /** One named registration of `basePath`, resolved THROUGH the
+    * table's metadata: one getFileStatus per call (absent → None),
+    * the parsed definition cached per-JVM on the file's (mtime,
+    * length). This is what lets a registration made by another
+    * session — or a previous run of this one — arm this session's
+    * reads. */
+  private[graft] def lookup(spark: SparkSession, basePath: String,
+                            name: String = defaultName): Option[MatViewDef] = {
     val key = canonPath(basePath)
-    val file = regFile(key)
+    val file = regFile(key, name)
     val fs = fsOf(spark, file)
     val st =
       try Some(fs.getFileStatus(file))
       catch { case _: java.io.FileNotFoundException => None }
     st match {
       case None =>
-        cache.remove(key)
+        cache.remove(cacheKey(key, name))
         None
       case Some(s) =>
         val stamp = (s.getModificationTime, s.getLen)
-        Option(cache.get(key)) match {
+        Option(cache.get(cacheKey(key, name))) match {
           case Some((cached, d)) if cached == stamp => Some(d)
           case _ =>
             val in = fs.open(file)
@@ -286,10 +314,24 @@ object MatViews {
               try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
                 java.nio.charset.StandardCharsets.UTF_8)
               finally in.close()
-            val d = deserialize(spark, key, content)
-            cache.put(key, (stamp, d))
+            val d = deserialize(spark, key, name, content)
+            cache.put(cacheKey(key, name), (stamp, d))
             Some(d)
         }
     }
+  }
+
+  /** ALL registrations arming `basePath`, name-sorted (the rewrite's
+    * deterministic trial order): one directory listing, then the
+    * per-file cache above. Staged swap files (dot-prefixed) are
+    * invisible. */
+  private[graft] def lookupAll(spark: SparkSession, basePath: String): Seq[MatViewDef] = {
+    val key = canonPath(basePath)
+    val dir = new org.apache.hadoop.fs.Path(key, dirName)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+      .filter(n => nameRe.pattern.matcher(n).matches())
+      .flatMap(n => lookup(spark, key, n))
   }
 }

@@ -391,7 +391,9 @@ object GraftProcedures {
       ProcedureParameter.in("groups", StringType).build(),
       ProcedureParameter.in("count_col", StringType).defaultValue("''").build(),
       ProcedureParameter.in("sums", StringType).defaultValue("''").build(),
-      ProcedureParameter.in("counts", StringType).defaultValue("''").build())
+      ProcedureParameter.in("counts", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("name", StringType)
+        .defaultValue(s"'${graft.plans.MatViews.defaultName}'").build())
 
     private val out = StructType(Seq(
       StructField("base", StringType, nullable = false),
@@ -407,7 +409,8 @@ object GraftProcedures {
         groups = parseBindings(input.getUTF8String(3).toString),
         countCol = if (countCol.isEmpty) None else Some(countCol),
         sums = parseBindings(input.getUTF8String(5).toString),
-        counts = parseBindings(input.getUTF8String(6).toString))
+        counts = parseBindings(input.getUTF8String(6).toString),
+        name = input.getUTF8String(7).toString.trim)
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(table), utf8(view), asOf))))
     }
@@ -429,6 +432,7 @@ object GraftProcedures {
       Array(ProcedureParameter.in("table", StringType).build())
 
     private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
       StructField("view", StringType, nullable = false),
       StructField("as_of_version", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -437,10 +441,10 @@ object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = resolve(input.getUTF8String(0).toString, rootOpt)
-      val rows = graft.plans.MatViews.lookup(spark, table).toSeq.flatMap { d =>
+      val rows = graft.plans.MatViews.lookupAll(spark, table).flatMap { d =>
         def row(kind: String, vc: String, e: Option[String]): InternalRow =
-          new GenericInternalRow(Array[Any](utf8(d.viewPath), d.asOfVersion,
-            utf8(kind), utf8(vc), e.map(utf8).orNull))
+          new GenericInternalRow(Array[Any](utf8(d.name), utf8(d.viewPath),
+            d.asOfVersion, utf8(kind), utf8(vc), e.map(utf8).orNull))
         d.groups.map(b => row("group", b.viewCol, Some(b.sql))) ++
           d.countCol.map(c => row("count_star", c, None)).toSeq ++
           d.sums.map(b => row("sum", b.viewCol, Some(b.sql))) ++
@@ -450,21 +454,25 @@ object GraftProcedures {
     }
   }
 
-  /** `CALL graft.system.unregister_view(table)` — remove the store's
-    * registration; subsequent aggregates read the base again. */
+  /** `CALL graft.system.unregister_view(table[, name])` — remove the
+    * store's registration(s): the named one, or ALL when `name` is
+    * empty. Subsequent aggregates read the base again. */
   private final class UnregisterViewProcedure(rootOpt: Option[String])
     extends GraftProcedure("unregister_view") {
 
     override def description(): String =
-      "Remove a graft store's materialized-view registration; aggregate " +
-      "queries read the base table again"
+      "Remove a graft store's materialized-view registration (the named one, " +
+      "or all when name is omitted); aggregate queries read the base table again"
 
-    override def parameters(): Array[ProcedureParameter] =
-      Array(ProcedureParameter.in("table", StringType).build())
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = resolve(input.getUTF8String(0).toString, rootOpt)
-      graft.plans.MatViews.unregister(table)
+      val name = input.getUTF8String(1).toString.trim
+      if (name.isEmpty) graft.plans.MatViews.unregister(table)
+      else graft.plans.MatViews.unregister(table, name)
       result(StructType(Seq(StructField("base", StringType, nullable = false))),
         Array(new GenericInternalRow(Array[Any](utf8(table)))))
     }

@@ -253,6 +253,57 @@ object FeedView {
     q
   }
 
+  /** Registered `q_mv_rewrite_multi` (hash-oracled): SEVERAL NAMED
+    * VIEWS arming one table, created through the SQL DDL
+    * (`CREATE MATERIALIZED VIEW '<path>' NAMED n AS …`) at the live
+    * version of the shared three-commit store. A daily count query is
+    * servable only by the daily view, a monthly sum+avg query only by
+    * the monthly one (avg derives from its SUM+COUNT pair) — the
+    * rewrite picks the grain per query, and BOTH optimized plans are
+    * self-pinned never to touch the base store before the DDL drops
+    * the registrations again. Values hash-match DuckDB's census of
+    * the final merged state computed from raw parquet. */
+  def mvMultiResult(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceFixture(spark, dir)
+    val scratch = graft.util.Scratch.dir("mv_multi_q")
+    spark.sql(s"CREATE MATERIALIZED VIEW '$scratch/by_day' NAMED by_day AS " +
+      s"SELECT odate AS day, COUNT(*) AS n FROM graft.`$src` GROUP BY 1")
+    spark.sql(s"CREATE MATERIALIZED VIEW '$scratch/by_month' NAMED by_month AS " +
+      s"SELECT trunc(odate, 'month') AS month, COUNT(*) AS n, " +
+      s"COUNT(price) AS cnt_p, SUM(price) AS sum_p FROM graft.`$src` GROUP BY 1")
+    val daily = spark.sql(
+      s"""SELECT 'day' AS phase, odate AS dt, COUNT(*) AS n,
+         |  CAST(NULL AS DOUBLE) AS sum_price, CAST(NULL AS BIGINT) AS avg_micro
+         |FROM graft.`$src` GROUP BY odate""".stripMargin)
+    val monthly = spark.sql(
+      s"""SELECT 'month' AS phase, trunc(odate, 'month') AS dt, COUNT(*) AS n,
+         |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+         |  CAST(AVG(price) * 1000000 AS BIGINT) AS avg_micro
+         |FROM graft.`$src` GROUP BY trunc(odate, 'month')""".stripMargin)
+    // the registrations stay armed on the scratch fixture (correct by
+    // construction, wiped with the JVM) — dropping them here would
+    // de-arm the LAZY downstream re-optimization the caller's write
+    // triggers, and the pin below is about the plan that actually runs
+    val combined = daily.unionByName(monthly).orderBy("phase", "dt")
+    val readsBase = combined.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.sources.GraftTable]
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table.isInstanceOf[graft.sources.GraftTable]
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(src))
+          case _ => false
+        }
+      case _ => false
+    }
+    if (readsBase) throw new IllegalStateException(
+      "multi-view rewrite did not fire: an optimized subplan still scans the " +
+      "base store (daily must serve from by_day, monthly from by_month)")
+    combined
+  }
+
   /** Registered `q_incr_agg_stream` (hash-oracled): the monthly
     * aggregate maintained through the STREAMING change feed over the
     * three-commit lifecycle (class-0 baseline snapshot → re-key;

@@ -215,14 +215,52 @@ class MatViewSpec extends AnyFunSuite {
         Seq(("2024-01-01", 18L, 414.0), ("2024-02-01", 20L, 400.0)))
       // the registration is visible through the SQL surface
       val shown = spark.sql(s"CALL graft.system.show_views(table => '$t')").collect()
-      assert(shown.map(r => (r.getString(2), r.getString(3))).toSet ==
+      assert(shown.map(r => (r.getString(3), r.getString(4))).toSet ==
         Set(("group", "month"), ("count_star", "n_live"), ("sum", "sum_price")))
-      assert(shown.forall(r => r.getString(0) == view && r.getLong(1) == 2L))
+      assert(shown.forall(r => r.getString(0) == "registration" &&
+        r.getString(1) == view && r.getLong(2) == 2L))
       // unregister removes the file: a fresh cache finds nothing
       MatViews.unregister(t)
       MatViews.clear()
       assert(readsBase(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$t`"), t))
       assert(spark.sql(s"CALL graft.system.show_views(table => '$t')").isEmpty)
+    } finally MatViews.unregister(t)
+  }
+
+  test("several named views arm one table; each query picks a serving grain") {
+    val (t, monthly) = fixture()
+    val root = t.stripSuffix("/t")
+    // second registration at DAILY grain, via the NAMED DDL spelling
+    val daily = s"$root/view_daily"
+    try {
+      MatViews.register(spark, t, monthly, asOfVersion = 2L,
+        groups = Seq("month" -> trunc(col("d"), "month")),
+        countCol = Some("n_live"), sums = Seq("sum_price" -> col("p")),
+        name = "by_month")
+      spark.sql(s"CREATE MATERIALIZED VIEW '$daily' NAMED by_day AS " +
+        s"SELECT d AS day, COUNT(*) AS n FROM graft.`$t` GROUP BY 1")
+      // a DAILY query only the daily view can serve
+      val dq = spark.sql(s"SELECT d AS day, COUNT(*) AS n FROM graft.`$t` " +
+        "GROUP BY 1 ORDER BY 1")
+      assert(!readsBase(dq, t), s"daily grain must serve from by_day:\n${dq.queryExecution}")
+      assert(dq.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ==
+        Seq(("2024-01-15", 18L), ("2024-02-15", 20L)))
+      // a MONTHLY sum only the monthly view can serve (daily has no sums)
+      val mq = spark.sql(s"SELECT trunc(d, 'month') AS month, SUM(p) AS s " +
+        s"FROM graft.`$t` GROUP BY 1 ORDER BY 1")
+      assert(!readsBase(mq, t), "monthly sum must serve from by_month")
+      assert(mq.collect().map(r => (r.getDate(0).toString,
+        r.getDecimal(1).doubleValue())).toSeq ==
+        Seq(("2024-01-01", 414.0), ("2024-02-01", 400.0)))
+      // both registrations visible, independently droppable
+      val shown = spark.sql(s"CALL graft.system.show_views(table => '$t')").collect()
+      assert(shown.map(_.getString(0)).toSet == Set("by_month", "by_day"))
+      spark.sql(s"DROP MATERIALIZED VIEW FOR '$t' NAMED by_day")
+      val dq2 = spark.sql(s"SELECT d AS day, COUNT(*) AS n FROM graft.`$t` GROUP BY 1")
+      assert(readsBase(dq2, t), "daily grain must fall back once by_day is dropped")
+      assert(!readsBase(spark.sql(
+        s"SELECT trunc(d, 'month') AS m, COUNT(*) AS n FROM graft.`$t` GROUP BY 1"), t),
+        "by_month must survive by_day's drop")
     } finally MatViews.unregister(t)
   }
 
