@@ -86,6 +86,14 @@ object GraftScanInline extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // ALTER TABLE … ADD CONSTRAINT: the command's child is the
+    // existing-data validation scan, and DataSourceV2Strategy pattern-
+    // matches it as a RAW DataSourceV2ScanRelation to recover the
+    // catalog/table — inlining it would leave the command plan-less.
+    // The validation is a one-off DDL scan; it keeps the V1 bridge.
+    if (plan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint])
+      return plan
     // (path, version) → optimized merged subtree, scoped to THIS run
     val cache = scala.collection.mutable.Map.empty[String, LogicalPlan]
     var spliced = Set.empty[String] // keys already used verbatim once

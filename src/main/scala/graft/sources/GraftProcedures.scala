@@ -44,7 +44,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("history", "restore", "expire_snapshots", "optimize", "vacuum",
       "add_constraint", "drop_constraint", "show_constraints",
-      "register_view", "unregister_view", "show_views")
+      "register_view", "unregister_view", "show_views", "table_detail")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -59,6 +59,7 @@ object GraftProcedures {
       case "register_view"    => new RegisterViewProcedure(rootOpt)
       case "unregister_view"  => new UnregisterViewProcedure(rootOpt)
       case "show_views"       => new ShowViewsProcedure(rootOpt)
+      case "table_detail"     => new TableDetailProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -355,6 +356,80 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = resolve(input.getUTF8String(0).toString, rootOpt)
       result(constraintOut, constraintRows(table))
+    }
+  }
+
+  /** `CALL graft.system.table_detail(table)` — Delta's
+    * `DESCRIBE DETAIL` as a named verb: ONE operational summary row
+    * per store — live version + kind, committed-version count, the
+    * live chain's depth / file count / bytes (the closure a reader
+    * actually touches, resolved through parent pointers), merge key,
+    * and how many constraints / materialized views / branches / tags
+    * ride the table. Read-only, O(versions) metadata + one file
+    * listing per chain dir; nothing data-sized. */
+  private final class TableDetailProcedure(rootOpt: Option[String])
+    extends GraftProcedure("table_detail") {
+
+    override def description(): String =
+      "One operational summary row for a graft store: live version and kind, " +
+      "committed versions, live-chain depth/files/bytes, merge key, and the " +
+      "constraint/view/branch/tag counts"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+
+    private val out = StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("live_version", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("committed_versions", LongType, nullable = false),
+      StructField("chain_depth", LongType, nullable = false),
+      StructField("data_files", LongType, nullable = false),
+      StructField("data_bytes", LongType, nullable = false),
+      StructField("merge_key", StringType, nullable = true),
+      StructField("constraints", LongType, nullable = false),
+      StructField("views", LongType, nullable = false),
+      StructField("branches", LongType, nullable = false),
+      StructField("tags", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      // ledger-sized collects throughout: history() is O(versions)
+      // driver-side metadata, everything else is a directory listing
+      val hist = Sinks.history(spark, table).collect()
+      val head = hist.find(_.getBoolean(4)).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no published snapshot at $table (no commit marker in _manifests)"))
+      val parentOf: Map[Long, Option[Long]] = hist.map(r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // the live chain closure: head → … → base data version
+      val chain = Iterator.iterate(Option(head.getLong(0)))(
+        _.flatMap(parentOf.getOrElse(_, None)))
+        .takeWhile(_.isDefined).flatten.toSeq
+      val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(table))
+      def walk(p: org.apache.hadoop.fs.Path): Seq[Long] =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getLen)
+          else Seq.empty
+        }
+      val sizes = chain.flatMap(v => walk(new org.apache.hadoop.fs.Path(
+        s"$table/${Sinks.versionDirName(v)}")))
+      val key = DeletionVectors.chainKeyOf(spark, table, head.getLong(0))
+      val branches = {
+        val bp = new org.apache.hadoop.fs.Path(table, "_branches")
+        if (fs.exists(bp)) fs.listStatus(bp).count(_.isDirectory).toLong else 0L
+      }
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(table), head.getLong(0), utf8(head.getString(2)),
+        hist.length.toLong, chain.size.toLong,
+        sizes.size.toLong, sizes.sum,
+        key.map(utf8).orNull,
+        Constraints.constraintsOf(spark, table).size.toLong,
+        graft.plans.MatViews.lookupAll(spark, table).size.toLong,
+        branches,
+        Tags.listTags(spark, table).size.toLong))))
     }
   }
 

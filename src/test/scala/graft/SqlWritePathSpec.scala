@@ -272,6 +272,26 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(stateOf(t).keySet == Set(1L, 2L, 3L))
   }
 
+  test("CALL table_detail: one operational summary row") {
+    val t = graft.util.Scratch.dir("sqlw_detail") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 3L AS k, DATE'2024-03-16' AS d, " +
+      "'c' AS s, 3.0D AS p") // v2: an upsert link — live state is a chain
+    spark.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT p_pos CHECK (p > 0)")
+    val r = spark.sql(s"CALL graft.system.table_detail(table => '$t')").head()
+    assert(r.getString(0) == t)
+    assert(r.getLong(1) == 2L && r.getString(2) == "upsert-link")
+    assert(r.getLong(3) == 2L, "two committed versions")
+    assert(r.getLong(4) == 2L, "live chain closure: link + base")
+    assert(r.getLong(5) > 0L && r.getLong(6) > 0L, "files and bytes counted")
+    assert(r.getString(7) == "k", "chain merge key surfaced")
+    assert(r.getLong(8) == 1L && r.getLong(9) == 0L &&
+      r.getLong(10) == 0L && r.getLong(11) == 0L,
+      "1 constraint, no views/branches/tags yet")
+  }
+
   test("standard DDL: ALTER TABLE ADD/DROP CONSTRAINT … CHECK") {
     val t = graft.util.Scratch.dir("sqlw_ddl") + "/t"
     df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
