@@ -42,14 +42,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val createRe =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'(?:\s+NAMED\s+([A-Za-z0-9_]+))?\s+AS\s+(.+)$""".r
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+'([^']+)'(?:\s+NAMED\s+([A-Za-z0-9_]+))?\s+AS\s+(.+)$""".r
   private val dropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+FOR\s+'([^']+)'(?:\s+NAMED\s+([A-Za-z0-9_]+))?\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case createRe(viewPath, name, query) =>
+    case createRe(orReplace, viewPath, name, query) =>
       CreateMatViewCommand(viewPath.trim,
-        Option(name).getOrElse(MatViews.defaultName), query.trim)
+        Option(name).getOrElse(MatViews.defaultName), query.trim,
+        orReplace = orReplace != null)
     case dropRe(basePath, name) =>
       DropMatViewCommand(basePath.trim, Option(name))
     case _ => delegate.parsePlan(sqlText)
@@ -73,11 +74,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 }
 
-/** `CREATE MATERIALIZED VIEW '<path>' [NAMED n] AS <grouped
-  * aggregate>` — compute at the live version, persist, register for
-  * rewrite under `n` (several named views may arm one table at
-  * different grains). */
-case class CreateMatViewCommand(viewPath: String, name: String, query: String)
+/** `CREATE [OR REPLACE] MATERIALIZED VIEW '<path>' [NAMED n] AS
+  * <grouped aggregate>` — compute at the live version, persist,
+  * register for rewrite under `n` (several named views may arm one
+  * table at different grains). Bare CREATE refuses when the name is
+  * already registered for the base (standard DDL semantics — silent
+  * redefinition is how two maintainers end up fighting over one
+  * slot); OR REPLACE recomputes and re-points it. */
+case class CreateMatViewCommand(viewPath: String, name: String, query: String,
+                                orReplace: Boolean)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -157,6 +162,12 @@ case class CreateMatViewCommand(viewPath: String, name: String, query: String)
       refuse("every GROUP BY expression must appear (aliased) in the SELECT " +
         "list — the rewrite substitutes grain columns by name")
 
+    // name conflict checked AFTER shape validation (an unservable
+    // query is the more fundamental refusal) and BEFORE any write
+    if (!orReplace && MatViews.lookup(spark, basePath, name).isDefined)
+      throw new IllegalArgumentException(
+        s"materialized view '$name' already registered for $basePath — " +
+        "CREATE OR REPLACE MATERIALIZED VIEW re-points it, or DROP first")
     df.coalesce(1).write.mode("overwrite").parquet(viewPath)
     MatViews.register(spark, basePath, viewPath, version, g,
       countCol, sums.result(), counts.result(), name = name)

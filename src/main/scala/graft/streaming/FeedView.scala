@@ -266,9 +266,9 @@ object FeedView {
   def mvMultiResult(spark: SparkSession, dir: String): DataFrame = {
     val src = sourceFixture(spark, dir)
     val scratch = graft.util.Scratch.dir("mv_multi_q")
-    spark.sql(s"CREATE MATERIALIZED VIEW '$scratch/by_day' NAMED by_day AS " +
+    spark.sql(s"CREATE OR REPLACE MATERIALIZED VIEW '$scratch/by_day' NAMED by_day AS " +
       s"SELECT odate AS day, COUNT(*) AS n FROM graft.`$src` GROUP BY 1")
-    spark.sql(s"CREATE MATERIALIZED VIEW '$scratch/by_month' NAMED by_month AS " +
+    spark.sql(s"CREATE OR REPLACE MATERIALIZED VIEW '$scratch/by_month' NAMED by_month AS " +
       s"SELECT trunc(odate, 'month') AS month, COUNT(*) AS n, " +
       s"COUNT(price) AS cnt_p, SUM(price) AS sum_p FROM graft.`$src` GROUP BY 1")
     val daily = spark.sql(

@@ -365,6 +365,16 @@ class SqlWritePathSpec extends AnyFunSuite {
         spark.sql(s"CREATE MATERIALIZED VIEW '$root/v2' AS SELECT COUNT(*) AS n " +
           s"FROM graft.`$t` VERSION AS OF 1")
       }
+      // bare CREATE refuses a duplicate name; OR REPLACE re-points it
+      val dup = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '$root/v4' AS " +
+          s"SELECT trunc(d, 'month') AS month, COUNT(*) AS n FROM graft.`$t` GROUP BY 1")
+      }
+      assert(dup.getMessage.contains("already registered"), dup.getMessage)
+      spark.sql(s"CREATE OR REPLACE MATERIALIZED VIEW '$root/v4' AS " +
+        s"SELECT trunc(d, 'month') AS month, COUNT(*) AS n FROM graft.`$t` GROUP BY 1")
+      assert(graft.plans.MatViews.lookup(spark, t).exists(
+        _.viewPath == s"$root/v4"), "OR REPLACE must re-point the registration")
       // an underivable aggregate refuses with the reason
       val bad = intercept[Exception] {
         spark.sql(s"CREATE MATERIALIZED VIEW '$root/v3' AS " +
