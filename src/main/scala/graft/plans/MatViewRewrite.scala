@@ -125,18 +125,58 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val (path, version) = table.liveReadPoint.getOrElse {
       trace("pinned read"); return None }
     val spark = SparkSession.active
-    // a table may carry several registered views (different grains):
-    // try every FRESH one in deterministic name order, first match
-    // wins — a candidate whose grain can't serve this query just
-    // falls through to the next (and finally to the base read)
-    val candidates = MatViews.lookupAll(spark, path)
+    // FAULT ISOLATION: everything below runs inside the optimizer, so
+    // no registration problem — an unreadable _views file, a binding
+    // that no longer resolves after a schema evolution, a view parquet
+    // dir deleted out from under its registration — may ever break the
+    // query. Each candidate resolves under a NonFatal guard and a
+    // failure skips it (finally falling through to the base read);
+    // binding SQL re-analysis is deferred past the freshness check
+    // (Binding.norm is lazy), so a STALE registration — the normal
+    // state right after an evolution renamed its columns — is never
+    // resolved at all.
+    val candidates =
+      try MatViews.lookupAll(spark, path)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          trace(s"registration lookup failed for $path (base read): $e"); Nil
+      }
     if (candidates.isEmpty) { trace(s"no view for $path"); return None }
-    candidates.iterator.map { d =>
+    val serving = candidates.flatMap { d =>
       if (d.asOfVersion != version) {
         trace(s"stale: view '${d.name}'@${d.asOfVersion} read@$version"); None
-      } else rewriteWith(spark, agg, rel, subst, filters, d)
-    }.collectFirst { case Some(p) => p }
+      } else {
+        try rewriteWith(spark, agg, rel, subst, filters, d).map(d -> _)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            trace(s"candidate '${d.name}' failed to resolve (skipped): $e"); None
+        }
+      }
+    }
+    // COST-AWARE choice among several servers: a yearly rollup is
+    // answerable from both a daily and a monthly view, but the coarser
+    // one re-aggregates ~30× fewer rows — at a 100 TB table with a
+    // years-long daily view the difference is real work. The view's
+    // on-disk size is the cost proxy (one getContentSummary per
+    // serving candidate, and only when MORE than one serves — the
+    // common single-view path stays one-getFileStatus-per-query);
+    // name breaks ties deterministically.
+    serving match {
+      case Seq()          => None
+      case Seq((_, p))    => Some(p)
+      case several        =>
+        Some(several.minBy { case (d, _) => (viewBytes(spark, d.viewPath), d.name) }._2)
+    }
   }
+
+  /** On-disk size of a view's data — the cost key for choosing among
+    * several serving candidates. Unreadable → worst (chosen last). */
+  private def viewBytes(spark: SparkSession, viewPath: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(viewPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   private def rewriteWith(spark: SparkSession, agg: Aggregate,
                           rel: DataSourceV2Relation,

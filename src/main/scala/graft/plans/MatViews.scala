@@ -53,12 +53,40 @@ import org.apache.spark.sql.catalyst.plans.logical.Project
   * design (the property every MV-rewrite engine shares): an
   * expression written differently simply reads the base table — the
   * rewrite is an optimization, never a correctness dependency. */
-object MatViews {
+object MatViews extends org.apache.spark.internal.Logging {
 
   /** One registered column binding: the view column's name, the base
     * expression it reflects as resolved SQL (the persisted form), and
-    * the name-normalized expression the rewrite matches on. */
-  final case class Binding(viewCol: String, sql: String, norm: Expression)
+    * the name-normalized expression the rewrite matches on.
+    *
+    * `norm` is LAZY for persisted registrations: resolving the SQL
+    * re-analyzes it against the base table's CURRENT schema, which can
+    * legitimately fail after a supported schema evolution renamed or
+    * dropped a bound column — but an evolution also advanced the
+    * table's version, so such a registration is STALE and the rewrite
+    * never needs its bindings. Deferring resolution until after the
+    * freshness check (plus the NonFatal guard in [[MatViewRewrite]])
+    * keeps the documented contract: a registration is an optimization,
+    * never something a base query can fail on. A failed resolution is
+    * not cached — the next access retries (lazy-val semantics). */
+  final class Binding private (val viewCol: String, val sql: String,
+                               resolve: () => Expression) {
+    lazy val norm: Expression = resolve()
+  }
+
+  object Binding {
+    /** Eager binding (the register path): resolution failures surface
+      * immediately at the registration boundary, where they belong. */
+    def apply(viewCol: String, sql: String, norm: Expression): Binding = {
+      val n = norm
+      new Binding(viewCol, sql, () => n)
+    }
+
+    /** Deferred binding (the persisted-lookup path): resolution waits
+      * until the rewrite actually needs the normalized expression. */
+    def deferred(viewCol: String, sql: String, resolve: () => Expression): Binding =
+      new Binding(viewCol, sql, resolve)
+  }
 
   /** One registered view: the maintained aggregate of `basePath`'s
     * live state as of `asOfVersion`, stored at `viewPath`, with
@@ -85,10 +113,11 @@ object MatViews {
   private val nameRe = "[A-Za-z0-9_]{1,64}".r
 
   /** (mtime, length) of a registration file when the cached def was
-    * parsed — the staleness key, per (base, name). Content-addressed
-    * enough in practice: `asOfVersion` strictly advances, so
-    * consecutive states differ in content; a same-millisecond
-    * same-length foreign rewrite is self-healing at the next fold. */
+    * parsed — the staleness key, per (base, name). [[persist]] pads a
+    * swap whose content length would match the file it replaces, so
+    * the stamp always changes against the immediate predecessor (the
+    * state any reader's cache can hold) — discrimination never rests
+    * on mtime granularity alone. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), MatViewDef)]()
 
@@ -153,10 +182,17 @@ object MatViews {
     val sums = Seq.newBuilder[Binding]
     val counts = Seq.newBuilder[Binding]
     var countCol: Option[String] = None
+    // DEFERRED bindings: the persisted SQL is NOT re-analyzed here.
+    // Deserialization runs inside the optimizer (lookup), where a
+    // resolution failure against an evolved schema must never break
+    // the query — the norm resolves lazily, after the freshness check,
+    // under MatViewRewrite's NonFatal guard.
     def bind(parts: Array[String]): Binding =
-      binding(spark, basePath, parts(1),
-        org.apache.spark.sql.functions.expr(parts(2)))
-    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+      Binding.deferred(parts(1).toLowerCase(Locale.ROOT), parts(2),
+        () => normalize(resolved(SparkSession.active, basePath,
+          org.apache.spark.sql.functions.expr(parts(2)))))
+    val lines = content.split("\n").toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")) // "#" = stamp padding
     require(lines.headOption.contains("v1"),
       s"unrecognized mat-view registration format at $basePath/$dirName/$name " +
       s"— first line '${lines.headOption.getOrElse("")}' (expected 'v1')")
@@ -183,15 +219,30 @@ object MatViews {
 
   /** Staged-write-then-swap of a registration file. The instant
     * between delete and rename reads as "no registration" — a racing
-    * query then takes the base scan, which is always correct. */
+    * query then takes the base scan, which is always correct.
+    *
+    * The cache staleness key is (mtime, length), and consecutive
+    * advance states routinely serialize to the SAME length (fixed-width
+    * version digits), which would leave discrimination to mtime
+    * granularity alone. So when the new content's length matches the
+    * file it replaces, one `#` padding line is appended (deserialize
+    * skips `#` lines): a swap always changes the stamp relative to its
+    * immediate predecessor, which is exactly what any reader's cached
+    * stamp points at. */
   private def persist(spark: SparkSession, d: MatViewDef): Unit = {
     val file = regFile(d.basePath, d.name)
     val fs = fsOf(spark, file)
     val dir = file.getParent
     if (!fs.exists(dir)) fs.mkdirs(dir)
+    val prevLen: Option[Long] =
+      try Some(fs.getFileStatus(file).getLen)
+      catch { case _: java.io.FileNotFoundException => None }
+    var bytes = serialize(d).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (prevLen.contains(bytes.length.toLong))
+      bytes = bytes ++ "#\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val staged = new org.apache.hadoop.fs.Path(dir, s".staged_${d.name}")
     val out = fs.create(staged, true)
-    try out.write(serialize(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
     if (fs.exists(file)) fs.delete(file, false)
     if (!fs.rename(staged, file)) throw new java.io.IOException(
@@ -324,7 +375,11 @@ object MatViews {
   /** ALL registrations arming `basePath`, name-sorted (the rewrite's
     * deterministic trial order): one directory listing, then the
     * per-file cache above. Staged swap files (dot-prefixed) are
-    * invisible. */
+    * invisible, and an UNREADABLE file (corrupt content, a foreign
+    * file that happens to match the name pattern, a racing writer's
+    * torn state) is SKIPPED with a warning rather than thrown: this
+    * runs inside the optimizer, where a bad registration must degrade
+    * to "no rewrite", never break the query. */
   private[graft] def lookupAll(spark: SparkSession, basePath: String): Seq[MatViewDef] = {
     val key = canonPath(basePath)
     val dir = new org.apache.hadoop.fs.Path(key, dirName)
@@ -332,6 +387,14 @@ object MatViews {
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath.getName).sorted
       .filter(n => nameRe.pattern.matcher(n).matches())
-      .flatMap(n => lookup(spark, key, n))
+      .flatMap { n =>
+        try lookup(spark, key, n)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"skipping unreadable mat-view registration '$n' at $key " +
+              s"(queries fall back to the base read): $e")
+            None
+        }
+      }
   }
 }
