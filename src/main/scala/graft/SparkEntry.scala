@@ -471,6 +471,10 @@ object SparkEntry {
     // SCHEMA EVOLUTION: stable column ids in the publish manifest —
     // v1 (pre-rename, pre-add) reads through the live schema by id
     "q_schema_evolution" -> graft.sources.SchemaEvolution.evolutionResult _,
+    // the DDL-driven twin: ALTER TABLE RENAME/ADD/DROP COLUMN through
+    // the catalog, interleaved with row-level DML — same id mapping,
+    // one evolution publish per statement
+    "q_schema_evolution_sql" -> graft.sources.SchemaEvolution.evolutionSqlResult _,
     // DELETION VECTORS: merge-on-read deletes — base + two-vector
     // chain resolved as one broadcast anti-join, no base rewrite
     "q_dv_merge_read"    -> graft.sources.DeletionVectors.dvMergedResult _,
@@ -3238,6 +3242,25 @@ object SparkEntry {
         |       CAST(price + 5.25 AS DOUBLE), o_orderpriority
         |FROM base
         |ORDER BY src_version, o_orderkey""".stripMargin,
+
+    // DDL-driven evolution: same closed form, but live state carries
+    // the DML bump and the backfilled category — both phases are
+    // reconstructions of states the ALTER TABLE sequence produced
+    "q_schema_evolution_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 <> 0)
+        |SELECT 'v1_as_live' AS phase, o_orderkey,
+        |       CAST(price AS DOUBLE) AS amount, CAST(NULL AS VARCHAR) AS category
+        |FROM base
+        |UNION ALL
+        |SELECT 'live', o_orderkey,
+        |       CAST(price + CASE WHEN o_orderkey % 8 = 1 THEN 5.25 ELSE 0 END
+        |            AS DOUBLE),
+        |       o_orderpriority
+        |FROM base
+        |ORDER BY phase, o_orderkey""".stripMargin,
 
     // generated twins: the SQL is produced by folding the SAME step
     // table that builds the Spark plan (operators/Markup.scala), so

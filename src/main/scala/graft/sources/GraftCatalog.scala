@@ -113,40 +113,84 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "first publish instead of DDL: df.write.format(\"graft-table\")" +
       ".option(\"dateCol\", …).mode(\"overwrite\").save(path), or Sinks.publishSnapshot")
 
-  /** The STANDARD SQL spelling of constraint maintenance —
-    * `ALTER TABLE graft.`/path` ADD CONSTRAINT c CHECK (expr)` and
-    * `… DROP CONSTRAINT c` — routed through Spark 4's native DSv2
+  /** The STANDARD SQL spellings of table maintenance, two families:
+    *
+    * CONSTRAINTS — `ALTER TABLE graft.`/path` ADD CONSTRAINT c CHECK
+    * (expr)` / `… DROP CONSTRAINT c` through Spark 4's native DSv2
     * constraint DDL. Spark's AddCheckConstraintExec scans existing
     * data for violations BEFORE calling here (the same
     * refuse-if-violated contract [[Constraints.addConstraint]]
     * enforces for the library path), so the add persists without a
-    * second scan. Everything non-constraint still refuses: schema
-    * changes go through the evolution publish
-    * ([[SchemaEvolution]]), which keeps the stable column-id mapping
-    * as-of reads depend on — not through catalog DDL. */
+    * second scan.
+    *
+    * SCHEMA EVOLUTION — `ADD COLUMNS` / `RENAME COLUMN` /
+    * `DROP COLUMN` / `ALTER COLUMN … TYPE` routed to
+    * [[SchemaEvolution.alterColumns]]: every change in the statement
+    * folds into ONE evolution publish (rename inherits the stable
+    * column id via `renamedFrom`, add mints above the high-water
+    * mark, drop retires the id, type changes are lossless widenings
+    * only), so as-of reads keep resolving history by id across the
+    * change — the capability the reference's migrate-by-recreate
+    * never had.
+    *
+    * ATOMIC DDL: every change is classified BEFORE anything persists
+    * — a statement containing any unsupported change (or mixing the
+    * two families, which no standard grammar produces) refuses whole,
+    * never half-applies. Column changes are one publish (atomic by
+    * the commit-marker protocol); multi-ADD-CONSTRAINT statements
+    * persist per constraint only after all are validated as CHECKs. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
-    changes.foreach {
+    // ---- classify and validate ALL changes before persisting ANY ----
+    val constraintOps = changes.collect {
+      case c: TableChange.AddConstraint  => c: TableChange
+      case c: TableChange.DropConstraint => c: TableChange
+    }
+    val columnOps = changes.collect {
+      case c: TableChange.AddColumn        => c: TableChange
+      case c: TableChange.RenameColumn     => c: TableChange
+      case c: TableChange.DeleteColumn     => c: TableChange
+      case c: TableChange.UpdateColumnType => c: TableChange
+    }
+    val unsupported = changes.filterNot(c =>
+      constraintOps.contains(c) || columnOps.contains(c))
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported ALTER TABLE change(s) " +
+      s"${unsupported.map(_.getClass.getSimpleName).mkString(", ")} on a graft " +
+      "table: column add/rename/drop/type-widen (the evolution publish) and " +
+      "CHECK constraint add/drop are the supported DDL surface")
+    if (constraintOps.nonEmpty && columnOps.nonEmpty)
+      throw new UnsupportedOperationException(
+        "refusing to mix constraint and column changes in one ALTER TABLE " +
+        "statement — they commit through different mechanisms and could not " +
+        "apply atomically together; issue two statements")
+    constraintOps.foreach {
       case add: TableChange.AddConstraint =>
         add.constraint() match {
-          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            Constraints.persistValidated(spark, path, c.name(), c.predicateSql())
+          case _: org.apache.spark.sql.connector.catalog.constraints.Check => ()
           case other => throw new UnsupportedOperationException(
             s"graft tables support CHECK constraints only — got ${other.toDDL}; " +
             "primary/foreign keys and UNIQUE are not enforceable on a " +
             "snapshot store without an index structure it does not keep")
         }
       case drop: TableChange.DropConstraint =>
-        val known = Constraints.constraintsOf(spark, path).contains(drop.name())
-        if (known) Constraints.dropConstraint(spark, path, drop.name())
-        else if (!drop.ifExists()) throw new IllegalArgumentException(
-          s"no CHECK constraint '${drop.name()}' on $path — " +
-          "ALTER TABLE … DROP CONSTRAINT IF EXISTS tolerates unknown names")
-      case _ => throw new UnsupportedOperationException(
-        "schema changes go through the evolution publish " +
-        "(SchemaEvolution.publishEvolved), which keeps the stable column-id mapping " +
-        "as-of reads depend on — not through catalog DDL")
+        if (!drop.ifExists() &&
+            !Constraints.constraintsOf(spark, path).contains(drop.name()))
+          throw new IllegalArgumentException(
+            s"no CHECK constraint '${drop.name()}' on $path — " +
+            "ALTER TABLE … DROP CONSTRAINT IF EXISTS tolerates unknown names")
     }
+    // ---- apply ----
+    constraintOps.foreach {
+      case add: TableChange.AddConstraint =>
+        val c = add.constraint()
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check]
+        Constraints.persistValidated(spark, path, c.name(), c.predicateSql())
+      case drop: TableChange.DropConstraint =>
+        if (Constraints.constraintsOf(spark, path).contains(drop.name()))
+          Constraints.dropConstraint(spark, path, drop.name())
+    }
+    if (columnOps.nonEmpty) SchemaEvolution.alterColumns(spark, path, columnOps)
     loadTable(ident)
   }
 

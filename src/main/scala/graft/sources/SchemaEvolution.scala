@@ -109,6 +109,167 @@ object SchemaEvolution {
       extraMeta = Map(metaName -> render(cols), maxIdMeta -> nextId.toString))
   }
 
+  /** The SQL spelling of schema evolution — `ALTER TABLE graft.`…``
+    * `ADD COLUMNS / RENAME COLUMN / DROP COLUMN / ALTER COLUMN TYPE`
+    * routed here by [[GraftCatalog.alterTable]]. Every change in the
+    * statement folds into ONE [[publishEvolved]] call (one new
+    * version, atomic: the statement either commits whole or leaves
+    * the store untouched), mapped exactly like the library path:
+    * rename → `renamedFrom` id inheritance, add → a fresh id minted
+    * above the high-water mark (typed-null-filled for existing rows),
+    * drop → id retirement, type change → same id with a LOSSLESS
+    * widening only (the [[projectByIds]] rule, enforced here at DDL
+    * time rather than first failing at read time). This replaces the
+    * reference's migrate-by-recreate
+    * (`create_table_recreate_all_tables.py:1-21`) with history that
+    * stays readable across the change.
+    *
+    * Refusals (all BEFORE anything persists):
+    *   - nested field paths (the store's columns are top-level);
+    *   - ADD with NOT NULL or a DEFAULT (existing rows have no value
+    *     — the store records no default metadata to fake one);
+    *   - dropping or ambiguously resolving the month-partition date
+    *     column (detected as the live frame's single date/timestamp
+    *     column — the same rule the write path uses; renames of it
+    *     are fine, the publish follows the new name);
+    *   - a change that would leave a persisted CHECK constraint
+    *     unresolvable (drop the constraint first, or rename it too);
+    *   - narrowing type changes.
+    *
+    * Cost: one full rewrite of the LIVE state (read merged through
+    * any DV/MoR chain, projected, republished) — the same cost as the
+    * library path's evolution publish. At 100 TB an evolution is a
+    * deliberate, rare operation; a metadata-only evolution link is a
+    * possible future optimization but would push physical-vs-logical
+    * mapping resolution into every reader of the chain. */
+  def alterColumns(spark: SparkSession, tablePath: String,
+                   changes: Seq[org.apache.spark.sql.connector.catalog.TableChange],
+                   retainVersions: Int = 2): Long = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val live = Sinks.currentVersion(spark, tablePath).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
+    // live LOGICAL state: merged through any DV/MoR chain; projected
+    // by id when a mapping exists (a first ALTER on a store published
+    // without one simply mints the whole mapping fresh)
+    val base: DataFrame =
+      if (schemaOf(spark, tablePath, live).isDefined)
+        readMergedAs(spark, tablePath, live)
+      else {
+        val phys = DeletionVectors.readMergedAt(spark, tablePath, live)
+        if (phys.columns.contains("txn_month")) phys.drop("txn_month") else phys
+      }
+    // the month-partition column, by the write path's own rule: the
+    // frame's single date/timestamp column (ambiguity refuses — the
+    // library path takes an explicit dateCol for exactly that case)
+    val dateish = base.schema.fields.filter(f =>
+      f.dataType == org.apache.spark.sql.types.DateType ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+    require(dateish.length == 1,
+      s"ALTER TABLE on $tablePath cannot determine the month-partition column " +
+      s"(frame has ${dateish.length} date/timestamp columns); evolve through " +
+      "SchemaEvolution.publishEvolved with an explicit dateCol instead")
+    var dateCol = dateish.head.name
+
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what: nested field '${fieldNames.mkString(".")}' — graft store columns " +
+        "are top-level only")
+      fieldNames.head
+    }
+    def resolve(df: DataFrame, name: String, what: String): String =
+      df.columns.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"$what: no column '$name' on $tablePath " +
+          s"(have ${df.columns.mkString(", ")})"))
+
+    var df = base
+    var renamedFrom = Map.empty[String, String]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = single(add.fieldNames(), "ADD COLUMN")
+        require(df.columns.forall(!_.equalsIgnoreCase(name)),
+          s"ADD COLUMN: column '$name' already exists on $tablePath")
+        require(add.isNullable,
+          s"ADD COLUMN '$name' NOT NULL refused: existing rows have no value for " +
+          "it — add it nullable, backfill, then add a CHECK constraint")
+        require(add.defaultValue() == null,
+          s"ADD COLUMN '$name' DEFAULT refused: the store records no column " +
+          "defaults; backfill explicitly after adding")
+        df = df.withColumn(name, lit(null).cast(add.dataType()))
+        add.position() match {
+          case null => () // append at the end
+          case _: TableChange.First =>
+            df = df.select((name +: df.columns.filterNot(_ == name)).map(col): _*)
+          case after: TableChange.After =>
+            val rest = df.columns.filterNot(_ == name)
+            val anchor = rest.indexWhere(_.equalsIgnoreCase(after.column()))
+            require(anchor >= 0, s"ADD COLUMN '$name' AFTER ${after.column()}: " +
+              s"no such column on $tablePath")
+            val (pre, post) = rest.splitAt(anchor + 1)
+            df = df.select((pre ++ Seq(name) ++ post).map(col): _*)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported column position $other")
+        }
+      case rn: TableChange.RenameColumn =>
+        val old = resolve(df, single(rn.fieldNames(), "RENAME COLUMN"), "RENAME COLUMN")
+        val nu = rn.newName()
+        require(df.columns.forall(!_.equalsIgnoreCase(nu)),
+          s"RENAME COLUMN: column '$nu' already exists on $tablePath")
+        df = df.withColumnRenamed(old, nu)
+        // id inheritance composes across renames WITHIN the statement;
+        // a column ADDED by this same statement has no live id to
+        // inherit and correctly stays out of the map (fresh mint)
+        renamedFrom = renamedFrom.get(old) match {
+          case Some(origin)                        => renamedFrom - old + (nu -> origin)
+          case None if base.columns.contains(old)  => renamedFrom + (nu -> old)
+          case None                                => renamedFrom
+        }
+        if (dateCol == old) dateCol = nu
+      case del: TableChange.DeleteColumn =>
+        val name = single(del.fieldNames(), "DROP COLUMN")
+        df.columns.find(_.equalsIgnoreCase(name)) match {
+          case Some(actual) =>
+            require(actual != dateCol,
+              s"DROP COLUMN '$actual' refused: it is the month-partition column " +
+              s"of $tablePath; repartition through the library publish path first")
+            df = df.drop(actual)
+            renamedFrom -= actual
+          case None =>
+            if (!del.ifExists()) throw new IllegalArgumentException(
+              s"DROP COLUMN: no column '$name' on $tablePath — " +
+              "DROP COLUMN IF EXISTS tolerates unknown names")
+        }
+      case ut: TableChange.UpdateColumnType =>
+        val actual = resolve(df, single(ut.fieldNames(), "ALTER COLUMN TYPE"),
+          "ALTER COLUMN TYPE")
+        val from = df.schema(actual).dataType
+        val to = ut.newDataType()
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+          s"ALTER COLUMN '$actual' TYPE ${to.sql} refused: ${from.sql} -> ${to.sql} " +
+          "is not a lossless widening; reading old versions through the narrowed " +
+          "schema would corrupt history")
+        df = df.withColumn(actual, col(actual).cast(to))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} on a graft " +
+        "table: column add/rename/drop/type-widen and CHECK constraints only")
+    }
+    // a persisted CHECK constraint must still resolve against the new
+    // schema, or every later write would fail at its guard — refuse
+    // the evolution (not the writes) while nothing has persisted yet.
+    // The probe is a SELECT, not a filter: Dataset.filter resolves
+    // missing references through the child plan (the pre-rename
+    // attribute is still under the rename projection), which would
+    // silently bind the dead name
+    Constraints.constraintsOf(spark, tablePath).foreach { case (n, pred) =>
+      try df.select(expr(pred)).queryExecution.analyzed
+      catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+          s"ALTER TABLE would leave CHECK constraint '$n' ($pred) unresolvable — " +
+          s"DROP CONSTRAINT first (or rename through it): ${e.getMessage}")
+      }
+    }
+    publishEvolved(df, dateCol, tablePath, renamedFrom, retainVersions)
+  }
+
   /** Read committed `version` projected onto the schema of
     * `asOfVersion` (default: live). Columns resolve BY ID: present →
     * selected under the as-of name; absent at `version` (added later)
@@ -217,5 +378,61 @@ object SchemaEvolution {
       .select(lit(v).as("src_version"), col("o_orderkey"),
         col("amount").cast("double").as("amount"), col("category"))
     asOfLive(1L).unionByName(asOfLive(2L)).orderBy("src_version", "o_orderkey")
+  }
+
+  private val evolvedSql = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The SAME evolution driven through STANDARD SQL DDL instead of
+    * the library calls: v1 publishes (o_orderkey, price,
+    * transaction_date, priority) with its id mapping and a `v1` tag
+    * (pinning the version against the evolution publishes' retention),
+    * then the statement sequence
+    *
+    *   ALTER TABLE graft.`t` RENAME COLUMN price TO amount
+    *   UPDATE graft.`t` SET amount = amount + 5.25 WHERE k % 8 = 1
+    *   ALTER TABLE graft.`t` ADD COLUMNS (category STRING)
+    *   UPDATE graft.`t` SET category = priority
+    *   ALTER TABLE graft.`t` DROP COLUMN priority
+    *
+    * interleaves evolution DDL with row-level DML so the two version
+    * states genuinely differ. */
+  private def buildEvolvedSqlTable(spark: SparkSession, dir: String, tmp: String): String = {
+    val table = s"$tmp/table"
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        to_date(col("o_orderdate")).as("transaction_date"),
+        col("o_orderpriority").as("priority"))
+    publishEvolved(base, "transaction_date", table)
+    Tags.createTag(spark, table, "v1", Some(1L))
+    spark.sql(s"ALTER TABLE graft.`$table` RENAME COLUMN price TO amount")
+    spark.sql(s"UPDATE graft.`$table` SET amount = amount + CAST('5.25' AS " +
+      "DECIMAL(3,2)) WHERE o_orderkey % 8 = 1")
+    spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMNS (category STRING)")
+    spark.sql(s"UPDATE graft.`$table` SET category = priority")
+    spark.sql(s"ALTER TABLE graft.`$table` DROP COLUMN priority")
+    table
+  }
+
+  /** Registered `q_schema_evolution_sql` (hash-oracled): the DDL-driven
+    * twin of [[evolutionResult]]. Phase 1 reads the TAGGED v1 through
+    * the live schema — its `price` surfaces as `amount` BY ID across
+    * the SQL rename, `category` (added later) as typed null, `priority`
+    * (dropped later) vanishes. Phase live reads the final state — the
+    * DML bump and the backfilled category — through the catalog.
+    * Hash-matched against a closed-form DuckDB reconstruction, so the
+    * statement sequence provably lands the same id mapping the library
+    * path produces. */
+  def evolutionSqlResult(spark: SparkSession, dir: String): DataFrame = {
+    val table = evolvedSql.computeIfAbsent(dir,
+      _ => buildEvolvedSqlTable(spark, dir, graft.util.Scratch.dir("schema_evolution_sql_q")))
+    val v1 = readSnapshotAs(spark, table, Tags.tagVersion(spark, table, "v1"))
+      .select(lit("v1_as_live").as("phase"), col("o_orderkey"),
+        col("amount").cast("double").as("amount"), col("category"))
+    val live = spark.sql(s"SELECT o_orderkey, amount, category FROM graft.`$table`")
+      .select(lit("live").as("phase"), col("o_orderkey"),
+        col("amount").cast("double").as("amount"), col("category"))
+    v1.unionByName(live).orderBy("phase", "o_orderkey")
   }
 }

@@ -329,6 +329,73 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(stateOf(t).keySet == Set(1L, 2L, 3L))
   }
 
+  test("standard DDL: ALTER TABLE ADD/RENAME/DROP COLUMN + type widening") {
+    import graft.sources.SchemaEvolution
+    val t = graft.util.Scratch.dir("sqlw_evo") + "/t"
+    val base = Seq((1L, 10, 1.0), (2L, 20, 2.0)).toDF("k", "qty", "p")
+      .withColumn("d", to_date(lit("2024-03-15"))).select("k", "d", "qty", "p")
+    SchemaEvolution.publishEvolved(base, "d", t)
+    // pin v1 against the evolution publishes' retention so the as-of
+    // read-through at the end still has its data
+    graft.sources.Tags.createTag(spark, t, "v1", Some(1L))
+    def ids(v: Long): Map[String, Long] =
+      SchemaEvolution.schemaOf(spark, t, v).get.map(c => c.name -> c.id).toMap
+    def cols(): Seq[String] =
+      spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq
+
+    // RENAME: the stable id carries across (the id-inheritance the
+    // library spells renamedFrom), values untouched
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN p TO amount")
+    assert(cols() == Seq("k", "d", "qty", "amount"))
+    assert(ids(2L)("amount") == ids(1L)("p"), "rename must inherit the column id")
+    // ADD with a position: typed null for existing rows, fresh id
+    // above the high-water mark
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (note STRING AFTER k)")
+    assert(cols() == Seq("k", "note", "d", "qty", "amount"))
+    assert(spark.sql(s"SELECT note FROM graft.`$t`").collect().forall(_.isNullAt(0)))
+    assert(ids(3L)("note") > ids(1L).values.max, "added id must mint above the mark")
+    // TYPE widening keeps the id; narrowing refuses
+    spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN qty TYPE BIGINT")
+    assert(spark.sql(s"SELECT qty FROM graft.`$t`").schema.head.dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(ids(4L)("qty") == ids(1L)("qty"))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN amount TYPE FLOAT")
+    }
+    // DROP retires the id; dropping the month-partition column refuses
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN note")
+    assert(cols() == Seq("k", "d", "qty", "amount"))
+    intercept[Exception] { spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN d") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN no_such") }
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN IF EXISTS no_such") // tolerated
+    // NOT NULL adds refuse (existing rows have no value)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (x STRING NOT NULL)")
+    }
+    // as-of read-through: v1 resolves BY ID onto the live schema —
+    // p surfaces as amount, qty reads widened, note never existed
+    val asOf = SchemaEvolution.readSnapshotAs(spark, t, 1L)
+    assert(asOf.columns.toSeq == Seq("k", "d", "qty", "amount"))
+    assert(asOf.select("k", "qty", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((1L, 10L, 1.0), (2L, 20L, 2.0)))
+    // a CHECK constraint bound to a column blocks its rename (atomic
+    // refusal: nothing publishes) until the constraint is dropped
+    spark.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+    val before = Sinks.currentVersion(spark, t)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN amount TO value")
+    }
+    assert(e.getMessage.contains("amt_pos"), e.getMessage)
+    assert(Sinks.currentVersion(spark, t) == before, "a refused ALTER publishes nothing")
+    assert(cols() == Seq("k", "d", "qty", "amount"))
+    spark.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT amt_pos")
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN amount TO value")
+    assert(cols() == Seq("k", "d", "qty", "value"))
+    assert(spark.sql(s"SELECT SUM(value) AS s FROM graft.`$t`")
+      .as[Double].head() == 3.0)
+  }
+
   test("standard DDL: CREATE / DROP MATERIALIZED VIEW") {
     val root = graft.util.Scratch.dir("sqlw_cmv")
     val t = s"$root/t"
