@@ -2458,8 +2458,13 @@ object SparkEntry {
         |  SELECT k, p, d FROM base WHERE k % 10 = 7)
         |SELECT CAST(year(d) AS BIGINT) AS yr, COUNT(*) AS n_live,
         |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |  -- floor((2a+n)/2n) = Spark's HALF_UP only for a >= 0 (floor
+        |  -- rounds halves toward +inf, HALF_UP away from zero); prices
+        |  -- here are positive by construction
         |  CAST((CAST(SUM(p) * 100 AS HUGEINT) * 10000 * 2 + COUNT(*))
-        |       // (2 * COUNT(*)) AS BIGINT) AS avg_micro
+        |       // (2 * COUNT(*)) AS BIGINT) AS avg_micro,
+        |  CAST(MIN(p) AS DOUBLE) AS min_price,
+        |  CAST(MAX(p) AS DOUBLE) AS max_price
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the multi-view rewrite: daily counts only the daily view can

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -27,8 +27,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * SELECT must be a plain grouped aggregate directly over an unpinned
   * graft catalog read, with every output aliased: grain columns bind
   * as grain, `COUNT(*)`/`COUNT(1)` as the live-row count, `COUNT(x)`
-  * as x's non-null count, `SUM(x)` as x's sum — the exact shapes
-  * [[MatViewRewrite]] can derive answers from. Anything else refuses
+  * as x's non-null count, `SUM(x)` as x's sum, `MIN(x)`/`MAX(x)` as
+  * x's extremes — the exact shapes [[MatViewRewrite]] can derive
+  * answers from. Anything else refuses
   * with the reason (a mat-view whose shape the rewrite cannot use is
   * a bug held for later, not a feature).
   *
@@ -125,6 +126,8 @@ case class CreateMatViewCommand(viewPath: String, name: String, query: String,
     val groups = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
     val sums = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
     val counts = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
+    val mins = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
+    val maxs = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
     var countCol: Option[String] = None
     // the analyzed expressions carry catalog-qualified attributes
     // (`graft./path/t`.`d`); registration re-resolves against a bare
@@ -142,9 +145,12 @@ case class CreateMatViewCommand(viewPath: String, name: String, query: String,
           case c: Count if c.children.size == 1 =>
             counts += al.name -> asCol(c.children.head)
           case s: Sum => sums += al.name -> asCol(s.child)
+          case m: Min => mins += al.name -> asCol(m.child)
+          case m: Max => maxs += al.name -> asCol(m.child)
           case other => refuse(s"'${al.name}' is ${other.prettyName} — only " +
-            "COUNT(*)/COUNT(x)/SUM(x) are maintainable-and-derivable; " +
-            "avg derives automatically from a SUM(x) + COUNT(x) pair")
+            "COUNT(*)/COUNT(x)/SUM(x)/MIN(x)/MAX(x) are " +
+            "maintainable-and-derivable; avg derives automatically from a " +
+            "SUM(x) + COUNT(x) pair")
         }
       case ne if groupNorms.contains(MatViews.normalize(ne match {
           case Alias(e, _) => e
@@ -170,7 +176,8 @@ case class CreateMatViewCommand(viewPath: String, name: String, query: String,
         "CREATE OR REPLACE MATERIALIZED VIEW re-points it, or DROP first")
     df.coalesce(1).write.mode("overwrite").parquet(viewPath)
     MatViews.register(spark, basePath, viewPath, version, g,
-      countCol, sums.result(), counts.result(), name = name)
+      countCol, sums.result(), counts.result(), name = name,
+      mins = mins.result(), maxs = maxs.result())
     Seq(Row(basePath, viewPath, version))
   }
 }

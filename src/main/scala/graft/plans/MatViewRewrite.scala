@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -50,8 +50,10 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType,
   *     expressions [[Average.evaluateExpression]] uses so decimal
   *     results are bit-identical. count(NULL literal) refuses (COUNT
   *     skips nulls — the right answer is 0, not the row count);
-  *     min/max stay non-derivable from a counts-and-sums view under
-  *     deletes and correctly refuse.
+  *     min(x)/max(x) with a registered mins/maxs binding →
+  *     min/max(view extremum column) — sound because the MAINTAINER
+  *     owns delete repair (dirty-group recompute, the registration
+  *     contract); an unregistered extremum operand still refuses.
   *
   * Everything else — stale view (source committed past it),
   * version-pinned reads, unmatched expressions — leaves the plan
@@ -187,7 +189,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val viewAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
     // every registered column must exist in the view as stored
-    val needed = (d.groups ++ d.sums ++ d.counts).map(_.viewCol) ++ d.countCol.toSeq
+    val needed =
+      (d.groups ++ d.sums ++ d.counts ++ d.mins ++ d.maxs).map(_.viewCol) ++
+        d.countCol.toSeq
     if (!needed.forall(viewAttr.contains)) return None
 
     val groupByNorm: Map[Expression, Attribute] = d.groups.flatMap {
@@ -195,6 +199,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val sumByNorm: Map[Expression, Attribute] = d.sums.flatMap {
       b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
     val cntByNorm: Map[Expression, Attribute] = d.counts.flatMap {
+      b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
+    val minByNorm: Map[Expression, Attribute] = d.mins.flatMap {
+      b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
+    val maxByNorm: Map[Expression, Attribute] = d.maxs.flatMap {
       b => viewAttr.get(b.viewCol).map(b.norm -> _) }.toMap
     val baseRefs = rel.outputSet
 
@@ -284,6 +292,21 @@ object MatViewRewrite extends Rule[LogicalPlan] {
               }
             case _ => None
           }
+        // min(x)/max(x): MIN of per-group minima IS the coarser min
+        // (idempotent, order-insensitive), so a registered extremum
+        // column serves any rollup. Deletes are the maintainer's
+        // problem (dirty-group recompute — the registration contract),
+        // not the rewrite's. Types must match exactly: the view stores
+        // the operand's own type, and a silently-cast extremum would
+        // change overflow/precision behavior.
+        case m: Min =>
+          minByNorm.get(MatViews.normalize(m.child))
+            .filter(_.dataType == ae.dataType)
+            .map(vc => Min(vc).toAggregateExpression())
+        case m: Max =>
+          maxByNorm.get(MatViews.normalize(m.child))
+            .filter(_.dataType == ae.dataType)
+            .map(vc => Max(vc).toAggregateExpression())
         case _ => None
       }
     }

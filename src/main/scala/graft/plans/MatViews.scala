@@ -44,6 +44,13 @@ import org.apache.spark.sql.catalyst.plans.logical.Project
   *     holds the per-group NON-NULL operand count — together these
   *     make `sum`, `count(col)` and `avg` exactly derivable under
   *     deletes, all-null groups included.
+  *   - a `mins`/`maxs` column holds the per-group MIN/MAX of its
+  *     operand at the operand's own type, NULL exactly when the group
+  *     has no non-null operand rows. Deletes break the signed-delta
+  *     algebra for extremes, so the maintainer owns the repair: when a
+  *     retirement touches a group's stored extremum, THAT group
+  *     recomputes from the base (O(affected groups) — the FeedView
+  *     fold's dirty-group pass).
   *
   * Matching is NAME-normalized structural equality: expressions are
   * compared with attribute references reduced to their lower-cased
@@ -91,11 +98,16 @@ object MatViews extends org.apache.spark.internal.Logging {
   /** One registered view: the maintained aggregate of `basePath`'s
     * live state as of `asOfVersion`, stored at `viewPath`, with
     * grain `groups`, `countCol` holding per-group live-row counts,
-    * `sums` (view column → base sum operand) and `counts` (view
+    * `sums` (view column → base sum operand), `counts` (view
     * column → base operand whose per-group NON-NULL count it holds —
-    * the piece that makes `avg`/`count(col)` derivable). `name`
-    * distinguishes registrations when a table carries SEVERAL views
-    * at different grains (one `_views/<name>` file each). */
+    * the piece that makes `avg`/`count(col)` derivable), and
+    * `mins`/`maxs` (view column → base operand whose per-group
+    * MIN/MAX it holds — maintainable under deletes because the
+    * maintainer recomputes a group from the base when a retirement
+    * touches its stored extremum; see
+    * [[graft.streaming.FeedView]]). `name` distinguishes
+    * registrations when a table carries SEVERAL views at different
+    * grains (one `_views/<name>` file each). */
   final case class MatViewDef(
       basePath: String,
       name: String,
@@ -104,7 +116,9 @@ object MatViews extends org.apache.spark.internal.Logging {
       groups: Seq[Binding],
       countCol: Option[String],
       sums: Seq[Binding],
-      counts: Seq[Binding])
+      counts: Seq[Binding],
+      mins: Seq[Binding] = Nil,
+      maxs: Seq[Binding] = Nil)
 
   /** The unnamed-registration name — what single-view callers (the
     * feed maintainer, the plain procedure spelling) read and write. */
@@ -171,6 +185,8 @@ object MatViews extends org.apache.spark.internal.Logging {
     d.countCol.foreach(c => sb ++= s"count_star\t$c\n")
     d.sums.foreach(b => sb ++= s"sum\t${b.viewCol}\t${b.sql}\n")
     d.counts.foreach(b => sb ++= s"count\t${b.viewCol}\t${b.sql}\n")
+    d.mins.foreach(b => sb ++= s"min\t${b.viewCol}\t${b.sql}\n")
+    d.maxs.foreach(b => sb ++= s"max\t${b.viewCol}\t${b.sql}\n")
     sb.result()
   }
 
@@ -181,6 +197,8 @@ object MatViews extends org.apache.spark.internal.Logging {
     val groups = Seq.newBuilder[Binding]
     val sums = Seq.newBuilder[Binding]
     val counts = Seq.newBuilder[Binding]
+    val mins = Seq.newBuilder[Binding]
+    val maxs = Seq.newBuilder[Binding]
     var countCol: Option[String] = None
     // DEFERRED bindings: the persisted SQL is NOT re-analyzed here.
     // Deserialization runs inside the optimizer (lookup), where a
@@ -205,6 +223,8 @@ object MatViews extends org.apache.spark.internal.Logging {
         case "count_star" => countCol = Some(parts(1))
         case "sum"        => sums += bind(parts)
         case "count"      => counts += bind(parts)
+        case "min"        => mins += bind(parts)
+        case "max"        => maxs += bind(parts)
         case other => throw new IllegalArgumentException(
           s"unrecognized mat-view registration entry '$other' at $basePath")
       }
@@ -214,7 +234,8 @@ object MatViews extends org.apache.spark.internal.Logging {
         s"mat-view registration at $basePath has no view path")),
       version.getOrElse(throw new IllegalArgumentException(
         s"mat-view registration at $basePath has no version")),
-      groups.result(), countCol, sums.result(), counts.result())
+      groups.result(), countCol, sums.result(), counts.result(),
+      mins.result(), maxs.result())
   }
 
   /** Staged-write-then-swap of a registration file. The instant
@@ -269,7 +290,9 @@ object MatViews extends org.apache.spark.internal.Logging {
                countCol: Option[String] = None,
                sums: Seq[(String, Column)] = Nil,
                counts: Seq[(String, Column)] = Nil,
-               name: String = defaultName): Unit = {
+               name: String = defaultName,
+               mins: Seq[(String, Column)] = Nil,
+               maxs: Seq[(String, Column)] = Nil): Unit = {
     require(groups.nonEmpty || countCol.isDefined || sums.nonEmpty,
       "a mat-view registration needs at least one grain column or aggregate")
     require(nameRe.pattern.matcher(name).matches(),
@@ -279,7 +302,9 @@ object MatViews extends org.apache.spark.internal.Logging {
       groups.map { case (vc, c) => binding(spark, basePath, vc, c) },
       countCol.map(_.toLowerCase(Locale.ROOT)),
       sums.map { case (vc, c) => binding(spark, basePath, vc, c) },
-      counts.map { case (vc, c) => binding(spark, basePath, vc, c) })
+      counts.map { case (vc, c) => binding(spark, basePath, vc, c) },
+      mins.map { case (vc, c) => binding(spark, basePath, vc, c) },
+      maxs.map { case (vc, c) => binding(spark, basePath, vc, c) })
     // the no-empty-groups contract, probed at the register boundary:
     // a view row with a non-positive live count would surface groups
     // the base GROUP BY never emits. One small read of a groups-sized

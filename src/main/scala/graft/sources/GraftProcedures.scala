@@ -523,7 +523,9 @@ object GraftProcedures {
         d.groups.map(b => row("group", b.viewCol, Some(b.sql))) ++
           d.countCol.map(c => row("count_star", c, None)).toSeq ++
           d.sums.map(b => row("sum", b.viewCol, Some(b.sql))) ++
-          d.counts.map(b => row("count", b.viewCol, Some(b.sql)))
+          d.counts.map(b => row("count", b.viewCol, Some(b.sql))) ++
+          d.mins.map(b => row("min", b.viewCol, Some(b.sql))) ++
+          d.maxs.map(b => row("max", b.viewCol, Some(b.sql)))
       }
       result(out, rows.toArray)
     }

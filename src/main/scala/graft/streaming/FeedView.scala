@@ -6,9 +6,13 @@ import graft.sources.{DeletionVectors, Sinks, Tables}
 
 /** FEED-DRIVEN INCREMENTAL MATERIALIZED VIEW — the streaming twin of
   * [[graft.operators.SnapshotDiff.refreshAgg]]: a monthly aggregate
-  * (live-row count + exact decimal sum) maintained from the CHANGE
-  * FEED instead of batch diffs. The feed runs in `preimages` mode
-  * (Delta-CDF shapes), so maintenance is pure signed-delta algebra:
+  * (live-row count + exact decimal sum + min/max) maintained from the
+  * CHANGE FEED instead of batch diffs. The feed runs in `preimages`
+  * mode (Delta-CDF shapes), so count/sum maintenance is pure
+  * signed-delta algebra; MIN/MAX fold arrivals with least/greatest
+  * and repair retirement-of-extremum groups by recomputing exactly
+  * those groups from the base (O(affected groups), the standard
+  * technique — deletes are not invertible for extremes):
   *
   *   - `update_preimage` / `delete` rows RETIRE their old contribution
   *     (−1, −old price, in the OLD row's month — month moves ride the
@@ -94,7 +98,9 @@ object FeedView {
                 snap.groupBy(monthOf(col(dateCol)).as("month"))
                   .agg(count(lit(1)).as("n_live"),
                     count(col(priceCol)).as("cnt_price"),
-                    sum(priceCol).cast("decimal(18,2)").as("sum_price"))
+                    sum(priceCol).cast("decimal(18,2)").as("sum_price"),
+                    min(priceCol).cast("decimal(18,2)").as("min_price"),
+                    max(priceCol).cast("decimal(18,2)").as("max_price"))
               else {
                 val prev = applied.map(a => spark.read.parquet(a._2)).getOrElse(
                   throw new IllegalStateException(
@@ -107,22 +113,33 @@ object FeedView {
                 // seen a non-null price — exactly base SUM semantics
                 // (coalescing both operands to 0 would fold an all-null
                 // month to 0.00 while the base answer is NULL)
+                // extremes ride the same pass: arrivals can only
+                // IMPROVE a group's min/max (least/greatest fold), but
+                // a retirement that reaches the stored extremum makes
+                // the group DIRTY — its min/max is recomputed from the
+                // base below, the standard O(affected groups) repair
                 val retired = of.filter(col("_change_type")
                     .isin("update_preimage", "delete"))
                   .select(monthOf(col(dateCol)).as("month"),
                     lit(-1L).as("dn"),
                     when(col(priceCol).isNull, 0L).otherwise(-1L).as("dc"),
-                    (-col(priceCol)).as("dp"))
+                    (-col(priceCol)).as("dp"),
+                    col(priceCol).as("rp"),
+                    lit(null).cast("decimal(18,2)").as("ap"))
                 val arrived = of.filter(col("_change_type")
                     .isin("update_postimage", "insert"))
                   .select(monthOf(col(dateCol)).as("month"),
                     lit(1L).as("dn"),
                     when(col(priceCol).isNull, 0L).otherwise(1L).as("dc"),
-                    col(priceCol).as("dp"))
+                    col(priceCol).as("dp"),
+                    lit(null).cast("decimal(18,2)").as("rp"),
+                    col(priceCol).as("ap"))
                 val deltas = retired.unionByName(arrived)
                   .groupBy("month").agg(sum("dn").as("dn"), sum("dc").as("dc"),
-                    sum("dp").as("dp"))
-                prev.join(deltas, Seq("month"), "full_outer")
+                    sum("dp").as("dp"),
+                    min("ap").as("amin"), max("ap").as("amax"),
+                    min("rp").as("rmin"), max("rp").as("rmax"))
+                val folded = prev.join(deltas, Seq("month"), "full_outer")
                   .select(col("month"),
                     (coalesce(col("n_live"), lit(0L)) +
                       coalesce(col("dn"), lit(0L))).as("n_live"),
@@ -132,11 +149,59 @@ object FeedView {
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")) +
                       coalesce(col("dp"),
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
-                      .cast("decimal(18,2)").as("sum_price"))
+                      .cast("decimal(18,2)").as("sum_price"),
+                    // a retirement is only dangerous if it reaches the
+                    // stored extremum AND no arrival at least matches
+                    // it (ties retire one of possibly-many holders —
+                    // unknowable without the base, hence dirty)
+                    (col("rmin").isNotNull && col("min_price").isNotNull &&
+                      col("rmin") <= col("min_price") &&
+                      (col("amin").isNull || col("amin") > col("rmin")))
+                      .as("dirty_min"),
+                    (col("rmax").isNotNull && col("max_price").isNotNull &&
+                      col("rmax") >= col("max_price") &&
+                      (col("amax").isNull || col("amax") < col("rmax")))
+                      .as("dirty_max"),
+                    least(col("min_price"), col("amin")).as("min_fold"),
+                    greatest(col("max_price"), col("amax")).as("max_fold"))
                   .withColumn("sum_price",
                     when(col("cnt_price") === 0L,
                       lit(null).cast("decimal(18,2)")).otherwise(col("sum_price")))
                   .filter(col("n_live") > 0)
+                // dirty-group repair: recompute min/max for EXACTLY the
+                // months a retirement dethroned, from the base state at
+                // this version. Bounded driver action (months, not
+                // rows); the base read is range-predicated on the date
+                // column so parquet row-group stats skip the untouched
+                // months' files (the store's month-partitioned layout
+                // makes file min/max tight).
+                val dirtyMonths = folded
+                  .filter(col("dirty_min") || col("dirty_max"))
+                  .select("month").collect().map(_.getDate(0))
+                if (dirtyMonths.isEmpty)
+                  folded.select(col("month"), col("n_live"), col("cnt_price"),
+                    col("sum_price"),
+                    col("min_fold").cast("decimal(18,2)").as("min_price"),
+                    col("max_fold").cast("decimal(18,2)").as("max_price"))
+                else {
+                  val ranges = dirtyMonths.map { m =>
+                    val start = m.toLocalDate
+                    (col(dateCol) >= lit(java.sql.Date.valueOf(start))) &&
+                      (col(dateCol) < lit(java.sql.Date.valueOf(start.plusMonths(1))))
+                  }.reduce(_ || _)
+                  val recomputed = graft.sources.DeletionVectors
+                    .readMergedAt(spark, sourceTable, v)
+                    .filter(ranges)
+                    .groupBy(monthOf(col(dateCol)).as("month"))
+                    .agg(min(priceCol).as("r_min"), max(priceCol).as("r_max"))
+                  folded.join(recomputed, Seq("month"), "left")
+                    .select(col("month"), col("n_live"), col("cnt_price"),
+                      col("sum_price"),
+                      when(col("dirty_min"), col("r_min")).otherwise(col("min_fold"))
+                        .cast("decimal(18,2)").as("min_price"),
+                      when(col("dirty_max"), col("r_max")).otherwise(col("max_fold"))
+                        .cast("decimal(18,2)").as("max_price"))
+                }
               }
             // group-sized state, committed by DIRECTORY RENAME to the
             // versioned name (a crash mid-write leaves only a staged
@@ -161,7 +226,9 @@ object FeedView {
                   groups = Seq("month" -> monthOf(col(dateCol))),
                   countCol = Some("n_live"),
                   sums = Seq("sum_price" -> col(priceCol)),
-                  counts = Seq("cnt_price" -> col(priceCol)))
+                  counts = Seq("cnt_price" -> col(priceCol)),
+                  mins = Seq("min_price" -> col(priceCol)),
+                  maxs = Seq("max_price" -> col(priceCol)))
             }
           }
           ()
@@ -227,7 +294,9 @@ object FeedView {
     val q = spark.sql(
       s"""SELECT CAST(year(trunc(odate, 'month')) AS BIGINT) AS yr,
          |  COUNT(*) AS n_live, CAST(SUM(price) AS DOUBLE) AS sum_price,
-         |  CAST(AVG(price) * 1000000 AS BIGINT) AS avg_micro
+         |  CAST(AVG(price) * 1000000 AS BIGINT) AS avg_micro,
+         |  CAST(MIN(price) AS DOUBLE) AS min_price,
+         |  CAST(MAX(price) AS DOUBLE) AS max_price
          |FROM graft.`$src` GROUP BY 1 ORDER BY 1""".stripMargin)
     // the registered surface self-pins the substitution: a plan that
     // still reads the base store is the 100-TB full scan this operator

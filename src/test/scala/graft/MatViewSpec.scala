@@ -264,6 +264,61 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatViews.unregister(t)
   }
 
+  test("min/max serve from the feed-maintained view, deletes of extremes repaired") {
+    val root = graft.util.Scratch.dir("mv_minmax")
+    val t = s"$root/t"
+    // k=1..20, price = k*1.00 in one month; k=21..30 in a second month
+    val rows = (1L to 30L).map { i =>
+      (i, java.sql.Date.valueOf(if (i <= 20) "2024-01-15" else "2024-02-15"),
+        java.math.BigDecimal.valueOf(i * 100L, 2))
+    }.toDF("k", "d", "p").withColumn("p", col("p").cast("decimal(18,2)"))
+    Sinks.publishSnapshot(rows, "d", t, retainVersions = 100)
+    def drain(): Unit = graft.streaming.FeedView.runFeedAgg(spark, t,
+      s"$root/state", s"$root/ckpt", dateCol = "d", priceCol = "p",
+      availableNow = true, registerView = true).awaitTermination()
+    def minmax() = spark.sql(s"SELECT trunc(d, 'month') AS month, " +
+      s"MIN(p) AS mn, MAX(p) AS mx FROM graft.`$t` GROUP BY 1 ORDER BY 1")
+    def truthAt(v: Long) = DeletionVectors.readMergedAt(spark, t, v)
+      .groupBy(trunc(col("d"), "month").as("month"))
+      .agg(min("p").as("mn"), max("p").as("mx")).orderBy("month")
+    try {
+      drain()
+      val a = minmax()
+      assert(!readsBase(a, t), s"min/max must rewrite:\n${a.queryExecution}")
+      assert(a.collect().toSeq == truthAt(1L).collect().toSeq)
+      // delete BOTH extremes of January (k=1 min holder, k=20 max
+      // holder) plus a middle row — the fold must mark the group dirty
+      // and recompute it from the base, not least/greatest its way past
+      DeletionVectors.publishDeletes(spark, t,
+        Seq(1L, 20L, 10L).toDF("k"), "k") // v2
+      drain()
+      val b = minmax()
+      assert(!readsBase(b, t), "the fold must re-arm after the delete commit")
+      assert(b.collect().toSeq == truthAt(2L).collect().toSeq,
+        "deleted extremes must be repaired from the base")
+      assert(b.collect().map(r => (r.getDate(0).toString,
+        r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue())).toSeq ==
+        Seq(("2024-01-01", 2.0, 19.0), ("2024-02-01", 21.0, 30.0)))
+      // an upsert RAISING the max (k=25 -> 99.00) folds without a
+      // recompute (arrivals only improve extremes)
+      DeletionVectors.publishUpsert(spark, t,
+        Seq((25L, java.sql.Date.valueOf("2024-02-15"),
+          new java.math.BigDecimal("99.00"))).toDF("k", "d", "p")
+          .withColumn("p", col("p").cast("decimal(18,2)")),
+        "k", Seq.empty[Long].toDF("k").limit(0), validate = false) // v3
+      drain()
+      val c = minmax()
+      assert(!readsBase(c, t))
+      assert(c.collect().toSeq == truthAt(3L).collect().toSeq)
+      // a GLOBAL max rolls up from the monthly extremes
+      val g = spark.sql(s"SELECT MAX(p) AS mx FROM graft.`$t`")
+      assert(!readsBase(g, t), "global max must rewrite")
+      assert(g.collect().head.getDecimal(0).doubleValue() == 99.0)
+      // an unregistered extremum operand still refuses
+      assert(readsBase(spark.sql(s"SELECT MAX(k) AS m FROM graft.`$t`"), t))
+    } finally MatViews.unregister(t)
+  }
+
   test("fault isolation: no registration problem may break a base query") {
     val (t, view) = fixture()
     val viewsDir = s"$t/_views"

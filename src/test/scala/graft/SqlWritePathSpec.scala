@@ -442,12 +442,20 @@ class SqlWritePathSpec extends AnyFunSuite {
         s"SELECT trunc(d, 'month') AS month, COUNT(*) AS n FROM graft.`$t` GROUP BY 1")
       assert(graft.plans.MatViews.lookup(spark, t).exists(
         _.viewPath == s"$root/v4"), "OR REPLACE must re-point the registration")
-      // an underivable aggregate refuses with the reason
+      // MIN/MAX are maintainable-and-derivable shapes (r16): a named
+      // extremes view arms and serves MIN/MAX queries
+      spark.sql(s"CREATE MATERIALIZED VIEW '$root/v5' NAMED extremes AS " +
+        s"SELECT trunc(d, 'month') AS month, MIN(p) AS mn, MAX(p) AS mx " +
+        s"FROM graft.`$t` GROUP BY 1")
+      val mm = spark.sql(s"SELECT MIN(p) AS mn, MAX(p) AS mx FROM graft.`$t`")
+      assert(mm.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+        Seq((1.0, 3.0)))
+      // an underivable aggregate still refuses with the reason
       val bad = intercept[Exception] {
         spark.sql(s"CREATE MATERIALIZED VIEW '$root/v3' AS " +
-          s"SELECT trunc(d, 'month') AS m, MAX(p) AS mx FROM graft.`$t` GROUP BY 1")
+          s"SELECT trunc(d, 'month') AS m, STDDEV(p) AS sd FROM graft.`$t` GROUP BY 1")
       }
-      assert(bad.getMessage.contains("max"), bad.getMessage)
+      assert(bad.getMessage.contains("stddev"), bad.getMessage)
     } finally {
       spark.sql(s"DROP MATERIALIZED VIEW FOR '$t'")
     }
