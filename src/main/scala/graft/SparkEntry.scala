@@ -2392,31 +2392,49 @@ object SparkEntry {
 
     // the feed across the rename boundary: v1 snapshot and v2 link
     // images surface under the PINNED name amount (id-resolved); the
-    // sums prove values rode the rename intact
+    // sums prove values rode the rename intact. Phase 'preimages'
+    // re-drains in Delta-CDF mode: the update's OLD images (physically
+    // stored pre-rename) must also id-resolve onto the pinned name
     "q_table_feed_evolved" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
         |  FROM orders),
-        |feed AS (
-        |  SELECT 1 AS v, 'snapshot' AS ct, k, p FROM base WHERE k % 10 = 0
+        |snap3 AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p
+        |  FROM base WHERE k % 10 = 0
         |  UNION ALL
-        |  SELECT 2, 'upsert', k,
+        |  SELECT k, p FROM base WHERE k % 10 = 7),
+        |feed AS (
+        |  SELECT 'changes' AS ph, 1 AS v, 'snapshot' AS ct, k, p
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'changes', 2, 'upsert', k,
         |    CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
         |  FROM base WHERE k % 20 = 0
         |  UNION ALL
-        |  SELECT 2, 'upsert', k, p FROM base WHERE k % 10 = 7
+        |  SELECT 'changes', 2, 'upsert', k, p FROM base WHERE k % 10 = 7
         |  UNION ALL
-        |  SELECT 3, 'snapshot', k, CASE WHEN k % 20 = 0
-        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
-        |      ELSE p END
-        |  FROM base WHERE k % 10 = 0
+        |  SELECT 'changes', 3, 'snapshot', k, p FROM snap3
         |  UNION ALL
-        |  SELECT 3, 'snapshot', k, p FROM base WHERE k % 10 = 7)
-        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |  SELECT 'preimages', 1, 'snapshot', k, p FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'preimages', 2, 'update_preimage', k, p
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT 'preimages', 2, 'update_postimage', k,
+        |    CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT 'preimages', 2, 'insert', k, p FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT 'preimages', 3, 'snapshot', k, p FROM snap3)
+        |SELECT ph AS phase, CAST(v AS BIGINT) AS commit_version, ct AS change_type,
         |  COUNT(*) AS n_rows,
         |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
         |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS amount_sum
-        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // the stream-maintained monthly aggregate must equal the monthly
     // census of the FINAL merged state (baseline re-key + signed

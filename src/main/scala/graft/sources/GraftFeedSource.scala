@@ -47,7 +47,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * landing between triggers batch together, each row tagged with its
   * `_commit_version`; `maxVersionsPerTrigger` caps how many a single
   * trigger admits (catch-up admission control — a consumer starting
-  * thousands of versions behind must not plan one giant union). */
+  * thousands of versions behind must not plan one giant union) and
+  * `maxBytesPerTrigger` caps their cumulative on-disk size (versions
+  * vary by orders of magnitude — a snapshot baseline vs a 3-row
+  * link — so byte pacing keeps trigger memory even where a version
+  * count cannot; both given compose, the stricter wins). */
 class GraftFeedSource(spark: SparkSession, params: Map[String, String])
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -133,6 +137,27 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     params.get("maxversionspertrigger").map(_.toLong).getOrElse(Long.MaxValue)
   require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
 
+  /** Admission by BYTES (Delta's `maxBytesPerTrigger`): versions vary
+    * by orders of magnitude — a snapshot baseline is the whole table,
+    * a link is one batch's changes — so a version COUNT paces unevenly.
+    * A trigger admits versions until their on-disk bytes exceed the
+    * cap (always at least one, or a version bigger than the cap could
+    * never drain). Sizes come from one getContentSummary per version
+    * dir, cached forever — version dirs are immutable once marked. */
+  private val maxBytesPerTrigger: Option[Long] =
+    params.get("maxbytespertrigger").map(_.toLong)
+  maxBytesPerTrigger.foreach(b =>
+    require(b >= 1, "maxBytesPerTrigger must be >= 1"))
+
+  private val versionBytes = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+
+  private def bytesOf(v: Long): Long =
+    versionBytes.computeIfAbsent(v, { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/${Sinks.versionDirName(v)}")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
+    })
+
   /** Trigger.AvailableNow latches the head at start; triggers then
     * drain up to it in maxVersionsPerTrigger slices. */
   @volatile private var availableNowEnd: Option[Long] = None
@@ -147,11 +172,18 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
   override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
     "getOffset is not called when SupportsAdmissionControl is implemented")
 
-  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    if (maxVersionsPerTrigger == Long.MaxValue)
-      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
-    else
-      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(maxVersionsPerTrigger)
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val limits = Seq.empty[ReadLimit] ++
+      (if (maxVersionsPerTrigger != Long.MaxValue)
+         Seq(ReadLimit.maxRows(maxVersionsPerTrigger)) else Nil) ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Sinks.currentVersion(spark, root)
@@ -171,12 +203,25 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     }
     head match {
       case Some(h) if h > from =>
-        val admitted = limit match {
-          case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-            math.min(h, from + r.maxRows())
-          case _ => h
-        }
-        LongOffset(admitted)
+        def admit(l: org.apache.spark.sql.connector.read.streaming.ReadLimit): Long =
+          l match {
+            case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+              math.min(h, from + r.maxRows())
+            case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+              // admit versions until their cumulative bytes exceed the
+              // cap; the FIRST version always admits (a version larger
+              // than the cap must still drain, one per trigger)
+              var v = from + 1L
+              var total = bytesOf(v)
+              while (v < h && total + bytesOf(v + 1) <= b.maxBytes()) {
+                v += 1L; total += bytesOf(v)
+              }
+              v
+            case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+              c.getReadLimits.map(admit).min
+            case _ => h
+          }
+        LongOffset(admit(limit))
       case _ => null
     }
   }
@@ -384,8 +429,13 @@ object GraftFeedSource {
     * every historical version id-resolves onto it, so v1's snapshot
     * rows and v2's link images all emit under `amount` — the census
     * hash breaks if even one row surfaces under the dead name or
-    * null-fills a renamed column. Closed-form DuckDB oracle over
-    * `orders`; batching-independent like `q_table_feed`. */
+    * null-fills a renamed column. A SECOND phase (r16) drains the
+    * same history in PREIMAGES mode: the update's OLD images — whose
+    * physical rows live in the pre-rename parent version — must also
+    * surface under the pinned name, the preimages × evolution
+    * composition GraftFeedSpec pins, now driver-visible. Closed-form
+    * DuckDB oracle over `orders`; batching-independent like
+    * `q_table_feed`. */
   def tableFeedEvolvedResult(spark: SparkSession, dir: String): DataFrame = {
     val t = evolvedFixtures.computeIfAbsent(dir, _ => {
       val f = graft.util.Scratch.dir("table_feed_evo") + "/t"
@@ -413,23 +463,37 @@ object GraftFeedSource {
       f
     })
     val out = graft.util.Scratch.dir("table_feed_evo_out")
-    spark.readStream.format("graft-table").option("startingVersion", "1").load(t)
-      .writeStream.option("checkpointLocation", s"$out/ckpt")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        b.write.mode("append").parquet(s"$out/rows")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
-    spark.read.parquet(s"$out/rows")
-      .withColumn("h",
-        graft.operators.Reconcile.xorHash60(col("o_orderkey").cast("string")))
-      .groupBy(col("_commit_version").as("commit_version"),
-        col("_change_type").as("change_type"))
-      .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(h)").as("key_xor"),
-        sum(coalesce(col("amount"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
-          .cast("double").as("amount_sum"))
-      .orderBy("commit_version", "change_type")
+    // two drains of the same evolved history: plain change shapes, and
+    // PREIMAGES mode (Delta-CDF shapes — update_preimage/postimage,
+    // full delete images), both id-resolved across the rename. The
+    // preimage rows carry OLD values under the PINNED name `amount`,
+    // so the census breaks if preimage resolution ever reads the
+    // parent state by the dead physical name instead of by id.
+    def drain(phase: String, preimages: Boolean): DataFrame = {
+      val reader = spark.readStream.format("graft-table")
+        .option("startingVersion", "1")
+      (if (preimages) reader.option("preimages", "true") else reader).load(t)
+        .writeStream.option("checkpointLocation", s"$out/ckpt_$phase")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows_$phase")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      spark.read.parquet(s"$out/rows_$phase")
+        .withColumn("h",
+          graft.operators.Reconcile.xorHash60(col("o_orderkey").cast("string")))
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("key_xor"),
+          sum(coalesce(col("amount"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+            .cast("double").as("amount_sum"))
+        .select(lit(phase).as("phase"), col("commit_version"), col("change_type"),
+          col("n_rows"), col("key_xor"), col("amount_sum"))
+    }
+    drain("changes", preimages = false)
+      .unionByName(drain("preimages", preimages = true))
+      .orderBy("phase", "commit_version", "change_type")
   }
 }

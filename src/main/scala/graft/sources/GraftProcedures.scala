@@ -44,7 +44,8 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("history", "restore", "expire_snapshots", "optimize", "vacuum",
       "add_constraint", "drop_constraint", "show_constraints",
-      "register_view", "unregister_view", "show_views", "table_detail")
+      "register_view", "unregister_view", "show_views", "table_detail",
+      "drop_table")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -60,6 +61,7 @@ object GraftProcedures {
       case "unregister_view"  => new UnregisterViewProcedure(rootOpt)
       case "show_views"       => new ShowViewsProcedure(rootOpt)
       case "table_detail"     => new TableDetailProcedure(rootOpt)
+      case "drop_table"       => new DropTableProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -552,6 +554,37 @@ object GraftProcedures {
       else graft.plans.MatViews.unregister(table, name)
       result(StructType(Seq(StructField("base", StringType, nullable = false))),
         Array(new GenericInternalRow(Array[Any](utf8(table)))))
+    }
+  }
+
+  /** `CALL graft.system.drop_table(table)` — destroy a whole table and
+    * return the `(versions, files, bytes)` ledger it removed
+    * ([[Sinks.dropTable]]). The catalog's generic `DROP TABLE` refusal
+    * stands: destruction is an explicitly named verb with its own
+    * result set, never a DDL side-effect — and it still refuses while
+    * tags or branches pin history, naming them. */
+  private final class DropTableProcedure(rootOpt: Option[String])
+    extends GraftProcedure("drop_table") {
+
+    override def description(): String =
+      "Destroy a graft table (all versions, markers, refs, metadata) and " +
+      "return the removed (versions, files, bytes) ledger; refuses while " +
+      "tags or branches pin its history"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+
+    private val out = StructType(Seq(
+      StructField("table", StringType, nullable = false),
+      StructField("versions", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      val (versions, files, bytes) = Sinks.dropTable(spark, table)
+      result(out, Array(new GenericInternalRow(
+        Array[Any](utf8(table), versions, files, bytes))))
     }
   }
 }

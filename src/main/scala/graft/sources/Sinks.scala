@@ -721,6 +721,43 @@ object Sinks {
     next
   }
 
+  /** DESTROY a whole table — the explicit lifecycle verb behind
+    * `CALL graft.system.drop_table` ([[GraftProcedures]]). The
+    * catalog's `DROP TABLE` refusal stands on purpose (deleting 100 TB
+    * of committed history must never be a side-effect of generic DDL);
+    * this is the named, ledger-returning spelling an operator reaches
+    * for deliberately. Refuses while ANY ref pins history — tags
+    * (reproducibility pins) or branches (in-flight lines of work) —
+    * naming them: delete the refs first, which is its own auditable
+    * act. Returns the `(versions, files, bytes)` ledger of what was
+    * removed, measured BEFORE the delete (the number an operations
+    * dashboard records). O(files) metadata for the census plus the
+    * recursive delete itself. */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, tablePath: String)
+      : (Long, Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopFs(spark, root)
+    val versions = listVersions(spark, tablePath)
+    if (versions.isEmpty) throw new java.io.FileNotFoundException(
+      s"no committed table at $tablePath — nothing to drop")
+    val tags = Tags.listTags(spark, tablePath)
+    if (tags.nonEmpty) throw new IllegalStateException(
+      s"refusing to drop $tablePath: tag(s) ${tags.keys.toSeq.sorted.mkString(", ")} " +
+      "pin its history for reproducibility — delete the tags first " +
+      "(Tags.deleteTag), which is its own auditable act")
+    val bdir = new org.apache.hadoop.fs.Path(tablePath, "_branches")
+    val branches =
+      if (!fs.exists(bdir)) Seq.empty[String]
+      else fs.listStatus(bdir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    if (branches.nonEmpty) throw new IllegalStateException(
+      s"refusing to drop $tablePath: branch(es) ${branches.sorted.mkString(", ")} " +
+      "are live lines of work — merge or delete them first")
+    val summary = fs.getContentSummary(root)
+    val ledger = (versions.size.toLong, summary.getFileCount, summary.getLength)
+    fs.delete(root, true)
+    ledger
+  }
+
   /** VACUUM abandoned write debris — the maintenance op the publish
     * prune deliberately does NOT do. Prune only ever touches MARKED
     * versions, because an unmarked dir is indistinguishable from a

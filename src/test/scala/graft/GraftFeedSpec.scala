@@ -103,6 +103,48 @@ class GraftFeedSpec extends AnyFunSuite {
       s"each trigger must admit exactly one version in order, got $seen")
   }
 
+  test("maxBytesPerTrigger paces by size over mixed snapshot+link history") {
+    val base = graft.util.Scratch.dir("feed_bytes")
+    val tbl = s"$base/t"
+    // v1: a FAT snapshot baseline (200 rows, multi-KB); v2/v3/v4: tiny
+    // links (one row each) — a byte cap sized between "one link" and
+    // "the snapshot" must admit the snapshot ALONE (bigger than the
+    // cap, still drains), then batch the small links together
+    val fat = (1L to 200L).map(i => (i, s"payload_$i" * 8)).toDF("k", "s")
+      .withColumn("d", to_date(lit("2024-05-15"))).select("k", "d", "s")
+    Sinks.publishSnapshot(fat, "d", tbl, retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(201L -> "x"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishUpsert(spark, tbl, df(202L -> "y"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, tbl, Seq(1L).toDF("k"), "k")
+    // size the cap to cover all three links but not the snapshot
+    def dirBytes(v: Long): Long = {
+      val p = new org.apache.hadoop.fs.Path(f"$tbl/v$v%08d")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val cap = dirBytes(2L) + dirBytes(3L) + dirBytes(4L)
+    assert(dirBytes(1L) > cap,
+      "fixture must make the snapshot bigger than the three links together")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    spark.readStream.format("graft-table")
+      .option("startingVersion", "1").option("maxBytesPerTrigger", cap.toString)
+      .load(tbl)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batches.add(b.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val seen = batches.asScala.filter(_.nonEmpty).toSeq
+    assert(seen == Seq(Set(1L), Set(2L, 3L, 4L)),
+      s"the over-cap snapshot must admit alone, the links batch together: $seen")
+  }
+
   test("table mirror: state replicates across restarts, catch-up lands as MoR links") {
     val base = graft.util.Scratch.dir("mirror_spec")
     val src = s"$base/src"

@@ -329,6 +329,42 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(stateOf(t).keySet == Set(1L, 2L, 3L))
   }
 
+  test("CALL drop_table: ledgered destruction; DDL DROP TABLE still refuses") {
+    val t = graft.util.Scratch.dir("sqlw_drop") + "/t"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "100")
+      .mode("overwrite").save(t)
+    df((3L, "c", 3.0)).write.format("graft-table").mode("append").save(t) // v2 link
+    // generic DDL destruction keeps refusing — destruction is a verb
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$t`") }
+    assert(Sinks.currentVersion(spark, t).contains(2L))
+    // a tag pins history: the verb refuses, naming it
+    graft.sources.Tags.createTag(spark, t, "keepme", Some(1L))
+    val tagged = intercept[Exception] {
+      spark.sql(s"CALL graft.system.drop_table(table => '$t')")
+    }
+    assert(tagged.getMessage.contains("keepme"), tagged.getMessage)
+    graft.sources.Tags.deleteTag(spark, t, "keepme")
+    // a live branch refuses likewise
+    graft.sources.Branches.createBranch(spark, t, "wip")
+    val branched = intercept[Exception] {
+      spark.sql(s"CALL graft.system.drop_table(table => '$t')")
+    }
+    assert(branched.getMessage.contains("wip"), branched.getMessage)
+    graft.sources.Branches.deleteBranch(spark, t, "wip")
+    // unpinned: the drop returns the removed ledger and the tree is gone
+    val ledger = spark.sql(s"CALL graft.system.drop_table(table => '$t')").collect()
+    assert(ledger.length == 1)
+    val r = ledger.head
+    assert(r.getString(0) == t && r.getLong(1) == 2L, r.toString) // v1 + v2 link
+    assert(r.getLong(2) > 0L && r.getLong(3) > 0L, "files/bytes ledger must be real")
+    assert(!new java.io.File(t).exists(), "the table tree must be removed")
+    // dropping again refuses loudly (nothing to drop)
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.drop_table(table => '$t')")
+    }
+  }
+
   test("standard DDL: ALTER TABLE ADD/RENAME/DROP COLUMN + type widening") {
     import graft.sources.SchemaEvolution
     val t = graft.util.Scratch.dir("sqlw_evo") + "/t"
