@@ -63,6 +63,12 @@ object FeedView {
   /** Tail `sourceTable`'s change feed (preimages mode) and maintain
     * the monthly (n_live, sum_price) aggregate under `stateDir`.
     *
+    * `maintainExtremes` also keeps per-group `min_price`/`max_price`
+    * (delete repair included — the dirty-group recompute described in
+    * the class doc). It defaults ON; a maintainer whose consumers
+    * never ask for MIN/MAX can turn it off and skip the repair reads
+    * entirely — maintain exactly the aggregates the view serves.
+    *
     * With `registerView = true` the maintainer ALSO keeps the
     * aggregate registered for automatic query rewrite
     * ([[graft.plans.MatViews]]): after each fold the registration
@@ -73,7 +79,8 @@ object FeedView {
     * code does) in the window between a source commit and its fold. */
   def runFeedAgg(spark: SparkSession, sourceTable: String, stateDir: String,
                  checkpoint: String, dateCol: String, priceCol: String,
-                 availableNow: Boolean = false, registerView: Boolean = false)
+                 availableNow: Boolean = false, registerView: Boolean = false,
+                 maintainExtremes: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val monthOf = (c: org.apache.spark.sql.Column) => trunc(c, "month")
     val writer = spark.readStream.format("graft-table")
@@ -81,7 +88,11 @@ object FeedView {
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        val b = batch.toDF()
+        // materialize the feed batch ONCE: its plan carries the
+        // source's preimage-resolution joins, and every fold action
+        // below (per-version filter, snapshot probe, state write)
+        // would otherwise re-run them from scratch
+        val b = batch.toDF().localCheckpoint()
         val fs = new org.apache.hadoop.fs.Path(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // bounded driver action: the distinct versions THIS batch holds
@@ -93,14 +104,17 @@ object FeedView {
           if (v > lastApplied) { // re-delivered batches fold nothing twice
             val of = b.filter(col("_commit_version") === v)
             val snap = of.filter(col("_change_type") === "snapshot")
+            val snapAggs = Seq(count(lit(1)).as("n_live"),
+                count(col(priceCol)).as("cnt_price"),
+                sum(priceCol).cast("decimal(18,2)").as("sum_price")) ++
+              (if (maintainExtremes)
+                 Seq(min(priceCol).cast("decimal(18,2)").as("min_price"),
+                   max(priceCol).cast("decimal(18,2)").as("max_price"))
+               else Nil)
             val next =
               if (!snap.isEmpty) // full replace: re-key from the baseline
                 snap.groupBy(monthOf(col(dateCol)).as("month"))
-                  .agg(count(lit(1)).as("n_live"),
-                    count(col(priceCol)).as("cnt_price"),
-                    sum(priceCol).cast("decimal(18,2)").as("sum_price"),
-                    min(priceCol).cast("decimal(18,2)").as("min_price"),
-                    max(priceCol).cast("decimal(18,2)").as("max_price"))
+                  .agg(snapAggs.head, snapAggs.tail: _*)
               else {
                 val prev = applied.map(a => spark.read.parquet(a._2)).getOrElse(
                   throw new IllegalStateException(
@@ -118,29 +132,35 @@ object FeedView {
                 // a retirement that reaches the stored extremum makes
                 // the group DIRTY — its min/max is recomputed from the
                 // base below, the standard O(affected groups) repair
+                def extremeCols(retiring: Boolean): Seq[org.apache.spark.sql.Column] =
+                  if (!maintainExtremes) Nil
+                  else if (retiring)
+                    Seq(col(priceCol).as("rp"),
+                      lit(null).cast("decimal(18,2)").as("ap"))
+                  else
+                    Seq(lit(null).cast("decimal(18,2)").as("rp"),
+                      col(priceCol).as("ap"))
                 val retired = of.filter(col("_change_type")
                     .isin("update_preimage", "delete"))
-                  .select(monthOf(col(dateCol)).as("month"),
+                  .select(Seq(monthOf(col(dateCol)).as("month"),
                     lit(-1L).as("dn"),
                     when(col(priceCol).isNull, 0L).otherwise(-1L).as("dc"),
-                    (-col(priceCol)).as("dp"),
-                    col(priceCol).as("rp"),
-                    lit(null).cast("decimal(18,2)").as("ap"))
+                    (-col(priceCol)).as("dp")) ++ extremeCols(retiring = true): _*)
                 val arrived = of.filter(col("_change_type")
                     .isin("update_postimage", "insert"))
-                  .select(monthOf(col(dateCol)).as("month"),
+                  .select(Seq(monthOf(col(dateCol)).as("month"),
                     lit(1L).as("dn"),
                     when(col(priceCol).isNull, 0L).otherwise(1L).as("dc"),
-                    col(priceCol).as("dp"),
-                    lit(null).cast("decimal(18,2)").as("rp"),
-                    col(priceCol).as("ap"))
+                    col(priceCol).as("dp")) ++ extremeCols(retiring = false): _*)
+                val deltaAggs = Seq(sum("dn").as("dn"), sum("dc").as("dc"),
+                    sum("dp").as("dp")) ++
+                  (if (maintainExtremes)
+                     Seq(min("ap").as("amin"), max("ap").as("amax"),
+                       min("rp").as("rmin"), max("rp").as("rmax"))
+                   else Nil)
                 val deltas = retired.unionByName(arrived)
-                  .groupBy("month").agg(sum("dn").as("dn"), sum("dc").as("dc"),
-                    sum("dp").as("dp"),
-                    min("ap").as("amin"), max("ap").as("amax"),
-                    min("rp").as("rmin"), max("rp").as("rmax"))
-                val folded = prev.join(deltas, Seq("month"), "full_outer")
-                  .select(col("month"),
+                  .groupBy("month").agg(deltaAggs.head, deltaAggs.tail: _*)
+                val foldCols = Seq(col("month"),
                     (coalesce(col("n_live"), lit(0L)) +
                       coalesce(col("dn"), lit(0L))).as("n_live"),
                     (coalesce(col("cnt_price"), lit(0L)) +
@@ -149,58 +169,69 @@ object FeedView {
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")) +
                       coalesce(col("dp"),
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
-                      .cast("decimal(18,2)").as("sum_price"),
-                    // a retirement is only dangerous if it reaches the
-                    // stored extremum AND no arrival at least matches
-                    // it (ties retire one of possibly-many holders —
-                    // unknowable without the base, hence dirty)
-                    (col("rmin").isNotNull && col("min_price").isNotNull &&
-                      col("rmin") <= col("min_price") &&
-                      (col("amin").isNull || col("amin") > col("rmin")))
-                      .as("dirty_min"),
-                    (col("rmax").isNotNull && col("max_price").isNotNull &&
-                      col("rmax") >= col("max_price") &&
-                      (col("amax").isNull || col("amax") < col("rmax")))
-                      .as("dirty_max"),
-                    least(col("min_price"), col("amin")).as("min_fold"),
-                    greatest(col("max_price"), col("amax")).as("max_fold"))
+                      .cast("decimal(18,2)").as("sum_price")) ++
+                  (if (maintainExtremes)
+                     // a retirement is only dangerous if it reaches the
+                     // stored extremum AND no arrival at least matches
+                     // it (ties retire one of possibly-many holders —
+                     // unknowable without the base, hence dirty)
+                     Seq((col("rmin").isNotNull && col("min_price").isNotNull &&
+                         col("rmin") <= col("min_price") &&
+                         (col("amin").isNull || col("amin") > col("rmin")))
+                         .as("dirty_min"),
+                       (col("rmax").isNotNull && col("max_price").isNotNull &&
+                         col("rmax") >= col("max_price") &&
+                         (col("amax").isNull || col("amax") < col("rmax")))
+                         .as("dirty_max"),
+                       least(col("min_price"), col("amin")).as("min_fold"),
+                       greatest(col("max_price"), col("amax")).as("max_fold"))
+                   else Nil)
+                val folded = prev.join(deltas, Seq("month"), "full_outer")
+                  .select(foldCols: _*)
                   .withColumn("sum_price",
                     when(col("cnt_price") === 0L,
                       lit(null).cast("decimal(18,2)")).otherwise(col("sum_price")))
                   .filter(col("n_live") > 0)
-                // dirty-group repair: recompute min/max for EXACTLY the
-                // months a retirement dethroned, from the base state at
-                // this version. Bounded driver action (months, not
-                // rows); the base read is range-predicated on the date
-                // column so parquet row-group stats skip the untouched
-                // months' files (the store's month-partitioned layout
-                // makes file min/max tight).
-                val dirtyMonths = folded
-                  .filter(col("dirty_min") || col("dirty_max"))
-                  .select("month").collect().map(_.getDate(0))
-                if (dirtyMonths.isEmpty)
-                  folded.select(col("month"), col("n_live"), col("cnt_price"),
-                    col("sum_price"),
-                    col("min_fold").cast("decimal(18,2)").as("min_price"),
-                    col("max_fold").cast("decimal(18,2)").as("max_price"))
+                if (!maintainExtremes) folded
                 else {
-                  val ranges = dirtyMonths.map { m =>
-                    val start = m.toLocalDate
-                    (col(dateCol) >= lit(java.sql.Date.valueOf(start))) &&
-                      (col(dateCol) < lit(java.sql.Date.valueOf(start.plusMonths(1))))
-                  }.reduce(_ || _)
-                  val recomputed = graft.sources.DeletionVectors
-                    .readMergedAt(spark, sourceTable, v)
-                    .filter(ranges)
-                    .groupBy(monthOf(col(dateCol)).as("month"))
-                    .agg(min(priceCol).as("r_min"), max(priceCol).as("r_max"))
-                  folded.join(recomputed, Seq("month"), "left")
-                    .select(col("month"), col("n_live"), col("cnt_price"),
+                  // materialize the fold ONCE (group-sized rows): the
+                  // dirty-month probe and the state write would
+                  // otherwise EACH re-run it — the r9 lesson
+                  val foldedC = folded.localCheckpoint()
+                  // dirty-group repair: recompute min/max for EXACTLY
+                  // the months a retirement dethroned, from the base
+                  // state at this version. Bounded driver action
+                  // (months, not rows); the base read is
+                  // range-predicated on the date column so parquet
+                  // row-group stats skip untouched months' files (the
+                  // month-partitioned layout makes file min/max tight).
+                  val dirtyMonths = foldedC
+                    .filter(col("dirty_min") || col("dirty_max"))
+                    .select("month").collect().map(_.getDate(0))
+                  if (dirtyMonths.isEmpty)
+                    foldedC.select(col("month"), col("n_live"), col("cnt_price"),
                       col("sum_price"),
-                      when(col("dirty_min"), col("r_min")).otherwise(col("min_fold"))
-                        .cast("decimal(18,2)").as("min_price"),
-                      when(col("dirty_max"), col("r_max")).otherwise(col("max_fold"))
-                        .cast("decimal(18,2)").as("max_price"))
+                      col("min_fold").cast("decimal(18,2)").as("min_price"),
+                      col("max_fold").cast("decimal(18,2)").as("max_price"))
+                  else {
+                    val ranges = dirtyMonths.map { m =>
+                      val start = m.toLocalDate
+                      (col(dateCol) >= lit(java.sql.Date.valueOf(start))) &&
+                        (col(dateCol) < lit(java.sql.Date.valueOf(start.plusMonths(1))))
+                    }.reduce(_ || _)
+                    val recomputed = graft.sources.DeletionVectors
+                      .readMergedAt(spark, sourceTable, v)
+                      .filter(ranges)
+                      .groupBy(monthOf(col(dateCol)).as("month"))
+                      .agg(min(priceCol).as("r_min"), max(priceCol).as("r_max"))
+                    foldedC.join(recomputed, Seq("month"), "left")
+                      .select(col("month"), col("n_live"), col("cnt_price"),
+                        col("sum_price"),
+                        when(col("dirty_min"), col("r_min")).otherwise(col("min_fold"))
+                          .cast("decimal(18,2)").as("min_price"),
+                        when(col("dirty_max"), col("r_max")).otherwise(col("max_fold"))
+                          .cast("decimal(18,2)").as("max_price"))
+                  }
                 }
               }
             // group-sized state, committed by DIRECTORY RENAME to the
@@ -227,8 +258,10 @@ object FeedView {
                   countCol = Some("n_live"),
                   sums = Seq("sum_price" -> col(priceCol)),
                   counts = Seq("cnt_price" -> col(priceCol)),
-                  mins = Seq("min_price" -> col(priceCol)),
-                  maxs = Seq("max_price" -> col(priceCol)))
+                  mins = if (maintainExtremes)
+                    Seq("min_price" -> col(priceCol)) else Nil,
+                  maxs = if (maintainExtremes)
+                    Seq("max_price" -> col(priceCol)) else Nil)
             }
           }
           ()
@@ -385,8 +418,12 @@ object FeedView {
   def incrAggStreamResult(spark: SparkSession, dir: String): DataFrame = {
     val src = sourceFixture(spark, dir)
     val scratch = graft.util.Scratch.dir("feed_view_q")
+    // count/sum configuration (the oracle's surface): the extremes
+    // tier is measured separately by q_mv_rewrite, which serves and
+    // hash-checks MIN/MAX through the rewrite
     runFeedAgg(spark, src, s"$scratch/state", s"$scratch/ckpt",
-      dateCol = "odate", priceCol = "price", availableNow = true)
+      dateCol = "odate", priceCol = "price", availableNow = true,
+      maintainExtremes = false)
       .awaitTermination()
     readAgg(spark, s"$scratch/state")
       .select(col("month"), col("n_live"),

@@ -432,6 +432,33 @@ class SqlWritePathSpec extends AnyFunSuite {
       .as[Double].head() == 3.0)
   }
 
+  test("ALTER TABLE column DDL collapses a live MoR chain correctly") {
+    import graft.sources.SchemaEvolution
+    val t = graft.util.Scratch.dir("sqlw_evo_chain") + "/t"
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "p")
+      .withColumn("d", to_date(lit("2024-03-15"))).select("k", "d", "p")
+    SchemaEvolution.publishEvolved(base, "d", t)
+    graft.sources.Tags.createTag(spark, t, "v1", Some(1L)) // survive retention
+    // live head is a CHAIN: v2 updates k=1 and inserts k=4, v3 deletes k=2
+    spark.sql(s"UPDATE graft.`$t` SET p = p + 10.0 WHERE k = 1")
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 4L AS k, DATE'2024-03-16' AS d, 4.0D AS p")
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 2")
+    // the rename must fold the MERGED state (update applied, insert
+    // present, delete gone) into the evolution publish
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN p TO price")
+    val got = spark.sql(s"SELECT k, price FROM graft.`$t`").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 3L -> 3.0, 4L -> 4.0))
+    // the id carried: k=1's updated value reads back under the new
+    // name from the PRE-chain version too
+    val v1 = SchemaEvolution.readSnapshotAs(spark, t, 1L)
+    assert(v1.columns.contains("price") && !v1.columns.contains("p"))
+    // the collapsed head is a plain version again (no dv chain)
+    val head = Sinks.currentVersion(spark, t).get
+    assert(!Sinks.versionMeta(spark, t, head).contains("dv"),
+      "the evolution publish must collapse the chain into a plain version")
+  }
+
   test("standard DDL: CREATE / DROP MATERIALIZED VIEW") {
     val root = graft.util.Scratch.dir("sqlw_cmv")
     val t = s"$root/t"
