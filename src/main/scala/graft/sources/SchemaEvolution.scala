@@ -136,6 +136,9 @@ object SchemaEvolution {
     *     unresolvable (drop the constraint first, or rename it too);
     *   - narrowing type changes.
     *
+    * A statement whose every change was an `IF EXISTS` miss is a
+    * NO-OP: it returns the live version without publishing anything.
+    *
     * Cost: one full rewrite of the LIVE state (read merged through
     * any DV/MoR chain, projected, republished) — the same cost as the
     * library path's evolution publish. At 100 TB an evolution is a
@@ -252,6 +255,9 @@ object SchemaEvolution {
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} on a graft " +
         "table: column add/rename/drop/type-widen and CHECK constraints only")
     }
+    // a statement that changed NOTHING (every change was an IF EXISTS
+    // miss) must not republish the whole table as a new version
+    if ((df.schema == base.schema) && renamedFrom.isEmpty) return live
     // a persisted CHECK constraint must still resolve against the new
     // schema, or every later write would fail at its guard — refuse
     // the evolution (not the writes) while nothing has persisted yet.

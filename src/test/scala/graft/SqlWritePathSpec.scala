@@ -403,7 +403,11 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(cols() == Seq("k", "d", "qty", "amount"))
     intercept[Exception] { spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN d") }
     intercept[Exception] { spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN no_such") }
-    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN IF EXISTS no_such") // tolerated
+    // an IF EXISTS miss is a NO-OP: tolerated, and no version published
+    val beforeNoop = Sinks.currentVersion(spark, t)
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN IF EXISTS no_such")
+    assert(Sinks.currentVersion(spark, t) == beforeNoop,
+      "a no-op ALTER must not republish the table")
     // NOT NULL adds refuse (existing rows have no value)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (x STRING NOT NULL)")
