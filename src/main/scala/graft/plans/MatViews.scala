@@ -127,11 +127,11 @@ object MatViews extends org.apache.spark.internal.Logging {
   private val nameRe = "[A-Za-z0-9_]{1,64}".r
 
   /** (mtime, length) of a registration file when the cached def was
-    * parsed — the staleness key, per (base, name). [[persist]] pads a
-    * swap whose content length would match the file it replaces, so
-    * the stamp always changes against the immediate predecessor (the
-    * state any reader's cache can hold) — discrimination never rests
-    * on mtime granularity alone. */
+    * parsed — the staleness key, per (base, name). [[persist]] pads
+    * every swap to be strictly longer than the file it replaces, so
+    * persisted lengths grow monotonically and a stale cached stamp
+    * (however old) can never match a newer file — discrimination
+    * never rests on mtime granularity alone. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), MatViewDef)]()
 
@@ -245,11 +245,12 @@ object MatViews extends org.apache.spark.internal.Logging {
     * The cache staleness key is (mtime, length), and consecutive
     * advance states routinely serialize to the SAME length (fixed-width
     * version digits), which would leave discrimination to mtime
-    * granularity alone. So when the new content's length matches the
-    * file it replaces, one `#` padding line is appended (deserialize
-    * skips `#` lines): a swap always changes the stamp relative to its
-    * immediate predecessor, which is exactly what any reader's cached
-    * stamp points at. */
+    * granularity alone. So the written file is padded with a `#`
+    * comment line (deserialize skips `#` lines) to be STRICTLY LONGER
+    * than the one it replaces whenever the natural content isn't:
+    * persisted lengths grow monotonically, so no later state can ever
+    * re-collide with ANY earlier cached stamp — not just the immediate
+    * predecessor's. */
   private def persist(spark: SparkSession, d: MatViewDef): Unit = {
     val file = regFile(d.basePath, d.name)
     val fs = fsOf(spark, file)
@@ -259,8 +260,14 @@ object MatViews extends org.apache.spark.internal.Logging {
       try Some(fs.getFileStatus(file).getLen)
       catch { case _: java.io.FileNotFoundException => None }
     var bytes = serialize(d).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (prevLen.contains(bytes.length.toLong))
-      bytes = bytes ++ "#\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // pad to STRICTLY LONGER than the replaced file (not merely
+    // different): equal-pad would let lengths alternate L, L+k, L and
+    // re-collide with a reader's two-states-old cached stamp —
+    // monotonic growth can never revisit an earlier length
+    prevLen.filter(_ >= bytes.length).foreach { pl =>
+      bytes = bytes ++ ("#" * (pl - bytes.length + 1).toInt)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
     val staged = new org.apache.hadoop.fs.Path(dir, s".staged_${d.name}")
     val out = fs.create(staged, true)
     try out.write(bytes)

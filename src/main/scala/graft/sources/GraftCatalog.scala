@@ -164,6 +164,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "refusing to mix constraint and column changes in one ALTER TABLE " +
         "statement — they commit through different mechanisms and could not " +
         "apply atomically together; issue two statements")
+    // one metadata read serves both passes (no validate/apply TOCTOU:
+    // the drop decision is made against the set the refusal checked)
+    val known: Set[String] =
+      if (constraintOps.isEmpty) Set.empty
+      else Constraints.constraintsOf(spark, path).keySet
     constraintOps.foreach {
       case add: TableChange.AddConstraint =>
         add.constraint() match {
@@ -174,8 +179,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             "snapshot store without an index structure it does not keep")
         }
       case drop: TableChange.DropConstraint =>
-        if (!drop.ifExists() &&
-            !Constraints.constraintsOf(spark, path).contains(drop.name()))
+        if (!drop.ifExists() && !known.contains(drop.name()))
           throw new IllegalArgumentException(
             s"no CHECK constraint '${drop.name()}' on $path — " +
             "ALTER TABLE … DROP CONSTRAINT IF EXISTS tolerates unknown names")
@@ -187,7 +191,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check]
         Constraints.persistValidated(spark, path, c.name(), c.predicateSql())
       case drop: TableChange.DropConstraint =>
-        if (Constraints.constraintsOf(spark, path).contains(drop.name()))
+        if (known.contains(drop.name()))
           Constraints.dropConstraint(spark, path, drop.name())
     }
     if (columnOps.nonEmpty) SchemaEvolution.alterColumns(spark, path, columnOps)

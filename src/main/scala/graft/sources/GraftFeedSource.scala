@@ -155,7 +155,18 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     versionBytes.computeIfAbsent(v, { _ =>
       val p = new org.apache.hadoop.fs.Path(s"$root/${Sinks.versionDirName(v)}")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
+      try java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
+      catch {
+        // same curated diagnostic getBatch's retention check produces —
+        // a byte-paced feed that fell behind retention must not die
+        // with a bare filesystem stack trace from inside latestOffset
+        case _: java.io.FileNotFoundException =>
+          throw new java.io.FileNotFoundException(
+            s"change feed on $root needs version $v to size a byte-paced " +
+            "trigger but retention pruned it — the consumer fell behind the " +
+            "retainVersions window; restart from a retained startingVersion " +
+            "(or a fresh snapshot) and size retention to cover consumer lag")
+      }
     })
 
   /** Trigger.AvailableNow latches the head at start; triggers then

@@ -73,10 +73,16 @@ object SchemaEvolution {
     * over by name from the live version's mapping; `renamedFrom` maps
     * a NEW column name to the OLD name whose id it inherits (the
     * rename declaration — without it a renamed column would mint a
-    * fresh id and read as add+drop). Unknown names mint new ids. */
+    * fresh id and read as add+drop). Unknown names mint new ids.
+    * `mintFresh` names columns that must mint a NEW id even when the
+    * live mapping has their name — the drop-then-re-add-same-name
+    * case, where name-based inheritance would resurrect the retired
+    * id and as-of reads would resolve the dead column's history into
+    * the unrelated new one. */
   def publishEvolved(df: DataFrame, dateCol: String, tablePath: String,
                      renamedFrom: Map[String, String] = Map.empty,
-                     retainVersions: Int = 2): Long = {
+                     retainVersions: Int = 2,
+                     mintFresh: Set[String] = Set.empty): Long = {
     val spark = df.sparkSession
     val liveVersion = Sinks.currentVersion(spark, tablePath)
     val prev: Seq[ColMeta] = liveVersion
@@ -99,7 +105,7 @@ object SchemaEvolution {
       .getOrElse(prev.map(_.id).maxOption.getOrElse(0L))
     val cols = df.schema.fields.toSeq.map { f =>
       val inherited = renamedFrom.get(f.name).flatMap(prevByName.get)
-        .orElse(prevByName.get(f.name))
+        .orElse(if (mintFresh.contains(f.name)) None else prevByName.get(f.name))
       inherited match {
         case Some(old) => ColMeta(old.id, f.name, f.dataType.sql)
         case None      => nextId += 1; ColMeta(nextId, f.name, f.dataType.sql)
@@ -138,6 +144,13 @@ object SchemaEvolution {
     *
     * A statement whose every change was an `IF EXISTS` miss is a
     * NO-OP: it returns the live version without publishing anything.
+    * A column ADDED by the statement always mints a fresh id, even
+    * when a column of the same name existed before (drop + re-add
+    * must not resurrect the retired id). Retention: by default the
+    * evolution publish keeps EVERY currently-retained version plus
+    * the new one — DDL never prunes the history window the user sized
+    * with their own publishes (`expire_snapshots` is the explicit
+    * shrinking verb); pass `retainVersions` to override.
     *
     * Cost: one full rewrite of the LIVE state (read merged through
     * any DV/MoR chain, projected, republished) — the same cost as the
@@ -147,7 +160,7 @@ object SchemaEvolution {
     * mapping resolution into every reader of the chain. */
   def alterColumns(spark: SparkSession, tablePath: String,
                    changes: Seq[org.apache.spark.sql.connector.catalog.TableChange],
-                   retainVersions: Int = 2): Long = {
+                   retainVersions: Option[Int] = None): Long = {
     import org.apache.spark.sql.connector.catalog.TableChange
     val live = Sinks.currentVersion(spark, tablePath).getOrElse(
       throw new java.io.FileNotFoundException(s"no published snapshot at $tablePath"))
@@ -186,6 +199,11 @@ object SchemaEvolution {
 
     var df = base
     var renamedFrom = Map.empty[String, String]
+    // names ADDED by this statement (tracked through renames): they
+    // must mint FRESH ids even when the pre-statement mapping had the
+    // same name (drop + re-add in one statement) — name inheritance
+    // there would resurrect the retired id and corrupt as-of reads
+    var addedNames = Set.empty[String]
     changes.foreach {
       case add: TableChange.AddColumn =>
         val name = single(add.fieldNames(), "ADD COLUMN")
@@ -198,6 +216,7 @@ object SchemaEvolution {
           s"ADD COLUMN '$name' DEFAULT refused: the store records no column " +
           "defaults; backfill explicitly after adding")
         df = df.withColumn(name, lit(null).cast(add.dataType()))
+        addedNames += name
         add.position() match {
           case null => () // append at the end
           case _: TableChange.First =>
@@ -226,6 +245,7 @@ object SchemaEvolution {
           case None if base.columns.contains(old)  => renamedFrom + (nu -> old)
           case None                                => renamedFrom
         }
+        if (addedNames.contains(old)) addedNames = addedNames - old + nu
         if (dateCol == old) dateCol = nu
       case del: TableChange.DeleteColumn =>
         val name = single(del.fieldNames(), "DROP COLUMN")
@@ -236,6 +256,7 @@ object SchemaEvolution {
               s"of $tablePath; repartition through the library publish path first")
             df = df.drop(actual)
             renamedFrom -= actual
+            addedNames -= actual
           case None =>
             if (!del.ifExists()) throw new IllegalArgumentException(
               s"DROP COLUMN: no column '$name' on $tablePath — " +
@@ -273,7 +294,14 @@ object SchemaEvolution {
           s"DROP CONSTRAINT first (or rename through it): ${e.getMessage}")
       }
     }
-    publishEvolved(df, dateCol, tablePath, renamedFrom, retainVersions)
+    // retention: DDL must never be the thing that prunes history — by
+    // default keep every currently-retained committed version plus the
+    // new one (the user sized their window with their own publishes;
+    // expire_snapshots is the explicit verb for shrinking it)
+    val keep = retainVersions.getOrElse(
+      Sinks.listVersions(spark, tablePath).size + 1)
+    publishEvolved(df, dateCol, tablePath, renamedFrom, keep,
+      mintFresh = addedNames)
   }
 
   /** Read committed `version` projected onto the schema of

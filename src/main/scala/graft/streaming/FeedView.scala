@@ -116,10 +116,22 @@ object FeedView {
                 snap.groupBy(monthOf(col(dateCol)).as("month"))
                   .agg(snapAggs.head, snapAggs.tail: _*)
               else {
-                val prev = applied.map(a => spark.read.parquet(a._2)).getOrElse(
+                val prevRaw = applied.map(a => spark.read.parquet(a._2)).getOrElse(
                   throw new IllegalStateException(
                     s"feed view at $stateDir: version $v is a change link but no " +
                     "baseline aggregate exists — the view folds a snapshot first"))
+                // MIGRATION: state written by a count/sum-only maintainer
+                // (or before extremes existed) has no min/max columns —
+                // splice them in as nulls and BACKFILL every group from
+                // the base this one time (forcing the dirty path), so an
+                // upgraded maintainer resumes instead of crashing
+                val backfillExtremes = maintainExtremes &&
+                  !prevRaw.columns.contains("min_price")
+                val prev =
+                  if (!backfillExtremes) prevRaw
+                  else prevRaw
+                    .withColumn("min_price", lit(null).cast("decimal(18,2)"))
+                    .withColumn("max_price", lit(null).cast("decimal(18,2)"))
                 // signed deltas track the NON-NULL price count (dc)
                 // separately from the row count (dn): a null-priced row
                 // moves n_live but neither cnt_price nor sum_price, so
@@ -170,7 +182,13 @@ object FeedView {
                       coalesce(col("dp"),
                         lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
                       .cast("decimal(18,2)").as("sum_price")) ++
-                  (if (maintainExtremes)
+                  (if (!maintainExtremes) Nil
+                   else if (backfillExtremes)
+                     // one-time backfill: every group recomputes
+                     Seq(lit(true).as("dirty_min"), lit(true).as("dirty_max"),
+                       lit(null).cast("decimal(18,2)").as("min_fold"),
+                       lit(null).cast("decimal(18,2)").as("max_fold"))
+                   else
                      // a retirement is only dangerous if it reaches the
                      // stored extremum AND no arrival at least matches
                      // it (ties retire one of possibly-many holders —
@@ -185,7 +203,7 @@ object FeedView {
                          .as("dirty_max"),
                        least(col("min_price"), col("amin")).as("min_fold"),
                        greatest(col("max_price"), col("amax")).as("max_fold"))
-                   else Nil)
+                   )
                 val folded = prev.join(deltas, Seq("month"), "full_outer")
                   .select(foldCols: _*)
                   .withColumn("sum_price",
@@ -251,7 +269,16 @@ object FeedView {
             }
             if (registerView) {
               val committed = f"$stateDir/a$v%08d"
-              if (!graft.plans.MatViews.advance(spark, sourceTable, committed, v))
+              // advance copies the existing bindings verbatim — if the
+              // maintainer's extremes configuration CHANGED since the
+              // registration was made (flag flipped either way), the
+              // copied def would name view columns the new state lacks
+              // and the rewrite would silently refuse EVERYTHING
+              // (needed-columns check); re-register from scratch instead
+              val configMatches = graft.plans.MatViews
+                .lookup(spark, sourceTable)
+                .forall(d => d.mins.nonEmpty == maintainExtremes)
+              if (!configMatches || !graft.plans.MatViews.advance(spark, sourceTable, committed, v))
                 graft.plans.MatViews.register(spark, sourceTable, committed,
                   asOfVersion = v,
                   groups = Seq("month" -> monthOf(col(dateCol))),

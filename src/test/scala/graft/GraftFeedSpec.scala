@@ -333,6 +333,65 @@ class GraftFeedSpec extends AnyFunSuite {
     assert(agg() == Map("2024-05-01" -> (1L, 1.0)))
   }
 
+  test("feed view upgrades in place: extremes backfill over pre-extremes state") {
+    import graft.plans.MatViews
+    val base = graft.util.Scratch.dir("feed_view_migrate")
+    val tbl = s"$base/t"
+    val rows = (1L to 10L).map(i => (i, java.sql.Date.valueOf("2024-05-15"),
+        java.math.BigDecimal.valueOf(i * 100L, 2)))
+      .toDF("k", "d", "p").withColumn("p", col("p").cast("decimal(18,2)"))
+    graft.sources.Sinks.publishSnapshot(rows, "d", tbl, retainVersions = 100)
+    def drain(extremes: Boolean): Unit =
+      graft.streaming.FeedView.runFeedAgg(spark, tbl, s"$base/state",
+        s"$base/ckpt", dateCol = "d", priceCol = "p", availableNow = true,
+        registerView = true, maintainExtremes = extremes).awaitTermination()
+    try {
+      // 1) a count/sum-only maintainer folds the baseline and registers
+      drain(extremes = false)
+      assert(!graft.streaming.FeedView.readAgg(spark, s"$base/state")
+        .columns.contains("min_price"))
+      // 2) the maintainer upgrades (extremes ON) over the OLD state and
+      //    a new link commit: the fold must BACKFILL min/max from the
+      //    base instead of crashing on the missing columns
+      DeletionVectors.publishDeletes(spark, tbl, Seq(1L).toDF("k"), "k") // v2
+      drain(extremes = true)
+      val st = graft.streaming.FeedView.readAgg(spark, s"$base/state")
+      assert(st.columns.contains("min_price"))
+      assert(st.select("min_price", "max_price").collect().map(r =>
+        (r.getDecimal(0).doubleValue(), r.getDecimal(1).doubleValue())).toSeq ==
+        Seq((2.0, 10.0)), "backfilled extremes must reflect the merged state")
+      // ...and the upgraded registration serves MIN/MAX
+      val q = spark.sql(s"SELECT MIN(p) AS mn, MAX(p) AS mx FROM graft.`$tbl`")
+      assert(!q.queryExecution.optimizedPlan.exists {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.isInstanceOf[graft.sources.GraftTable]
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.relation.table.isInstanceOf[graft.sources.GraftTable]
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains(tbl))
+            case _ => false
+          }
+        case _ => false
+      }, "the upgraded registration must serve extremes")
+      // 3) the maintainer DOWNGRADES (extremes OFF): the registration
+      //    must drop its min/max bindings, or the needed-columns check
+      //    would silently disarm even COUNT/SUM
+      DeletionVectors.publishDeletes(spark, tbl, Seq(2L).toDF("k"), "k") // v3
+      drain(extremes = false)
+      assert(MatViews.lookup(spark, tbl).exists(_.mins.isEmpty),
+        "a downgraded maintainer must re-register without extremes bindings")
+      val cnt = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$tbl`")
+      assert(cnt.as[Long].head() == 8L)
+      assert(!cnt.queryExecution.optimizedPlan.exists {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.isInstanceOf[graft.sources.GraftTable]
+        case _ => false
+      }, "count must still serve from the view after the downgrade")
+    } finally MatViews.unregister(tbl)
+  }
+
   test("point-read options and empty stores are rejected up front") {
     val base = graft.util.Scratch.dir("feed_opts")
     val tbl = s"$base/t"

@@ -436,6 +436,47 @@ class SqlWritePathSpec extends AnyFunSuite {
       .as[Double].head() == 3.0)
   }
 
+  test("drop + re-add of a name in one ALTER mints a fresh id; DDL never prunes") {
+    import graft.sources.SchemaEvolution
+    val t = graft.util.Scratch.dir("sqlw_evo_ids") + "/t"
+    val base = Seq((1L, "x1", 7.0), (2L, "x2", 8.0)).toDF("k", "s", "p")
+      .withColumn("d", to_date(lit("2024-03-15"))).select("k", "d", "s", "p")
+    SchemaEvolution.publishEvolved(base, "d", t)
+    def ids(v: Long): Map[String, Long] =
+      SchemaEvolution.schemaOf(spark, t, v).get.map(c => c.name -> c.id).toMap
+    val sIdV1 = ids(1L)("s")
+    // ONE statement: DROP s + re-ADD s (different type) — the new s
+    // must NOT inherit the retired id (that would resolve the dropped
+    // column's history into the unrelated new column). No SQL grammar
+    // spells both in one statement, but the DSv2 alterTable contract
+    // allows it — drive alterColumns with both changes directly.
+    import org.apache.spark.sql.connector.catalog.TableChange
+    SchemaEvolution.alterColumns(spark, t, Seq(
+      TableChange.deleteColumn(Array("s"), false),
+      TableChange.addColumn(Array("s"), org.apache.spark.sql.types.LongType)))
+    val head1 = Sinks.currentVersion(spark, t).get
+    assert(ids(head1)("s") != sIdV1, "re-added name must mint a fresh id")
+    // as-of: v1 through the live schema null-fills the NEW s (no id
+    // match) instead of resurrecting the dropped strings
+    assert(SchemaEvolution.readSnapshotAs(spark, t, 1L)
+      .select("s").collect().forall(_.isNullAt(0)),
+      "the dropped column's history must not surface in the re-added column")
+    // rename + add-under-the-old-name in ONE statement: two live
+    // columns must get DISTINCT ids (p's id follows the rename)
+    SchemaEvolution.alterColumns(spark, t, Seq(
+      TableChange.renameColumn(Array("p"), "amount"),
+      TableChange.addColumn(Array("p"), org.apache.spark.sql.types.StringType)))
+    val head2 = Sinks.currentVersion(spark, t).get
+    assert(ids(head2)("amount") == ids(1L)("p"), "rename keeps the id")
+    assert(ids(head2)("p") != ids(1L)("p"), "the re-added name mints fresh")
+    assert(ids(head2).values.toSeq.distinct.size == ids(head2).size,
+      "no two live columns may share an id")
+    // retention: the four ALTERs never pruned — v1 is still readable
+    // WITHOUT any tag pinning it
+    assert(Sinks.listVersions(spark, t).contains(1L),
+      "DDL must not shrink the retained-history window")
+  }
+
   test("ALTER TABLE column DDL collapses a live MoR chain correctly") {
     import graft.sources.SchemaEvolution
     val t = graft.util.Scratch.dir("sqlw_evo_chain") + "/t"
