@@ -79,6 +79,10 @@ object SparkEntry {
     // SQL MERGE INTO / DELETE / UPDATE routed to DV+MoR commits via
     // SupportsRowLevelOperations; census reads the 3-link chain merged
     "q_merge_sql"        -> graft.sources.GraftTable.mergeSqlResult _,
+    // REPLACE WHERE scoped overwrite (Delta's replaceWhere + the SQL
+    // INSERT INTO … REPLACE WHERE grammar): one O(changes) MoR link
+    // per region replace, the reference's monthly re-upload shape
+    "q_replace_where"    -> graft.sources.GraftTable.replaceWhereResult _,
     // crash-debris vacuum: abandoned dirs + orphan claims reclaimed,
     // committed and branch-marked versions untouched — constant ledger
     "q_vacuum"           -> graft.sources.Sinks.vacuumResult _,
@@ -1752,6 +1756,37 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'overwritten', COUNT(*), bit_xor(h) FROM x WHERE k % 8 = 0)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
+        |FROM c ORDER BY phase""".stripMargin,
+
+    // the scoped-overwrite lifecycle in closed form: bootstrap = even
+    // keys; replaced = pre-1995 region swapped for the k%4=0 class at
+    // +1.00 (1995+ untouched); sql_replaced = additionally the 1997+
+    // region swapped for the k%8=6 class at doubled prices
+    "q_replace_where" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |boot AS (SELECT * FROM base WHERE k % 2 = 0),
+        |rep AS (
+        |  SELECT k, d, p, h FROM boot WHERE d >= DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT k, d, CAST(p + CAST('1.00' AS DECIMAL(3,2)) AS DECIMAL(18,2)), h
+        |  FROM base WHERE k % 4 = 0 AND d < DATE '1995-01-01'),
+        |rep2 AS (
+        |  SELECT k, d, p, h FROM rep WHERE d < DATE '1997-01-01'
+        |  UNION ALL
+        |  SELECT k, d, CAST(p * 2 AS DECIMAL(18,2)), h
+        |  FROM base WHERE k % 8 = 6 AND d >= DATE '1997-01-01'),
+        |c AS (
+        |  SELECT 'bootstrap' AS phase, COUNT(*) AS n, bit_xor(h) AS key_xor,
+        |    CAST(SUM(p) AS DOUBLE) AS sum_price FROM boot
+        |  UNION ALL
+        |  SELECT 'replaced', COUNT(*), bit_xor(h), CAST(SUM(p) AS DOUBLE) FROM rep
+        |  UNION ALL
+        |  SELECT 'sql_replaced', COUNT(*), bit_xor(h), CAST(SUM(p) AS DOUBLE) FROM rep2)
+        |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor, sum_price
         |FROM c ORDER BY phase""".stripMargin,
 
     // the SQL MERGE/DELETE/UPDATE chain in closed form: class-7

@@ -177,7 +177,7 @@ class GraftTable private (
   override def capabilities(): util.Set[TableCapability] = {
     val base = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
     if (monthVisible) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
     base
   }
@@ -226,9 +226,32 @@ class GraftTable private (
   // ——— write side (V1 fallback: the whole frame as one DataFrame) ———
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var truncateRequested = false
+      // the REPLACE WHERE condition, as (Column predicate, display text)
+      private var replaceByFilter: Option[(org.apache.spark.sql.Column, String)] = None
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
+      /** `INSERT INTO … REPLACE WHERE cond` / `writeTo(…).overwrite(cond)`:
+        * Spark translates the condition to V1 filters and hands them
+        * here. `AlwaysTrue` degenerates to the full replace. An
+        * untranslatable term REFUSES — dropping it would silently
+        * WIDEN the replaced region (delete rows the user scoped out). */
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        import org.apache.spark.sql.sources.AlwaysTrue
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) { truncateRequested = true; this }
+        else {
+          val cols = filters.map { f =>
+            V1Filters.toColumn(f, org.apache.spark.sql.functions.col).getOrElse(
+              throw new UnsupportedOperationException(
+                s"REPLACE WHERE on $root: condition term $f is not translatable " +
+                "to a row predicate — rewrite the condition with comparisons, " +
+                "IN, NULL checks, string prefix/suffix/contains and AND/OR/NOT"))
+          }
+          replaceByFilter = Some((cols.reduce(_ && _), filters.mkString(" AND ")))
+          this
+        }
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -237,13 +260,16 @@ class GraftTable private (
                 overwrite || truncateRequested,
                 opts ++ info.options().asCaseSensitiveMap().asScala.map {
                   case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
-                })
+                },
+                replaceByFilter)
           }
       }
     }
 
   private def doInsert(data: DataFrame, overwrite: Boolean,
-                       wopts: Map[String, String]): Unit = {
+                       wopts: Map[String, String],
+                       replaceByFilter: Option[(org.apache.spark.sql.Column, String)]
+                         = None): Unit = {
     val df = if (data.columns.contains("txn_month")) data.drop("txn_month") else data
     val branch = wopts.get("branch")
     val retain = wopts.get("retainversions").map(_.toInt).getOrElse(2)
@@ -255,7 +281,20 @@ class GraftTable private (
         s"graft-table write to $root needs a month-partition column: pass " +
         s".option(\"dateCol\", …) (frame has ${dateish.length} date/timestamp columns)")
     }
-    if (overwrite || resolvedVersion.isEmpty) {
+    // REPLACE WHERE — the scoped overwrite (Delta's replaceWhere):
+    // SQL `INSERT INTO … REPLACE WHERE cond` / `writeTo(…).overwrite(cond)`
+    // arrive as pushed filters; the DataFrame-writer spelling
+    // `.mode("overwrite").option("replaceWhere", "<sql>")` as text
+    val replaceWhere: Option[(org.apache.spark.sql.Column, String)] =
+      replaceByFilter.orElse(wopts.get("replacewhere")
+        .map(s => (org.apache.spark.sql.functions.expr(s), s)))
+    if (replaceWhere.isDefined) {
+      require(overwrite || replaceByFilter.isDefined,
+        s"replaceWhere on $root requires mode(\"overwrite\") — an append cannot " +
+        "also replace (drop the option, or switch the mode)")
+      doReplaceWhere(df, replaceWhere.get._1, replaceWhere.get._2, branch,
+        wopts, () => dateCol, retain)
+    } else if (overwrite || resolvedVersion.isEmpty) {
       // full replace (or the bootstrap publish of an empty store)
       branch match {
         case Some(b) => Branches.publishToBranch(df, dateCol, root, b)
@@ -282,6 +321,74 @@ class GraftTable private (
             deltaRows = Some(df))
       }
       ()
+    }
+  }
+
+  /** The scoped overwrite: atomically delete the rows of the current
+    * state matching `pred` and land `df` in their place — ONE O(changes)
+    * MoR link (predicate-matched keys as the vector, the new rows as
+    * the delta), never a base rewrite: at 100 TB, re-uploading one
+    * month (the reference's monthly-file re-ingest,
+    * `land_registry_pp_monthly_update_db_upload.py`) costs that month
+    * plus the new rows, and the key scan that builds the vector is a
+    * predicate-pushed parquet read (a date-range predicate prunes to
+    * the affected `txn_month` partitions).
+    *
+    * The Delta replaceWhere row contract rides IN-FLIGHT (the
+    * [[Constraints.guard]] idiom — zero extra jobs): an arriving row
+    * that does not satisfy `pred` raises mid-write and the publish
+    * reclaims its stage — rows outside the predicate would survive
+    * OUTSIDE the replaced region, silently turning a scoped replace
+    * into a blind insert. On an EMPTY store the replace degenerates to
+    * the bootstrap publish (nothing to delete; the row contract still
+    * holds). Keyed-store note: this is Delta's region semantics, not
+    * an upsert — a new row carrying the key of an out-of-region row
+    * coexists with it (scope the predicate to cover every arriving
+    * key's region). */
+  private def doReplaceWhere(df: DataFrame, pred: org.apache.spark.sql.Column,
+                             predText: String, branch: Option[String],
+                             wopts: Map[String, String],
+                             dateCol: () => String, retain: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val msg = concat_ws("", lit(GraftTable.replaceToken),
+      lit(s"REPLACE WHERE ($predText) on $root: arriving row "),
+      to_json(struct(df.columns.map(col).toSeq: _*)),
+      lit(" does not satisfy the replace predicate. Nothing was committed — " +
+        "widen the predicate or scope the incoming frame to it"))
+    val guarded = df.filter(
+      when(not(coalesce(pred, lit(false))), raise_error(msg).cast("boolean"))
+        .otherwise(lit(true)))
+    resolvedVersion match {
+      case None =>
+        branch.foreach(b => throw new java.io.FileNotFoundException(
+          s"no branch '$b' at $root — an empty store has no refs to replace into"))
+        try { Sinks.publishSnapshot(guarded, dateCol(), root, retainVersions = retain); () }
+        catch { case scala.util.control.NonFatal(e) => throw GraftTable.unwrapReplace(e) }
+      case Some(v) =>
+        val expected = schema.fieldNames.toSet - "txn_month"
+        require(df.columns.toSet == expected,
+          s"replaceWhere schema ${df.columns.sorted.mkString(",")} must match the " +
+          s"table's ${expected.toSeq.sorted.mkString(",")} (only a full overwrite " +
+          "may evolve schema)")
+        val key = DeletionVectors.chainKeyOf(spark, root, v)
+          .orElse(wopts.get("key")).getOrElse(df.columns.head)
+        try {
+          branch match {
+            case Some(b) =>
+              val head = Branches.branchHead(spark, root, b).getOrElse(
+                throw new java.io.FileNotFoundException(s"no branch '$b' at $root"))
+              val delKeys = DeletionVectors.readMergedAt(spark, root, head)
+                .filter(pred).select(col(key))
+              DeletionVectors.publishDeletesToBranch(spark, root, b, delKeys, key,
+                deltaRows = Some(guarded))
+            case None =>
+              val delKeys = DeletionVectors.readMergedAt(spark, root, v)
+                .filter(pred).select(col(key))
+              DeletionVectors.publishDeletes(spark, root, delKeys, key,
+                deltaRows = Some(guarded), expectedParent = Some(v))
+          }
+          ()
+        } catch { case scala.util.control.NonFatal(e) => throw GraftTable.unwrapReplace(e) }
     }
   }
 
@@ -320,6 +427,30 @@ class GraftTable private (
 }
 
 object GraftTable {
+
+  /** Marker the replaceWhere row-contract raise embeds — the
+    * [[Constraints]] token discipline: the raise travels wrapped in
+    * Spark's task/job failure envelopes, so [[unwrapReplace]] walks
+    * message text, not exception types. */
+  private[sources] val replaceToken = "GRAFT_REPLACE_WHERE: "
+
+  /** Surface a replaceWhere row-contract raise as a clean
+    * IllegalArgumentException (the stage is already reclaimed by the
+    * publish's own failure hygiene); anything else returns unchanged
+    * for the caller to rethrow. */
+  private[sources] def unwrapReplace(e: Throwable): Throwable = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var t: Throwable = e
+    while (t != null && seen.add(t)) {
+      val m = t.getMessage
+      if (m != null && m.contains(replaceToken))
+        return new IllegalArgumentException(
+          m.substring(m.indexOf(replaceToken) + replaceToken.length)
+            .takeWhile(_ != '\n'))
+      t = t.getCause
+    }
+    e
+  }
 
   /** Provider-mode construction (`format("graft-table")`): the
     * round-11 read contract verbatim — branch/versionAsOf/tag
@@ -425,6 +556,70 @@ object GraftTable {
            |SELECT coalesce(o_orderkey, 0L) AS o_orderkey, odate, price
            |FROM dsv2w_orders WHERE o_orderkey % 8 = 0""".stripMargin)
       census("overwritten", spark.read.format("graft-table").load(t))
+        .coalesce(1).write.parquet(s"$f/c3")
+      f
+    })
+    spark.read.parquet(s"$fixture/c1")
+      .unionByName(spark.read.parquet(s"$fixture/c2"))
+      .unionByName(spark.read.parquet(s"$fixture/c3"))
+      .orderBy("phase")
+  }
+
+  private val replaceFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_replace_where` (hash-oracled): the SCOPED overwrite
+    * — Delta's `replaceWhere` — as the lakehouse spelling of the
+    * reference's monthly re-upload (a monthly pp file replaces exactly
+    * that month's rows, `land_registry_pp_monthly_update_db_upload
+    * .py`). Phase 1 bootstraps the even-key half of `orders`; phase 2
+    * re-uploads the pre-1995 region through the writer-option spelling
+    * (`.mode("overwrite").option("replaceWhere", …)`): only the
+    * `k % 4 = 0` class survives, prices +1.00 — committed as ONE MoR
+    * link whose vector is the region's keys and whose delta is the new
+    * rows, the base version never rewritten; phase 3 replaces the
+    * 1997+ region through the SQL grammar (`INSERT INTO … REPLACE
+    * WHERE`, resolving the chain head) with the `k % 8 = 6` class at
+    * doubled prices. Census per phase: row count, 60-bit key XOR,
+    * exact price sum as DOUBLE — the untouched 1995-96 middle region
+    * must ride through both replacements cell-for-cell. Fixture once
+    * per JVM; the query times the three censuses. */
+  def replaceWhereResult(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def census(phase: String, df: DataFrame): DataFrame =
+      df.select(col("price"),
+          graft.operators.Reconcile.xorHash60(col("o_orderkey").cast("string")).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("key_xor"), col("sum_price"))
+    val fixture = replaceFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("replace_where")
+      val t = s"$f/t"
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graft-table").option("dateCol", "odate")
+        .mode("overwrite").save(t)
+      census("bootstrap", spark.sql(s"SELECT * FROM graft.`$t`"))
+        .coalesce(1).write.parquet(s"$f/c1")
+      // the monthly-re-upload shape: replace the whole pre-1995 region
+      orders.filter(col("o_orderkey") % 4 === 0 && col("odate") < lit("1995-01-01"))
+        .withColumn("price",
+          expr("CAST(price + CAST('1.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))"))
+        .write.format("graft-table").mode("overwrite")
+        .option("replaceWhere", "odate < DATE'1995-01-01'").save(t)
+      census("replaced", spark.sql(s"SELECT * FROM graft.`$t`"))
+        .coalesce(1).write.parquet(s"$f/c2")
+      orders.createOrReplaceTempView("rw_orders")
+      spark.sql(
+        s"""INSERT INTO graft.`$t` REPLACE WHERE odate >= DATE'1997-01-01'
+           |SELECT coalesce(o_orderkey, 0L) AS o_orderkey, odate,
+           |  CAST(price * 2 AS DECIMAL(18,2)) AS price
+           |FROM rw_orders WHERE o_orderkey % 8 = 6 AND odate >= DATE'1997-01-01'
+           |""".stripMargin)
+      census("sql_replaced", spark.sql(s"SELECT * FROM graft.`$t`"))
         .coalesce(1).write.parquet(s"$f/c3")
       f
     })
@@ -587,24 +782,8 @@ private[sources] class MergedScanBuilder(merged: DataFrame)
 
   /** Name-based V1 filter → Column over the merged frame; None for
     * shapes we don't translate (they still apply — as residual). */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => Some(merged.col(a) === lit(v))
-    case EqualNullSafe(a, v)      => Some(merged.col(a) <=> lit(v))
-    case GreaterThan(a, v)        => Some(merged.col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(merged.col(a) >= lit(v))
-    case LessThan(a, v)           => Some(merged.col(a) < lit(v))
-    case LessThanOrEqual(a, v)    => Some(merged.col(a) <= lit(v))
-    case In(a, vs)                => Some(merged.col(a).isin(vs.toSeq: _*))
-    case IsNull(a)                => Some(merged.col(a).isNull)
-    case IsNotNull(a)             => Some(merged.col(a).isNotNull)
-    case StringStartsWith(a, v)   => Some(merged.col(a).startsWith(v))
-    case StringEndsWith(a, v)     => Some(merged.col(a).endsWith(v))
-    case StringContains(a, v)     => Some(merged.col(a).contains(v))
-    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
-    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-    case Not(c)    => toColumn(c).map(!_)
-    case _         => None
-  }
+  private def toColumn(f: Filter): Option[Column] =
+    V1Filters.toColumn(f, merged.col)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // apply every translatable predicate to the merged plan (Catalyst
@@ -633,6 +812,40 @@ private[sources] class MergedScanBuilder(merged: DataFrame)
           plan.rdd
         }
       }.asInstanceOf[T]
+  }
+}
+
+/** Name-based V1 `Filter` → `Column` translation shared by the merged
+  * chain scan's pushdown ([[MergedScanBuilder]]) and the
+  * `REPLACE WHERE` overwrite condition ([[GraftTable]]'s write
+  * builder): `resolve` supplies the column binding (a frame's `col`
+  * for pushdown, the free-standing `functions.col` for a predicate
+  * evaluated against both the table state and the incoming frame).
+  * None for shapes we don't translate — pushdown keeps them as
+  * residual; an overwrite REFUSES on them (dropping a predicate term
+  * would widen the replaced region). */
+private[sources] object V1Filters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter, resolve: String => Column): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(resolve(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(resolve(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(resolve(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(resolve(a) >= lit(v))
+    case LessThan(a, v)           => Some(resolve(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(resolve(a) <= lit(v))
+    case In(a, vs)                => Some(resolve(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(resolve(a).isNull)
+    case IsNotNull(a)             => Some(resolve(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(resolve(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(resolve(a).endsWith(v))
+    case StringContains(a, v)     => Some(resolve(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l, resolve); rc <- toColumn(r, resolve) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l, resolve); rc <- toColumn(r, resolve) } yield lc || rc
+    case Not(c)    => toColumn(c, resolve).map(!_)
+    case _         => None
   }
 }
 

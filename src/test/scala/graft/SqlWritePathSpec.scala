@@ -571,6 +571,73 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(graft.plans.MatViews.lookup(spark, t).isEmpty)
   }
 
+  private def dfAt(date: String, rows: (Long, String, Double)*) =
+    rows.toDF("k", "s", "p")
+      .withColumn("d", to_date(lit(date)))
+      .select("k", "d", "s", "p")
+
+  test("REPLACE WHERE: scoped overwrite as ONE MoR link, region semantics") {
+    val t = graft.util.Scratch.dir("sqlw_rw") + "/t"
+    // two months of state
+    dfAt("2024-03-15", (1L, "a", 1.0), (2L, "b", 2.0))
+      .unionByName(dfAt("2024-04-10", (10L, "x", 10.0), (11L, "y", 11.0)))
+      .write.format("graft-table").option("dateCol", "d").mode("overwrite").save(t)
+    // writer-option spelling (Delta's): re-upload March — new rows for
+    // the region, April untouched
+    dfAt("2024-03-20", (1L, "A", 1.5), (3L, "c", 3.0))
+      .write.format("graft-table").mode("overwrite")
+      .option("replaceWhere", "d < DATE'2024-04-01'").save(t)
+    // ONE new version, and it is a link (base never rewritten)
+    assert(Sinks.currentVersion(spark, t).contains(2L))
+    assert(Sinks.versionMeta(spark, t, 2L).contains("dv"),
+      "a scoped replace must commit as an O(changes) MoR link")
+    assert(stateOf(t) == Map(
+      1L -> ("A", 1.5), 3L -> ("c", 3.0),            // replaced region
+      10L -> ("x", 10.0), 11L -> ("y", 11.0)))       // untouched region
+    // SQL spelling: INSERT INTO … REPLACE WHERE (Spark 4 grammar) —
+    // re-replace April through the catalog; the key scan resolves the
+    // CHAIN head (version 2 is a link)
+    spark.sql(s"INSERT INTO graft.`$t` REPLACE WHERE d >= DATE'2024-04-01' " +
+      "SELECT 10L AS k, DATE'2024-04-20' AS d, 'X2' AS s, 20.0D AS p")
+    assert(Sinks.currentVersion(spark, t).contains(3L))
+    assert(stateOf(t) == Map(
+      1L -> ("A", 1.5), 3L -> ("c", 3.0), 10L -> ("X2", 20.0)))
+    // time travel still serves both pre-replace states
+    assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 1")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 10L, 11L))
+  }
+
+  test("REPLACE WHERE row contract: out-of-region rows refuse, nothing committed") {
+    val t = graft.util.Scratch.dir("sqlw_rw_viol") + "/t"
+    dfAt("2024-03-15", (1L, "a", 1.0)).unionByName(
+      dfAt("2024-04-10", (10L, "x", 10.0)))
+      .write.format("graft-table").option("dateCol", "d").mode("overwrite").save(t)
+    // an arriving April row under a March predicate raises in-flight
+    val e = intercept[Exception] {
+      dfAt("2024-04-20", (2L, "oops", 2.0)).write.format("graft-table")
+        .mode("overwrite").option("replaceWhere", "d < DATE'2024-04-01'").save(t)
+    }
+    assert(e.getMessage.contains("does not satisfy the replace predicate"),
+      s"got: ${e.getMessage}")
+    // nothing committed, stage + claim reclaimed
+    assert(Sinks.currentVersion(spark, t).contains(1L))
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 10L -> ("x", 10.0)))
+    assert(!new java.io.File(s"$t/v00000002").exists(),
+      "refused replace must reclaim its staged version dir")
+    // replaceWhere under append mode refuses up front
+    val e2 = intercept[Exception] {
+      dfAt("2024-03-20", (5L, "m", 5.0)).write.format("graft-table")
+        .mode("append").option("replaceWhere", "d < DATE'2024-04-01'").save(t)
+    }
+    assert(e2.getMessage.contains("requires mode"))
+    // on an EMPTY store the replace degenerates to the bootstrap
+    val t2 = graft.util.Scratch.dir("sqlw_rw_boot") + "/t"
+    dfAt("2024-03-15", (1L, "a", 1.0)).write.format("graft-table")
+      .option("dateCol", "d").mode("overwrite")
+      .option("replaceWhere", "d < DATE'2024-04-01'").save(t2)
+    assert(Sinks.currentVersion(spark, t2).contains(1L))
+  }
+
   test("append schema mismatch and empty-store reads fail loudly") {
     val t = graft.util.Scratch.dir("sqlw_err") + "/t"
     intercept[java.io.FileNotFoundException] {
