@@ -429,6 +429,9 @@ object SparkEntry {
     // the feed drained ACROSS a rename boundary: every historical
     // version id-resolves onto the schema pinned at stream start
     "q_table_feed_evolved" -> graft.sources.GraftFeedSource.tableFeedEvolvedResult _,
+    // BATCH change-feed read (Delta CDF's readChangeFeed spelling):
+    // full-range census ≡ the streaming drain, plus a bounded sub-range
+    "q_table_changes"    -> graft.sources.GraftFeedSource.tableChangesResult _,
     // FEED-DRIVEN incremental view maintenance: the monthly aggregate
     // kept current from preimage-mode feed rows — signed deltas per
     // link, re-key on snapshot baselines; stream ≡ full recompute
@@ -2424,6 +2427,33 @@ object SparkEntry {
         |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
         |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS price_sum
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the BATCH change-feed read over the same lifecycle shape as
+    // q_table_feed: phase 'full' = the whole [1, head] range (the
+    // stream-equivalence census), phase 'sub' = the [2, 2] bound
+    "q_table_changes" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 1 AS v, 'snapshot' AS ct, k, p FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 2, 'upsert', k,
+        |    CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT 2, 'upsert', k, p FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT 3, 'delete', k, CAST(NULL AS DECIMAL(18,2)) FROM base WHERE k % 30 = 0),
+        |ranged AS (
+        |  SELECT 'full' AS phase, v, ct, k, p FROM feed
+        |  UNION ALL
+        |  SELECT 'sub', v, ct, k, p FROM feed WHERE v = 2)
+        |SELECT phase, CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |  COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
+        |  CAST(SUM(COALESCE(p, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS price_sum
+        |FROM ranged GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // the feed across the rename boundary: v1 snapshot and v2 link
     // images surface under the PINNED name amount (id-resolved); the

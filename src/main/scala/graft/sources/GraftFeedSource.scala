@@ -63,26 +63,6 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     "graft-table stream: the feed tails MAIN history forward; point reads " +
     "(branch/tag/versionAsOf/timestampAsOf) are batch options")
 
-  /** Payload schema pinned at stream start (chain-resolved, txn_month
-    * hidden) — the feed's schema cannot drift mid-stream. */
-  private val payload: StructType = StructType(
-    DeletionVectors.readMerged(spark, root).drop("txn_month").schema.fields.toSeq)
-
-  /** The stable-id column mapping of the head the stream pinned its
-    * schema at (None when the table was never published through
-    * [[SchemaEvolution.publishEvolved]]). With a mapping, every
-    * HISTORICAL version the feed drains is projected onto the pinned
-    * schema BY ID — exactly as the batch diff resolves evolved gaps
-    * ([[graft.operators.SnapshotDiff.diffVersionsAs]]): a version
-    * published under a pre-rename name emits under the pinned name, a
-    * column added after it emits as typed nulls, one the pinned schema
-    * dropped vanishes. Without a mapping, a version whose physical
-    * columns don't cover the pinned schema REFUSES with the evolved
-    * version named — never an accidental mid-drain AnalysisException. */
-  private val targetMapping: Option[Seq[SchemaEvolution.ColMeta]] =
-    Sinks.currentVersion(spark, root)
-      .flatMap(SchemaEvolution.schemaOf(spark, root, _))
-
   /** Opt-in full change images (`option("preimages", "true")` — the
     * Delta-CDF shape): link versions emit `insert` /
     * `update_preimage` / `update_postimage` / `delete` rows, deletes
@@ -94,6 +74,20 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     * tail-reader must opt into knowingly, not get by default. */
   private val preimages: Boolean =
     params.get("preimages").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Payload schema + stable-id mapping pinned at stream start
+    * (chain-resolved, txn_month hidden) — the feed's schema cannot
+    * drift mid-stream. With a mapping, every HISTORICAL version the
+    * feed drains is projected onto the pinned schema BY ID — exactly
+    * as the batch diff resolves evolved gaps
+    * ([[graft.operators.SnapshotDiff.diffVersionsAs]]); without one, a
+    * version whose physical columns don't cover the pinned schema
+    * REFUSES with the evolved version named. Emission semantics and
+    * projection live in [[ChangeFeed]], shared verbatim with the BATCH
+    * change-feed read ([[ChangeFeedTable]]) so a batch backfill and a
+    * streaming tail of the same history are row-identical. */
+  private val pin: ChangeFeed.Pin = ChangeFeed.pinAtHead(spark, root, preimages)
+  private def payload: StructType = pin.payload
 
   require(!(params.contains("startingversion") && params.contains("startingtimestamp")),
     "graft-table stream: startingVersion and startingTimestamp are mutually " +
@@ -247,127 +241,14 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion - 1L)
     val to = versionOf(end)
-    val range = (from + 1L) to to
-    if (range.isEmpty) return emptyBatch()
-    // refuse-don't-guess: every version in the range must still be
-    // readable — a feed that fell behind retention must fail loudly,
-    // never silently skip history
-    val readable = Sinks.listVersions(spark, root).toSet
-    val lost = range.filterNot(readable)
-    if (lost.nonEmpty)
-      throw new java.io.FileNotFoundException(
-        s"change feed on $root needs version(s) ${lost.mkString(",")} but retention " +
-        "pruned them — the consumer fell behind the retainVersions window; restart " +
-        "from a retained startingVersion (or a fresh snapshot) and size retention " +
-        "to cover consumer lag")
-    // the engine requires a streaming-flagged plan from a V1 source —
+    if (((from + 1L) to to).isEmpty) return emptyBatch()
+    // per-version emission + the refuse-on-pruned retention contract
+    // live in [[ChangeFeed.rangeFrame]], shared with the batch read.
+    // The engine requires a streaming-flagged plan from a V1 source —
     // the same internalCreateDataFrame re-rooting FileStreamSource does
     org.apache.spark.sql.graftstream.StreamingFrame.toStreaming(
-      range.map(changeOf).reduce(_ unionByName _)
-        .select(schema.fieldNames.map(col).toSeq: _*))
+      ChangeFeed.rangeFrame(spark, pin, from, to))
   }
-
-  /** Project one historical version's rows onto the stream's pinned
-    * schema: BY ID when the table carries stable-id mappings (the
-    * batch diff's resolution), else by name with a DELIBERATE refusal
-    * naming the evolved version when its columns don't cover the
-    * pinned schema. Physical columns the pinned schema lacks (added
-    * after stream start, under no mapping) are dropped — the feed's
-    * schema is fixed at start by contract. */
-  private def projectTo(df: DataFrame, v: Long): DataFrame = targetMapping match {
-    case Some(target) =>
-      val atV = SchemaEvolution.schemaOf(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"streaming change feed on $root: version $v has no stable-id schema " +
-          "mapping but the stream pinned an evolved schema — history published " +
-          "outside SchemaEvolution.publishEvolved cannot be id-resolved; restart " +
-          s"the stream with startingVersion past version $v"))
-      SchemaEvolution.projectByIds(df, atV, target)
-    case None =>
-      val missing = payload.fieldNames.filterNot(df.columns.contains)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"streaming change feed on $root: version $v lacks column(s) " +
-        s"${missing.mkString(", ")} of the schema pinned at stream start — the " +
-        "table evolved mid-history without a stable-id mapping. Publish through " +
-        "SchemaEvolution.publishEvolved (id-resolved feeds survive renames/adds) " +
-        "or restart the stream with a startingVersion past the evolution boundary")
-      df.select(payload.fieldNames.map(col).toSeq: _*)
-  }
-
-  /** The pinned-schema name of version `v`'s chain key (the physical
-    * key the link's vector and delta carry) — id-resolved across a
-    * rename; refuses if the pinned schema dropped the key column. */
-  private def pinnedKeyName(v: Long, physKey: String): String = targetMapping match {
-    case None =>
-      require(payload.fieldNames.contains(physKey),
-        s"chain key '$physKey' of version $v is not a payload column")
-      physKey
-    case Some(target) =>
-      val atV = SchemaEvolution.schemaOf(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v of $root has no schema mapping (see projectTo)"))
-      val keyId = atV.find(_.name == physKey).getOrElse(throw new IllegalStateException(
-        s"chain key '$physKey' of version $v is not in its schema mapping")).id
-      target.find(_.id == keyId).map(_.name).getOrElse(throw new IllegalStateException(
-        s"streaming change feed on $root: the chain key '$physKey' (id $keyId) of " +
-        s"version $v was dropped from the schema pinned at stream start — keyed " +
-        "changes cannot be expressed without their key column"))
-  }
-
-  /** One version's feed rows — O(this version's bytes) by default;
-    * with `preimages`, plus the parent-state join that resolves full
-    * old images. */
-  private def changeOf(v: Long): DataFrame =
-    DeletionVectors.linkOf(spark, root, v) match {
-      case Some((physKey, parent, vec, delta)) =>
-        val keyName = pinnedKeyName(v, physKey)
-        val touched = vec.select(col(physKey).as(keyName))
-        if (!preimages) {
-          val upserts = delta.map(d => stamp(projectTo(d, v), "upsert", v))
-          // keys in the vector but NOT superseded by a delta image were
-          // deleted outright: key column set, other payload columns null
-          val delKeys = delta.fold(touched)(d =>
-            touched.join(projectTo(d, v).select(col(keyName)), Seq(keyName), "left_anti"))
-          val deletes = stamp(delKeys.select(payload.fields.toSeq.map { f =>
-            if (f.name == keyName) col(keyName).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*), "delete", v)
-          upserts.fold(deletes)(_ unionByName deletes)
-        } else {
-          // full-image mode: old images of every touched key come from
-          // the PARENT chain state — one keyed join against link-sized
-          // broadcast key sets, never an all-pairs term; refuse-on-
-          // pruned rides readMergedAt's own contract
-          val parentState = projectTo(
-            DeletionVectors.readMergedAt(spark, root, parent), parent)
-          val old = parentState.join(broadcast(touched), Seq(keyName), "left_semi")
-          delta.map(d => projectTo(d, v)) match {
-            case None => // pure delete link: every touched key had an image
-              stamp(old, "delete", v)
-            case Some(dt) =>
-              val dKeys = dt.select(col(keyName)).withColumn("__in_delta", lit(1))
-              val oldTagged = old.join(broadcast(dKeys), Seq(keyName), "left")
-              val pre = stamp(oldTagged.filter(col("__in_delta").isNotNull)
-                .drop("__in_delta"), "update_preimage", v)
-              val dels = stamp(oldTagged.filter(col("__in_delta").isNull)
-                .drop("__in_delta"), "delete", v)
-              val oldKeys = old.select(col(keyName)).withColumn("__had_old", lit(1))
-              val dTagged = dt.join(broadcast(oldKeys), Seq(keyName), "left")
-              val posts = stamp(dTagged.filter(col("__had_old").isNotNull)
-                .drop("__had_old"), "update_postimage", v)
-              val ins = stamp(dTagged.filter(col("__had_old").isNull)
-                .drop("__had_old"), "insert", v)
-              pre.unionByName(dels).unionByName(posts).unionByName(ins)
-          }
-        }
-      case None =>
-        stamp(projectTo(spark.read.parquet(s"$root/${Sinks.versionDirName(v)}")
-          .drop("txn_month"), v), "snapshot", v)
-    }
-
-  private def stamp(df: DataFrame, kind: String, v: Long): DataFrame =
-    df.withColumn("_change_type", lit(kind))
-      .withColumn("_commit_version", lit(v))
 
   private def emptyBatch(): DataFrame =
     org.apache.spark.sql.graftstream.StreamingFrame.toStreaming(
@@ -430,6 +311,60 @@ object GraftFeedSource {
         sum(coalesce(col("price"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
           .cast("double").as("price_sum"))
       .orderBy("commit_version", "change_type")
+  }
+
+  private val batchFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_table_changes` (hash-oracled): the BATCH change-feed
+    * read — Delta CDF's `spark.read.option("readChangeFeed", "true")`
+    * spelling — over the same three-commit lifecycle as `q_table_feed`
+    * (class-0 baseline, class-20 price bumps + class-7 inserts as a
+    * MoR upsert link, class-30 DV deletes), in TWO phases: the full
+    * `[1, head]` range censused per (version, change_type) — the same
+    * closed form the streaming drain answers, pinning batch ≡ stream —
+    * and a SUB-RANGE `[2, 2]` phase proving bounds bind (only the
+    * link's upserts). Batch reads plan directly over the version dirs
+    * (no trigger machinery, no checkpoint), so this is also the cheap
+    * backfill path: a consumer bootstrapping a derived table reads
+    * history once in batch, then tails the stream from the boundary
+    * version. Fixture once per JVM; the query times the two range
+    * reads. */
+  def tableChangesResult(spark: SparkSession, dir: String): DataFrame = {
+    val t = batchFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("table_changes") + "/t"
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      Sinks.publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", f,
+        retainVersions = 100)
+      val updates = base.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("price",
+          expr("CAST(price + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))"))
+      val inserts = base.filter(col("o_orderkey") % 10 === 7)
+      DeletionVectors.publishUpsert(spark, f, updates.unionByName(inserts),
+        "o_orderkey", updates.select("o_orderkey").limit(0), validate = false)
+      DeletionVectors.publishDeletes(spark, f,
+        base.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), "o_orderkey")
+      f
+    })
+    def census(phase: String, df: DataFrame): DataFrame =
+      df.withColumn("h",
+          graft.operators.Reconcile.xorHash60(col("o_orderkey").cast("string")))
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("key_xor"),
+          sum(coalesce(col("price"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+            .cast("double").as("price_sum"))
+        .withColumn("phase", lit(phase))
+    val full = spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(t)
+    val sub = spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(t)
+    census("full", full).unionByName(census("sub", sub))
+      .orderBy("phase", "commit_version", "change_type")
   }
 
   /** Registered `q_table_feed_evolved` (hash-oracled): the change feed

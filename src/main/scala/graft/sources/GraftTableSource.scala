@@ -81,16 +81,26 @@ class GraftTableDataSource extends TableProvider with DataSourceRegister
     * Resolution, the chain guard, parquet delegation and the WRITE
     * surface all live in [[GraftTable.forProvider]] since round 12. */
   private val pinned =
-    new java.util.concurrent.ConcurrentHashMap[Map[String, String], GraftTable]()
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], Table]()
 
-  private def resolve(options: CaseInsensitiveStringMap): GraftTable = {
+  private def resolve(options: CaseInsensitiveStringMap): Table = {
     import scala.jdk.CollectionConverters._
-    pinned.computeIfAbsent(options.asCaseSensitiveMap().asScala.toMap,
-      _ => GraftTable.forProvider(SparkSession.active, options))
+    pinned.computeIfAbsent(options.asCaseSensitiveMap().asScala.toMap, _ => {
+      val spark = SparkSession.active
+      // batch CDF read (Delta's `option("readChangeFeed", "true")`):
+      // a different table — history's changes, not a state snapshot
+      if (Option(options.get("readChangeFeed")).exists(_.trim.equalsIgnoreCase("true"))) {
+        val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+          "graft-table needs a path: the snapshot store root"))
+        new ChangeFeedTable(spark, root, options.asCaseSensitiveMap().asScala.map {
+          case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+        }.toMap)
+      } else GraftTable.forProvider(spark, options)
+    })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+    resolve(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =

@@ -413,6 +413,72 @@ class GraftFeedSpec extends AnyFunSuite {
     spark.readStream.format("graft-table").option("startingVersion", "2").load(tbl)
   }
 
+  test("batch readChangeFeed equals the streaming drain, row for row") {
+    val base = graft.util.Scratch.dir("feed_batch")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a", 2L -> "b"), "d", tbl, retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(1L -> "A", 3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, tbl, Seq(2L).toDF("k"), "k")
+    // the batch read over [1, head] must equal the streaming drain
+    drain(tbl, s"$base/ckpt", s"$base/out", startingVersion = Some(1L))
+    val streamed = rowsOf(s"$base/out").toSet
+    val batch = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(tbl)
+    batch.write.parquet(s"$base/bout")
+    assert(rowsOf(s"$base/bout").toSet === streamed)
+    // a sub-range reads only its versions
+    val mid = spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(tbl)
+    assert(mid.select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "upsert"), (3L, "upsert")))
+    // preimages mode serves the Delta-CDF shapes in batch too
+    val pre = spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("preimages", "true").option("startingVersion", "2")
+      .option("endingVersion", "3").load(tbl)
+    assert(pre.select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === Set(
+      (1L, "update_preimage", 2L), (1L, "update_postimage", 2L),
+      (3L, "insert", 2L), (2L, "delete", 3L)))
+    // column pruning + a _commit_version predicate stay correct
+    assert(spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(tbl)
+      .filter(col("_commit_version") === 3L).select("k")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("batch readChangeFeed refuses unbounded, beyond-head and pruned ranges") {
+    val base = graft.util.Scratch.dir("feed_batch_err")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 1)
+    // a starting point is REQUIRED (Delta's contract): no silent
+    // whole-history read
+    val unbounded = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("readChangeFeed", "true").load(tbl)
+    }
+    assert(unbounded.getMessage.contains("starting point"), unbounded.getMessage)
+    val beyond = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "9").load(tbl)
+    }
+    assert(beyond.getMessage.contains("beyond the live head"), beyond.getMessage)
+    // retention pruned v1 under retainVersions=1 → the range refuses
+    Sinks.publishSnapshot(df(2L -> "b"), "d", tbl, retainVersions = 1)
+    Sinks.publishSnapshot(df(3L -> "c"), "d", tbl, retainVersions = 1)
+    val pruned = intercept[Exception] {
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(tbl).collect()
+    }
+    assert(pruned.getMessage.contains("retention pruned"), pruned.getMessage)
+    // point reads and the feed are different surfaces
+    val mixed = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .option("startingVersion", "3").option("versionAsOf", "3").load(tbl)
+    }
+    assert(mixed.getMessage.contains("MAIN history"), mixed.getMessage)
+  }
+
   test("startingTimestamp resolves to the first commit at or after the instant") {
     val base = graft.util.Scratch.dir("feed_ts")
     val tbl = s"$base/t"
