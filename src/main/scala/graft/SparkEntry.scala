@@ -456,6 +456,9 @@ object SparkEntry {
     // RESTORE: roll the live state back to a retained version as a
     // new auditable commit; the bad intermediates stay readable
     "q_restore"          -> graft.sources.Sinks.restoreResult _,
+    // CALL graft.system.clone: deep clone of a chain-head version into
+    // a fresh single-version table (constraints + id mapping carried)
+    "q_clone"            -> graft.sources.Sinks.cloneResult _,
     // DESCRIBE HISTORY: the commit log (versions, kinds, chain parents)
     "q_history"          -> graft.sources.Sinks.historyResult _,
     // AGE-BASED expiration: calendar-time retention with tag-pin and
@@ -2644,6 +2647,27 @@ object SparkEntry {
         |FROM c ORDER BY phase""".stripMargin,
 
     // the mirror's merged state == the source's merged state: the
+    // the clone of the lifecycle fixture's v3 chain head: the merged
+    // pre-restore state (same arithmetic as q_restore's 'history'
+    // phase), landing as a fresh single-version table
+    "q_clone" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, CASE WHEN k % 20 = 0
+        |      THEN CAST(p + CAST('5.00' AS DECIMAL(3,2)) AS DECIMAL(18,2))
+        |      ELSE p END AS p
+        |  FROM base WHERE k % 10 = 0 AND k % 30 <> 0
+        |  UNION ALL
+        |  SELECT k, p FROM base WHERE k % 10 = 7)
+        |SELECT COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_xor,
+        |  CAST(SUM(p) AS DOUBLE) AS price_sum,
+        |  CAST(3 AS BIGINT) AS source_version,
+        |  CAST(1 AS BIGINT) AS clone_versions
+        |FROM fin""".stripMargin,
+
     // same arithmetic as q_restore's pre-restore phase
     "q_table_mirror" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,

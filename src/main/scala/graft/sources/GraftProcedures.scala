@@ -62,6 +62,7 @@ object GraftProcedures {
       case "show_views"       => new ShowViewsProcedure(rootOpt)
       case "table_detail"     => new TableDetailProcedure(rootOpt)
       case "drop_table"       => new DropTableProcedure(rootOpt)
+      case "clone"            => new CloneProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -563,6 +564,49 @@ object GraftProcedures {
     * stands: destruction is an explicitly named verb with its own
     * result set, never a DDL side-effect — and it still refuses while
     * tags or branches pin history, naming them. */
+  /** `CALL graft.system.clone(source, target, date_col[, version]
+    * [, retain_versions])` — Delta's DEEP CLONE as a named verb over
+    * [[Sinks.cloneSnapshot]]: the chain-resolved state at `version`
+    * (default the live head) lands as a NEW table's version 1,
+    * carrying the stable-id mapping (+ high-water mark) and the CHECK
+    * constraints; refs and history stay with the source. Returns the
+    * (source_version, files, bytes, constraints) ledger. */
+  private final class CloneProcedure(rootOpt: Option[String])
+    extends GraftProcedure("clone") {
+
+    override def description(): String =
+      "Deep-clone a graft table's state at a version (default: live head) into " +
+      "a new table: fresh history, same rows, same stable-id mapping and CHECK " +
+      "constraints; returns the (source_version, files, bytes) ledger"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("date_col", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build(),
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("2").build())
+
+    private val out = StructType(Seq(
+      StructField("source_version", LongType, nullable = false),
+      StructField("cloned_as", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("constraints", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val source = resolve(input.getUTF8String(0).toString, rootOpt)
+      val target = resolve(input.getUTF8String(1).toString, rootOpt)
+      val dateCol = input.getUTF8String(2).toString
+      val version = Some(input.getLong(3)).filter(_ >= 0L)
+      val retain = input.getInt(4)
+      val (srcV, files, bytes) =
+        Sinks.cloneSnapshot(spark, source, target, dateCol, version, retain)
+      val nCs = Constraints.constraintsOf(spark, target).size.toLong
+      result(out, Array(new GenericInternalRow(
+        Array[Any](srcV, 1L, files, bytes, nCs))))
+    }
+  }
+
   private final class DropTableProcedure(rootOpt: Option[String])
     extends GraftProcedure("drop_table") {
 

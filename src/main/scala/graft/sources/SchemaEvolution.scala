@@ -69,6 +69,24 @@ object SchemaEvolution {
         DeletionVectors.baseDataVersion(spark, tablePath, version))
       .get(metaName).map(parseSchema)
 
+  /** The metadata a CLONE of `version` must carry to continue the
+    * source's id history under its own roof: the mapping governing
+    * `version` plus the id high-water mark recorded with it — cloning
+    * the mapping WITHOUT the mark would let evolution on the clone
+    * re-mint ids the source had already retired at that point (the
+    * resurrection hazard [[maxIdMeta]] exists for). Empty for stores
+    * never published through [[publishEvolved]]. */
+  private[sources] def mappingMetaOf(spark: SparkSession, tablePath: String,
+                                     version: Long): Map[String, String] =
+    schemaOf(spark, tablePath, version) match {
+      case None => Map.empty
+      case Some(cols) =>
+        val base = DeletionVectors.baseDataVersion(spark, tablePath, version)
+        val maxId = Sinks.versionMeta(spark, tablePath, base).get(maxIdMeta)
+          .map(_.toLong).getOrElse(cols.map(_.id).maxOption.getOrElse(0L))
+        Map(metaName -> render(cols), maxIdMeta -> maxId.toString)
+    }
+
   /** Publish `df` as the next version WITH its id mapping. Ids carry
     * over by name from the live version's mapping; `renamedFrom` maps
     * a NEW column name to the OLD name whose id it inherits (the

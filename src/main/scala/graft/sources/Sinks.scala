@@ -372,6 +372,60 @@ object Sinks {
     * concurrent publisher moved the head — a restore decided against
     * a stale head must never shadow newer commits. Returns the new
     * version number. */
+  /** DEEP CLONE (Delta's `CREATE TABLE … DEEP CLONE`): materialize the
+    * chain-resolved state of `source` at `version` (default: the live
+    * head) into `target` as a NEW table's version 1 — fresh history,
+    * same rows, same stable-id mapping (evolution on the clone
+    * continues the source's id line at the cloned point, high-water
+    * mark included, so retired ids never resurrect — see
+    * [[SchemaEvolution.mappingMetaOf]]), same CHECK constraints.
+    * Refs (tags/branches) and history deliberately do NOT clone: they
+    * name the SOURCE's version chain, which the clone does not carry.
+    *
+    * Constraints persist onto the target FIRST, so the clone's own
+    * publish enforces them IN-FLIGHT on the write pass (zero extra
+    * jobs — the [[Constraints.guard]] wiring inside
+    * [[publishSnapshot]]): cloning an OLD version whose state predates
+    * a constraint refuses loudly instead of minting a table that
+    * violates its own declared rules; the refused target is wiped back
+    * to pristine. The target must have no committed history —
+    * clone bootstraps, never overwrites. Returns
+    * (source version, files, bytes) of the cloned data. */
+  def cloneSnapshot(spark: org.apache.spark.sql.SparkSession, source: String,
+                    target: String, dateCol: String,
+                    version: Option[Long] = None,
+                    retainVersions: Int = 2): (Long, Long, Long) = {
+    require(new org.apache.hadoop.fs.Path(source).toUri !=
+      new org.apache.hadoop.fs.Path(target).toUri,
+      s"clone source and target are the same path ($source)")
+    val srcV = version.getOrElse(currentVersion(spark, source).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot at $source to clone")))
+    require(currentVersion(spark, target).isEmpty,
+      s"clone target $target already has committed history — clone bootstraps a " +
+      "NEW table; pick an empty path (or CALL graft.system.drop_table first)")
+    // readMergedAt validates readability and resolves any DV/MoR chain
+    val state0 = DeletionVectors.readMergedAt(spark, source, srcV)
+    val state =
+      if (state0.columns.contains("txn_month")) state0.drop("txn_month") else state0
+    val cs = Constraints.constraintsOf(spark, source)
+    cs.foreach { case (n, ce) => Constraints.persistValidated(spark, target, n, ce) }
+    try publishSnapshot(state, dateCol, target, retainVersions,
+      extraMeta = SchemaEvolution.mappingMetaOf(spark, source, srcV))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // refusal hygiene: a failed clone leaves no half-built table —
+        // reclaim the constraint files this call created (the staged
+        // data dir is already reclaimed by the publish's own hygiene)
+        cs.keys.foreach(n =>
+          scala.util.Try(Constraints.dropConstraint(spark, target, n)))
+        throw e
+    }
+    val dir = new org.apache.hadoop.fs.Path(s"$target/${versionDirName(1L)}")
+    val sum = hadoopFs(spark, dir).getContentSummary(dir)
+    (srcV, sum.getFileCount, sum.getLength)
+  }
+
   def restoreSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       version: Long, dateCol: String,
                       retainVersions: Int = 2): Long = {
@@ -1340,6 +1394,32 @@ object Sinks {
       restoreSnapshot(spark, f, 1L, "odate", retainVersions = 100)
       f
     })
+
+  /** Registered `q_clone` (hash-oracled): `CALL graft.system.clone` of
+    * the lifecycle fixture's CHAIN-HEAD version (v3 = base + upsert
+    * link + delete link, retained behind the restore): the clone must
+    * land the chain-RESOLVED state as a fresh SINGLE-VERSION table —
+    * censused through the catalog against the same closed form the
+    * mat-view fixture uses, with the procedure's ledger
+    * (source_version=3, clone_versions=1) riding as columns. A FRESH
+    * target per call: the clone itself is the timed surface (the
+    * operation a user pays for), not a cached read of one. */
+  def cloneResult(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = lifecycleFixture(spark, dir)
+    val tgt = graft.util.Scratch.dir("clone_tgt") + "/t"
+    val ledger = spark.sql(
+      s"CALL graft.system.clone('$t', '$tgt', 'odate', version => 3)")
+      .collect().head // bounded: the one-row procedure ledger
+    spark.sql(s"SELECT * FROM graft.`$tgt`")
+      .withColumn("h", graft.operators.Reconcile.xorHash60(
+        col("o_orderkey").cast("string")))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"),
+        sum("price").cast("double").as("price_sum"))
+      .select(col("n_rows"), col("key_xor"), col("price_sum"),
+        lit(ledger.getLong(0)).as("source_version"),
+        lit(listVersions(spark, tgt).size.toLong).as("clone_versions"))
+  }
 
   /** Registered `q_restore` (hash-oracled): after the lifecycle
     * above, the LIVE state must be class-0 verbatim (the restore

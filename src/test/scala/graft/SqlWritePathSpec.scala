@@ -365,6 +365,71 @@ class SqlWritePathSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL clone: deep clone resolves chains, carries constraints + id mapping") {
+    val base = graft.util.Scratch.dir("sqlw_clone")
+    val src = s"$base/src"
+    // an EVOLVED source with a chain: v1 publishes with stable ids,
+    // v2 upserts, v3 deletes — the clone must land the MERGED state
+    graft.sources.SchemaEvolution.publishEvolved(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), "d", src,
+      retainVersions = 10)
+    DeletionVectors.publishUpsert(spark, src, df((1L, "A", 11.0), (4L, "e", 4.0)),
+      "k", df().select("k").limit(0), validate = false)
+    DeletionVectors.publishDeletes(spark, src, Seq(2L).toDF("k"), "k")
+    spark.sql(s"CALL graft.system.add_constraint('$src', 'pos_p', 'p > 0')")
+    val tgt = s"$base/tgt"
+    val ledger = spark.sql(
+      s"CALL graft.system.clone('$src', '$tgt', 'd')").collect().head
+    assert(ledger.getLong(0) == 3L && ledger.getLong(1) == 1L) // source v3 → clone v1
+    assert(ledger.getLong(4) == 1L) // one constraint carried
+    // the clone equals the source's merged head, as ONE plain version
+    assert(stateOf(tgt) == Map(1L -> ("A", 11.0), 3L -> ("c", 3.0), 4L -> ("e", 4.0)))
+    assert(Sinks.listVersions(spark, tgt) == Seq(1L))
+    // the carried constraint ENFORCES on the clone's own writes
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$tgt` SELECT 9L, DATE'2024-03-18', 'x', -1.0D")
+    }
+    assert(e.getMessage.contains("pos_p"), e.getMessage)
+    // the id mapping rode over: the clone's v1 resolves the same ids
+    val srcMap = graft.sources.SchemaEvolution.schemaOf(spark, src, 3L).get
+    val tgtMap = graft.sources.SchemaEvolution.schemaOf(spark, tgt, 1L).get
+    assert(tgtMap.map(c => (c.id, c.name)) == srcMap.map(c => (c.id, c.name)))
+    // the source is untouched (history, head, refs)
+    assert(Sinks.currentVersion(spark, src).contains(3L))
+    // a non-empty target refuses
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.clone('$src', '$tgt', 'd')")
+    }
+    assert(e2.getMessage.contains("already has committed history"), e2.getMessage)
+  }
+
+  test("CALL clone of an old version refuses on a later constraint, target pristine") {
+    val base = graft.util.Scratch.dir("sqlw_clone_viol")
+    val src = s"$base/src"
+    // v1 has a NEGATIVE price; v2 replaces it — then the constraint
+    // lands (valid for the live state, not for v1)
+    df((1L, "a", -5.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "10")
+      .mode("overwrite").save(src)
+    df((1L, "a", 5.0)).write.format("graft-table")
+      .option("dateCol", "d").option("retainVersions", "10")
+      .mode("overwrite").save(src)
+    spark.sql(s"CALL graft.system.add_constraint('$src', 'pos_p', 'p > 0')")
+    val tgt = s"$base/tgt"
+    // cloning v1 would mint a table violating its own declared rules
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.clone('$src', '$tgt', 'd', version => 1)")
+    }
+    assert(e.getMessage.contains("pos_p"), e.getMessage)
+    // refusal hygiene: the target path holds no committed versions and
+    // no leftover constraint files
+    assert(Sinks.currentVersion(spark, tgt).isEmpty)
+    assert(graft.sources.Constraints.constraintsOf(spark, tgt).isEmpty)
+    // the LIVE head clones fine under the same constraint
+    spark.sql(s"CALL graft.system.clone('$src', '$tgt', 'd')")
+    assert(stateOf(tgt) == Map(1L -> ("a", 5.0)))
+  }
+
   test("standard DDL: ALTER TABLE ADD/RENAME/DROP COLUMN + type widening") {
     import graft.sources.SchemaEvolution
     val t = graft.util.Scratch.dir("sqlw_evo") + "/t"
