@@ -83,6 +83,9 @@ object SparkEntry {
     // INSERT INTO … REPLACE WHERE grammar): one O(changes) MoR link
     // per region replace, the reference's monthly re-upload shape
     "q_replace_where"    -> graft.sources.GraftTable.replaceWhereResult _,
+    // atomic CTAS/RTAS DDL through the StagingTableCatalog: the staged
+    // write IS the store's atomic publish; REPLACE appends history
+    "q_ctas"             -> graft.sources.GraftTable.ctasResult _,
     // crash-debris vacuum: abandoned dirs + orphan claims reclaimed,
     // committed and branch-marked versions untouched — constant ledger
     "q_vacuum"           -> graft.sources.Sinks.vacuumResult _,
@@ -1762,6 +1765,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'overwritten', COUNT(*), bit_xor(h) FROM x WHERE k % 8 = 0)
         |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor
+        |FROM c ORDER BY phase""".stripMargin,
+
+    // the CTAS/RTAS lifecycle in closed form: ctas = even keys as v1,
+    // rtas = the k%8=0 class as v2, history = v1 read back after
+    "q_ctas" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'ctas' AS phase, COUNT(*) AS n, bit_xor(h) AS key_xor,
+        |    CAST(SUM(p) AS DOUBLE) AS sum_price FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'history', COUNT(*), bit_xor(h), CAST(SUM(p) AS DOUBLE)
+        |  FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'rtas', COUNT(*), bit_xor(h), CAST(SUM(p) AS DOUBLE)
+        |  FROM base WHERE k % 8 = 0)
+        |SELECT phase, CAST(n AS BIGINT) AS n_rows, key_xor, sum_price
         |FROM c ORDER BY phase""".stripMargin,
 
     // the scoped-overwrite lifecycle in closed form: bootstrap = even

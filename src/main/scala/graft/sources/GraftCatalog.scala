@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[Sinks.versionAsOfTimestamp]]'s newest-commit-at-or-before rule
   * over commit-marker mtimes.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var rootOpt: Option[String] = None
@@ -109,9 +110,114 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      s"the graft store at ${pathOf(ident)} is self-describing — bootstrap it with a " +
-      "first publish instead of DDL: df.write.format(\"graft-table\")" +
-      ".option(\"dateCol\", …).mode(\"overwrite\").save(path), or Sinks.publishSnapshot")
+      s"the graft store at ${pathOf(ident)} is self-describing — a bare CREATE " +
+      "TABLE has no data to describe it with. Bootstrap with data: CREATE TABLE " +
+      s"$catalogName.`…` AS SELECT … (atomic CTAS), df.write" +
+      ".format(\"graft-table\").option(\"dateCol\", …).mode(\"overwrite\")" +
+      ".save(path), or Sinks.publishSnapshot")
+
+  // ——— CTAS / RTAS (StagingTableCatalog) ————————————————————————————
+  // `CREATE [OR REPLACE] TABLE graft.`…`` [OPTIONS (dateCol '…')] AS
+  // SELECT …` and `REPLACE TABLE … AS SELECT …`: the staged table's
+  // write IS the store's atomic publish (staged version dir + commit
+  // marker), so commitStagedChanges has nothing left to do and an
+  // aborted CTAS leaves only vacuumable debris — never a half-created
+  // table. The date column comes from OPTIONS (dateCol) or the
+  // query's single date/timestamp column (the writer's rule). A bare
+  // CREATE TABLE (no AS SELECT) still refuses above: a graft table's
+  // schema rides its data. REPLACE publishes the next full-replace
+  // version of EXISTING history (time travel keeps serving the old
+  // states); like every full replace, it starts a fresh non-evolved
+  // schema line.
+
+  private def stagedPublishTable(path: String, ctasSchema: StructType,
+                                 partitions: Array[Transform],
+                                 properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      s"graft CTAS at $path: PARTITIONED BY is not supported — the store lays " +
+      "out by month of the date column (pass OPTIONS (dateCol '…'))")
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    def opt(key: String): Option[String] =
+      props.get(key).orElse(props.get(s"option.$key"))
+    val dateCol: Option[String] = opt("datecol")
+    val retain = opt("retainversions").map(_.toInt).getOrElse(2)
+    val sparkSession = spark
+    new org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      override def name(): String = s"graft-ctas:$path"
+      override def schema(): StructType = ctasSchema
+      override def capabilities(): util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+        util.EnumSet.of(
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE,
+          org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE,
+          org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        // the CTAS exec plans its write as a truncate-overwrite of the
+        // (empty) staged table; the publish below IS the full replace,
+        // so truncate is accepted and has nothing to clear
+        new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+          override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+            this
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.V1Write {
+              override def toInsertableRelation
+                  : org.apache.spark.sql.sources.InsertableRelation =
+                (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+                  val dc = dateCol.getOrElse {
+                    val dateish = data.schema.fields.filter(f =>
+                      f.dataType == org.apache.spark.sql.types.DateType ||
+                      f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+                    if (dateish.length == 1) dateish.head.name
+                    else throw new IllegalArgumentException(
+                      s"graft CTAS at $path needs a month-partition column: add " +
+                      s"OPTIONS (dateCol '…') (query has ${dateish.length} " +
+                      "date/timestamp columns)")
+                  }
+                  Sinks.publishSnapshot(data, dc, path, retainVersions = retain)
+                  ()
+                }
+            }
+        }
+      // the publish above is the atomic commit point (marker rename);
+      // nothing is visible until it lands, nothing to undo after
+      override def commitStagedChanges(): Unit = ()
+      override def abortStagedChanges(): Unit = ()
+    }
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val path = pathOf(ident)
+    if (Sinks.currentVersion(spark, path).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name())
+    stagedPublishTable(path, schema, partitions, properties)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val path = pathOf(ident)
+    if (Sinks.currentVersion(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    stagedPublishTable(path, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedPublishTable(pathOf(ident), schema, partitions, properties)
 
   /** The STANDARD SQL spellings of table maintenance, two families:
     *

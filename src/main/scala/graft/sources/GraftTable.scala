@@ -565,6 +565,57 @@ object GraftTable {
       .orderBy("phase")
   }
 
+  private val ctasFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered `q_ctas` (hash-oracled): the ATOMIC CTAS/RTAS DDL
+    * surface ([[GraftCatalog]]'s StagingTableCatalog) — `CREATE TABLE
+    * graft.`…`` `AS SELECT` bootstraps the even-key orders half as
+    * version 1 (the staged write IS the store's atomic publish),
+    * `REPLACE TABLE … AS SELECT` publishes the `k % 8 = 0` class as
+    * version 2 of the SAME history, and a `VERSION AS OF 1` read
+    * proves the replace appended history instead of rewriting it.
+    * Census per phase: row count + 60-bit key XOR + exact price sum
+    * vs closed-form DuckDB over `orders`. Fixture once per JVM; the
+    * query times the three censuses. */
+  def ctasResult(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def census(phase: String, df: DataFrame): DataFrame =
+      df.select(col("price"),
+          graft.operators.Reconcile.xorHash60(col("o_orderkey").cast("string")).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("key_xor"), col("sum_price"))
+    val fixture = ctasFixtures.computeIfAbsent(dir, _ => {
+      val f = graft.util.Scratch.dir("ctas")
+      val t = s"$f/t"
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("ctas_orders")
+      spark.sql(
+        s"""CREATE TABLE graft.`$t` OPTIONS (dateCol 'odate') AS
+           |SELECT coalesce(o_orderkey, 0L) AS o_orderkey, odate, price
+           |FROM ctas_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      census("ctas", spark.sql(s"SELECT * FROM graft.`$t`"))
+        .coalesce(1).write.parquet(s"$f/c1")
+      spark.sql(
+        s"""REPLACE TABLE graft.`$t` AS
+           |SELECT coalesce(o_orderkey, 0L) AS o_orderkey, odate, price
+           |FROM ctas_orders WHERE o_orderkey % 8 = 0""".stripMargin)
+      census("rtas", spark.sql(s"SELECT * FROM graft.`$t`"))
+        .coalesce(1).write.parquet(s"$f/c2")
+      census("history", spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1"))
+        .coalesce(1).write.parquet(s"$f/c3")
+      f
+    })
+    spark.read.parquet(s"$fixture/c1")
+      .unionByName(spark.read.parquet(s"$fixture/c2"))
+      .unionByName(spark.read.parquet(s"$fixture/c3"))
+      .orderBy("phase")
+  }
+
   private val replaceFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

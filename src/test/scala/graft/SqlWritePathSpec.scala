@@ -365,6 +365,54 @@ class SqlWritePathSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS / RTAS: CREATE TABLE AS SELECT bootstraps, REPLACE publishes next version") {
+    val base = graft.util.Scratch.dir("sqlw_ctas")
+    val t = s"$base/t"
+    // CTAS bootstraps a new store atomically (dateCol from OPTIONS)
+    spark.sql(
+      s"""CREATE TABLE graft.`$t` OPTIONS (dateCol 'd') AS
+         |SELECT 1L AS k, DATE'2024-03-15' AS d, 'a' AS s, 1.0D AS p""".stripMargin)
+    assert(Sinks.currentVersion(spark, t).contains(1L))
+    assert(stateOf(t) == Map(1L -> ("a", 1.0)))
+    // CREATE of an existing table refuses (standard semantics)
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$t` AS SELECT 2L AS k, DATE'2024-03-16' AS d, " +
+        "'b' AS s, 2.0D AS p")
+    }
+    assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+    // REPLACE TABLE AS SELECT publishes the NEXT version — history
+    // keeps serving v1
+    spark.sql(
+      s"""REPLACE TABLE graft.`$t` AS
+         |SELECT 7L AS k, DATE'2024-04-01' AS d, 'z' AS s, 7.0D AS p""".stripMargin)
+    assert(Sinks.currentVersion(spark, t).contains(2L))
+    assert(stateOf(t) == Map(7L -> ("z", 7.0)))
+    assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 1")
+      .as[Long].collect().toSeq == Seq(1L))
+    // CREATE OR REPLACE works on both empty and existing stores; the
+    // single-date-column rule supplies dateCol when OPTIONS doesn't
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$t` AS " +
+      "SELECT 9L AS k, DATE'2024-05-01' AS d, 'y' AS s, 9.0D AS p")
+    assert(stateOf(t) == Map(9L -> ("y", 9.0)))
+    // REPLACE of a missing table refuses; bare CREATE TABLE still does
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`$base/missing` AS SELECT 1L AS k, " +
+        "DATE'2024-01-01' AS d, 'x' AS s, 1.0D AS p")
+    }
+    val bare = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$base/bare` (k BIGINT, d DATE)")
+    }
+    assert(bare.getMessage.contains("AS SELECT"), bare.getMessage)
+    // a REPLACE violating the table's CHECK constraint refuses whole:
+    // the head stays, no new version lands
+    spark.sql(s"CALL graft.system.add_constraint('$t', 'pos_p', 'p > 0')")
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`$t` AS SELECT 5L AS k, " +
+        "DATE'2024-06-01' AS d, 'w' AS s, -5.0D AS p")
+    }
+    assert(stateOf(t) == Map(9L -> ("y", 9.0)))
+  }
+
   test("CALL clone: deep clone resolves chains, carries constraints + id mapping") {
     val base = graft.util.Scratch.dir("sqlw_clone")
     val src = s"$base/src"
