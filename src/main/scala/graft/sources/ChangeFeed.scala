@@ -249,6 +249,23 @@ private[sources] class ChangeFeedTable(spark: SparkSession, root: String,
     s"empty change range: startingVersion $startingVersion > " +
     s"endingVersion $endingVersion of $root")
 
+  // refuse-don't-guess at CONSTRUCTION: the requested range must be
+  // retained in full. The scan below prunes versions a
+  // `_commit_version` predicate excludes, and a version-pruned scan
+  // must not make a feed over partially-pruned history look healthy —
+  // the refusal belongs to the range the user NAMED, not the subset a
+  // particular query happened to touch.
+  locally {
+    val readable = Sinks.listVersions(spark, root).toSet
+    val lost = (startingVersion to endingVersion).filterNot(readable)
+    if (lost.nonEmpty)
+      throw new java.io.FileNotFoundException(
+        s"change feed on $root needs version(s) ${lost.mkString(",")} but " +
+        "retention pruned them — the consumer fell behind the retainVersions " +
+        "window; restart from a retained startingVersion (or a fresh snapshot) " +
+        "and size retention to cover consumer lag")
+  }
+
   override def name(): String =
     s"graft-table-changes:$root@v$startingVersion..v$endingVersion"
 
@@ -257,16 +274,95 @@ private[sources] class ChangeFeedTable(spark: SparkSession, root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
-  /** Resolved once per table: the range plan lists files and reads
-    * parquet footers per version — version dirs are immutable and the
-    * range is pinned at construction, so a second action on the same
-    * loaded DataFrame must not pay the resolution again (the
-    * [[GraftTable.mergedDf]] memoization contract). */
-  private lazy val frame =
-    ChangeFeed.rangeFrame(spark, pin, startingVersion - 1L, endingVersion)
+  /** Resolved once per (sub)range: the range plan lists files and
+    * reads parquet footers per version — version dirs are immutable
+    * and the range is pinned at construction, so a second action on
+    * the same loaded DataFrame must not pay the resolution again (the
+    * [[GraftTable.mergedDf]] memoization contract). Keyed by the
+    * NARROWED bounds because the scan builder below prunes versions. */
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), org.apache.spark.sql.DataFrame]()
+  private def frameOf(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+    frames.computeIfAbsent((lo, hi),
+      _ => ChangeFeed.rangeFrame(spark, pin, lo - 1L, hi))
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new MergedScanBuilder(frame)
+    new ChangeFeedScanBuilder(spark, schema, startingVersion, endingVersion, frameOf)
+}
+
+/** Scan builder for the batch change feed: VERSION PRUNING at plan
+  * time. A conjunctive `_commit_version` predicate (=, <, <=, >, >=,
+  * IN, AND) narrows the [starting, ending] version range BEFORE the
+  * range plan is built, so the scan lists and plans only the versions
+  * the query can touch — over a 10k-version backlog,
+  * `WHERE _commit_version = n` costs one version's file listing, not
+  * ten thousand. Every filter stays residual above (the
+  * [[MergedScanBuilder]] stance — each row carries its
+  * `_commit_version`, so re-applying is correct by construction and a
+  * bounds-extraction corner can never widen results); payload
+  * predicates push into the per-version parquet scans through the
+  * delegate exactly as chain-merged reads push them. */
+private[sources] class ChangeFeedScanBuilder(
+    spark: SparkSession, feedSchema: StructType,
+    startV: Long, endV: Long,
+    frameOf: (Long, Long) => org.apache.spark.sql.DataFrame)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
+
+  private var required: StructType = feedSchema
+  private var stored: Array[Filter] = Array.empty
+  private var lo = startV
+  private var hi = endV
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  private def bound(f: Filter): Unit = f match {
+    case EqualTo("_commit_version", v) => asLong(v).foreach { n =>
+      lo = math.max(lo, n); hi = math.min(hi, n) }
+    case GreaterThan("_commit_version", v) => asLong(v).foreach(n => lo = math.max(lo, n + 1))
+    case GreaterThanOrEqual("_commit_version", v) => asLong(v).foreach(n => lo = math.max(lo, n))
+    case LessThan("_commit_version", v) => asLong(v).foreach(n => hi = math.min(hi, n - 1))
+    case LessThanOrEqual("_commit_version", v) => asLong(v).foreach(n => hi = math.min(hi, n))
+    case In("_commit_version", vs) if vs.nonEmpty =>
+      val ns = vs.flatMap(asLong)
+      if (ns.length == vs.length) { lo = math.max(lo, ns.min); hi = math.min(hi, ns.max) }
+    case And(l, r) => bound(l); bound(r)
+    case _ => () // disjunctions / other shapes: no narrowing, residual handles them
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    stored = filters
+    filters.foreach(bound) // top-level array elements are conjuncts
+    filters // ALL residual — narrowing + frame filters are optimizations
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    stored.filter(f =>
+      V1Filters.toColumn(f, org.apache.spark.sql.functions.col).isDefined)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val frame =
+      if (lo > hi) // contradiction (e.g. _commit_version = 7 outside the range)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
+      else frameOf(lo, hi)
+    val delegate = new MergedScanBuilder(frame)
+    delegate.pruneColumns(required)
+    delegate.pushFilters(stored)
+    delegate.build()
+  }
 }

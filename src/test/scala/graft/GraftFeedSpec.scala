@@ -448,6 +448,35 @@ class GraftFeedSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("batch readChangeFeed prunes versions a _commit_version predicate excludes") {
+    val base = graft.util.Scratch.dir("feed_batch_prune")
+    val tbl = s"$base/t"
+    Sinks.publishSnapshot(df(1L -> "a"), "d", tbl, retainVersions = 100)
+    DeletionVectors.publishUpsert(spark, tbl, df(2L -> "b"), "k",
+      df().select("k").limit(0), validate = false)
+    DeletionVectors.publishUpsert(spark, tbl, df(3L -> "c"), "k",
+      df().select("k").limit(0), validate = false)
+    val feed = spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(tbl)
+    // the equality predicate narrows the PLANNED range to one version:
+    // the inner scan plan references v2's files and no other version's
+    graft.sources.MergedScanBuilder.lastScan.set(null)
+    assert(feed.filter(col("_commit_version") === 2L).select("k")
+      .as[Long].collect().toSeq == Seq(2L))
+    val inner = graft.sources.MergedScanBuilder.lastScan.get()
+    assert(inner != null, "captureScans seam not armed")
+    val planned = inner.inputFiles.toSeq
+    assert(planned.nonEmpty && planned.forall(_.contains("v00000002")),
+      s"version pruning must plan only v2's files, got: $planned")
+    // a contradictory bound returns empty without planning any version
+    assert(feed.filter(col("_commit_version") === 9L).count() == 0)
+    // range bounds compose with the predicate ([2, head] ∧ <= 2 → v2)
+    assert(spark.read.format("graft-table").option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(tbl)
+      .filter(col("_commit_version") <= 2L).select("k")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("batch readChangeFeed refuses unbounded, beyond-head and pruned ranges") {
     val base = graft.util.Scratch.dir("feed_batch_err")
     val tbl = s"$base/t"
