@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** STREAMING CHANGE FEED over the versioned snapshot store — the
   * Delta-CDF-shaped `spark.readStream.format("graft-table").load(root)`
@@ -167,9 +167,7 @@ class GraftFeedSource(spark: SparkSession, params: Map[String, String])
     * drain up to it in maxVersionsPerTrigger slices. */
   @volatile private var availableNowEnd: Option[Long] = None
 
-  override def schema: StructType = StructType(payload.fields.toSeq :+
-    StructField("_change_type", StringType, nullable = false) :+
-    StructField("_commit_version", LongType, nullable = false))
+  override def schema: StructType = ChangeFeed.feedSchema(pin)
 
   // the engine drives this source through the admission-control path
   // (latestOffset below); the legacy getOffset must not be reachable —
