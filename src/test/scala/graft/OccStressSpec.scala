@@ -46,7 +46,13 @@ class OccStressSpec extends AnyFunSuite {
               Sinks.publishSnapshot(stamp(tid, done), "d", tbl,
                 retainVersions = 100, expectedVersion = Some(cur + 1))
               done += 1
-            } catch { case _: ConcurrentSnapshotUpdate => () } // lost the claim: re-read, retry
+            } catch { case _: ConcurrentSnapshotUpdate =>
+              // lost the claim: back off, re-read, retry — the retry
+              // loop must not SPIN while the winner's (seconds-long
+              // under load) publish holds the claim, or the attempt
+              // cap measures box speed instead of livelock
+              Thread.sleep(25)
+            }
           }
         } catch { case t: Throwable => errors.add(t) }
       })
