@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // …and aggregates over a graft store answer from its registered
     // feed-maintained materialized view when fresh (plans.MatViewRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MatViewRewrite)
+    // …whole-table count/min/max over a plain snapshot version answer
+    // from the version's committed stats manifest — zero data IO
+    // (plans.MetaAggregate). After MatViewRewrite: a registered view
+    // serves richer shapes; the manifest serves what's left.
+    ext.injectOptimizerRule(_ => graft.plans.MetaAggregate)
     // …and catalog chain-head reads splice their merged plan into the
     // consuming query — the consumer's filters/pruning sink into the
     // base parquet scan, real sizes reach the planner, and no

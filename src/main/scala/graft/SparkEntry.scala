@@ -252,6 +252,9 @@ object SparkEntry {
     // Hilbert-clustered 3-D sibling (numeric+numeric+date), same idea
     "q_hilbert_scan"     -> graft.sources.ZOrder.hilbertScan _,
     "q_stats_skip_scan"  -> graft.sources.FileStats.statsSkipScan _,
+    // whole-table count/min/max served from the committed stats
+    // manifest at PLAN time (plans.MetaAggregate) — zero data IO
+    "q_meta_agg"         -> graft.sources.FileStats.metaAggregate _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -2195,6 +2198,18 @@ object SparkEntry {
         |WHERE o_custkey <= 500 AND o_totalprice <= 50000
         |  AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // metadata-only aggregates must never change results — plain
+    // whole-table aggregate truth over the same source rows
+    "q_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |       min(CAST(o_orderdate AS DATE)) AS min_date, max(CAST(o_orderdate AS DATE)) AS max_date,
+        |       min(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS min_prio
+        |FROM orders""".stripMargin,
 
     // manifest-stats file skipping must never change results — plain
     // filter truth, same box as the z-order scan

@@ -54,8 +54,13 @@ object FileStats {
     require(lo.nonEmpty || hi.nonEmpty, s"range on $column has no bounds")
   }
 
-  // flag values: m = min/max present, n = all values null, u = unknown
-  private final case class ColStat(tpe: String, flag: String, min: String, max: String)
+  // flag values: m = min/max present, n = all values null, u = unknown.
+  // `nulls` is the file's exact null count for the column when every
+  // chunk recorded one — tracked independently of the min/max domain,
+  // so a column whose type has no sound total order here (decimal,
+  // boolean — flag u) still answers count(col) from the manifest.
+  private final case class ColStat(tpe: String, flag: String, min: String, max: String,
+                                   nulls: Option[Long] = None)
   private final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStat])
 
   // ---- collection (publish side) ---------------------------------------
@@ -103,8 +108,18 @@ object FileStats {
                      name: String): Option[ColStat] = {
     val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == name))
     if (chunks.isEmpty) return None // column absent (e.g. partition col) → no entry, never prunes
+    // exact null count when every chunk recorded one — independent of
+    // whether the min/max domain below is supported
+    var nullsKnown = true
+    var nulls = 0L
+    chunks.foreach { cc =>
+      val st = cc.getStatistics
+      if (st == null || !st.isNumNullsSet || st.getNumNulls < 0) nullsKnown = false
+      else nulls = math.addExact(nulls, st.getNumNulls)
+    }
+    val nullsOpt = if (nullsKnown) Some(nulls) else None
     val tpe = typeTag(chunks.head.getPrimitiveType)
-    if (tpe.isEmpty) return Some(ColStat("?", "u", "", ""))
+    if (tpe.isEmpty) return Some(ColStat("?", "u", "", "", nullsOpt))
     var unknown = false
     var minS: String = null
     var maxS: String = null
@@ -113,8 +128,8 @@ object FileStats {
       if (st == null) unknown = true
       else if (st.hasNonNullValue) {
         val (lo, hi) = (serialize(tpe.get, st.genericGetMin), serialize(tpe.get, st.genericGetMax))
-        if (minS == null || compare(tpe.get, lo, minS) < 0) minS = lo
-        if (maxS == null || compare(tpe.get, hi, maxS) > 0) maxS = hi
+        if (minS == null || compareStored(tpe.get, lo, minS) < 0) minS = lo
+        if (maxS == null || compareStored(tpe.get, hi, maxS) > 0) maxS = hi
       } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
         // no values recorded and the null count doesn't account for the
         // chunk → stats were dropped by the writer (e.g. NaN handling,
@@ -123,9 +138,9 @@ object FileStats {
       }
     }
     Some(
-      if (unknown) ColStat(tpe.get, "u", "", "")
-      else if (minS == null) ColStat(tpe.get, "n", "", "")
-      else ColStat(tpe.get, "m", minS, maxS))
+      if (unknown) ColStat(tpe.get, "u", "", "", nullsOpt)
+      else if (minS == null) ColStat(tpe.get, "n", "", "", nullsOpt)
+      else ColStat(tpe.get, "m", minS, maxS, nullsOpt))
   }
 
   /** Physical+logical type → comparison domain; None = unsupported. */
@@ -183,6 +198,20 @@ object FileStats {
     case other => throw new IllegalStateException(s"no comparison for type tag $other")
   }
 
+  /** Sign of (a − b) with BOTH sides in the serialized (manifest
+    * string) domain — merging chunk extrema within a file and file
+    * extrema across a manifest. [[compare]] takes a RUNTIME-typed
+    * bound; feeding it a serialized string for a numeric column would
+    * throw, which is exactly the multi-row-group case a single-block
+    * test file never exercises. */
+  private def compareStored(tpe: String, a: String, b: String): Int = tpe match {
+    case "long" | "date" | "ts-millis" | "ts-micros" | "ts-nanos" =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => unsignedUtf8Compare(a, b)
+    case other => throw new IllegalStateException(s"no comparison for type tag $other")
+  }
+
   private def fail(tpe: String, v: Any): Nothing =
     throw new IllegalArgumentException(
       s"range bound ${v.getClass.getName} is not comparable to a $tpe stats column")
@@ -237,10 +266,12 @@ object FileStats {
           "path" -> JString(e.path),
           "rows" -> JLong(e.rows),
           "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
-            c -> (if (s.flag == "m")
-              JObject("t" -> JString(s.tpe), "f" -> JString(s.flag),
-                "min" -> JString(s.min), "max" -> JString(s.max))
-            else JObject("t" -> JString(s.tpe), "f" -> JString(s.flag)))
+            val base =
+              if (s.flag == "m")
+                List("t" -> JString(s.tpe), "f" -> JString(s.flag),
+                  "min" -> JString(s.min), "max" -> JString(s.max))
+              else List("t" -> JString(s.tpe), "f" -> JString(s.flag))
+            c -> JObject(base ++ s.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList)
           })
         )
       }.toList))
@@ -265,7 +296,12 @@ object FileStats {
             val fl = (v \ "f") match { case JString(s) => s; case _ => "u" }
             val mn = (v \ "min") match { case JString(s) => s; case _ => "" }
             val mx = (v \ "max") match { case JString(s) => s; case _ => "" }
-            c -> ColStat(t, fl, mn, mx)
+            // absent in manifests written before null counts existed →
+            // unknown, and count(col) facts refuse for the column
+            val nl = (v \ "nulls") match {
+              case JLong(n) => Some(n); case JInt(n) => Some(n.toLong); case _ => None
+            }
+            c -> ColStat(t, fl, mn, mx, nl)
           }.toMap
           case _ => Map.empty[String, ColStat]
         }
@@ -279,6 +315,67 @@ object FileStats {
   /** The column list a manifest covers (for recomputation after a
     * content rewrite). */
   def colsOf(json: String): Seq[String] = parse(json)._1
+
+  // ---- whole-manifest aggregate facts (plan side) -----------------------
+
+  /** One column's decisive whole-version facts. `nonNull` is the exact
+    * non-null value count when EVERY file recorded a null count for
+    * the column; `min`/`max` (manifest-serialized) are defined when
+    * `decisive` — every file has flag m or n, so the extrema over the
+    * m files ARE the column extrema — and are None-with-decisive for
+    * an all-null column (the aggregate is NULL). Absence of evidence
+    * is never treated as evidence: a single u-flagged or uncovered
+    * file makes the column indecisive. */
+  final case class ColAggFacts(tpe: String, nonNull: Option[Long],
+                               decisive: Boolean,
+                               min: Option[String], max: Option[String])
+
+  /** Whole-version facts: exact row count plus per-column
+    * [[ColAggFacts]]. */
+  final case class AggFacts(rows: Long, cols: Map[String, ColAggFacts])
+
+  /** Reduce a stats manifest to the whole-version facts a plan-time
+    * metadata-only aggregate ([[graft.plans.MetaAggregate]]) may
+    * serve. `rows` is always exact (every entry records its footer row
+    * count); per-column facts demand decisive evidence from EVERY file
+    * — one file without the column's entry (stats were not collected
+    * for it, or the column lives only in the partition path) poisons
+    * that column, never the others. */
+  def aggFacts(json: String): AggFacts = {
+    val (requested, files) = parse(json)
+    if (files.isEmpty)
+      // an EMPTY published version: zero rows, and every collected
+      // column decisively has no values (count 0, extrema NULL)
+      return AggFacts(0L,
+        requested.map(_ -> ColAggFacts("?", Some(0L), decisive = true, None, None)).toMap)
+    val rows = files.map(_.rows).sum
+    val colNames = files.flatMap(_.stats.keys).distinct
+    val cols = colNames.map { c =>
+      val entries = files.map(f => (f.rows, f.stats.get(c)))
+      if (entries.exists(_._2.isEmpty))
+        c -> ColAggFacts("?", None, decisive = false, None, None)
+      else {
+        val ss = entries.map { case (r, s) => (r, s.get) }
+        val tpes = ss.map(_._2.tpe).distinct
+        val tpe = if (tpes.size == 1) tpes.head else "?"
+        val nonNull =
+          if (ss.forall(_._2.nulls.isDefined))
+            Some(ss.map { case (r, s) => r - s.nulls.get }.sum)
+          else None
+        val decisive = tpe != "?" && !ss.exists(s =>
+          s._2.flag != "m" && s._2.flag != "n")
+        val ms = ss.map(_._2).filter(_.flag == "m")
+        val (mn, mx) =
+          if (!decisive || ms.isEmpty) (None, None)
+          else (Some(ms.map(_.min).reduce((a, b) =>
+                  if (compareStored(tpe, a, b) <= 0) a else b)),
+                Some(ms.map(_.max).reduce((a, b) =>
+                  if (compareStored(tpe, a, b) >= 0) a else b)))
+        c -> ColAggFacts(tpe, nonNull, decisive, mn, mx)
+      }
+    }.toMap
+    AggFacts(rows, cols)
+  }
 
   // ---- pruning (read side) --------------------------------------------
 
@@ -320,6 +417,43 @@ object FileStats {
     * driver's hash check against a plain filter oracle: skipping must
     * never change results. The PRUNING property (files actually
     * dropped from the scan) is spec-measured in ScaleSpec. */
+  private val aggFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered driver query (`q_meta_agg`): publish orders as a
+    * snapshot version carrying per-file stats (incl. a deliberately
+    * nullable column), then answer a whole-table
+    * count(*) / count(col) / min / max through the graft catalog —
+    * which [[graft.plans.MetaAggregate]] serves ENTIRELY from the
+    * committed manifest, no data scan (plan shape pinned in
+    * MetaAggregateSpec). Hash-checked against a plain DuckDB
+    * aggregate over the same source: serving from metadata must never
+    * change results. Fixture once per JVM; the query times the
+    * metadata-only reads. */
+  def metaAggregate(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{expr, to_date}
+    val tmp = aggFixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("metaagg_q")
+      val df = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"),
+          expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END")
+            .as("o_prio_n"))
+      Sinks.publishSnapshot(df, "o_orderdate", t,
+        statsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_prio_n"))
+      t
+    })
+    spark.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       count(o_prio_n) AS n_prio,
+         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+         |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+         |       min(o_prio_n) AS min_prio
+         |FROM graft.`$tmp`""".stripMargin)
+  }
+
   def statsSkipScan(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{to_date, lit => flit}
     val tmp = graft.util.Scratch.dir("statskip_q")

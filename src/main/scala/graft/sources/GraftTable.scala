@@ -100,6 +100,18 @@ class GraftTable private (
     if (Seq("branch", "versionasof", "tag", "timestampasof").exists(opts.contains)) None
     else resolvedVersion.map(v => (root, v))
 
+  /** (store path, bound version) when this read serves EXACTLY the
+    * files of one plain snapshot version dir — the precondition for
+    * answering whole-table aggregates from that version's committed
+    * stats manifest ([[graft.plans.MetaAggregate]]). Every resolution
+    * mode (live, versionAsOf, tag, timestampAsOf, branch) binds a
+    * main-dir version number whose data lives at `root/vNNNNNNNN`, so
+    * a defined parquet delegate (base == bound version: no DV/MoR
+    * links apply) is the whole condition; chain heads — whose state
+    * exists only merged — and write bootstraps return None. */
+  private[graft] def statsReadPoint: Option[(String, Long)] =
+    if (parquetDelegate.isDefined) resolvedVersion.map(v => (root, v)) else None
+
   /** Chain-merged state, resolved lazily and once (the plan pins to
     * immutable version dirs, so caching is safe for this table's
     * lifetime — one load = one resolution, the provider/catalog
