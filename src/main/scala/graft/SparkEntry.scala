@@ -255,6 +255,9 @@ object SparkEntry {
     // whole-table count/min/max served from the committed stats
     // manifest at PLAN time (plans.MetaAggregate) — zero data IO
     "q_meta_agg"         -> graft.sources.FileStats.metaAggregate _,
+    // partition-grain sibling: GROUP BY txn_month, one manifest-summed
+    // row per month, still zero data IO
+    "q_meta_agg_month"   -> graft.sources.FileStats.metaAggregateMonthly _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -2210,6 +2213,20 @@ object SparkEntry {
         |       min(CAST(o_orderdate AS DATE)) AS min_date, max(CAST(o_orderdate AS DATE)) AS max_date,
         |       min(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS min_prio
         |FROM orders""".stripMargin,
+
+    // partition-grain metadata aggregates: same truth, grouped by the
+    // layout's month — one row per month, plain aggregate oracle
+    "q_meta_agg_month" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS txn_month,
+        |       count(*) AS n_rows,
+        |       count(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |       min(CAST(o_orderdate AS DATE)) AS min_date, max(CAST(o_orderdate AS DATE)) AS max_date
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // manifest-stats file skipping must never change results — plain
     // filter truth, same box as the z-order scan

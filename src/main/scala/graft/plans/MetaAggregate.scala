@@ -33,9 +33,12 @@ import graft.sources.FileStats
   *    describes pre-merge files) or a write bootstrap
   *    ([[graft.sources.GraftTable.statsReadPoint]] is None);
   *  - the version carries no stats manifest, or reading it fails;
-  *  - any grouping key, FILTER clause, DISTINCT, or a filter between
-  *    the aggregate and the relation is present (file stats cannot
-  *    see inside files);
+  *  - a grouping key other than the layout's `txn_month` partition
+  *    column is present (partition values are path-exact per file, so
+  *    GROUP BY txn_month serves one manifest-summed row per month —
+  *    any other key would need to see inside files), or a FILTER
+  *    clause, DISTINCT, or a filter between the aggregate and the
+  *    relation is (file stats cannot see inside files);
   *  - an aggregate is anything but count(constant) / count(attr) /
   *    min(attr) / max(attr);
   *  - the manifest is not decisive for a column: some file lacks the
@@ -55,7 +58,10 @@ import graft.sources.FileStats
   * parquet writer, which does not truncate chunk statistics), and
   * version dirs are immutable, so the facts cannot drift from the
   * files. Pinned reads (versionAsOf / tag / timestampAsOf / branch)
-  * are served too: the manifest is per-version metadata.
+  * are served too: the manifest is per-version metadata. The
+  * partition column itself — absent from footers, exact in paths —
+  * gets synthetic per-file facts ([[FileStats.aggFacts]]), so
+  * count/min/max over `txn_month` serve like any other column.
   *
   * The rewritten plan contains no graft relation, making the rule
   * self-terminating under the optimizer's fixed point. Output
@@ -64,7 +70,7 @@ import graft.sources.FileStats
 object MetaAggregate extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg: Aggregate if agg.groupingExpressions.isEmpty && !agg.isStreaming =>
+    case agg: Aggregate if !agg.isStreaming =>
       tryReplace(agg).getOrElse(agg)
   }
 
@@ -88,8 +94,20 @@ object MetaAggregate extends Rule[LogicalPlan] {
     }
     val (path, version) = table.statsReadPoint.getOrElse {
       trace("chain head or bootstrap — stats describe pre-merge files"); return None }
+    // grouping: none (whole-table), or ONLY the layout's partition
+    // column — every row of a file carries the file's one path value,
+    // so per-group facts are exact per-file sums, nothing in-file
+    val grouped = agg.groupingExpressions.nonEmpty
+    if (!agg.groupingExpressions.forall {
+          case a: AttributeReference => a.name == PartitionCol && fromRel(rel, a)
+          case _ => false
+        }) { trace("grouping is not the partition column"); return None }
     // every aggregate expression must be servable BEFORE any IO
     val specs: Seq[AggSpec] = agg.aggregateExpressions.map {
+      case a: AttributeReference
+          if grouped && a.name == PartitionCol && fromRel(rel, a) => GroupKey
+      case Alias(a: AttributeReference, _)
+          if grouped && a.name == PartitionCol && fromRel(rel, a) => GroupKey
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -106,30 +124,45 @@ object MetaAggregate extends Rule[LogicalPlan] {
     }
     // FAULT ISOLATION: plan-time metadata reads must never break the
     // query — any failure falls through to the ordinary scan
-    val facts =
+    val manifest =
       try {
         val spark = SparkSession.active
-        graft.sources.Sinks.versionMeta(spark, path, version)
-          .get(FileStats.metaName).map(FileStats.aggFacts)
+        graft.sources.Sinks.versionMeta(spark, path, version).get(FileStats.metaName)
       } catch {
         case scala.util.control.NonFatal(e) =>
           trace(s"manifest read failed for $path@v$version (base read): $e"); None
       }
-    val f = facts.getOrElse { trace(s"no stats manifest at $path@v$version"); return None }
-    val values: Seq[Any] = specs.map {
-      case CountStar => f.rows
-      case CountCol(c) =>
-        f.cols.get(c).flatMap(_.nonNull).getOrElse {
-          trace(s"null counts not decisive for '$c'"); return None }
-      case MinCol(c, dt) => extremum(f, c, dt, isMin = true).getOrElse { return None }
-      case MaxCol(c, dt) => extremum(f, c, dt, isMin = false).getOrElse { return None }
+    val json = manifest.getOrElse { trace(s"no stats manifest at $path@v$version"); return None }
+    // (group key, facts) per output row: one whole-table row, or one
+    // per partition dir found in the manifest
+    val groups: Seq[(Option[String], FileStats.AggFacts)] =
+      if (!grouped) Seq((None, FileStats.aggFacts(json)))
+      else FileStats.aggFactsByMonth(json).getOrElse {
+        trace("a manifest entry is not under a partition dir"); return None
+      }.toSeq.sortBy(_._1)
+    val rows: Seq[InternalRow] = groups.map { case (month, f) =>
+      val values: Seq[Any] = specs.map {
+        case GroupKey  => month.map(UTF8String.fromString).orNull
+        case CountStar => f.rows
+        case CountCol(c) =>
+          f.cols.get(c).flatMap(_.nonNull).getOrElse {
+            trace(s"null counts not decisive for '$c'"); return None }
+        case MinCol(c, dt) => extremum(f, c, dt, isMin = true).getOrElse { return None }
+        case MaxCol(c, dt) => extremum(f, c, dt, isMin = false).getOrElse { return None }
+      }
+      InternalRow.fromSeq(values)
     }
-    trace(s"served from $path@v$version manifest (${specs.size} aggregates, no scan)")
-    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
-      Seq(InternalRow.fromSeq(values))))
+    trace(s"served from $path@v$version manifest " +
+      s"(${specs.size} aggregates × ${rows.size} group(s), no scan)")
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute), rows))
   }
 
+  /** The layout's one partition column ([[graft.sources.Sinks]]'
+    * month dirs) — the only grouping the manifest can attribute. */
+  private val PartitionCol = "txn_month"
+
   private sealed trait AggSpec
+  private case object GroupKey extends AggSpec
   private case object CountStar extends AggSpec
   private final case class CountCol(name: String) extends AggSpec
   private final case class MinCol(name: String, dt: DataType) extends AggSpec

@@ -340,9 +340,57 @@ object FileStats {
     * count); per-column facts demand decisive evidence from EVERY file
     * — one file without the column's entry (stats were not collected
     * for it, or the column lives only in the partition path) poisons
-    * that column, never the others. */
+    * that column, never the others.
+    *
+    * The layout's `txn_month` partition column never appears in the
+    * footers (it lives only in the path), but its per-file facts are
+    * EXACT by construction — every row of a file carries the file's
+    * one path value — so a synthetic entry is injected per file:
+    * min = max = the dir value (zero nulls), or all-null for the Hive
+    * default partition. A path that is not `txn_month=…/`, or an
+    * escaped value (`%` — the writer escaped a character we will not
+    * guess at), injects nothing, and the column refuses as uncovered
+    * rather than guessing. */
   def aggFacts(json: String): AggFacts = {
     val (requested, files) = parse(json)
+    reduceFacts(requested, files.map(withPartitionStat))
+  }
+
+  /** Per-month facts, keyed by the partition value (None = the Hive
+    * default/null-date partition); outer None when any entry's path
+    * does not sit in a `txn_month=` dir (a foreign layout — the
+    * caller refuses rather than mis-grouping). An empty version is
+    * Some(empty): GROUP BY over no rows has no groups. */
+  def aggFactsByMonth(json: String): Option[Map[Option[String], AggFacts]] = {
+    val (requested, files) = parse(json)
+    if (files.exists(f => partitionOf(f.path).isEmpty)) return None
+    Some(files.groupBy(f => partitionOf(f.path).get)
+      .map { case (m, fs) => m -> reduceFacts(requested, fs.map(withPartitionStat)) })
+  }
+
+  /** The `txn_month=` dir value of an entry path: Some(Some(v)) for a
+    * plain value, Some(None) for the Hive default (null) partition,
+    * None for a foreign path shape or an escaped value. */
+  private def partitionOf(path: String): Option[Option[String]] = {
+    val slash = path.indexOf('/')
+    if (slash < 0 || !path.startsWith("txn_month=")) return None
+    val v = path.substring("txn_month=".length, slash)
+    if (v == "__HIVE_DEFAULT_PARTITION__") Some(None)
+    else if (v.isEmpty || v.contains('%')) None
+    else Some(Some(v))
+  }
+
+  private def withPartitionStat(f: FileEntry): FileEntry =
+    if (f.stats.contains("txn_month")) f
+    else partitionOf(f.path) match {
+      case Some(Some(v)) =>
+        f.copy(stats = f.stats + ("txn_month" -> ColStat("string", "m", v, v, Some(0L))))
+      case Some(None) =>
+        f.copy(stats = f.stats + ("txn_month" -> ColStat("string", "n", "", "", Some(f.rows))))
+      case None => f
+    }
+
+  private def reduceFacts(requested: Seq[String], files: Seq[FileEntry]): AggFacts = {
     if (files.isEmpty)
       // an EMPTY published version: zero rows, and every collected
       // column decisively has no values (count 0, extrema NULL)
@@ -452,6 +500,29 @@ object FileStats {
          |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
          |       min(o_prio_n) AS min_prio
          |FROM graft.`$tmp`""".stripMargin)
+  }
+
+  /** Registered driver query (`q_meta_agg_month`): the PARTITION-GRAIN
+    * metadata aggregate — `GROUP BY txn_month` over the same published
+    * store, read path-mode (the partition column is visible there),
+    * answered one manifest-summed row per month with no scan
+    * ([[graft.plans.MetaAggregate]]'s grouped serving; partition
+    * values are exact per file by construction of the layout).
+    * Hash-checked against DuckDB's plain month-grouped aggregate over
+    * the source parquet. Shares [[metaAggregate]]'s fixture. */
+  def metaAggregateMonthly(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    metaAggregate(spark, dir) // ensure the fixture exists
+    val tmp = aggFixtures.get(dir)
+    spark.read.format("graft-table").load(tmp).createOrReplaceTempView("meta_agg_m")
+    spark.sql(
+      """SELECT txn_month, count(*) AS n_rows, count(o_prio_n) AS n_prio,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM meta_agg_m
+        |GROUP BY txn_month
+        |ORDER BY txn_month""".stripMargin)
   }
 
   def statsSkipScan(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {

@@ -135,4 +135,64 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
     assert(df.count() == 1)
   }
+
+  test("GROUP BY the partition column serves one manifest-summed row per month") {
+    spark.read.format("graft-table").load(store).createOrReplaceTempView("mas_path")
+    val sql =
+      """SELECT txn_month, count(*) AS n, count(s_n) AS n_sn, min(k) AS mn, max(k) AS mx,
+        |       min(s) AS mns, max(price) AS mxp, max(d) AS mxd
+        |FROM mas_path %s GROUP BY txn_month""".stripMargin
+    val served = spark.sql(sql.format(""))
+    assert(metadataOnly(served), served.queryExecution.optimizedPlan.treeString)
+    // scan truth: an always-true filter refuses the rewrite, same rows
+    val scanned = spark.sql(sql.format("WHERE k >= 0"))
+    assert(!metadataOnly(scanned))
+    assert(served.collect().toSet == scanned.collect().toSet)
+    assert(served.count() == 4) // 2024-01 .. 2024-04
+  }
+
+  test("partition-column facts are path-derived: count/min/max of txn_month serve") {
+    spark.read.format("graft-table").load(store).createOrReplaceTempView("mas_path")
+    val df = spark.sql(
+      "SELECT count(txn_month) AS n, min(txn_month) AS mn, max(txn_month) AS mx FROM mas_path")
+    assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
+    val r = df.collect().head
+    assert(r.getLong(0) == 100L && r.getString(1) == "2024-01" && r.getString(2) == "2024-04")
+  }
+
+  test("grouping by a payload column refuses: values vary inside files") {
+    spark.read.format("graft-table").load(store).createOrReplaceTempView("mas_path")
+    val df = spark.sql("SELECT s_n, count(*) AS n FROM mas_path GROUP BY s_n")
+    assert(!metadataOnly(df))
+    assert(df.collect().map(_.getLong(1)).sum == 100L)
+  }
+
+  test("a null-date default partition groups as NULL and serves exactly") {
+    val t = graft.util.Scratch.dir("metaagg_nullmonth")
+    val df = spark.range(0, 10)
+      .selectExpr("id AS k",
+        "CASE WHEN id >= 8 THEN NULL ELSE date_add(DATE '2024-06-01', CAST(id AS INT)) END AS d")
+    Sinks.publishSnapshot(df, "d", t, statsCols = Seq("k", "d"))
+    spark.read.format("graft-table").load(t).createOrReplaceTempView("mas_nullm")
+    val q = spark.sql(
+      """SELECT txn_month, count(*) AS n, count(d) AS nd, min(k) AS mn
+        |FROM mas_nullm GROUP BY txn_month""".stripMargin)
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.treeString)
+    val rows = q.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((Some("2024-06"), 8L, 8L, 0L), (None, 2L, 0L, 8L)))
+    // whole-table over the same store: count(txn_month) skips the
+    // default partition's rows, count(*) does not
+    val w = spark.sql(
+      "SELECT count(*) AS n, count(txn_month) AS nm, min(txn_month) AS mn FROM mas_nullm")
+    assert(metadataOnly(w))
+    val wr = w.collect().head
+    assert(wr.getLong(0) == 10L && wr.getLong(1) == 8L && wr.getString(2) == "2024-06")
+  }
+
+  test("the registered monthly query is metadata-only at the plan level") {
+    val df = graft.sources.FileStats.metaAggregateMonthly(spark, sf)
+    assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
+    assert(df.count() >= 1)
+  }
 }
