@@ -54,7 +54,11 @@ object FileStats {
     require(lo.nonEmpty || hi.nonEmpty, s"range on $column has no bounds")
   }
 
-  // flag values: m = min/max present, n = all values null, u = unknown.
+  // flag values: m = min/max present (exact), t = min/max present but
+  // TRUNCATED to sound outer bounds (long strings — lower bound is a
+  // prefix ≤ the true min, upper bound increments the last kept code
+  // point > the true max; pruning may use them, extremum serving must
+  // not), n = all values null, u = unknown.
   // `nulls` is the file's exact null count for the column when every
   // chunk recorded one — tracked independently of the min/max domain,
   // so a column whose type has no sound total order here (decimal,
@@ -140,7 +144,51 @@ object FileStats {
     Some(
       if (unknown) ColStat(tpe.get, "u", "", "", nullsOpt)
       else if (minS == null) ColStat(tpe.get, "n", "", "", nullsOpt)
+      else if (tpe.get == "string" &&
+               (codePoints(minS) > StringStatsCap || codePoints(maxS) > StringStatsCap))
+        // a 100k-file manifest over a free-text column must not embed
+        // two full documents per file — keep sound OUTER bounds instead
+        truncUpper(maxS) match {
+          case Some(hi) => ColStat("string", "t", truncLower(minS), hi, nullsOpt)
+          case None     => ColStat("string", "u", "", "", nullsOpt)
+        }
       else ColStat(tpe.get, "m", minS, maxS, nullsOpt))
+  }
+
+  /** Bound (in code points) past which string extrema are truncated in
+    * the manifest ([[truncLower]]/[[truncUpper]], flag `t`). */
+  private[sources] val StringStatsCap = 64
+
+  private def codePoints(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Prefix of ≤ [[StringStatsCap]] code points — ≤ the input in
+    * unsigned UTF-8 order (UTF-8 preserves code-point order and a
+    * prefix sorts before any extension), so a sound LOWER bound. */
+  private def truncLower(s: String): String = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StringStatsCap) s else new String(cps, 0, StringStatsCap)
+  }
+
+  /** Prefix with the last kept code point incremented — STRICTLY
+    * greater than the input (they share the shorter prefix and differ
+    * upward at the incremented position), so a sound UPPER bound.
+    * Increments skip the surrogate gap; a prefix of all U+10FFFF has
+    * no incrementable position → None (bound unknowable). */
+  private def truncUpper(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StringStatsCap) return Some(s)
+    var i = math.min(StringStatsCap, cps.length) - 1
+    while (i >= 0) {
+      var cp = cps(i) + 1
+      if (cp >= 0xD800 && cp <= 0xDFFF) cp = 0xE000
+      if (cp <= 0x10FFFF) {
+        val kept = java.util.Arrays.copyOf(cps, i + 1)
+        kept(i) = cp
+        return Some(new String(kept, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
   }
 
   /** Physical+logical type → comparison domain; None = unsupported. */
@@ -267,7 +315,7 @@ object FileStats {
           "rows" -> JLong(e.rows),
           "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
             val base =
-              if (s.flag == "m")
+              if (s.flag == "m" || s.flag == "t")
                 List("t" -> JString(s.tpe), "f" -> JString(s.flag),
                   "min" -> JString(s.min), "max" -> JString(s.max))
               else List("t" -> JString(s.tpe), "f" -> JString(s.flag))
@@ -325,7 +373,9 @@ object FileStats {
     * m files ARE the column extrema — and are None-with-decisive for
     * an all-null column (the aggregate is NULL). Absence of evidence
     * is never treated as evidence: a single u-flagged or uncovered
-    * file makes the column indecisive. */
+    * file makes the column indecisive, and so does a `t` flag — a
+    * truncated bound brackets the extremum but is not a value that
+    * occurs in the data, fine for pruning, wrong to SERVE. */
   final case class ColAggFacts(tpe: String, nonNull: Option[Long],
                                decisive: Boolean,
                                min: Option[String], max: Option[String])
@@ -439,7 +489,9 @@ object FileStats {
           case None => true
           case Some(s) => s.flag match {
             case "n" => false // all-null column: no range can match
-            case "m" =>
+            case "m" | "t" =>
+              // "t" bounds are OUTER (widened) — the interval only
+              // grew, so a drop decision is still evidence-based
               r.lo.forall(l => compare(s.tpe, s.max, l) >= 0) &&
               r.hi.forall(h => compare(s.tpe, s.min, h) <= 0)
             case _ => true // unknown → never prune

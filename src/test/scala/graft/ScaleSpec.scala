@@ -537,6 +537,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(none.columns.toSet === full.columns.toSet)
   }
 
+  test("file-stats manifest: long string extrema truncate to sound outer bounds") {
+    import graft.sources.FileStats.ColRange
+    val table = Files.createTempDirectory("fstatst").toString + "/t"
+    // a free-text-shaped column: hundreds of chars, sortable prefix —
+    // full extrema in the manifest would embed two documents per file
+    val df = spark.range(0, 2000)
+      .selectExpr("id AS k",
+        "concat('doc-', lpad(id, 6, '0'), '-', repeat('lorem ipsum ', 40)) AS body",
+        "date_add(DATE '2024-01-01', CAST(id % 3 AS INT)) AS dt")
+      .repartitionByRange(8, col("k"))
+    Sinks.publishSnapshot(df, "dt", table, statsCols = Seq("k", "body"))
+    // the manifest stays small: no stored bound longer than the cap + 1
+    val meta = Sinks.versionMeta(spark, table, 1L)(graft.sources.FileStats.metaName)
+    assert(meta.length < 20000, s"manifest is ${meta.length} bytes")
+    assert(!meta.contains("lorem ipsum lorem ipsum lorem ipsum lorem ipsum lorem ipsum lorem"),
+      "a full document leaked into the manifest")
+    // pruning on the truncated bounds is still evidence-based: the
+    // skipping read drops files yet matches the plain filtered read
+    val full = Sinks.readSnapshot(spark, table)
+    val slice = Sinks.readSnapshotSkipping(spark, table,
+      Seq(ColRange("body", Some("doc-000100"), Some("doc-000399"))))
+    assert(slice.inputFiles.length < full.inputFiles.length,
+      s"expected pruning, read ${slice.inputFiles.length} of ${full.inputFiles.length}")
+    assert(slice.agg(count(lit(1)), sum("k")).head().toString ===
+      full.filter(col("body") >= "doc-000100" && col("body") <= "doc-000399")
+        .agg(count(lit(1)), sum("k")).head().toString)
+    // metadata aggregates: count(body) still serves (null counts are
+    // exact, independent of truncation) — min/max must REFUSE: a
+    // truncated bound is not a value that occurs in the data
+    spark.read.format("graft-table").load(table).createOrReplaceTempView("fstats_t")
+    val served = spark.sql("SELECT count(*) AS n, count(body) AS nb FROM fstats_t")
+    assert(served.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    val sr = served.head()
+    assert(sr.getLong(0) === 2000L && sr.getLong(1) === 2000L)
+    val refused = spark.sql("SELECT min(body) AS mn, max(body) AS mx FROM fstats_t")
+    assert(!refused.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    val rr = refused.head()
+    assert(rr.getString(0).startsWith("doc-000000-") &&
+      rr.getString(1).startsWith("doc-001999-"))
+  }
+
   test("file-stats manifest: compaction recomputes stats for the rewritten layout") {
     import graft.sources.{FileStats, Sinks}
     import graft.sources.FileStats.ColRange
