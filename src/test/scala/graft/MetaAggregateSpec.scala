@@ -108,6 +108,12 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(r.getLong(0) == 10L && r.getLong(1) == 9L)
     val live = spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
     assert(metadataOnly(live) && live.collect().head.getLong(0) == 30L)
+    // the SQL time-travel spelling binds the same pinned resolution
+    val sqlPinned = spark.sql(
+      s"SELECT count(*) AS n, max(k) AS mx FROM graft.`$t` VERSION AS OF 1")
+    assert(metadataOnly(sqlPinned), sqlPinned.queryExecution.optimizedPlan.treeString)
+    val sr = sqlPinned.collect().head
+    assert(sr.getLong(0) == 10L && sr.getLong(1) == 9L)
   }
 
   test("multi-row-group files collect (serialized-domain merge) and aggregate exactly") {
