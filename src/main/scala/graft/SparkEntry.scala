@@ -258,6 +258,9 @@ object SparkEntry {
     // partition-grain sibling: GROUP BY txn_month, one manifest-summed
     // row per month, still zero data IO
     "q_meta_agg_month"   -> graft.sources.FileStats.metaAggregateMonthly _,
+    // partitions metadata-table verb: per-month file/row census from
+    // one listing + one manifest read
+    "q_partitions"       -> graft.sources.FileStats.partitionsCensus _,
     // — LLM-data-pipeline surface —
     "d_dedup_exact"      -> TextOps.dedupExact _,
     "d_dedup_hash"       -> TextOps.dedupHash _,
@@ -2224,6 +2227,16 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
         |       min(CAST(o_orderdate AS DATE)) AS min_date, max(CAST(o_orderdate AS DATE)) AS max_date
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // partitions metadata table: month-colocated publish = ONE file
+    // per month by construction; row counts from the stats manifest
+    "q_partitions" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS txn_month,
+        |       CAST(1 AS BIGINT) AS file_count,
+        |       count(*) AS row_count
         |FROM orders
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,

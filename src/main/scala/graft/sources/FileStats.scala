@@ -577,6 +577,31 @@ object FileStats {
         |ORDER BY txn_month""".stripMargin)
   }
 
+  /** Registered driver query (`q_partitions`): the `partitions`
+    * metadata-table verb (`CALL graft.system.partitions`,
+    * [[GraftProcedures]]) over a month-colocated publish — one file
+    * per month by construction, so the per-month (file_count,
+    * row_count) census is fully deterministic and hash-checks against
+    * DuckDB's plain month-grouped count over the source parquet. The
+    * call itself is one directory listing + one manifest read —
+    * nothing scales with data. */
+  def partitionsCensus(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.to_date
+    val tmp = partFixtures.computeIfAbsent(dir, _ => {
+      val t = graft.util.Scratch.dir("partcensus_q")
+      val df = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_orderdate"))
+      Sinks.publishSnapshot(df, "o_orderdate", t,
+        colocateMonths = true, statsCols = Seq("o_orderkey"))
+      t
+    })
+    spark.sql(s"CALL graft.system.partitions(table => '$tmp')")
+      .select("txn_month", "file_count", "row_count")
+      .orderBy("txn_month")
+  }
+  private val partFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def statsSkipScan(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{to_date, lit => flit}
     val tmp = graft.util.Scratch.dir("statskip_q")

@@ -45,7 +45,7 @@ object GraftProcedures {
     Seq("history", "restore", "expire_snapshots", "optimize", "vacuum",
       "add_constraint", "drop_constraint", "show_constraints",
       "register_view", "unregister_view", "show_views", "table_detail",
-      "drop_table")
+      "drop_table", "clone", "partitions")
 
   def forName(name: String, rootOpt: Option[String]): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -63,6 +63,7 @@ object GraftProcedures {
       case "table_detail"     => new TableDetailProcedure(rootOpt)
       case "drop_table"       => new DropTableProcedure(rootOpt)
       case "clone"            => new CloneProcedure(rootOpt)
+      case "partitions"       => new PartitionsProcedure(rootOpt)
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in the graft catalog — available: " +
         s"${names.mkString(", ")} (CALL <catalog>.system.<name>(…))")
@@ -604,6 +605,75 @@ object GraftProcedures {
       val nCs = Constraints.constraintsOf(spark, target).size.toLong
       result(out, Array(new GenericInternalRow(
         Array[Any](srcV, 1L, files, bytes, nCs))))
+    }
+  }
+
+  /** The Iceberg `t.partitions` metadata table as a verb: one row per
+    * `txn_month` dir of a version's OWN data files — file count and
+    * bytes from the listing (always exact), row count from the
+    * version's stats manifest when it carries one (plain snapshots;
+    * exact Σ footer rows per month) and NULL otherwise — a chain
+    * link's version dir holds deltas whose effective row count only
+    * exists merged, and guessing it here would be wrong. Driver cost
+    * is one directory listing + one small metadata read — nothing
+    * scales with data. */
+  private final class PartitionsProcedure(rootOpt: Option[String])
+    extends GraftProcedure("partitions") {
+
+    override def description(): String =
+      "Per-month physical census of a graft version's own files (default: " +
+      "live head): file count and bytes from the listing, row count from " +
+      "the version's stats manifest when present (NULL otherwise)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+
+    private val out = StructType(Seq(
+      StructField("txn_month", StringType, nullable = true),
+      StructField("file_count", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString, rootOpt)
+      val version = Some(input.getLong(1)).filter(_ >= 0L).getOrElse {
+        val hist = Sinks.history(spark, table).collect()
+        hist.find(_.getBoolean(4)).getOrElse(throw new java.io.FileNotFoundException(
+          s"no published snapshot at $table (no commit marker in _manifests)"))
+          .getLong(0)
+      }
+      val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(table))
+      val vDir = new org.apache.hadoop.fs.Path(s"$table/${Sinks.versionDirName(version)}")
+      if (!fs.exists(vDir)) throw new java.io.FileNotFoundException(
+        s"no version dir for v$version at $table")
+      // (month, count, bytes) from the listing — months-sized result
+      val perMonth = fs.listStatus(vDir).toSeq.flatMap { s =>
+        val month: Option[String] = s.getPath.getName match {
+          case n if n.startsWith("txn_month=") =>
+            Some(n.substring("txn_month=".length))
+              .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+          case _ => None
+        }
+        if (s.isDirectory)
+          fs.listStatus(s.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (month, f.getLen))
+        else if (s.getPath.getName.endsWith(".parquet")) Seq((month, s.getLen))
+        else Seq.empty
+      }.groupBy(_._1).map { case (m, fsz) => m -> (fsz.size.toLong, fsz.map(_._2).sum) }
+      val rowsByMonth: Map[Option[String], Long] =
+        Sinks.versionMeta(spark, table, version).get(FileStats.metaName)
+          .flatMap(FileStats.aggFactsByMonth)
+          .map(_.map { case (m, f) => m -> f.rows })
+          .getOrElse(Map.empty)
+      val rows = perMonth.toSeq.sortBy(_._1).map { case (m, (n, bytes)) =>
+        new GenericInternalRow(Array[Any](
+          m.map(utf8).orNull, n, bytes,
+          rowsByMonth.get(m).map(Long.box).orNull, version)): InternalRow
+      }
+      result(out, rows.toArray)
     }
   }
 

@@ -451,6 +451,33 @@ class SqlWritePathSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("already has committed history"), e2.getMessage)
   }
 
+  test("CALL partitions: per-month census, manifest row counts, link refusal") {
+    val t = graft.util.Scratch.dir("sqlw_parts") + "/t"
+    val base = spark.range(0, 90)
+      .selectExpr("id AS k",
+        "date_add(DATE '2024-01-15', CAST((id % 3) * 31 AS INT)) AS d",
+        "concat('s', id) AS s", "CAST(id AS DOUBLE) AS p")
+    graft.sources.Sinks.publishSnapshot(base, "d", t,
+      colocateMonths = true, statsCols = Seq("k"), retainVersions = 100)
+    val rows = spark.sql(s"CALL graft.system.partitions(table => '$t')").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2024-01", "2024-02", "2024-03"))
+    assert(rows.forall(_.getLong(1) == 1L), "one file per colocated month")
+    assert(rows.forall(r => r.getLong(2) > 0L && r.getLong(4) == 1L))
+    assert(rows.map(_.getLong(3)).sum == 90L, "manifest row counts are exact")
+    // a link version's dir holds deltas: counted physically (version 2
+    // echo), but row_count must REFUSE — its effective rows only exist
+    // merged, and the link publish carries no stats manifest
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 1000L AS k, " +
+      "DATE'2024-01-20' AS d, 'x' AS s, 1.0D AS p")
+    val link = spark.sql(s"CALL graft.system.partitions(table => '$t')").collect()
+    assert(link.nonEmpty && link.forall(_.getLong(4) == 2L))
+    assert(link.forall(_.isNullAt(3)), "row_count must be NULL on a link version")
+    // explicit version: the pinned census is the old snapshot's
+    val pinned = spark.sql(
+      s"CALL graft.system.partitions(table => '$t', version => 1)").collect()
+    assert(pinned.map(_.getLong(3)).sum == 90L)
+  }
+
   test("CALL clone of an old version refuses on a later constraint, target pristine") {
     val base = graft.util.Scratch.dir("sqlw_clone_viol")
     val src = s"$base/src"
