@@ -196,6 +196,29 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(wr.getLong(0) == 10L && wr.getLong(1) == 8L && wr.getString(2) == "2024-06")
   }
 
+  test("evolution renames never mis-key the manifest: live answers the new names, pinned the old") {
+    val t = graft.util.Scratch.dir("metaagg_evo")
+    val df = spark.range(0, 50)
+      .selectExpr("id AS a", "CAST(1000 - id AS BIGINT) AS b",
+        "date_add(DATE '2024-05-01', CAST(id % 7 AS INT)) AS d")
+    Sinks.publishSnapshot(df, "d", t, statsCols = Seq("a", "b"))
+    // shift names so a live name re-uses an OLD name for DIFFERENT
+    // data: after (b→c, a→b), logical b is the old a column — serving
+    // v1's manifest entry 'b' (951..1000) for it would be a mis-key
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN b TO c")
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN a TO b")
+    val live = spark.sql(s"SELECT min(b) AS mn_b, max(b) AS mx_b, max(c) AS mx_c FROM graft.`$t`")
+    val r = live.collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 49L && r.getLong(2) == 1000L,
+      "live aggregates must reflect the renamed (old-a) data, never v1's 'b' stats")
+    // the pinned v1 read binds v1's OWN schema and manifest
+    val pinned = spark.sql(
+      s"SELECT min(a) AS mn_a, max(b) AS mx_b FROM graft.`$t` VERSION AS OF 1")
+    assert(metadataOnly(pinned), pinned.queryExecution.optimizedPlan.treeString)
+    val p = pinned.collect().head
+    assert(p.getLong(0) == 0L && p.getLong(1) == 1000L)
+  }
+
   test("the registered monthly query is metadata-only at the plan level") {
     val df = graft.sources.FileStats.metaAggregateMonthly(spark, sf)
     assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
