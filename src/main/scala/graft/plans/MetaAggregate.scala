@@ -66,6 +66,12 @@ import graft.sources.FileStats
   * The rewritten plan contains no graft relation, making the rule
   * self-terminating under the optimizer's fixed point. Output
   * attributes keep their exprIds, so parents bind unchanged.
+  *
+  * Derived facts are cached per (path, version, manifest-file
+  * identity) in a bounded LRU: every query pays one FS stat (which
+  * also keeps a drop-and-recreate at the same path from serving stale
+  * facts), repeat dashboards skip the manifest read+parse — the only
+  * cost that grows with FILE COUNT at 100 TB.
   */
 object MetaAggregate extends Rule[LogicalPlan] {
 
@@ -124,20 +130,13 @@ object MetaAggregate extends Rule[LogicalPlan] {
     }
     // FAULT ISOLATION: plan-time metadata reads must never break the
     // query — any failure falls through to the ordinary scan
-    val manifest =
-      try {
-        val spark = SparkSession.active
-        graft.sources.Sinks.versionMeta(spark, path, version).get(FileStats.metaName)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          trace(s"manifest read failed for $path@v$version (base read): $e"); None
-      }
-    val json = manifest.getOrElse { trace(s"no stats manifest at $path@v$version"); return None }
+    val facts = factsFor(path, version).getOrElse {
+      trace(s"no stats manifest at $path@v$version"); return None }
     // (group key, facts) per output row: one whole-table row, or one
     // per partition dir found in the manifest
     val groups: Seq[(Option[String], FileStats.AggFacts)] =
-      if (!grouped) Seq((None, FileStats.aggFacts(json)))
-      else FileStats.aggFactsByMonth(json).getOrElse {
+      if (!grouped) Seq((None, facts.whole))
+      else facts.byMonth.getOrElse {
         trace("a manifest entry is not under a partition dir"); return None
       }.toSeq.sortBy(_._1)
     val rows: Seq[InternalRow] = groups.map { case (month, f) =>
@@ -160,6 +159,56 @@ object MetaAggregate extends Rule[LogicalPlan] {
   /** The layout's one partition column ([[graft.sources.Sinks]]'
     * month dirs) — the only grouping the manifest can attribute. */
   private val PartitionCol = "txn_month"
+
+  private final case class Facts(whole: FileStats.AggFacts,
+                                 byMonth: Option[Map[Option[String], FileStats.AggFacts]])
+
+  /** Test-visible per-store count of actual manifest read+parse
+    * passes, so a spec can pin that repeated optimizations of the
+    * same version hit the cache (keyed by path: parallel suites'
+    * stores never perturb each other's count). */
+  private val manifestParses =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def parsesOf(path: String): Long =
+    Option(manifestParses.get(path)).fold(0L)(_.longValue)
+
+  // (path@version + manifest-file mtime/length) → derived facts,
+  // bounded LRU. Version dirs are immutable, but a table can be
+  // DROPPED and re-created at the same path, so the key carries the
+  // manifest FILE's identity: every query pays one cheap FS stat (the
+  // probe also decides absence, which is never cached), and only a
+  // matching identity serves cached facts — at a 100k-file manifest
+  // the read+parse is the dominant plan-time cost and every dashboard
+  // query would otherwise pay it. Read FAILURES are not cached
+  // either: a transient IO error stays a one-query fallback, not a
+  // sticky refusal.
+  private val cacheCap = 64
+  private val factsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Facts](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Facts]): Boolean = size() > cacheCap
+      })
+
+  /** None = decisively no manifest OR the probe/read failed (logged). */
+  private def factsFor(path: String, version: Long): Option[Facts] =
+    try {
+      val spark = SparkSession.active
+      val (mtime, len) = FileStats.manifestStatus(spark, path, version)
+        .getOrElse { return None }
+      val key = s"$path@v$version:$mtime:$len"
+      val hit = factsCache.get(key)
+      if (hit != null) return Some(hit)
+      val json = FileStats.manifestContent(spark, path, version)
+        .getOrElse { return None } // raced a concurrent drop — refuse
+      manifestParses.merge(path, 1L, (a, b) => a + b)
+      val facts = Facts(FileStats.aggFacts(json), FileStats.aggFactsByMonth(json))
+      factsCache.put(key, facts)
+      Some(facts)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        trace(s"manifest read failed for $path@v$version (base read): $e"); None
+    }
 
   private sealed trait AggSpec
   private case object GroupKey extends AggSpec

@@ -366,6 +366,39 @@ object FileStats {
 
   // ---- whole-manifest aggregate facts (plan side) -----------------------
 
+  private def manifestPath(tablePath: String, version: Long) =
+    new Path(s"$tablePath/${Sinks.versionDirName(version)}/${Sinks.metaPrefix}$metaName")
+
+  /** (mtime, length) of the version's stats manifest FILE — the cheap
+    * identity probe [[graft.plans.MetaAggregate]] keys its facts cache
+    * on (one FS stat, no content read). None = the version carries no
+    * manifest; that answer is NOT cached upstream, so a table dropped
+    * and re-created at the same path is re-probed every query. */
+  def manifestStatus(spark: SparkSession, tablePath: String,
+                     version: Long): Option[(Long, Long)] = {
+    val p = manifestPath(tablePath, version)
+    val fs = Sinks.hadoopFs(spark, p)
+    try { val s = fs.getFileStatus(p); Some((s.getModificationTime, s.getLen)) }
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** The version's stats manifest content (just that one meta file —
+    * not the whole [[Sinks.versionMeta]] map). */
+  def manifestContent(spark: SparkSession, tablePath: String,
+                      version: Long): Option[String] = {
+    val p = manifestPath(tablePath, version)
+    val fs = Sinks.hadoopFs(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toString(java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
   /** One column's decisive whole-version facts. `nonNull` is the exact
     * non-null value count when EVERY file recorded a null count for
     * the column; `min`/`max` (manifest-serialized) are defined when

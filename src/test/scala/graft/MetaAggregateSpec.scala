@@ -219,6 +219,23 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(p.getLong(0) == 0L && p.getLong(1) == 1000L)
   }
 
+  test("repeat queries hit the facts cache: one manifest parse per version") {
+    val t = graft.util.Scratch.dir("metaagg_cache")
+    val df = spark.range(0, 40)
+      .selectExpr("id AS k", "date_add(DATE '2024-07-01', CAST(id % 5 AS INT)) AS d")
+    Sinks.publishSnapshot(df, "d", t, statsCols = Seq("k"))
+    def q() = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM graft.`$t`")
+    assert(metadataOnly(q()))
+    val afterFirst = graft.plans.MetaAggregate.parsesOf(t)
+    assert(afterFirst >= 1L)
+    (1 to 3).foreach { _ =>
+      val r = q().collect().head
+      assert(r.getLong(0) == 40L && r.getLong(1) == 39L)
+    }
+    assert(graft.plans.MetaAggregate.parsesOf(t) == afterFirst,
+      "repeat optimizations of the same version must not re-parse the manifest")
+  }
+
   test("the registered monthly query is metadata-only at the plan level") {
     val df = graft.sources.FileStats.metaAggregateMonthly(spark, sf)
     assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
