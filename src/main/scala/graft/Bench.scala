@@ -11,9 +11,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink forces full evaluation of every output column —
     // count() would let Catalyst prune the projections under test
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+    // label jobs per query (guide §1.5) so event-log/UI time attributes
+    // to the query being timed; thread-local, cleared after each run
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try {
+        spark.sparkContext.setJobDescription(name)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      }
       catch { case _: Throwable => false }
+      finally spark.sparkContext.setJobDescription(null)
     // steady-state: one untimed warmup pass (JIT, codegen, parquet
     // footers), then timed passes in stable sorted order. Single-pass
     // numbers swing up to 4x run-to-run on a shared box; interference
@@ -33,11 +40,11 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
-    ordered.foreach { case (_, fn) => run(fn) }
+    ordered.foreach { case (name, fn) => run(name, fn) }
     val results = ordered.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        val ok = run(fn)
+        val ok = run(name, fn)
         // a failing query must not masquerade as a fast success
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }

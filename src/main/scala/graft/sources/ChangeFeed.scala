@@ -139,7 +139,7 @@ private[sources] object ChangeFeed {
         }
       case None =>
         stamp(projectTo(spark, pin,
-          spark.read.parquet(s"${pin.root}/${Sinks.versionDirName(v)}")
+          Sinks.cachedParquetRead(spark, s"${pin.root}/${Sinks.versionDirName(v)}")
             .drop("txn_month"), v), "snapshot", v)
     }
 

@@ -239,9 +239,9 @@ object DeletionVectors {
       val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
       val delta =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$deltaSubdir")))
-          Some(spark.read.parquet(s"$vdir/$deltaSubdir/rows.parquet"))
+          Some(Sinks.cachedParquetRead(spark, s"$vdir/$deltaSubdir/rows.parquet"))
         else None
-      (key, parent, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta)
+      (key, parent, Sinks.cachedParquetRead(spark, s"$vdir/$dvSubdir/keys.parquet"), delta)
     }
 
   /** The chain's base DATA version: `version` itself when it carries
@@ -320,16 +320,16 @@ object DeletionVectors {
       // are ignorable by convention; explicit files are not)
       val delta =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$deltaSubdir")))
-          Some(spark.read.parquet(s"$vdir/$deltaSubdir/rows.parquet"))
+          Some(Sinks.cachedParquetRead(spark, s"$vdir/$deltaSubdir/rows.parquet"))
         else None
-      links = (v, spark.read.parquet(s"$vdir/$dvSubdir/keys.parquet"), delta) :: links
+      links = (v, Sinks.cachedParquetRead(spark, s"$vdir/$dvSubdir/keys.parquet"), delta) :: links
       if (!readable(parent)) throw new java.io.FileNotFoundException(
         s"deletion-vector version $v of $tablePath points at parent $parent, " +
         "which is not readable (pruned?) — materialize before pruning")
       v = parent
       meta = versionDvMeta(spark, tablePath, v)
     }
-    val baseRaw = spark.read.parquet(s"$tablePath/${Sinks.versionDirName(v)}")
+    val baseRaw = Sinks.cachedParquetRead(spark, s"$tablePath/${Sinks.versionDirName(v)}")
     key match {
       case None => baseRaw
       case Some(k) =>
