@@ -257,8 +257,13 @@ object NearDedup {
     * diameter (tiny for dup clusters). `localCheckpoint` truncates
     * the growing lineage each round. */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive — PPJoin/MinHash) pair plan
+    // ONCE before mirroring it: a union of two instances of the same
+    // subtree computes that subtree twice
+    val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -315,24 +320,36 @@ object NearDedup {
       canon(small.join(m, "u").select(col("v").as("u"), col("m").as("v"))
         .unionByName(m.select(col("u"), col("m").as("v"))))
     }
-    val nodes = symmetric(canon(
-      pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
-      .select("u").distinct().localCheckpoint(true)
-    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    // one evaluation of the (expensive) pair plan; nodes derive from
+    // the canonicalized checkpoint, not from a second pair computation
+    val edges0 = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(true)
-    // distinct-set equality: same count and no edge outside the old set
-    def same(a: DataFrame, b: DataFrame): Boolean =
-      a.count() == b.count() && a.except(b).limit(1).collect().isEmpty
+    val nodes = symmetric(edges0)
+      .select("u").distinct().localCheckpoint(true)
+    var edges = edges0
+    var edgeCount = edges.count()
     var stable = false
     while (!stable) {
       // the paper's termination criterion is BOTH steps individually at
       // a fixed point (that is what proves the result is a star
       // forest) — a composition-only check could stop on a large-star/
-      // small-star 2-cycle
+      // small-star 2-cycle.
+      // Job thrift (these are DISTINCT canonical sets): counts are
+      // near-free on the checkpointed frames and unequal counts settle
+      // inequality outright, so the shuffling except-equality runs as
+      // ONE combined job, and only on rounds where all three counts
+      // already agree — early rounds pay 2 counts instead of 2 excepts
+      // + 4 counts (equal counts + empty one-direction except ⟺ set
+      // equality).
       val afterLarge = largeStar(edges).localCheckpoint(true)
       val afterSmall = smallStar(afterLarge).localCheckpoint(true)
-      stable = same(afterLarge, edges) && same(afterSmall, afterLarge)
+      val cL = afterLarge.count(); val cS = afterSmall.count()
+      stable = cL == edgeCount && cS == cL &&
+        afterLarge.except(edges)
+          .unionAll(afterSmall.except(afterLarge))
+          .limit(1).collect().isEmpty
       edges = afterSmall
+      edgeCount = cS
     }
     // converged = disjoint stars centered at component minima: members
     // appear on the v side exactly once; centers label themselves

@@ -113,10 +113,10 @@ object DeletionVectors {
     val vdir = s"$tablePath/${Sinks.versionDirName(next)}"
     val fs = Sinks.hadoopFs(spark, new org.apache.hadoop.fs.Path(vdir))
     Sinks.writeSingleParquetFile(deleteKeys.distinct(),
-      s"$vdir/_staging_dv", s"$vdir/$dvSubdir/keys.parquet")
+      s"$vdir/_staging_dv", s"$vdir/$dvSubdir/keys.parquet", ordered = false)
     deltaRows.foreach { d =>
       Sinks.writeSingleParquetFile(d,
-        s"$vdir/_staging_delta", s"$vdir/$deltaSubdir/rows.parquet")
+        s"$vdir/_staging_delta", s"$vdir/$deltaSubdir/rows.parquet", ordered = false)
     }
     val meta = fs.create(
       new org.apache.hadoop.fs.Path(s"$vdir/${Sinks.metaPrefix}$metaName"), true)

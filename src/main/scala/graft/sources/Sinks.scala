@@ -37,7 +37,19 @@ object Sinks {
                            writerOptions: Map[String, String] = Map.empty,
                            colocateMonths: Boolean = false): Unit = {
     val withMonth = df.withColumn("txn_month", date_format(col(dateCol), "yyyy-MM"))
-    val shaped = if (colocateMonths) withMonth.repartition(col("txn_month")) else withMonth
+    // EXPLICIT partition count: a bare repartition(col) lets AQE
+    // coalesce the tiny post-shuffle bytes into ONE task, which then
+    // writes every month's file serially (measured ~2.2 s for an
+    // 80-month snapshot — file open/commit latency × months, not
+    // bytes). Pinning the session's shuffle parallelism keeps months
+    // colocated (hash on the month) while writers run in parallel; on
+    // a cluster spark.sql.shuffle.partitions is the scale-appropriate
+    // cap and each month still lands in exactly one task's files.
+    val shaped =
+      if (colocateMonths)
+        withMonth.repartition(
+          df.sparkSession.sessionState.conf.numShufflePartitions, col("txn_month"))
+      else withMonth
     shaped
       .write
       .mode(SaveMode.Overwrite)
@@ -1154,11 +1166,20 @@ object Sinks {
     * single-file rename is atomic on local/HDFS filesystems; on object
     * stores rename is copy+delete, so the crash window there is a
     * duplicated (never lost) staged file. */
-  def writeSingleParquetFile(df: DataFrame, stagingDir: String, destFile: String): Unit = {
+  /** @param ordered true keeps the input's row order in the file
+    *   (`coalesce(1)` concatenates partitions in order — but collapses
+    *   the WHOLE upstream computation into one task, so a join/window
+    *   feeding the write runs single-threaded). Callers whose file is
+    *   order-insensitive (keyed merge inputs, vector key sets) pass
+    *   false: the upstream computes at full parallelism and only the
+    *   final write task is serial. */
+  def writeSingleParquetFile(df: DataFrame, stagingDir: String, destFile: String,
+                             ordered: Boolean = true): Unit = {
     val spark = df.sparkSession
     val dest = new org.apache.hadoop.fs.Path(destFile)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stagingDir)
+    val one = if (ordered) df.coalesce(1) else df.repartition(1)
+    one.write.mode(SaveMode.Overwrite).parquet(stagingDir)
     val stage = new org.apache.hadoop.fs.Path(stagingDir)
     val part = fs.listStatus(stage).map(_.getPath)
       .find(_.getName.startsWith("part-"))

@@ -191,7 +191,7 @@ object CdcStream {
     // tick
     def drop(cs: DataFrame, name: String, ts: Long): Unit = {
       val dst = s"$tmp/changes/$name.parquet"
-      Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst)
+      Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst, ordered = false)
       // Hadoop FS API (not java.io.File): the mod-time pin works on any
       // filesystem the table lives on, matching the rest of the write path
       val p = new org.apache.hadoop.fs.Path(dst)
@@ -237,7 +237,7 @@ object CdcStream {
     val c2 = asChanges(Cdc.changeSet2(spark, dir))
     def drop(cs: DataFrame, name: String, ts: Long): Unit = {
       val dst = s"$tmp/changes/$name.parquet"
-      Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst)
+      Sinks.writeSingleParquetFile(cs, s"$tmp/stage_$name", dst, ordered = false)
       val p = new org.apache.hadoop.fs.Path(dst)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).setTimes(p, ts, -1)
     }
