@@ -54,6 +54,37 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsFromRaw(eventsRaw(spark, dir))
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  /** The text/embedding corpora are rebalanced to the session's
+    * parallelism WHEN the file layout yields fewer scan splits than
+    * the cluster has cores: nearly every consumer's FIRST stage does
+    * heavy per-row work (tokenization, regex extraction chains, codec
+    * decode, shingling, BPE merges), and whole-stage codegen fuses
+    * that work into the scan stage — a single-file table would run it
+    * at file-count parallelism no matter how many cores are idle.
+    * Scale-adaptive, derived from input size (optimization guide §2):
+    * at production sizes the scan already yields ≥ parallelism splits
+    * and [[widen]] is the identity — no exchange is added. The
+    * relational tables (lineitem/orders/…) stay unwidened: their
+    * consumers aggregate/join immediately, where partial aggregation
+    * in the scan stage beats shuffling full rows first. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    widen(spark, load(spark, dir, "documents"), s"$dir/documents.parquet")
+  // embeddings stays UNWIDENED: its heavy consumers are ITERATIVE
+  // (k-means refinement, IVF training) and re-scan the table per
+  // round, so the widening exchange is paid every iteration — measured
+  // net-negative (d_semdedup/s_ann_ivf_index/s_ann_ivf_kmeans +0.5-1.3s
+  // each vs d_embed_dup's -0.5s); per-element vector math also
+  // vectorizes fine in one scan task at this table's row width
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  private[graft] def widen(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val cores = spark.sparkContext.defaultParallelism
+    if ((bytes + maxSplit - 1) / maxSplit < cores) df.repartition(cores) else df
+  }
 }
