@@ -55,11 +55,36 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // the driver keeps only the tail of stdout, which truncates the
-    // per-query map on a 100+-query sweep — persist the full JSON so
-    // the round's bench record survives verbatim
-    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // the driver keeps only the LAST ~2000 chars of stdout; a 200+-query
+    // map (~9 KB) can never fit, so the full line above arrives
+    // front-truncated there and is unparseable. Persist the full JSON
+    // verbatim (config-stamped so a later run at another core count /
+    // filter can't clobber this sweep's record), and ALSO print a
+    // COMPACT summary as the final line: same schema, ms-precision
+    // values, and only as many per-query entries (slowest first) as
+    // keep the line inside the tail window — so the driver can always
+    // parse total + the perf-relevant queries from a bounded tail. The
+    // complete map lives in the full line + the persisted files.
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
+      (line + "\n").getBytes("UTF-8"))
+    val sfLabel = sfDir.split('/').lastOption.getOrElse("sf")
+    val runTag = only.fold("")(_ => "_filtered")
+    val stamped = outName.stripSuffix(".json") + s"_cpus${cpus}_${sfLabel}$runTag.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
+      (line + "\n").getBytes("UTF-8"))
+    def ms(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val budget = 1600 // chars for the whole compact line (tail is ~2000 incl. sbt's epilogue)
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"""
+    val tailPart = s"""},"sf":"$sfDir","n_queries":${results.size},"full":"$stamped"}"""
+    val entries = results.sortBy(-_._2).iterator
+      .map { case (k, v) => s"\"$k\":${ms(v)}" }
+      .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
+      .drop(1)
+      .takeWhile(_._2 <= budget - head.length - tailPart.length)
+      .map(_._1).toSeq
+    println(head + entries.mkString(",") + tailPart)
     spark.stop()
   }
 }
