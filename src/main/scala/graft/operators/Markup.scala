@@ -274,7 +274,7 @@ object Markup {
     * first document keeps the global footer, the first document of
     * each source keeps its source footer, and every body survives. */
   def paraDedup(spark: SparkSession, dir: String): DataFrame =
-    paraDedupOf(Tables.documents(spark, dir)
+    paraDedupOf(Tables.documentsNarrow(spark, dir)
       .select(col("doc_id"), concat(col("text"),
         lit("\n\nsubscribe to the newsletter for weekly updates"),
         lit("\n\ncopyright "), col("source"),
@@ -486,7 +486,7 @@ object Markup {
     * occurrence of each boilerplate sentence survives, every document
     * body survives, and short sentences are never touched. */
   def sentenceDedup(spark: SparkSession, dir: String): DataFrame =
-    sentenceDedupOf(Tables.documents(spark, dir)
+    sentenceDedupOf(Tables.documentsNarrow(spark, dir)
       .select(col("doc_id"),
         concat(lit(sentDupHead), col("text"), lit(sentDupTail)).as("text")))
 

@@ -23,7 +23,7 @@ object TextOps {
       .orderBy("canonical_id")
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    dedupExactOf(Tables.documents(spark, dir))
+    dedupExactOf(Tables.documentsNarrow(spark, dir))
 
   /** Per-document fingerprint + first-occurrence flag — the file-level
     * sha-dedup decision of the reference's data-decision service
@@ -37,7 +37,7 @@ object TextOps {
   }
 
   def dedupHash(spark: SparkSession, dir: String): DataFrame =
-    dedupHashOf(Tables.documents(spark, dir))
+    dedupHashOf(Tables.documentsNarrow(spark, dir))
 
   /** Whitespace tokens of the trimmed text (empty → 0 tokens).
     * Regex trim, not `trim()`: SQL trim strips only 0x20, so a
@@ -293,7 +293,7 @@ object TextOps {
   }
 
   def reservoirSample(spark: SparkSession, dir: String): DataFrame =
-    reservoirSampleOf(Tables.documents(spark, dir))
+    reservoirSampleOf(Tables.documentsNarrow(spark, dir))
 
   /** Adjacent token-pair census — the merge-candidate scan at the
     * heart of BPE tokenizer training, run at word granularity: global
@@ -394,7 +394,7 @@ object TextOps {
       .orderBy("doc_id")
 
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
-    splitAssignOf(Tables.documents(spark, dir))
+    splitAssignOf(Tables.documentsNarrow(spark, dir))
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables.documents(spark, dir))
@@ -431,7 +431,7 @@ object TextOps {
   }
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    stratifiedSampleOf(Tables.documents(spark, dir), sampleRates)
+    stratifiedSampleOf(Tables.documentsNarrow(spark, dir), sampleRates)
 
   /** Deterministic WEIGHTED sample without replacement (Efraimidis-
     * Spirakis A-ES): each doc draws a reproducible uniform u ∈ (0,1]
@@ -501,7 +501,7 @@ object TextOps {
   }
 
   def domainCap(spark: SparkSession, dir: String, maxDocs: Int = 15): DataFrame =
-    domainCapOf(Tables.documents(spark, dir), maxDocs)
+    domainCapOf(Tables.documentsNarrow(spark, dir), maxDocs)
 
   /** Sliding context-window chunking: each document's tokens cut into
     * windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
@@ -778,7 +778,7 @@ object TextOps {
   // source) so the hierarchical path is actually exercised; production
   // callers size shardWidth so a shard's documents fit one task
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
-    tokenBudgetOf(Tables.documents(spark, dir), budgetPerSource = 500L,
+    tokenBudgetOf(Tables.documentsNarrow(spark, dir), budgetPerSource = 500L,
       shardWidth = 64L)
 
   /** Model-based quality filtering: a fixed linear scoring model over
@@ -854,7 +854,7 @@ object TextOps {
   }
 
   def upsampleEpochs(spark: SparkSession, dir: String): DataFrame =
-    upsampleEpochsOf(Tables.documents(spark, dir), epochRates)
+    upsampleEpochsOf(Tables.documentsNarrow(spark, dir), epochRates)
 
   /** Priority-aware exact dedup: among identical documents, keep the
     * copy from the most trusted source (then min doc_id) — the usual
@@ -881,7 +881,7 @@ object TextOps {
   /** Registered binding: even-numbered sources outrank odd ones —
     * deterministic priorities the oracle reproduces. */
   def dedupPriority(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsNarrow(spark, dir)
     val priorities = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 1 else 2)).toMap
     dedupPriorityOf(docs, priorities)
   }

@@ -69,6 +69,14 @@ object Tables {
     * in the scan stage beats shuffling full rows first. */
   def documents(spark: SparkSession, dir: String): DataFrame =
     widen(spark, load(spark, dir, "documents"), s"$dir/documents.parquet")
+  /** The corpus WITHOUT the parallelism rebalance — for consumers whose
+    * per-row work is hash/sample/bookkeeping-cheap (exact dedup,
+    * sampling, split assignment): there the widening exchange costs
+    * more than the first stage it parallelizes (measured r16: 18 such
+    * queries paid 10–55% for it). Heavy first-stage consumers
+    * (tokenization, regex chains, shingling) keep [[documents]]. */
+  def documentsNarrow(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
   // embeddings stays UNWIDENED: its heavy consumers are ITERATIVE
   // (k-means refinement, IVF training) and re-scan the table per
   // round, so the widening exchange is paid every iteration — measured
@@ -78,13 +86,39 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   private[graft] def widen(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bytes =
-      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength
-      catch { case _: java.io.IOException => Long.MaxValue }
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val cores = spark.sparkContext.defaultParallelism
-    if ((bytes + maxSplit - 1) / maxSplit < cores) df.repartition(cores) else df
+    tableBytes(spark, path) match {
+      // explicit guard (no additive ceil): an unknown size must fall
+      // back to assume-huge/no-op, never to an extra shuffle — the old
+      // Long.MaxValue fallback overflowed the ceil and repartitioned
+      // exactly when the size probe failed
+      case Some(b) if (b / maxSplit + (if (b % maxSplit > 0) 1 else 0)) < cores =>
+        df.repartition(cores)
+      case _ => df
+    }
   }
+
+  /** Total data bytes of a flat table path via ONE getFileStatus (+ one
+    * non-recursive listStatus when it is a directory) — never the
+    * recursive getContentSummary walk, which is O(files) per load on
+    * S3-like stores. A path with subdirectories (partitioned layout)
+    * returns None = assume huge: partitioned tables are past the
+    * widening regime by construction. Cached per (path, mtime) so
+    * repeated loads in one JVM don't re-stat at all. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Long]]()
+  private def tableBytes(spark: SparkSession, path: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      sizeCache.computeIfAbsent((path, st.getModificationTime), _ =>
+        if (st.isFile) Some(st.getLen)
+        else {
+          val kids = fs.listStatus(p)
+          if (kids.exists(_.isDirectory)) None
+          else Some(kids.map(_.getLen).sum)
+        })
+    } catch { case _: java.io.IOException => None }
 }

@@ -349,7 +349,7 @@ object CorpusStream {
     * admitted batch-0 state. */
   def nearDedupBatch(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.util.Scratch.dir("corpus_stream_near_q")
-    val docs = graft.sources.Tables.documents(spark, dir)
+    val docs = graft.sources.Tables.documentsNarrow(spark, dir)
       .select("doc_id", "text", "lang", "source")
     val off = graft.operators.NearDedup.plantedOffset(docs, "doc_id")
     val nearCopies = docs
