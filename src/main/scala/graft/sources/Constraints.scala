@@ -265,7 +265,10 @@ object Constraints {
       .select(col("o_orderkey").cast("long").as("k"),
         col("o_orderdate").cast("date").as("d"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-    Sinks.publishSnapshot(base, "d", t, retainVersions = 100)
+    // colocated months: parallel per-month file commits instead of one
+    // scan task writing every month's file serially (ledger unchanged)
+    Sinks.publishSnapshot(base, "d", t, retainVersions = 100,
+      colocateMonths = true)
     val maxK = base.agg(max(col("k"))).head().getLong(0)
     def row(k: Long, price: String): DataFrame = {
       import spark.implicits._

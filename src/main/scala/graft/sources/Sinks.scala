@@ -100,8 +100,44 @@ object Sinks {
                   version: Long): Map[String, String] = {
     val vdir = new org.apache.hadoop.fs.Path(s"$tablePath/${versionDirName(version)}")
     val fs = hadoopFs(spark, vdir)
-    if (!fs.exists(vdir)) Map.empty
-    else fs.listStatus(vdir).toSeq
+    val st =
+      try Some(fs.getFileStatus(vdir))
+      catch { case _: java.io.IOException => None } // incl. FileNotFound
+    st match {
+      case None => Map.empty
+      // no usable dir mtime (object-store-like semantics): read fresh
+      case Some(s) if s.getModificationTime <= 0 => readVersionMetaFiles(fs, vdir)
+      case Some(s) =>
+        // committed version dirs are immutable (data + meta land before
+        // the marker; no writer adds to a marked dir), and any write
+        // INTO the dir — including a later meta file of an in-flight
+        // publish — bumps the dir mtime, so the (path, mtime) key can't
+        // serve a stale map on local/HDFS filesystems. The DV/MoR chain
+        // walks call this per link per read; without the cache each
+        // call is a listStatus + one open per meta file.
+        val key = (vdir.toString, s.getModificationTime)
+        val hit = metaCache.get(key)
+        if (hit != null) hit
+        else {
+          val m = readVersionMetaFiles(fs, vdir)
+          metaCache.put(key, m)
+          m
+        }
+    }
+  }
+
+  private val metaCacheCap = 4096
+  private val metaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Map[String, String]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Map[String, String]]): Boolean =
+          size() > metaCacheCap
+      })
+
+  private def readVersionMetaFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                   vdir: org.apache.hadoop.fs.Path): Map[String, String] =
+    fs.listStatus(vdir).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(metaPrefix))
       .map { s =>
         val in = fs.open(s.getPath)
@@ -114,7 +150,6 @@ object Sinks {
         } finally in.close()
         s.getPath.getName.drop(metaPrefix.length) -> content
       }.toMap
-  }
   private[sources] def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -311,13 +346,19 @@ object Sinks {
   // schema-resolution cost — the Spark-native analog of what manifest
   // metadata buys Iceberg/Delta readers (optimization-guide §6).
   //
-  // Sound because the key carries the dir's mtime: a drop+recreate at
-  // the same path produces a fresh directory whose mtime differs (a
-  // parquet write spans well over one clock tick), and pre-commit
-  // staged dirs (WAP audits) gain children as they are written, which
-  // bumps the parent dir mtime and misses the cache. Only METADATA
-  // (file listing + schema) is reused — every query still scans the
-  // parquet data itself; a fresh JVM starts empty.
+  // Sound because the key carries the dir's mtime AND the publish
+  // protocol keeps committed version dirs immutable: a drop+recreate
+  // at the same path produces a fresh directory whose mtime differs
+  // (a parquet write spans well over one clock tick), and pre-commit
+  // staged dirs (WAP audits) gain DIRECT children as they are written,
+  // which bumps the dir mtime and misses the cache. The mtime guard is
+  // NOT sufficient for mutable paths in general — a write landing
+  // inside an existing subdirectory never bumps the top-level mtime —
+  // so callers must only pass immutable committed paths; filesystems
+  // with no usable dir mtime (object stores report 0) bypass the cache
+  // entirely below. Only METADATA (file listing + schema) is reused —
+  // every query still scans the parquet data itself; a fresh JVM
+  // starts empty.
   private val readCacheCap = 256
   private val readCache =
     java.util.Collections.synchronizedMap(
@@ -338,13 +379,29 @@ object Sinks {
     val mtime =
       try hadoopFs(spark, p).getFileStatus(p).getModificationTime
       catch { case _: java.io.IOException => -1L }
-    if (mtime < 0) return spark.read.parquet(path)
+    // <= 0 covers both the missing-path fallback AND object-store-like
+    // filesystems that report no usable directory mtime — there the
+    // staleness guard below doesn't hold, so don't cache at all
+    if (mtime <= 0) return spark.read.parquet(path)
     val key = (System.identityHashCode(spark), path, mtime)
     val hit = readCache.get(key)
-    if (hit != null) hit
+    // the hit must belong to THIS live session: identityHashCode can
+    // collide after a session is GC'd, and a stopped session's plan
+    // must not be served to a fresh one — verify identity and liveness
+    // on every hit (both checks are driver-side field reads)
+    if (hit != null && (hit.sparkSession eq spark)
+        && !hit.sparkSession.sparkContext.isStopped) hit
     else {
       val df = spark.read.parquet(path)
       readCache.put(key, df)
+      // bound the stopped-session footprint: entries pinning a stopped
+      // session are dead weight until LRU age-out — purge them eagerly
+      readCache.synchronized {
+        val it = readCache.entrySet().iterator()
+        while (it.hasNext) {
+          if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+        }
+      }
       df
     }
   }
@@ -1531,15 +1588,19 @@ object Sinks {
       col("o_orderkey").cast("long").as("o_orderkey"),
       col("o_orderdate").cast("date").as("odate"),
       col("o_totalprice").cast("decimal(18,2)").as("price"))
+    // colocated months: each publish commits one file per month written
+    // by parallel tasks, instead of ONE scan task opening/committing
+    // every month's file serially (~80 file commits × 3 publishes was
+    // the bulk of this ledger query's wall) — ledger values unchanged
     publishSnapshot(base.filter(col("o_orderkey") % 10 === 0), "odate", f,
-      retainVersions = 100)
+      retainVersions = 100, colocateMonths = true)
     DeletionVectors.publishUpsert(spark, f,
       base.filter(col("o_orderkey") % 20 === 0), "o_orderkey",
       base.select("o_orderkey").limit(0), validate = false)
     publishSnapshot(base.filter(col("o_orderkey") % 10 === 4), "odate", f,
-      retainVersions = 100)
+      retainVersions = 100, colocateMonths = true)
     publishSnapshot(base.filter(col("o_orderkey") % 10 === 6), "odate", f,
-      retainVersions = 100)
+      retainVersions = 100, colocateMonths = true)
     val now = System.currentTimeMillis()
     (1L to 3L).foreach(v =>
       plantCommitTime(spark, f, v, now - 3L * 24 * 3600 * 1000))
