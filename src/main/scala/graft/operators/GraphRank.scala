@@ -60,7 +60,7 @@ object GraphRank {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -80,7 +80,13 @@ object GraphRank {
               s"— widen the damping multiply to DECIMAL(38,0) for graphs this large') " +
               s"ELSE coalesce(in_sum, 0L) END)) div 1000000"))
             .as("rank"))
-        .localCheckpoint()
+      // each round references the previous ranks exactly ONCE, so the
+      // unrolled plan is a linear DAG one action evaluates end-to-end —
+      // a per-round eager localCheckpoint materialized every round as
+      // its own job and broke pipelining at the default iters=3.
+      // Lineage still can't grow unboundedly: deep iteration counts
+      // cut it periodically.
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

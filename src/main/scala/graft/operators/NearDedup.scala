@@ -142,7 +142,10 @@ object NearDedup {
       .filter(col("n_common").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select("id_a", "id_b")
-      .orderBy("id_a", "id_b")
+    // no ORDER BY here: every internal consumer (cluster resolution,
+    // the streaming admit path) is order-insensitive, and the global
+    // sort was a whole extra exchange on the pair list; the registered
+    // wrapper sorts its output itself
   }
 
   /** Registered binding. The test corpus is near-dup-free random
@@ -161,6 +164,7 @@ object NearDedup {
       .select((col("doc_id") + lit(off)).as("doc_id"),
         concat(col("text"), lit(" with a brief trailing remark appended")).as("text"))
     minHashDedupOf(docs.unionByName(planted), threshold)
+      .orderBy("id_a", "id_b")
   }
 
   /** One past the table's max id: the offset that keeps planted/
@@ -244,11 +248,13 @@ object NearDedup {
       .filter(col("n_common").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("n_common")) >= threshold)
       .select("id_a", "id_b")
-      .orderBy("id_a", "id_b")
+    // unsorted by design (see minHashDedupOf) — the registered wrapper
+    // below adds the output ordering
   }
 
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    ngramJaccardOf(Tables.documents(spark, dir), threshold)
+    ngramJaccardOf(Tables.documentsNarrow(spark, dir), threshold)
+      .orderBy("id_a", "id_b")
 
   /** Connected components over a duplicate-pair list → cluster label
     * (the minimum doc_id of the component). Iterative min-label
@@ -262,8 +268,22 @@ object NearDedup {
     // subtree computes that subtree twice
     val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    // duplicate-free input (the COMMON case for a clean streaming
+    // batch): no edges means no clusters — skip the symmetrize
+    // checkpoint and the whole propagation loop (each a job), and
+    // return the empty labeling directly. Emptiness is a metadata-cheap
+    // probe on the just-materialized checkpoint.
+    if (p0.isEmpty)
+      return p0.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    // PARTITIONING IS THE LOOP INVARIANT (guide §2.4 exchange reuse):
+    // edges hash-partitioned on dst ONCE, labels kept hash-partitioned
+    // on id across rounds (localCheckpoint records the physical
+    // partitioning, so Catalyst elides the exchanges) — each round's
+    // dst⋈id join and final id⋈id join then need NO redistribution and
+    // the only per-round shuffle left is the min-label aggregation.
     val edges = p0
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -324,6 +344,9 @@ object NearDedup {
     // the canonicalized checkpoint, not from a second pair computation
     val edges0 = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(true)
+    // empty edge set: nothing to contract (see duplicateClusters)
+    if (edges0.isEmpty)
+      return edges0.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val nodes = symmetric(edges0)
       .select("u").distinct().localCheckpoint(true)
     var edges = edges0
@@ -527,7 +550,8 @@ object NearDedup {
       .filter(col("n_common").cast(DoubleType) /
         (col("n_b") + col("n_n") - col("n_common")) >= threshold)
       .select("id_base", "id_new")
-      .orderBy("id_base", "id_new")
+    // unsorted by design (see minHashDedupOf): the incremental-split
+    // caller aggregates over these pairs, order-free
   }
 
   /** INCREMENTAL leakage-safe split: assign a NEW batch of documents
@@ -686,7 +710,7 @@ object NearDedup {
   // re-issued wrapped in extra text — a deterministic planted
   // CONTAINED duplicate whose recovery the driver's rows check pins.
   def winnowDedup(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val docs = Tables.documentsNarrow(spark, dir).select("doc_id", "text")
     val planted = docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + lit(plantedOffset(docs, "doc_id"))).as("doc_id"),
         concat(lit("quoted verbatim below . "), col("text"),
@@ -880,7 +904,7 @@ object NearDedup {
     * the rest are the corpus under scan — deterministic roles, so the
     * DuckDB oracle reproduces them exactly. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsNarrow(spark, dir)
     decontaminateOf(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
@@ -912,7 +936,7 @@ object NearDedup {
   /** Registered binding: same deterministic corpus/benchmark roles as
     * [[decontaminate]], so both variants share one DuckDB oracle. */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsNarrow(spark, dir)
     decontaminateBloomOf(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
@@ -965,7 +989,7 @@ object NearDedup {
     * the rest are the existing corpus — deterministic roles for the
     * DuckDB oracle. */
   def incrementalExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsNarrow(spark, dir)
     incrementalExactOf(
       docs.filter(col("doc_id") % 5 =!= 0),
       docs.filter(col("doc_id") % 5 === 0))

@@ -33,8 +33,16 @@ object RecordLinkage {
                 blockLeft: Column, blockRight: Column, maxDist: Int): DataFrame =
     left.withColumn("__bk", blockLeft)
       .join(right.withColumn("__bk", blockRight), "__bk")
-      .withColumn("name_dist", levenshtein(col(leftName), col(rightName)))
-      .filter(col("name_dist") <= maxDist)
+      // THRESHOLDED edit distance: the bounded kernel computes only the
+      // 2·maxDist+1 diagonal band and exits early (O(len·k), not
+      // O(len²)) — candidate verification is the hot loop of blocked
+      // linkage, and almost every candidate is a non-match the full
+      // matrix wastes work rejecting. Returns −1 above the bound, the
+      // exact distance otherwise, so surviving rows carry the same
+      // name_dist the unbounded expression produced.
+      .withColumn("name_dist",
+        levenshtein(col(leftName), col(rightName), maxDist))
+      .filter(col("name_dist") >= 0 && col("name_dist") <= maxDist)
       .drop("__bk")
 
   /** Registered `q_fuzzy_link`: a synthetic dirty feed — every
