@@ -265,15 +265,18 @@ object NearDedup {
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     // materialize the (possibly expensive — PPJoin/MinHash) pair plan
     // ONCE before mirroring it: a union of two instances of the same
-    // subtree computes that subtree twice
+    // subtree computes that subtree twice. The edge count rides the
+    // SAME job as an observed metric (guide §1.2/§2.4 job thrift) —
+    // the emptiness probe must not cost a second action.
+    val obsEdges = org.apache.spark.sql.Observation()
     val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .observe(obsEdges, count(lit(1)).as("n"))
       .localCheckpoint(true)
     // duplicate-free input (the COMMON case for a clean streaming
     // batch): no edges means no clusters — skip the symmetrize
     // checkpoint and the whole propagation loop (each a job), and
-    // return the empty labeling directly. Emptiness is a metadata-cheap
-    // probe on the just-materialized checkpoint.
-    if (p0.isEmpty)
+    // return the empty labeling directly.
+    if (obsEdges.get.apply("n").asInstanceOf[Long] == 0L)
       return p0.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
     // PARTITIONING IS THE LOOP INVARIANT (guide §2.4 exchange reuse):
     // edges hash-partitioned on dst ONCE, labels kept hash-partitioned
@@ -285,17 +288,38 @@ object NearDedup {
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // ROUND 1 FUSED INTO THE INIT: with identity labels, round 1 would
+    // compute label(x) = min(x, min N(x)) — which comes straight off
+    // the dst-partitioned symmetric edges as ONE aggregation (no
+    // exchange: dst IS the partition key), replacing the identity
+    // labeling + first propagation round (3 jobs) with one job. For
+    // the near-clique duplicate graphs this path serves, round 1 is
+    // usually also the LAST changing round, so the loop below runs
+    // once as pure confirmation.
+    var labels = edges.groupBy(col("dst"))
+      .agg(least(min(col("src")), col("dst")).as("label"))
+      .select(col("dst").as("id"), col("label"))
       .localCheckpoint(true)
+    // edges exist, so round 1 changed at least one label (for the
+    // minimum edge (u,v), v's label dropped to ≤ u < v)
     var changed = 1L
     while (changed > 0) {
+      // the convergence count is OBSERVED during the checkpoint job
+      // instead of a second count() action per round — one job per
+      // round, not two
+      val obs = org.apache.spark.sql.Observation()
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min(col("label")).as("new_label"))
-      val joined = labels.join(prop, "id").localCheckpoint(true)
-      changed = joined.filter(col("new_label") < col("label")).count()
+      val joined = labels.join(prop, "id")
+        .observe(obs,
+          sum(when(col("new_label") < col("label"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      changed = obs.get.get("changed") match {
+        case Some(n: Long) => n
+        case _             => 0L // null sum can't happen (labels nonempty)
+      }
       labels = joined.select(col("id"), col("new_label").as("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -341,32 +365,38 @@ object NearDedup {
         .unionByName(m.select(col("u"), col("m").as("v"))))
     }
     // one evaluation of the (expensive) pair plan; nodes derive from
-    // the canonicalized checkpoint, not from a second pair computation
-    val edges0 = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint(true)
+    // the canonicalized checkpoint, not from a second pair computation.
+    // The edge count rides the checkpoint job as an observed metric
+    // (guide §1.2/§2.4 job thrift) — no separate isEmpty/count actions.
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val c = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (c, obs.get.apply("n").asInstanceOf[Long])
+    }
+    val (edges0, n0) = ckptCounted(
+      canon(pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
     // empty edge set: nothing to contract (see duplicateClusters)
-    if (edges0.isEmpty)
+    if (n0 == 0L)
       return edges0.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val nodes = symmetric(edges0)
       .select("u").distinct().localCheckpoint(true)
     var edges = edges0
-    var edgeCount = edges.count()
+    var edgeCount = n0
     var stable = false
     while (!stable) {
       // the paper's termination criterion is BOTH steps individually at
       // a fixed point (that is what proves the result is a star
       // forest) — a composition-only check could stop on a large-star/
       // small-star 2-cycle.
-      // Job thrift (these are DISTINCT canonical sets): counts are
-      // near-free on the checkpointed frames and unequal counts settle
-      // inequality outright, so the shuffling except-equality runs as
-      // ONE combined job, and only on rounds where all three counts
-      // already agree — early rounds pay 2 counts instead of 2 excepts
-      // + 4 counts (equal counts + empty one-direction except ⟺ set
-      // equality).
-      val afterLarge = largeStar(edges).localCheckpoint(true)
-      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
-      val cL = afterLarge.count(); val cS = afterSmall.count()
+      // Job thrift (these are DISTINCT canonical sets): the counts ride
+      // each step's checkpoint job as observed metrics and unequal
+      // counts settle inequality outright, so the shuffling
+      // except-equality runs as ONE combined job, and only on rounds
+      // where all three counts already agree — a round is 2 jobs, not
+      // 2 excepts + 4 counts (equal counts + empty one-direction
+      // except ⟺ set equality).
+      val (afterLarge, cL) = ckptCounted(largeStar(edges))
+      val (afterSmall, cS) = ckptCounted(smallStar(afterLarge))
       stable = cL == edgeCount && cS == cL &&
         afterLarge.except(edges)
           .unionAll(afterSmall.except(afterLarge))
@@ -641,13 +671,19 @@ object NearDedup {
       .withColumn("n_chars", length(col("text")).cast(LongType))
       .select(docs.columns.map(col): _*)
     // four consumers (probe sets, intra pairs, membership, fresh keys):
-    // materialize the planted union once (the corpus-export lesson)
+    // materialize the planted union once (the corpus-export lesson).
+    // Repartitioned to session parallelism BEFORE the checkpoint: the
+    // 3-way union of widened scans carries 3× the session's partitions
+    // (96 on local[32]), and the checkpoint would pin that width onto
+    // every downstream stage — 3× the tasks for batch-sized data
+    // (guide §2.2: fewer, larger partitions).
     val batch = docs.filter(col("doc_id") % 10 === 7)
       .unionByName(planted(base.filter(col("doc_id") % 50 === 25), off,
         " with a brief trailing remark appended"))
       .unionByName(planted(
         docs.filter(col("doc_id") % 10 === 7 && col("doc_id") % 20 === 17),
         2L * off, " plus an unrelated closing line"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint(true)
     clusterSplitIncrPrebuilt(spark.read.parquet(s"$fixture/index"),
       spark.read.parquet(s"$fixture/assign"), batch)
