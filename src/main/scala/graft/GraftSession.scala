@@ -19,6 +19,21 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes post-shuffle partitions by BYTES, but several engine
+      // stages are CPU-heavy per byte (shingle-set collect+sort, array
+      // intersection verifies, regex chains): at the default 1 MB
+      // minimum their few-MB shuffles coalesce to 1-2 tasks and the
+      // stage runs serial on an idle cluster (measured: a 1.4 s 2-task
+      // verify stage dominating t_split_safe_incr; 10-25% off the whole
+      // PPJoin/cluster family at 128k, no regression on byte-heavy or
+      // trivial queries). parallelismFirst (default true) still caps
+      // the partition count at defaultParallelism, so this only splits
+      // small-but-expensive shuffles, never multiplies large ones.
+      // Parameterised for deployments whose shuffles are byte-bound
+      // (export SPARK_GRAFT_MIN_COALESCED_PARTITION=1m restores the
+      // stock minimum).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "128k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -685,7 +685,16 @@ object NearDedup {
         2L * off, " plus an unrelated closing line"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint(true)
-    clusterSplitIncrPrebuilt(spark.read.parquet(s"$fixture/index"),
+    // the index scan feeds the probe's CPU-heavy chain (full-set
+    // explode → candidate join → array_intersect verify), and broadcast
+    // joins fuse that chain INTO the scan stage — a ~2-split file
+    // layout would run it 2-wide on a 32-core session (measured: one
+    // 1.45 s 2-task stage dominating the query). Same widen rationale
+    // and same scale-adaptive guard as Tables.documents: at production
+    // index sizes the scan already yields ≥ parallelism splits and
+    // widen is the identity.
+    clusterSplitIncrPrebuilt(
+      Tables.widen(spark, spark.read.parquet(s"$fixture/index"), s"$fixture/index"),
       spark.read.parquet(s"$fixture/assign"), batch)
   }
 

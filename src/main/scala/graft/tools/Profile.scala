@@ -115,6 +115,24 @@ object Profile {
           }
           spark.conf.set("spark.sql.adaptive.enabled", "true")
         }
+      case "minpart" =>
+        // A/B spark.sql.adaptive.coalescePartitions.minPartitionSize:
+        // args(3) = size values (comma list), args(4..) = query names
+        val sizes = args(3).split(",").toSeq
+        val names = args.drop(4)
+        names.foreach { n =>
+          val fn = graft.SparkEntry.queries(n)
+          (sizes ++ sizes.reverse).foreach { sz =>
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", sz)
+            val times = (0 until passes).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            println(f"MINPART $n%-24s sz=$sz%-6s min=${times.min}%7.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
+          }
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        }
       case "joblog" =>
         // detailed per-job log for ONE query: name, duration, #tasks
         val name = args(3)
