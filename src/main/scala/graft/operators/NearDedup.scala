@@ -130,6 +130,33 @@ object NearDedup {
     sets.select(col("doc_id"),
       graft.functions.native.minhash_signature(col("s"), numHashes).as("sig"))
 
+  /** Band rows straight off prebuilt shingle sets — the checkpointable
+    * per-batch LSH state: one (doc_id, band, bh) row per band, shared
+    * by the in-batch self-join, the incremental probe, and the
+    * persisted band index (so a batch is shingled/signatured ONCE). */
+  private[graft] def bandsFromSets(sets: DataFrame): DataFrame =
+    bandHashes(signaturesFromSets(sets), defaultBands, defaultRowsPerBand)
+
+  /** [[minHashDedupOf]] split over PREBUILT per-doc sets and band rows
+    * (typically both checkpointed by the caller): band-collision
+    * candidates verified by exact Jaccard on the sets — identical
+    * output to minHashDedupOf on the same documents. */
+  private[graft] def minHashPairsPrebuilt(sets: DataFrame, banded: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"), col("nsh").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"), col("nsh").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast(LongType))
+      .filter(col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** MinHash+LSH near-dup pairs verified by exact Jaccard. */
   def minHashDedupOf(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = shingleSets(docs)
@@ -439,10 +466,13 @@ object NearDedup {
   def cleanCorpus(docs: DataFrame, jaccardThreshold: Double = 0.5,
                   minTokens: Long = 5, minAlphaRatio: Double = 0.5,
                   exactPairs: Boolean = false): DataFrame = {
-    val quality = TextOps.qualityScoreOf(docs)
-      .filter(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
-      .select("doc_id")
-    val qualified = docs.join(quality, "doc_id")
+    // the quality gate runs INLINE in the corpus scan: the previous
+    // docs ⋈ qualityScoreOf(docs).filter(...) shape scanned the corpus
+    // twice and paid a join exchange for what is a per-row predicate
+    // (doc_id is unique, so the semi-join IS the filter) — same rows,
+    // oracle-identical (guide §2.4)
+    val qualified = docs.filter(
+      TextOps.qualityPass(minTokens, minAlphaRatio))
     val pairs =
       if (exactPairs) ngramJaccardOf(qualified, jaccardThreshold)
       else minHashDedupOf(qualified, jaccardThreshold)
@@ -1069,7 +1099,18 @@ object NearDedup {
   def incrementalNearPrebuilt(base: DataFrame, baseBands: DataFrame,
                               batch: DataFrame, threshold: Double): DataFrame = {
     val batchSets = shingleSets(batch)
-    val batchBands = bandHashes(signaturesFromSets(batchSets), defaultBands, defaultRowsPerBand)
+    incrementalNearPrebuiltBatch(base, baseBands, batchSets,
+      bandHashes(signaturesFromSets(batchSets), defaultBands, defaultRowsPerBand),
+      threshold)
+  }
+
+  /** [[incrementalNearPrebuilt]] with the BATCH side's sets and band
+    * rows also prebuilt (the streaming admit path computes them once
+    * per trigger and feeds every tier from the checkpoints). */
+  private[graft] def incrementalNearPrebuiltBatch(
+      base: DataFrame, baseBands: DataFrame,
+      batchSets: DataFrame, batchBands: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = batchBands.as("x").join(baseBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("base_id"))

@@ -107,6 +107,23 @@ object TextOps {
   private val qualityStopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** The (n_tokens, alpha_ratio) quality gate as ONE inline predicate
+    * — exactly [[qualityScoreOf]]'s `n_tokens >= minTokens &&
+    * alpha_ratio >= minAlphaRatio` columns, composed so a consumer
+    * can FILTER the corpus in its own scan instead of joining the
+    * corpus against a quality projection of itself (the join shape
+    * cost a second corpus scan + an exchange in cleanCorpus; guide
+    * §2.4 remove shuffles outright). */
+  private[operators] def qualityPass(minTokens: Long, minAlphaRatio: Double)
+      : Column = {
+    val cc = graft.functions.native.char_class_counts(col("text"))
+    val nChars = cc.getItem(0).cast(DoubleType)
+    val nAlpha = cc.getItem(1).cast(DoubleType)
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
+    wsTokenCount(col("text")).cast(LongType) >= minTokens &&
+      alphaRatio >= minAlphaRatio
+  }
+
   def qualityScoreOf(docs: DataFrame): DataFrame = {
     // one char-class census + one tokenization pass per document,
     // replacing two regexp_replace scans and a regexp_extract_all —

@@ -242,10 +242,23 @@ object CorpusStream {
     val spark = batch.sparkSession
     val hashed = batch.withColumn("content_sha", sha2(col("text"), 256))
     val w = Window.partitionBy("content_sha").orderBy("doc_id")
+    // ONE materialization of the deduped batch: the cluster tier, both
+    // incremental probes, and the final write each run as their own
+    // action and would otherwise re-read + re-window the source batch
     val exact = hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
+    // ONE shingle/signature pass per batch (guide §1.2 duplicate
+    // subtree elimination): the per-doc shingle sets and their band
+    // rows feed the in-batch LSH self-join, the incremental near
+    // probe, AND the persisted band index — previously the in-batch
+    // tier, the probe, and bandTableOf(out) each re-shingled and
+    // re-signatured the batch from scratch (3 full passes per trigger)
+    val sets = NearDedup.shingleSets(exact.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val bands = NearDedup.bandsFromSets(sets).localCheckpoint(true)
     val clusters = NearDedup.duplicateClusters(
-      NearDedup.minHashDedupOf(exact.select("doc_id", "text"), threshold)
+      NearDedup.minHashPairsPrebuilt(sets, bands, threshold)
         .select("id_a", "id_b"))
     val canon = exact.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -269,9 +282,15 @@ object CorpusStream {
         val baseBands = spark.read.parquet(bandsPath)
           .filter(col("batch") =!= batchId)
           .select("doc_id", "band", "bh")
-        val nearDup = NearDedup.incrementalNearPrebuilt(
+        // the probe side's sets/bands are FILTERS of the checkpointed
+        // per-batch state (afterExact ⊆ exact; banding is per-doc
+        // deterministic), not a fresh shingle pass
+        val probeIds = afterExact.select("doc_id")
+        val nearDup = NearDedup.incrementalNearPrebuiltBatch(
             base.select("doc_id", "text"), baseBands,
-            afterExact.select("doc_id", "text"), threshold)
+            sets.join(probeIds, Seq("doc_id"), "left_semi"),
+            bands.join(probeIds, Seq("doc_id"), "left_semi"),
+            threshold)
           .select(col("batch_id").as("doc_id")).distinct()
         afterExact.join(nearDup, Seq("doc_id"), "left_anti")
       }
@@ -282,7 +301,11 @@ object CorpusStream {
       // nothing), never an admitted batch invisible to the near tier;
       // the foreachBatch retry overwrites both
       .localCheckpoint(true)
-    NearDedup.bandTableOf(out.select("doc_id", "text"))
+    // survivors' band rows = the checkpointed band table filtered to
+    // the admitted ids (bandTableOf(out) was a full second
+    // shingle+signature pass over the survivors)
+    bands.join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "band", "bh")
       .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
     out.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
   }

@@ -95,10 +95,15 @@ object FeedView {
         val b = batch.toDF().localCheckpoint()
         val fs = new org.apache.hadoop.fs.Path(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // bounded driver action: the distinct versions THIS batch holds
-        val versions = b.select("_commit_version").distinct()
-          .collect().map(_.getLong(0)).sorted
-        versions.foreach { v =>
+        // bounded driver action: the distinct versions THIS batch holds,
+        // WITH each version's has-a-snapshot flag riding the same
+        // aggregation — the per-version `snap.isEmpty` probe was a
+        // separate job per version (guide §2.4 driver overhead)
+        val versions = b.groupBy("_commit_version")
+          .agg(max(when(col("_change_type") === "snapshot", 1L)
+            .otherwise(0L)).as("__has_snap"))
+          .collect().map(r => (r.getLong(0), r.getLong(1) == 1L)).sortBy(_._1)
+        versions.foreach { case (v, hasSnap) =>
           val applied = latestAgg(spark, stateDir)
           val lastApplied = applied.map(_._1).getOrElse(0L)
           if (v > lastApplied) { // re-delivered batches fold nothing twice
@@ -214,18 +219,25 @@ object FeedView {
                 else {
                   // materialize the fold ONCE (group-sized rows): the
                   // dirty-month probe and the state write would
-                  // otherwise EACH re-run it — the r9 lesson
-                  val foldedC = folded.localCheckpoint()
+                  // otherwise EACH re-run it — the r9 lesson. The
+                  // dirty-month set RIDES the checkpoint job as an
+                  // observed metric (guide §2.4 job thrift): a
+                  // separate collect() was one more job per version.
+                  val obsDirty = org.apache.spark.sql.Observation()
+                  val foldedC = folded
+                    .observe(obsDirty, collect_set(
+                      when(col("dirty_min") || col("dirty_max"), col("month")))
+                      .as("dirty"))
+                    .localCheckpoint()
                   // dirty-group repair: recompute min/max for EXACTLY
                   // the months a retirement dethroned, from the base
-                  // state at this version. Bounded driver action
+                  // state at this version. Bounded driver value
                   // (months, not rows); the base read is
                   // range-predicated on the date column so parquet
                   // row-group stats skip untouched months' files (the
                   // month-partitioned layout makes file min/max tight).
-                  val dirtyMonths = foldedC
-                    .filter(col("dirty_min") || col("dirty_max"))
-                    .select("month").collect().map(_.getDate(0))
+                  val dirtyMonths = obsDirty.get.apply("dirty")
+                    .asInstanceOf[scala.collection.Seq[java.sql.Date]].toSeq
                   if (dirtyMonths.isEmpty)
                     foldedC.select(col("month"), col("n_live"), col("cnt_price"),
                       col("sum_price"),

@@ -219,6 +219,64 @@ object Profile {
         time("pairs_sets_ckpt_lazy")(pairsCkpt(false))
         time("pairs_sets_ckpt_eager")(pairsCkpt(true))
         time("pairs_baseline_again")(NearDedup.ngramJaccardOf(docs, threshold))
+      case "ppjoin3" =>
+        // A/B the shingle-chain exchange shape: baseline (distinct on
+        // (doc,shingle) → freq reshuffle → join reshuffle) vs a single
+        // up-front repartition(shingle) that the distinct, the freq
+        // aggregation, and the freq join can all ride (hash on a SUBSET
+        // of the grouping keys satisfies ClusteredDistribution).
+        val docs = Tables.documents(spark, sfDir)
+        val threshold = 0.5
+        val p = math.round(threshold * 1000000L)
+        def pairsRepart(): DataFrame = {
+          val prefixLen = expr(s"cast(nsh - ((nsh * ${p}L + 999999L) div 1000000L) + 1 as int)")
+          val words = split(
+            regexp_replace(lower(col("text")), "^\\s+|\\s+$", ""), "\\s+")
+          val raw = docs
+            .select(col("doc_id"), words.as("w"))
+            .filter(size(col("w")) >= 3)
+            .select(col("doc_id"), col("w"),
+              explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
+            .select(col("doc_id"),
+              xxhash64(concat_ws(" ", slice(col("w"), col("i") + 1, lit(3)))).as("shingle"))
+          val sh = raw.repartition(col("shingle")).distinct()
+          val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          val sets = sh.join(freq, "shingle")
+            .groupBy("doc_id")
+            .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("fs"))
+            .withColumn("s", transform(col("fs"), x => x.getField("shingle")))
+            .withColumn("nsh", size(col("s")).cast(org.apache.spark.sql.types.LongType))
+            .withColumn("prefix",
+              transform(slice(col("fs"), lit(1), prefixLen), x => x.getField("shingle")))
+          val indexed = sets.select(col("doc_id"), col("nsh"), posexplode(col("prefix")))
+            .select(col("doc_id"), col("nsh"), col("pos").cast("long").as("pos"),
+              col("col").as("shingle"))
+          val cand = indexed.as("a").join(indexed.as("b"),
+              col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.nsh") * 1000000L >= col("b.nsh") * p &&
+              col("b.nsh") * 1000000L >= col("a.nsh") * p &&
+              expr(s"1L + least(a.nsh - 1L - a.pos, b.nsh - 1L - b.pos) >= " +
+                s"((a.nsh + b.nsh) * ${p}L + ${1000000L + p - 1L}L) div ${1000000L + p}L"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .distinct()
+          cand
+            .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"), col("nsh").as("n_a")), "id_a")
+            .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"), col("nsh").as("n_b")), "id_b")
+            .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast(org.apache.spark.sql.types.LongType))
+            .filter(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")) >= threshold)
+            .select("id_a", "id_b")
+        }
+        time("pairs_baseline")(NearDedup.ngramJaccardOf(docs, threshold))
+        time("pairs_repart_shingle")(pairsRepart())
+        time("pairs_baseline_again")(NearDedup.ngramJaccardOf(docs, threshold))
+        time("pairs_repart_again")(pairsRepart())
+        val nb = NearDedup.ngramJaccardOf(docs, threshold).count()
+        val nr = pairsRepart().count()
+        val diff = NearDedup.ngramJaccardOf(docs, threshold)
+          .except(pairsRepart()).count() +
+          pairsRepart().except(NearDedup.ngramJaccardOf(docs, threshold)).count()
+        println(s"PPJOIN3 baseline=$nb repart=$nr symmetric_diff=$diff")
       case "cc" =>
         val docs = Tables.documents(spark, sfDir)
         val quality = TextOps.qualityScoreOf(docs)
