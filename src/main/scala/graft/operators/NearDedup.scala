@@ -650,6 +650,12 @@ object NearDedup {
         col("anchor_id").as("base_anchor")), "id_base")
       .join(member.select(col("doc_id").as("id_new"), col("comp_id")), "id_new")
       .groupBy("comp_id").agg(min("base_anchor").as("base_anchor"))
+    // NOT checkpointed despite the union's two branches re-evaluating
+    // the cross-probe verify buried in `linked`: measured (r17), the
+    // eager materialization SERIALIZES what the final action otherwise
+    // runs as two concurrent subtrees back-filling idle cores (guide
+    // §2.6) — wall went 5.9 s → 7.4-8.3 s with the checkpoint. CPU-bound
+    // deployments can revisit; on wall-clock the parallel shape wins.
     val anchored = member.join(linked, Seq("comp_id"), "left")
     // one row per base anchor: members share their anchor's key by
     // the full path's construction

@@ -277,6 +277,40 @@ object Profile {
           .except(pairsRepart()).count() +
           pairsRepart().except(NearDedup.ngramJaccardOf(docs, threshold)).count()
         println(s"PPJOIN3 baseline=$nb repart=$nr symmetric_diff=$diff")
+      case "rank" =>
+        // A/B PageRank iteration materialization: the unrolled linear
+        // DAG (current pageRankOf) vs an eager localCheckpoint per
+        // iteration (the pre-r17 shape).
+        val edges = Tables.orders(spark, sfDir)
+          .join(Tables.lineitem(spark, sfDir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        def rankCkptPerIter(iters: Int): DataFrame = {
+          val e = edges.select(col("src"), col("dst")).localCheckpoint()
+          val nodes = e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+          val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+          var ranks = nodes.withColumn("rank", lit(1000000L))
+          for (_ <- 1 to iters) {
+            val contribs = e
+              .join(ranks.withColumnRenamed("node", "src"), "src")
+              .join(outdeg, "src")
+              .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+              .groupBy("node").agg(sum(col("c")).as("in_sum"))
+            ranks = nodes.join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                (lit(150000L) + expr("(850000 * coalesce(in_sum, 0L)) div 1000000"))
+                  .as("rank"))
+              .localCheckpoint()
+          }
+          ranks
+        }
+        time("rank_unrolled")(graft.operators.GraphRank.pageRankOf(edges, 3).orderBy("node"))
+        time("rank_ckpt_per_iter")(rankCkptPerIter(3).orderBy("node"))
+        time("rank_unrolled_again")(graft.operators.GraphRank.pageRankOf(edges, 3).orderBy("node"))
+        time("rank_ckpt_again")(rankCkptPerIter(3).orderBy("node"))
       case "cc" =>
         val docs = Tables.documents(spark, sfDir)
         val quality = TextOps.qualityScoreOf(docs)
