@@ -52,9 +52,16 @@ object CorpusExport {
     val uncontaminated = NearDedup.decontaminateOf(clean, benchmark)
       .filter(col("is_contaminated") === 0)
       .select("doc_id")
-    val surviving = clean.join(uncontaminated, "doc_id")
+    // surviving and kept are each REPEATED subtrees of the one final
+    // action (sampled derives from surviving, split and the packer
+    // both consume kept), and every re-evaluation re-runs the
+    // decontaminate shingle aggregation — materialize each boundary
+    // once (guide §1.2; A/B'd in Profile `export2`: ~7% wall, unlike
+    // the incremental-split case where the duplicated subtrees ran
+    // concurrently and a checkpoint serialized them)
+    val surviving = clean.join(uncontaminated, "doc_id").localCheckpoint()
     val sampled = TextOps.stratifiedSampleOf(surviving, rates).select("doc_id")
-    val kept = surviving.join(sampled, "doc_id")
+    val kept = surviving.join(sampled, "doc_id").localCheckpoint()
     val split = TextOps.splitAssignOf(kept).select("doc_id", "split")
     // shard count scales with the corpus (packShardsFor on the input
     // count — an upper bound of the kept set, one cheap column scan),

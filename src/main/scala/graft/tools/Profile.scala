@@ -277,6 +277,29 @@ object Profile {
           .except(pairsRepart()).count() +
           pairsRepart().except(NearDedup.ngramJaccardOf(docs, threshold)).count()
         println(s"PPJOIN3 baseline=$nb repart=$nr symmetric_diff=$diff")
+      case "export2" =>
+        // A/B the export tail: as-shipped (surviving/kept as repeated
+        // subtrees of one action) vs eager checkpoints at the
+        // surviving and kept boundaries.
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        val benchmark = docs.filter(col("doc_id") % 20 === 0)
+        def exportCkpt(): DataFrame = {
+          val clean = NearDedup.cleanCorpus(corpus, exactPairs = true).localCheckpoint()
+          val uncontaminated = NearDedup.decontaminateOf(clean, benchmark)
+            .filter(col("is_contaminated") === 0).select("doc_id")
+          val surviving = clean.join(uncontaminated, "doc_id").localCheckpoint()
+          val sampled = TextOps.stratifiedSampleOf(surviving, TextOps.sampleRates).select("doc_id")
+          val kept = surviving.join(sampled, "doc_id").localCheckpoint()
+          val split = TextOps.splitAssignOf(kept).select("doc_id", "split")
+          TextOps.packSequencesOf(kept.join(split, "doc_id"),
+              nShards = TextOps.packShardsFor(corpus.count()), groupCols = Seq("split"))
+            .orderBy("doc_id")
+        }
+        time("export_shipped")(graft.operators.CorpusExport.exportCorpus(spark, sfDir))
+        time("export_ckpt_tail")(exportCkpt())
+        time("export_shipped_again")(graft.operators.CorpusExport.exportCorpus(spark, sfDir))
+        time("export_ckpt_again")(exportCkpt())
       case "rank" =>
         // A/B PageRank iteration materialization: the unrolled linear
         // DAG (current pageRankOf) vs an eager localCheckpoint per
